@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import graft.model.{ControlEvent, Hysteresis}
+
+/** One emitted transition of the thermostat replay. */
+final case class Emitted(user_id: Long, event_id: Long, action: Int)
+
+/** Queries over the `events` table — the batch analogs of the
+  * reference's streaming capabilities (SURVEY.md §2.2): the keyed
+  * hysteresis fold (the REF heart), sessionization, tumbling time
+  * buckets, JSON extraction, streaming-dedup analog, moving windows.
+  */
+object Events {
+
+  // ---------------------------------------------------------------
+  // q16: FLAGSHIP — replay the reference's dynamically-controlled
+  // stream in batch form. `purchase` events act as the control stream
+  // (TemperatureControl with desired = value, deltas = 5); all other
+  // events act as the sensor stream (temperature = value). Per key the
+  // hysteresis + transition-dedup state machine is folded in (ts,
+  // event_id) order — identical semantics to the reference's
+  // mapGroupsWithState (reference:
+  // sparkcontroller/.../SparkStructuredController.scala:96-118).
+  //
+  // Scale: groupByKey + flatMapSortedGroups gives a spillable
+  // secondary sort (no in-memory group materialization) — one shuffle
+  // by key, then a streaming per-key fold. event_id is unique and
+  // monotone in ts (verified for the testdata), so it is the sort key.
+  // ---------------------------------------------------------------
+  def q16ControlActions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select(
+      col("user_id").as("sensorID"),
+      col("event_id").as("seq"),
+      when(col("event_type") === "purchase", lit("control"))
+        .otherwise(lit("data")).as("kind"),
+      when(col("event_type") =!= "purchase", col("value"))
+        .otherwise(lit(0.0)).as("temperature"),
+      when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0)).as("desired"),
+      lit(5.0).as("upDelta"),
+      lit(5.0).as("downDelta")).as[ControlEvent]
+    ev.groupByKey(_.sensorID)
+      .flatMapSortedGroups(col("seq")) { (uid: Long, it: Iterator[ControlEvent]) =>
+        Hysteresis.replay(it).map { case (seq, a) => Emitted(uid, seq, a) }
+      }
+      .toDF()
+      .orderBy("user_id", "event_id")
+  }
+
+  val q16Sql: String =
+    """WITH ctl AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS desired
+      |  FROM events
+      |), acts AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN value > desired + 5 THEN 1
+      |         WHEN value < desired - 5 THEN 0
+      |         ELSE -1 END AS action
+      |  FROM ctl WHERE event_type <> 'purchase' AND desired IS NOT NULL
+      |), dedup AS (
+      |  SELECT user_id, event_id, action,
+      |    lag(action) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM acts WHERE action >= 0
+      |)
+      |SELECT user_id, event_id, action FROM dedup
+      |WHERE prev IS NULL OR prev <> action
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q17: sessionization — batch analog of session windows (30-minute
+  // inactivity gap) via window functions: gap flag -> running sum.
+  // Durations in exact microseconds (both engines read the same µs).
+  // ---------------------------------------------------------------
+  def q17Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    events(s, dir)
+      .withColumn("new_s", when(gap.isNull || gap > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q17Sql: String =
+    """WITH flags AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flags
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(event_id) AS first_event_id,
+      |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q18: tumbling time buckets — batch analog of a 1-hour streaming
+  // window aggregate, via Spark's window() function. Averages go
+  // through exact integer cents so both engines agree bit-for-bit.
+  // ---------------------------------------------------------------
+  def q18TimeBuckets(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(cents) / 100.0, 4).as("avg_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("event_type"), col("n"), col("avg_value"))
+      .orderBy("bucket_start", "event_type")
+  }
+
+  val q18Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      |  event_type, COUNT(*) AS n,
+      |  ROUND(AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, event_type
+      |ORDER BY bucket_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q19: JSON extraction from the props column + bucketed aggregate.
+  // ---------------------------------------------------------------
+  def q19JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    events(s, dir)
+      .select(col("event_type"), cents.as("cents"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(floor(col("k") / 10.0).cast("int").as("k_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("cents")) / 100.0, 4).as("avg_value"))
+      .orderBy("k_bucket", "event_type")
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT) AS k_bucket,
+      |  event_type, COUNT(*) AS n,
+      |  ROUND(AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY k_bucket, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q20: first event per (user, type) — deterministic batch analog of
+  // streaming dropDuplicates (keep-first-by-event-id, not arbitrary).
+  // ---------------------------------------------------------------
+  def q20FirstPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("value").as("first_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q20Sql: String =
+    """SELECT user_id, event_type, event_id AS first_event_id, value AS first_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q21: moving aggregate — 5-row trailing average per user (window
+  // frame). Exact integer cents keep both engines bit-identical.
+  // ---------------------------------------------------------------
+  def q21MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, 0)
+    val cents = round(col("value") * 100).cast("long")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        round(avg(cents).over(w) / 100.0, 4).as("mavg5"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q21Sql: String =
+    """SELECT user_id, event_id,
+      |  ROUND(AVG(CAST(ROUND(value * 100, 0) AS BIGINT))
+      |          OVER (PARTITION BY user_id ORDER BY event_id
+      |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0, 4) AS mavg5
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_control_actions" -> q16ControlActions _,
+    "q17_sessionize" -> q17Sessionize _,
+    "q18_time_buckets" -> q18TimeBuckets _,
+    "q19_json_extract" -> q19JsonExtract _,
+    "q20_first_per_key" -> q20FirstPerKey _,
+    "q21_moving_avg" -> q21MovingAvg _)
+
+  val oracles: Map[String, String] = Map(
+    "q16_control_actions" -> q16Sql,
+    "q17_sessionize" -> q17Sql,
+    "q18_time_buckets" -> q18Sql,
+    "q19_json_extract" -> q19Sql,
+    "q20_first_per_key" -> q20Sql,
+    "q21_moving_avg" -> q21Sql)
+}
