@@ -20,12 +20,20 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Vectors.queries ++
+      graft.queries.TextAnalysis.queries ++
+      graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Events.oracles
+      graft.queries.Events.oracles ++
+      graft.queries.Dedup.oracles ++
+      graft.queries.Vectors.oracles ++
+      graft.queries.TextAnalysis.oracles ++
+      graft.queries.Multimodal.oracles
 }

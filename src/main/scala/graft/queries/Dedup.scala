@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Hashing._
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline surface (SURVEY.md §2.2 EXT): exact dedup,
+  * MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design (100 TB): every variant is signature → band/block →
+  * bucket join — no all-pairs comparison anywhere. Signatures are pure
+  * codegen'd map stages (Hashing.scala); the only shuffles are the
+  * bucket joins on band/chunk/block keys, whose fan-in is bounded by
+  * design (near-dup buckets are small; skewed buckets would be salted
+  * — documented, not needed at these SFs).
+  *
+  * Oracle parity: signatures are md5-based (identical in DuckDB), so
+  * even the hash-based variants are full hash-match gated.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------
+  // q22: exact dedup — hash-groupBy on the text, keep the minimum
+  // doc_id as the canonical survivor (deterministic, unlike a bare
+  // dropDuplicates which keeps an arbitrary row per key).
+  // ---------------------------------------------------------------
+  def q22DedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"), md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_docs"),
+        (sum(col("n_copies")) - count(lit(1))).as("n_removed"),
+        min(col("keep_id")).as("min_keep_id"))
+      .orderBy("lang")
+
+  val q22Sql: String =
+    """SELECT lang, COUNT(*) AS n_unique, SUM(n_copies) AS n_docs,
+      |  SUM(n_copies) - COUNT(*) AS n_removed, MIN(keep_id) AS min_keep_id
+      |FROM (SELECT lang, md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      |             COUNT(*) AS n_copies
+      |      FROM documents GROUP BY lang, md5(text))
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q23: MinHash + LSH near-dup pairs. 12 MinHash values over word
+  // 3-gram shingles, banded 4 x 3; candidate pairs share at least one
+  // band key; candidates are verified with exact Jaccard >= 0.5.
+  // Plan: signature map stage -> explode 4 band keys -> shuffle by
+  // band key -> self-join -> verify. No all-pairs stage.
+  // ---------------------------------------------------------------
+  private val K = 12 // minhashes
+  private val R = 3 // rows per band
+  private val B = K / R // bands
+
+  def q23MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val ms = (0 until K).map(i => minhash(col("sh"), i))
+    val bandStructs = (0 until B).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(ms(R * b), ms(R * b + 1), ms(R * b + 2))).as("band_key"))
+    }
+    val bands = sh.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("i"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("j"), col("sh").as("shb"))
+    cand.join(sa, "i").join(sb, "j")
+      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .filter(col("jac") >= 0.5)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("i", "j")
+  }
+
+  val q23Sql: String = {
+    val msList = (0 until K).map(i => sqlMinhash("sh", i)).mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
+       |), sig AS (
+       |  SELECT doc_id, sh, [$msList] AS ms FROM sh
+       |), bands AS (
+       |  SELECT doc_id, CAST(t.i AS INT) AS band_idx,
+       |    md5(ms[3*t.i+1] || ms[3*t.i+2] || ms[3*t.i+3]) AS band_key
+       |  FROM sig, range(4) t(i)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT i, j,
+       |  ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |        len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = i
+       |JOIN sh sb ON sb.doc_id = j
+       |WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |      len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+       |ORDER BY i, j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q24: SimHash near-dup pairs, EXACT hamming <= 3 semantics at
+  // scale: 60-bit frequency-weighted SimHash, blocked on the four
+  // 15-bit chunks — by pigeonhole, two signatures within hamming
+  // distance 3 must agree on >= 1 chunk, so the chunk-bucket join
+  // finds ALL qualifying pairs without an all-pairs stage. The oracle
+  // brute-forces the same definition.
+  // ---------------------------------------------------------------
+  def q24SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // explode -> hash each word ONCE -> 60 partial-aggregated bit sums
+    // (map-side combine; one md5 per word, not 60). A single array
+    // expression would recompute the hash array per bit test: Catalyst
+    // collapses projections, so materialization must come from the
+    // aggregate boundary, not a withColumn.
+    val wh = documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sig = wh.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), chunk15(col("sig"), c).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.c"), col("ck.key"))
+    val a = chunks.alias("a")
+    val b = chunks.alias("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("i", "j")
+  }
+
+  val q24Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, $sqlWordHashes AS hs FROM documents
+       |), s AS (
+       |  SELECT doc_id, $sqlSimhashTerms AS sig FROM h
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q25: blocked exact n-gram Jaccard: candidate pairs limited to the
+  // same (lang, length-bucket) block — deterministic blocking that
+  // both engines replicate, so output matches exactly. The block keys
+  // bound the join fan-out at scale (vs 25M all-pairs at sf0.1).
+  // ---------------------------------------------------------------
+  def q25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).as("lb"), shingles(col("text"), 3).as("sh"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("jac") >= 0.2)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.lang").as("lang"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("i", "j")
+  }
+
+  val q25Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS lb,
+       |    ${sqlShingles(3)} AS sh
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j, a.lang AS lang,
+       |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+       |ORDER BY i, j""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_dedup_exact" -> q22DedupExact _,
+    "q23_minhash_lsh" -> q23MinhashLsh _,
+    "q24_simhash_pairs" -> q24SimhashPairs _,
+    "q25_ngram_jaccard" -> q25NgramJaccard _)
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" -> q22Sql,
+    "q23_minhash_lsh" -> q23Sql,
+    "q24_simhash_pairs" -> q24Sql,
+    "q25_ngram_jaccard" -> q25Sql)
+}

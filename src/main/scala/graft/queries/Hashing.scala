@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing primitives shared by the dedup /
+  * fingerprint operators.
+  *
+  * Everything here is built on md5-of-UTF8, which Spark and DuckDB
+  * compute identically, so the DuckDB oracle can replicate MinHash /
+  * SimHash signatures bit-for-bit and the driver's hash-match gate
+  * applies to the hash-based operators too (normally they'd only get a
+  * weaker rows-only check).
+  *
+  * All helpers are Column expressions (codegen'd, no UDF): at 100 TB
+  * the signature computation is a pure map stage — no shuffle, no
+  * driver involvement, prunes to the one text column.
+  */
+object Hashing {
+
+  /** Whitespace tokens of clean single-space text (matches DuckDB
+    * string_split(text, ' ')).
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, de-duplicated. For docs shorter than n
+    * words, one truncated shingle (mirrors the oracle's
+    * range(greatest(len-(n-1),1)) guard).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ws) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+  }
+
+  /** One MinHash value: the lexicographic minimum of md5("<seed>:" ++
+    * shingle). Min-over-any-total-order preserves the MinHash
+    * collision property, and string ordering of hex md5 is identical
+    * across engines — no hex-to-int conversion needed.
+    */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** 60-bit integer hash of a string: first 15 hex chars of md5.
+    * 60 bits keeps it positive in a signed 64-bit long in both engines
+    * (DuckDB: CAST('0x' || substr(md5(x),1,15) AS BIGINT)).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** The 15-bit chunk c (0..3) of a 60-bit signature — the pigeonhole
+    * blocking key: two signatures within hamming distance 3 must agree
+    * on at least one of the 4 chunks.
+    */
+  def chunk15(sig: Column, c: Int): Column =
+    shiftright(sig, 15 * c) % (1 << 15)
+
+  // ----- oracle-side (DuckDB SQL) mirrors of the above -------------
+
+  /** DuckDB: distinct word n-gram shingles of `text`. */
+  def sqlShingles(n: Int): String =
+    s"""list_distinct(list_transform(
+       |    range(greatest(len(string_split(text,' '))-${n - 1}, 1)),
+       |    i -> array_to_string(list_slice(string_split(text,' '), i+1, i+$n), ' ')))""".stripMargin
+
+  /** DuckDB: MinHash value for `seed` over a shingle-array column. */
+  def sqlMinhash(shCol: String, seed: Int): String =
+    s"list_aggregate(list_transform($shCol, x -> md5('$seed:' || x)), 'min')"
+
+  /** DuckDB: 60-bit hash of expression `e`. */
+  def sqlHash60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB: word-hash list of `text` (feed a CTE column named `hs`). */
+  def sqlWordHashes: String =
+    s"list_transform(string_split(text,' '), w -> ${sqlHash60("w")})"
+
+  /** DuckDB: the 60-term SimHash sum over a list column named `hs`. */
+  def sqlSimhashTerms: String =
+    (0 until 60).map { b =>
+      s"(CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) % 2 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** A multimodal record: opaque binary payload + typed metadata — the
+  * schema shape for image/audio/video columns at scale (the payload
+  * stays an opaque blob through the relational plan; only the decode
+  * stage touches bytes).
+  */
+final case class MediaRecord(doc_id: Long, lang: String, payload: Array[Byte])
+
+/** Extracted features; the decode step is a deterministic STUB (no
+  * image/audio codecs in this environment) — the Spark-side plumbing
+  * (schema, partition-parallel batch iteration, feature schema) is
+  * real and oracle-checked.
+  */
+final case class MediaFeatures(doc_id: Long, n_bytes: Int, fp60: Long, head_sum: Long)
+
+/** Multimodal-column operators (SURVEY.md §2.2 EXT): treat content as
+  * opaque `binary` with typed metadata; decode/feature-extract runs
+  * partition-parallel over the binary column via typed mapPartitions
+  * (the Scala analog of a batched Pandas UDF: one iterator per
+  * partition, record batches in, record batches out, never through the
+  * driver).
+  */
+object Multimodal {
+
+  // ---------------------------------------------------------------
+  // q33: bundle text + embedding + metadata into one multimodal row:
+  // documents joined to embeddings on id, the text encoded to a binary
+  // payload column (standing in for image/audio bytes), plus payload
+  // metadata. Broadcast-free equi-join on ids; both sides co-keyed.
+  // ---------------------------------------------------------------
+  def q33MultimodalBundle(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val e = embeddings(s, dir)
+    val emb = col("embedding").cast("array<double>")
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("label"),
+        octet_length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("payload_md5"),
+        round(sqrt(aggregate(zip_with(emb, emb, (x, y) => x * y),
+          lit(0.0), (s2, x) => s2 + x)), 4).as("emb_norm"))
+      .orderBy("doc_id")
+  }
+
+  val q33Sql: String =
+    """SELECT d.doc_id AS doc_id, d.lang AS lang, e.label AS label,
+      |  strlen(d.text) AS n_bytes,
+      |  md5(d.text) AS payload_md5,
+      |  ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                              CAST(e.embedding AS DOUBLE[]))), 4) AS emb_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q35: the decode/feature-extract stage: binary payloads flow
+  // through typed mapPartitions; the per-batch "decoder" here is a
+  // deterministic stub (byte length, md5-derived 60-bit fingerprint,
+  // sum of the first 8 bytes) standing in for a real image/audio
+  // decode, so the oracle can verify the plumbing end-to-end.
+  // ---------------------------------------------------------------
+  def q35MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        // partition-local "decoder" init (a real codec would open here)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { r =>
+          val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+          MediaFeatures(
+            doc_id = r.doc_id,
+            n_bytes = r.payload.length,
+            fp60 = java.lang.Long.parseLong(hex.substring(0, 15), 16),
+            head_sum = r.payload.take(8).map(_.toLong & 0xffL).sum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val q35Sql: String =
+    """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+      |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp60,
+      |  CAST(list_sum(list_transform(range(8), i -> ord(substr(text, CAST(i+1 AS INT), 1)))) AS BIGINT) AS head_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_multimodal_bundle" -> q33MultimodalBundle _,
+    "q35_multimodal_features" -> q35MultimodalFeatures _)
+
+  val oracles: Map[String, String] = Map(
+    "q33_multimodal_bundle" -> q33Sql,
+    "q35_multimodal_features" -> q35Sql)
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+
+import graft.Tables._
+
+/** Aggregation buffer for [[Vectors.q34CentroidUdaf]] — top-level and
+  * public because Spark's generated code must construct it.
+  */
+final case class CentroidBuf(sums: Array[Double], n: Long)
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors, SURVEY.md §2.2 EXT): brute-force cosine top-k as the
+  * correctness baseline, sign-LSH bucketed ANN as the scale path,
+  * cluster-blocked near-dup, and a custom Aggregator (UDAF surface)
+  * computing per-label centroids.
+  *
+  * All dot products are higher-order Column expressions
+  * (zip_with + aggregate) — codegen'd, no UDF in the hot path.
+  */
+object Vectors {
+
+  /** embedding as array<double> (float arithmetic is not portable
+    * across engines; double is).
+    */
+  private def emb(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ---------------------------------------------------------------
+  // q26: embedding near-dup pairs, blocked on the cluster label (the
+  // blocking both engines replicate => exact output parity). At scale
+  // the label plays the role of a coarse IVF cell assignment.
+  // ---------------------------------------------------------------
+  def q26CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("label"),
+      emb(col("embedding")).as("e"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.e"), col("b.e")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        col("a.label").as("label"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("i", "j")
+  }
+
+  val q26Sql: String =
+    """SELECT a.vec_id AS i, b.vec_id AS j, a.label AS label,
+      |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+      |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q27: brute-force cosine top-k: every 100th vector is a query; the
+  // query side is broadcast against the corpus (the 100-TB layout:
+  // small query set x huge corpus, one scan, no shuffle of the corpus)
+  // and ranked per query. Ranking uses the 4-dp-rounded similarity
+  // with vec_id tiebreak so both engines rank identically.
+  // ---------------------------------------------------------------
+  def q27EmbedTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), emb(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(cosine(col("qe"), col("e")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_r").as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q27Sql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+      |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 4) AS cos_r
+      |  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+      |  WHERE q.vec_id % 100 = 0
+      |), ranked AS (
+      |  SELECT q_id, vec_id, cos_r,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos_r AS cos_sim
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q28: sign-LSH (random hyperplane) bucketed ANN — the scale path.
+  // 8 hyperplanes derived deterministically from md5 (computed once
+  // here on the driver, embedded as literals in BOTH engines' plans),
+  // giving an 8-bit bucket per vector; queries probe only their own
+  // bucket. Approximate by design; output parity is exact because the
+  // oracle uses the identical hyperplanes and ranking.
+  // ---------------------------------------------------------------
+  private val Planes = 8
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane component in (-1, 1):
+    * first 15 hex chars of md5("p:d") scaled from [0, 2^60) — the same
+    * construction as Hashing.hash60, evaluated at build time.
+    */
+  private[queries] def planeVal(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+  }
+
+  private def planeArr(p: Int): Column =
+    array((0 until Dim).map(d => lit(planeVal(p, d))): _*)
+
+  /** 8-bit bucket signature of a vector column. */
+  private def lshBucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      when(dot(v, planeArr(p)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def q28AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), emb(col("embedding")).as("e"))
+      .withColumn("bucket", lshBucket(col("e")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    broadcast(q).join(e, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(cosine(col("qe"), col("e")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("bucket"),
+        col("cos_r").as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q28Sql: String = {
+    def planeList(p: Int): String =
+      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
+    val bucketTerms = (0 until Planes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, e.bucket AS bucket,
+       |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])), 4) AS cos_r
+       |  FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id % 100 = 0
+       |), ranked AS (
+       |  SELECT q_id, vec_id, bucket, cos_r,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, bucket, cos_r AS cos_sim
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q34: custom Aggregator (the UDAF surface, SURVEY.md §4.3): exact
+  // per-label centroid of the embedding vectors. Partial aggregation
+  // (map-side combine of the sum vectors) comes for free from the
+  // Aggregator contract — at 100 TB each partition ships one 64-double
+  // buffer per label, not its rows.
+  // ---------------------------------------------------------------
+  private object CentroidAgg
+      extends Aggregator[(Int, Seq[Double]), CentroidBuf, Seq[Double]] {
+    def zero: CentroidBuf = CentroidBuf(Array.fill(Dim)(0.0), 0L)
+    def reduce(b: CentroidBuf, v: (Int, Seq[Double])): CentroidBuf = {
+      var i = 0
+      while (i < Dim) { b.sums(i) += v._2(i); i += 1 }
+      CentroidBuf(b.sums, b.n + 1)
+    }
+    def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf = {
+      var i = 0
+      while (i < Dim) { a.sums(i) += b.sums(i); i += 1 }
+      CentroidBuf(a.sums, a.n + b.n)
+    }
+    def finish(b: CentroidBuf): Seq[Double] =
+      if (b.n == 0) Seq.fill(Dim)(0.0) else b.sums.map(_ / b.n).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[CentroidBuf] =
+      org.apache.spark.sql.Encoders.product[CentroidBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  def q34CentroidUdaf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val grouped = e.select(col("label"), emb(col("embedding")).as("e"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .agg(CentroidAgg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+    val c = col("centroid")
+    grouped.join(e.groupBy("label").count(), "label")
+      .select(col("label"), col("count").as("n"),
+        round(element_at(c, 1), 4).as("c1"),
+        round(element_at(c, 2), 4).as("c2"),
+        round(element_at(c, 3), 4).as("c3"),
+        round(element_at(c, 4), 4).as("c4"),
+        round(sqrt(aggregate(c, lit(0.0), (s2, x) => s2 + x * x)), 4).as("c_norm"))
+      .orderBy("label")
+  }
+
+  val q34Sql: String = {
+    val avgs = (1 to Dim).map(i => s"AVG(CAST(embedding[$i] AS DOUBLE)) AS a$i")
+      .mkString(",\n    ")
+    val normTerms = (1 to Dim).map(i => s"a$i*a$i").mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT label, COUNT(*) AS n,
+       |    $avgs
+       |  FROM embeddings GROUP BY label
+       |)
+       |SELECT label, n, ROUND(a1, 4) AS c1, ROUND(a2, 4) AS c2,
+       |  ROUND(a3, 4) AS c3, ROUND(a4, 4) AS c4,
+       |  ROUND(sqrt($normTerms), 4) AS c_norm
+       |FROM c ORDER BY label""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_cosine_neardup" -> q26CosineNeardup _,
+    "q27_embed_topk" -> q27EmbedTopk _,
+    "q28_ann_lsh" -> q28AnnLsh _,
+    "q34_centroid_udaf" -> q34CentroidUdaf _)
+
+  val oracles: Map[String, String] = Map(
+    "q26_cosine_neardup" -> q26Sql,
+    "q27_embed_topk" -> q27Sql,
+    "q28_ann_lsh" -> q28Sql,
+    "q34_centroid_udaf" -> q34Sql)
+}
