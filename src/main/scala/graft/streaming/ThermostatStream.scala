@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{ControlEvent, ControlState, Hysteresis, SensorData, TemperatureControl}
+
+/** Emitted heater command (reference: messages.proto:12-15 —
+  * HeaterControl{sensorID, command}; `seq` added so emissions are
+  * attributable and testable).
+  */
+final case class HeaterCommand(sensorID: Long, seq: Long, action: Int)
+
+/** The dynamically-controlled-stream pipeline, Spark-native: the
+  * capability all four reference engines implement (reference:
+  * sparkcontroller/.../SparkStructuredController.scala:42-118) —
+  * two keyed streams (high-rate sensor data, low-rate control), the
+  * latest control upserted into per-key state, data evaluated against
+  * it with hysteresis + transition dedup.
+  *
+  * Differences from the reference, by design:
+  *  - one `flatMapGroupsWithState` (Update, NoTimeout) instead of
+  *    mapGroupsWithState + explode (reference:
+  *    SparkStructuredController.scala:74-76) — no Seq materialization,
+  *    no Generate node;
+  *  - within a micro-batch, each key's events apply in `seq` order
+  *    (controls and data interleaved by seq), replacing the
+  *    reference's fragile union-ordering assumption (reference:
+  *    SparkStructuredController.scala:69-71 comment) with a defined
+  *    rule;
+  *  - per-key lastAction lives inside the keyed state (the reference's
+  *    Flink variant keeps it operator-local and loses it on rescale,
+  *    flinkcontroller/.../TemperatureControlProcessor.scala:18).
+  *
+  * Scale: state is O(1) per key (~40 bytes); throughput scales with
+  * shuffle partitions; the state store partitions by the same key
+  * hash, so no extra exchange beyond the groupByKey shuffle.
+  */
+object ThermostatStream {
+
+  /** Per-key state transition for one micro-batch: buffer the batch's
+    * events, apply in seq order, emit deduped transitions.
+    */
+  def stateFunc(
+      sensorID: Long,
+      events: Iterator[ControlEvent],
+      state: GroupState[ControlState]): Iterator[HeaterCommand] = {
+    var st = state.getOption.getOrElse(ControlState.empty)
+    val out = events.toSeq.sortBy(_.seq).flatMap { ev =>
+      val (st2, emitted) = Hysteresis.step(st, ev)
+      st = st2
+      emitted.map(a => HeaterCommand(sensorID, ev.seq, a))
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** The unified-stream pipeline: works identically on a streaming or
+    * batch Dataset (Spark's incrementalization takes care of the
+    * difference — same code, same semantics).
+    */
+  def pipeline(events: Dataset[ControlEvent]): Dataset[HeaterCommand] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.sensorID)
+      .flatMapGroupsWithState[ControlState, HeaterCommand](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(stateFunc)
+  }
+
+  /** Merge the two typed input streams into the tagged union the
+    * state machine consumes (the Spark-4 shape of the reference's
+    * null-tagged UnifiedDataModel,
+    * sparkcontroller/.../DataModelTransform.scala:7-25).
+    */
+  def unify(
+      data: Dataset[(SensorData, Long)],
+      control: Dataset[(TemperatureControl, Long)]): Dataset[ControlEvent] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val d = data.map { case (sd, seq) =>
+      ControlEvent(sd.sensorID.toLong, seq, "data", sd.temperature, 0.0, 0.0, 0.0)
+    }
+    val c = control.map { case (tc, seq) =>
+      ControlEvent(tc.sensorID.toLong, seq, "control", 0.0, tc.desired,
+        tc.upDelta, tc.downDelta)
+    }
+    d.unionByName(c)
+  }
+
+  /** Kafka wiring (NOT exercised offline — no Kafka connector jar in
+    * /opt/spark/jars and zero egress; shape mirrors the reference,
+    * SparkStructuredController.scala:42-86):
+    *
+    * {{{
+    * val raw = spark.readStream.format("kafka")
+    *   .option("kafka.bootstrap.servers", servers)
+    *   .option("subscribe", "sensor")
+    *   .option("startingOffsets", "latest")   // control topic: "earliest"
+    *   .option("failOnDataLoss", "false")     //   (replay settings, skip
+    *   .load()                                //    stale data — the Flink
+    * // value: binary -> Codec.decodeSensor   //    variant's asymmetry)
+    * // seq := offset (per-partition monotone)
+    * // ... unify -> pipeline -> Codec.encodeCommand ->
+    * // writeStream.format("kafka").option("topic", "heatercontrol")
+    * //   .outputMode("update").trigger(Trigger.ProcessingTime("1 second"))
+    * }}}
+    */
+  def kafkaWiringDoc: String = "see scaladoc"
+}
+
+/** Fixed-layout binary codecs — the offline stand-in for the
+  * reference's protobuf wire format (no ScalaPB in this environment;
+  * with the spark-protobuf connector present, from_protobuf/
+  * to_protobuf replace these). Decode failures return None and are
+  * dropped upstream, mirroring the reference's bad-data handling
+  * (flinkcontroller/.../BadDataHandler.scala:13-19).
+  */
+object Codec {
+  import java.nio.ByteBuffer
+
+  def encodeSensor(s: SensorData): Array[Byte] =
+    ByteBuffer.allocate(12).putInt(s.sensorID).putDouble(s.temperature).array()
+
+  def decodeSensor(b: Array[Byte]): Option[SensorData] =
+    if (b == null || b.length != 12) None
+    else {
+      val bb = ByteBuffer.wrap(b)
+      Some(SensorData(bb.getInt, bb.getDouble))
+    }
+
+  def encodeControl(c: TemperatureControl): Array[Byte] =
+    ByteBuffer.allocate(28).putInt(c.sensorID).putDouble(c.desired)
+      .putDouble(c.upDelta).putDouble(c.downDelta).array()
+
+  def decodeControl(b: Array[Byte]): Option[TemperatureControl] =
+    if (b == null || b.length != 28) None
+    else {
+      val bb = ByteBuffer.wrap(b)
+      Some(TemperatureControl(bb.getInt, bb.getDouble, bb.getDouble, bb.getDouble))
+    }
+
+  def encodeCommand(h: HeaterCommand): Array[Byte] =
+    ByteBuffer.allocate(16).putLong(h.sensorID).putInt(h.seq.toInt)
+      .putInt(h.action).array()
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+
+import graft.model.{ControlEvent, Hysteresis, SensorData, TemperatureControl}
+import graft.streaming.{Codec, HeaterCommand, HeaterSim, ThermostatStream}
+
+/** End-to-end streaming semantics (SURVEY.md §5.2-3): MemoryStream →
+  * flatMapGroupsWithState pipeline → memory sink, checked against the
+  * pure batch fold (the golden semantics all four reference engines
+  * share).
+  */
+class ThermostatStreamSpec extends SparkSpec {
+
+  private def runStream(batches: Seq[Seq[ControlEvent]]): Seq[HeaterCommand] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[ControlEvent]
+    val sink = s"thermo_${System.nanoTime()}"
+    val q = ThermostatStream.pipeline(ms.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(sink).as[HeaterCommand].collect().toSeq
+      .sortBy(c => (c.sensorID, c.seq))
+  }
+
+  private def goldenFold(events: Seq[ControlEvent]): Seq[HeaterCommand] =
+    events.groupBy(_.sensorID).toSeq.flatMap { case (k, evs) =>
+      Hysteresis.replay(evs.sortBy(_.seq).iterator)
+        .map { case (seq, a) => HeaterCommand(k, seq, a) }
+    }.sortBy(c => (c.sensorID, c.seq))
+
+  test("streaming output equals the pure fold, state persists across batches") {
+    val evs = HeaterSim.eventsOf(HeaterSim.closedLoop(40))
+    // split into 5 micro-batches at arbitrary points
+    val batches = evs.grouped(9).toSeq
+    assert(runStream(batches) == goldenFold(evs))
+  }
+
+  test("multi-key streams keep independent state") {
+    val k1 = HeaterSim.eventsOf(HeaterSim.closedLoop(25))
+    val k2 = HeaterSim.eventsOf(HeaterSim.closedLoop(25, desired = 50.0,
+      startTemp = 55.0)).map(e => e.copy(sensorID = 2L))
+    val interleaved = (k1 ++ k2).sortBy(_.seq)
+    assert(runStream(Seq(interleaved)) == goldenFold(k1 ++ k2))
+  }
+
+  test("no emission for keys that never receive a control") {
+    val data = (1 to 10).map(i =>
+      ControlEvent(9L, i.toLong, "data", 100.0 + i, 0.0, 0.0, 0.0))
+    assert(runStream(Seq(data)).isEmpty)
+  }
+
+  test("closed loop: temperature oscillates inside the hysteresis band") {
+    val steps = HeaterSim.closedLoop(200)
+    // after convergence (first Off emission) temp stays within the band
+    // extended by one integration step on each side
+    val afterFirstOff = steps.dropWhile(_.emitted.isEmpty).drop(1)
+    assert(afterFirstOff.nonEmpty)
+    assert(afterFirstOff.forall(s => s.temp > 45.0 - 1.0 - 0.4 - 1e-9 &&
+      s.temp < 45.0 + 1.0 + 0.8 + 1e-9))
+    // actions strictly alternate (transition dedup end-to-end)
+    val acts = steps.flatMap(_.emitted)
+    assert(acts.nonEmpty)
+    acts.sliding(2).foreach {
+      case Seq(a, b) => assert(a != b)
+      case _ =>
+    }
+  }
+
+  test("binary codecs round-trip and reject malformed payloads") {
+    val sd = SensorData(42, 36.6)
+    val tc = TemperatureControl(42, 45.0, 1.0, 1.5)
+    assert(Codec.decodeSensor(Codec.encodeSensor(sd)).contains(sd))
+    assert(Codec.decodeControl(Codec.encodeControl(tc)).contains(tc))
+    assert(Codec.decodeSensor(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codec.decodeControl(null).isEmpty)
+    assert(Codec.encodeCommand(HeaterCommand(1L, 7L, 1)).length == 16)
+  }
+
+  test("unify merges typed data and control streams by seq") {
+    val s = spark
+    import s.implicits._
+    val data = s.createDataset(Seq((SensorData(1, 50.0), 2L), (SensorData(1, 40.0), 4L)))
+    val ctl = s.createDataset(Seq((TemperatureControl(1, 45.0, 1.0, 1.0), 1L)))
+    val unified = ThermostatStream.unify(data, ctl)
+    val out = ThermostatStream.pipeline(unified).collect().sortBy(_.seq)
+    assert(out.toSeq == Seq(HeaterCommand(1L, 2L, 1), HeaterCommand(1L, 4L, 0)))
+  }
+}
