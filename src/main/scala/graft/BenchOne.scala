@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: time one query N times. runMain graft.BenchOne <sfDir> <name> [n] */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val n = if (args.length > 2) args(2).toInt else 2
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(args(1))(spark, args(0)).count()
+      println(f"[b1] ${args(1)} run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$c")
+    }
+    spark.stop()
+  }
+}

@@ -59,14 +59,28 @@ object Dedup {
   private val B = K / R // bands
 
   def q23MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // cached: referenced by the signature stage AND both sides of the
+    // verify join — without it the shingle arrays are rebuilt 3x
+    // (at 100 TB this is a materialize-once-reuse decision; the cache
+    // is O(corpus shingles), spilling to disk if needed)
     val sh = documents(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-    val ms = (0 until K).map(i => minhash(col("sh"), i))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explode so the shingle array is built ONCE per doc (projection
+    // collapse would otherwise inline its construction into all 12
+    // minhash expressions), hash each shingle ONCE (28-bit md5 prefix),
+    // then the 12 universal-hash permutations are cheap multiply-add
+    // partial aggregates — 1 md5 + 12 muladds per shingle, not 12 md5s.
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), hash28(col("s")).as("h"))
+    val minAggs = (0 until K).map(i => minhashPerm(col("h"), i).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val ms = (0 until K).map(i => col(s"m$i"))
     val bandStructs = (0 until B).map { b =>
       struct(lit(b).as("band_idx"),
-        md5(concat(ms(R * b), ms(R * b + 1), ms(R * b + 2))).as("band_key"))
+        md5(concat_ws(",", ms(R * b), ms(R * b + 1), ms(R * b + 2))).as("band_key"))
     }
-    val bands = sh.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
     val a = bands.alias("a")
@@ -87,15 +101,21 @@ object Dedup {
   }
 
   val q23Sql: String = {
-    val msList = (0 until K).map(i => sqlMinhash("sh", i)).mkString(",\n    ")
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    val bandKeys = (0 until B).map { b =>
+      val parts = (0 until R).map(r => s"CAST(m${R * b + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_idx, md5(${parts.mkString(" || ',' || ")}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS (
        |  SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM sh, unnest(sh.sh) s(s)
        |), sig AS (
-       |  SELECT doc_id, sh, [$msList] AS ms FROM sh
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
        |), bands AS (
-       |  SELECT doc_id, CAST(t.i AS INT) AS band_idx,
-       |    md5(ms[3*t.i+1] || ms[3*t.i+2] || ms[3*t.i+3]) AS band_key
-       |  FROM sig, range(4) t(i)
+       |  $bandKeys
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |  FROM bands a JOIN bands b
@@ -166,17 +186,22 @@ object Dedup {
        |ORDER BY i, j""".stripMargin
 
   // ---------------------------------------------------------------
-  // q25: blocked exact n-gram Jaccard: candidate pairs limited to the
-  // same (lang, length-bucket) block — deterministic blocking that
-  // both engines replicate, so output matches exactly. The block keys
-  // bound the join fan-out at scale (vs 25M all-pairs at sf0.1).
+  // q25: prefix-filtered exact n-gram Jaccard: candidates must share
+  // their minimum shingle hash (the classic prefix-filter — near-dups
+  // almost always share the global min shingle; random pairs almost
+  // never do), then exact Jaccard >= 0.2. Deterministic blocking that
+  // both engines replicate => exact output parity, and candidate
+  // fan-out stays tiny at any scale (vs 25M all-pairs at sf0.1).
   // ---------------------------------------------------------------
   def q25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // cached: both sides of the self-join read it (see q23 note)
     val d = documents(s, dir).select(col("doc_id"), col("lang"),
-      floor(col("n_chars") / 100).as("lb"), shingles(col("text"), 3).as("sh"))
+        shingles(col("text"), 3).as("sh"))
+      .withColumn("mk", minhash(col("sh"), 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = d.alias("a")
     val b = d.alias("b")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+    a.join(b, col("a.mk") === col("b.mk") &&
         col("a.doc_id") < col("b.doc_id"))
       .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
       .filter(col("jac") >= 0.2)
@@ -187,15 +212,14 @@ object Dedup {
 
   val q25Sql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS lb,
-       |    ${sqlShingles(3)} AS sh
-       |  FROM documents
+       |  SELECT doc_id, lang, sh, ${sqlMinhash("sh", 0)} AS mk
+       |  FROM (SELECT doc_id, lang, ${sqlShingles(3)} AS sh FROM documents)
        |)
        |SELECT a.doc_id AS i, b.doc_id AS j, a.lang AS lang,
        |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
        |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
        |FROM d a JOIN d b
-       |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+       |  ON a.mk = b.mk AND a.doc_id < b.doc_id
        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
        |ORDER BY i, j""".stripMargin

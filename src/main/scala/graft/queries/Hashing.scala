@@ -42,6 +42,50 @@ object Hashing {
   def minhash(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
 
+  // ----- universal-hash MinHash family (one md5 per shingle) -------
+
+  /** Mersenne prime 2^31 - 1: (a*h + b) % P with 28-bit h and a,b < P
+    * stays within signed-64 exact integer range in both engines (DuckDB
+    * errors on int64 overflow rather than wrapping, so bounds matter).
+    */
+  val P: Long = 2147483647L
+
+  /** Deterministic md5-derived coefficients for permutation i
+    * (computed at plan-build time; same values embedded in the oracle
+    * SQL — Hashing is the single source of truth for both engines).
+    */
+  def perm(i: Int): (Long, Long) = {
+    def h15(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    (h15(s"a:$i") % (P - 1) + 1, h15(s"b:$i") % P)
+  }
+
+  /** 28-bit integer hash of a string: first 7 hex chars of md5. */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** MinHash value i over a pre-hashed 28-bit column, as an aggregate:
+    * min((a_i * h + b_i) mod P). 12 permutations cost 1 md5 + 12
+    * multiply-adds per shingle instead of 12 md5s.
+    */
+  def minhashPerm(h: Column, i: Int): Column = {
+    val (a, b) = perm(i)
+    min((lit(a) * h + lit(b)) % lit(P))
+  }
+
+  /** DuckDB: 28-bit hash of expression `e`. */
+  def sqlHash28(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
+
+  /** DuckDB: aggregate mirror of [[minhashPerm]] over column `h`. */
+  def sqlMinhashPerm(h: String, i: Int): String = {
+    val (a, b) = perm(i)
+    s"min(($a * $h + $b) % $P)"
+  }
+
   /** 60-bit integer hash of a string: first 15 hex chars of md5.
     * 60 bits keeps it positive in a signed 64-bit long in both engines
     * (DuckDB: CAST('0x' || substr(md5(x),1,15) AS BIGINT)).

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the training-data-pipeline operators on the
+  * sf0.001 testdata (the DuckDB oracle gate covers exact values at
+  * sf0.01; these pin the semantic invariants).
+  */
+class ExtOperatorsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q23 minhash-LSH emits only verified pairs with jaccard >= 0.5") {
+    val rows = queries.Dedup.q23MinhashLsh(spark, dir).collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.5))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("q24 simhash pairs respect the hamming <= 3 bound") {
+    val rows = queries.Dedup.q24SimhashPairs(spark, dir).collect()
+    assert(rows.forall(r => r.getInt(2) <= 3 && r.getInt(2) >= 0))
+  }
+
+  test("q25 prefix-filtered jaccard stays above threshold and i < j") {
+    val rows = queries.Dedup.q25NgramJaccard(spark, dir).collect()
+    assert(rows.forall(r => r.getDouble(3) >= 0.2))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("q27 top-k: 5 neighbors per query, ranks 1..5, cosine in [-1,1]") {
+    val rows = queries.Vectors.q27EmbedTopk(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 5))
+    byQ.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // rounded cosine is non-increasing with rank
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(v => v >= -1.0001 && v <= 1.0001))
+    }
+  }
+
+  test("q28 ANN candidates come from the query's own bucket") {
+    val rows = queries.Vectors.q28AnnLsh(spark, dir).collect()
+    assert(rows.forall(_.getInt(3) >= 0))
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+  }
+
+  test("q29 language-id covers every language with sane accuracy bounds") {
+    val rows = queries.TextAnalysis.q29LangId(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == Seq("de", "en", "es", "fr", "zh"))
+    assert(rows.forall { r =>
+      val acc = r.getDouble(3)
+      acc >= 0.0 && acc <= 1.0 && r.getLong(2) <= r.getLong(1)
+    })
+  }
+
+  test("q34 centroid norm is positive and n sums to the table size") {
+    val rows = queries.Vectors.q34CentroidUdaf(spark, dir).collect()
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall(_.getDouble(6) > 0.0))
+  }
+
+  test("q35 multimodal features equal a direct computation") {
+    val rows = queries.Multimodal.q35MultimodalFeatures(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val bytes = text.getBytes("UTF-8")
+      assert(r.getInt(1) == bytes.length)
+      assert(r.getLong(3) == bytes.take(8).map(_.toLong & 0xffL).sum)
+    }
+  }
+}
