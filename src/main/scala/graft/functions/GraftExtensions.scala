@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Rewrites the portable higher-order dot-product idiom
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)
+  *
+  * into the native codegen'd [[ArrayDotProduct]]. Users keep writing
+  * the declarative HOF form (runs anywhere); sessions with graft
+  * extensions installed execute the tight generated loop instead of
+  * the interpreted fold — the optimizer-rule analog of what
+  * `graft.functions.vec.arrayDot` gives the DataFrame API explicitly.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def isIdentityLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      v.exprId == arg.exprId
+    case _ => false
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                Seq(x2: NamedLambdaVariable, y2: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(s1: NamedLambdaVariable, v1: NamedLambdaVariable, _),
+              Seq(s2: NamedLambdaVariable, v2: NamedLambdaVariable), _),
+            finish)
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            ((x1.exprId == x2.exprId && y1.exprId == y2.exprId) ||
+              (x1.exprId == y2.exprId && y1.exprId == x2.exprId)) &&
+            ((s1.exprId == s2.exprId && v1.exprId == v2.exprId) ||
+              (s1.exprId == v2.exprId && v1.exprId == s2.exprId)) &&
+            isIdentityLambda(finish) =>
+        ArrayDotProduct(a, b)
+    }
+}
+
+/** Session extensions: `array_dot` as a SQL function and the
+  * dot-product rewrite rule. Install with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (SURVEY.md
+  * §4.3's SparkSessionExtensions path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
+}

@@ -402,7 +402,25 @@ object Relational {
       |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS rev_o
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q36: HLL++ approximate distinct next to the exact count (sketch
+  // internals are engine-specific so this entry is rows-only checked
+  // — no oracleSql — but the approx/exact pairing demonstrates the
+  // 100-TB path: one pass, fixed memory, mergeable partials).
+  // ---------------------------------------------------------------
+  def q36ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .withColumn("rel_err",
+        round(abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts").cast("double"), 4))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_approx_distinct" -> q36ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_segment_revenue" -> q03SegmentRevenue _,
