@@ -206,7 +206,63 @@ object Events {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q37: processing-order as-of join — every event enriched with the
+  // latest STRICTLY PRIOR purchase value of its user (the general
+  // relational form of the reference's latest-value control join).
+  // One shuffle by user, one ordered window pass — no join at all:
+  // the classic as-of implementation that scales linearly.
+  // ---------------------------------------------------------------
+  def q37AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("ctl",
+        when(col("event_type") === "purchase", col("value")))
+      .withColumn("asof_setting", round(last(col("ctl"), ignoreNulls = true).over(w), 4))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"), col("asof_setting"))
+      .orderBy("event_id")
+  }
+
+  val q37Sql: String =
+    """SELECT event_id, user_id, event_type, ROUND(value, 4) AS value,
+      |  ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4) AS asof_setting
+      |FROM events
+      |QUALIFY event_type <> 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q39: skew-safe two-phase (salted) aggregation: phase 1 aggregates
+  // (key, salt) partials, phase 2 merges per key — identical result
+  // to the direct group-by (which is the oracle), but a hot key's
+  // rows spread over 8 reducers instead of one. Exact integer cents
+  // keep the re-ordered sums bit-identical.
+  // ---------------------------------------------------------------
+  def q39SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    events(s, dir)
+      .select(col("event_type"), cents.as("cents"),
+        pmod(col("event_id"), lit(8)).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("pc")) / 100.0, 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val q39Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_asof_join" -> q37AsofJoin _,
+    "q39_salted_agg" -> q39SaltedAgg _,
     "q16_control_actions" -> q16ControlActions _,
     "q17_sessionize" -> q17Sessionize _,
     "q18_time_buckets" -> q18TimeBuckets _,
@@ -215,6 +271,8 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q37_asof_join" -> q37Sql,
+    "q39_salted_agg" -> q39Sql,
     "q16_control_actions" -> q16Sql,
     "q17_sessionize" -> q17Sql,
     "q18_time_buckets" -> q18Sql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
 import Hashing._
@@ -174,13 +175,62 @@ object TextAnalysis {
        |  ${sqlHash60("text")} AS fp60
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q38: per-language TF-IDF top terms: tf = term occurrences within
+  // the language, df = documents containing the term (corpus-wide),
+  // idf = ln((N+1)/(df+1)). Two partial-aggregated passes over the
+  // exploded tokens + one broadcast-joined doc-frequency table; top-5
+  // per language by (rounded tfidf, term) via row_number.
+  // ---------------------------------------------------------------
+  def q38Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("w"))
+    val n = docs.count() // corpus size: one tiny job, a constant in the plan
+    val tf = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy("lang", "rank")
+  }
+
+  val q38Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents
+      |), tf AS (
+      |  SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY lang, w
+      |), df AS (
+      |  SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w
+      |), n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT lang, w, tf, df,
+      |    ROUND(tf * ln((n.n + 1.0) / (df + 1.0)), 4) AS tfidf
+      |  FROM tf JOIN df USING (w) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT lang, w, tf, df, tfidf,
+      |    row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, w) AS rank
+      |  FROM scored
+      |)
+      |SELECT lang, CAST(rank AS INT) AS rank, w AS term, tf, df, tfidf
+      |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_tfidf" -> q38Tfidf _,
     "q29_lang_id" -> q29LangId _,
     "q30_text_quality" -> q30TextQuality _,
     "q31_token_stats" -> q31TokenStats _,
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q38_tfidf" -> q38Sql,
     "q29_lang_id" -> q29Sql,
     "q30_text_quality" -> q30Sql,
     "q31_token_stats" -> q31Sql,

@@ -32,8 +32,22 @@ object StreamDemo {
     val out = spark.table("demo").as[HeaterCommand].collect().sortBy(_.seq)
     out.foreach(c => println(s"[demo] sensor=${c.sensorID} seq=${c.seq} " +
       s"action=${if (c.action == 0) "On" else "Off"}"))
-    println(s"[demo] ${out.length} transitions emitted")
+    println(s"[demo] ${out.length} transitions emitted (flatMapGroupsWithState)")
+
+    // same loop through the transformWithState variant (RocksDB store)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms2 = MemoryStream[graft.model.ControlEvent]
+    val q2 = ThermostatStream.pipelineTws(ms2.toDS())
+      .writeStream.format("memory").queryName("demo_tws").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    events.grouped(10).foreach { b => ms2.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    val out2 = spark.table("demo_tws").as[HeaterCommand].collect().sortBy(_.seq)
+    println(s"[demo] ${out2.length} transitions emitted (transformWithState); " +
+      s"variants agree = ${out.toSeq == out2.toSeq}")
     spark.stop()
-    if (out.isEmpty) sys.exit(1)
+    if (out.isEmpty || out.toSeq != out2.toSeq) sys.exit(1)
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
 
 import graft.model.{ControlEvent, ControlState, Hysteresis, SensorData, TemperatureControl}
 
@@ -66,6 +66,48 @@ object ThermostatStream {
       .groupByKey(_.sensorID)
       .flatMapGroupsWithState[ControlState, HeaterCommand](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(stateFunc)
+  }
+
+  /** The same state machine on Spark 4's transformWithState (the
+    * successor API: named state variables, timers, TTL; requires the
+    * RocksDB state store provider). Kept alongside the
+    * flatMapGroupsWithState form — identical semantics, see
+    * ThermostatStreamSpec's equivalence test.
+    */
+  class ThermostatProcessor
+      extends StatefulProcessor[Long, ControlEvent, HeaterCommand] {
+    @transient private var state: ValueState[ControlState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ControlState](
+        "ctl", Encoders.product[ControlState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ControlEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[HeaterCommand] = {
+      var st = if (state.exists()) state.get() else ControlState.empty
+      val out = rows.toSeq.sortBy(_.seq).flatMap { ev =>
+        val (st2, emitted) = Hysteresis.step(st, ev)
+        st = st2
+        emitted.map(a => HeaterCommand(key, ev.seq, a))
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** transformWithState flavor of [[pipeline]] (streaming only; needs
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider).
+    */
+  def pipelineTws(events: Dataset[ControlEvent]): Dataset[HeaterCommand] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.sensorID)
+      .transformWithState(new ThermostatProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Merge the two typed input streams into the tagged union the

@@ -76,6 +76,29 @@ class ThermostatStreamSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState variant matches flatMapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = HeaterSim.eventsOf(HeaterSim.closedLoop(30))
+      val ms = MemoryStream[ControlEvent]
+      val sink = s"tws_${System.nanoTime()}"
+      val q = ThermostatStream.pipelineTws(ms.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+        .start()
+      try {
+        evs.grouped(7).foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val got = s.table(sink).as[HeaterCommand].collect().toSeq
+        .sortBy(c => (c.sensorID, c.seq))
+      assert(got == goldenFold(evs))
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("binary codecs round-trip and reject malformed payloads") {
     val sd = SensorData(42, 36.6)
     val tc = TemperatureControl(42, 45.0, 1.0, 1.5)
