@@ -124,18 +124,21 @@ object Events {
     val cents = round(col("value") * 100).cast("long")
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(avg(cents) / 100.0, 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
-        col("event_type"), col("n"), col("avg_value"))
+        col("event_type"), col("n"),
+        // exact half-up avg to 4dp in int64 (float division would
+        // disagree across engines on .00005 boundaries)
+        (Relational.ldiv(lit(200L) * col("sc") + col("n"), lit(2L) * col("n"))
+          / 10000.0).as("avg_value"))
       .orderBy("bucket_start", "event_type")
   }
 
   val q18Sql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
       |  event_type, COUNT(*) AS n,
-      |  ROUND(AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS avg_value
+      |  ((200*SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS avg_value
       |FROM events
       |GROUP BY 1, event_type
       |ORDER BY bucket_start, event_type""".stripMargin
@@ -149,14 +152,17 @@ object Events {
       .select(col("event_type"), cents.as("cents"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy(floor(col("k") / 10.0).cast("int").as("k_bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("cents")) / 100.0, 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .withColumn("avg_value",
+        Relational.ldiv(lit(200L) * col("sc") + col("n"), lit(2L) * col("n")) / 10000.0)
+      .drop("sc")
       .orderBy("k_bucket", "event_type")
   }
 
   val q19Sql: String =
     """SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT) AS k_bucket,
       |  event_type, COUNT(*) AS n,
-      |  ROUND(AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS avg_value
+      |  ((200*SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS avg_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY k_bucket, event_type""".stripMargin
@@ -192,18 +198,21 @@ object Events {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(-4, 0)
     val cents = round(col("value") * 100).cast("long")
+    val sc = sum(cents).over(w)
+    val n = count(lit(1)).over(w)
     events(s, dir)
       .select(col("user_id"), col("event_id"),
-        round(avg(cents).over(w) / 100.0, 4).as("mavg5"))
+        (Relational.ldiv(lit(200L) * sc + n, lit(2L) * n) / 10000.0).as("mavg5"))
       .orderBy("user_id", "event_id")
   }
 
   val q21Sql: String =
     """SELECT user_id, event_id,
-      |  ROUND(AVG(CAST(ROUND(value * 100, 0) AS BIGINT))
-      |          OVER (PARTITION BY user_id ORDER BY event_id
-      |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0, 4) AS mavg5
+      |  ((200*SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w + COUNT(*) OVER w)
+      |   // (2*(COUNT(*) OVER w))) / 10000.0 AS mavg5
       |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
   // ---------------------------------------------------------------

@@ -27,6 +27,29 @@ object Relational {
   /** Exact sum of a 2-decimal double column, surfaced as double. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Exact integer division for non-negative int64 columns (all
+    * operands well below 2^53, so the intermediate double arithmetic
+    * is exact): a DIV b = (a - a%b)/b.
+    */
+  private[queries] def ldiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** Exact half-up ratio x/n scaled to 4 decimals as a double:
+    * round(10^4 * x/n) = (2*10^4*x + n) DIV (2n) in pure int64 —
+    * float division disagrees across engines exactly on the .00005
+    * boundaries (observed at sf0.1), integer arithmetic cannot.
+    */
+  private[queries] def ratio4(x: Column, n: Column): Column =
+    ldiv(lit(20000L) * x + n, lit(2L) * n) / 10000.0
+
+  /** Exact half-up average of a 2-decimal column to 4 decimals:
+    * avg_e4 = round(10^4 * cents/(100 n)) = (200*cents + n) DIV (2n).
+    */
+  private def davg4(c: Column, n: Column): Column = {
+    val cents = (sum(dec(c)) * 100).cast("long") // exact integer cents
+    ldiv(lit(200L) * cents + n, lit(2L) * n) / 10000.0
+  }
+
   // ---------------------------------------------------------------
   // q01: TPC-H Q1-shaped pricing summary: filter -> hash aggregate.
   // Partial (map-side) aggregation + 3-group output; scan prunes to 7
@@ -43,9 +66,9 @@ object Relational {
         dsum(col("l_extendedprice")).as("sum_base_price"),
         sum(discPrice).cast("double").as("sum_disc_price"),
         sum(charge).cast("double").as("sum_charge"),
-        round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-        round(dsum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
-        round(dsum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+        davg4(col("l_quantity"), count(lit(1))).as("avg_qty"),
+        davg4(col("l_extendedprice"), count(lit(1))).as("avg_price"),
+        davg4(col("l_discount"), count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -56,9 +79,9 @@ object Relational {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      |  ((200*CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS avg_qty,
+      |  ((200*CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS avg_price,
+      |  ((200*CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))*100 AS BIGINT) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -76,14 +99,14 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "ship_date")
 
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
       |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity >= 49
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, ship_date""".stripMargin
 
   // ---------------------------------------------------------------
   // q03: broadcast join (small dim customer) + aggregate by segment.
@@ -190,8 +213,11 @@ object Relational {
   // order (ties broken by the unique (orderkey, linenumber)).
   // ---------------------------------------------------------------
   def q07WindowDelta(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+    // include l_quantity so tied rows are identical in every output
+    // column and the rank assignment is output-invariant
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"),
@@ -206,7 +232,7 @@ object Relational {
       |  row_number() OVER w AS rn
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
       |ORDER BY l_suppkey, rn""".stripMargin
 
   // ---------------------------------------------------------------
@@ -361,7 +387,7 @@ object Relational {
         ceil(col("l_extendedprice")).as("price_ceil"),
         floor(col("l_extendedprice")).as("price_floor"),
         (col("l_orderkey") % 7).as("mod7"))
-      .orderBy("l_orderkey")
+      .orderBy("l_orderkey", "sqrt_price", "qty_sq", "disc_dev")
 
   val q14Sql: String =
     """SELECT l_orderkey,
@@ -373,7 +399,7 @@ object Relational {
       |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
       |  l_orderkey % 7 AS mod7
       |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
-      |ORDER BY l_orderkey""".stripMargin
+      |ORDER BY l_orderkey, sqrt_price, qty_sq, disc_dev""".stripMargin
 
   // ---------------------------------------------------------------
   // q15: conditional aggregation (pivot-style CASE aggregates).

@@ -47,9 +47,8 @@ object TextAnalysis {
       .withColumn("pred", pred)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        count(when(col("pred") === col("lang"), 1)).as("n_correct"),
-        round(count(when(col("pred") === col("lang"), 1)) /
-          count(lit(1)).cast("double"), 4).as("accuracy"))
+        count(when(col("pred") === col("lang"), 1)).as("n_correct"))
+      .withColumn("accuracy", Relational.ratio4(col("n_correct"), col("n_docs")))
       .orderBy("lang")
   }
 
@@ -75,7 +74,7 @@ object TextAnalysis {
        |)
        |SELECT lang, COUNT(*) AS n_docs,
        |  COUNT(CASE WHEN pred = lang THEN 1 END) AS n_correct,
-       |  ROUND(COUNT(CASE WHEN pred = lang THEN 1 END) * 1.0 / COUNT(*), 4) AS accuracy
+       |  ((20000*COUNT(CASE WHEN pred = lang THEN 1 END) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS accuracy
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -86,19 +85,21 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   def q30TextQuality(s: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
-    val nWords = size(ws).cast("double")
-    val nDistinct = size(array_distinct(ws)).cast("double")
-    val nStop = size(filter(ws, w => w.isin("the", "a"))).cast("double")
-    val ttr = nDistinct / nWords
-    val stopRatio = nStop / nWords
-    val lenFactor = least(nWords / 100.0, lit(1.0))
+    val w = size(ws).cast("long")
+    val d = size(array_distinct(ws)).cast("long")
+    val st = size(filter(ws, x => x.isin("the", "a"))).cast("long")
+    // quality = 0.5*d/w + 0.3*(w-st)/w + 0.2*least(w,100)/100
+    //         = N / (1000*w) with the integer numerator below; all
+    // ratios round half-up in exact int64 (see Relational.ratio4)
+    val qualityNum = lit(100L) * (lit(5L) * d + lit(3L) * (w - st)) +
+      lit(2L) * least(w, lit(100L)) * w
     documents(s, dir).select(
         col("doc_id"), col("lang"),
-        size(ws).as("n_words"),
-        size(array_distinct(ws)).as("n_distinct"),
-        round(ttr, 4).as("ttr"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 + lenFactor * 0.2, 4)
+        w.as("n_words"),
+        d.as("n_distinct"),
+        Relational.ratio4(d, w).as("ttr"),
+        Relational.ratio4(st, w).as("stop_ratio"),
+        (Relational.ldiv(lit(20L) * qualityNum + w, lit(2L) * w) / 10000.0)
           .as("quality"))
       .orderBy("doc_id")
   }
@@ -106,17 +107,15 @@ object TextAnalysis {
   val q30Sql: String =
     """WITH t AS (
       |  SELECT doc_id, lang,
-      |    len(string_split(text,' ')) AS n_words,
-      |    len(list_distinct(string_split(text,' '))) AS n_distinct,
-      |    len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS n_stop
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+      |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS d,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS BIGINT) AS st
       |  FROM documents
       |)
-      |SELECT doc_id, lang, n_words, n_distinct,
-      |  ROUND(n_distinct * 1.0 / n_words, 4) AS ttr,
-      |  ROUND(n_stop * 1.0 / n_words, 4) AS stop_ratio,
-      |  ROUND((n_distinct * 1.0 / n_words) * 0.5
-      |        + (1.0 - n_stop * 1.0 / n_words) * 0.3
-      |        + least(n_words / 100.0, 1.0) * 0.2, 4) AS quality
+      |SELECT doc_id, lang, w AS n_words, d AS n_distinct,
+      |  ((20000*d + w) // (2*w)) / 10000.0 AS ttr,
+      |  ((20000*st + w) // (2*w)) / 10000.0 AS stop_ratio,
+      |  ((20*(100*(5*d + 3*(w - st)) + 2*least(w, 100)*w) + w) // (2*w)) / 10000.0 AS quality
       |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -127,33 +126,37 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   def q31TokenStats(s: SparkSession, dir: String): DataFrame = {
     val pieces = size(regexp_extract_all(col("text"), lit("[aeiou]+|[^aeiou ]+"), lit(0)))
-    documents(s, dir)
-      .select(col("lang"), col("doc_id"), explode(words(col("text"))).as("w"),
-        size(words(col("text"))).as("n_tok"), pieces.as("n_pieces"))
+    val docStats = documents(s, dir)
+      .select(col("lang"), size(words(col("text"))).as("n_tok"), pieces.as("n_pieces"))
       .groupBy(col("lang"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("n_vocab"),
-        round(count(lit(1)) / countDistinct(col("doc_id")).cast("double"), 4)
-          .as("tokens_per_doc"),
-        round(sum(col("n_pieces") / col("n_tok").cast("double")) /
-          count(lit(1)), 4).as("pieces_per_token"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"))
+    val vocab = documents(s, dir)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_vocab"))
+    docStats.join(vocab, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        Relational.ratio4(col("n_tokens"), col("n_docs")).as("tokens_per_doc"),
+        Relational.ratio4(col("n_pieces"), col("n_tokens")).as("pieces_per_token"))
       .orderBy("lang")
   }
 
   val q31Sql: String =
-    """WITH ex AS (
-      |  SELECT lang, doc_id, unnest(string_split(text,' ')) AS w,
-      |    len(string_split(text,' ')) AS n_tok,
-      |    len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS n_pieces
-      |  FROM documents
+    """WITH ds AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS n_tokens,
+      |    SUM(CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS BIGINT)) AS n_pieces
+      |  FROM documents GROUP BY lang
+      |), v AS (
+      |  SELECT lang, COUNT(DISTINCT w) AS n_vocab
+      |  FROM (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
+      |  GROUP BY lang
       |)
-      |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
-      |  COUNT(DISTINCT w) AS n_vocab,
-      |  ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT doc_id), 4) AS tokens_per_doc,
-      |  ROUND(SUM(n_pieces * 1.0 / n_tok) / COUNT(*), 4) AS pieces_per_token
-      |FROM ex GROUP BY lang ORDER BY lang""".stripMargin
+      |SELECT lang, n_docs, n_tokens, n_vocab,
+      |  ((20000*n_tokens + n_docs) // (2*n_docs)) / 10000.0 AS tokens_per_doc,
+      |  ((20000*n_pieces + n_tokens) // (2*n_tokens)) / 10000.0 AS pieces_per_token
+      |FROM ds JOIN v USING (lang) ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
   // q32: document fingerprinting: full-content md5, winnowing-style
