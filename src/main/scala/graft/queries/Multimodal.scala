@@ -92,11 +92,53 @@ object Multimodal {
       |  CAST(list_sum(list_transform(range(8), i -> ord(substr(text, CAST(i+1 AS INT), 1)))) AS BIGINT) AS head_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q40: frame sampling — the 1-to-N generator over a binary payload
+  // (video -> frames / audio -> windows): every k-th fixed-size slice
+  // of the payload becomes a row with (frame_idx, frame_bytes,
+  // frame fingerprint). The "decode" is again a stub (byte slicing
+  // stands in for codec frame extraction); the explode plumbing,
+  // per-frame schema and fingerprints are real and oracle-checked.
+  // ---------------------------------------------------------------
+  private val FrameSize = 32
+  private val FrameStride = 64 // sample every 2nd frame
+
+  def q40FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        // stub frame extraction: fixed-size strided slices
+        Iterator.range(0, payload.length - FrameSize + 1, FrameStride).map { off =>
+          val frame = java.util.Arrays.copyOfRange(payload, off, off + FrameSize)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(frame).map("%02x".format(_)).mkString
+          (id, off / FrameStride, frame.length, hex)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_len", "frame_md5")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val q40Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    unnest(range((strlen(text) - $FrameSize) // $FrameStride + 1)) AS i
+       |  FROM documents WHERE strlen(text) >= $FrameSize
+       |)
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx, $FrameSize AS frame_len,
+       |  md5(substr(text, CAST(i*$FrameStride + 1 AS INT), $FrameSize)) AS frame_md5
+       |FROM f
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal_bundle" -> q33MultimodalBundle _,
-    "q35_multimodal_features" -> q35MultimodalFeatures _)
+    "q35_multimodal_features" -> q35MultimodalFeatures _,
+    "q40_frame_sample" -> q40FrameSample _)
 
   val oracles: Map[String, String] = Map(
     "q33_multimodal_bundle" -> q33Sql,
-    "q35_multimodal_features" -> q35Sql)
+    "q35_multimodal_features" -> q35Sql,
+    "q40_frame_sample" -> q40Sql)
 }
