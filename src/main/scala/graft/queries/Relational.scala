@@ -445,7 +445,34 @@ object Relational {
           col("exact_parts").cast("double"), 4))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------
+  // q41: top-k per group through the NATIVE TopKPerGroup operator
+  // (graft.plans: custom logical node + strategy + two-phase heap
+  // exec) — same result as the q08 window form, but the shuffle
+  // carries at most k rows per (partition, group) and nothing is
+  // globally sorted. The oracle is the standard row_number form.
+  // ---------------------------------------------------------------
+  def q41TopkNative(s: SparkSession, dir: String): DataFrame = {
+    val top = graft.plans.ops.topKPerGroup(
+      orders(s, dir),
+      groupCols = Seq(col("o_orderpriority")),
+      orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")),
+      k = 3)
+    top.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val q41Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_topk_native" -> q41TopkNative _,
     "q36_approx_distinct" -> q36ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -464,6 +491,7 @@ object Relational {
     "q15_conditional_agg" -> q15ConditionalAgg _)
 
   val oracles: Map[String, String] = Map(
+    "q41_topk_native" -> q41Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_segment_revenue" -> q03Sql,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.plans.ops
+
+/** The native TopKPerGroup operator: equivalence with the window
+  * row_number form, plan shape (two heap stages around one exchange,
+  * no sort), and edge cases.
+  */
+class TopKPerGroupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("matches the window row_number form on lineitem") {
+    val l = Tables.lineitem(spark, dir)
+    val native = ops.topKPerGroup(l,
+        groupCols = Seq(col("l_returnflag")),
+        orderCols = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        k = 7)
+      .select("l_returnflag", "l_orderkey", "l_extendedprice")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"))
+      .collect().toSeq
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val windowed = l.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .select("l_returnflag", "l_orderkey", "l_extendedprice")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("l_orderkey"))
+      .collect().toSeq
+    assert(native == windowed)
+  }
+
+  test("plan has two heap stages, an exchange, and no sort before output") {
+    val df = ops.topKPerGroup(Tables.orders(spark, dir),
+      Seq(col("o_orderpriority")), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    df.collect() // materialize so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange") || plan.contains("ShuffleQueryStage"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
+  test("k larger than group size returns whole groups") {
+    val df = spark.range(10).toDF("id")
+      .withColumn("g", col("id") % 2)
+    val out = ops.topKPerGroup(df, Seq(col("g")), Seq(col("id").desc), 100)
+    assert(out.count() == 10)
+  }
+
+  test("k = 1 returns exactly one row per group") {
+    val df = Tables.orders(spark, dir)
+    val out = ops.topKPerGroup(df, Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 1)
+    val n = df.select("o_orderpriority").distinct().count()
+    assert(out.count() == n)
+  }
+}
