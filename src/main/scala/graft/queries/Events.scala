@@ -269,7 +269,47 @@ object Events {
       |  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q43: range (interval) join via time-bucketing: count, per user,
+  // the pairs of their events within 5 minutes of each other. A naive
+  // inequality join is a nested-loop disaster at scale; bucketing ts
+  // into interval-width buckets turns it into an equi-join on
+  // (user_id, bucket) with each left row probing its own and the next
+  // bucket, then the exact predicate filters — the standard interval
+  // join decomposition. Oracle: the direct inequality join (same
+  // semantics, different plan).
+  // ---------------------------------------------------------------
+  def q43RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 5L * 60 * 1000000
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val a = ev.withColumn("bkt", Relational.ldiv(col("us"), lit(winUs)))
+    // right side registered in its own and both adjacent buckets: a
+    // qualifying pair (|dt| <= W, bucket width W) differs by at most
+    // one bucket, so it meets in EXACTLY one cell — a's bucket — and
+    // needs no post-join dedup
+    val bb = Relational.ldiv(col("us"), lit(winUs))
+    val b = ev
+      .withColumn("bkt", explode(array(bb - 1, bb, bb + 1)))
+      .select(col("user_id"), col("event_id").as("event_id_b"),
+        col("us").as("us_b"), col("bkt"))
+    a.join(b, Seq("user_id", "bkt"))
+      .filter(col("event_id") < col("event_id_b") &&
+        abs(col("us_b") - col("us")) <= winUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val q43Sql: String =
+    """SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 5*60*1000000
+      |GROUP BY a.user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_range_join" -> q43RangeJoin _,
     "q37_asof_join" -> q37AsofJoin _,
     "q39_salted_agg" -> q39SaltedAgg _,
     "q16_control_actions" -> q16ControlActions _,
@@ -280,6 +320,7 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q43_range_join" -> q43Sql,
     "q37_asof_join" -> q37Sql,
     "q39_salted_agg" -> q39Sql,
     "q16_control_actions" -> q16Sql,

@@ -249,15 +249,101 @@ object Vectors {
        |FROM c ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q42: IVF (inverted-file) ANN — the second scale path next to
+  // sign-LSH: coarse quantization by per-label centroids (computed
+  // from the data, rounded to 4dp so both engines quantize
+  // identically), every vector assigned to its nearest cell
+  // (euclidean, deterministic label tiebreak), queries probe ONLY
+  // their own cell. At 100 TB: the centroid table is tiny and
+  // broadcast; the corpus is partitioned by cell; a probe touches
+  // 1/cells of the data.
+  // ---------------------------------------------------------------
+  def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"),
+      emb(col("embedding")).as("e"))
+    // centroids: per-label mean, rounded per-dim (cross-engine stable)
+    val cents = embeddings(s, dir)
+      .select(col("label"), posexplode(emb(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("label"), transform(col("dm"), p => round(p.getField("m"), 4)).as("c"))
+    // assign every vector to its nearest cell (min (dist2, label))
+    val sqDist = {
+      val diff = zip_with(col("e"), col("c"), (x, y) => x - y)
+      graft.functions.vec.arrayDot(diff, diff)
+    }
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(sqDist, 6), col("label"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("label").as("cell"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(
+        dot(col("qe"), col("e")) /
+          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("e"), col("e")))), 4))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"),
+        col("cos_r").as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q42IvfSql: String = {
+    val dIdx = "CAST(i+1 AS INT)"
+    s"""WITH ex AS (
+       |  SELECT label, CAST(t.i AS INT) AS d,
+       |    CAST(embedding[CAST(t.i+1 AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings, range(64) t(i)
+       |), cm AS (
+       |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, d
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
+       |), dists AS (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, cent.label,
+       |    ROUND(list_sum(list_transform(range(64),
+       |      i -> (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx])
+       |         * (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx]))), 6) AS d2
+       |  FROM embeddings e CROSS JOIN cent
+       |), assigned AS (
+       |  SELECT vec_id, emb, label AS cell FROM (
+       |    SELECT vec_id, emb, label,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, e.cell AS cell,
+       |    ROUND(list_dot_product(q.emb, e.emb) /
+       |      (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(e.emb, e.emb))), 4) AS cos_r
+       |  FROM assigned q JOIN assigned e ON q.cell = e.cell AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id % 100 = 0
+       |), ranked AS (
+       |  SELECT q_id, vec_id, cell, cos_r,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cell, cos_r AS cos_sim
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_neardup" -> q26CosineNeardup _,
     "q27_embed_topk" -> q27EmbedTopk _,
     "q28_ann_lsh" -> q28AnnLsh _,
-    "q34_centroid_udaf" -> q34CentroidUdaf _)
+    "q34_centroid_udaf" -> q34CentroidUdaf _,
+    "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
     "q26_cosine_neardup" -> q26Sql,
     "q27_embed_topk" -> q27Sql,
     "q28_ann_lsh" -> q28Sql,
-    "q34_centroid_udaf" -> q34Sql)
+    "q34_centroid_udaf" -> q34Sql,
+    "q42_ann_ivf" -> q42IvfSql)
 }
