@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-shape regressions: the properties that matter at scale —
+  * predicate pushdown into parquet, column pruning, broadcast join
+  * selection, partial aggregation — asserted on the formatted plans
+  * so a future refactor cannot silently lose them.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: shipdate predicate pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: scan prunes to the 7 needed columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("q04: all four dimension joins are broadcast") {
+    val p = plan("q04_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q05/q06: semi and anti joins plan as joins, not subquery loops") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q27: corpus side is joined via broadcast of the query set") {
+    val p = plan("q27_embed_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q37: as-of join is a single window pass — no join node") {
+    val p = plan("q37_asof_join")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q23: no cartesian/nested-loop stage anywhere in the LSH plan") {
+    val p = plan("q23_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
