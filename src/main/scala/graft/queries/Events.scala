@@ -308,7 +308,38 @@ object Events {
       | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 5*60*1000000
       |GROUP BY a.user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q44: the SAME thermostat semantics as q16, expressed fully
+  // declaratively — as-of setting via last_value-ignore-nulls window,
+  // hysteresis as a CASE, transition dedup via lag — no typed fold,
+  // no object serialization fences, whole plan stays in codegen.
+  // Two independent implementations (typed fold q16, relational q44)
+  // gated against equivalent oracles. The lag-based dedup needs the
+  // action sequence per key, which the window computes in the same
+  // shuffle as the as-of join: one exchange total.
+  // ---------------------------------------------------------------
+  def q44ControlActionsSql(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val asofW = byKey.rowsBetween(Window.unboundedPreceding, 0)
+    val withSetting = events(s, dir)
+      .withColumn("ctl", when(col("event_type") === "purchase", col("value")))
+      .withColumn("desired", last(col("ctl"), ignoreNulls = true).over(asofW))
+      .filter(col("event_type") =!= "purchase" && col("desired").isNotNull)
+    val withAction = withSetting
+      .withColumn("action",
+        when(col("value") > col("desired") + 5, 1)
+          .when(col("value") < col("desired") - 5, 0)
+          .otherwise(-1))
+      .filter(col("action") >= 0)
+    withAction
+      .withColumn("prev", lag(col("action"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("action"))
+      .select(col("user_id"), col("event_id"), col("action"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_control_actions_sql" -> q44ControlActionsSql _,
     "q43_range_join" -> q43RangeJoin _,
     "q37_asof_join" -> q37AsofJoin _,
     "q39_salted_agg" -> q39SaltedAgg _,
@@ -320,6 +351,7 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q44_control_actions_sql" -> q16Sql, // same semantics, same oracle
     "q43_range_join" -> q43Sql,
     "q37_asof_join" -> q37Sql,
     "q39_salted_agg" -> q39Sql,
