@@ -14,6 +14,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(args(1))(spark, args(0)).count()
       println(f"[b1] ${args(1)} run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$c")
+      spark.catalog.clearCache() // drop per-query persist()s between runs
     }
     spark.stop()
   }

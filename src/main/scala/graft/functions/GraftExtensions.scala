@@ -60,7 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        if (args.length != 2) {
+          throw new IllegalArgumentException(
+            s"array_dot requires exactly 2 arguments, got ${args.length}")
+        }
+        ArrayDotProduct(args(0), args(1))
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

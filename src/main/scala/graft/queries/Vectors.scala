@@ -195,7 +195,7 @@ object Vectors {
   // buffer per label, not its rows.
   // ---------------------------------------------------------------
   private object CentroidAgg
-      extends Aggregator[(Int, Seq[Double]), CentroidBuf, Seq[Double]] {
+      extends Aggregator[(Int, Seq[Double]), CentroidBuf, (Long, Seq[Double])] {
     def zero: CentroidBuf = CentroidBuf(Array.fill(Dim)(0.0), 0L)
     def reduce(b: CentroidBuf, v: (Int, Seq[Double])): CentroidBuf = {
       var i = 0
@@ -207,12 +207,12 @@ object Vectors {
       while (i < Dim) { a.sums(i) += b.sums(i); i += 1 }
       CentroidBuf(a.sums, a.n + b.n)
     }
-    def finish(b: CentroidBuf): Seq[Double] =
-      if (b.n == 0) Seq.fill(Dim)(0.0) else b.sums.map(_ / b.n).toSeq
+    def finish(b: CentroidBuf): (Long, Seq[Double]) =
+      (b.n, if (b.n == 0) Seq.fill(Dim)(0.0) else b.sums.map(_ / b.n).toSeq)
     def bufferEncoder: org.apache.spark.sql.Encoder[CentroidBuf] =
       org.apache.spark.sql.Encoders.product[CentroidBuf]
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[(Long, Seq[Double])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double])]()
   }
 
   def q34CentroidUdaf(s: SparkSession, dir: String): DataFrame = {
@@ -221,11 +221,11 @@ object Vectors {
     val grouped = e.select(col("label"), emb(col("embedding")).as("e"))
       .as[(Int, Seq[Double])]
       .groupByKey(_._1)
-      .agg(CentroidAgg.toColumn.name("centroid"))
-      .toDF("label", "centroid")
-    val c = col("centroid")
-    grouped.join(e.groupBy("label").count(), "label")
-      .select(col("label"), col("count").as("n"),
+      .agg(CentroidAgg.toColumn.name("nc"))
+      .toDF("label", "nc")
+    val c = col("nc._2")
+    grouped
+      .select(col("label"), col("nc._1").as("n"),
         round(element_at(c, 1), 4).as("c1"),
         round(element_at(c, 2), 4).as("c2"),
         round(element_at(c, 3), 4).as("c3"),
@@ -281,6 +281,9 @@ object Vectors {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("label").as("cell"))
+      // cached: both sides of the probe join read it — without this
+      // the crossJoin + window assignment subtree executes twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"))
     val rw = Window.partitionBy(col("q_id"))

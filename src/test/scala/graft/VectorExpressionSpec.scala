@@ -45,6 +45,24 @@ class VectorExpressionSpec extends SparkSpec {
     assert(got.head.isNullAt(0))
   }
 
+  test("array_dot is NULL on length mismatch and null elements (HOF parity)") {
+    val s = spark
+    import s.implicits._
+    val mismatch = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(vec.arrayDot(col("a"), col("b"))).collect()
+    assert(mismatch.head.isNullAt(0))
+    val withNullElem = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(1.0))))
+      .toDF("a", "b")
+      .select(vec.arrayDot(col("a").cast("array<double>"),
+        col("b").cast("array<double>"))).collect()
+    assert(withNullElem.head.isNullAt(0))
+    // the HOF form agrees on both cases
+    val hof = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).collect()
+    assert(hof.head.isNullAt(0))
+  }
+
   test("array_dot rejects non-double arrays at analysis") {
     val s = spark
     import s.implicits._
