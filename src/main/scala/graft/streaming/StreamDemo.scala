@@ -47,6 +47,28 @@ object StreamDemo {
     val out2 = spark.table("demo_tws").as[HeaterCommand].collect().sortBy(_.seq)
     println(s"[demo] ${out2.length} transitions emitted (transformWithState); " +
       s"variants agree = ${out.toSeq == out2.toSeq}")
+
+    // throughput: one large micro-batch through the stateful pipeline
+    // (reference design point is 0.1 events/sec/sensor — heater
+    // publishes every 10s, Heater.scala:26,65)
+    val nSensors = 200
+    val perSensor = 500
+    val bulk = (0 until nSensors).flatMap { sid =>
+      HeaterSim.eventsOf(HeaterSim.closedLoop(perSensor))
+        .map(e => e.copy(sensorID = sid.toLong))
+    }
+    val ms3 = MemoryStream[graft.model.ControlEvent]
+    val q3 = ThermostatStream.pipeline(ms3.toDS())
+      .writeStream.format("memory").queryName("demo_tp").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    val t0 = System.nanoTime()
+    ms3.addData(bulk)
+    q3.processAllAvailable()
+    val dt = (System.nanoTime() - t0) / 1e9
+    q3.stop()
+    println(f"[demo] throughput: ${bulk.size} events, ${nSensors} keys in $dt%.2f s " +
+      f"= ${bulk.size / dt}%.0f events/s")
     spark.stop()
     if (out.isEmpty || out.toSeq != out2.toSeq) sys.exit(1)
   }
