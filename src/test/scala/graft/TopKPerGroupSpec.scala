@@ -42,6 +42,26 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("property: random data matches the window form for random k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val n = 500 + rnd.nextInt(1500)
+      val data = Seq.fill(n)((rnd.nextInt(7), rnd.nextInt(100), rnd.nextLong()))
+      val df = data.toDF("g", "v", "uid") // uid: unique-ish tiebreak
+      val k = 1 + rnd.nextInt(10)
+      val native = ops.topKPerGroup(df, Seq(col("g")),
+          Seq(col("v").desc, col("uid")), k)
+        .orderBy("g", "v", "uid").collect().toSeq
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("uid"))
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy("g", "v", "uid").collect().toSeq
+      assert(native == windowed, s"trial $trial k=$k n=$n")
+    }
+  }
+
   test("k larger than group size returns whole groups") {
     val df = spark.range(10).toDF("id")
       .withColumn("g", col("id") % 2)
