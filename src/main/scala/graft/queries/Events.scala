@@ -338,7 +338,49 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------
+  // q45: exact median per group without a full sort: the two middle
+  // rows by row_number over exact integer cents, averaged in int64
+  // (half-up e4) — deterministic in both engines, unlike interpolated
+  // percentile built-ins whose float paths differ.
+  // ---------------------------------------------------------------
+  def q45MedianValue(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = events(s, dir)
+      .select(col("event_type"), col("event_id"), cents.as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    // middle rows: rn in {(n+1)/2, (n+2)/2} (same row twice when odd)
+    ranked
+      .filter(col("rn") === Relational.ldiv(col("n") + 1, lit(2L)) ||
+        col("rn") === Relational.ldiv(col("n") + 2, lit(2L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("cents")).as("mid_sum"),
+        count(lit(1)).as("n_mid"))
+      .select(col("event_type"), col("n"),
+        (Relational.ldiv(lit(200L) * col("mid_sum") + col("n_mid"),
+          lit(2L) * col("n_mid")) / 10000.0).as("median_value"))
+      .orderBy("event_type")
+  }
+
+  val q45Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT), event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, MAX(n) AS n,
+      |  ((200*SUM(cents) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS median_value
+      |FROM ranked
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_median_value" -> q45MedianValue _,
     "q44_control_actions_sql" -> q44ControlActionsSql _,
     "q43_range_join" -> q43RangeJoin _,
     "q37_asof_join" -> q37AsofJoin _,
@@ -351,6 +393,7 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q45_median_value" -> q45Sql,
     "q44_control_actions_sql" -> q16Sql, // same semantics, same oracle
     "q43_range_join" -> q43Sql,
     "q37_asof_join" -> q37Sql,

@@ -225,7 +225,62 @@ object TextAnalysis {
       |SELECT lang, CAST(rank AS INT) AS rank, w AS term, tf, df, tfidf
       |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q46: edit-distance near-dup metric on the prefix-filtered
+  // candidate pairs (same min-shingle blocking as q25): levenshtein
+  // over the first 64 chars — exact integers in both engines. At
+  // scale the blocking bounds the quadratic edit-distance work to
+  // near-dup candidates only.
+  // ---------------------------------------------------------------
+  def q46EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 64).as("head"),
+        minhash(shingles(col("text"), 3), 0).as("mk"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+      .orderBy("i", "j")
+  }
+
+  val q46Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, substr(text, 1, 64) AS head,
+       |    ${sqlMinhash(sqlShingles(3), 0)} AS mk
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+       |FROM d a JOIN d b ON a.mk = b.mk AND a.doc_id < b.doc_id
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q47: deterministic hash sampling — the reproducible-corpus-sample
+  // primitive (rand()-based sampling is not replayable; hashing the
+  // content is): keep docs whose 28-bit md5 falls in the lowest 10%
+  // of the hash space, report the per-language sampling rate.
+  // ---------------------------------------------------------------
+  def q47HashSample(s: SparkSession, dir: String): DataFrame = {
+    val inSample = hash28(col("text")) < (1L << 28) / 10
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(inSample, 1)).as("n_sampled"))
+      .withColumn("rate", Relational.ratio4(col("n_sampled"), col("n_docs")))
+      .orderBy("lang")
+  }
+
+  val q47Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(CASE WHEN ${sqlHash28("text")} < ${(1L << 28) / 10} THEN 1 END) AS n_sampled,
+       |  ((20000*COUNT(CASE WHEN ${sqlHash28("text")} < ${(1L << 28) / 10} THEN 1 END) + COUNT(*))
+       |   // (2*COUNT(*))) / 10000.0 AS rate
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_edit_distance" -> q46EditDistance _,
+    "q47_hash_sample" -> q47HashSample _,
     "q38_tfidf" -> q38Tfidf _,
     "q29_lang_id" -> q29LangId _,
     "q30_text_quality" -> q30TextQuality _,
@@ -233,6 +288,8 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q46_edit_distance" -> q46Sql,
+    "q47_hash_sample" -> q47Sql,
     "q38_tfidf" -> q38Sql,
     "q29_lang_id" -> q29Sql,
     "q30_text_quality" -> q30Sql,
