@@ -224,13 +224,66 @@ object Dedup {
        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
        |ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q48: near-dup CLUSTERS — the step after pair detection: the
+  // transitive closure of the q23 MinHash-LSH pairs, each document
+  // labeled with its component's minimum doc_id and flagged canonical
+  // (what a real pipeline keeps). Distributed label propagation:
+  // every node adopts the minimum label among itself and its
+  // neighbors until fixpoint — O(component diameter) joins, each a
+  // plain shuffle, the standard Spark shape for iterative graph
+  // algorithms. The oracle computes the same closure with a recursive
+  // CTE.
+  // ---------------------------------------------------------------
+  def q48DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = q23MinhashLsh(s, dir).select(col("i"), col("j"))
+    val und = edges.unionByName(
+      edges.select(col("j").as("i"), col("i").as("j")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("i").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = und.join(labels, und("j") === labels("id"))
+        .select(und("i").as("id"), col("lbl"))
+      val next = labels.unionByName(nbr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        when(col("id") === col("lbl"), 1).otherwise(0).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val q48Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${q23Sql.linesIterator.map("  " + _).mkString("\n").replaceAll("ORDER BY i, j$", "")}
+       |), und AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION
+       |  SELECT j, i FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+       |)
+       |SELECT a AS doc_id, MIN(b) AS cluster,
+       |  CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS is_canonical
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_dedup_clusters" -> q48DedupClusters _,
     "q22_dedup_exact" -> q22DedupExact _,
     "q23_minhash_lsh" -> q23MinhashLsh _,
     "q24_simhash_pairs" -> q24SimhashPairs _,
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q48_dedup_clusters" -> q48Sql,
     "q22_dedup_exact" -> q22Sql,
     "q23_minhash_lsh" -> q23Sql,
     "q24_simhash_pairs" -> q24Sql,
