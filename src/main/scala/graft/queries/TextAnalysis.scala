@@ -233,9 +233,11 @@ object TextAnalysis {
   // near-dup candidates only.
   // ---------------------------------------------------------------
   def q46EditDistance(s: SparkSession, dir: String): DataFrame = {
+    // cached: both self-join sides read it (cf. Dedup.q25)
     val d = documents(s, dir).select(col("doc_id"),
         substring(col("text"), 1, 64).as("head"),
         minhash(shingles(col("text"), 3), 0).as("mk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = d.alias("a")
     val b = d.alias("b")
     a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
