@@ -280,7 +280,55 @@ object TextAnalysis {
        |   // (2*COUNT(*))) / 10000.0 AS rate
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q49: the composed training-data pipeline — the shape every
+  // operator above exists to serve: quality filter (q30's score) ->
+  // exact dedup (min doc_id per content hash) -> deterministic 50%
+  // hash sample -> per-language corpus stats. One declarative plan:
+  // Catalyst fuses the filter stages into the scan and the dedup
+  // aggregation is the only shuffle.
+  // ---------------------------------------------------------------
+  def q49CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val w = size(ws).cast("long")
+    val d = size(array_distinct(ws)).cast("long")
+    val st = size(filter(ws, x => x.isin("the", "a"))).cast("long")
+    val qualityNum = lit(100L) * (lit(5L) * d + lit(3L) * (w - st)) +
+      lit(2L) * least(w, lit(100L)) * w
+    val quality = Relational.ldiv(lit(20L) * qualityNum + w, lit(2L) * w) / 10000.0
+    documents(s, dir)
+      .withColumn("quality", quality)
+      .filter(col("quality") >= 0.55)
+      .withColumn("in_sample", hash28(col("text")) < (1L << 28) / 2)
+      .filter(col("in_sample"))
+      .groupBy(col("lang"), md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), min(col("n_chars")).as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("total_chars"),
+        min(col("keep_id")).as("min_keep_id"))
+      .orderBy("lang")
+  }
+
+  val q49Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+       |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS d,
+       |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS BIGINT) AS st
+       |  FROM documents
+       |), kept AS (
+       |  SELECT lang, md5(text) AS h, MIN(doc_id) AS keep_id, MIN(n_chars) AS n_chars
+       |  FROM scored
+       |  WHERE ((20*(100*(5*d + 3*(w - st)) + 2*least(w, 100)*w) + w) // (2*w)) / 10000.0 >= 0.55
+       |    AND ${sqlHash28("text")} < ${(1L << 28) / 2}
+       |  GROUP BY lang, md5(text)
+       |)
+       |SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS total_chars,
+       |  MIN(keep_id) AS min_keep_id
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_corpus_pipeline" -> q49CorpusPipeline _,
     "q46_edit_distance" -> q46EditDistance _,
     "q47_hash_sample" -> q47HashSample _,
     "q38_tfidf" -> q38Tfidf _,
@@ -290,6 +338,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q49_corpus_pipeline" -> q49Sql,
     "q46_edit_distance" -> q46Sql,
     "q47_hash_sample" -> q47Sql,
     "q38_tfidf" -> q38Sql,

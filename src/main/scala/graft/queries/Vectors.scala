@@ -336,7 +336,45 @@ object Vectors {
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q50: array/struct scalar-function surface over the embeddings:
+  // slicing, element access, sorting, filtering, existential
+  // predicates, concatenation — the collection-manipulation toolkit
+  // (all codegen'd builtins; DuckDB list functions mirror each).
+  // ---------------------------------------------------------------
+  def q50ArrayFns(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(col("embedding"))
+    embeddings(s, dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        size(e).as("dim"),
+        round(element_at(e, 1), 4).as("first"),
+        round(element_at(e, -1), 4).as("last"),
+        round(array_max(e), 4).as("vmax"),
+        round(array_min(e), 4).as("vmin"),
+        size(expr("filter(CAST(embedding AS ARRAY<DOUBLE>), x -> x > 0)")).as("n_pos"),
+        exists(e, x => x > 2.0).cast("int").as("has_gt2"),
+        round(element_at(array_sort(e), 32), 4).as("sorted_32nd"),
+        size(slice(e, 1, 8)).as("head_len"))
+      .orderBy("vec_id")
+  }
+
+  val q50Sql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first,
+      |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last,
+      |  ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+      |  ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+      |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+      |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 2.0)) > 0 AS INT) AS has_gt2,
+      |  ROUND(list_sort(CAST(embedding AS DOUBLE[]))[32], 4) AS sorted_32nd,
+      |  CAST(len(list_slice(embedding, 1, 8)) AS INT) AS head_len
+      |FROM embeddings WHERE vec_id % 50 = 0
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_array_fns" -> q50ArrayFns _,
     "q26_cosine_neardup" -> q26CosineNeardup _,
     "q27_embed_topk" -> q27EmbedTopk _,
     "q28_ann_lsh" -> q28AnnLsh _,
@@ -344,6 +382,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q50_array_fns" -> q50Sql,
     "q26_cosine_neardup" -> q26Sql,
     "q27_embed_topk" -> q27Sql,
     "q28_ann_lsh" -> q28Sql,
