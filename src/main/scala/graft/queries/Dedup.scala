@@ -236,7 +236,14 @@ object Dedup {
   // CTE.
   // ---------------------------------------------------------------
   def q48DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = q23MinhashLsh(s, dir).select(col("i"), col("j"))
+    // the edge set after pair detection is orders of magnitude smaller
+    // than the corpus (near-dup pairs only) — collapse it to one
+    // partition (repartition, NOT coalesce — coalesce would narrow the
+    // upstream pair-detection to one task) so each propagation round is
+    // a handful of tasks, not
+    // shuffle-partitions x stages of scheduling overhead; at 100 TB
+    // the same coalesce applies (edges ~ millions, corpus ~ trillions)
+    val edges = q23MinhashLsh(s, dir).select(col("i"), col("j")).repartition(1)
     val und = edges.unionByName(
       edges.select(col("j").as("i"), col("i").as("j")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
