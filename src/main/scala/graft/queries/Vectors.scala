@@ -17,8 +17,9 @@ final case class CentroidBuf(sums: Array[Double], n: Long)
   * cluster-blocked near-dup, and a custom Aggregator (UDAF surface)
   * computing per-label centroids.
   *
-  * All dot products are higher-order Column expressions
-  * (zip_with + aggregate) — codegen'd, no UDF in the hot path.
+  * All dot products run through the native codegen'd ArrayDotProduct
+  * expression — no UDF and no interpreted higher-order function in
+  * the hot path.
   */
 object Vectors {
 
@@ -36,7 +37,6 @@ object Vectors {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Unit-normalized copy of a vector column. Projected BEFORE a
     * shuffle or broadcast boundary it is materialized once per row, so
