@@ -67,6 +67,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ArrayDotProduct(args(0), args(1))
       }))
+    // Spark ships Bloom-filter expressions for its runtime join
+    // filters but does not register them for SQL; expose them — the
+    // Bloom pre-pass is the classic 100-TB existence-filter pattern
+    // (build a compact filter from the small side, drop non-matching
+    // rows before the exact join touches them).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_build"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

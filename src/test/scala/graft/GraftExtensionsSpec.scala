@@ -52,6 +52,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(8.0, 11.0, 14.0))
   }
 
+  test("bloom filter pre-pass: build from small side, filter the big side") {
+    extSpark.range(20000).createOrReplaceTempView("big")
+    extSpark.range(100).selectExpr("id * 37 AS key")
+      .createOrReplaceTempView("small")
+    val filtered = extSpark.sql(
+      """SELECT count(*) AS n FROM big
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_build(xxhash64(key)) FROM small),
+        |  xxhash64(id))""".stripMargin).collect().head.getLong(0)
+    // the filter passes every true member (100 keys * 37 < 20000 are
+    // only 100/3700... keys 0,37,...,3663 => 100 members in range? no:
+    // 37*99 = 3663 < 20000, so all 100 are present) plus possible
+    // false positives — never fewer than the true matches
+    assert(filtered >= 100)
+    // false-positive rate stays tiny at default sizing
+    assert(filtered < 300, s"suspiciously many bloom hits: $filtered")
+  }
+
   test("the rewrite leaves non-matching aggregates alone") {
     val df = extSpark.sql(
       """SELECT aggregate(zip_with(a, b, (x, y) -> x + y), 0.0D, (s, v) -> s + v) AS d
