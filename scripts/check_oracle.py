@@ -40,6 +40,19 @@ def main(sfdir, outdir):
         bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # Dtype-KIND-strict: the driver's hash is type-sensitive
+            # across kinds (DuckDB HUGEINT -> float64 vs Spark BIGINT ->
+            # int64 is a real driver-side FAIL even when values match:
+            # "5.0" vs "5") but canonicalizes within a kind (int32 vs
+            # int64 passes — CORRECTNESS_r01 q07/q12/q13/q33). So fail
+            # on kind mismatch, allow width differences.
+            def kind(s):
+                k = s.dtype.kind
+                return "i" if k in "iu" else k
+            if kind(gv) != kind(ev):
+                bad.append(f"{c}: DTYPE KIND mismatch {gv.dtype} vs {ev.dtype} "
+                           f"(driver hash is type-sensitive across kinds)")
+                continue
             if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
                 ga = gv.astype(float).to_numpy(); ea = ev.astype(float).to_numpy()
                 neq = ~((ga == ea) | (np.isnan(ga) & np.isnan(ea)))

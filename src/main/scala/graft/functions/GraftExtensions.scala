@@ -77,8 +77,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_build"),
-      (args: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(args.head)))
+      (args: Seq[Expression]) => args match {
+        // honor the optional sizing args — silently defaulting them
+        // would give a user asking for a 4M-item filter the default
+        // capacity and a much higher false-positive rate
+        case Seq(child) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
+        case Seq(child, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"bloom_build requires 1 to 3 arguments, got ${args.length}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

@@ -33,6 +33,13 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Can produce NULL even from non-null inputs (length mismatch, null
+  // element) — must not inherit child nullability: a false
+  // non-nullable claim makes nullSafeCodeGen emit `false = true;`
+  // (Janino error -> silent interpreted fallback) and lets the
+  // optimizer constant-fold IsNull over it.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "array_dot"
 
   /** NULL on length mismatch or any null element — the exact

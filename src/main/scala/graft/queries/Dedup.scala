@@ -40,8 +40,8 @@ object Dedup {
       .orderBy("lang")
 
   val q22Sql: String =
-    """SELECT lang, COUNT(*) AS n_unique, SUM(n_copies) AS n_docs,
-      |  SUM(n_copies) - COUNT(*) AS n_removed, MIN(keep_id) AS min_keep_id
+    """SELECT lang, COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_removed, MIN(keep_id) AS min_keep_id
       |FROM (SELECT lang, md5(text) AS text_hash, MIN(doc_id) AS keep_id,
       |             COUNT(*) AS n_copies
       |      FROM documents GROUP BY lang, md5(text))
@@ -66,6 +66,9 @@ object Dedup {
     val sh = documents(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: three readers (signature stage + both verify-join sides)
+    // would otherwise race to compute-and-cache the same partitions
+    sh.count()
     // explode so the shingle array is built ONCE per doc (projection
     // collapse would otherwise inline its construction into all 12
     // minhash expressions), hash each shingle ONCE (28-bit md5 prefix),
@@ -194,11 +197,15 @@ object Dedup {
   // fan-out stays tiny at any scale (vs 25M all-pairs at sf0.1).
   // ---------------------------------------------------------------
   def q25NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // cached: both sides of the self-join read it (see q23 note)
+    // cached: both sides of the self-join read it (see q23 note).
+    // Materialized EAGERLY: without the count(), the join's two scan
+    // tasks race to compute-and-cache the same partitions ("Block
+    // rdd_N already exists" churn + duplicated shingle work).
     val d = documents(s, dir).select(col("doc_id"), col("lang"),
         shingles(col("text"), 3).as("sh"))
       .withColumn("mk", minhash(col("sh"), 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count()
     val a = d.alias("a")
     val b = d.alias("b")
     a.join(b, col("a.mk") === col("b.mk") &&
@@ -236,31 +243,49 @@ object Dedup {
   // CTE.
   // ---------------------------------------------------------------
   def q48DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // the edge set after pair detection is orders of magnitude smaller
-    // than the corpus (near-dup pairs only) — collapse it to one
-    // partition (repartition, NOT coalesce — coalesce would narrow the
-    // upstream pair-detection to one task) so each propagation round is
-    // a handful of tasks, not
-    // shuffle-partitions x stages of scheduling overhead; at 100 TB
-    // the same coalesce applies (edges ~ millions, corpus ~ trillions)
-    val edges = q23MinhashLsh(s, dir).select(col("i"), col("j")).repartition(1)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The edge set after pair detection is orders of magnitude smaller
+    // than the corpus (near-dup pairs only), so it is repartitioned
+    // (NOT coalesced — coalesce would narrow the upstream detection to
+    // few tasks) down to ~1M edges per partition so each propagation
+    // round is a handful of tasks, not shuffle-partitions x stages of
+    // scheduling overhead. The same ratio holds at 100 TB: edges ~
+    // millions of rows while the corpus is trillions.
+    val rawEdges = q23MinhashLsh(s, dir).select(col("i"), col("j"))
+      .persist(MEMORY_AND_DISK)
+    val edgeParts = math.max(1L, rawEdges.count() / 1000000L).toInt
+    val edges = rawEdges.repartition(edgeParts)
     val und = edges.unionByName(
       edges.select(col("j").as("i"), col("i").as("j")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
+    // Label propagation to fixpoint. Each round runs exactly ONE job:
+    // `next` carries the node's previous label in `own`, so the count
+    // that materializes the persisted `next` is also the convergence
+    // check — no separate old-vs-new join. Superseded label frames are
+    // unpersisted immediately (a long-diameter graph would otherwise
+    // accumulate one cached frame per round).
     var labels = und.select(col("i").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
     var changed = 1L
     while (changed > 0) {
-      val nbr = und.join(labels, und("j") === labels("id"))
-        .select(und("i").as("id"), col("lbl"))
-      val next = labels.unionByName(nbr)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).count()
+      val nbr = und.join(labels.select(col("id"), col("lbl")),
+          und("j") === col("id"))
+        .select(und("i").as("id"), col("lbl"),
+          lit(null).cast("long").as("own"))
+      val self = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
+      val next = self.unionByName(nbr)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), min(col("own")).as("own"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.filter(col("lbl") < col("own")).count()
+      labels.unpersist(blocking = false)
       labels = next
     }
+    // labels is fully materialized by the final count, so the inputs
+    // backing it can be released before the caller consumes the result.
+    und.unpersist(blocking = false)
+    rawEdges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
         when(col("id") === col("lbl"), 1).otherwise(0).as("is_canonical"))
       .orderBy("doc_id")

@@ -105,8 +105,8 @@ object Events {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
       |), sess AS (
       |  SELECT user_id, event_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
-      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flags
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,

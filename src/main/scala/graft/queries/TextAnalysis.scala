@@ -145,8 +145,8 @@ object TextAnalysis {
   val q31Sql: String =
     """WITH ds AS (
       |  SELECT lang, COUNT(*) AS n_docs,
-      |    SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS n_tokens,
-      |    SUM(CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS BIGINT)) AS n_pieces
+      |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))) AS BIGINT) AS n_pieces
       |  FROM documents GROUP BY lang
       |), v AS (
       |  SELECT lang, COUNT(DISTINCT w) AS n_vocab
@@ -233,11 +233,14 @@ object TextAnalysis {
   // near-dup candidates only.
   // ---------------------------------------------------------------
   def q46EditDistance(s: SparkSession, dir: String): DataFrame = {
-    // cached: both self-join sides read it (cf. Dedup.q25)
+    // cached: both self-join sides read it (cf. Dedup.q25). Eagerly
+    // materialized so the join's two scans don't race to cache the
+    // same partitions (duplicate work + block-manager churn).
     val d = documents(s, dir).select(col("doc_id"),
         substring(col("text"), 1, 64).as("head"),
         minhash(shingles(col("text"), 3), 0).as("mk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count()
     val a = d.alias("a")
     val b = d.alias("b")
     a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
@@ -323,7 +326,7 @@ object TextAnalysis {
        |    AND ${sqlHash28("text")} < ${(1L << 28) / 2}
        |  GROUP BY lang, md5(text)
        |)
-       |SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS total_chars,
+       |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  MIN(keep_id) AS min_keep_id
        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 

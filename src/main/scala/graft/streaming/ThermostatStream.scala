@@ -182,7 +182,16 @@ object Codec {
       Some(TemperatureControl(bb.getInt, bb.getDouble, bb.getDouble, bb.getDouble))
     }
 
+  // seq is a full Long on the wire — it carries the source offset,
+  // and Kafka offsets exceed Int range at scale
   def encodeCommand(h: HeaterCommand): Array[Byte] =
-    ByteBuffer.allocate(16).putLong(h.sensorID).putInt(h.seq.toInt)
+    ByteBuffer.allocate(20).putLong(h.sensorID).putLong(h.seq)
       .putInt(h.action).array()
+
+  def decodeCommand(b: Array[Byte]): Option[HeaterCommand] =
+    if (b == null || b.length != 20) None
+    else {
+      val bb = ByteBuffer.wrap(b)
+      Some(HeaterCommand(bb.getLong, bb.getLong, bb.getInt))
+    }
 }

@@ -106,7 +106,12 @@ class ThermostatStreamSpec extends SparkSpec {
     assert(Codec.decodeControl(Codec.encodeControl(tc)).contains(tc))
     assert(Codec.decodeSensor(Array[Byte](1, 2, 3)).isEmpty)
     assert(Codec.decodeControl(null).isEmpty)
-    assert(Codec.encodeCommand(HeaterCommand(1L, 7L, 1)).length == 16)
+    assert(Codec.encodeCommand(HeaterCommand(1L, 7L, 1)).length == 20)
+    // full-Long seq round-trip (Kafka offsets exceed Int range)
+    val big = HeaterCommand(42L, Long.MaxValue - 5, 2)
+    assert(Codec.decodeCommand(Codec.encodeCommand(big)).contains(big))
+    assert(Codec.decodeCommand(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codec.decodeCommand(null).isEmpty)
   }
 
   test("unify merges typed data and control streams by seq") {
