@@ -92,6 +92,10 @@ object Vectors {
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id"))
+    // broadcast is valid while the query set stays driver/executor
+    // sized (~<= 1M 64-dim vectors ~ 0.5 GB); a larger query set
+    // switches to bucketing both sides by a shared block key and
+    // equi-joining (the q28/q42 shape)
     broadcast(q).join(e, col("q_id") =!= col("vec_id"))
       .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
       .withColumn("rank", row_number().over(w))
@@ -154,6 +158,10 @@ object Vectors {
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id"))
+    // query side broadcast: valid while queries << corpus (the ANN
+    // serving shape); above ~0.5 GB of query vectors, drop the hint —
+    // the join is already a bucket equi-join, so it degrades to a
+    // plain shuffle join partitioned by bucket
     broadcast(q).join(e, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
@@ -284,10 +292,16 @@ object Vectors {
       // cached: both sides of the probe join read it — without this
       // the crossJoin + window assignment subtree executes twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager, so the probe join's two scans don't race to cache the
+    // same partitions (cf. Dedup.q25)
+    assigned.count()
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"))
     val rw = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_r").desc, col("vec_id"))
+    // query side broadcast: valid while queries << corpus; a huge
+    // query set degrades gracefully to a shuffle join on `cell`
+    // (both sides are already cell-partitioned)
     broadcast(q).join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_r", round(

@@ -69,7 +69,36 @@ object StreamDemo {
     q3.stop()
     println(f"[demo] throughput: ${bulk.size} events, ${nSensors} keys in $dt%.2f s " +
       f"= ${bulk.size / dt}%.0f events/s")
+
+    // multi-query lifecycle (reference A13,
+    // SparkStructuredController.scala:89): two concurrent queries on
+    // independent streams; the driver parks on awaitAnyTermination and
+    // wakes when the first query terminates, while the second keeps
+    // running.
+    spark.streams.resetTerminated() // forget the stopped demos above
+    val msA = MemoryStream[graft.model.ControlEvent]
+    val msB = MemoryStream[graft.model.ControlEvent]
+    val qA = ThermostatStream.pipeline(msA.toDS())
+      .writeStream.format("memory").queryName("demo_a").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    val qB = ThermostatStream.pipeline(msB.toDS())
+      .writeStream.format("memory").queryName("demo_b").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    msA.addData(events)
+    msB.addData(events)
+    val stopper = new Thread(() => {
+      qA.processAllAvailable(); qB.processAllAvailable(); qA.stop()
+    })
+    stopper.start()
+    spark.streams.awaitAnyTermination()
+    stopper.join()
+    val bStillActive = qB.isActive
+    println(s"[demo] awaitAnyTermination woke on demo_a; demo_b active = $bStillActive")
+    qB.stop()
     spark.stop()
+    if (!bStillActive) sys.exit(1)
     if (out.isEmpty || out.toSeq != out2.toSeq) sys.exit(1)
   }
 }

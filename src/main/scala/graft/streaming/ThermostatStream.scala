@@ -130,6 +130,36 @@ object ThermostatStream {
     d.unionByName(c)
   }
 
+  /** The inbound wire boundary Kafka would carry (reference A3:
+    * SparkStructuredController.scala:38-39): (offset, value-bytes)
+    * records per topic → decode (malformed payloads dropped, mirroring
+    * the reference's bad-data handler) → tagged union. The offset
+    * doubles as the per-key ordering seq, as in the Kafka wiring
+    * below. Works on streaming and batch Datasets alike.
+    */
+  def fromWire(
+      sensorBytes: Dataset[(Long, Array[Byte])],
+      controlBytes: Dataset[(Long, Array[Byte])]): Dataset[ControlEvent] = {
+    val spark = sensorBytes.sparkSession
+    import spark.implicits._
+    val data = sensorBytes.flatMap { case (seq, b) =>
+      Codec.decodeSensor(b).map(sd => (sd, seq))
+    }
+    val ctl = controlBytes.flatMap { case (seq, b) =>
+      Codec.decodeControl(b).map(tc => (tc, seq))
+    }
+    unify(data, ctl)
+  }
+
+  /** The outbound wire boundary (reference A11:
+    * SparkStructuredController.scala:78): commands → value bytes.
+    */
+  def toWire(cmds: Dataset[HeaterCommand]): Dataset[Array[Byte]] = {
+    val spark = cmds.sparkSession
+    import spark.implicits._
+    cmds.map(Codec.encodeCommand)
+  }
+
   /** Kafka wiring (NOT exercised offline — no Kafka connector jar in
     * /opt/spark/jars and zero egress; shape mirrors the reference,
     * SparkStructuredController.scala:42-86):

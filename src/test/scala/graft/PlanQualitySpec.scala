@@ -49,6 +49,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q28/q42: ANN probe joins keep the query side broadcast") {
+    // the broadcast hint on the (small) query set must survive
+    // optimization — losing it turns the probe into a full shuffle of
+    // the corpus
+    val p28 = plan("q28_ann_lsh")
+    assert(p28.contains("BroadcastHashJoin"), p28)
+    val p42 = plan("q42_ann_ivf")
+    assert(p42.contains("BroadcastHashJoin"), p42)
+  }
+
   test("q37: as-of join is a single window pass — no join node") {
     val p = plan("q37_asof_join")
     assert(!p.toLowerCase.contains("join"), p)
