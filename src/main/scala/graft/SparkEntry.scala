@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Vectors.queries ++
       graft.queries.TextAnalysis.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++
+      graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++
       graft.queries.Vectors.oracles ++
       graft.queries.TextAnalysis.oracles ++
-      graft.queries.Multimodal.oracles
+      graft.queries.Multimodal.oracles ++
+      graft.queries.Advanced.oracles
 }

