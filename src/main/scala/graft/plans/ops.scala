@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** DataFrame-level entry points for the custom plan operators. */
@@ -26,5 +26,37 @@ object ops {
     })
     Bridge.ofRows(spark, TopKPerGroupNode(
       groupCols.map(Bridge.catalystExpression), order, k, Bridge.logicalPlan(df)))
+  }
+
+  /** Native as-of join: each left row gains `payload` columns from the
+    * latest right row with the same key and rightTime <= leftTime
+    * (strictly < when `strict`); NULLs when no such row. Pass
+    * DATASET-BOUND columns (`df("c")`) — left and right may share
+    * attribute ids (self-as-of), and binding by the owning frame keeps
+    * each expression on its side. Registers [[AsOfJoinStrategy]] on
+    * first use.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      payload: Seq[(Column, String)],
+      strict: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val payloadExprs = payload.map { case (c, _) => Bridge.catalystExpression(c) }
+    val payloadOut = payload.zip(payloadExprs).map { case ((_, n), e) =>
+      AttributeReference(n, e.dataType, nullable = true)()
+    }
+    Bridge.ofRows(spark, AsOfJoinNode(
+      Bridge.analyzedPlan(left), Bridge.analyzedPlan(right),
+      leftKeys.map(Bridge.catalystExpression),
+      rightKeys.map(Bridge.catalystExpression),
+      Bridge.catalystExpression(leftTime),
+      Bridge.catalystExpression(rightTime),
+      payloadExprs, payloadOut, strict))
   }
 }

@@ -308,7 +308,29 @@ object Advanced {
       |  COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_templates
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q60: the SAME as-of semantics as q37, through the NATIVE
+  // AsOfJoin operator (graft.plans: custom logical node + strategy +
+  // merge-sweep physical operator) instead of the union+window form —
+  // each non-purchase event enriched with the latest strictly-prior
+  // purchase value of its user. Two co-partitioned exchanges and one
+  // linear sweep; gated against the identical oracle as q37.
+  // ---------------------------------------------------------------
+  def q60AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val l = events(s, dir).filter(col("event_type") =!= "purchase")
+    val r = events(s, dir).filter(col("event_type") === "purchase")
+    graft.plans.ops.asofJoin(l, r,
+        leftKeys = Seq(l("user_id")), rightKeys = Seq(r("user_id")),
+        leftTime = l("event_id"), rightTime = r("event_id"),
+        payload = Seq((r("value"), "setting_raw")), strict = true)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round(col("setting_raw"), 4).as("asof_setting"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_asof_native" -> q60AsofNative _,
     "q51_bloom_semi" -> q51BloomSemi _,
     "q52_approx_quantiles" -> q52ApproxQuantiles _,
     "q53_cube" -> q53Cube _,
@@ -320,6 +342,7 @@ object Advanced {
     "q59_pii_scrub" -> q59PiiScrub _)
 
   val oracles: Map[String, String] = Map(
+    "q60_asof_native" -> Events.q37Sql,
     "q51_bloom_semi" -> q51Sql,
     "q52_approx_quantiles" -> q52Sql,
     "q53_cube" -> q53Sql,

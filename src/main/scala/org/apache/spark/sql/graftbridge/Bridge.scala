@@ -32,6 +32,15 @@ object Bridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.logical
 
+  /** The ANALYZED plan backing a DataFrame. Custom plan nodes built
+    * from dataset-bound columns (`df("c")`) must wrap this one: the
+    * unanalyzed plan still contains unresolved aliases (e.g. from
+    * `toDF`) that re-analysis would re-alias under FRESH exprIds,
+    * orphaning the node's already-bound attribute references.
+    */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
+
   /** Register a SQL function into an EXISTING session's registry
     * (sessionState is private[sql]). The SparkSessionExtensions path
     * only applies at session build time; this covers sessions created

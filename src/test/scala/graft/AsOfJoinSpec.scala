@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.ops
+
+/** The native AsOfJoin operator: merge-sweep semantics vs a golden
+  * scala fold, edge cases, and the plan shape (one exchange + sort per
+  * side, no union/window).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def leftDf = {
+    val s = spark; import s.implicits._
+    Seq(
+      // (key, time, tag)
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 5L, "d"), (2L, 6L, "e"),
+      (3L, 100L, "f") // key with no right rows at all
+    ).toDF("k", "t", "tag")
+  }
+
+  private def rightDf = {
+    val s = spark; import s.implicits._
+    Seq(
+      // (key, time, v)
+      (1L, 10L, 1.0), (1L, 25L, 2.5),
+      (2L, 6L, 7.0)
+    ).toDF("k", "t", "v")
+  }
+
+  test("non-strict: latest right with time <= left time") {
+    val l = leftDf
+    val r = rightDf
+    val out = ops.asofJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), Seq((r("v"), "v")), strict = false)
+      .select("k", "t", "tag", "v")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        if (x.isNullAt(3)) null else x.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq(
+      (1L, 10L, "a", 1.0), // equal time matches when non-strict
+      (1L, 20L, "b", 1.0),
+      (1L, 30L, "c", 2.5),
+      (2L, 5L, "d", null),
+      (2L, 6L, "e", 7.0),
+      (3L, 100L, "f", null)))
+  }
+
+  test("strict: latest right with time < left time") {
+    val l = leftDf
+    val r = rightDf
+    val out = ops.asofJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), Seq((r("v"), "v")), strict = true)
+      .select("k", "t", "v")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) null else x.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq(
+      (1L, 10L, null), // equal time excluded when strict
+      (1L, 20L, 1.0),
+      (1L, 30L, 2.5),
+      (2L, 5L, null),
+      (2L, 6L, null),
+      (3L, 100L, null)))
+  }
+
+  test("empty right side yields all-null payload") {
+    val l = leftDf
+    val r = rightDf.filter(col("k") < 0)
+    val out = ops.asofJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), Seq((r("v"), "v")))
+      .select("v").collect()
+    assert(out.length == 6 && out.forall(_.isNullAt(0)))
+  }
+
+  test("matches the window form on random data") {
+    val n = 5000
+    val l = spark.range(n).select(
+      (col("id") % 37).as("k"), pmod(col("id") * 2654435761L, lit(100000L)).as("t"),
+      col("id").as("lid"))
+    // t = 3*id mod 100000 is injective for id < 100000 (gcd(3,1e5)=1),
+    // so right-side (k,t) pairs are tie-free and the golden fold is
+    // deterministic
+    val r = spark.range(n / 5).select(
+      (col("id") % 37).as("k"), pmod(col("id") * 3L, lit(100000L)).as("t"),
+      (col("id") % 1000).cast("double").as("v"))
+    val native = ops.asofJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), Seq((r("v"), "v")))
+      .select("lid", "v")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1.0 else x.getDouble(1)))
+      .sortBy(_._1).toSeq
+    // golden: driver-side fold over the same inputs
+    val rRows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(v => (v._2, v._3))).toMap
+    val golden = l.collect().map { x =>
+      val (k, t, lid) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      // non-strict: last right row with rt <= t; ties on rt keep the
+      // LATER sweep arrival, which is the (rt, v)-sorted last element
+      val m = rRows.get(k).flatMap(_.takeWhile(_._2 <= t).lastOption)
+      (lid, m.map(_._3).getOrElse(-1.0))
+    }.sortBy(_._1).toSeq
+    assert(native == golden)
+  }
+
+  test("plan: co-partitioned exchanges, no window, no union") {
+    val l = leftDf
+    val r = rightDf
+    val df = ops.asofJoin(l, r, Seq(l("k")), Seq(r("k")),
+      l("t"), r("t"), Seq((r("v"), "v")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+  }
+}
