@@ -329,8 +329,130 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------
+  // q61: eval-set DECONTAMINATION — the benchmark-leakage check every
+  // training-data pipeline runs: flag training documents sharing
+  // word 5-grams with a held-out eval split (here: doc_id % 97 == 0).
+  // Scale shape: the eval n-gram set is tiny relative to the corpus
+  // (benchmarks are thousands of docs, the corpus is billions), so it
+  // is distinct-ed and BROADCAST — the corpus side is a pure
+  // map+explode scan into a broadcast-hash join, no corpus shuffle;
+  // the only shuffles are the per-doc hit count and per-source
+  // rollup, both map-side combined. A doc is contaminated at >= 3
+  // distinct shared 5-grams.
+  // ---------------------------------------------------------------
+  def q61Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % 97 === 0
+    val docs = documents(s, dir)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(shingles(col("text"), 5)).as("sg"))
+      .select(hash28(col("sg")).as("g"))
+      .distinct()
+    val trainGrams = docs.filter(!isEval)
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sg"))
+      .select(col("doc_id"), hash28(col("sg")).as("g"))
+    val hits = trainGrams.join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!isEval).select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        count(when(col("n_overlap") >= 3, 1)).as("n_contaminated"),
+        sum(col("n_overlap")).cast("long").as("total_overlap"))
+      .withColumn("contam_rate",
+        Relational.ratio4(col("n_contaminated"), col("n_train")))
+      .orderBy("source")
+  }
+
+  val q61Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, ${sqlShingles(5)} AS sh FROM documents
+       |), eg AS (
+       |  SELECT DISTINCT ${sqlHash28("s.sg")} AS g
+       |  FROM sh, unnest(sh.sh) s(sg) WHERE doc_id % 97 = 0
+       |), tg AS (
+       |  SELECT doc_id, ${sqlHash28("s.sg")} AS g
+       |  FROM sh, unnest(sh.sh) s(sg) WHERE doc_id % 97 <> 0
+       |), hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_overlap
+       |  FROM tg JOIN eg USING (g) GROUP BY doc_id
+       |), t AS (
+       |  SELECT d.doc_id, d.source, coalesce(h.n_overlap, 0) AS n_overlap
+       |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |  WHERE d.doc_id % 97 <> 0
+       |)
+       |SELECT source, COUNT(*) AS n_train,
+       |  COUNT(CASE WHEN n_overlap >= 3 THEN 1 END) AS n_contaminated,
+       |  CAST(SUM(n_overlap) AS BIGINT) AS total_overlap,
+       |  ((20000*COUNT(CASE WHEN n_overlap >= 3 THEN 1 END) + COUNT(*))
+       |   // (2*COUNT(*))) / 10000.0 AS contam_rate
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q62: SEQUENCE PACKING — concatenate-then-chunk documents into
+  // fixed token-budget training sequences (the GPT-style pack step).
+  // Docs are packed within (lang, shard) where shard = doc_id % 8:
+  // a single global cumulative sum per language would serialize into
+  // one window task per language at 100 TB, while sharding keeps the
+  // prefix-sum windows parallel (shards x langs tasks) at the cost of
+  // at most one partially-filled trailing sequence per shard. A doc's
+  // sequence is where its first token lands (floor(start / budget));
+  // the per-sequence and per-lang rollups are plain aggregations.
+  // ---------------------------------------------------------------
+  private val PackBudget = 512L
+  private val PackShards = 8L
+
+  def q62PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(words(col("text"))).cast("long").as("tok"))
+    val seqs = toks
+      .withColumn("seq_id",
+        Relational.ldiv(sum(col("tok")).over(w) - col("tok"), lit(PackBudget)))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("docs_in_seq"), sum(col("tok")).as("seq_tokens"))
+    seqs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("docs_in_seq")).cast("long").as("n_docs"),
+        sum(col("seq_tokens")).cast("long").as("n_tokens"),
+        max(col("docs_in_seq")).cast("long").as("max_docs_per_seq"))
+      .withColumn("fill_rate",
+        Relational.ratio4(col("n_tokens"), col("n_seqs") * PackBudget))
+      .orderBy("lang")
+  }
+
+  val q62Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, doc_id % $PackShards AS shard,
+       |    len(string_split(text,' ')) AS tok
+       |  FROM documents
+       |), seqed AS (
+       |  SELECT lang, shard, tok,
+       |    (SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |                    ROWS UNBOUNDED PRECEDING) - tok) // $PackBudget AS seq_id
+       |  FROM toks
+       |), seqs AS (
+       |  SELECT lang, shard, seq_id, COUNT(*) AS docs_in_seq,
+       |    SUM(tok) AS seq_tokens
+       |  FROM seqed GROUP BY lang, shard, seq_id
+       |)
+       |SELECT lang, COUNT(*) AS n_seqs,
+       |  CAST(SUM(docs_in_seq) AS BIGINT) AS n_docs,
+       |  CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(docs_in_seq) AS BIGINT) AS max_docs_per_seq,
+       |  ((20000*CAST(SUM(seq_tokens) AS BIGINT) + COUNT(*)*$PackBudget)
+       |   // (2*COUNT(*)*$PackBudget)) / 10000.0 AS fill_rate
+       |FROM seqs GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_asof_native" -> q60AsofNative _,
+    "q61_decontaminate" -> q61Decontaminate _,
+    "q62_pack_sequences" -> q62PackSequences _,
     "q51_bloom_semi" -> q51BloomSemi _,
     "q52_approx_quantiles" -> q52ApproxQuantiles _,
     "q53_cube" -> q53Cube _,
@@ -343,6 +465,8 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q60_asof_native" -> Events.q37Sql,
+    "q61_decontaminate" -> q61Sql,
+    "q62_pack_sequences" -> q62Sql,
     "q51_bloom_semi" -> q51Sql,
     "q52_approx_quantiles" -> q52Sql,
     "q53_cube" -> q53Sql,
