@@ -91,7 +91,25 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
-      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"simhash60 requires exactly 1 argument, got ${args.length}")
+        }
+        SimHash60(args(0))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"minhash_sig requires exactly 1 argument, got ${args.length}")
+        }
+        MinHashSig(args(0))
+      }))
 
   /** Register the function surface into an existing session's registry
     * (idempotent; overwrites are same-definition re-registrations).

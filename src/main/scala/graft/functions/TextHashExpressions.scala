@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind [[SimHash60]] / [[MinHashSig]]. One MD5 per
+  * word/shingle, all loops primitive — called once per ROW from
+  * generated code, so the whole document signature is computed inside
+  * the scan stage with zero shuffle. The declarative equivalents
+  * (explode words/shingles → partial-aggregate per doc) shuffle the
+  * entire tokenized corpus; at 100 TB that is the single largest
+  * exchange in the dedup pipeline, and these kernels delete it.
+  *
+  * Hash definitions are IDENTICAL to graft.queries.Hashing (md5-prefix
+  * integers, universal-hash MinHash permutations), so the DuckDB
+  * oracles of q23/q24 keep matching bit-for-bit.
+  */
+object TextHashing {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `nHex` hex digits (nibbles) of md5(bytes) as a long
+    * (nHex <= 15 keeps it positive in signed 64) — the JVM twin of
+    * Hashing.hash28/hash60's conv(substring(md5(x),1,n),16,10).
+    */
+  private def md5Prefix(bytes: Array[Byte], nHex: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = h(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
+  /** Split on single spaces keeping empty tokens — the exact token set
+    * of Spark `split(text, " ")` (regex split, limit -1).
+    */
+  private def words(text: UTF8String): Array[String] =
+    text.toString.split(" ", -1)
+
+  /** 60-bit frequency-weighted SimHash of whitespace-tokenized text:
+    * bit b is set iff strictly more tokens (with multiplicity) have
+    * bit b set in their 60-bit md5-prefix hash than not — exactly
+    * q24's explode + sum(+1/-1) + (sum > 0) definition.
+    */
+  def simhash60(text: UTF8String): Long = {
+    val ws = words(text)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < ws.length) {
+      val h = md5Prefix(ws(i).getBytes("UTF-8"), 15)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /** MinHash permutation coefficients, taken from the single source of
+    * truth shared with the DuckDB oracle SQL (Hashing.perm).
+    */
+  private val K = 12
+  private val P = graft.queries.Hashing.P
+  private val permA: Array[Long] =
+    (0 until K).map(i => graft.queries.Hashing.perm(i)._1).toArray
+  private val permB: Array[Long] =
+    (0 until K).map(i => graft.queries.Hashing.perm(i)._2).toArray
+
+  /** The 12-value universal-hash MinHash signature over distinct word
+    * 3-gram shingles: min_i((a_i*h28(shingle) + b_i) mod P) — exactly
+    * q23's shingles→hash28→minhashPerm aggregate chain.
+    */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val ws = words(text)
+    val n = ws.length
+    val last = math.max(n - 3, 0) // shingle start indices 0..last
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + 3, n)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val h = md5Prefix(sh.getBytes("UTF-8"), 7)
+        var k = 0
+        while (k < K) {
+          val v = (permA(k) * h + permB(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Codegen'd 60-bit SimHash of a string column (see [[TextHashing]]).
+  * SURVEY.md §4.3 path (b): a scalar Expression — the signature is
+  * computed inside the scan's whole-stage-codegen loop, replacing
+  * q24's explode + 60 partial-aggregate shuffle of every word in the
+  * corpus with a zero-shuffle map.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.simhash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Codegen'd 12-value MinHash signature of a string column (see
+  * [[TextHashing]]) — one array per document from the scan stage,
+  * replacing q23's explode + 12 partial-aggregate shuffle of every
+  * shingle in the corpus.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.minhashSig(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.minhashSig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the native text-hash expressions. */
+object texthash {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** 60-bit SimHash of a string column, codegen'd, zero-shuffle. */
+  def simhash60(c: Column): Column =
+    Bridge.column(SimHash60(Bridge.expression(c)))
+
+  /** 12-value MinHash signature array of a string column. */
+  def minhashSig(c: Column): Column =
+    Bridge.column(MinHashSig(Bridge.expression(c)))
+}

@@ -59,26 +59,24 @@ object Dedup {
   private val B = K / R // bands
 
   def q23MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // cached: referenced by the signature stage AND both sides of the
-    // verify join — without it the shingle arrays are rebuilt 3x
-    // (at 100 TB this is a materialize-once-reuse decision; the cache
-    // is O(corpus shingles), spilling to disk if needed)
+    // cached: BOTH sides of the verify join read the shingle arrays —
+    // materialize once (eagerly: the two join-side scans would
+    // otherwise race to compute-and-cache the same partitions)
     val sh = documents(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager: three readers (signature stage + both verify-join sides)
-    // would otherwise race to compute-and-cache the same partitions
     sh.count()
-    // explode so the shingle array is built ONCE per doc (projection
-    // collapse would otherwise inline its construction into all 12
-    // minhash expressions), hash each shingle ONCE (28-bit md5 prefix),
-    // then the 12 universal-hash permutations are cheap multiply-add
-    // partial aggregates — 1 md5 + 12 muladds per shingle, not 12 md5s.
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), hash28(col("s")).as("h"))
-    val minAggs = (0 until K).map(i => minhashPerm(col("h"), i).as(s"m$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val ms = (0 until K).map(i => col(s"m$i"))
+    // signatures via the NATIVE MinHashSig expression: the full
+    // 12-value signature is computed per row inside the scan's
+    // codegen loop (one md5 + 12 muladds per distinct shingle, all
+    // JVM-local) — ZERO shuffle, vs the declarative explode +
+    // groupBy(doc_id) twin that exchanges every shingle in the
+    // corpus (the dominant cost of this pipeline at 100 TB;
+    // TextHashExpressionsSpec pins the two forms equal).
+    val sig = documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.texthash.minhashSig(col("text")).as("msig"))
+    val ms = (0 until K).map(i => get(col("msig"), lit(i)))
     val bandStructs = (0 until B).map { b =>
       struct(lit(b).as("band_idx"),
         md5(concat_ws(",", ms(R * b), ms(R * b + 1), ms(R * b + 2))).as("band_key"))
@@ -145,22 +143,15 @@ object Dedup {
   // brute-forces the same definition.
   // ---------------------------------------------------------------
   def q24SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // explode -> hash each word ONCE -> 60 partial-aggregated bit sums
-    // (map-side combine; one md5 per word, not 60). A single array
-    // expression would recompute the hash array per bit test: Catalyst
-    // collapses projections, so materialization must come from the
-    // aggregate boundary, not a withColumn.
-    val wh = documents(s, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .select(col("doc_id"), hash60(col("w")).as("h"))
-    val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    val sig = wh.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+    // signatures via the NATIVE SimHash60 expression: the 60-bit
+    // frequency-weighted signature is computed per row inside the
+    // scan's codegen loop (one md5 per word, bit counts JVM-local) —
+    // ZERO shuffle, vs the declarative explode + 60 partial-aggregate
+    // twin that exchanges every word in the corpus
+    // (TextHashExpressionsSpec pins the two forms equal).
+    val sig = documents(s, dir)
       .select(col("doc_id"),
-        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
+        graft.functions.texthash.simhash60(col("text")).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"), chunk15(col("sig"), c).as("key"))): _*)).as("ck"))

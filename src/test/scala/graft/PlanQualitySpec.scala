@@ -88,4 +88,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q23/q24: signatures are native expressions — no word/shingle explode-shuffle") {
+    // the Generate(explode) + partial-aggregate signature stage would
+    // exchange every token in the corpus; the native expressions keep
+    // signature computation inside the scan stage
+    val p24 = plan("q24_simhash_pairs")
+    assert(p24.contains("simhash60"), p24)
+    val p23 = plan("q23_minhash_lsh")
+    assert(p23.contains("minhash_sig"), p23)
+  }
+
+  test("q60: native as-of join — no window, no union, co-partitioned exchanges") {
+    val p = plan("q60_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q61: eval n-gram set is broadcast — the corpus side never shuffles") {
+    val p = plan("q61_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q62: packing scan prunes to the three needed columns") {
+    val p = plan("q62_pack_sequences")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      readSchema)
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.texthash
+import graft.queries.Hashing._
+
+/** The native SimHash60 / MinHashSig expressions vs their declarative
+  * twins (the explode + partial-aggregate forms q23/q24 originally
+  * ran) — the two must be bit-identical, since the DuckDB oracles
+  * gate on the declarative definition.
+  */
+class TextHashExpressionsSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "a a a a a"), // heavy duplication
+      (4L, "one two"), // fewer words than the shingle width
+      (5L, "single"),
+      (6L, ""), // empty text -> one empty token
+      (7L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("simhash60 matches the explode + bit-sum declarative form") {
+    val native = docs.select(col("doc_id"),
+        texthash.simhash60(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wh = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val declarative = wh.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == declarative)
+    assert(native(1L) == native(7L)) // exact dups share a signature
+    assert(native(1L) != native(3L))
+  }
+
+  test("minhash_sig matches the explode + minhashPerm declarative form") {
+    val native = docs.select(col("doc_id"),
+        texthash.minhashSig(col("text")).as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ex = docs.select(col("doc_id"),
+        explode(shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), hash28(col("s")).as("h"))
+    val minAggs = (0 until 12).map(i => minhashPerm(col("h"), i).as(s"m$i"))
+    val declarative = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getLong).toSeq).toMap
+    assert(native.view.mapValues(_.toSeq).toMap == declarative)
+    // near-dups (1 word differs) agree on most minhash positions
+    val agree = native(1L).zip(native(2L)).count { case (a, b) => a == b }
+    assert(agree >= 6, s"only $agree/12 positions agree")
+  }
+
+  test("null text yields null signatures") {
+    val d = docs.select(col("doc_id"),
+      when(col("doc_id") === 1, null).otherwise(col("text")).as("text"))
+    val out = d.select(texthash.simhash60(col("text")).as("s"),
+        texthash.minhashSig(col("text")).as("m"))
+      .collect()
+    assert(out.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
+  }
+
+  test("SQL function surface: simhash60 / minhash_sig registered") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs.createOrReplaceTempView("th_docs")
+    val r = spark.sql(
+      """SELECT doc_id, simhash60(text) AS sig, minhash_sig(text) AS ms
+        |FROM th_docs WHERE doc_id = 1""".stripMargin).collect().head
+    val direct = docs.filter(col("doc_id") === 1)
+      .select(texthash.simhash60(col("text")),
+        texthash.minhashSig(col("text"))).collect().head
+    assert(r.getLong(1) == direct.getLong(0))
+    assert(r.getSeq[Long](2) == direct.getSeq[Long](1))
+  }
+}
