@@ -387,7 +387,52 @@ object Vectors {
       |FROM embeddings WHERE vec_id % 50 = 0
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q63: INT8-QUANTIZED retrieval — the memory/bandwidth trick real
+  // vector stores run: embeddings quantized once to integer grid
+  // round(x*127) (values are in (-1,1), so the grid is int8-ranged),
+  // then top-k by QUANTIZED dot product. All arithmetic is exact:
+  // the products are sums of <= 64 terms bounded by 127^2, integers
+  // well inside double/int64, so Spark and DuckDB agree bit-for-bit
+  // (no float-boundary rounding anywhere). Same broadcast layout as
+  // q27 — at 100 TB the quantized corpus is 4x smaller per byte
+  // scanned, which is the point of the operator.
+  // ---------------------------------------------------------------
+  def q63QuantizedTopk(s: SparkSession, dir: String): DataFrame = {
+    val quant = transform(emb(col("embedding")), x => round(x * 127))
+    val e = embeddings(s, dir).select(col("vec_id"), quant.as("qe"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qscore").desc, col("vec_id"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("qscore", dot(col("qq"), col("qe")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("qscore"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q63Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*127)) AS qe
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+      |    CAST(list_inner_product(q.qe, e.qe) AS BIGINT) AS qscore
+      |  FROM qv q JOIN qv e ON q.vec_id <> e.vec_id
+      |  WHERE q.vec_id % 100 = 0
+      |), ranked AS (
+      |  SELECT q_id, vec_id, qscore,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, qscore
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_quantized_topk" -> q63QuantizedTopk _,
     "q50_array_fns" -> q50ArrayFns _,
     "q26_cosine_neardup" -> q26CosineNeardup _,
     "q27_embed_topk" -> q27EmbedTopk _,
@@ -396,6 +441,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q63_quantized_topk" -> q63Sql,
     "q50_array_fns" -> q50Sql,
     "q26_cosine_neardup" -> q26Sql,
     "q27_embed_topk" -> q27Sql,
