@@ -330,7 +330,125 @@ object TextAnalysis {
        |  MIN(keep_id) AS min_keep_id
        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q64: QUALITY GATING — the filter step after q30's scoring: keep
+  // the top half of each language by quality. The cutoff is
+  // RANK-based in pure integers (2*(rank-1) <= n-1, i.e. percent_rank
+  // <= 0.5 without the float division), because a value-percentile
+  // cutoff compares floats at the boundary where engines can differ
+  // by an ulp. Ordering ties break on doc_id, so the kept set is
+  // deterministic. Scale: one window per language over (q_e4,
+  // doc_id) — rank cutoffs at 100 TB would switch to the q47-style
+  // hash-threshold or a two-pass approx-quantile + exact boundary
+  // count, both documented here as the scale path.
+  // ---------------------------------------------------------------
+  def q64QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val w = size(ws).cast("long")
+    val d = size(array_distinct(ws)).cast("long")
+    val st = size(filter(ws, x => x.isin("the", "a"))).cast("long")
+    val qualityNum = lit(100L) * (lit(5L) * d + lit(3L) * (w - st)) +
+      lit(2L) * least(w, lit(100L)) * w
+    val qe4 = Relational.ldiv(lit(20L) * qualityNum + w, lit(2L) * w)
+    val base = documents(s, dir)
+      .select(col("doc_id"), col("lang"), qe4.as("q_e4"))
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(col("q_e4").desc, col("doc_id"))
+    val nw = Window.partitionBy(col("lang"))
+    base.withColumn("rnk", row_number().over(rw).cast("long"))
+      .withColumn("n", count(lit(1)).over(nw))
+      .withColumn("keep", (lit(2L) * (col("rnk") - 1) <= col("n") - 1).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        min(when(col("keep") === 1, col("q_e4"))).as("min_kept_q4"),
+        sum(when(col("keep") === 1, col("q_e4"))).cast("long").as("kept_q4_sum"))
+      .orderBy("lang")
+  }
+
+  val q64Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+      |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS d,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS BIGINT) AS st
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, lang,
+      |    (20*(100*(5*d + 3*(w - st)) + 2*least(w, 100)*w) + w) // (2*w) AS q_e4
+      |  FROM t
+      |), ranked AS (
+      |  SELECT lang, q_e4,
+      |    row_number() OVER (PARTITION BY lang ORDER BY q_e4 DESC, doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM scored
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(COUNT(CASE WHEN 2*(rnk-1) <= n-1 THEN 1 END) AS BIGINT) AS n_kept,
+      |  MIN(CASE WHEN 2*(rnk-1) <= n-1 THEN q_e4 END) AS min_kept_q4,
+      |  CAST(SUM(CASE WHEN 2*(rnk-1) <= n-1 THEN q_e4 END) AS BIGINT) AS kept_q4_sum
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q65: VOCABULARY COVERAGE — the tokenizer-training statistic: per
+  // language, how many distinct words cover 90% of all token
+  // occurrences (and what the top-100 words alone cover). Frequency
+  // ranks tie-break on the word itself; the 90% cutoff is integer
+  // arithmetic (10*(cumsum-freq) < 9*total). The per-lang window runs
+  // over the VOCABULARY (tokens collapse to distinct words first via
+  // a partial-aggregated count), which stays window-task-sized even
+  // when the corpus does not.
+  // ---------------------------------------------------------------
+  def q65VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = documents(s, dir)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    val ord = Window.partitionBy(col("lang"))
+      .orderBy(col("f").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("lang"))
+    freq
+      .withColumn("cum", sum(col("f")).over(ord))
+      .withColumn("total", sum(col("f")).over(tot))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("f").desc, col("w"))))
+      .groupBy(col("lang"))
+      .agg(max(col("total")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        count(when(lit(10L) * (col("cum") - col("f")) < lit(9L) * col("total"), 1))
+          .as("vocab_90"),
+        sum(when(col("rnk") <= 100, col("f"))).cast("long").as("top100_tokens"))
+      .withColumn("top100_cover",
+        Relational.ratio4(col("top100_tokens"), col("total_tokens")))
+      .orderBy("lang")
+  }
+
+  val q65Sql: String =
+    """WITH freq AS (
+      |  SELECT lang, w, COUNT(*) AS f
+      |  FROM (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents)
+      |  GROUP BY lang, w
+      |), c AS (
+      |  SELECT lang, f,
+      |    SUM(f) OVER (PARTITION BY lang ORDER BY f DESC, w
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(f) OVER (PARTITION BY lang) AS total,
+      |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, w) AS rnk
+      |  FROM freq
+      |)
+      |SELECT lang, CAST(MAX(total) AS BIGINT) AS total_tokens,
+      |  COUNT(*) AS vocab_size,
+      |  COUNT(CASE WHEN 10*(cum - f) < 9*total THEN 1 END) AS vocab_90,
+      |  CAST(SUM(CASE WHEN rnk <= 100 THEN f END) AS BIGINT) AS top100_tokens,
+      |  ((20000*CAST(SUM(CASE WHEN rnk <= 100 THEN f END) AS BIGINT)
+      |    + CAST(MAX(total) AS BIGINT))
+      |   // (2*CAST(MAX(total) AS BIGINT))) / 10000.0 AS top100_cover
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_quality_gate" -> q64QualityGate _,
+    "q65_vocab_coverage" -> q65VocabCoverage _,
     "q49_corpus_pipeline" -> q49CorpusPipeline _,
     "q46_edit_distance" -> q46EditDistance _,
     "q47_hash_sample" -> q47HashSample _,
@@ -341,6 +459,8 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q64_quality_gate" -> q64Sql,
+    "q65_vocab_coverage" -> q65Sql,
     "q49_corpus_pipeline" -> q49Sql,
     "q46_edit_distance" -> q46Sql,
     "q47_hash_sample" -> q47Sql,
