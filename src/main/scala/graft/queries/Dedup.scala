@@ -304,7 +304,91 @@ object Dedup {
        |  CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS is_canonical
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q66: INCREMENTAL dedup — the daily-shard shape: a NEW batch of
+  // documents (doc_id % 10 >= 8) checked against the already-indexed
+  // corpus (doc_id % 10 < 8) without re-deduping the corpus itself.
+  // Exact hits = md5(text) collision; near hits = sharing any MinHash
+  // band key (the q23 banding, signatures via the native zero-shuffle
+  // MinHashSig expression). Both checks are semi joins of the small
+  // batch against index signatures — at 100 TB the index signature
+  // table (hash + 4 band keys per doc) is the only thing the daily
+  // job reads of the corpus, and the shuffle carries the batch, not
+  // the index.
+  // ---------------------------------------------------------------
+  def q66IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = documents(s, dir).select(col("doc_id"), col("lang"),
+      md5(col("text")).as("h"),
+      graft.functions.texthash.minhashSig(col("text")).as("msig"))
+    val ms = (0 until K).map(i => get(col("msig"), lit(i)))
+    val bandKey = (b: Int) =>
+      md5(concat_ws(",", ms(R * b), ms(R * b + 1), ms(R * b + 2)))
+    val withBands = sigs.select(col("doc_id"), col("lang"), col("h"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("bi"), bandKey(b).as("bk"))): _*)).as("band"))
+      .select(col("doc_id"), col("lang"), col("h"),
+        col("band.bi"), col("band.bk"))
+    val isBatch = col("doc_id") % 10 >= 8
+    val batch = withBands.filter(isBatch)
+    val index = withBands.filter(!isBatch)
+    val exactHits = batch.select(col("doc_id"), col("h")).distinct()
+      .join(index.select(col("h")).distinct(), "h")
+      .select(col("doc_id")).distinct()
+    val nearHits = batch.join(
+        index.select(col("bi").as("ibi"), col("bk").as("ibk")).distinct(),
+        col("bi") === col("ibi") && col("bk") === col("ibk"), "left_semi")
+      .select(col("doc_id")).distinct()
+    documents(s, dir).filter(isBatch).select(col("doc_id"), col("lang"))
+      .join(exactHits.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearHits.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        count(col("ex")).as("n_exact_hit"),
+        count(col("nr")).as("n_near_hit"),
+        count(when(col("nr").isNull, 1)).as("n_new"))
+      .orderBy("lang")
+  }
+
+  val q66Sql: String = {
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    val bandKeys = (0 until B).map { b =>
+      val parts = (0 until R).map(r => s"CAST(m${R * b + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS bi, md5(${parts.mkString(" || ',' || ")}) AS bk FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM sh, unnest(sh.sh) s(s)
+       |), sig AS (
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandKeys
+       |), exact_hits AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM documents b JOIN documents i
+       |    ON md5(b.text) = md5(i.text)
+       |   AND b.doc_id % 10 >= 8 AND i.doc_id % 10 < 8
+       |), near_hits AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM bands b JOIN bands i
+       |    ON b.bi = i.bi AND b.bk = i.bk
+       |   AND b.doc_id % 10 >= 8 AND i.doc_id % 10 < 8
+       |)
+       |SELECT d.lang, COUNT(*) AS n_batch,
+       |  COUNT(e.doc_id) AS n_exact_hit,
+       |  COUNT(n.doc_id) AS n_near_hit,
+       |  COUNT(CASE WHEN n.doc_id IS NULL THEN 1 END) AS n_new
+       |FROM documents d
+       |LEFT JOIN exact_hits e ON d.doc_id = e.doc_id
+       |LEFT JOIN near_hits n ON d.doc_id = n.doc_id
+       |WHERE d.doc_id % 10 >= 8
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_incremental_dedup" -> q66IncrementalDedup _,
     "q48_dedup_clusters" -> q48DedupClusters _,
     "q22_dedup_exact" -> q22DedupExact _,
     "q23_minhash_lsh" -> q23MinhashLsh _,
@@ -312,6 +396,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q66_incremental_dedup" -> q66Sql,
     "q48_dedup_clusters" -> q48Sql,
     "q22_dedup_exact" -> q22Sql,
     "q23_minhash_lsh" -> q23Sql,
