@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library facade — what a user of the reference would actually
+  * call after switching: one entry point that registers the full
+  * table catalog as temp views (nanos-safe `events` included) plus
+  * the graft SQL function surface (array_dot, simhash60, minhash_sig,
+  * bloom_build/bloom_might_contain), after which plain `spark.sql`
+  * runs the whole operator surface; `query` exposes the named
+  * pre-built pipelines.
+  */
+object Graft {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Register every testdata table as a temp view and install the SQL
+    * functions into this session. Idempotent.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    tableNames.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir)
+               else Tables.table(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+  }
+
+  /** Run a named pre-built pipeline (a `SparkEntry.queries` key). */
+  def query(spark: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+}
