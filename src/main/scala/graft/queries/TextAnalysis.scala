@@ -446,7 +446,56 @@ object TextAnalysis {
       |   // (2*CAST(MAX(total) AS BIGINT))) / 10000.0 AS top100_cover
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q67: REPETITION filtering (the C4/Gopher-style cleanup step):
+  // per-document duplicate n-gram fractions — (total n-grams -
+  // distinct n-grams) / total, for n = 2 and 3 — flag documents where
+  // either exceeds 30%. Everything is per-row array arithmetic in
+  // exact integers (flag: 10*dup > 3*total), so the whole detector is
+  // a zero-shuffle map stage; only the per-lang rollup aggregates.
+  // ---------------------------------------------------------------
+  def q67RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = size(words(col("text"))).cast("long")
+    def tot(n: Int) = greatest(w - (n - 1), lit(1L))
+    def dup(n: Int) = tot(n) - size(shingles(col("text"), n)).cast("long")
+    val flagged = (lit(10L) * dup(3) > lit(3L) * tot(3)) ||
+      (lit(10L) * dup(2) > lit(3L) * tot(2))
+    documents(s, dir)
+      .select(col("lang"), dup(3).as("d3"), tot(3).as("t3"),
+        flagged.cast("int").as("flagged"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flagged")).cast("long").as("n_flagged"),
+        sum(col("d3")).cast("long").as("dup3_grams"),
+        sum(col("t3")).cast("long").as("total3_grams"))
+      .withColumn("dup3_rate",
+        Relational.ratio4(col("dup3_grams"), col("total3_grams")))
+      .orderBy("lang")
+  }
+
+  val q67Sql: String = {
+    def tot(n: Int) = s"greatest(len(string_split(text,' ')) - ${n - 1}, 1)"
+    def dup(n: Int) = s"($${TOT$n} - len(${sqlShingles(n)}))"
+      .replace(s"$${TOT$n}", tot(n))
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(${dup(3)} AS BIGINT) AS d3,
+       |    CAST(${tot(3)} AS BIGINT) AS t3,
+       |    CAST(10*${dup(3)} > 3*${tot(3)}
+       |      OR 10*${dup(2)} > 3*${tot(2)} AS INT) AS flagged
+       |  FROM documents
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(d3) AS BIGINT) AS dup3_grams,
+       |  CAST(SUM(t3) AS BIGINT) AS total3_grams,
+       |  ((20000*CAST(SUM(d3) AS BIGINT) + CAST(SUM(t3) AS BIGINT))
+       |   // (2*CAST(SUM(t3) AS BIGINT))) / 10000.0 AS dup3_rate
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_repetition_filter" -> q67RepetitionFilter _,
     "q64_quality_gate" -> q64QualityGate _,
     "q65_vocab_coverage" -> q65VocabCoverage _,
     "q49_corpus_pipeline" -> q49CorpusPipeline _,
@@ -459,6 +508,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q67_repetition_filter" -> q67Sql,
     "q64_quality_gate" -> q64Sql,
     "q65_vocab_coverage" -> q65Sql,
     "q49_corpus_pipeline" -> q49Sql,
