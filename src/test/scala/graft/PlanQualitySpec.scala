@@ -117,4 +117,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
       readSchema)
   }
+
+  test("q63: quantized retrieval keeps the query side broadcast") {
+    val p = plan("q63_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q66: incremental dedup has no cartesian stage") {
+    val p = plan("q66_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q67: repetition detector is a single-pass map + rollup — no explode, no join") {
+    val p = plan("q67_repetition_filter")
+    assert(!p.contains("Generate"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    // one partial + one final aggregate, nothing else shuffles
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
