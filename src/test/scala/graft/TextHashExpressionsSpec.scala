@@ -61,6 +61,45 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(agree >= 6, s"only $agree/12 positions agree")
   }
 
+  test("kernels match declarative forms on adversarial random strings") {
+    // testdata text is clean single-spaced; library inputs are not —
+    // cover consecutive/leading/trailing spaces (empty tokens) and
+    // short strings, where a tokenizer-mismatch between the JVM kernel
+    // and Spark's split(text, " ") would hide
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab c"
+    val texts = (0 until 60).map { i =>
+      val len = rnd.nextInt(12)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val s = spark; import s.implicits._
+    val df = texts.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+        texthash.simhash60(col("text")).as("sig"),
+        texthash.minhashSig(col("text")).as("ms"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    val wh = df.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val declSim = wh.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ex = df.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), hash28(col("sh")).as("h"))
+    val minAggs = (0 until 12).map(i => minhashPerm(col("h"), i).as(s"m$i"))
+    val declMin = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getLong).toSeq).toMap
+    texts.foreach { case (id, t) =>
+      assert(native(id)._1 == declSim(id), s"simhash mismatch on <$t>")
+      assert(native(id)._2.toSeq == declMin(id), s"minhash mismatch on <$t>")
+    }
+  }
+
   test("null text yields null signatures") {
     val d = docs.select(col("doc_id"),
       when(col("doc_id") === 1, null).otherwise(col("text")).as("text"))
