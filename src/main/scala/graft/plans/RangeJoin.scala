@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator custom plan (SURVEY.md §4.3 path (c)) #3: the keyed
+  * RANGE (interval) join — every left row paired with the right rows
+  * of the same key whose time lies in [leftTime + lower, leftTime +
+  * upper]. Right-side columns surface through `payload`/`payloadOut`
+  * (fresh attributes), so self-joins with shared expression ids stay
+  * unambiguous.
+  *
+  * The declarative scale shape (q43) buckets time and replicates the
+  * right side into 3 adjacent buckets — correct, but it exchanges 3x
+  * the right rows and re-filters. This operator instead co-partitions
+  * both sides by key, sorts per partition by (key, time) — exactly
+  * the q60 as-of layout — and sweeps a sliding window: a ring buffer
+  * holds only the right rows inside [lt+lower, lt+upper] for the
+  * current key, so execution is O(left + right + output) with memory
+  * bounded by the densest window, and the exchanges carry each side
+  * ONCE.
+  */
+case class RangeJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    lower: Long,
+    upper: Long,
+    payload: Seq[Expression],
+    payloadOut: Seq[Attribute]) extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+  require(payload.length == payloadOut.length)
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    "range join times must be long (cast timestamps to epoch units first)")
+  require(lower <= upper)
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class RangeJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    lower: Long,
+    upper: Long,
+    payload: Seq[Expression],
+    payloadOut: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(payloadOut)
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val lowerB = lower
+    val upperB = upper
+    val payloadB = payload
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeB), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rOut)
+      val payloadProj = UnsafeProjection.create(payloadB, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeysB.map(_.dataType))
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // sliding window of (rt, payload) for the key under the sweep
+      var winKey: UnsafeRow = null
+      val win = new java.util.ArrayDeque[(Long, UnsafeRow)]()
+      lIter.flatMap { lRow =>
+        val lk = lKeyProj(lRow)
+        val lt = lTimeProj(lRow).getLong(0)
+        if (winKey == null || keyOrd.compare(winKey, lk) != 0) {
+          win.clear()
+          winKey = lk.copy()
+        }
+        // evict rights that fell behind the window
+        while (!win.isEmpty && win.peekFirst()._1 < lt + lowerB) win.pollFirst()
+        // admit rights of this key up to the window's upper edge
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rRow = rBuf.head
+          val kc = keyOrd.compare(rKeyProj(rRow), lk)
+          if (kc < 0) {
+            rBuf.next() // behind the sweep entirely
+          } else if (kc == 0) {
+            val rt = rTimeProj(rRow).getLong(0)
+            if (rt <= lt + upperB) {
+              // a right below the lower edge can never qualify for any
+              // LATER left row either (left times are nondecreasing, so
+              // lt + lower only moves forward): drop it outright
+              if (rt >= lt + lowerB) win.addLast((rt, payloadProj(rRow).copy()))
+              rBuf.next()
+            } else {
+              advancing = false
+            }
+          } else {
+            advancing = false
+          }
+        }
+        // everything in the window satisfies both bounds for THIS lt
+        // (evicted below, admission-capped above); flatMap fully
+        // consumes this sub-iterator before the next left row mutates
+        // the window
+        val it = win.iterator()
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): InternalRow = outProj(joined(lRow, it.next()._2))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: RangeJoinNode =>
+      RangeJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+        n.lower, n.upper, n.payload, n.payloadOut,
+        planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Expression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** DataFrame-level entry points for the custom plan operators. */
@@ -28,12 +29,36 @@ object ops {
       groupCols.map(Bridge.catalystExpression), order, k, Bridge.logicalPlan(df)))
   }
 
+  /** Self-join safety: when the right plan shares attribute ids with
+    * the left (same DataFrame on both sides), the analyzer's
+    * DeduplicateRelations re-ids the right SUBTREE but cannot rewrite
+    * the right-bound expressions stored in a custom node's fields —
+    * they would keep pointing at the left's ids and fail to bind. So
+    * re-alias the right side under FRESH ids up front and remap the
+    * right-bound expressions ourselves.
+    */
+  private def disambiguated(left: LogicalPlan, right: LogicalPlan,
+      rightExprs: Seq[Expression]): (LogicalPlan, Seq[Expression]) = {
+    if (right.outputSet.intersect(left.outputSet).isEmpty) (right, rightExprs)
+    else {
+      val aliases = right.output.map(a => Alias(a, a.name)())
+      val fresh = Project(aliases, right)
+      // keyed by exprId: dataset-bound columns may carry a different
+      // qualifier than the plan's output attribute, which would make
+      // whole-attribute equality silently miss
+      val remap = right.output.map(_.exprId).zip(aliases.map(_.toAttribute)).toMap
+      val remapped = rightExprs.map(_.transform {
+        case a: Attribute => remap.getOrElse(a.exprId, a)
+      })
+      (fresh, remapped)
+    }
+  }
+
   /** Native as-of join: each left row gains `payload` columns from the
     * latest right row with the same key and rightTime <= leftTime
     * (strictly < when `strict`); NULLs when no such row. Pass
-    * DATASET-BOUND columns (`df("c")`) — left and right may share
-    * attribute ids (self-as-of), and binding by the owning frame keeps
-    * each expression on its side. Registers [[AsOfJoinStrategy]] on
+    * DATASET-BOUND columns (`df("c")`); the same frame may appear on
+    * both sides (self-as-of). Registers [[AsOfJoinStrategy]] on
     * first use.
     */
   def asofJoin(
@@ -51,12 +76,52 @@ object ops {
     val payloadOut = payload.zip(payloadExprs).map { case ((_, n), e) =>
       AttributeReference(n, e.dataType, nullable = true)()
     }
+    val lPlan = Bridge.analyzedPlan(left)
+    val (rPlan, rExprs) = disambiguated(lPlan, Bridge.analyzedPlan(right),
+      rightKeys.map(Bridge.catalystExpression) ++
+        (Bridge.catalystExpression(rightTime) +: payloadExprs))
+    val (rKeys, rTimeAndPayload) = rExprs.splitAt(rightKeys.length)
     Bridge.ofRows(spark, AsOfJoinNode(
-      Bridge.analyzedPlan(left), Bridge.analyzedPlan(right),
+      lPlan, rPlan,
       leftKeys.map(Bridge.catalystExpression),
-      rightKeys.map(Bridge.catalystExpression),
+      rKeys,
       Bridge.catalystExpression(leftTime),
-      Bridge.catalystExpression(rightTime),
-      payloadExprs, payloadOut, strict))
+      rTimeAndPayload.head,
+      rTimeAndPayload.tail, payloadOut, strict))
+  }
+
+  /** Native keyed range (interval) join: each left row paired with the
+    * right rows of the same key whose LONG time lies in [leftTime +
+    * lower, leftTime + upper]. Right columns surface as the fresh
+    * `payload` attributes; the same frame may appear on both sides
+    * (self-range-join). Registers [[RangeJoinStrategy]] on first use.
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      lower: Long, upper: Long,
+      payload: Seq[(Column, String)]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RangeJoinStrategy
+    }
+    val payloadExprs = payload.map { case (c, _) => Bridge.catalystExpression(c) }
+    val payloadOut = payload.zip(payloadExprs).map { case ((_, n), e) =>
+      AttributeReference(n, e.dataType, nullable = true)()
+    }
+    val lPlan = Bridge.analyzedPlan(left)
+    val (rPlan, rExprs) = disambiguated(lPlan, Bridge.analyzedPlan(right),
+      rightKeys.map(Bridge.catalystExpression) ++
+        (Bridge.catalystExpression(rightTime) +: payloadExprs))
+    val (rKeys, rTimeAndPayload) = rExprs.splitAt(rightKeys.length)
+    Bridge.ofRows(spark, RangeJoinNode(
+      lPlan, rPlan,
+      leftKeys.map(Bridge.catalystExpression),
+      rKeys,
+      Bridge.catalystExpression(leftTime),
+      rTimeAndPayload.head,
+      lower, upper, rTimeAndPayload.tail, payloadOut))
   }
 }

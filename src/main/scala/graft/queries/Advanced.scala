@@ -449,8 +449,31 @@ object Advanced {
        |   // (2*COUNT(*)*$PackBudget)) / 10000.0 AS fill_rate
        |FROM seqs GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q68: the SAME interval-pair semantics as q43, through the NATIVE
+  // RangeJoin operator (co-partitioned sliding-window sweep) instead
+  // of the bucket-replication form — per user, pairs of events within
+  // 5 minutes. The exchanges carry each side once (no 3x bucket
+  // replication); gated against the identical oracle as q43.
+  // ---------------------------------------------------------------
+  def q68RangeNative(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 5L * 60 * 1000000
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    graft.plans.ops.rangeJoin(ev, ev,
+        leftKeys = Seq(ev("user_id")), rightKeys = Seq(ev("user_id")),
+        leftTime = ev("us"), rightTime = ev("us"),
+        lower = -winUs, upper = winUs,
+        payload = Seq((ev("event_id"), "event_id_b")))
+      .filter(col("event_id") < col("event_id_b"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_asof_native" -> q60AsofNative _,
+    "q68_range_native" -> q68RangeNative _,
     "q61_decontaminate" -> q61Decontaminate _,
     "q62_pack_sequences" -> q62PackSequences _,
     "q51_bloom_semi" -> q51BloomSemi _,
@@ -465,6 +488,7 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q60_asof_native" -> Events.q37Sql,
+    "q68_range_native" -> Events.q43Sql,
     "q61_decontaminate" -> q61Sql,
     "q62_pack_sequences" -> q62Sql,
     "q51_bloom_semi" -> q51Sql,

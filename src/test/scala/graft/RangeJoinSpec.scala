@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.ops
+
+/** The native RangeJoin operator: sliding-window sweep semantics vs
+  * the direct inequality join, edge cases, and plan shape.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  test("matches the direct inequality join on random keyed data") {
+    val n = 4000
+    val ev = spark.range(n).select(
+      (col("id") % 23).as("k"),
+      pmod(col("id") * 2654435761L, lit(10000L)).as("t"),
+      col("id").as("eid"))
+    val native = ops.rangeJoin(ev, ev,
+        Seq(ev("k")), Seq(ev("k")), ev("t"), ev("t"),
+        lower = -50L, upper = 50L,
+        payload = Seq((ev("eid"), "eid_b"), (ev("t"), "t_b")))
+      .select("k", "eid", "eid_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = ev.alias("a")
+    val b = ev.alias("b")
+    val direct = a.join(b, col("a.k") === col("b.k") &&
+        col("b.t") >= col("a.t") - 50 && col("b.t") <= col("a.t") + 50)
+      .select(col("a.k"), col("a.eid"), col("b.eid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native.nonEmpty)
+    assert(native == direct)
+  }
+
+  test("asymmetric bounds: only later rows within the window") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, "x"), (1L, 20L, "y")).toDF("k", "t", "tag")
+    val r = Seq((1L, 5L, 100L), (1L, 12L, 200L), (1L, 25L, 300L), (2L, 11L, 400L))
+      .toDF("k", "t", "rv")
+    val out = ops.rangeJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), lower = 1L, upper = 10L,
+        payload = Seq((r("rv"), "rv")))
+      .select("tag", "rv").collect()
+      .map(x => (x.getString(0), x.getLong(1))).sorted.toSeq
+    // x@10 -> window (11, 20] -> 200; y@20 -> (21, 30] -> 300
+    assert(out == Seq(("x", 200L), ("y", 300L)))
+  }
+
+  test("empty right side yields no pairs") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 1L)).toDF("k", "t", "rv").filter(col("k") < 0)
+    val out = ops.rangeJoin(l, r, Seq(l("k")), Seq(r("k")),
+      l("t"), r("t"), -5L, 5L, Seq((r("rv"), "rv")))
+    assert(out.count() == 0)
+  }
+
+  test("plan: native operator, co-partitioned, no bucket replication") {
+    val s = spark; import s.implicits._
+    val ev = Seq((1L, 10L, 1L)).toDF("k", "t", "eid")
+    val df = ops.rangeJoin(ev, ev, Seq(ev("k")), Seq(ev("k")),
+      ev("t"), ev("t"), -5L, 5L, Seq((ev("eid"), "eid_b")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoin"), p)
+    assert(!p.contains("Generate"), p) // no explode-into-buckets stage
+  }
+}
