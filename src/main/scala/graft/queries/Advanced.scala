@@ -315,6 +315,12 @@ object Advanced {
   // each non-purchase event enriched with the latest strictly-prior
   // purchase value of its user. Two co-partitioned exchanges and one
   // linear sweep; gated against the identical oracle as q37.
+  // Honest local[32]/sf0.1 note: the window form wins here (~0.3 vs
+  // ~0.8 s) — it shuffles the union once while the native op pays two
+  // exchanges. The native shape pays off when the right side is much
+  // smaller than the left or rows are wide: the window form carries
+  // EVERY left column through the union and window state, the native
+  // op only its payload.
   // ---------------------------------------------------------------
   def q60AsofNative(s: SparkSession, dir: String): DataFrame = {
     val l = events(s, dir).filter(col("event_type") =!= "purchase")
