@@ -252,10 +252,17 @@ object Advanced {
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))
+    // top-3 via the NATIVE heap operator: the shuffle after the count
+    // carries <= k rows per (partition, lang) instead of window-sorting
+    // the whole per-language vocabulary; the trailing row_number runs
+    // over <= 15 rows
+    val top = graft.plans.ops.topKPerGroup(cnt,
+      groupCols = Seq(col("lang")),
+      orderCols = Seq(col("n").desc, col("bigram")),
+      k = 3)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n").desc, col("bigram"))
-    cnt.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("lang"), col("rnk"), col("bigram"), col("n"))
       .orderBy("lang", "rnk")
   }
