@@ -103,6 +103,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native == golden)
   }
 
+  test("composite string+long keys sweep correctly") {
+    val s = spark; import s.implicits._
+    val l = Seq(("a", 1L, 10L, "l1"), ("a", 2L, 10L, "l2"), ("b", 1L, 10L, "l3"))
+      .toDF("g", "sub", "t", "tag")
+    val r = Seq(("a", 1L, 5L, 1.5), ("a", 1L, 9L, 2.5), ("b", 1L, 11L, 9.9))
+      .toDF("g", "sub", "t", "v")
+    val out = ops.asofJoin(l, r,
+        Seq(l("g"), l("sub")), Seq(r("g"), r("sub")),
+        l("t"), r("t"), Seq((r("v"), "v")))
+      .select("tag", "v").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1.0 else x.getDouble(1)))
+      .sorted.toSeq
+    // (a,1): latest of {5,9} <= 10 -> 2.5; (a,2): no rows; (b,1): 11 > 10
+    assert(out == Seq(("l1", 2.5), ("l2", -1.0), ("l3", -1.0)))
+  }
+
+  test("self-as-of on the SAME frame (shared expression ids)") {
+    val s = spark; import s.implicits._
+    val ev = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0))
+      .toDF("k", "t", "v")
+    val out = ops.asofJoin(ev, ev, Seq(ev("k")), Seq(ev("k")),
+        ev("t"), ev("t"), Seq((ev("v"), "prev_v")), strict = true)
+      .select("t", "prev_v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1.0 else x.getDouble(1)))
+      .sorted.toSeq
+    assert(out == Seq((10L, -1.0), (20L, 1.0), (30L, 2.0)))
+  }
+
   test("plan: co-partitioned exchanges, no window, no union") {
     val l = leftDf
     val r = rightDf

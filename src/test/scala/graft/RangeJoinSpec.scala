@@ -54,6 +54,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("composite string+long keys partition and compare correctly") {
+    val s = spark; import s.implicits._
+    val l = Seq(("a", 1L, 10L, "l1"), ("a", 2L, 10L, "l2"), ("b", 1L, 10L, "l3"))
+      .toDF("g", "sub", "t", "tag")
+    val r = Seq(("a", 1L, 12L, 100L), ("a", 2L, 30L, 200L), ("b", 1L, 8L, 300L))
+      .toDF("g", "sub", "t", "rv")
+    val out = ops.rangeJoin(l, r,
+        Seq(l("g"), l("sub")), Seq(r("g"), r("sub")),
+        l("t"), r("t"), -5L, 5L, Seq((r("rv"), "rv")))
+      .select("tag", "rv").collect()
+      .map(x => (x.getString(0), x.getLong(1))).sorted.toSeq
+    // (a,1)@10 matches rv=100@12; (a,2)@10 misses 200@30; (b,1)@10 matches 300@8
+    assert(out == Seq(("l1", 100L), ("l3", 300L)))
+  }
+
   test("plan: native operator, co-partitioned, no bucket replication") {
     val s = spark; import s.implicits._
     val ev = Seq((1L, 10L, 1L)).toDF("k", "t", "eid")
