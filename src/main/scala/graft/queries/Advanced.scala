@@ -484,9 +484,62 @@ object Advanced {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------
+  // q69: CORRELATED scalar subqueries — orders priced above 1.5x
+  // their customer's average, the classic shape Catalyst decorrelates
+  // into an aggregate + join (no per-row re-execution). The
+  // comparison is pure int64 (2*cents*cnt > 3*sum_cents), so both
+  // engines agree exactly with no float-average boundary.
+  // ---------------------------------------------------------------
+  def q69CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("g_orders")
+    s.sql(q69Body("g_orders"))
+  }
+
+  private def q69Body(t: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_above,
+       |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_above
+       |FROM $t o
+       |WHERE 2 * CAST(round(o.o_totalprice*100) AS BIGINT) *
+       |      (SELECT COUNT(*) FROM $t o2
+       |       WHERE o2.o_custkey = o.o_custkey)
+       |    > 3 * (SELECT CAST(SUM(CAST(round(o3.o_totalprice*100) AS BIGINT)) AS BIGINT)
+       |           FROM $t o3 WHERE o3.o_custkey = o.o_custkey)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val q69Sql: String = q69Body("orders")
+
+  // ---------------------------------------------------------------
+  // q70: LATERAL join — each nation's single latest-priced order via
+  // a dependent subquery with ORDER BY/LIMIT 1 (the per-group top-1
+  // as a LATERAL, planned as a decorrelated window/aggregate rather
+  // than a per-row loop). Identical SQL runs on both engines.
+  // ---------------------------------------------------------------
+  def q70Lateral(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("g_customer")
+    orders(s, dir).createOrReplaceTempView("g_orders")
+    s.sql(q70Body("g_customer", "g_orders"))
+  }
+
+  private def q70Body(cust: String, ord: String): String =
+    s"""SELECT c.c_nationkey AS nationkey, t.o_orderkey, t.cents
+       |FROM (SELECT DISTINCT c_nationkey FROM $cust) c,
+       |LATERAL (
+       |  SELECT o.o_orderkey,
+       |    CAST(round(o.o_totalprice*100) AS BIGINT) AS cents
+       |  FROM $ord o JOIN $cust c2 ON o.o_custkey = c2.c_custkey
+       |  WHERE c2.c_nationkey = c.c_nationkey
+       |  ORDER BY cents DESC, o.o_orderkey LIMIT 1
+       |) t
+       |ORDER BY nationkey""".stripMargin
+
+  val q70Sql: String = q70Body("customer", "orders")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_asof_native" -> q60AsofNative _,
     "q68_range_native" -> q68RangeNative _,
+    "q69_correlated_subquery" -> q69CorrelatedSubquery _,
+    "q70_lateral" -> q70Lateral _,
     "q61_decontaminate" -> q61Decontaminate _,
     "q62_pack_sequences" -> q62PackSequences _,
     "q51_bloom_semi" -> q51BloomSemi _,
@@ -502,6 +555,8 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "q60_asof_native" -> Events.q37Sql,
     "q68_range_native" -> Events.q43Sql,
+    "q69_correlated_subquery" -> q69Sql,
+    "q70_lateral" -> q70Sql,
     "q61_decontaminate" -> q61Sql,
     "q62_pack_sequences" -> q62Sql,
     "q51_bloom_semi" -> q51Sql,
