@@ -128,6 +128,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q69/q70: subqueries decorrelate — no per-row loops, no cartesian") {
+    val p69 = plan("q69_correlated_subquery")
+    assert(!p69.contains("CartesianProduct"), p69)
+    assert(p69.contains("HashAggregate"), p69) // correlated scalars -> agg+join
+    val p70 = plan("q70_lateral")
+    assert(!p70.contains("CartesianProduct"), p70)
+    assert(p70.contains("WindowGroupLimit"), p70) // LATERAL LIMIT -> per-group top-k
+  }
+
   test("q67: repetition detector is a single-pass map + rollup — no explode, no join") {
     val p = plan("q67_repetition_filter")
     assert(!p.contains("Generate"), p)
