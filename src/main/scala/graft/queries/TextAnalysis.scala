@@ -494,7 +494,62 @@ object TextAnalysis {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q71: CHUNKING — the RAG/ingestion step: split documents into
+  // overlapping word windows (64-word chunks, stride 48) and report
+  // per-language chunk counts plus cross-chunk dedup (distinct chunk
+  // hashes < total chunks: overlap and repeated text collapse).
+  // Chunk count is exact integers (1 + ceil((w-C)/S)); chunk
+  // materialization is one explode whose fan-out is ~w/S per doc.
+  // ---------------------------------------------------------------
+  private val ChunkWords = 64L
+  private val ChunkStride = 48L
+
+  def q71Chunking(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val w = size(ws).cast("long")
+    // 1 + ceil(max(w - C, 0) / S) in pure int64
+    val nChunks = lit(1L) + Relational.ldiv(
+      greatest(w - ChunkWords, lit(0L)) + ChunkStride - 1, lit(ChunkStride))
+    val chunks = documents(s, dir)
+      .select(col("doc_id"), col("lang"), ws.as("ws"), nChunks.as("nc"))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0L), col("nc") - 1),
+          i => md5(concat_ws(" ",
+            slice(col("ws"), (i * ChunkStride + 1).cast("int"), lit(ChunkWords.toInt))))))
+          .as("chunk_hash"))
+    chunks.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct_chunks"))
+      .withColumn("dup_chunk_rate",
+        Relational.ratio4(col("n_chunks") - col("n_distinct_chunks"),
+          col("n_chunks")))
+      .orderBy("lang")
+  }
+
+  val q71Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text,' ') AS ws,
+       |    1 + (greatest(len(string_split(text,' ')) - $ChunkWords, 0)
+       |         + $ChunkStride - 1) // $ChunkStride AS nc
+       |  FROM documents
+       |), chunks AS (
+       |  SELECT doc_id, lang,
+       |    md5(array_to_string(
+       |      list_slice(ws, i.i*$ChunkStride + 1, i.i*$ChunkStride + $ChunkWords),
+       |      ' ')) AS chunk_hash
+       |  FROM d, unnest(range(d.nc)) i(i)
+       |)
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_chunks,
+       |  COUNT(DISTINCT chunk_hash) AS n_distinct_chunks,
+       |  ((20000*(COUNT(*) - COUNT(DISTINCT chunk_hash)) + COUNT(*))
+       |   // (2*COUNT(*))) / 10000.0 AS dup_chunk_rate
+       |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_chunking" -> q71Chunking _,
     "q67_repetition_filter" -> q67RepetitionFilter _,
     "q64_quality_gate" -> q64QualityGate _,
     "q65_vocab_coverage" -> q65VocabCoverage _,
@@ -508,6 +563,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q71_chunking" -> q71Sql,
     "q67_repetition_filter" -> q67Sql,
     "q64_quality_gate" -> q64Sql,
     "q65_vocab_coverage" -> q65Sql,
