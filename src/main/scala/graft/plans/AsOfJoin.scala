@@ -82,11 +82,17 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   /** Per-partition (key, time) order on both sides — satisfied by a
-    * local sort, which AQE/EnsureRequirements also inserts.
+    * local sort, which AQE/EnsureRequirements also inserts. The right
+    * side additionally sorts by the payload expressions: when several
+    * right rows share (key, time), the sweep keeps the LAST one in
+    * sort order, so without a total order the kept payload would
+    * depend on shuffle arrival order. Sorting ties by payload makes
+    * the survivor deterministic (the payload-wise maximum) across
+    * runs and partitionings.
     */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    ((rightKeys :+ rightTime) ++ payload).map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
@@ -113,38 +119,57 @@ case class AsOfJoinExec(
       val nullPayload = new GenericInternalRow(payloadB.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      val nKeys = lKeysB.length
+      def anyNull(row: InternalRow, n: Int): Boolean = {
+        var i = 0
+        while (i < n) { if (row.isNullAt(i)) return true; i += 1 }
+        false
+      }
       // latest right payload seen for the key currently being swept
       var lastKey: UnsafeRow = null
       var lastPayload: UnsafeRow = null
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
         val lt = lTimeProj(lRow)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rk = rKeyProj(rRow)
-          val kc = keyOrd.compare(rk, lk)
-          if (kc < 0) {
-            // right key entirely behind the sweep: discard
-            rBuf.next()
-          } else if (kc == 0) {
-            val rt = rTimeProj(rRow)
-            val tc = timeOrd.compare(rt, lt)
-            if (tc < 0 || (!strictB && tc == 0)) {
-              lastKey = rk.copy()
-              lastPayload = payloadProj(rRow).copy()
+        // SQL join semantics: a NULL key or NULL time never matches —
+        // such a left row passes through with a NULL payload (nulls
+        // sort first, so no right rows are consumed out of order)
+        if (anyNull(lk, nKeys) || lt.isNullAt(0)) {
+          outProj(joined(lRow, nullPayload))
+        } else {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rk = rKeyProj(rRow)
+            val kc = keyOrd.compare(rk, lk)
+            if (kc < 0) {
+              // right key entirely behind the sweep (incl. NULL keys,
+              // which sort first and must never match): discard
               rBuf.next()
+            } else if (kc == 0) {
+              val rt = rTimeProj(rRow)
+              if (rt.isNullAt(0)) {
+                // NULL right time never matches any left row: discard
+                rBuf.next()
+              } else {
+                val tc = timeOrd.compare(rt, lt)
+                if (tc < 0 || (!strictB && tc == 0)) {
+                  lastKey = rk.copy()
+                  lastPayload = payloadProj(rRow).copy()
+                  rBuf.next()
+                } else {
+                  advancing = false
+                }
+              }
             } else {
               advancing = false
             }
-          } else {
-            advancing = false
           }
+          val p =
+            if (lastKey != null && keyOrd.compare(lastKey, lk) == 0) lastPayload
+            else nullPayload
+          outProj(joined(lRow, p))
         }
-        val p =
-          if (lastKey != null && keyOrd.compare(lastKey, lk) == 0) lastPayload
-          else nullPayload
-        outProj(joined(lRow, p))
       }
     }
   }

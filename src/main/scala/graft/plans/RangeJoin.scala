@@ -102,12 +102,23 @@ case class RangeJoinExec(
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      val nKeys = lKeysB.length
+      def anyNull(row: InternalRow, n: Int): Boolean = {
+        var i = 0
+        while (i < n) { if (row.isNullAt(i)) return true; i += 1 }
+        false
+      }
       // sliding window of (rt, payload) for the key under the sweep
       var winKey: UnsafeRow = null
       val win = new java.util.ArrayDeque[(Long, UnsafeRow)]()
       lIter.flatMap { lRow =>
         val lk = lKeyProj(lRow)
-        val lt = lTimeProj(lRow).getLong(0)
+        val ltRow = lTimeProj(lRow)
+        // SQL inner-join semantics: NULL keys/times never match — a
+        // left row carrying one produces no output, and nulls-first
+        // ordering means skipping it consumes no rights out of order
+        if (anyNull(lk, nKeys) || ltRow.isNullAt(0)) Iterator.empty else {
+        val lt = ltRow.getLong(0)
         if (winKey == null || keyOrd.compare(winKey, lk) != 0) {
           win.clear()
           winKey = lk.copy()
@@ -118,11 +129,16 @@ case class RangeJoinExec(
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val rRow = rBuf.head
-          val kc = keyOrd.compare(rKeyProj(rRow), lk)
+          val rKeyRow = rKeyProj(rRow)
+          val kc = keyOrd.compare(rKeyRow, lk)
           if (kc < 0) {
-            rBuf.next() // behind the sweep entirely
+            rBuf.next() // behind the sweep entirely (incl. NULL keys)
           } else if (kc == 0) {
-            val rt = rTimeProj(rRow).getLong(0)
+            val rtRow = rTimeProj(rRow)
+            if (rtRow.isNullAt(0)) {
+              rBuf.next() // NULL right time never joins: discard
+            } else {
+            val rt = rtRow.getLong(0)
             if (rt <= lt + upperB) {
               // a right below the lower edge can never qualify for any
               // LATER left row either (left times are nondecreasing, so
@@ -131,6 +147,7 @@ case class RangeJoinExec(
               rBuf.next()
             } else {
               advancing = false
+            }
             }
           } else {
             advancing = false
@@ -144,6 +161,7 @@ case class RangeJoinExec(
         new Iterator[InternalRow] {
           override def hasNext: Boolean = it.hasNext
           override def next(): InternalRow = outProj(joined(lRow, it.next()._2))
+        }
         }
       }
     }

@@ -131,6 +131,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq((10L, -1.0), (20L, 1.0), (30L, 2.0)))
   }
 
+  test("NULL keys/times never match (SQL join semantics)") {
+    val s = spark; import s.implicits._
+    // left rows with a NULL key or time pass through with NULL payload;
+    // right rows with a NULL key or time are never taken as a match
+    val l = Seq((Option(1L), Option(10L), "a"),
+        (Option.empty[Long], Option(10L), "null_key"),
+        (Option(1L), Option.empty[Long], "null_time"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), Option(5L), 1.0),
+        (Option.empty[Long], Option(1L), 666.0), // null key: ignored
+        (Option(1L), Option.empty[Long], 777.0)) // null time: ignored
+      .toDF("k", "t", "v")
+    val out = ops.asofJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), Seq((r("v"), "v")))
+      .select("tag", "v").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1.0 else x.getDouble(1)))
+      .sorted.toSeq
+    assert(out == Seq(("a", 1.0), ("null_key", -1.0), ("null_time", -1.0)))
+  }
+
+  test("duplicate (key, rightTime) rows: survivor is the payload maximum, deterministically") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    // requiredChildOrdering extends to the payload, so among tied
+    // (key, time) rows the sweep's last-in-order survivor is the
+    // payload-wise max — independent of shuffle arrival order
+    val r = Seq((1L, 5L, 3.0), (1L, 5L, 9.0), (1L, 5L, 1.0)).toDF("k", "t", "v")
+    (1 to 3).foreach { i =>
+      val out = ops.asofJoin(l, r.repartition(i * 2), Seq(l("k")), Seq(r("k")),
+          l("t"), r("t"), Seq((r("v"), "v")))
+        .select("v").collect().map(_.getDouble(0)).toSeq
+      assert(out == Seq(9.0))
+    }
+  }
+
   test("plan: co-partitioned exchanges, no window, no union") {
     val l = leftDf
     val r = rightDf

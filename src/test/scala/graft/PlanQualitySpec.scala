@@ -64,11 +64,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("might_contain"), p)
     assert(p.contains("LeftSemi"), p)
     // the bloom filter must sit on the scan side, not after the join:
-    // in the formatted plan the Filter(might_contain) node appears
-    // before (= deeper than) the join
-    val filterIdx = p.indexOf("might_contain")
-    val joinIdx = p.indexOf("LeftSemi")
-    assert(filterIdx >= 0 && joinIdx >= 0)
+    // assert structurally that the might_contain predicate lives
+    // INSIDE the semi join's streamed (left) subtree
+    val sp = SparkEntry.queries("q51_bloom_semi")(spark, dir)
+      .queryExecution.sparkPlan
+    val join = sp.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(join.isDefined, sp.toString)
+    val filterUnderStreamedSide = join.get.children.head.collectFirst {
+      case n if n.expressions.exists(_.toString.contains("might_contain")) => n
+    }
+    assert(filterUnderStreamedSide.isDefined, join.get.toString)
   }
 
   test("q53: cube aggregation is two-phase (partial before the shuffle)") {

@@ -45,6 +45,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Seq(("x", 200L), ("y", 300L)))
   }
 
+  test("NULL keys/times never join (inner-join semantics)") {
+    val s = spark; import s.implicits._
+    val l = Seq((Option(1L), Option(10L), "a"),
+        (Option.empty[Long], Option(10L), "null_key"),
+        (Option(1L), Option.empty[Long], "null_time"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), Option(12L), 100L),
+        (Option.empty[Long], Option(12L), 666L), // null key: ignored
+        (Option(1L), Option.empty[Long], 777L))  // null time: ignored
+      .toDF("k", "t", "rv")
+    val out = ops.rangeJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), lower = -5L, upper = 5L,
+        payload = Seq((r("rv"), "rv")))
+      .select("tag", "rv").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(out == Seq(("a", 100L)))
+  }
+
   test("empty right side yields no pairs") {
     val s = spark; import s.implicits._
     val l = Seq((1L, 10L)).toDF("k", "t")
