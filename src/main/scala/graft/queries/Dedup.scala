@@ -226,59 +226,78 @@ object Dedup {
   // q48: near-dup CLUSTERS — the step after pair detection: the
   // transitive closure of the q23 MinHash-LSH pairs, each document
   // labeled with its component's minimum doc_id and flagged canonical
-  // (what a real pipeline keeps). Distributed label propagation:
-  // every node adopts the minimum label among itself and its
-  // neighbors until fixpoint — O(component diameter) joins, each a
-  // plain shuffle, the standard Spark shape for iterative graph
-  // algorithms. The oracle computes the same closure with a recursive
-  // CTE.
+  // (what a real pipeline keeps). Distributed union-find contraction:
+  // each round runs a union-find WITH path compression inside every
+  // edge partition (mapPartitions — genuine per-partition imperative
+  // logic), then contracts edges to the partition-local roots. A
+  // component spanning P partitions collapses in O(log P) rounds —
+  // ONE round when the edge set fits a single partition — vs the
+  // O(component-diameter) rounds of min-label propagation. The edge
+  // set after pair detection is orders of magnitude smaller than the
+  // corpus (near-dup pairs only; millions of rows even when the
+  // corpus is 100 TB), so it is repartitioned (NOT coalesced — that
+  // would narrow the upstream detection) to ~1M edges per partition.
+  // The oracle computes the same closure with a recursive CTE.
   // ---------------------------------------------------------------
   def q48DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // The edge set after pair detection is orders of magnitude smaller
-    // than the corpus (near-dup pairs only), so it is repartitioned
-    // (NOT coalesced — coalesce would narrow the upstream detection to
-    // few tasks) down to ~1M edges per partition so each propagation
-    // round is a handful of tasks, not shuffle-partitions x stages of
-    // scheduling overhead. The same ratio holds at 100 TB: edges ~
-    // millions of rows while the corpus is trillions.
+    val ss = s; import ss.implicits._
     val rawEdges = q23MinhashLsh(s, dir).select(col("i"), col("j"))
       .persist(MEMORY_AND_DISK)
     val edgeParts = math.max(1L, rawEdges.count() / 1000000L).toInt
-    val edges = rawEdges.repartition(edgeParts)
-    val und = edges.unionByName(
-      edges.select(col("j").as("i"), col("i").as("j")))
+    var edges = rawEdges.repartition(edgeParts).as[(Long, Long)]
       .persist(MEMORY_AND_DISK)
-    // Label propagation to fixpoint. Each round runs exactly ONE job:
-    // `next` carries the node's previous label in `own`, so the count
-    // that materializes the persisted `next` is also the convergence
-    // check — no separate old-vs-new join. Superseded label frames are
-    // unpersisted immediately (a long-diameter graph would otherwise
-    // accumulate one cached frame per round).
-    var labels = und.select(col("i").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .persist(MEMORY_AND_DISK)
-    var changed = 1L
-    while (changed > 0) {
-      val nbr = und.join(labels.select(col("id"), col("lbl")),
-          und("j") === col("id"))
-        .select(und("i").as("id"), col("lbl"),
-          lit(null).cast("long").as("own"))
-      val self = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
-      val next = self.unionByName(nbr)
-        .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"), min(col("own")).as("own"))
+    // node -> component representative, composed across rounds
+    var mapping: DataFrame = null
+    var done = false
+    while (!done) {
+      // partition-local exact components: min node id as local root
+      val local = edges.mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (i, j) =>
+          parent.getOrElseUpdate(i, i); parent.getOrElseUpdate(j, j)
+          val ri = find(i); val rj = find(j)
+          if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+        }
+        val ks = parent.keysIterator.toArray // snapshot: find() mutates values
+        ks.iterator.map(k => (k, find(k)))
+      }.toDF("node", "root")
+      val g = local.groupBy(col("node")).agg(min(col("root")).as("root"))
         .persist(MEMORY_AND_DISK)
-      changed = next.filter(col("lbl") < col("own")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      // compose: a node's representative may itself have been merged
+      mapping = if (mapping == null) g else {
+        val gg = g.select(col("node").as("g_node"), col("root").as("g_root"))
+        mapping.join(gg, mapping("root") === col("g_node"), "left")
+          .select(mapping("node"),
+            coalesce(col("g_root"), mapping("root")).as("root"))
+          .persist(MEMORY_AND_DISK)
+      }
+      // contract edges to the roots; a fully-collapsed component
+      // yields only self-loops, which drop out
+      val gi = g.select(col("node").as("i"), col("root").as("ri"))
+      val gj = g.select(col("node").as("j"), col("root").as("rj"))
+      val newEdges = edges.toDF("i", "j").join(gi, "i").join(gj, "j")
+        .filter(col("ri") =!= col("rj"))
+        .select(least(col("ri"), col("rj")).as("i"),
+          greatest(col("ri"), col("rj")).as("j"))
+        .distinct()
+        .repartition(edgeParts).as[(Long, Long)]
+        .persist(MEMORY_AND_DISK)
+      done = newEdges.isEmpty
+      edges.unpersist(blocking = false)
+      edges = newEdges
     }
-    // labels is fully materialized by the final count, so the inputs
-    // backing it can be released before the caller consumes the result.
-    und.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     rawEdges.unpersist(blocking = false)
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"),
-        when(col("id") === col("lbl"), 1).otherwise(0).as("is_canonical"))
+    mapping.select(col("node").as("doc_id"), col("root").as("cluster"),
+        when(col("node") === col("root"), 1).otherwise(0).as("is_canonical"))
       .orderBy("doc_id")
   }
 

@@ -278,23 +278,31 @@ object Vectors {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
       .select(col("label"), transform(col("dm"), p => round(p.getField("m"), 4)).as("c"))
-    // assign every vector to its nearest cell (min (dist2, label))
-    val sqDist = {
-      val diff = zip_with(col("e"), col("c"), (x, y) => x - y)
-      graft.functions.vec.arrayDot(diff, diff)
-    }
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round(sqDist, 6), col("label"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("label").as("cell"))
-      // cached: both sides of the probe join read it — without this
-      // the crossJoin + window assignment subtree executes twice
+    // ALL cells folded into ONE broadcast row (tiny: #labels x 64
+    // doubles), so assignment needs no per-vector window shuffle:
+    // each row computes its argmin cell with an aggregate() fold over
+    // the broadcast cell array — a pure map stage. The corpus is
+    // never exchanged for assignment, at any scale. Cached eagerly:
+    // both probe-join sides re-derive it, and it is one row.
+    val cells1 = cents
+      .agg(array_sort(collect_list(struct(col("label"), col("c")))).as("cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager, so the probe join's two scans don't race to cache the
-    // same partitions (cf. Dedup.q25)
-    assigned.count()
+    cells1.count()
+    // argmin by (round(dist2, 6), label) — same tie order the oracle uses
+    val best = aggregate(
+      col("cells"),
+      struct(lit(Double.MaxValue).as("d2"), lit(null).cast("int").as("lbl")),
+      (acc, cell) => {
+        val diff = zip_with(col("e"), cell.getField("c"), (x, y) => x - y)
+        val d2 = round(graft.functions.vec.arrayDot(diff, diff), 6)
+        val lbl = cell.getField("label")
+        val better = acc.getField("lbl").isNull
+          .or(d2 < acc.getField("d2"))
+          .or(d2 === acc.getField("d2") && lbl < acc.getField("lbl"))
+        when(better, struct(d2.as("d2"), lbl.as("lbl"))).otherwise(acc)
+      })
+    val assigned = e.crossJoin(broadcast(cells1))
+      .select(col("vec_id"), col("e"), best.getField("lbl").as("cell"))
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"))
     val rw = Window.partitionBy(col("q_id"))
