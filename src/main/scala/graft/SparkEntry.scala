@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Vectors.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Multimodal.queries ++
-      graft.queries.Advanced.queries
+      graft.queries.Advanced.queries ++
+      graft.queries.Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Vectors.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Multimodal.oracles ++
-      graft.queries.Advanced.oracles
+      graft.queries.Advanced.oracles ++
+      graft.queries.Mining.oracles
 }

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Hashing._
+
+/** Corpus-mining operators over the `documents` table — the second
+  * tier of the training-data-pipeline surface (SURVEY.md §2.2 EXT,
+  * beyond the q22-q25 dedup family): repeated-span detection (the
+  * exact-substring statistic behind suffix-array dedup pipelines),
+  * collocation strength, and per-source corpus accounting.
+  *
+  * Scale notes: every operator here is explode -> partially-aggregated
+  * groupBy (map-side combine keeps the exchange proportional to the
+  * DISTINCT grams, not the corpus tokens) or a plain one-pass
+  * aggregate. No self-joins, no windows over the corpus, no driver
+  * actions. All float outputs use the exact-int64 `ratio4`/`ldiv`
+  * arithmetic (Relational.scala) so both engines hash identically.
+  */
+object Mining {
+
+  // ---------------------------------------------------------------
+  // q72: repeated n-gram SPANS — the exact-substring-dedup statistic
+  // (which word 5-grams appear in more than one document): per
+  // language, how many distinct spans are shared, how many total
+  // occurrences they account for, and the widest spread. The explode
+  // shuffles one row per (gram, doc) but the partial aggregate
+  // collapses per-partition repeats before the exchange; at 100 TB
+  // this is the standard first pass of suffix-style dedup (hashed
+  // spans, not suffix arrays — same statistic, shuffle-friendly).
+  // ---------------------------------------------------------------
+  private val SpanN = 5
+
+  def q72NgramSpans(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val grams = when(size(ws) >= SpanN,
+      transform(sequence(lit(0), size(ws) - SpanN),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(SpanN)))))
+      .otherwise(array().cast("array<string>"))
+    documents(s, dir)
+      .select(col("lang"), col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("cnt"))
+      .filter(col("nd") >= 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(col("cnt")).as("n_occurrences"),
+        max(col("nd")).as("max_docs"))
+      .orderBy("lang")
+  }
+
+  val q72Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(len(ws) - ${SpanN - 1}),
+       |      i -> array_to_string(list_slice(ws, i+1, i+$SpanN), ' '))) AS gram
+       |  FROM w WHERE len(ws) >= $SpanN
+       |), st AS (
+       |  SELECT lang, gram, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS cnt
+       |  FROM g GROUP BY lang, gram
+       |  HAVING COUNT(DISTINCT doc_id) >= 2
+       |)
+       |SELECT lang, COUNT(*) AS n_dup_grams,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+       |  MAX(nd) AS max_docs
+       |FROM st GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q74: bigram COLLOCATION strength (lift) — the phrase-mining
+  // statistic: lift(xy) = P(xy) / (P(x) P(y)), computed entirely in
+  // exact int64 as (10^4 * c_xy * T) DIV (c_x * c_y), so both engines
+  // agree bit-for-bit (float log/division never appears). Unigram and
+  // bigram counts are partially-aggregated explodes; the three joins
+  // are on (lang, word) — dictionary-sized sides, broadcastable at
+  // any corpus scale.
+  // ---------------------------------------------------------------
+  def q74BigramLift(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    // the dictionary: ONE corpus token explode, cached (vocab-sized) —
+    // totals and both per-word lookups read it instead of re-exploding
+    // (eager count: see Dedup.q25's race note)
+    val uni = documents(s, dir).select(col("lang"), explode(ws).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uni.count()
+    val tot = uni.groupBy(col("lang")).agg(sum(col("cw")).as("t"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", get(ws, i), get(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = documents(s, dir).select(col("lang"), explode(bigrams).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val parts = split(col("bg"), " ")
+    // unpivot the two bigram constituents so ONE broadcast join pass
+    // over the dictionary fetches both counts; the surviving-bigram
+    // side is tiny (cxy >= 5 collocations), so the dictionary never
+    // shuffles for a join
+    val sides = bi.select(col("lang"), col("bg"), col("cxy"),
+        explode(array(
+          struct(lit(1).as("pos"), get(parts, lit(0)).as("w")),
+          struct(lit(2).as("pos"), get(parts, lit(1)).as("w")))).as("sd"))
+      .select(col("lang"), col("bg"), col("cxy"), col("sd.pos"), col("sd.w"))
+    val counts = uni.join(broadcast(sides), Seq("lang", "w"))
+      .groupBy(col("lang"), col("bg"), col("cxy"))
+      .agg(max(when(col("pos") === 1, col("cw"))).as("c1"),
+        max(when(col("pos") === 2, col("cw"))).as("c2"))
+    val lift = counts.join(broadcast(tot), Seq("lang"))
+      // exact: c_xy * T * 10^4 stays far below 2^53 at any per-lang
+      // vocabulary these SFs reach (and the DIV is int64 in both engines)
+      .withColumn("lift_e4",
+        Relational.ldiv(col("cxy") * col("t") * lit(10000L), col("c1") * col("c2")))
+    val wnd = Window.partitionBy(col("lang"))
+      .orderBy(col("lift_e4").desc, col("bg"))
+    lift.withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("bg").as("bigram"),
+        col("cxy").as("n"), col("lift_e4"))
+      .orderBy("lang", "rnk")
+  }
+
+  val q74Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      |), uni AS (
+      |  SELECT lang, w, COUNT(*) AS cw FROM toks GROUP BY lang, w
+      |), tot AS (
+      |  SELECT lang, COUNT(*) AS t FROM toks GROUP BY lang
+      |), bgx AS (
+      |  SELECT lang, unnest(list_transform(range(len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS bg
+      |  FROM documents
+      |), bi AS (
+      |  SELECT lang, bg, COUNT(*) AS cxy FROM bgx GROUP BY lang, bg
+      |  HAVING COUNT(*) >= 5
+      |), lift AS (
+      |  SELECT b.lang, b.bg, b.cxy,
+      |    (10000 * b.cxy * t.t) // (u1.cw * u2.cw) AS lift_e4
+      |  FROM bi b
+      |  JOIN uni u1 ON u1.lang = b.lang AND u1.w = string_split(b.bg, ' ')[1]
+      |  JOIN uni u2 ON u2.lang = b.lang AND u2.w = string_split(b.bg, ' ')[2]
+      |  JOIN tot t ON t.lang = b.lang
+      |), ranked AS (
+      |  SELECT lang, bg, cxy, lift_e4,
+      |    row_number() OVER (PARTITION BY lang ORDER BY lift_e4 DESC, bg) AS rnk
+      |  FROM lift
+      |)
+      |SELECT lang, CAST(rnk AS INT) AS rnk, bg AS bigram, cxy AS n,
+      |  CAST(lift_e4 AS BIGINT) AS lift_e4
+      |FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q75: per-SOURCE corpus accounting — the provenance dashboard a
+  // data pipeline keeps per upstream feed: volume, exact-duplicate
+  // rate, language spread, and size profile. One pass, one partial-
+  // aggregated shuffle keyed by source; ratios in exact int64.
+  // ---------------------------------------------------------------
+  def q75SourceStats(s: SparkSession, dir: String): DataFrame = {
+    val nUnique = countDistinct(md5(col("text")))
+    val nDocs = count(lit(1))
+    documents(s, dir)
+      .groupBy(col("source"))
+      .agg(nDocs.as("n_docs"),
+        nUnique.as("n_unique"),
+        countDistinct(col("lang")).as("n_langs"),
+        Relational.ratio4(nDocs - nUnique, nDocs).as("dup_ratio"),
+        Relational.ratio4(sum(col("n_chars")), nDocs).as("avg_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("source")
+  }
+
+  val q75Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_unique,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  ((20000*(COUNT(*) - COUNT(DISTINCT md5(text))) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS dup_ratio,
+      |  ((20000*CAST(SUM(n_chars) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS avg_chars,
+      |  MIN(doc_id) AS min_doc_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_ngram_spans" -> q72NgramSpans _,
+    "q74_bigram_lift" -> q74BigramLift _,
+    "q75_source_stats" -> q75SourceStats _)
+
+  val oracles: Map[String, String] = Map(
+    "q72_ngram_spans" -> q72Sql,
+    "q74_bigram_lift" -> q74Sql,
+    "q75_source_stats" -> q75Sql)
+}

@@ -267,42 +267,58 @@ object Vectors {
   // broadcast; the corpus is partitioned by cell; a probe touches
   // 1/cells of the data.
   // ---------------------------------------------------------------
-  def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"),
-      emb(col("embedding")).as("e"))
-    // centroids: per-label mean, rounded per-dim (cross-engine stable)
-    val cents = embeddings(s, dir)
+  /** Per-label mean centroids, rounded per-dim (cross-engine stable):
+    * (label, c: array<double>).
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
       .select(col("label"), posexplode(emb(col("embedding"))).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
       .agg(avg(col("x")).as("m"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
       .select(col("label"), transform(col("dm"), p => round(p.getField("m"), 4)).as("c"))
-    // ALL cells folded into ONE broadcast row (tiny: #labels x 64
-    // doubles), so assignment needs no per-vector window shuffle:
-    // each row computes its argmin cell with an aggregate() fold over
-    // the broadcast cell array — a pure map stage. The corpus is
-    // never exchanged for assignment, at any scale. Cached eagerly:
-    // both probe-join sides re-derive it, and it is one row.
-    val cells1 = cents
+
+  /** ALL centroid cells folded into ONE row (tiny: #labels x 64
+    * doubles), cached eagerly — the broadcast side of the zero-shuffle
+    * assignment below, and typically read by both sides of a probe
+    * join.
+    */
+  private def cellsRow(s: SparkSession, dir: String): DataFrame = {
+    val cells1 = labelCentroids(s, dir)
       .agg(array_sort(collect_list(struct(col("label"), col("c")))).as("cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cells1.count()
-    // argmin by (round(dist2, 6), label) — same tie order the oracle uses
-    val best = aggregate(
+    cells1
+  }
+
+  /** Nearest-cell id for vector column `e`, given the one-row `cells`
+    * array in scope: an aggregate() fold computing argmin by
+    * (round(dist2, 6), label) — the same tie order the oracles use.
+    * A pure map stage: assignment never exchanges the corpus, at any
+    * scale (vs the crossJoin + per-vector window form, which shuffles
+    * corpus x cells rows).
+    */
+  private def nearestCell(e: Column): Column =
+    aggregate(
       col("cells"),
       struct(lit(Double.MaxValue).as("d2"), lit(null).cast("int").as("lbl")),
       (acc, cell) => {
-        val diff = zip_with(col("e"), cell.getField("c"), (x, y) => x - y)
+        val diff = zip_with(e, cell.getField("c"), (x, y) => x - y)
         val d2 = round(graft.functions.vec.arrayDot(diff, diff), 6)
         val lbl = cell.getField("label")
         val better = acc.getField("lbl").isNull
           .or(d2 < acc.getField("d2"))
           .or(d2 === acc.getField("d2") && lbl < acc.getField("lbl"))
         when(better, struct(d2.as("d2"), lbl.as("lbl"))).otherwise(acc)
-      })
+      }).getField("lbl")
+
+  def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"),
+      emb(col("embedding")).as("e"))
+    val cells1 = cellsRow(s, dir)
     val assigned = e.crossJoin(broadcast(cells1))
-      .select(col("vec_id"), col("e"), best.getField("lbl").as("cell"))
+      .select(col("vec_id"), col("e"), nearestCell(col("e")).as("cell"))
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cell"))
     val rw = Window.partitionBy(col("q_id"))
@@ -356,6 +372,89 @@ object Vectors {
        |)
        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cell, cos_r AS cos_sim
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q73: one k-means (Lloyd) refinement step — the semantic-
+  // clustering building block behind cluster-then-dedup and corpus-
+  // balancing pipelines: start from the per-label mean centroids,
+  // re-assign every vector to its nearest cell (the q42 zero-shuffle
+  // aggregate() fold — assignment is a pure map stage), recompute
+  // per-cell means, and report per cell: member count, migrations in,
+  // centroid coordinates that moved at 4-decimal resolution, min
+  // member id. Integer outputs only, so the gate is exact. At 100 TB
+  // one step = one map stage + two partial-aggregated shuffles (cell
+  // stats + 64-dim means); iterating Lloyd is a driver loop over the
+  // same plan with the new cells broadcast back.
+  // ---------------------------------------------------------------
+  def q73KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e0 = embeddings(s, dir).select(col("vec_id"), col("label"),
+      emb(col("embedding")).as("e"))
+    val cells1 = cellsRow(s, dir)
+    val assigned = e0.crossJoin(broadcast(cells1))
+      .select(col("vec_id"), col("label"), col("e"),
+        nearestCell(col("e")).as("cell"))
+    val stats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(when(col("label") =!= col("cell"), 1L).otherwise(0L)).as("n_moved_in"),
+        min(col("vec_id")).as("min_vec_id"))
+    val newC = assigned
+      .select(col("cell"), posexplode(col("e")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(round(avg(col("x")), 4).as("m_new"))
+    // old centroids unpacked from the already-cached cells row — the
+    // centroid aggregation is not recomputed
+    val oldC = cells1.select(explode(col("cells")).as("cc"))
+      .select(col("cc.label").as("cell"),
+        posexplode(col("cc.c")).as(Seq("d", "m_old")))
+    val drift = newC.join(oldC, Seq("cell", "d"))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("m_new") =!= col("m_old"), 1L).otherwise(0L)).as("n_dims_moved"))
+    stats.join(drift, Seq("cell"))
+      .select(col("cell"), col("n_assigned"), col("n_moved_in"),
+        col("n_dims_moved"), col("min_vec_id"))
+      .orderBy("cell")
+  }
+
+  val q73Sql: String = {
+    val dIdx = "CAST(t.i+1 AS INT)"
+    s"""WITH ex AS (
+       |  SELECT label, CAST(t.i AS INT) AS d,
+       |    CAST(embedding[$dIdx] AS DOUBLE) AS x
+       |  FROM embeddings, range(64) t(i)
+       |), cm AS (
+       |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, d
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
+       |), dists AS (
+       |  SELECT e.vec_id, e.label AS orig, CAST(e.embedding AS DOUBLE[]) AS emb,
+       |    cent.label,
+       |    ROUND(list_sum(list_transform(range(64),
+       |      i -> (CAST(e.embedding[CAST(i+1 AS INT)] AS DOUBLE) - cent.c[CAST(i+1 AS INT)])
+       |         * (CAST(e.embedding[CAST(i+1 AS INT)] AS DOUBLE) - cent.c[CAST(i+1 AS INT)]))), 6) AS d2
+       |  FROM embeddings e CROSS JOIN cent
+       |), assigned AS (
+       |  SELECT vec_id, orig, emb, label AS cell FROM (
+       |    SELECT vec_id, orig, emb, label,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), stats AS (
+       |  SELECT cell, COUNT(*) AS n_assigned,
+       |    CAST(SUM(CASE WHEN orig <> cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       |    MIN(vec_id) AS min_vec_id
+       |  FROM assigned GROUP BY cell
+       |), newc AS (
+       |  SELECT cell, CAST(t.i AS INT) AS d,
+       |    ROUND(AVG(emb[$dIdx]), 4) AS m_new
+       |  FROM assigned, range(64) t(i) GROUP BY cell, CAST(t.i AS INT)
+       |), drift AS (
+       |  SELECT n.cell,
+       |    CAST(SUM(CASE WHEN n.m_new <> c.m THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_moved
+       |  FROM newc n JOIN cm c ON n.cell = c.label AND n.d = c.d
+       |  GROUP BY n.cell
+       |)
+       |SELECT s.cell, s.n_assigned, s.n_moved_in, d.n_dims_moved, s.min_vec_id
+       |FROM stats s JOIN drift d ON s.cell = d.cell ORDER BY s.cell""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -440,6 +539,7 @@ object Vectors {
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_kmeans_step" -> q73KmeansStep _,
     "q63_quantized_topk" -> q63QuantizedTopk _,
     "q50_array_fns" -> q50ArrayFns _,
     "q26_cosine_neardup" -> q26CosineNeardup _,
@@ -449,6 +549,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q73_kmeans_step" -> q73Sql,
     "q63_quantized_topk" -> q63Sql,
     "q50_array_fns" -> q50Sql,
     "q26_cosine_neardup" -> q26Sql,

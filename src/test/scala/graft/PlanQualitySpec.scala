@@ -144,6 +144,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(p70.contains("WindowGroupLimit"), p70) // LATERAL LIMIT -> per-group top-k
   }
 
+  test("q72: repeated-span stats are pure explode + two-phase aggregation — no join") {
+    val p = plan("q72_ngram_spans")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q73/q42: cell assignment is a map stage — no per-vector window, no cartesian") {
+    val p73 = plan("q73_kmeans_step")
+    assert(!p73.contains("CartesianProduct"), p73)
+    val p42 = plan("q42_ann_ivf")
+    assert(!p42.contains("CartesianProduct"), p42)
+    // the old assignment shape window-sorted corpus x cells rows
+    // partitioned by vec_id; the fold form's only window is the probe
+    // top-k over q_id
+    assert(!p42.contains("windowspecdefinition(vec_id"), p42)
+    assert(p42.contains("windowspecdefinition(q_id"), p42)
+  }
+
+  test("q74: dictionary never shuffles for a join — every join is broadcast") {
+    val p = plan("q74_bigram_lift")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q75: source accounting is one scan, no join") {
+    val p = plan("q75_source_stats")
+    assert(!p.toLowerCase.contains("join"), p)
+    // one file-index per scan in the details section
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size == 1, p)
+  }
+
   test("q67: repetition detector is a single-pass map + rollup — no explode, no join") {
     val p = plan("q67_repetition_filter")
     assert(!p.contains("Generate"), p)
