@@ -28,6 +28,22 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** The testdata parquet files are written as a single row group, so
+    * byte-range file splitting cannot parallelize the scan: every
+    * downstream map stage (tokenize / explode / signature) would run
+    * on ONE core regardless of cluster size. When the scan yields
+    * fewer splits than cores, spread the rows — a sub-MB shuffle that
+    * buys full parallelism on the corpus map stages. On a production
+    * layout (many files / row groups per table) the condition is
+    * false and this is a no-op: no extra exchange at 100 TB.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "embeddings"))
 }
