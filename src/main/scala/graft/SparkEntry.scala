@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.Advanced.queries ++
-      graft.queries.Mining.queries
+      graft.queries.Mining.queries ++
+      graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Multimodal.oracles ++
       graft.queries.Advanced.oracles ++
-      graft.queries.Mining.oracles
+      graft.queries.Mining.oracles ++
+      graft.queries.Curation.oracles
 }

@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Corpus-curation operators — the decision layer of a training-data
+  * pipeline that sits after cleaning/dedup (Dedup.scala,
+  * TextAnalysis.scala) and before packing (q62): source mixing,
+  * snapshot maintenance, batch-shape accounting, graph-based source
+  * ranking, and profile reporting.
+  *
+  * Scale notes: every query is either a single partially-aggregated
+  * pass, or a corpus pass joined against a broadcastable per-source /
+  * per-node summary; the one iterative operator (q79) broadcasts the
+  * rank vector and shuffles only the edge list. All sampling and rank
+  * arithmetic is exact int64 (md5 thresholds, `ldiv` floor division)
+  * so both engines hash identically — no float RNG, no
+  * engine-specific sketches.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------
+  // q76: temperature-flattened source MIXTURE sampling — the data-
+  // mixing step of LLM pretraining (sample source i with probability
+  // proportional to w_i^alpha, alpha=1/2). Deterministic and exactly
+  // portable: doc hash h is a 20-bit md5 prefix, and the keep rule
+  //   (h / 2^20)^2 < w_i / w_max
+  // is evaluated as pure int64  h*h*10^6 < 2^40 * w_norm  — the
+  // square replaces sqrt(w), so no float appears anywhere. Weights
+  // are one partial-aggregated pass; the corpus pass joins the
+  // 20-row rate table by broadcast (never shuffles the corpus — at
+  // 100 TB the weights table is per-source, i.e. tiny, by
+  // construction).
+  // ---------------------------------------------------------------
+  def q76MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val w = documents(s, dir).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("w"))
+    val rates = w.crossJoin(broadcast(w.agg(max(col("w")).as("wmax"))))
+      .select(col("source"),
+        Relational.ldiv(lit(1000000L) * col("w"), col("wmax")).as("w_norm"))
+    // 20-bit hash of the doc id: h^2 stays < 2^40, so h*h*10^6 and
+    // 2^40*w_norm both stay < 2^63 (DuckDB errors on int64 overflow)
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 5), 16, 10)
+      .cast("long")
+    documents(s, dir)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("h", h)
+      .withColumn("kept",
+        (col("h") * col("h") * lit(1000000L) <
+          lit(1099511627776L) * col("w_norm")).cast("long"))
+      .groupBy(col("source"), col("w_norm"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .withColumn("kept_ratio", Relational.ratio4(col("n_kept"), col("n_docs")))
+      .orderBy("source")
+  }
+
+  val q76Sql: String =
+    """WITH w AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+      |  FROM documents GROUP BY source
+      |), r AS (
+      |  SELECT source, (1000000 * w) // (SELECT MAX(w) FROM w) AS w_norm FROM w
+      |), d AS (
+      |  SELECT d.source, r.w_norm,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS BIGINT) AS h
+      |  FROM documents d JOIN r USING (source)
+      |)
+      |SELECT source, w_norm, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN h*h*1000000 < 1099511627776*w_norm
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  ((20000*CAST(SUM(CASE WHEN h*h*1000000 < 1099511627776*w_norm
+      |                        THEN 1 ELSE 0 END) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS kept_ratio
+      |FROM d GROUP BY source, w_norm ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q77: CDC APPLY — merge a changelog into a snapshot (the batch
+  // analog of a streaming upsert sink, and the maintenance step of
+  // any incrementally-updated corpus). Events before the cutoff form
+  // the snapshot (last write wins, 'error' = tombstone); events
+  // after it are the changelog. Apply = FULL OUTER join:
+  // changelog overrides, tombstones delete, untouched keys carry
+  // over — a deleted key is resurrected by a later upsert. Both
+  // sides shuffle once on the key; at 100 TB the snapshot side is
+  // usually bucketed by key so only the (smaller) changelog moves.
+  // ---------------------------------------------------------------
+  private val Cutoff = "2024-01-16 00:00:00"
+
+  def q77CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    val snap = latest(ev.filter(col("ts") < lit(Cutoff).cast("timestamp")))
+      .filter(col("event_type") =!= "error") // tombstone already applied
+      .select(col("user_id"), col("event_type").as("s_type"),
+        col("value").as("s_value"))
+    val chg = latest(ev.filter(col("ts") >= lit(Cutoff).cast("timestamp")))
+      .select(col("user_id"), col("event_type").as("c_type"),
+        col("value").as("c_value"))
+    snap.join(chg, Seq("user_id"), "full_outer")
+      .filter(col("c_type").isNull || col("c_type") =!= "error")
+      .select(col("user_id"),
+        when(col("c_type").isNotNull, lit("changelog"))
+          .otherwise(lit("snapshot")).as("src"),
+        coalesce(col("c_type"), col("s_type")).as("last_type"),
+        coalesce(col("c_value"), col("s_value")).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val q77Sql: String =
+    s"""WITH snap AS (
+       |  SELECT user_id, event_type AS s_type, value AS s_value
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM events WHERE ts < TIMESTAMP '$Cutoff')
+       |  WHERE rn = 1 AND event_type <> 'error'
+       |), chg AS (
+       |  SELECT user_id, event_type AS c_type, value AS c_value
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM events WHERE ts >= TIMESTAMP '$Cutoff')
+       |  WHERE rn = 1
+       |)
+       |SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+       |  CASE WHEN c.user_id IS NOT NULL THEN 'changelog'
+       |       ELSE 'snapshot' END AS src,
+       |  COALESCE(c_type, s_type) AS last_type,
+       |  COALESCE(c_value, s_value) AS last_value
+       |FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+       |WHERE c_type IS NULL OR c_type <> 'error'
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q78: LENGTH-BUCKETED batch accounting — group documents into
+  // power-of-two token-length buckets (the standard bucketing that
+  // minimizes padding in fixed-shape training batches) and report
+  // the padding waste each bucket would incur. One pass, one
+  // partial-aggregated shuffle on a 5-value key.
+  // ---------------------------------------------------------------
+  def q78LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(Hashing.words(col("text"))).cast("long")
+    val cap = when(col("n_tok") <= 64, 64L).when(col("n_tok") <= 128, 128L)
+      .when(col("n_tok") <= 256, 256L).when(col("n_tok") <= 512, 512L)
+      .otherwise(1024L)
+    documents(s, dir).select(nTok.as("n_tok"))
+      .withColumn("bucket_cap", cap)
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("pad_tokens",
+        col("bucket_cap") * col("n_docs") - col("n_tokens"))
+      .withColumn("waste_ratio",
+        Relational.ratio4(col("pad_tokens"), col("bucket_cap") * col("n_docs")))
+      .orderBy("bucket_cap")
+  }
+
+  val q78Sql: String =
+    """WITH t AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+      |), b AS (
+      |  SELECT n_tok,
+      |    CAST(CASE WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+      |              WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+      |              ELSE 1024 END AS BIGINT) AS bucket_cap
+      |  FROM t
+      |), g AS (
+      |  SELECT bucket_cap, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |  FROM b GROUP BY bucket_cap
+      |)
+      |SELECT bucket_cap, n_docs, n_tokens,
+      |  bucket_cap * n_docs - n_tokens AS pad_tokens,
+      |  ((20000*(bucket_cap * n_docs - n_tokens) + bucket_cap * n_docs)
+      |    // (2 * bucket_cap * n_docs)) / 10000.0 AS waste_ratio
+      |FROM g ORDER BY bucket_cap""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q79: integer PAGERANK, 3 unrolled iterations — graph-based
+  // ranking (the web-graph quality prior used to weight pretraining
+  // sources). The interaction graph is derived deterministically
+  // from events: user u links to (u*31 + k) mod N for each distinct
+  // props-key k it emitted. All rank arithmetic is int64 floor
+  // division with rank mass scaled to 10^9, so both engines agree
+  // bit-for-bit AND every intermediate (85 * inbound mass, bounded
+  // by 85 * total mass) stays below 2^53 where `ldiv`'s double
+  // division is exact.
+  //
+  // Scale shape per iteration: rank vector (|nodes| rows) broadcasts
+  // into the edge list; contributions partial-aggregate on dst. The
+  // edge list never re-shuffles — at 1000 executors it would be
+  // hash-partitioned by src once and reused (here it is persisted
+  // once). Rank vectors too big to broadcast degrade to a shuffle
+  // join on src — same plan, one more exchange.
+  // ---------------------------------------------------------------
+  def q79PageRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val edges = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edeg.count() // eager: both downstream consumers read the cache
+    val nodes = ev.select(col("user_id").as("id")).distinct()
+    var pr = nodes.withColumn("pr", lit(1000000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edeg
+        .join(broadcast(pr), col("src") === col("id"))
+        .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      pr = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"), (lit(150000000L) +
+          Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
+          .as("pr"))
+    }
+    pr.join(deg, col("id") === col("src"), "left")
+      .select(col("id").as("user_id"), col("pr"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .orderBy(col("pr").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private def prIter(prev: String): String =
+    s"""SELECT nd.id, 150000000 + (85 * COALESCE(s.sc, 0)) // 100 AS pr
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sc
+       |    FROM edges e JOIN deg d ON d.src = e.src
+       |    JOIN $prev p ON p.id = e.src GROUP BY e.dst) s ON s.dst = nd.id""".stripMargin
+
+  val q79Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), edges AS (
+       |  SELECT DISTINCT user_id AS src,
+       |    (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev) AS dst
+       |  FROM ev
+       |  WHERE user_id <> (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev)
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT user_id AS id FROM ev
+       |), pr0 AS (
+       |  SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes
+       |), it1 AS (
+       |${prIter("pr0")}
+       |), it2 AS (
+       |${prIter("it1")}
+       |), it3 AS (
+       |${prIter("it2")}
+       |)
+       |SELECT t.id AS user_id, CAST(t.pr AS BIGINT) AS pr,
+       |  COALESCE(d.outdeg, 0) AS outdeg
+       |FROM it3 t LEFT JOIN deg d ON d.src = t.id
+       |ORDER BY pr DESC, user_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q80: GROUPING SETS with an explicit grouping id — the one
+  // multi-level aggregation shape rollup (q10) and cube (q53) can't
+  // express: an arbitrary, non-hierarchical set of grouping keys in
+  // a single pass over the fact table. The gid is derived from the
+  // grouped columns' null-ness (portable across engines; the data
+  // has no NULL source/lang, so NULL means "aggregated away").
+  // ---------------------------------------------------------------
+  def q80GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    documents(s, dir).createOrReplaceTempView("g_documents")
+    s.sql(q80Body("g_documents"))
+  }
+
+  private def q80Body(tbl: String): String =
+    s"""SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       |  (CASE WHEN source IS NULL THEN 2 ELSE 0 END
+       |   + CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS gid,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM $tbl
+       |GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+       |ORDER BY gid, source, lang""".stripMargin
+
+  val q80Sql: String = q80Body("documents")
+
+  // ---------------------------------------------------------------
+  // q81: equi-DEPTH histogram (per-language n_chars deciles via
+  // ntile) — the profiling operator behind skew detection and
+  // range-partition boundary planning. ntile over (n_chars, doc_id)
+  // is a total order, so decile assignment is deterministic in both
+  // engines. One shuffle on lang; at 100 TB this becomes
+  // approx_percentile per partition + merge — the exact form is the
+  // correctness reference for that sketch (q52 holds the approx
+  // twin).
+  // ---------------------------------------------------------------
+  def q81Histogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    documents(s, dir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+        Relational.ratio4(sum(col("n_chars")), count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "decile")
+  }
+
+  val q81Sql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(decile AS INT) AS decile, COUNT(*) AS n,
+      |  MIN(n_chars) AS lo, MAX(n_chars) AS hi,
+      |  ((20000*CAST(SUM(n_chars) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS avg_chars
+      |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_mixture_sample" -> q76MixtureSample _,
+    "q77_cdc_apply" -> q77CdcApply _,
+    "q78_length_buckets" -> q78LengthBuckets _,
+    "q79_pagerank" -> q79PageRank _,
+    "q80_grouping_sets" -> q80GroupingSets _,
+    "q81_histogram" -> q81Histogram _)
+
+  val oracles: Map[String, String] = Map(
+    "q76_mixture_sample" -> q76Sql,
+    "q77_cdc_apply" -> q77Sql,
+    "q78_length_buckets" -> q78Sql,
+    "q79_pagerank" -> q79Sql,
+    "q80_grouping_sets" -> q80Sql,
+    "q81_histogram" -> q81Sql)
+}
