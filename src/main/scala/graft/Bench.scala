@@ -36,13 +36,30 @@ object Bench {
       val (a, b) = (once(), once())
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON metric line out of that window (BENCH_r01/r02 both came back
+    // parsed:null because the full-name 9-decimal line was ~3KB and its
+    // head fell outside the window). Keep the line compact: short keys
+    // ("q48" not "q48_dedup_clusters") and 3-decimal seconds — ~1.1KB for
+    // 85 queries, leaving room for sbt's trailing "[success]" line. The
+    // full-name full-precision detail goes to bench_detail.json instead.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$failedField,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        detailLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
