@@ -27,7 +27,9 @@ object SparkEntry {
       graft.queries.Multimodal.queries ++
       graft.queries.Advanced.queries ++
       graft.queries.Mining.queries ++
-      graft.queries.Curation.queries
+      graft.queries.Curation.queries ++
+      graft.queries.Temporal.queries ++
+      graft.queries.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +43,7 @@ object SparkEntry {
       graft.queries.Multimodal.oracles ++
       graft.queries.Advanced.oracles ++
       graft.queries.Mining.oracles ++
-      graft.queries.Curation.oracles
+      graft.queries.Curation.oracles ++
+      graft.queries.Temporal.oracles ++
+      graft.queries.Retrieval.oracles
 }

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Hashing.words
+
+/** Text-retrieval and corpus-profiling operators: the index-building
+  * and ranking layer (inverted index, BM25) plus the reshape and
+  * robust-statistics utilities (unpivot, winsorized means) and a
+  * third dedup *blocking* strategy (sorted neighborhood) alongside
+  * min-shingle blocking (q25/q46) and LSH banding (q23).
+  *
+  * Scale notes: index construction and scoring are explode +
+  * partial-aggregate passes (the classic distributed indexing shape);
+  * the query-term and per-language summary tables broadcast. Scoring
+  * arithmetic is integer-scaled (no log, no float division) so the
+  * DuckDB oracle matches bit-for-bit — see q88's scaling comment.
+  */
+object Retrieval {
+
+  // ---------------------------------------------------------------
+  // q83: SORTED-NEIGHBORHOOD dedup blocking — sort the corpus by a
+  // key, compare each doc only with its next W=3 neighbors in sort
+  // order. The third classic blocking family after min-shingle
+  // buckets (q25) and LSH bands (q23): O(N·W) comparisons, catches
+  // prefix-similar near-dups that hash blocking can spread across
+  // buckets. Blocked by first character so the sort/lead window
+  // parallelizes (the standard multi-pass variant rotates the key to
+  // recover pairs that straddle block boundaries; one pass here).
+  // Scale shape: range-partition + window lead — no join at all;
+  // the quadratic edit-distance work is bounded to N·W pairs.
+  // ---------------------------------------------------------------
+  def q83SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
+    val d = documents(s, dir).select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 1).as("blk"),
+        substring(col("text"), 1, 120).as("head"))
+    val withN = d
+      .withColumn("nbrs", array((1 to 3).map(k =>
+        struct(lead(col("doc_id"), k).over(w).as("id"),
+          lead(col("head"), k).over(w).as("h"))): _*))
+      .select(col("doc_id"), col("head"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb.id").isNotNull)
+    withN
+      .withColumn("edit_dist", levenshtein(col("head"), col("nb.h")))
+      .filter(col("edit_dist") <= 20)
+      .select(least(col("doc_id"), col("nb.id")).as("i"),
+        greatest(col("doc_id"), col("nb.id")).as("j"), col("edit_dist"))
+      .orderBy("i", "j")
+  }
+
+  val q83Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, substr(text, 1, 1) AS blk,
+      |    substr(text, 1, 120) AS head
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id, head,
+      |    LEAD(doc_id, 1) OVER w AS id1, LEAD(head, 1) OVER w AS h1,
+      |    LEAD(doc_id, 2) OVER w AS id2, LEAD(head, 2) OVER w AS h2,
+      |    LEAD(doc_id, 3) OVER w AS id3, LEAD(head, 3) OVER w AS h3
+      |  FROM d WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id)
+      |), p AS (
+      |  SELECT doc_id AS a, id1 AS b, levenshtein(head, h1) AS edit_dist
+      |    FROM l WHERE id1 IS NOT NULL
+      |  UNION ALL SELECT doc_id, id2, levenshtein(head, h2)
+      |    FROM l WHERE id2 IS NOT NULL
+      |  UNION ALL SELECT doc_id, id3, levenshtein(head, h3)
+      |    FROM l WHERE id3 IS NOT NULL
+      |)
+      |SELECT LEAST(a, b) AS i, GREATEST(a, b) AS j, edit_dist
+      |FROM p WHERE edit_dist <= 20 ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q85: UNPIVOT (wide-to-long melt) — the inverse reshape of q54's
+  // pivot, via the native Dataset.unpivot operator (one Expand node,
+  // no join/union of self-scans). The wide side is a per-language
+  // length-bucket count table; unpivot emits one (lang, bucket, n)
+  // row per cell.
+  // ---------------------------------------------------------------
+  def q85Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = documents(s, dir).groupBy(col("lang")).agg(
+      sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("short_n"),
+      sum(when(col("n_chars") >= 200 && col("n_chars") < 400, 1L)
+        .otherwise(0L)).as("mid_n"),
+      sum(when(col("n_chars") >= 400, 1L).otherwise(0L)).as("long_n"))
+    wide.unpivot(
+        Array(col("lang")),
+        Array(col("short_n"), col("mid_n"), col("long_n")),
+        "bucket", "n")
+      .orderBy("lang", "bucket")
+  }
+
+  val q85Sql: String =
+    """WITH wide AS (
+      |  SELECT lang,
+      |    CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS short_n,
+      |    CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars < 400 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS mid_n,
+      |    CAST(SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS long_n
+      |  FROM documents GROUP BY lang
+      |)
+      |SELECT lang, bucket, n FROM (
+      |  SELECT lang, 'short_n' AS bucket, short_n AS n FROM wide
+      |  UNION ALL SELECT lang, 'mid_n', mid_n FROM wide
+      |  UNION ALL SELECT lang, 'long_n', long_n FROM wide
+      |)
+      |ORDER BY lang, bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q87: INVERTED INDEX construction — token -> (document frequency,
+  // total term frequency, head of the sorted posting list). The
+  // foundational retrieval structure: explode to postings, one hash
+  // aggregate keyed by token. The posting head is a sorted-set
+  // prefix, so output is deterministic despite distributed
+  // collect_set. At 100 TB this is the exact shape a shard-building
+  // job uses: partial aggregation combines per-partition postings
+  // before the token-keyed exchange.
+  // ---------------------------------------------------------------
+  def q87InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"),
+        array_join(transform(slice(sort_array(collect_set(col("doc_id"))), 1, 5),
+          _.cast("string")), ",").as("postings_head"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(25)
+  }
+
+  val q87Sql: String =
+    """SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total,
+      |  array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',')
+      |    AS postings_head
+      |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY df DESC, token LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q88: integer-scaled BM25 ranking for a fixed query — the scoring
+  // layer over the q87 index. Standard BM25 with k1=1.2, b=0.75,
+  // with two portability substitutions, both documented order-
+  // preserving: (a) the log-idf is replaced by the monotone surrogate
+  // idf_s = 10^6 * (N - df + 1) DIV (df + 1) (same ranking for any
+  // fixed N), and (b) all divisions are int64 floor divisions on
+  // 1000x-scaled operands, so Spark and DuckDB agree bit-for-bit
+  // (float BM25 differs in the last ulp across engines). Bounds: with
+  // idf_s <= 10^6 * N, tf*1000 <= 10^3 * dl, the score numerator
+  // stays < 2^53 for N*dl < 9*10^6 per term — at larger corpora,
+  // rescale idf_s to 10^3.
+  //
+  // Scale shape: the corpus is touched by exactly one explode +
+  // filter + partial-aggregate pass (the 3-term query table and the
+  // global (N, total_tokens) scalars broadcast); scoring then runs on
+  // the |terms| x |matching docs| frame — never the full corpus.
+  // ---------------------------------------------------------------
+  def q88Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ld = Relational.ldiv _
+    val terms = Seq("join", "vector", "spark").toDF("term")
+    val docs = documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val totals = docs.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tt"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
+      .join(broadcast(terms), col("token") === col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl1000", ld(lit(1000L) * col("tt"), col("nn")))
+      .withColumn("idf_s",
+        ld(lit(1000000L) * (col("nn") - col("df") + 1L), col("df") + 1L))
+      .withColumn("norm1000",
+        lit(250L) + ld(lit(750L) * col("dl") * 1000L, col("avgdl1000")))
+      .withColumn("sterm",
+        ld(col("idf_s") * col("tf") * 1000L,
+          col("tf") * 1000L + ld(lit(1200L) * col("norm1000"), lit(1000L))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sterm")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q88Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+      |), totals AS (
+      |  SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS tt FROM docs
+      |), tok AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT t.doc_id, d.dl, t.token AS term, COUNT(*) AS tf
+      |  FROM tok t JOIN docs d ON d.doc_id = t.doc_id
+      |  WHERE t.token IN ('join', 'vector', 'spark')
+      |  GROUP BY t.doc_id, d.dl, t.token
+      |), dfc AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tf.doc_id,
+      |    ((1000000 * (tt.nn - dfc.df + 1)) // (dfc.df + 1)) * tf.tf * 1000
+      |      // (tf.tf * 1000 +
+      |         (1200 * (250 + (750 * tf.dl * 1000) // ((1000 * tt.tt) // tt.nn)))
+      |           // 1000) AS sterm
+      |  FROM tf JOIN dfc USING (term) CROSS JOIN totals tt
+      |)
+      |SELECT doc_id, CAST(SUM(sterm) AS BIGINT) AS score,
+      |  COUNT(*) AS n_terms
+      |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q90: WINSORIZED per-language means — robust statistics for
+  // corpus profiling: clip n_chars at the exact p05/p95 rank cut
+  // (min value whose rank reaches 5%/95% of the group) and compare
+  // the raw vs clipped means. Rank-based cuts (not value
+  // interpolation) keep everything int64-exact. Two passes: one
+  // window pass derives the cuts, the clipped re-aggregation joins
+  // the per-language (broadcastable) cut table.
+  // ---------------------------------------------------------------
+  def q90Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("lang"), col("n_chars"), col("doc_id"))
+    val r = d
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val cuts = r.groupBy(col("lang")).agg(
+      min(when(col("r") * 20 >= col("cnt"), col("n_chars"))).as("p05"),
+      min(when(col("r") * 20 >= col("cnt") * 19, col("n_chars"))).as("p95"))
+    d.join(broadcast(cuts), "lang")
+      .withColumn("clipped",
+        greatest(col("p05"), least(col("p95"), col("n_chars"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        Relational.ratio4(sum(col("n_chars")), count(lit(1))).as("mean_raw"),
+        Relational.ratio4(sum(col("clipped")), count(lit(1))).as("mean_clip"))
+      .orderBy("lang")
+  }
+
+  val q90Sql: String =
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang,
+      |    MIN(CASE WHEN r*20 >= cnt THEN n_chars END) AS p05,
+      |    MIN(CASE WHEN r*20 >= 19*cnt THEN n_chars END) AS p95
+      |  FROM r GROUP BY lang
+      |), j AS (
+      |  SELECT d.lang, d.n_chars, c.p05, c.p95,
+      |    GREATEST(c.p05, LEAST(c.p95, d.n_chars)) AS clipped
+      |  FROM documents d JOIN c USING (lang)
+      |)
+      |SELECT lang, COUNT(*) AS n, MAX(p05) AS p05, MAX(p95) AS p95,
+      |  ((20000*CAST(SUM(n_chars) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS mean_raw,
+      |  ((20000*CAST(SUM(clipped) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS mean_clip
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_sorted_neighborhood" -> q83SortedNeighborhood _,
+    "q85_unpivot" -> q85Unpivot _,
+    "q87_inverted_index" -> q87InvertedIndex _,
+    "q88_bm25" -> q88Bm25 _,
+    "q90_winsorize" -> q90Winsorize _)
+
+  val oracles: Map[String, String] = Map(
+    "q83_sorted_neighborhood" -> q83Sql,
+    "q85_unpivot" -> q85Sql,
+    "q87_inverted_index" -> q87Sql,
+    "q88_bm25" -> q88Sql,
+    "q90_winsorize" -> q90Sql)
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Temporal / event-sequence operators — the event-analytics layer
+  * that complements the point-in-time joins (q37/q60 as-of, q43/q68
+  * range): slowly-changing-dimension semantics, funnel conversion,
+  * Markov transition structure, and time-windowed deduplication.
+  *
+  * Scale notes: every query shuffles the event stream at most once on
+  * its natural key (`user_id` or the grouping key) and aggregates
+  * partially before the exchange; dimension/summary sides of joins
+  * are per-user or per-type, i.e. broadcastable by construction. All
+  * derived ratios use the exact int64 helpers (`Relational.ratio4`)
+  * so both engines hash identically.
+  */
+object Temporal {
+
+  // ---------------------------------------------------------------
+  // q82: SCD2 (slowly-changing-dimension type 2) temporal join — the
+  // versioned-dimension pattern: each user's 'signup' events open a
+  // new dimension version valid [ts, next signup ts); purchase facts
+  // join to the version in effect at purchase time. This is the
+  // interval form of the as-of join (q37/q60) — the dimension carries
+  // explicit validity windows, so one hash join on user_id plus a
+  // range predicate resolves each fact, with no per-fact sort.
+  //
+  // Scale shape: versions are built with one window pass over the
+  // (small) signup subset; the fact side joins on the user_id equi
+  // key — Spark plans a hash/sort-merge join on user_id and applies
+  // the interval predicate as a post-filter, so the fact stream
+  // shuffles once and the version table (per-user, tiny) broadcasts.
+  // Facts before the first version are intentionally dropped (inner
+  // join) — the standard SCD2 "no dimension yet" rule.
+  // ---------------------------------------------------------------
+  def q82Scd2Join(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // distinct column names on the two sides: both derive from `ev`,
+    // and explicit renames keep the join condition unambiguous
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("d_uid"), col("ts").as("valid_from"),
+        floor(col("value")).cast("long").as("tier"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("d_uid"))
+            .orderBy(col("valid_from"), col("tier"))))
+    val fact = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    fact.join(broadcast(dim),
+        col("user_id") === col("d_uid") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("per_user", Relational.ratio4(col("n_purchases"), col("n_users")))
+      .orderBy("tier")
+  }
+
+  val q82Sql: String =
+    """WITH dim AS (
+      |  SELECT user_id, ts AS valid_from,
+      |    CAST(FLOOR(value) AS BIGINT) AS tier,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events WHERE event_type = 'signup'
+      |), fact AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT tier, COUNT(*) AS n_purchases,
+      |  COUNT(DISTINCT f.user_id) AS n_users,
+      |  ((20000*COUNT(*) + COUNT(DISTINCT f.user_id))
+      |    // (2*COUNT(DISTINCT f.user_id))) / 10000.0 AS per_user
+      |FROM fact f JOIN dim d
+      |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q84: FUNNEL conversion — view -> click -> purchase, strictly in
+  // order per user: a stage counts only if it happens at-or-after the
+  // user's entry into the previous stage. Three per-user aggregates
+  // chained by broadcast joins (each stage re-aggregates the event
+  // stream filtered by the previous stage's timestamp); the final
+  // 3-row report unions the stage counts with step conversion rates.
+  //
+  // Scale shape: each stage is a partial-aggregated pass over one
+  // event-type partition of the stream; the per-user timestamps of
+  // the previous stage are the join side and stay per-user-small. At
+  // 100 TB all three passes co-partition on user_id, so AQE plans the
+  // stage joins shuffle-free after the first exchange.
+  // ---------------------------------------------------------------
+  def q84Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit(1L))
+    val n2 = s2.agg(count(lit(1)).as("n")).withColumn("stage", lit(2L))
+    val n3 = s3.agg(count(lit(1)).as("n")).withColumn("stage", lit(3L))
+    import s.implicits._
+    val names = Seq((1L, "view"), (2L, "click"), (3L, "purchase"))
+      .toDF("stage", "stage_name")
+    val counts = n1.union(n2).union(n3)
+    val wprev = Window.orderBy(col("stage"))
+    counts.join(broadcast(names), "stage")
+      .withColumn("conv_ratio",
+        Relational.ratio4(col("n"),
+          coalesce(lag(col("n"), 1).over(wprev), col("n"))))
+      .select(col("stage"), col("stage_name"), col("n").as("n_users"),
+        col("conv_ratio"))
+      .orderBy("stage")
+  }
+
+  val q84Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+      |), counts AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+      |    COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+      |)
+      |SELECT stage, stage_name, n_users,
+      |  ((20000*n_users + COALESCE(LAG(n_users) OVER (ORDER BY stage), n_users))
+      |    // (2*COALESCE(LAG(n_users) OVER (ORDER BY stage), n_users))) / 10000.0
+      |    AS conv_ratio
+      |FROM counts ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q86: MARKOV transition matrix over per-user event sequences —
+  // the session-structure statistic behind next-event prediction and
+  // bot detection. One window pass (lag over user_id ordered by ts)
+  // produces (prev, cur) pairs; a hash aggregate counts them; the
+  // per-prev row totals come from a second window over the (tiny,
+  // |types|^2-row) count table, not from re-reading the events.
+  // ---------------------------------------------------------------
+  def q86MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val counts = pairs.groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p",
+        Relational.ratio4(col("n"),
+          sum(col("n")).over(Window.partitionBy(col("prev")))))
+      .orderBy("prev", "cur")
+  }
+
+  val q86Sql: String =
+    """WITH pairs AS (
+      |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev,
+      |         event_type AS cur
+      |  FROM events
+      |), counts AS (
+      |  SELECT prev, cur, COUNT(*) AS n FROM pairs
+      |  WHERE prev IS NOT NULL GROUP BY prev, cur
+      |)
+      |SELECT prev, cur, n,
+      |  ((20000*n + SUM(n) OVER (PARTITION BY prev))
+      |    // (2*SUM(n) OVER (PARTITION BY prev))) / 10000.0 AS p
+      |FROM counts ORDER BY prev, cur""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q89: time-WINDOWED dedup — keep the first event per (user, type)
+  // within each hour bucket, the batch analog of streaming
+  // dropDuplicatesWithinWatermark (EventTimeStreamSpec holds the
+  // streaming twin). One window pass keyed by the dedup key + bucket;
+  // at 100 TB the key includes the hour, so state per partition is
+  // bounded by the bucket width — the same property that makes the
+  // watermark version's state finite.
+  // ---------------------------------------------------------------
+  def q89WindowedDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("hour", date_trunc("HOUR", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_removed", col("n_events") - col("n_kept"))
+      .withColumn("removed_ratio",
+        Relational.ratio4(col("n_removed"), col("n_events")))
+      .orderBy("event_type")
+  }
+
+  val q89Sql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+      |      date_trunc('hour', ts) ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM r GROUP BY event_type
+      |)
+      |SELECT event_type, n_events, n_kept,
+      |  n_events - n_kept AS n_removed,
+      |  ((20000*(n_events - n_kept) + n_events) // (2*n_events)) / 10000.0
+      |    AS removed_ratio
+      |FROM g ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_scd2_join" -> q82Scd2Join _,
+    "q84_funnel" -> q84Funnel _,
+    "q86_markov_transitions" -> q86MarkovTransitions _,
+    "q89_windowed_dedup" -> q89WindowedDedup _)
+
+  val oracles: Map[String, String] = Map(
+    "q82_scd2_join" -> q82Sql,
+    "q84_funnel" -> q84Sql,
+    "q86_markov_transitions" -> q86Sql,
+    "q89_windowed_dedup" -> q89Sql)
+}
