@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Mining.queries ++
       graft.queries.Curation.queries ++
       graft.queries.Temporal.queries ++
-      graft.queries.Retrieval.queries
+      graft.queries.Retrieval.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.Mining.oracles ++
       graft.queries.Curation.oracles ++
       graft.queries.Temporal.oracles ++
-      graft.queries.Retrieval.oracles
+      graft.queries.Retrieval.oracles ++
+      graft.queries.Analytics.oracles
 }

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Hashing._
+
+/** Corpus / event analytics: containment dedup, grouped regression,
+  * user retention, cross-source duplication accounting, distribution
+  * drift, and native per-group exemplar sampling.
+  *
+  * Scale notes: the one self-join (q91) rides the same prefix-filter
+  * blocking as q25 (candidates must share their min shingle — never
+  * all-pairs); everything else is window passes and partially-
+  * aggregated scans with broadcast summary sides. Derived statistics
+  * are exact int64 (`Relational.ratio4` / `ldiv`) end to end.
+  */
+object Analytics {
+
+  // ---------------------------------------------------------------
+  // q91: Jaccard CONTAINMENT near-dup pairs — |A∩B| / min(|A|,|B|),
+  // the statistic that catches doc-contains-doc (supersets score low
+  // on plain Jaccard but ~1.0 on containment; the asymmetric-dup case
+  // every corpus dedup misses with symmetric measures). Same
+  // min-shingle prefix blocking as q25; the >= 0.5 gate is evaluated
+  // as pure int64 (2*inter >= min) so both engines branch
+  // identically on the boundary.
+  // ---------------------------------------------------------------
+  def q91Containment(s: SparkSession, dir: String): DataFrame = {
+    // cached + eagerly materialized: both self-join sides read it
+    // (same pattern and rationale as q25/q46)
+    val d = documents(s, dir).select(col("doc_id"),
+        shingles(col("text"), 3).as("sh"))
+      .withColumn("mk", minhash(col("sh"), 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        least(size(col("a.sh")), size(col("b.sh"))).cast("long").as("n_small"))
+      .filter(lit(2L) * col("inter") >= col("n_small"))
+      .withColumn("containment", Relational.ratio4(col("inter"), col("n_small")))
+      .orderBy("i", "j")
+  }
+
+  val q91Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, sh, ${sqlMinhash("sh", 0)} AS mk
+       |  FROM (SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents)
+       |), p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |    CAST(LEAST(len(a.sh), len(b.sh)) AS BIGINT) AS n_small
+       |  FROM d a JOIN d b ON a.mk = b.mk AND a.doc_id < b.doc_id
+       |)
+       |SELECT i, j, inter, n_small,
+       |  ((20000*inter + n_small) // (2*n_small)) / 10000.0 AS containment
+       |FROM p WHERE 2*inter >= n_small ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q92: grouped LINEAR REGRESSION — per-language least-squares fit
+  // of n_chars against token count, from one partially-aggregated
+  // pass collecting the five classic sums (n, Σx, Σy, Σxy, Σx²); the
+  // slope is the closed form scaled to 4 decimals in exact int64.
+  // The slope numerator/denominator are provably positive here
+  // (chars grow with tokens; variance > 0), so floor division is
+  // identical across engines. This is the drift/QA regression every
+  // profiling suite ships — and the shape generalizes to any
+  // per-group GLM-by-sufficient-statistics.
+  // ---------------------------------------------------------------
+  def q92GroupedRegression(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("lang"),
+      size(words(col("text"))).cast("long").as("x"), col("n_chars").as("y"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        Relational.ratio4(col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("mean_x", Relational.ratio4(col("sx"), col("n")))
+      .withColumn("mean_y", Relational.ratio4(col("sy"), col("n")))
+      .select(col("lang"), col("n"), col("slope"), col("mean_x"), col("mean_y"))
+      .orderBy("lang")
+  }
+
+  val q92Sql: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |    n_chars AS y
+      |  FROM documents
+      |), g AS (
+      |  SELECT lang, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM d GROUP BY lang
+      |)
+      |SELECT lang, n,
+      |  ((20000*(n*sxy - sx*sy) + (n*sxx - sx*sx))
+      |    // (2*(n*sxx - sx*sx))) / 10000.0 AS slope,
+      |  ((20000*sx + n) // (2*n)) / 10000.0 AS mean_x,
+      |  ((20000*sy + n) // (2*n)) / 10000.0 AS mean_y
+      |FROM g ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q93: next-day RETENTION — per activity day: distinct active
+  // users (DAU) and how many return the following day. One distinct
+  // pass to (user, day), one window lead per user, one day-keyed
+  // aggregate — no self-join on the event stream (the textbook
+  // retention query joins activity to itself on d+1; the lead form
+  // halves the shuffles and at 100 TB the (user, day) frame is
+  // already orders of magnitude smaller than raw events).
+  // ---------------------------------------------------------------
+  def q93Retention(s: SparkSession, dir: String): DataFrame = {
+    val act = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    act.withColumn("next_day", lead(col("day"), 1).over(w))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(datediff(col("next_day"), col("day")) === 1, 1L)
+          .otherwise(0L)).as("retained"))
+      .withColumn("retention", Relational.ratio4(col("retained"), col("dau")))
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("day")
+  }
+
+  val q93Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), l AS (
+      |  SELECT day,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM act
+      |), g AS (
+      |  SELECT day, COUNT(*) AS dau,
+      |    CAST(SUM(CASE WHEN date_diff('day', day, next_day) = 1
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS retained
+      |  FROM l GROUP BY day
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, dau, retained,
+      |  ((20000*retained + dau) // (2*dau)) / 10000.0 AS retention
+      |FROM g ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q94: cross-source DUPLICATION matrix — for each source pair, how
+  // many 120-char-prefix fingerprints they share: the provenance
+  // statistic behind source-level dedup priority and crawl-overlap
+  // detection. Distinct (fingerprint, source) first — the projected
+  // frame is tiny relative to the corpus — then a fingerprint-keyed
+  // self-join counts pairs; exact-match blocking, never all-pairs.
+  // ---------------------------------------------------------------
+  def q94SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val f = documents(s, dir)
+      .select(md5(substring(col("text"), 1, 120)).as("fp"), col("source"))
+      .distinct()
+    val a = f.alias("a")
+    val b = f.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q94Sql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT md5(substr(text, 1, 120)) AS fp, source
+      |  FROM documents
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q95: distribution DRIFT detection — per event type, compare the
+  // value histogram before/after the cutoff via L1 distance of
+  // per-10000 bucket shares. One conditional-aggregate pass builds
+  // both halves' histograms simultaneously (no join, no second
+  // scan); shares are exact int64 floor divisions, |Δ| of int64 is
+  // portable. The monitoring primitive for "did this feed change
+  // under me" — at 100 TB the per-(type, bucket) frame aggregates
+  // down to |types| × 10 rows before the final pass.
+  // ---------------------------------------------------------------
+  private val Cutoff = "2024-01-16 00:00:00"
+
+  def q95DriftL1(s: SparkSession, dir: String): DataFrame = {
+    val ld = Relational.ldiv _
+    val cut = lit(Cutoff).cast("timestamp")
+    val bucketed = events(s, dir)
+      .withColumn("bucket",
+        least(lit(9L), floor(col("value") / 50.0).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("c2"))
+    val totals = Window.partitionBy(col("event_type"))
+    bucketed
+      .withColumn("s1", ld(lit(10000L) * col("c1"), sum(col("c1")).over(totals)))
+      .withColumn("s2", ld(lit(10000L) * col("c2"), sum(col("c2")).over(totals)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n_before"), sum(col("c2")).as("n_after"),
+        sum(abs(col("s1") - col("s2"))).as("l1_x10000"))
+      .orderBy("event_type")
+  }
+
+  val q95Sql: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    LEAST(9, CAST(FLOOR(value / 50.0) AS BIGINT)) AS bucket,
+       |    CAST(SUM(CASE WHEN ts < TIMESTAMP '$Cutoff' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '$Cutoff' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c2
+       |  FROM events GROUP BY event_type, bucket
+       |), sh AS (
+       |  SELECT event_type, c1, c2,
+       |    (10000*c1) // SUM(c1) OVER (PARTITION BY event_type) AS s1,
+       |    (10000*c2) // SUM(c2) OVER (PARTITION BY event_type) AS s2
+       |  FROM b
+       |)
+       |SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n_before,
+       |  CAST(SUM(c2) AS BIGINT) AS n_after,
+       |  CAST(SUM(ABS(s1 - s2)) AS BIGINT) AS l1_x10000
+       |FROM sh GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q96: per-group EXEMPLAR sampling through the NATIVE TopKPerGroup
+  // operator — k deterministic pseudo-random representatives per
+  // language, ordered by a salted md5 of the doc id (a hash is a
+  // uniform rank, so k smallest hashes = uniform k-sample, stable
+  // across runs and engines). Exercises the custom heap operator on
+  // a string-ordered, non-metric rank; the shuffle carries at most
+  // k rows per (partition, group) — the scalable form of per-group
+  // reservoir sampling.
+  // ---------------------------------------------------------------
+  def q96HashExemplars(s: SparkSession, dir: String): DataFrame = {
+    val keyed = documents(s, dir).select(col("lang"), col("doc_id"),
+      col("n_chars"),
+      md5(concat(lit("ex:"), col("doc_id").cast("string"))).as("hk"))
+    graft.plans.ops.topKPerGroup(keyed,
+        groupCols = Seq(col("lang")),
+        orderCols = Seq(col("hk"), col("doc_id")),
+        k = 3)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("hk"))
+      .orderBy("lang", "hk", "doc_id")
+  }
+
+  val q96Sql: String =
+    """SELECT lang, doc_id, n_chars, hk FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    md5('ex:' || CAST(doc_id AS VARCHAR)) AS hk,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5('ex:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3 ORDER BY lang, hk, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_containment" -> q91Containment _,
+    "q92_grouped_regression" -> q92GroupedRegression _,
+    "q93_retention" -> q93Retention _,
+    "q94_source_overlap" -> q94SourceOverlap _,
+    "q95_drift_l1" -> q95DriftL1 _,
+    "q96_hash_exemplars" -> q96HashExemplars _)
+
+  val oracles: Map[String, String] = Map(
+    "q91_containment" -> q91Sql,
+    "q92_grouped_regression" -> q92Sql,
+    "q93_retention" -> q93Sql,
+    "q94_source_overlap" -> q94Sql,
+    "q95_drift_l1" -> q95Sql,
+    "q96_hash_exemplars" -> q96Sql)
+}
