@@ -258,7 +258,81 @@ object Analytics {
       |  FROM documents)
       |WHERE rn <= 3 ORDER BY lang, hk, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q98: partition-SKEW profiler — the operational pre-flight for any
+  // key choice: hash user_id into 32 buckets (md5-derived so both
+  // engines agree; a real deployment would use the engine's own
+  // partitioner hash) and report each bucket's row share and a
+  // hot-bucket flag (share > 2x fair). This is the diagnostic that
+  // decides between plain repartition, salting (q39), and AQE skew
+  // splitting (SkewJoinSpec) before a 100-TB shuffle is launched.
+  // ---------------------------------------------------------------
+  def q98SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val ld = Relational.ldiv _
+    val bucket = pmod(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(32L))
+    val counts = events(s, dir).select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    counts
+      .withColumn("share_x10000",
+        ld(lit(10000L) * col("n"), sum(col("n")).over(total)))
+      .withColumn("hot",
+        (lit(16L) * col("n") > sum(col("n")).over(total)).cast("long"))
+      .orderBy("bucket")
+  }
+
+  val q98Sql: String =
+    """WITH c AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+      |    AS BIGINT) % 32 AS bucket, COUNT(*) AS n
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT bucket, n,
+      |  CAST((10000*n) // SUM(n) OVER () AS BIGINT) AS share_x10000,
+      |  CAST(16*n > SUM(n) OVER () AS BIGINT) AS hot
+      |FROM c ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q99: QUANTILE-QUANTILE distribution matching — align the 'en'
+  // and 'de' length distributions by comparing their exact ventile
+  // (1/20-quantile) boundaries: the calibration map a curation
+  // pipeline uses to resample one population to match another's
+  // shape (and the q-q plot behind drift review). One window pass
+  // per partition assigns ventiles; the 20-row boundary tables join
+  // trivially.
+  // ---------------------------------------------------------------
+  def q99QuantileMatch(s: SparkSession, dir: String): DataFrame = {
+    val r = documents(s, dir)
+      .filter(col("lang").isin("en", "de"))
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("v", ntile(20).over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+    val g = r.groupBy(col("lang"), col("v")).agg(max(col("n_chars")).as("hi"))
+    val en = g.filter(col("lang") === "en").select(col("v"), col("hi").as("en_hi"))
+    val de = g.filter(col("lang") === "de").select(col("v").as("dv"), col("hi").as("de_hi"))
+    en.join(de, col("v") === col("dv"))
+      .select(col("v"), col("en_hi"), col("de_hi"),
+        (col("en_hi") - col("de_hi")).as("delta"))
+      .orderBy("v")
+  }
+
+  val q99Sql: String =
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    ntile(20) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS v
+      |  FROM documents WHERE lang IN ('en', 'de')
+      |), g AS (
+      |  SELECT lang, v, MAX(n_chars) AS hi FROM r GROUP BY lang, v
+      |)
+      |SELECT a.v AS v, a.hi AS en_hi, b.hi AS de_hi, a.hi - b.hi AS delta
+      |FROM g a JOIN g b ON a.v = b.v AND a.lang = 'en' AND b.lang = 'de'
+      |ORDER BY v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_skew_profile" -> q98SkewProfile _,
+    "q99_quantile_match" -> q99QuantileMatch _,
     "q91_containment" -> q91Containment _,
     "q92_grouped_regression" -> q92GroupedRegression _,
     "q93_retention" -> q93Retention _,
@@ -267,6 +341,8 @@ object Analytics {
     "q96_hash_exemplars" -> q96HashExemplars _)
 
   val oracles: Map[String, String] = Map(
+    "q98_skew_profile" -> q98Sql,
+    "q99_quantile_match" -> q99Sql,
     "q91_containment" -> q91Sql,
     "q92_grouped_regression" -> q92Sql,
     "q93_retention" -> q93Sql,

@@ -538,7 +538,55 @@ object Vectors {
       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, qscore
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q97: late-interaction MaxSim scoring (the ColBERT retrieval
+  // shape) — a "document" is a BAG of token vectors (here: vec_id/10
+  // groups of 10), the query is a small set of token vectors, and
+  // score(doc) = Σ_q max_t cos(q, t): each query token matches its
+  // best document token. Per-pair similarities are rounded to int64
+  // 1e4-grains BEFORE the max/sum (round-to-integer is portable; the
+  // subsequent max/sum is exact), so both engines rank identically.
+  //
+  // Scale shape: the query token set broadcasts; the corpus token
+  // table is scanned once and partially aggregated twice ((doc,q)
+  // max, then doc sum) — no corpus shuffle before the tiny
+  // aggregate. The 100-TB layout for multi-vector retrieval.
+  // ---------------------------------------------------------------
+  def q97MaxSim(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+    val corpus = e.select(Relational.ldiv(col("vec_id"), lit(10L)).as("doc_id"),
+      col("vec_id"), col("e"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("c", round(dot(col("qe"), col("e")) * 10000).cast("long"))
+      .groupBy(col("doc_id"), col("q_id")).agg(max(col("c")).as("mx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mx")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q97Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, vec_id // 10 AS doc_id,
+      |    CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5
+      |), p AS (
+      |  SELECT e.doc_id, q.q_id,
+      |    CAST(ROUND(10000 * list_cosine_similarity(q.qe, e.emb)) AS BIGINT) AS c
+      |  FROM e CROSS JOIN q
+      |), m AS (
+      |  SELECT doc_id, q_id, MAX(c) AS mx FROM p GROUP BY doc_id, q_id
+      |)
+      |SELECT doc_id, CAST(SUM(mx) AS BIGINT) AS score, COUNT(*) AS n_terms
+      |FROM m GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_maxsim" -> q97MaxSim _,
     "q73_kmeans_step" -> q73KmeansStep _,
     "q63_quantized_topk" -> q63QuantizedTopk _,
     "q50_array_fns" -> q50ArrayFns _,
@@ -549,6 +597,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q97_maxsim" -> q97Sql,
     "q73_kmeans_step" -> q73Sql,
     "q63_quantized_topk" -> q63Sql,
     "q50_array_fns" -> q50Sql,
