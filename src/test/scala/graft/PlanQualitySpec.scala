@@ -182,4 +182,51 @@ class PlanQualitySpec extends SparkSpec {
     // one partial + one final aggregate, nothing else shuffles
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q82: SCD2 dimension joins by broadcast — the fact stream never shuffles") {
+    val p = plan("q82_scd2_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q83/q93: sorted-neighborhood and retention are pure window passes — no join") {
+    val p83 = plan("q83_sorted_neighborhood")
+    assert(!p83.toLowerCase.contains("join"), p83)
+    assert(p83.contains("Window"), p83)
+    val p93 = plan("q93_retention")
+    assert(!p93.toLowerCase.contains("join"), p93)
+  }
+
+  test("q87: index construction is explode + two-phase aggregation — no join") {
+    val p = plan("q87_inverted_index")
+    // "join" alone would false-positive on the array_join expression
+    assert(!p.contains("MergeJoin") && !p.contains("HashJoin") &&
+      !p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q88: BM25 scoring joins only by broadcast — the corpus never shuffles for a join") {
+    val p = plan("q88_bm25")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q91: containment blocking has no cartesian stage") {
+    val p = plan("q91_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q96: exemplar sampling runs through the native TopKPerGroup operator") {
+    val p = plan("q96_hash_exemplars")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p) // not the row_number fallback
+  }
+
+  test("q97: MaxSim broadcasts the query tokens; corpus aggregates two-phase") {
+    val p = plan("q97_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
