@@ -211,19 +211,39 @@ object Curation {
     val edeg = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edeg.count() // eager: both downstream consumers read the cache
+    // nodes is referenced by every unrolled iteration AND the final
+    // join; without a persist the parquet-scan + JSON-parse + distinct
+    // subtree is replanned once per reference (4x) inside one job.
+    // The frame is |users| rows — persist is a few KB per executor.
     val nodes = ev.select(col("user_id").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    // each round's rank vector is persisted eagerly and the superseded
+    // one unpersisted (q48's iteration hygiene): without the persist,
+    // round i's broadcast re-executes rounds 1..i-1 from lineage and
+    // the final join re-executes all of them again — quadratic
+    // recompute in the number of rounds.
     var pr = nodes.withColumn("pr", lit(1000000000L))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to 3) {
       val contrib = edeg
         .join(broadcast(pr), col("src") === col("id"))
         .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      pr = nodes.join(contrib, col("id") === col("dst"), "left")
+      val next = nodes.join(contrib, col("id") === col("dst"), "left")
         .select(col("id"), (lit(150000000L) +
           Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
           .as("pr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
+      pr = next
     }
-    pr.join(deg, col("id") === col("src"), "left")
+    // read outdeg back from the persisted edge frame (not `deg`, whose
+    // lineage would replan the whole edge-derivation chain again)
+    val degOut = edeg.select(col("src"), col("outdeg")).distinct()
+    pr.join(degOut, col("id") === col("src"), "left")
       .select(col("id").as("user_id"), col("pr"),
         coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .orderBy(col("pr").desc, col("user_id"))
