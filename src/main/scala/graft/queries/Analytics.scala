@@ -330,7 +330,59 @@ object Analytics {
       |FROM g a JOIN g b ON a.v = b.v AND a.lang = 'en' AND b.lang = 'de'
       |ORDER BY v""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q100: corpus SNAPSHOT DIFF — the dataset-versioning primitive:
+  // given two corpus versions, report per source how many docs were
+  // added, removed, changed (same id, different content hash), or
+  // untouched. The two "versions" are derived deterministically from
+  // the one documents table (v1 drops doc_id%10==0, v2 drops %10==1
+  // and rewrites text where doc_id%7==0), so both engines build
+  // identical inputs. One FULL OUTER join on doc_id of two pruned
+  // scans; at 100 TB both sides would be bucketed by doc_id so only
+  // metadata-sized fingerprint columns shuffle.
+  // ---------------------------------------------------------------
+  def q100SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val v1 = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source").as("src1"),
+        md5(col("text")).as("h1"))
+    val v2 = d.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("source").as("src2"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .groupBy(coalesce(col("src1"), col("src2")).as("source"))
+      .agg(
+        sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") =!= col("h2"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_same"))
+      .orderBy("source")
+  }
+
+  val q100Sql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, source AS src1, md5(text) AS h1
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |), v2 AS (
+      |  SELECT doc_id, source AS src2,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 10 <> 1
+      |)
+      |SELECT COALESCE(src1, src2) AS source,
+      |  CAST(SUM(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(SUM(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(SUM(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      |GROUP BY COALESCE(src1, src2) ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_snapshot_diff" -> q100SnapshotDiff _,
     "q98_skew_profile" -> q98SkewProfile _,
     "q99_quantile_match" -> q99QuantileMatch _,
     "q91_containment" -> q91Containment _,
@@ -341,6 +393,7 @@ object Analytics {
     "q96_hash_exemplars" -> q96HashExemplars _)
 
   val oracles: Map[String, String] = Map(
+    "q100_snapshot_diff" -> q100Sql,
     "q98_skew_profile" -> q98Sql,
     "q99_quantile_match" -> q99Sql,
     "q91_containment" -> q91Sql,
