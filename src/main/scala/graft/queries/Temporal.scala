@@ -225,13 +225,81 @@ object Temporal {
       |    AS removed_ratio
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q101: GAP-FILL + forward-fill (LOCF) resampling — the time-series
+  // regularization operator: build the complete hourly spine per
+  // user, left-join observations onto it, and carry the last
+  // observation forward across gaps (`last(v, ignoreNulls)` over an
+  // unbounded-preceding frame). Sums of the filled series go through
+  // exact decimal(18,2) (the money-column parity technique) so both
+  // engines agree bit-for-bit.
+  //
+  // Scale shape: observations aggregate to (user, hour) first — far
+  // smaller than raw events; the spine is |users| x |hours| rows
+  // generated BY sequence() inside the engine (no driver loop) and
+  // joins/fills partitioned by user. At 100 TB the spine generation
+  // stays embarrassingly parallel and the single user-keyed shuffle
+  // carries the hourly aggregate, never raw events.
+  // ---------------------------------------------------------------
+  def q101GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val obs = ev.groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("h"))
+      .agg(max(col("value")).as("v"))
+    val bounds = ev.agg(
+      date_trunc("HOUR", min(col("ts"))).as("lo"),
+      date_trunc("HOUR", max(col("ts"))).as("hi"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val filled = spine.join(obs, Seq("user_id", "h"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(
+        Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"), count(col("v")).as("n_obs"),
+        (count(col("fv")) - count(col("v"))).as("n_filled"),
+        sum(col("fv").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_filled"))
+      .orderBy("user_id")
+  }
+
+  val q101Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, MAX(value) AS v
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |         date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events
+      |), users AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), spine AS (
+      |  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |  FROM users, bounds
+      |), j AS (
+      |  SELECT s.user_id, s.h, b.v FROM spine s
+      |  LEFT JOIN b USING (user_id, h)
+      |), f AS (
+      |  SELECT user_id, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      |  FROM j
+      |)
+      |SELECT user_id, COUNT(*) AS n_hours, COUNT(v) AS n_obs,
+      |  CAST(COUNT(fv) - COUNT(v) AS BIGINT) AS n_filled,
+      |  CAST(SUM(CAST(fv AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_gap_fill" -> q101GapFill _,
     "q82_scd2_join" -> q82Scd2Join _,
     "q84_funnel" -> q84Funnel _,
     "q86_markov_transitions" -> q86MarkovTransitions _,
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q101_gap_fill" -> q101Sql,
     "q82_scd2_join" -> q82Sql,
     "q84_funnel" -> q84Sql,
     "q86_markov_transitions" -> q86Sql,
