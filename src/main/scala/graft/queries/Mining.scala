@@ -185,12 +185,57 @@ object Mining {
       |  MIN(doc_id) AS min_doc_id
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q102: HEAVY HITTERS through the mergeable Misra-Gries sketch
+  // (`functions/MisraGries.scala`) — the bounded-memory frequent-
+  // items operator: one O(k)-state typed Aggregator pass finds the
+  // hot-token candidates without a full token groupBy. Like q36, the
+  // gate is on what the sketch GUARANTEES, not its (merge-order-
+  // dependent) raw counters: every token with true count > n/60 must
+  // be in the k=120 candidate set (superset guarantee holds for any
+  // merge order) and its undercount is <= n/(k+1). Both flags are
+  // provably 1, so the output is deterministic and hash-gateable; the
+  // exact counts come from the oracle-replicable groupBy.
+  // ---------------------------------------------------------------
+  def q102HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, dir)
+      .select(explode(words(col("text"))).as("token")).as[String]
+    val sketch = toks.select(
+      new graft.functions.MisraGries(120).toColumn.name("sketch"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n"))
+    counts.crossJoin(broadcast(tot))
+      .filter(lit(60L) * col("cnt") > col("n"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est", coalesce(element_at(col("sketch"), col("token")), lit(0L)))
+      .select(col("token"), col("cnt"),
+        (col("est") > 0L).cast("long").as("in_sketch"),
+        (col("cnt") - col("est") <= Relational.ldiv(col("n"), lit(120L)))
+          .cast("long").as("err_ok"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val q102Sql: String =
+    """WITH t AS (
+      |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+      |), c AS (
+      |  SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
+      |)
+      |SELECT token, cnt, CAST(1 AS BIGINT) AS in_sketch,
+      |  CAST(1 AS BIGINT) AS err_ok
+      |FROM c WHERE 60*cnt > (SELECT SUM(cnt) FROM c)
+      |ORDER BY cnt DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_heavy_hitters" -> q102HeavyHitters _,
     "q72_ngram_spans" -> q72NgramSpans _,
     "q74_bigram_lift" -> q74BigramLift _,
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q102_heavy_hitters" -> q102Sql,
     "q72_ngram_spans" -> q72Sql,
     "q74_bigram_lift" -> q74Sql,
     "q75_source_stats" -> q75Sql)
