@@ -535,7 +535,63 @@ object Advanced {
 
   val q70Sql: String = q70Body("customer", "orders")
 
+  // ---------------------------------------------------------------
+  // q103: MAP-typed column pipeline — build a per-user behavior
+  // profile as a native MapType column (map_from_entries), then run
+  // the map function family over it: aggregate() folds the values to
+  // a total, transform_values rescales each entry to an exact
+  // per-10000 share, map_filter keeps the hot entries, and
+  // map_entries + sort_array + array_join serialize the result
+  // canonically (sorted by key) so the map's undefined internal order
+  // never leaks into the output. The oracle builds the same profile
+  // string relationally (DuckDB has no first-class map pipeline) —
+  // pinning that the map-functions form is semantically just a
+  // per-key fold, kept in ONE row-level pipeline with no second
+  // shuffle after the (user, type) aggregate.
+  // ---------------------------------------------------------------
+  def q103MapProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir).groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    c.groupBy(col("user_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .withColumn("total",
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x))
+      .withColumn("shares",
+        transform_values(col("m"),
+          (_, v) => graft.queries.Relational.ldiv(lit(10000L) * v, col("total"))))
+      .withColumn("hot", map_filter(col("shares"), (_, v) => v >= 1000L))
+      .select(col("user_id"), size(col("m")).cast("long").as("n_types"),
+        col("total"),
+        array_join(transform(sort_array(map_entries(col("hot"))),
+          e => concat(e.getField("key"), lit("="),
+            e.getField("value").cast("string"))), ",").as("profile"))
+      .orderBy("user_id")
+  }
+
+  val q103Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type
+      |), t AS (
+      |  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS total,
+      |    COUNT(*) AS n_types
+      |  FROM c GROUP BY user_id
+      |), s AS (
+      |  SELECT c.user_id, c.event_type,
+      |    CAST((10000*c.cnt) // t.total AS BIGINT) AS share
+      |  FROM c JOIN t USING (user_id)
+      |)
+      |SELECT t.user_id, t.n_types, t.total,
+      |  COALESCE(string_agg(CASE WHEN s.share >= 1000
+      |      THEN s.event_type || '=' || s.share END, ','
+      |    ORDER BY s.event_type), '') AS profile
+      |FROM t JOIN s USING (user_id)
+      |GROUP BY t.user_id, t.n_types, t.total
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_map_profile" -> q103MapProfile _,
     "q60_asof_native" -> q60AsofNative _,
     "q68_range_native" -> q68RangeNative _,
     "q69_correlated_subquery" -> q69CorrelatedSubquery _,
@@ -553,6 +609,7 @@ object Advanced {
     "q59_pii_scrub" -> q59PiiScrub _)
 
   val oracles: Map[String, String] = Map(
+    "q103_map_profile" -> q103Sql,
     "q60_asof_native" -> Events.q37Sql,
     "q68_range_native" -> Events.q43Sql,
     "q69_correlated_subquery" -> q69Sql,
