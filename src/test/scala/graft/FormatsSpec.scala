@@ -47,6 +47,27 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy("doc_id").collect().toSeq == docs.collect().toSeq)
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new shards") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("fmt_evo").toString + "/d"
+    // v1 shard: (doc_id, lang); v2 shard adds a quality column
+    Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang")
+      .write.parquet(s"$out/day=1")
+    Seq((3L, "de", 0.9), (4L, "en", 0.4)).toDF("doc_id", "lang", "quality")
+      .write.parquet(s"$out/day=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(back.columns.toSet == Set("doc_id", "lang", "quality", "day"))
+    // old rows surface NULL for the evolved column; new rows keep it
+    val rows = back.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("quality")) == 0.9)
+    // and the partition column still prunes
+    assert(spark.read.option("mergeSchema", "true").parquet(out)
+      .filter($"day" === 2).count() == 2)
+  }
+
   test("malformed json records are dropped under DROPMALFORMED") {
     val out = Files.createTempDirectory("fmt_bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$out/part.json"),
