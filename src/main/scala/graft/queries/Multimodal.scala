@@ -132,13 +132,56 @@ object Multimodal {
        |FROM f
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q104: RESIZE/transcode — the remaining multimodal verb after
+  // bundle (q33), decode/feature-extract (q35) and frame-sample
+  // (q40): payload in, smaller payload out, metadata updated. The
+  // "resampler" stub keeps every 3rd byte (a real image resize would
+  // decode, filter, re-encode here — same batch shape); output
+  // carries before/after sizes and the md5 of the RESIZED payload so
+  // the oracle verifies the transcoded bytes, not just their count.
+  // Typed mapPartitions again: partition-parallel, one codec init per
+  // partition, no driver involvement.
+  // ---------------------------------------------------------------
+  def q104Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { r =>
+          val resized = Array.tabulate((r.payload.length + 2) / 3)(i =>
+            r.payload(3 * i))
+          val hex = md.digest(resized).map("%02x".format(_)).mkString
+          (r.doc_id, r.payload.length, resized.length, hex)
+        }
+      }
+      .toDF("doc_id", "orig_bytes", "new_bytes", "resized_md5")
+      .orderBy("doc_id")
+  }
+
+  val q104Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, strlen(text) AS ob,
+      |    array_to_string(list_transform(range((strlen(text)+2)//3),
+      |      i -> substr(text, CAST(3*i+1 AS INT), 1)), '') AS rs
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(ob AS INT) AS orig_bytes,
+      |  CAST(strlen(rs) AS INT) AS new_bytes, md5(rs) AS resized_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal_bundle" -> q33MultimodalBundle _,
     "q35_multimodal_features" -> q35MultimodalFeatures _,
-    "q40_frame_sample" -> q40FrameSample _)
+    "q40_frame_sample" -> q40FrameSample _,
+    "q104_resize" -> q104Resize _)
 
   val oracles: Map[String, String] = Map(
     "q33_multimodal_bundle" -> q33Sql,
     "q35_multimodal_features" -> q35Sql,
-    "q40_frame_sample" -> q40Sql)
+    "q40_frame_sample" -> q40Sql,
+    "q104_resize" -> q104Sql)
 }
