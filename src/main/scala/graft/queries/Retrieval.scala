@@ -27,16 +27,18 @@ object Retrieval {
   // order. The third classic blocking family after min-shingle
   // buckets (q25) and LSH bands (q23): O(N·W) comparisons, catches
   // prefix-similar near-dups that hash blocking can spread across
-  // buckets. Blocked by first character so the sort/lead window
-  // parallelizes (the standard multi-pass variant rotates the key to
-  // recover pairs that straddle block boundaries; one pass here).
+  // buckets. Blocked by the 2-char prefix so the sort/lead window
+  // parallelizes — block granularity is the parallelism/recall dial:
+  // longer prefixes mean more, smaller blocks (more cores busy, more
+  // boundary-straddling pairs missed); the standard multi-pass
+  // variant rotates the key to recover boundary pairs. One pass here.
   // Scale shape: range-partition + window lead — no join at all;
   // the quadratic edit-distance work is bounded to N·W pairs.
   // ---------------------------------------------------------------
   def q83SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
     val d = documents(s, dir).select(col("doc_id"), col("text"),
-        substring(col("text"), 1, 1).as("blk"),
+        substring(col("text"), 1, 2).as("blk"),
         substring(col("text"), 1, 120).as("head"))
     val withN = d
       .withColumn("nbrs", array((1 to 3).map(k =>
@@ -54,7 +56,7 @@ object Retrieval {
 
   val q83Sql: String =
     """WITH d AS (
-      |  SELECT doc_id, text, substr(text, 1, 1) AS blk,
+      |  SELECT doc_id, text, substr(text, 1, 2) AS blk,
       |    substr(text, 1, 120) AS head
       |  FROM documents
       |), l AS (
@@ -116,20 +118,25 @@ object Retrieval {
   // q87: INVERTED INDEX construction — token -> (document frequency,
   // total term frequency, head of the sorted posting list). The
   // foundational retrieval structure: explode to postings, one hash
-  // aggregate keyed by token. The posting head is a sorted-set
-  // prefix, so output is deterministic despite distributed
-  // collect_set. At 100 TB this is the exact shape a shard-building
-  // job uses: partial aggregation combines per-partition postings
-  // before the token-keyed exchange.
+  // aggregate keyed by token for the counts, and the 5-doc posting
+  // head through the NATIVE TopKPerGroup heap — a collect_set head
+  // would accumulate EVERY doc id of a common token in one aggregation
+  // buffer before slicing (unbounded state for stopwords at 100 TB);
+  // the heap carries at most 5 ids per (partition, token) through the
+  // shuffle, so posting-head state is bounded by construction.
   // ---------------------------------------------------------------
   def q87InvertedIndex(s: SparkSession, dir: String): DataFrame = {
-    documents(s, dir)
+    val tok = documents(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val stats = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf_total"))
+    val heads = graft.plans.ops.topKPerGroup(
+        tok.distinct(), groupCols = Seq(col("token")),
+        orderCols = Seq(col("doc_id")), k = 5)
       .groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("tf_total"),
-        array_join(transform(slice(sort_array(collect_set(col("doc_id"))), 1, 5),
-          _.cast("string")), ",").as("postings_head"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings_head")) // <= 5 rows per token
+    stats.join(heads, "token")
       .orderBy(col("df").desc, col("token"))
       .limit(25)
   }

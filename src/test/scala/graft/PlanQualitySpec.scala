@@ -197,11 +197,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p93.toLowerCase.contains("join"), p93)
   }
 
-  test("q87: index construction is explode + two-phase aggregation — no join") {
+  test("q87: posting heads run through the native bounded heap, not collect_set") {
     val p = plan("q87_inverted_index")
-    // "join" alone would false-positive on the array_join expression
-    assert(!p.contains("MergeJoin") && !p.contains("HashJoin") &&
-      !p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerGroup"), p) // bounded per-token state
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
