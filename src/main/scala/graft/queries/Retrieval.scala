@@ -47,8 +47,11 @@ object Retrieval {
       .select(col("doc_id"), col("head"), explode(col("nbrs")).as("nb"))
       .filter(col("nb.id").isNotNull)
     withN
-      .withColumn("edit_dist", levenshtein(col("head"), col("nb.h")))
-      .filter(col("edit_dist") <= 20)
+      // 3-arg levenshtein runs the banded O(k·n) algorithm with early
+      // exit (returns -1 above the threshold) instead of the full
+      // O(n^2) DP — the right kernel when a cutoff exists
+      .withColumn("edit_dist", levenshtein(col("head"), col("nb.h"), 20))
+      .filter(col("edit_dist") =!= -1)
       .select(least(col("doc_id"), col("nb.id")).as("i"),
         greatest(col("doc_id"), col("nb.id")).as("j"), col("edit_dist"))
       .orderBy("i", "j")

@@ -189,13 +189,18 @@ object TextAnalysis {
     val docs = documents(s, dir)
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(words(col("text"))).as("w"))
-    val n = docs.count() // corpus size: one tiny job, a constant in the plan
+    // corpus size as a broadcast scalar subquery — keeps the whole
+    // query ONE plan (a driver-side count() here would be a separate
+    // job serializing plan construction; the oracle already uses the
+    // subquery form)
+    val nn = docs.agg(count(lit(1)).cast("double").as("nn"))
     val tf = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tok.select(col("doc_id"), col("w")).distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(nn))
       .withColumn("tfidf",
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4))
+        round(col("tf") * log((col("nn") + 1.0) / (col("df") + 1.0)), 4))
     val rw = Window.partitionBy(col("lang"))
       .orderBy(col("tfidf").desc, col("w"))
     scored.withColumn("rank", row_number().over(rw))
