@@ -291,7 +291,38 @@ object Temporal {
       |  CAST(SUM(CAST(fv AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q105: sketch RE-AGGREGATION — HLL distinct users per day AND the
+  // month total from ONE rollup pass: the property that makes
+  // sketches matter at scale is mergeability (per-day sketches
+  // combine into the total without rescanning), and rollup exercises
+  // exactly that merge path inside the aggregate. Gated like q36: the
+  // exact count is the output, the sketch contributes a per-engine
+  // "within 5%" flag that both engines' HLLs satisfy deterministically.
+  // ---------------------------------------------------------------
+  def q105SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .rollup(col("day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(coalesce(col("day"), lit("ALL")).as("day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <
+          col("exact_users").cast("double") * 0.05).cast("int").as("within_5pct"))
+      .orderBy("day")
+  }
+
+  val q105Sql: String =
+    """SELECT COALESCE(day, 'ALL') AS day,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+      |       < COUNT(DISTINCT user_id) * 0.05 AS INT) AS within_5pct
+      |FROM (SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+      |      FROM events)
+      |GROUP BY ROLLUP(day) ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_sketch_rollup" -> q105SketchRollup _,
     "q101_gap_fill" -> q101GapFill _,
     "q82_scd2_join" -> q82Scd2Join _,
     "q84_funnel" -> q84Funnel _,
@@ -299,6 +330,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q105_sketch_rollup" -> q105Sql,
     "q101_gap_fill" -> q101Sql,
     "q82_scd2_join" -> q82Sql,
     "q84_funnel" -> q84Sql,
