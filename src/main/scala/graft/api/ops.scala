@@ -1,0 +1,196 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Hashing
+
+/** The composable, user-facing operator library — the parameterized
+  * forms of the pipeline shapes the qNN queries demonstrate, so a
+  * user can run them on THEIR frames instead of the testdata tables.
+  * Everything is a DataFrame-in/DataFrame-out transform built from
+  * the same scale shapes: window passes, banded LSH blocking,
+  * broadcast query sides, native heap top-k. Native join/top-k
+  * operators live in [[graft.plans.ops]] (asofJoin, rangeJoin,
+  * topKPerGroup); SQL functions install via [[graft.Graft.register]].
+  */
+object ops {
+
+  /** Exact floor division for non-negative int64 columns. */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** Exact dedup: one surviving row per `keys` group — the survivor
+    * is the row with the smallest `tiebreak` (deterministic, unlike
+    * dropDuplicates' arbitrary pick). One window pass, no join.
+    */
+  def dedupExact(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tiebreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Gap sessionization: appends `session_id` (1-based per key) that
+    * increments whenever consecutive `ts` differ by more than
+    * `gapSeconds`. One window pass partitioned by key.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val prev = lag(col(ts), 1).over(w)
+    val newSession = when(prev.isNull ||
+      unix_timestamp(col(ts)) - unix_timestamp(prev) > gapSeconds, 1L)
+      .otherwise(0L)
+    df.withColumn("__new", newSession)
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Deterministic Bernoulli sample: keeps a row iff the salted md5
+    * of `keyCol` falls under `keepPerMillion`. Same row set on every
+    * run, every engine, every partitioning — the reproducible-split
+    * primitive (train/val splits, debug subsets).
+    */
+  def hashSample(df: DataFrame, keyCol: String, keepPerMillion: Long,
+      salt: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(keyCol).cast("string"))), 1, 5), 16, 10).cast("long")
+    // 20-bit hash: keep iff h * 10^6 < keep * 2^20
+    df.filter(h * 1000000L < lit(keepPerMillion) * 1048576L)
+  }
+
+  /** MinHash-LSH near-dup CANDIDATE pairs (i, j) with i < j: the
+    * banded 12-perm signature (native codegen expression, zero
+    * shuffle) split 4 bands x 3 rows; docs sharing any band bucket
+    * become candidates. Candidate fan-out is bucket-bounded — never
+    * all-pairs.
+    */
+  def nearDupCandidates(df: DataFrame, id: String, text: String): DataFrame = {
+    val sig = df.select(col(id).as("__id"),
+      graft.functions.texthash.minhashSig(col(text)).as("__msig"))
+    val ms = (0 until 12).map(i => get(col("__msig"), lit(i)))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",", ms(3 * b), ms(3 * b + 1), ms(3 * b + 2)))
+          .as("band_key"))
+    }
+    val bands = sig.select(col("__id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("__id"), col("bk.band_idx"), col("bk.band_key"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("i"), col("b.__id").as("j"))
+      .distinct()
+  }
+
+  /** Near-dup PAIRS: LSH candidates verified by exact 3-shingle
+    * Jaccard >= `minJaccard`. Returns (i, j, jaccard).
+    */
+  def nearDupPairs(df: DataFrame, id: String, text: String,
+      minJaccard: Double): DataFrame = {
+    val sh = df.select(col(id).as("__id"),
+        Hashing.shingles(col(text), 3).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager: both verify-join sides read the cache
+    val cand = nearDupCandidates(df, id, text)
+    cand
+      .join(sh.select(col("__id").as("i"), col("__sh").as("__sha")), "i")
+      .join(sh.select(col("__id").as("j"), col("__sh").as("__shb")), "j")
+      .withColumn("jaccard", Hashing.jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** Overlapping-window token chunking (the RAG splitter): one row
+    * per (id, chunk_idx) with the chunk text and its token count.
+    * window > stride ⇒ consecutive chunks overlap by window - stride
+    * tokens. Pure generate + slice — no shuffle.
+    */
+  def chunk(df: DataFrame, id: String, text: String,
+      window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, "need window >= stride > 0")
+    val nChunks = greatest(lit(1L),
+      (ceil((size(col("__ws")).cast("long") - window) / (stride * 1.0)) + 1L))
+    df.select(col(id), Hashing.words(col(text)).as("__ws"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), nChunks.cast("long") - 1L)))
+      .select(col(id), col("chunk_idx"),
+        concat_ws(" ", slice(col("__ws"),
+          (col("chunk_idx") * stride + 1L).cast("int"), lit(window)))
+          .as("chunk_text"))
+      .withColumn("n_tokens", size(Hashing.words(col("chunk_text"))).cast("long"))
+  }
+
+  /** Greedy sequence packing: assigns each row a `pack_id` such that
+    * every pack's `nTokens` total (rows capped at `budget`) is
+    * STRICTLY within `budget`. Rows are greedily first-fit in
+    * `orderCol` order within a deterministic md5 shard; packs never
+    * span shards. This is genuine sequential logic — a prefix-sum
+    * window can overflow the budget whenever a boundary-crossing row
+    * leaves slack — so it runs as per-partition imperative code
+    * (repartition by shard, sort within, one greedy pass), the
+    * documented last-resort pattern, applied where declarative ops
+    * cannot express the semantics.
+    */
+  def packSequences(df: DataFrame, orderCol: String, nTokens: String,
+      budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val shard = pmod(conv(substring(md5(col(orderCol).cast("string")), 1, 4),
+      16, 10).cast("long"), lit(shards.toLong))
+    val staged = df
+      .withColumn("__shard", shard)
+      .withColumn("__n", least(col(nTokens).cast("long"), lit(budget)))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col(orderCol))
+    val outSchema = staged.schema
+      .add("pack_id", org.apache.spark.sql.types.LongType)
+    val packed = staged.mapPartitions { it =>
+      // several shards may share a partition; reset on shard change
+      // (rows arrive sorted by (__shard, orderCol))
+      var cur = Long.MinValue
+      var acc = 0L
+      var pack = 0L
+      it.map { r =>
+        val sh = r.getAs[Long]("__shard")
+        val n = r.getAs[Long]("__n")
+        if (sh != cur) { cur = sh; acc = 0L; pack = 0L }
+        if (acc + n > budget) { pack += 1L; acc = 0L }
+        acc += n
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (sh * 1000000L + pack))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.drop("__shard", "__n")
+  }
+
+  /** Brute-force cosine top-k: `queries` (qid, vec) is broadcast
+    * against `corpus` (id, vec); both are unit-normalized here so
+    * the per-pair work is one codegen'd dot product. The corpus is
+    * scanned once and never shuffled. Valid while the query set is
+    * broadcast-sized; above that, block both sides (IVF/LSH — see
+    * q28/q42).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def normed(df: DataFrame, idName: String, vecName: String): DataFrame = {
+      val Array(idCol, vecCol) = df.columns.take(2)
+      val v = col(vecCol).cast("array<double>")
+      val n = sqrt(graft.functions.vec.arrayDot(v, v))
+      df.select(col(idCol).as(idName), transform(v, x => x / n).as(vecName))
+    }
+    val c = normed(corpus, "id", "__cv")
+    val q = normed(queries, "qid", "__qv")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("__cos", graft.functions.vec.arrayDot(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("__cos"), 4).as("cos_sim"))
+  }
+}

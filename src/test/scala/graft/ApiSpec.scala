@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.ops
+
+/** The composable API surface: semantics unit-checked on small
+  * frames, and the LSH/ANN transforms cross-checked against the
+  * corresponding oracle-gated queries (same pipelines, parameterized
+  * inputs).
+  */
+class ApiSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedupExact keeps the deterministic min-tiebreak survivor") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L))
+      .toDF("k", "id")
+    val out = ops.dedupExact(df, Seq("k"), "id").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("a", 1L), ("b", 9L)))
+  }
+
+  test("sessionize splits on gaps and numbers sessions per key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 05:00:00"))
+      .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val out = ops.sessionize(df, "k", "ts", gapSeconds = 1800)
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("hashSample is deterministic and close to the nominal rate") {
+    val df = Tables.documents(spark, dir)
+    val a = ops.hashSample(df, "doc_id", 200000L, "s1") // 20%
+    val b = ops.hashSample(df, "doc_id", 200000L, "s1")
+    assert(a.count() === b.count())
+    val n = df.count().toDouble
+    assert(math.abs(a.count() / n - 0.2) < 0.1, s"rate=${a.count() / n}")
+    // different salt -> different (but still deterministic) subset
+    val c = ops.hashSample(df, "doc_id", 200000L, "s2")
+    assert(c.count() > 0 && c.except(a).count() > 0)
+  }
+
+  test("nearDupPairs matches the oracle-gated q23 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q23 = SparkEntry.queries("q23_minhash_lsh")(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api === q23)
+  }
+
+  test("chunk covers every token with the requested overlap") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = ops.chunk(df, "id", "text", window = 10, stride = 5)
+      .orderBy("chunk_idx").collect()
+    assert(out.length === 4) // ceil((25-10)/5)+1
+    val first = out(0).getAs[String]("chunk_text").split(" ")
+    val second = out(1).getAs[String]("chunk_text").split(" ")
+    assert(first.takeRight(5).toSeq === second.take(5).toSeq) // overlap
+    assert(out.map(_.getAs[Long]("n_tokens")).sum >= 25) // full coverage
+    assert(out.last.getAs[String]("chunk_text").endsWith("t25"))
+  }
+
+  test("packSequences respects the token budget within every pack") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("n_tok"))
+    val packed = ops.packSequences(docs, "doc_id", "n_tok", budget = 2048)
+    val over = packed.groupBy("pack_id")
+      .agg(sum(least(col("n_tok"), lit(2048L))).as("tot"))
+      .filter(col("tot") > 2048L)
+    assert(over.count() === 0)
+    // everything is packed exactly once
+    assert(packed.count() === docs.count())
+  }
+
+  test("cosineTopK matches the oracle-gated q27 pipeline") {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val api = ops.cosineTopK(corpus, queries, k = 6)
+      // q27 excludes self-matches; the API keeps them (rank 1, cos 1.0)
+      .filter(col("qid") =!= col("id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("id"))))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val q27 = SparkEntry.queries("q27_embed_topk")(spark, dir)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(api === q27)
+  }
+}
