@@ -168,6 +168,41 @@ object ops {
     packed.drop("__shard", "__n")
   }
 
+  /** Eval-set DECONTAMINATION: flags every `corpus` row sharing at
+    * least `minOverlap` word 5-grams with any `evalSet` text. The
+    * eval-gram set broadcasts (eval sets are small by definition),
+    * so the corpus is one explode + broadcast-semi pass — it never
+    * shuffles. Returns the corpus with an appended `n_overlap`.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      id: String, text: String): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(Hashing.shingles(col(text), 5)).as("__sg"))
+      .distinct()
+    val hits = corpus
+      .select(col(id), explode(Hashing.shingles(col(text), 5)).as("__sg"))
+      .join(broadcast(evalGrams), "__sg")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+    corpus.join(hits, Seq(id), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+  }
+
+  /** Rank-based QUALITY GATE: keeps the top `keepPerMille`/1000 of
+    * rows per `group` by `score` (ties broken by `tiebreak` so the
+    * cut is deterministic). Rank cutoffs beat value-percentile
+    * cutoffs for cross-engine and cross-run stability.
+    */
+  def qualityGate(df: DataFrame, group: String, score: String,
+      tiebreak: String, keepPerMille: Int): DataFrame = {
+    val rw = Window.partitionBy(col(group))
+      .orderBy(col(score).desc, col(tiebreak))
+    val nw = Window.partitionBy(col(group))
+    df.withColumn("__rnk", row_number().over(rw).cast("long"))
+      .withColumn("__n", count(lit(1)).over(nw))
+      .filter(col("__rnk") * 1000L <= col("__n") * keepPerMille)
+      .drop("__rnk", "__n")
+  }
+
   /** Brute-force cosine top-k: `queries` (qid, vec) is broadcast
     * against `corpus` (id, vec); both are unit-normalized here so
     * the per-pair work is one codegen'd dot product. The corpus is

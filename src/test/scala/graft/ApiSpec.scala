@@ -84,6 +84,29 @@ class ApiSpec extends SparkSpec {
     assert(packed.count() === docs.count())
   }
 
+  test("decontaminate flags exactly the overlapping docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("id", "text")
+    val eval = Seq((99L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val out = ops.decontaminate(corpus, eval, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_overlap"))).toSeq
+    assert(out.head._1 === 1L && out.head._2 >= 1L) // shares 5-grams
+    assert(out(1)._2 === 0L)
+  }
+
+  test("qualityGate keeps the deterministic top fraction per group") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10).map(i => ("g", i.toLong, 100L - i)).toDF("g", "id", "score")
+    val kept = ops.qualityGate(df, "g", "score", "id", keepPerMille = 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L)) // highest scores are lowest ids
+  }
+
   test("cosineTopK matches the oracle-gated q27 pipeline") {
     val e = Tables.embeddings(spark, dir)
     val corpus = e.select(col("vec_id"), col("embedding"))
