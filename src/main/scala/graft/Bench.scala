@@ -43,7 +43,11 @@ object Bench {
     // ("q48" not "q48_dedup_clusters") and 3-decimal seconds — ~1.1KB for
     // 85 queries, leaving room for sbt's trailing "[success]" line. The
     // full-name full-precision detail goes to bench_detail.json instead.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // renders "0,123" under comma-decimal locales — invalid JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -39,8 +39,10 @@ object ops {
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
     val prev = lag(col(ts), 1).over(w)
+    // microsecond arithmetic: unix_timestamp() truncates to whole
+    // seconds and mis-splits sub-second-precision data on the boundary
     val newSession = when(prev.isNull ||
-      unix_timestamp(col(ts)) - unix_timestamp(prev) > gapSeconds, 1L)
+      unix_micros(col(ts)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     df.withColumn("__new", newSession)
       .withColumn("session_id",
@@ -90,16 +92,18 @@ object ops {
   }
 
   /** Near-dup PAIRS: LSH candidates verified by exact 3-shingle
-    * Jaccard >= `minJaccard`. Returns (i, j, jaccard).
+    * Jaccard >= `minJaccard`. Returns (i, j, jaccard). The shingle
+    * frame is recomputed for each verify-join side rather than
+    * persisted: a library call must not leave cached partitions
+    * behind for the session's lifetime (the caller holds no handle to
+    * unpersist), and the extra scan is a pure codegen map stage.
+    * Callers iterating many times can pre-cache `df` themselves.
     */
   def nearDupPairs(df: DataFrame, id: String, text: String,
       minJaccard: Double): DataFrame = {
     val sh = df.select(col(id).as("__id"),
-        Hashing.shingles(col(text), 3).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // eager: both verify-join sides read the cache
-    val cand = nearDupCandidates(df, id, text)
-    cand
+      Hashing.shingles(col(text), 3).as("__sh"))
+    nearDupCandidates(df, id, text)
       .join(sh.select(col("__id").as("i"), col("__sh").as("__sha")), "i")
       .join(sh.select(col("__id").as("j"), col("__sh").as("__shb")), "j")
       .withColumn("jaccard", Hashing.jaccard(col("__sha"), col("__shb")))
@@ -162,7 +166,9 @@ object ops {
         if (sh != cur) { cur = sh; acc = 0L; pack = 0L }
         if (acc + n > budget) { pack += 1L; acc = 0L }
         acc += n
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (sh * 1000000L + pack))
+        // shard << 40: a 1e6 multiplier would collide once a shard
+        // exceeds a million packs (plausible at corpus scale)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ((sh << 40) | pack))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     packed.drop("__shard", "__n")
@@ -215,7 +221,10 @@ object ops {
       val Array(idCol, vecCol) = df.columns.take(2)
       val v = col(vecCol).cast("array<double>")
       val n = sqrt(graft.functions.vec.arrayDot(v, v))
-      df.select(col(idCol).as(idName), transform(v, x => x / n).as(vecName))
+      // a zero-norm vector would produce NaN cosines, and NaN sorts
+      // ABOVE every real similarity — it would silently win rank 1
+      df.filter(n > 0.0)
+        .select(col(idCol).as(idName), transform(v, x => x / n).as(vecName))
     }
     val c = normed(corpus, "id", "__cv")
     val q = normed(queries, "qid", "__qv")

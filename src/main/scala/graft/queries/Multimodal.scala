@@ -136,10 +136,14 @@ object Multimodal {
   // q104: RESIZE/transcode — the remaining multimodal verb after
   // bundle (q33), decode/feature-extract (q35) and frame-sample
   // (q40): payload in, smaller payload out, metadata updated. The
-  // "resampler" stub keeps every 3rd byte (a real image resize would
-  // decode, filter, re-encode here — same batch shape); output
-  // carries before/after sizes and the md5 of the RESIZED payload so
-  // the oracle verifies the transcoded bytes, not just their count.
+  // "resampler" stub keeps every 3rd UNIT of the payload (a real
+  // image resize would decode, filter, re-encode here — same batch
+  // shape); output carries before/after sizes and the md5 of the
+  // RESIZED payload so the oracle verifies the transcoded content,
+  // not just its size. The unit is a Unicode codepoint, decoded
+  // surrogate-safely from the payload bytes — byte-strided sampling
+  // would diverge from the oracle's character semantics the moment a
+  // multi-byte character appears (DuckDB substr counts characters).
   // Typed mapPartitions again: partition-parallel, one codec init per
   // partition, no driver involvement.
   // ---------------------------------------------------------------
@@ -152,25 +156,29 @@ object Multimodal {
       .mapPartitions { batch =>
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { r =>
-          val resized = Array.tabulate((r.payload.length + 2) / 3)(i =>
-            r.payload(3 * i))
-          val hex = md.digest(resized).map("%02x".format(_)).mkString
-          (r.doc_id, r.payload.length, resized.length, hex)
+          val cps = new String(r.payload,
+            java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+          val kept = Array.tabulate((cps.length + 2) / 3)(i => cps(3 * i))
+          val rs = new String(kept, 0, kept.length)
+          val hex = md.digest(
+            rs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          (r.doc_id, cps.length, kept.length, hex)
         }
       }
-      .toDF("doc_id", "orig_bytes", "new_bytes", "resized_md5")
+      .toDF("doc_id", "orig_units", "new_units", "resized_md5")
       .orderBy("doc_id")
   }
 
   val q104Sql: String =
     """WITH r AS (
-      |  SELECT doc_id, strlen(text) AS ob,
-      |    array_to_string(list_transform(range((strlen(text)+2)//3),
+      |  SELECT doc_id, length(text) AS ou,
+      |    array_to_string(list_transform(range((length(text)+2)//3),
       |      i -> substr(text, CAST(3*i+1 AS INT), 1)), '') AS rs
       |  FROM documents
       |)
-      |SELECT doc_id, CAST(ob AS INT) AS orig_bytes,
-      |  CAST(strlen(rs) AS INT) AS new_bytes, md5(rs) AS resized_md5
+      |SELECT doc_id, CAST(ou AS INT) AS orig_units,
+      |  CAST(length(rs) AS INT) AS new_units, md5(rs) AS resized_md5
       |FROM r ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,11 +43,15 @@ object Temporal {
     // and explicit renames keep the join condition unambiguous
     val dim = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("d_uid"), col("ts").as("valid_from"),
+        col("event_id").as("d_eid"),
         floor(col("value")).cast("long").as("tier"))
       .withColumn("valid_to",
         lead(col("valid_from"), 1).over(
           Window.partitionBy(col("d_uid"))
-            .orderBy(col("valid_from"), col("tier"))))
+            // (ts, event_id) — the SAME total order as the oracle;
+            // ordering by tier would diverge on same-µs signup ties
+            .orderBy(col("valid_from"), col("d_eid"))))
+      .drop("d_eid")
     val fact = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"))
     fact.join(broadcast(dim),

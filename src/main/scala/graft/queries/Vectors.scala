@@ -568,16 +568,23 @@ object Vectors {
       .limit(10)
   }
 
+  // oracle computes the cosine with the SAME floating-point operation
+  // order as the Spark side (normalize each vector element-wise, then
+  // dot the normalized vectors) — list_cosine_similarity's
+  // dot/(na*nb) order would differ in the last ulps, which is exactly
+  // where a round-to-grain boundary could flip
   val q97Sql: String =
     """WITH e AS (
       |  SELECT vec_id, vec_id // 10 AS doc_id,
-      |    CAST(embedding AS DOUBLE[]) AS emb
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS ne
       |  FROM embeddings
       |), q AS (
-      |  SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5
+      |  SELECT vec_id AS q_id, ne AS qe FROM e WHERE vec_id < 5
       |), p AS (
       |  SELECT e.doc_id, q.q_id,
-      |    CAST(ROUND(10000 * list_cosine_similarity(q.qe, e.emb)) AS BIGINT) AS c
+      |    CAST(ROUND(10000 * list_dot_product(q.qe, e.ne)) AS BIGINT) AS c
       |  FROM e CROSS JOIN q
       |), m AS (
       |  SELECT doc_id, q_id, MAX(c) AS mx FROM p GROUP BY doc_id, q_id
