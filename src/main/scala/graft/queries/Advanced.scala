@@ -590,7 +590,41 @@ object Advanced {
       |GROUP BY t.user_id, t.n_types, t.total
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q107: chained EXISTS / NOT EXISTS decorrelation — the TPC-H Q21
+  // plan shape, the hardest standard subquery pattern: per supplier,
+  // count 'R'-flagged line items on multi-supplier orders where NO
+  // OTHER supplier flagged the same order. Catalyst decorrelates the
+  // EXISTS into a left-semi and the NOT EXISTS into a left-anti join
+  // on l_orderkey — no per-row subquery loops; the identical SQL text
+  // runs on DuckDB, so the oracle is definitionally in sync.
+  // ---------------------------------------------------------------
+  def q107ExistsChains(s: SparkSession, dir: String): DataFrame = {
+    supplier(s, dir).createOrReplaceTempView("a_supplier")
+    lineitem(s, dir).createOrReplaceTempView("a_lineitem")
+    s.sql(q107Body("a_supplier", "a_lineitem"))
+  }
+
+  private def q107Body(sup: String, li: String): String =
+    s"""SELECT s.s_name AS s_name, COUNT(*) AS numwait
+       |FROM $sup s JOIN $li l1 ON l1.l_suppkey = s.s_suppkey
+       |WHERE l1.l_returnflag = 'R'
+       |  AND EXISTS (
+       |    SELECT 1 FROM $li l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM $li l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_returnflag = 'R')
+       |GROUP BY s.s_name
+       |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  val q107Sql: String = q107Body("supplier", "lineitem")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_exists_chains" -> q107ExistsChains _,
     "q103_map_profile" -> q103MapProfile _,
     "q60_asof_native" -> q60AsofNative _,
     "q68_range_native" -> q68RangeNative _,
@@ -609,6 +643,7 @@ object Advanced {
     "q59_pii_scrub" -> q59PiiScrub _)
 
   val oracles: Map[String, String] = Map(
+    "q107_exists_chains" -> q107Sql,
     "q103_map_profile" -> q103Sql,
     "q60_asof_native" -> Events.q37Sql,
     "q68_range_native" -> Events.q43Sql,

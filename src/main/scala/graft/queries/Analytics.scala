@@ -381,7 +381,59 @@ object Analytics {
       |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
       |GROUP BY COALESCE(src1, src2) ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q106: RECORD LINKAGE scoring — the Fellegi-Sunter shape: block
+  // candidate pairs on hard keys (nation, segment), score each pair
+  // by integer-weighted field agreements (name edit distance within
+  // 3 via the banded early-exit kernel: +10; account balance within
+  // $500, exact integer cents: +5), and classify match / possible /
+  // non-match by score threshold. The entity-resolution operator
+  // that generalizes exact dedup to noisy identifiers. Blocked —
+  // never all-pairs — and every agreement test is exact int64.
+  // ---------------------------------------------------------------
+  def q106RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val c = customer(s, dir).select(col("c_custkey").as("ck"),
+      col("c_name").as("nm"), col("c_nationkey").as("nk"),
+      col("c_mktsegment").as("seg"), cents.as("bal"))
+    val a = c.alias("a")
+    val b = c.alias("b")
+    val scored = a.join(b,
+        col("a.nk") === col("b.nk") && col("a.seg") === col("b.seg") &&
+          col("a.ck") < col("b.ck"))
+      .withColumn("w",
+        when(levenshtein(col("a.nm"), col("b.nm"), 3) =!= -1, 10L)
+          .otherwise(0L) +
+        when(abs(col("a.bal") - col("b.bal")) <= 50000L, 5L).otherwise(0L))
+      .withColumn("cls",
+        when(col("w") >= 15L, "match")
+          .when(col("w") >= 10L, "possible").otherwise("non_match"))
+    scored.groupBy(col("a.nk").as("nationkey"), col("cls"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("w_sum"))
+      .orderBy("nationkey", "cls")
+  }
+
+  val q106Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS ck, c_name AS nm, c_nationkey AS nk,
+      |    c_mktsegment AS seg,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer
+      |), p AS (
+      |  SELECT a.nk,
+      |    (CASE WHEN levenshtein(a.nm, b.nm) <= 3 THEN 10 ELSE 0 END
+      |     + CASE WHEN ABS(a.bal - b.bal) <= 50000 THEN 5 ELSE 0 END) AS w
+      |  FROM c a JOIN c b
+      |    ON a.nk = b.nk AND a.seg = b.seg AND a.ck < b.ck
+      |)
+      |SELECT nk AS nationkey,
+      |  CASE WHEN w >= 15 THEN 'match' WHEN w >= 10 THEN 'possible'
+      |       ELSE 'non_match' END AS cls,
+      |  COUNT(*) AS n_pairs, CAST(SUM(w) AS BIGINT) AS w_sum
+      |FROM p GROUP BY 1, 2 ORDER BY nationkey, cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_record_linkage" -> q106RecordLinkage _,
     "q100_snapshot_diff" -> q100SnapshotDiff _,
     "q98_skew_profile" -> q98SkewProfile _,
     "q99_quantile_match" -> q99QuantileMatch _,
@@ -393,6 +445,7 @@ object Analytics {
     "q96_hash_exemplars" -> q96HashExemplars _)
 
   val oracles: Map[String, String] = Map(
+    "q106_record_linkage" -> q106Sql,
     "q100_snapshot_diff" -> q100Sql,
     "q98_skew_profile" -> q98Sql,
     "q99_quantile_match" -> q99Sql,

@@ -222,6 +222,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p) // not the row_number fallback
   }
 
+  test("q107: EXISTS chains decorrelate to semi + anti joins — no subquery loops") {
+    val p = plan("q107_exists_chains")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q97: MaxSim broadcasts the query tokens; corpus aggregates two-phase") {
     val p = plan("q97_maxsim")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
