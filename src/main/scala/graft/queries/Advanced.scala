@@ -623,7 +623,54 @@ object Advanced {
 
   val q107Sql: String = q107Body("supplier", "lineitem")
 
+  // ---------------------------------------------------------------
+  // q113: VariantType semi-structured pipeline — Spark 4's native
+  // open-schema type applied to the events props payload:
+  // parse_json lands each payload as a VARIANT (binary-encoded,
+  // shredded access without a fixed schema), variant_get extracts a
+  // typed path, try_variant_get probes an absent path without
+  // erroring, and schema_of_variant reports the per-row physical
+  // type. This is the modern replacement for get_json_object string
+  // re-parsing: the parse happens once, downstream accesses are
+  // O(path) against the binary encoding — at 100 TB the variant
+  // column also shreds into parquet typed subcolumns so the k-path
+  // scan prunes like a real column. Aggregates bucket on k%10 in
+  // exact int64.
+  // ---------------------------------------------------------------
+  def q113VariantPipeline(s: SparkSession, dir: String): DataFrame = {
+    val v = events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      .withColumn("missing",
+        expr("try_variant_get(v, '$.absent', 'long')"))
+      .withColumn("vtype", expr("schema_of_variant(v)"))
+    v.groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("missing").isNull, 1L).otherwise(0L))
+          .as("n_absent"),
+        countDistinct(col("vtype")).as("n_types"))
+      .orderBy("k_bucket")
+  }
+
+  val q113Sql: String =
+    """WITH v AS (
+      |  SELECT user_id,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |    CAST(json_extract(props, '$.absent') AS BIGINT) AS missing
+      |  FROM events
+      |)
+      |SELECT k % 10 AS k_bucket, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_absent,
+      |  CAST(1 AS BIGINT) AS n_types
+      |FROM v GROUP BY k % 10 ORDER BY k_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_variant_pipeline" -> q113VariantPipeline _,
     "q107_exists_chains" -> q107ExistsChains _,
     "q103_map_profile" -> q103MapProfile _,
     "q60_asof_native" -> q60AsofNative _,
@@ -647,6 +694,7 @@ object Advanced {
     "q103_map_profile" -> q103Sql,
     "q60_asof_native" -> Events.q37Sql,
     "q68_range_native" -> Events.q43Sql,
+    "q113_variant_pipeline" -> q113Sql,
     "q69_correlated_subquery" -> q69Sql,
     "q70_lateral" -> q70Sql,
     "q61_decontaminate" -> q61Sql,

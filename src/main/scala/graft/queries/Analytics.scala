@@ -432,7 +432,70 @@ object Analytics {
       |  COUNT(*) AS n_pairs, CAST(SUM(w) AS BIGINT) AS w_sum
       |FROM p GROUP BY 1, 2 ORDER BY nationkey, cls""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q112: trailing-window z-score anomaly detection — the streaming-
+  // monitor shape evaluated in batch: each event's value is scored
+  // against the mean/stddev of the 20 events BEFORE it (per event
+  // type, event-time order), flagging |z| > 3. The whole thing is one
+  // window pass (no self-join, no collect), and the z test is
+  // evaluated without ever forming a float mean or stddev:
+  //   z^2 > 9  <=>  (n*x - Σx)^2 > 9 * (n*Σx^2 - (Σx)^2)
+  // over integer cents (floor(value*100) — floor of an IEEE multiply
+  // is bit-identical in both engines, where round() half-up vs
+  // half-even is not). Magnitudes: x < 6e4 cents, so every term stays
+  // far inside int64. At 100 TB the window partitions by event_type
+  // (or a finer key); the frame is O(20) state per row — the same
+  // bounded state the streaming twin keeps per key.
+  // ---------------------------------------------------------------
+  def q112ZscoreAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val scored = events(s, dir)
+      .withColumn("x", floor(col("value") * 100))
+      .withColumn("n", count(col("x")).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("n") >= 10) // warm-up: score only with enough history
+      .withColumn("anom",
+        (pow2(col("n") * col("x") - col("sx")) >
+          lit(9L) * (col("n") * col("sxx") - pow2(col("sx")))).cast("long"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("anom")).as("n_anomalies"),
+        sum(when(col("anom") === 1, col("event_id"))
+          .otherwise(lit(0L))).as("anomaly_id_sum"))
+      .orderBy("event_type")
+  }
+
+  private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c * c
+
+  val q112Sql: String =
+    """WITH scored AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value*100) AS BIGINT) AS x,
+      |    COUNT(*) OVER w AS n,
+      |    CAST(SUM(CAST(floor(value*100) AS BIGINT)) OVER w AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(floor(value*100) AS BIGINT)
+      |           * CAST(floor(value*100) AS BIGINT)) OVER w AS BIGINT) AS sxx
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      |), flagged AS (
+      |  SELECT event_type, event_id,
+      |    CASE WHEN (n*x - sx)*(n*x - sx) > 9*(n*sxx - sx*sx)
+      |         THEN 1 ELSE 0 END AS anom
+      |  FROM scored WHERE n >= 10
+      |)
+      |SELECT event_type, COUNT(*) AS n_scored,
+      |  CAST(SUM(anom) AS BIGINT) AS n_anomalies,
+      |  CAST(SUM(CASE WHEN anom = 1 THEN event_id ELSE 0 END) AS BIGINT)
+      |    AS anomaly_id_sum
+      |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_zscore_anomaly" -> q112ZscoreAnomaly _,
     "q106_record_linkage" -> q106RecordLinkage _,
     "q100_snapshot_diff" -> q100SnapshotDiff _,
     "q98_skew_profile" -> q98SkewProfile _,
@@ -445,6 +508,7 @@ object Analytics {
     "q96_hash_exemplars" -> q96HashExemplars _)
 
   val oracles: Map[String, String] = Map(
+    "q112_zscore_anomaly" -> q112Sql,
     "q106_record_linkage" -> q106Sql,
     "q100_snapshot_diff" -> q100Sql,
     "q98_skew_profile" -> q98Sql,

@@ -342,7 +342,70 @@ object Curation {
       |    // (2*COUNT(*))) / 10000.0 AS avg_chars
       |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q108: URL/domain curation — the CommonCrawl-style front gate of a
+  // web corpus: parse each document's URL (Spark's native parse_url
+  // expression), reduce the host to its registered domain, drop
+  // blocklisted domains with a broadcast anti join, and cap each
+  // surviving domain at its top-10 documents by length (per-domain
+  // caps are how crawl pipelines stop a single site from dominating
+  // the mix). The blocklist is a broadcast anti join (never shuffles
+  // the corpus); the cap is a per-domain top-k window — at 100 TB the
+  // window would route through the native TopKPerGroup operator so
+  // the shuffle carries <=k rows per domain (q41/q96 pin that path);
+  // the declarative window form is kept here because the oracle
+  // mirrors it directly. URLs are derived deterministically from
+  // (source, doc_id) since the synthetic corpus carries no URL
+  // column; the parse path exercised is the real one.
+  // ---------------------------------------------------------------
+  private val BlockedDomains = Seq(
+    "src3.example.com", "src7.example.com", "src12.example.com")
+
+  def q108UrlCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withUrl = documents(s, dir).withColumn("url",
+      concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), col("doc_id")))
+    val withDomain = withUrl
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      // registered domain = last three labels of the host
+      .withColumn("domain",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+    val blocked = BlockedDomains.toDF("domain")
+    val allowed = withDomain.join(broadcast(blocked), Seq("domain"), "left_anti")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    allowed.withColumn("rn", row_number().over(w))
+      .withColumn("kept", (col("rn") <= 10).cast("long"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1, col("n_chars"))
+          .otherwise(lit(0L))).as("chars_kept"))
+      .orderBy("domain")
+  }
+
+  val q108Sql: String = {
+    val bl = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, source || '.example.com' AS domain
+       |  FROM documents
+       |  WHERE source || '.example.com' NOT IN ($bl)
+       |), r AS (
+       |  SELECT domain, n_chars,
+       |    row_number() OVER (PARTITION BY domain
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM d
+       |)
+       |SELECT domain, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS chars_kept
+       |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_url_curation" -> q108UrlCuration _,
     "q76_mixture_sample" -> q76MixtureSample _,
     "q77_cdc_apply" -> q77CdcApply _,
     "q78_length_buckets" -> q78LengthBuckets _,
@@ -351,6 +414,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q108_url_curation" -> q108Sql,
     "q76_mixture_sample" -> q76Sql,
     "q77_cdc_apply" -> q77Sql,
     "q78_length_buckets" -> q78Sql,

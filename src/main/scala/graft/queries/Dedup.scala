@@ -406,7 +406,116 @@ object Dedup {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q110: exact-substring span REMOVAL — the RefinedWeb/"deduplicating
+  // training data makes language models better" operator: find every
+  // 5-gram that occurs more than once ANYWHERE in the corpus, delete
+  // the covered words from each document, and reassemble the cleaned
+  // text (not just count the spans — q72 is the statistic, this is
+  // the rewrite). Plan: one tokenize pass emits (doc, pos, gram);
+  // grams aggregate to a duplicate set (partial-agg, shuffle on the
+  // gram key); covered positions come back via one join on the gram
+  // key + a bounded explode (×5); reassembly is a per-doc sort of
+  // surviving positions. No all-pairs stage, no per-doc suffix
+  // structures — the shuffles are all key-bounded, so the shape holds
+  // at 100 TB (the production variant joins on a 64-bit gram hash
+  // instead of the gram string to shrink the shuffle payload; the
+  // string key is kept here for oracle parity).
+  // Output pins the actual rewrite: an md5 over the cleaned texts in
+  // doc order, per source.
+  // ---------------------------------------------------------------
+  private val SpanG = 5
+
+  def q110SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+    // (doc, start pos, gram) for every 5-gram start
+    val grams = d.filter(size(col("ws")) >= SpanG)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - SpanG),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(SpanG))))))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("gram"))
+    // every word position covered by a duplicated span (bounded ×G
+    // explode, then distinct on (doc, pos) — both shuffle on doc-sized
+    // keys, not corpus-wide strings)
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + SpanG - 1)).as("wpos"))
+      .distinct()
+    val allWords = d.select(col("doc_id"), col("source"),
+        posexplode(col("ws"))).select(
+        col("doc_id"), col("source"), col("pos").as("wpos"),
+        col("col").as("w"))
+    val kept = allWords.join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // deterministic reassembly: collect_list order is arbitrary,
+        // sorting the (pos, word) structs first makes it canonical
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("wpos"), col("w")))),
+            p => p.getField("w"))).as("cleaned"))
+    val perDoc = d.select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      // a fully-covered doc has no surviving words: empty text, 0 kept
+      .select(col("doc_id"), col("source"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words_total"),
+        sum(col("n_words") - col("n_kept")).as("words_removed"),
+        Relational.ratio4(sum(col("n_words") - col("n_kept")),
+          sum(col("n_words"))).as("removed_ratio"),
+        md5(concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("doc_id"),
+            col("cleaned")))), p => p.getField("cleaned"))))
+          .as("cleaned_md5"))
+      .orderBy("source")
+  }
+
+  val q110Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(list_slice(ws, CAST(i+1 AS INT), CAST(i+$SpanG AS INT)), ' ') AS gram
+       |  FROM d, unnest(range(len(ws) - ${SpanG - 1})) t(i)
+       |), dup AS (
+       |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+       |), cov AS (
+       |  SELECT DISTINCT doc_id, pos + j AS wpos
+       |  FROM g JOIN dup USING (gram), unnest(range($SpanG)) s(j)
+       |), w AS (
+       |  SELECT doc_id, source, CAST(i AS BIGINT) AS wpos,
+       |    ws[CAST(i+1 AS INT)] AS w
+       |  FROM d, unnest(range(len(ws))) t(i)
+       |), kept AS (
+       |  SELECT w.doc_id, COUNT(*) AS n_kept,
+       |    string_agg(w.w, ' ' ORDER BY w.wpos) AS cleaned
+       |  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.wpos = cov.wpos
+       |  WHERE cov.doc_id IS NULL
+       |  GROUP BY w.doc_id
+       |), per_doc AS (
+       |  SELECT d.doc_id, d.source, CAST(len(d.ws) AS BIGINT) AS n_words,
+       |    COALESCE(kept.n_kept, 0) AS n_kept,
+       |    COALESCE(kept.cleaned, '') AS cleaned
+       |  FROM d LEFT JOIN kept USING (doc_id)
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS words_total,
+       |  CAST(SUM(n_words - n_kept) AS BIGINT) AS words_removed,
+       |  ((20000*CAST(SUM(n_words - n_kept) AS BIGINT)
+       |      + CAST(SUM(n_words) AS BIGINT))
+       |    // (2*CAST(SUM(n_words) AS BIGINT))) / 10000.0 AS removed_ratio,
+       |  md5(string_agg(cleaned, chr(10) ORDER BY doc_id)) AS cleaned_md5
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_span_removal" -> q110SpanRemoval _,
     "q66_incremental_dedup" -> q66IncrementalDedup _,
     "q48_dedup_clusters" -> q48DedupClusters _,
     "q22_dedup_exact" -> q22DedupExact _,
@@ -415,6 +524,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q110_span_removal" -> q110Sql,
     "q66_incremental_dedup" -> q66Sql,
     "q48_dedup_clusters" -> q48Sql,
     "q22_dedup_exact" -> q22Sql,

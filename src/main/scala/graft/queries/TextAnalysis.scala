@@ -553,7 +553,117 @@ object TextAnalysis {
        |   // (2*COUNT(*))) / 10000.0 AS dup_chunk_rate
        |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q109: unigram surprisal scoring — the shape of model-based
+  // quality filtering (CCNet/KenLM-style perplexity gating) with the
+  // language model replaced by an exactly-portable statistic: each
+  // token's "surprisal" is its corpus frequency RANK (1 = most
+  // common), so rare-token-heavy documents score high just as they
+  // do under -log p(w), but every number is an int64 and both
+  // engines agree bit-for-bit (float log disagrees in the last ulp
+  // across libms). Plan shape is the real thing: one corpus pass
+  // builds the vocabulary table (vocab-sized — tiny by construction,
+  // so the global rank window and the scoring join are broadcast),
+  // then one corpus pass scores. At 100 TB the vocab table for a
+  // real LM is exactly this per-token broadcast lookup.
+  // ---------------------------------------------------------------
+  def q109UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(words(col("text"))).as("w"))
+    // vocab-sized frame: the unpartitioned rank window runs on one
+    // task over |V| rows, never over the corpus
+    val ranked = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .select(col("w"), col("rank"))
+    val perDoc = toks
+      .join(broadcast(ranked), Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("rank")).as("sum_rank"))
+      // avg rank > 15.2  <=>  10*sum_rank > 152*n_toks (pure int64;
+      // cutoff sits inside the observed per-doc range so the flag
+      // actually separates documents)
+      .withColumn("high",
+        (col("sum_rank") * 10 > col("n_toks") * 152).cast("long"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        Relational.ratio4(sum(col("sum_rank")), sum(col("n_toks")))
+          .as("avg_rank"),
+        sum(col("high")).as("n_high"))
+      .orderBy("source")
+  }
+
+  val q109Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rank
+      |  FROM toks GROUP BY w
+      |), per_doc AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_toks,
+      |    CAST(SUM(rank) AS BIGINT) AS sum_rank
+      |  FROM toks JOIN ranked USING (w)
+      |  GROUP BY doc_id, source
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  ((20000*CAST(SUM(sum_rank) AS BIGINT) + CAST(SUM(n_toks) AS BIGINT))
+      |    // (2*CAST(SUM(n_toks) AS BIGINT))) / 10000.0 AS avg_rank,
+      |  CAST(SUM(CASE WHEN sum_rank*10 > n_toks*152 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_high
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q111: BPE pair-merge step — the inner loop of byte-pair-encoding
+  // tokenizer training: count every adjacent character pair weighted
+  // by word frequency and emit the top merge candidates. The
+  // expensive corpus tokenize collapses to a word-frequency table
+  // FIRST (partial-aggregated — the classic BPE optimization: pair
+  // counting runs over |V| distinct words, not over every corpus
+  // token), then pairs explode from the tiny vocab frame. At 100 TB
+  // the vocab table is still ~millions of rows; the corpus is
+  // touched exactly once.
+  // ---------------------------------------------------------------
+  def q111BpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val wc = documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = wc.filter(length(col("w")) >= 2)
+      .select(col("c"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+    pairs
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .filter(col("rnk") <= 15)
+      .select(col("rnk"), col("pair"), col("n"))
+      .orderBy("rnk")
+  }
+
+  val q111Sql: String =
+    """WITH wc AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w
+      |), p AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+      |  FROM wc, unnest(range(1, length(w))) t(i)
+      |  WHERE length(w) >= 2
+      |), a AS (
+      |  SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM p GROUP BY pair
+      |)
+      |SELECT rnk, pair, n FROM (
+      |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+      |  FROM a
+      |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_unigram_surprisal" -> q109UnigramSurprisal _,
+    "q111_bpe_merge" -> q111BpeMergeStep _,
     "q71_chunking" -> q71Chunking _,
     "q67_repetition_filter" -> q67RepetitionFilter _,
     "q64_quality_gate" -> q64QualityGate _,
@@ -568,6 +678,8 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q109_unigram_surprisal" -> q109Sql,
+    "q111_bpe_merge" -> q111Sql,
     "q71_chunking" -> q71Sql,
     "q67_repetition_filter" -> q67Sql,
     "q64_quality_gate" -> q64Sql,
