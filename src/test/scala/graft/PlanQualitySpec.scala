@@ -235,4 +235,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q108: domain blocklist is a broadcast anti join, not a shuffle") {
+    val p = plan("q108_url_curation")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q109: vocab scoring join broadcasts the rank table") {
+    val p = plan("q109_unigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q110: span removal has no cartesian stage; dup-gram agg is two-phase") {
+    val p = plan("q110_span_removal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q112: z-score scoring is one window pass — no join, no collect") {
+    val p = plan("q112_zscore_anomaly")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }
