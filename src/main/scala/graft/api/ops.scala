@@ -209,6 +209,73 @@ object ops {
       .drop("__rnk", "__n")
   }
 
+  /** Exact-substring span REMOVAL (the RefinedWeb rewrite, q110's
+    * parameterized form): delete every `g`-gram of `text` that occurs
+    * at least `minCount` times across the whole frame, and return the
+    * input rows with `text` replaced by the reassembled cleaned string
+    * plus an appended `n_removed_words`. One tokenize pass, one
+    * key-bounded shuffle on the gram, a ×g bounded explode for
+    * coverage, and a per-row sort for reassembly — no all-pairs
+    * stage, no per-document suffix structures.
+    */
+  def removeRepeatedSpans(df: DataFrame, id: String, text: String,
+      g: Int = 5, minCount: Int = 2): DataFrame = {
+    val d = df.withColumn("__ws", split(col(text), " "))
+    val grams = d.filter(size(col("__ws")) >= g)
+      .select(col(id), posexplode(
+        transform(sequence(lit(0), size(col("__ws")) - g),
+          i => concat_ws(" ", slice(col("__ws"), i + 1, lit(g))))))
+      .select(col(id), col("pos"), col("col").as("__gram"))
+    val dup = grams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= minCount)
+      .select(col("__gram"))
+    val covered = grams.join(dup, Seq("__gram"))
+      .select(col(id),
+        explode(sequence(col("pos"), col("pos") + g - 1)).as("__wpos"))
+      .distinct()
+    val kept = d.select(col(id), posexplode(col("__ws")))
+      .select(col(id), col("pos").as("__wpos"), col("col").as("__w"))
+      .join(covered, Seq(id, "__wpos"), "left_anti")
+      .groupBy(col(id))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("__wpos"), col("__w")))),
+          p => p.getField("__w"))).as("__cleaned"),
+        count(lit(1)).as("__kept"))
+    d.join(kept, Seq(id), "left")
+      .withColumn(text, coalesce(col("__cleaned"), lit("")))
+      .withColumn("n_removed_words",
+        size(col("__ws")).cast("long") - coalesce(col("__kept"), lit(0L)))
+      .drop("__ws", "__cleaned", "__kept")
+  }
+
+  /** Trailing-window z-score anomaly flags (q112's parameterized
+    * form): appends a boolean `is_anomaly` to each row, true when the
+    * row's `value` deviates more than `z` standard deviations from
+    * the mean of the `lookback` rows before it (per `key`, ordered by
+    * `ts` then `tiebreak`). The test runs in integer cents — the z²
+    * comparison (n·x−Σx)² > z²·(n·Σx²−(Σx)²) — so results are exact
+    * and reproducible; rows with under `minHistory` prior points are
+    * never flagged. One window pass, O(lookback) state per key.
+    */
+  def zscoreAnomalies(df: DataFrame, key: String, ts: String,
+      value: String, tiebreak: String, lookback: Int = 20,
+      z: Int = 3, minHistory: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(tiebreak))
+      .rowsBetween(-lookback, -1)
+    df.withColumn("__x", floor(col(value) * 100))
+      .withColumn("__n", count(col("__x")).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("is_anomaly",
+        col("__n") >= minHistory &&
+          (col("__n") * col("__x") - col("__sx")) *
+          (col("__n") * col("__x") - col("__sx")) >
+          lit(z.toLong * z) *
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .drop("__x", "__n", "__sx", "__sxx")
+  }
+
   /** Brute-force cosine top-k: `queries` (qid, vec) is broadcast
     * against `corpus` (id, vec); both are unit-normalized here so
     * the per-pair work is one codegen'd dot product. The corpus is

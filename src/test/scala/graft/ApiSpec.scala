@@ -126,4 +126,55 @@ class ApiSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(api === q27)
   }
+
+  test("removeRepeatedSpans deletes exactly the duplicated grams") {
+    val s = spark
+    import s.implicits._
+    // "a b c d e" appears in docs 1 and 2 -> removed from both;
+    // doc 3 shares no 3-gram -> untouched; doc 4 is shorter than g
+    val df = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c d e z w"),
+      (3L, "p q r s t u v"),
+      (4L, "a b")).toDF("id", "text")
+    val out = ops.removeRepeatedSpans(df, "id", "text", g = 5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, "x y", 5L)))
+    assert(out(1) === ((2L, "z w", 5L)))
+    assert(out(2) === ((3L, "p q r s t u v", 0L)))
+    assert(out(3) === ((4L, "a b", 0L)))
+  }
+
+  test("removeRepeatedSpans agrees with the oracle-gated q110 accounting") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.removeRepeatedSpans(docs, "doc_id", "text")
+      .agg(sum("n_removed_words")).head.getLong(0)
+    val q110 = SparkEntry.queries("q110_span_removal")(spark, dir)
+      .agg(sum("words_removed")).head.getLong(0)
+    assert(api === q110)
+  }
+
+  test("zscoreAnomalies flags the spike and skips short history") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i =>
+      (1L, f"2024-01-01 00:$i%02d:00", i.toLong, 10.0 + (i % 3) * 0.01))
+    val spike = Seq((1L, "2024-01-01 00:31:00", 31L, 500.0))
+    val df = (base ++ spike).toDF("k", "ts", "id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = ops.zscoreAnomalies(df, "k", "ts", "v", "id")
+      .filter(col("is_anomaly")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(31L))
+  }
+
+  test("zscoreAnomalies agrees with the oracle-gated q112 counts") {
+    val ev = Tables.events(spark, dir)
+    val api = ops.zscoreAnomalies(ev, "event_type", "ts", "value", "event_id")
+      .filter(col("is_anomaly")).count()
+    val q112 = SparkEntry.queries("q112_zscore_anomaly")(spark, dir)
+      .agg(sum("n_anomalies")).head.getLong(0)
+    assert(api === q112)
+  }
 }
