@@ -228,13 +228,159 @@ object Mining {
       |FROM c WHERE 60*cnt > (SELECT SUM(cnt) FROM c)
       |ORDER BY cnt DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q114: market-basket pair mining — frequent-itemset support and
+  // lift at the pair level (the first level of an FP-growth / apriori
+  // pass), over orders as baskets and parts as items. The pair
+  // generation is a self-join WITHIN the basket key (l_orderkey), so
+  // its fan-out is C(items_per_basket, 2) — bounded by the basket
+  // size (≤13 here, ≤ hundreds in practice), never corpus × corpus.
+  // Lift = N·c(a,b) / (c(a)·c(b)) is computed in exact int64 (the
+  // ratio4 rounding trick); the order count N enters as a broadcast
+  // scalar subquery, not a driver action.
+  // ---------------------------------------------------------------
+  def q114BasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val n = li.agg(countDistinct(col("ok")).as("n_orders"))
+    val a = li.select(col("ok"), col("pk").as("p1"))
+    val b = li.select(col("ok"), col("pk").as("p2"))
+    val pairs = a.join(b, Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_both"))
+    val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val c1 = cnt.select(col("pk").as("p1"), col("c").as("c1"))
+    val c2 = cnt.select(col("pk").as("p2"), col("c").as("c2"))
+    pairs
+      .join(broadcast(c1), Seq("p1")).join(broadcast(c2), Seq("p2"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift", Relational.ldiv(
+        lit(20000L) * col("n_orders") * col("n_both") + col("c1") * col("c2"),
+        lit(2L) * col("c1") * col("c2")) / 10000.0)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_both").desc, col("p1"), col("p2"))))
+      .filter(col("rnk") <= 15)
+      .select(col("rnk"), col("p1"), col("p2"), col("n_both"), col("lift"))
+      .orderBy("rnk")
+  }
+
+  val q114Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+      |pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_both
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk
+      |), cnt AS (SELECT pk, COUNT(*) AS c FROM li GROUP BY pk)
+      |SELECT rnk, p1, p2, n_both, lift FROM (
+      |  SELECT p1, p2, n_both,
+      |    ((20000*(SELECT n_orders FROM n)*n_both + c1.c*c2.c)
+      |      // (2*c1.c*c2.c)) / 10000.0 AS lift,
+      |    row_number() OVER (ORDER BY n_both DESC, p1, p2) AS rnk
+      |  FROM pairs
+      |  JOIN cnt c1 ON c1.pk = p1
+      |  JOIN cnt c2 ON c2.pk = p2
+      |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q115: triangle counting via degree-ordered wedges (the
+  // Suri-Vassilvitskii MR-triangle algorithm) on the q79 synthetic
+  // user graph: orient every undirected edge from its lower-degree
+  // endpoint (ties by id), generate wedges only at each edge's
+  // SOURCE, and close them against the canonical edge set. The
+  // orientation bounds per-node wedge fan-out by O(sqrt(m))
+  // (arboricity), which is what makes the count feasible on
+  // power-law graphs at scale — the naive node-iterator explodes on
+  // hub nodes. Degree table is node-sized (broadcast); the only
+  // shuffles are the wedge self-join on the source node and the
+  // closure join on the (a,b) edge key.
+  // ---------------------------------------------------------------
+  def q115TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val und = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("s"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // eager: degree pass + orientation + closure all read it
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val dA = deg.select(col("v").as("a"), col("dg").as("da"))
+    val dB = deg.select(col("v").as("b"), col("dg").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = und.join(broadcast(dA), Seq("a")).join(broadcast(dB), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val w1 = o.select(col("u"), col("v").as("v1"))
+    val w2 = o.select(col("u"), col("v").as("v2"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("v1") < col("v2"))
+    val tri = wedges.join(und,
+        col("v1") === col("a") && col("v2") === col("b"))
+      .select(col("u"), col("v1"), col("v2"))
+    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_tri").desc, col("node"))))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("node"), col("n_tri"))
+      .orderBy("rnk")
+  }
+
+  val q115Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), deg AS (
+      |  SELECT v, COUNT(*) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+      |  ) GROUP BY v
+      |), o AS (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+      |              THEN a ELSE b END AS u,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+      |              THEN b ELSE a END AS v
+      |  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+      |), tri AS (
+      |  SELECT w1.u, w1.v AS v1, w2.v AS v2
+      |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+      |  JOIN und ON und.a = w1.v AND und.b = w2.v
+      |)
+      |SELECT rnk, node, n_tri FROM (
+      |  SELECT node, COUNT(*) AS n_tri,
+      |    row_number() OVER (ORDER BY COUNT(*) DESC, node) AS rnk
+      |  FROM (
+      |    SELECT u AS node FROM tri
+      |    UNION ALL SELECT v1 FROM tri
+      |    UNION ALL SELECT v2 FROM tri
+      |  ) GROUP BY node
+      |) WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_basket_pairs" -> q114BasketPairs _,
+    "q115_triangle_count" -> q115TriangleCount _,
     "q102_heavy_hitters" -> q102HeavyHitters _,
     "q72_ngram_spans" -> q72NgramSpans _,
     "q74_bigram_lift" -> q74BigramLift _,
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q114_basket_pairs" -> q114Sql,
+    "q115_triangle_count" -> q115Sql,
     "q102_heavy_hitters" -> q102Sql,
     "q72_ngram_spans" -> q72Sql,
     "q74_bigram_lift" -> q74Sql,
