@@ -276,6 +276,43 @@ object ops {
       .drop("__x", "__n", "__sx", "__sxx")
   }
 
+  /** Per-node triangle participation counts on an undirected graph
+    * (q115's parameterized form — Suri-Vassilvitskii degree-ordered
+    * wedges). `edges` must carry two node columns `a`/`b`; the edge
+    * set is canonicalized (a<b, distinct, self-loops dropped) here.
+    * Each triangle is closed exactly once, at its minimum-(degree,id)
+    * vertex, so hub nodes never fan out quadratically — per-node
+    * wedge generation is bounded by O(sqrt(edges)) on any graph.
+    * Returns (node, n_tri). The degree table is node-sized and
+    * broadcast; the only shuffles are the wedge self-join on the
+    * wedge apex and the closure join on the canonical edge key.
+    */
+  def triangleCounts(edges: DataFrame, a: String, b: String): DataFrame = {
+    val und = edges
+      .filter(col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("__a"),
+        greatest(col(a), col(b)).as("__b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // eager: degree, orientation and closure all read it
+    val deg = und.select(explode(array(col("__a"), col("__b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val dA = deg.select(col("v").as("__a"), col("dg").as("__da"))
+    val dB = deg.select(col("v").as("__b"), col("dg").as("__db"))
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("__a") < col("__b"))
+    val o = und.join(broadcast(dA), Seq("__a")).join(broadcast(dB), Seq("__b"))
+      .select(when(aFirst, col("__a")).otherwise(col("__b")).as("u"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("v"))
+    val w1 = o.select(col("u"), col("v").as("v1"))
+    val w2 = o.select(col("u"), col("v").as("v2"))
+    val tri = w1.join(w2, Seq("u")).filter(col("v1") < col("v2"))
+      .join(und, col("v1") === col("__a") && col("v2") === col("__b"))
+      .select(col("u"), col("v1"), col("v2"))
+    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Brute-force cosine top-k: `queries` (qid, vec) is broadcast
     * against `corpus` (id, vec); both are unit-normalized here so
     * the per-pair work is one codegen'd dot product. The corpus is

@@ -303,32 +303,13 @@ object Mining {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
-    val und = ev.crossJoin(broadcast(n))
-      .select(col("user_id").as("s"),
-        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
-      .filter(col("s") =!= col("d"))
-      .select(least(col("s"), col("d")).as("a"),
-        greatest(col("s"), col("d")).as("b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    und.count() // eager: degree pass + orientation + closure all read it
-    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-    val dA = deg.select(col("v").as("a"), col("dg").as("da"))
-    val dB = deg.select(col("v").as("b"), col("dg").as("db"))
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val o = und.join(broadcast(dA), Seq("a")).join(broadcast(dB), Seq("b"))
-      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"))
-    val w1 = o.select(col("u"), col("v").as("v1"))
-    val w2 = o.select(col("u"), col("v").as("v2"))
-    val wedges = w1.join(w2, Seq("u")).filter(col("v1") < col("v2"))
-    val tri = wedges.join(und,
-        col("v1") === col("a") && col("v2") === col("b"))
-      .select(col("u"), col("v1"), col("v2"))
-    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val edges = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("a"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("b"))
+    // the counting itself is the reusable API transform (canonicalize
+    // -> degree-orient -> wedge -> close), property-tested against a
+    // brute-force enumeration in MiningSpec
+    graft.api.ops.triangleCounts(edges, "a", "b")
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n_tri").desc, col("node"))))
       .filter(col("rnk") <= 10)

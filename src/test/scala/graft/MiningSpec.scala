@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.ops
+
+/** Algorithm-level checks for the mining operators: the distributed
+  * implementations must agree with brute-force enumeration on small
+  * random inputs (the oracle gates pin end-to-end results on the
+  * testdata; these pin the ALGORITHM on adversarial shapes — hubs,
+  * isolated nodes, duplicate/reversed edges, self-loops).
+  */
+class MiningSpec extends SparkSpec {
+
+  test("triangleCounts matches brute force on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      // raw edge list with noise: duplicates, reversed copies, loops
+      val raw = (for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.12
+      } yield (i.toLong, j.toLong)) ++ Seq((3L, 3L), (5L, 5L))
+      val edges = rnd.shuffle(raw ++ raw.take(10).map(_.swap)).toDF("a", "b")
+
+      // brute force over the canonical adjacency set
+      val und = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+      for {
+        x <- nodes; y <- nodes if x < y && und((x, y))
+        z <- nodes if y < z && und((y, z)) && und((x, z))
+      } {
+        expected(x) = expected.getOrElse(x, 0L) + 1
+        expected(y) = expected.getOrElse(y, 0L) + 1
+        expected(z) = expected.getOrElse(z, 0L) + 1
+      }
+
+      val got = ops.triangleCounts(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected.toMap, s"trial $trial, n=$n")
+    }
+  }
+
+  test("removeRepeatedSpans matches a naive per-document rewrite") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1 to 40).map { id =>
+      val len = 3 + rnd.nextInt(15)
+      (id.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val g = 4
+    // naive: global gram counts, then per-doc covered-position scan
+    val gramsOf = (t: String) => t.split(" ").sliding(g)
+      .filter(_.length == g).map(_.mkString(" ")).toVector
+    val counts = docs.flatMap { case (_, t) => gramsOf(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected: Map[Long, (String, Long)] = docs.map { case (id, t) =>
+      val ws = t.split(" ").toVector
+      val covered = gramsOf(t).zipWithIndex.collect {
+        case (gr, i) if counts(gr) >= 2 => (i until i + g)
+      }.flatten.toSet
+      val kept = ws.indices.filterNot(covered).map(ws)
+      id -> ((kept.mkString(" "), (ws.size - kept.size).toLong))
+    }.toMap
+
+    val got = ops.removeRepeatedSpans(docs.toDF("id", "text"), "id", "text", g)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+}
