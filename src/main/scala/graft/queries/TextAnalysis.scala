@@ -661,7 +661,99 @@ object TextAnalysis {
       |  FROM a
       |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q116: CONTENT-DEFINED chunking — the rsync/FastCDC boundary rule
+  // applied to words: cut after any position whose trailing 3-gram
+  // hashes to 0 mod 8 (avg chunk ~8 words). Unlike q71's fixed-stride
+  // chunks, boundaries move WITH the content, so an insertion early
+  // in a document shifts no boundary more than one window away — the
+  // property that makes chunk-level dedup robust to edits (the
+  // backup/storage dedup standard). One posexplode + two per-doc
+  // window passes (boundary flag, then running chunk id), then a
+  // corpus-wide chunk-hash count for the dup rate: every shuffle key
+  // is doc- or chunk-hash-bounded. Hashes are md5-prefix ints, so
+  // the oracle replays the identical boundary sequence.
+  // ---------------------------------------------------------------
+  def q116CdcChunking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tokens = documents(s, dir)
+      .select(col("doc_id"), col("source"), posexplode(words(col("text"))))
+      .select(col("doc_id"), col("source"), col("pos"), col("col").as("w"))
+    val flagged = tokens
+      .withColumn("tri", concat_ws(" ",
+        lag(col("w"), 2).over(w), lag(col("w"), 1).over(w), col("w")))
+      .withColumn("cut",
+        when(col("pos") >= 2 &&
+          conv(substring(md5(col("tri")), 1, 4), 16, 10).cast("long") % 8 === 0,
+          1L).otherwise(0L))
+    val chunked = flagged
+      .withColumn("chunk_id",
+        coalesce(sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+            p => p.getField("w")))).as("chunk_hash"))
+    val dupHashes = chunked.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("chunk_hash"))
+    chunked
+      .join(dupHashes.withColumn("dup", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        Relational.ratio4(sum(col("n_words")), count(lit(1)))
+          .as("avg_chunk_words"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_chunks"),
+        Relational.ratio4(sum(coalesce(col("dup"), lit(0L))),
+          count(lit(1))).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  val q116Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+      |    ws[CAST(i+1 AS INT)] AS w
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |        FROM documents), unnest(range(len(ws))) t(i)
+      |), flagged AS (
+      |  SELECT doc_id, source, pos, w,
+      |    CASE WHEN pos >= 2 AND
+      |      CAST('0x' || substr(md5(
+      |        lag(w, 2) OVER dw || ' ' || lag(w, 1) OVER dw || ' ' || w),
+      |        1, 4) AS BIGINT) % 8 = 0
+      |    THEN 1 ELSE 0 END AS cut
+      |  FROM tok
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      |), chunked AS (
+      |  SELECT doc_id, source, chunk_id, COUNT(*) AS n_words,
+      |    md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+      |  FROM (
+      |    SELECT doc_id, source, pos, w,
+      |      COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS chunk_id
+      |    FROM flagged
+      |  ) GROUP BY doc_id, source, chunk_id
+      |), dup AS (
+      |  SELECT chunk_hash FROM chunked GROUP BY chunk_hash
+      |  HAVING COUNT(*) >= 2
+      |)
+      |SELECT source, COUNT(*) AS n_chunks,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+      |  ((20000*CAST(SUM(n_words) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS avg_chunk_words,
+      |  CAST(SUM(CASE WHEN dup.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dup_chunks,
+      |  ((20000*CAST(SUM(CASE WHEN dup.chunk_hash IS NOT NULL
+      |                        THEN 1 ELSE 0 END) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS dup_rate
+      |FROM chunked LEFT JOIN dup USING (chunk_hash)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_cdc_chunking" -> q116CdcChunking _,
     "q109_unigram_surprisal" -> q109UnigramSurprisal _,
     "q111_bpe_merge" -> q111BpeMergeStep _,
     "q71_chunking" -> q71Chunking _,
@@ -678,6 +770,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q116_cdc_chunking" -> q116Sql,
     "q109_unigram_surprisal" -> q109Sql,
     "q111_bpe_merge" -> q111Sql,
     "q71_chunking" -> q71Sql,
