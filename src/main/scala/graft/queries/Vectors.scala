@@ -592,7 +592,88 @@ object Vectors {
       |SELECT doc_id, CAST(SUM(mx) AS BIGINT) AS score, COUNT(*) AS n_terms
       |FROM m GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q117: ANN RECALL evaluation — the quality harness every
+  // approximate index needs: run the exact top-5 (q27's brute-force
+  // shape) and the sign-LSH top-5 (q28's bucketed shape) over the
+  // same queries and report the recall@5 histogram (how many queries
+  // found 5/5, 4/5, ... of the true neighbors). Queries whose bucket
+  // held no candidates score 0 — the left join keeps them. Both
+  // pipelines are the already-pinned scale shapes; the eval adds one
+  // (q_id, vec_id) equi-join and a tiny per-query aggregate, so the
+  // harness costs no more than the index probe it measures.
+  // ---------------------------------------------------------------
+  def q117AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val eb = e.withColumn("bucket", lshBucket(col("e")))
+    val qb = eb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
+    val ann = broadcast(qb).join(eb, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(ann, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
+      .orderBy("n_hits")
+  }
+
+  val q117Sql: String = {
+    def planeList(p: Int): String =
+      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
+    val bucketTerms = (0 until Planes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                     CAST(e.embedding AS DOUBLE[])), 4)
+       |          DESC, e.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 100 = 0
+       |  ) WHERE rank <= 5
+       |), b AS (
+       |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
+       |), ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                     CAST(e.embedding AS DOUBLE[])), 4)
+       |          DESC, e.vec_id) AS rank
+       |    FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 100 = 0
+       |  ) WHERE rank <= 5
+       |), hits AS (
+       |  SELECT ex.q_id, COUNT(*) AS h
+       |  FROM ex JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+       |  GROUP BY ex.q_id
+       |)
+       |SELECT n_hits, COUNT(*) AS n_queries FROM (
+       |  SELECT DISTINCT ex.q_id, COALESCE(hits.h, 0) AS n_hits
+       |  FROM ex LEFT JOIN hits ON ex.q_id = hits.q_id
+       |) GROUP BY n_hits ORDER BY n_hits""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_ann_recall" -> q117AnnRecall _,
     "q97_maxsim" -> q97MaxSim _,
     "q73_kmeans_step" -> q73KmeansStep _,
     "q63_quantized_topk" -> q63QuantizedTopk _,
@@ -604,6 +685,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q117_ann_recall" -> q117Sql,
     "q97_maxsim" -> q97Sql,
     "q73_kmeans_step" -> q73Sql,
     "q63_quantized_topk" -> q63Sql,
