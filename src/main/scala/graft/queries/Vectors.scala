@@ -672,7 +672,103 @@ object Vectors {
        |) GROUP BY n_hits ORDER BY n_hits""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q118: MULTIPROBE LSH recall — the standard fix for q117's
+  // measured single-probe weakness: each query probes its own bucket
+  // PLUS the 8 buckets one hyperplane-flip away (the next-most-likely
+  // homes of its neighbors), for 9 probes instead of 256 buckets
+  // scanned. Implementation is one bounded ×9 explode on the
+  // (broadcast) query side — the corpus is still touched only via
+  // the bucket equi-join, so the scale shape is unchanged. Output is
+  // the same recall@5 histogram as q117; run together they quantify
+  // the probe-count/recall trade-off (at 100 TB this is the knob
+  // that tunes ANN cost against quality).
+  // ---------------------------------------------------------------
+  def q118AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val eb = e.withColumn("bucket", lshBucket(col("e")))
+    // probe set: own bucket + one-bit flips (XOR each plane bit)
+    val probes = (Seq(col("bucket")) ++
+      (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1 << p))))
+    val qb = eb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        explode(array(probes: _*)).as("bucket"))
+    val ann = broadcast(qb).join(eb, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
+      // a pair reachable through several probe buckets must score once
+      .select(col("q_id"), col("vec_id"), col("cos_r")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(ann, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
+      .orderBy("n_hits")
+  }
+
+  val q118Sql: String = {
+    def planeList(p: Int): String =
+      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
+    val bucketTerms = (0 until Planes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val flipList = (Seq("bucket") ++
+      (0 until Planes).map(p => s"xor(bucket, ${1 << p})")).mkString("[", ", ", "]")
+    s"""WITH ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                     CAST(e.embedding AS DOUBLE[])), 4)
+       |          DESC, e.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 100 = 0
+       |  ) WHERE rank <= 5
+       |), b AS (
+       |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
+       |), qp AS (
+       |  SELECT vec_id AS q_id, embedding AS qemb, unnest($flipList) AS bucket
+       |  FROM b WHERE vec_id % 100 = 0
+       |), ann AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_r DESC, vec_id) AS rank
+       |    FROM (
+       |      SELECT DISTINCT qp.q_id, e.vec_id,
+       |        ROUND(list_cosine_similarity(CAST(qp.qemb AS DOUBLE[]),
+       |                                     CAST(e.embedding AS DOUBLE[])), 4)
+       |          AS cos_r
+       |      FROM qp JOIN b e ON qp.bucket = e.bucket AND qp.q_id <> e.vec_id
+       |    )
+       |  ) WHERE rank <= 5
+       |), hits AS (
+       |  SELECT ex.q_id, COUNT(*) AS h
+       |  FROM ex JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+       |  GROUP BY ex.q_id
+       |)
+       |SELECT n_hits, COUNT(*) AS n_queries FROM (
+       |  SELECT DISTINCT ex.q_id, COALESCE(hits.h, 0) AS n_hits
+       |  FROM ex LEFT JOIN hits ON ex.q_id = hits.q_id
+       |) GROUP BY n_hits ORDER BY n_hits""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_ann_multiprobe" -> q118AnnMultiprobe _,
     "q117_ann_recall" -> q117AnnRecall _,
     "q97_maxsim" -> q97MaxSim _,
     "q73_kmeans_step" -> q73KmeansStep _,
@@ -685,6 +781,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q118_ann_multiprobe" -> q118Sql,
     "q117_ann_recall" -> q117Sql,
     "q97_maxsim" -> q97Sql,
     "q73_kmeans_step" -> q73Sql,
