@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,7 +404,92 @@ object Curation {
        |FROM r GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q119: SPAN-CORRUPTION pair generation — the T5/UL2 denoising
+  // objective materialized as a data transform: mask every 3-word
+  // span starting at token positions ≡ 7 (mod 10) (~30% of tokens,
+  // deterministic so both engines build byte-identical pairs),
+  // replace each span with a numbered sentinel in the INPUT, and
+  // emit "sentinel + original words" as the TARGET. One posexplode,
+  // one per-doc ordered re-aggregation (the q110 reassembly
+  // machinery) — no UDFs, no driver loops; at 100 TB this runs at
+  // tokenize-pass cost. Output pins the per-source corruption rate
+  // and md5s over the (input, target) pair streams in doc order.
+  // ---------------------------------------------------------------
+  def q119SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(Hashing.words(col("text"))))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+        col("col").as("w"))
+    val m = col("pos") % 10
+    val sentinel = concat(lit("<extra_id_"),
+      Relational.ldiv(col("pos"), lit(10L)), lit(">"))
+    val pieces = toks
+      .withColumn("in_piece",
+        when(m === 7, sentinel)
+          .when(m === 8 || m === 9, lit(null).cast("string"))
+          .otherwise(col("w")))
+      .withColumn("tgt_piece",
+        when(m === 7, concat(sentinel, lit(" "), col("w")))
+          .when(m === 8 || m === 9, col("w"))
+          .otherwise(lit(null).cast("string")))
+    def joined(piece: String): Column = concat_ws(" ",
+      transform(
+        filter(sort_array(collect_list(struct(col("pos"), col(piece)))),
+          p => p.getField(piece).isNotNull),
+        p => p.getField(piece)))
+    val perDoc = pieces.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(m.isin(7, 8, 9), 1)).as("n_masked"),
+        joined("in_piece").as("input"),
+        joined("tgt_piece").as("target"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_examples"),
+        Relational.ratio4(sum(col("n_masked")), sum(col("n_toks")))
+          .as("masked_ratio"),
+        md5(concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("doc_id"),
+            col("input")))), p => p.getField("input")))).as("inputs_md5"),
+        md5(concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("doc_id"),
+            col("target")))), p => p.getField("target")))).as("targets_md5"))
+      .orderBy("source")
+  }
+
+  val q119Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+      |    ws[CAST(i+1 AS INT)] AS w
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |        FROM documents), unnest(range(len(ws))) t(i)
+      |), pieces AS (
+      |  SELECT doc_id, source, pos, w,
+      |    CASE WHEN pos % 10 = 7
+      |           THEN '<extra_id_' || (pos // 10) || '>'
+      |         WHEN pos % 10 IN (8, 9) THEN NULL
+      |         ELSE w END AS in_piece,
+      |    CASE WHEN pos % 10 = 7
+      |           THEN '<extra_id_' || (pos // 10) || '> ' || w
+      |         WHEN pos % 10 IN (8, 9) THEN w
+      |         ELSE NULL END AS tgt_piece
+      |  FROM tok
+      |), per_doc AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_toks,
+      |    COUNT(CASE WHEN pos % 10 IN (7, 8, 9) THEN 1 END) AS n_masked,
+      |    COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input,
+      |    COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target
+      |  FROM pieces GROUP BY doc_id, source
+      |)
+      |SELECT source, COUNT(*) AS n_examples,
+      |  ((20000*CAST(SUM(n_masked) AS BIGINT) + CAST(SUM(n_toks) AS BIGINT))
+      |    // (2*CAST(SUM(n_toks) AS BIGINT))) / 10000.0 AS masked_ratio,
+      |  md5(string_agg(input, chr(10) ORDER BY doc_id)) AS inputs_md5,
+      |  md5(string_agg(target, chr(10) ORDER BY doc_id)) AS targets_md5
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_span_corruption" -> q119SpanCorruption _,
     "q108_url_curation" -> q108UrlCuration _,
     "q76_mixture_sample" -> q76MixtureSample _,
     "q77_cdc_apply" -> q77CdcApply _,
@@ -414,6 +499,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q119_span_corruption" -> q119Sql,
     "q108_url_curation" -> q108Sql,
     "q76_mixture_sample" -> q76Sql,
     "q77_cdc_apply" -> q77Sql,
