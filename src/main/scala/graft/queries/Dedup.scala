@@ -514,7 +514,77 @@ object Dedup {
        |  md5(string_agg(cleaned, chr(10) ORDER BY doc_id)) AS cleaned_md5
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q120: ENSEMBLE dedup verdict — production near-dup removal rarely
+  // trusts one signal; this combines three independent ones on each
+  // blocked candidate pair and takes a 2-of-3 vote:
+  //   jaccard >= 0.5   (set overlap, q23/q25's statistic)
+  //   hamming  <= 3    (SimHash60 distance, q24's statistic)
+  //   containment >= 0.8 (doc-contains-doc, q91's statistic)
+  // Candidates come from the min-shingle prefix filter (one equi-join
+  // key per doc — each pair appears at most once, no distinct
+  // needed); signatures ride the zero-shuffle native SimHash60
+  // expression. Every gate is pure int64 (2·inter ≥ union,
+  // 5·inter ≥ 4·min) so both engines branch identically on the
+  // boundaries. At 100 TB this is one blocked self-join — the three
+  // verdicts are column arithmetic on rows the join already built.
+  // ---------------------------------------------------------------
+  def q120DedupEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+        shingles(col("text"), 3).as("sh"),
+        graft.functions.texthash.simhash60(col("text")).as("sig"))
+      .withColumn("mk", minhash(col("sh"), 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: both self-join sides read it (q25's race note)
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+    val uni = size(array_union(col("a.sh"), col("b.sh"))).cast("long")
+    val nmin = least(size(col("a.sh")), size(col("b.sh"))).cast("long")
+    a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        (lit(2L) * inter >= uni).cast("long").as("jac_ok"),
+        (bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+          .cast("long").as("ham_ok"),
+        (lit(5L) * inter >= lit(4L) * nmin).cast("long").as("cont_ok"))
+      .withColumn("score", col("jac_ok") + col("ham_ok") + col("cont_ok"))
+      .filter(col("score") >= 1)
+      .withColumn("is_dup", (col("score") >= 2).cast("long"))
+      .orderBy("i", "j")
+  }
+
+  val q120Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, text, $sqlWordHashes AS hs FROM documents
+       |), d AS (
+       |  SELECT doc_id, ${sqlShingles(3)} AS sh,
+       |    $sqlSimhashTerms AS sig
+       |  FROM h
+       |), m AS (
+       |  SELECT doc_id, sh, sig, ${sqlMinhash("sh", 0)} AS mk FROM d
+       |), pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CASE WHEN 2*len(list_intersect(a.sh, b.sh))
+       |           >= len(list_distinct(list_concat(a.sh, b.sh)))
+       |         THEN 1 ELSE 0 END AS jac_ok,
+       |    CASE WHEN bit_count(xor(a.sig, b.sig)) <= 3
+       |         THEN 1 ELSE 0 END AS ham_ok,
+       |    CASE WHEN 5*len(list_intersect(a.sh, b.sh))
+       |           >= 4*least(len(a.sh), len(b.sh))
+       |         THEN 1 ELSE 0 END AS cont_ok
+       |  FROM m a JOIN m b ON a.mk = b.mk AND a.doc_id < b.doc_id
+       |)
+       |SELECT i, j, CAST(jac_ok AS BIGINT) AS jac_ok,
+       |  CAST(ham_ok AS BIGINT) AS ham_ok,
+       |  CAST(cont_ok AS BIGINT) AS cont_ok,
+       |  CAST(jac_ok + ham_ok + cont_ok AS BIGINT) AS score,
+       |  CAST(CASE WHEN jac_ok + ham_ok + cont_ok >= 2
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM pairs WHERE jac_ok + ham_ok + cont_ok >= 1
+       |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dedup_ensemble" -> q120DedupEnsemble _,
     "q110_span_removal" -> q110SpanRemoval _,
     "q66_incremental_dedup" -> q66IncrementalDedup _,
     "q48_dedup_clusters" -> q48DedupClusters _,
@@ -524,6 +594,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q120_dedup_ensemble" -> q120Sql,
     "q110_span_removal" -> q110Sql,
     "q66_incremental_dedup" -> q66Sql,
     "q48_dedup_clusters" -> q48Sql,
