@@ -51,4 +51,43 @@ class DataLayoutSpec extends SparkSpec {
     }
     assert(violations == 0)
   }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // the 100-TB star-join feature: the fact side is partitioned by the
+    // join key; a filter on the DIMENSION cannot prune it statically,
+    // so the optimizer injects a runtime subquery that collects the
+    // surviving keys and prunes fact partitions before the scan
+    val out = Files.createTempDirectory("dpp").toString + "/fact"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.partitionBy("lang").parquet(out)
+    val fact = spark.read.parquet(out)
+    val s = spark
+    import s.implicits._
+    val dimPath = Files.createTempDirectory("dpp").toString + "/dim"
+    Seq(("en", 1L), ("de", 2L), ("fr", 3L), ("es", 4L), ("zh", 5L))
+      .toDF("lang", "lang_id").write.parquet(dimPath)
+    // dim must be a real scan: a local relation would constant-fold
+    // the filter away before the PartitionPruning rule looks for it
+    val dim = spark.read.parquet(dimPath)
+
+    val keys = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "false"))
+    try {
+      val q = fact.join(dim, "lang").filter(col("lang_id") <= 2)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan)
+      // correctness: only en+de rows survive
+      val langs = q.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(langs === Set("en", "de"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
