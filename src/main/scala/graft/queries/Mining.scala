@@ -351,7 +351,65 @@ object Mining {
       |  ) GROUP BY node
       |) WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q122: SKIP-GRAM pair generation — the word2vec training-data op:
+  // for every token, emit its context words within a ±2 window,
+  // distance-weighted (adjacent 2, skip-one 1, the standard
+  // harmonic-ish decay as exact integers). JOIN-FREE: contexts come
+  // from indexing the token array directly (element_at at pos ± off),
+  // so the corpus never self-joins — one explode, one partial-
+  // aggregated groupBy on the (center, context) pair. q74's adjacent
+  // bigram lift is the special case off=1; this is the general
+  // windowed form every embedding pipeline starts from.
+  // ---------------------------------------------------------------
+  def q122SkipGrams(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    // (pos, off) pairs flattened: off in {-2,-1,1,2}, weight 3-|off|
+    val pairs = flatten(transform(sequence(lit(0), size(ws) - 1), pos =>
+      filter(transform(array(lit(-2), lit(-1), lit(1), lit(2)), off =>
+        struct(get(ws, pos).as("center"),
+          // get() is 0-based and yields NULL out of bounds (both ends
+          // — element_at would WRAP on negative indices); the filter
+          // drops window positions outside the document
+          get(ws, pos + off).as("context"),
+          (lit(3) - abs(off)).cast("long").as("wt"))),
+        p => p.getField("context").isNotNull)))
+    documents(s, dir)
+      .select(explode(pairs).as("p"))
+      .select(col("p.center"), col("p.context"), col("p.wt"))
+      .groupBy(col("center"), col("context"))
+      .agg(sum(col("wt")).as("weight"), count(lit(1)).as("n_pairs"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("weight").desc, col("center"), col("context"))))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("center"), col("context"),
+        col("weight"), col("n_pairs"))
+      .orderBy("rnk")
+  }
+
+  val q122Sql: String =
+    """WITH d AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |), p AS (
+      |  SELECT ws[CAST(i+1 AS INT)] AS center,
+      |    ws[CAST(i + off + 1 AS INT)] AS context,
+      |    CAST(3 - abs(off) AS BIGINT) AS wt
+      |  FROM d, unnest(range(len(ws))) t(i),
+      |    unnest([-2, -1, 1, 2]) o(off)
+      |  WHERE i + off >= 0 AND i + off < len(ws)
+      |), a AS (
+      |  SELECT center, context, CAST(SUM(wt) AS BIGINT) AS weight,
+      |    COUNT(*) AS n_pairs
+      |  FROM p GROUP BY center, context
+      |)
+      |SELECT rnk, center, context, weight, n_pairs FROM (
+      |  SELECT center, context, weight, n_pairs,
+      |    row_number() OVER (ORDER BY weight DESC, center, context) AS rnk
+      |  FROM a
+      |) WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_skip_grams" -> q122SkipGrams _,
     "q114_basket_pairs" -> q114BasketPairs _,
     "q115_triangle_count" -> q115TriangleCount _,
     "q102_heavy_hitters" -> q102HeavyHitters _,
@@ -360,6 +418,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q122_skip_grams" -> q122Sql,
     "q114_basket_pairs" -> q114Sql,
     "q115_triangle_count" -> q115Sql,
     "q102_heavy_hitters" -> q102Sql,

@@ -277,7 +277,68 @@ object Retrieval {
       |    // (2*COUNT(*))) / 10000.0 AS mean_clip
       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q121: PHRASE query over a positional index — the retrieval step
+  // q87's inverted index exists for: find exact multi-word phrases
+  // by joining per-term postings at aligned positions. The classic
+  // trick makes it one aggregate instead of a k-way self-join: a
+  // token at (doc, pos) matching phrase word idx anchors the phrase
+  // at pos - idx, so a (doc, phrase, anchor) group containing all k
+  // distinct idx values IS an occurrence. The phrase table is a
+  // broadcast literal (query-sized); the corpus is tokenized once —
+  // the same plan a search engine runs against stored positional
+  // postings at 100 TB.
+  // ---------------------------------------------------------------
+  private val Phrases = Seq(
+    "slow hash batch", "stream table hash", "window fast query")
+
+  def q121PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val post = documents(s, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("w"))
+    val terms = Phrases.flatMap { p =>
+      p.split(" ").zipWithIndex.map { case (w, i) => (p, i.toLong, w) }
+    }.toDF("phrase", "idx", "w")
+    val k = 3L // phrase length (all phrases 3 words)
+    post.join(broadcast(terms), Seq("w"))
+      .select(col("phrase"), col("doc_id"),
+        (col("pos") - col("idx")).as("anchor"), col("idx"))
+      .groupBy(col("phrase"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("idx")).as("n_idx"))
+      .filter(col("n_idx") === k)
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy("phrase")
+  }
+
+  val q121Sql: String = {
+    val phraseRows = Phrases.flatMap { p =>
+      p.split(" ").zipWithIndex.map { case (w, i) => s"('$p', $i, '$w')" }
+    }.mkString(",\n    ")
+    s"""WITH terms(phrase, idx, w) AS (
+       |  VALUES
+       |    $phraseRows
+       |), post AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i+1 AS INT)] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |    unnest(range(len(ws))) t(i)
+       |), anchored AS (
+       |  SELECT phrase, doc_id, pos - idx AS anchor,
+       |    COUNT(DISTINCT idx) AS n_idx
+       |  FROM post JOIN terms USING (w)
+       |  GROUP BY phrase, doc_id, pos - idx
+       |)
+       |SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_occurrences
+       |FROM anchored WHERE n_idx = 3
+       |GROUP BY phrase ORDER BY phrase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_phrase_search" -> q121PhraseSearch _,
     "q83_sorted_neighborhood" -> q83SortedNeighborhood _,
     "q85_unpivot" -> q85Unpivot _,
     "q87_inverted_index" -> q87InvertedIndex _,
@@ -285,6 +346,7 @@ object Retrieval {
     "q90_winsorize" -> q90Winsorize _)
 
   val oracles: Map[String, String] = Map(
+    "q121_phrase_search" -> q121Sql,
     "q83_sorted_neighborhood" -> q83Sql,
     "q85_unpivot" -> q85Sql,
     "q87_inverted_index" -> q87Sql,
