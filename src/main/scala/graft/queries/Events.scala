@@ -379,7 +379,98 @@ object Events {
       |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q123: session_window in BATCH — the engine-native sessionization
+  // primitive (the same expression EventTimeStreamSpec exercises on a
+  // stream) applied to the events table: one groupBy, no window-pass
+  // + running-sum construction (q17's hand-built twin). The oracle
+  // replays the identical gap rule declaratively, pinning that
+  // Spark's native session assignment matches the definitional one —
+  // start = first ts, end = last ts + gap, events merge while
+  // consecutive gaps stay <= 30 min.
+  // ---------------------------------------------------------------
+  def q123SessionWindowBatch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("first_event_id"))
+      .orderBy("user_id", "start_us")
+
+  val q123Sql: String =
+    """WITH flags AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flags
+      |)
+      |SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+      |  MAX(epoch_us(ts)) + 30*60*1000000 AS end_us,
+      |  COUNT(*) AS n_events, MIN(event_id) AS first_event_id
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q124: TWAP — time-weighted average value per (event_type, day):
+  // each event's value holds until the next event of the same type
+  // that day, so the mean weights values by how long they were
+  // current (the metrics/finance standard that a plain AVG gets
+  // wrong under irregular sampling). One lead() window pass; the
+  // weighted mean is exact int64 — cents × whole-second durations
+  // stay far inside the 2^63 envelope (5.6e4 cents × 8.6e4 s/day
+  // × ~1e4 rows ≈ 5e13).
+  // ---------------------------------------------------------------
+  def q124Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val iv = events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", floor(col("value") * 100))
+      .withColumn("dur_s",
+        ((unix_micros(lead(col("ts"), 1).over(w)) -
+          unix_micros(col("ts"))) / lit(1000000L)).cast("long"))
+      .filter(col("dur_s").isNotNull && col("dur_s") > 0)
+    iv.groupBy(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("total_dur_s"),
+        Relational.ratio4(sum(col("cents") * col("dur_s")),
+          sum(col("dur_s"))).as("twap_cents"))
+      .orderBy("event_type", "day")
+  }
+
+  val q124Sql: String =
+    """WITH iv AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value*100) AS BIGINT) AS cents,
+      |    (epoch_us(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |        ORDER BY ts, event_id))
+      |      - epoch_us(ts)) // 1000000 AS dur_s
+      |  FROM events
+      |)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n_intervals,
+      |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+      |  ((20000*CAST(SUM(cents*dur_s) AS BIGINT) + CAST(SUM(dur_s) AS BIGINT))
+      |    // (2*CAST(SUM(dur_s) AS BIGINT))) / 10000.0 AS twap_cents
+      |FROM iv WHERE dur_s IS NOT NULL AND dur_s > 0
+      |GROUP BY event_type, strftime(day, '%Y-%m-%d')
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_session_window" -> q123SessionWindowBatch _,
+    "q124_twap" -> q124Twap _,
     "q45_median_value" -> q45MedianValue _,
     "q44_control_actions_sql" -> q44ControlActionsSql _,
     "q43_range_join" -> q43RangeJoin _,
@@ -393,6 +484,8 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q123_session_window" -> q123Sql,
+    "q124_twap" -> q124Sql,
     "q45_median_value" -> q45Sql,
     "q44_control_actions_sql" -> q16Sql, // same semantics, same oracle
     "q43_range_join" -> q43Sql,
