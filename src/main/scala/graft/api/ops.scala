@@ -306,8 +306,13 @@ object ops {
         when(aFirst, col("__b")).otherwise(col("__a")).as("v"))
     val w1 = o.select(col("u"), col("v").as("v1"))
     val w2 = o.select(col("u"), col("v").as("v2"))
+    // closure join: the WEDGE side dominates (up to sqrt(m) x edges),
+    // so broadcast the canonical edge set and never shuffle wedges —
+    // valid while edges fit an executor (~1 GB); beyond that drop the
+    // hint and both sides shuffle on the (a, b) key
     val tri = w1.join(w2, Seq("u")).filter(col("v1") < col("v2"))
-      .join(und, col("v1") === col("__a") && col("v2") === col("__b"))
+      .join(broadcast(und),
+        col("v1") === col("__a") && col("v2") === col("__b"))
       .select(col("u"), col("v1"), col("v2"))
     tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))

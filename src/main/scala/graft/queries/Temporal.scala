@@ -325,7 +325,104 @@ object Temporal {
       |      FROM events)
       |GROUP BY ROLLUP(day) ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q125: ROLLING 7-day active users — the WAU/MAU statistic, exact.
+  // Sliding distinct counts cannot be summed from daily distincts
+  // (users overlap days), and a naive per-day re-scan is 7x the work.
+  // The distributed trick: reduce to distinct (user, day) once, then
+  // each contributes to the 7 trailing windows it is visible in — a
+  // BOUNDED x7 explode — and a distinct count per window day
+  // finishes it. Two key-bounded shuffles total, independent of the
+  // window length's data volume. Days with no activity simply have
+  // no row (the testdata stream is dense, so the spine is complete).
+  // ---------------------------------------------------------------
+  def q125RollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("wday"))
+      // don't emit windows past the observed horizon
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wday") <= col("max_day"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+        col("active_7d"))
+      .orderBy("day")
+  }
+
+  val q125Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), mx AS (SELECT MAX(day) AS max_day FROM ud),
+      |w AS (
+      |  SELECT user_id, day + CAST(off AS INT) AS wday
+      |  FROM ud, unnest(range(7)) t(off)
+      |)
+      |SELECT strftime(wday, '%Y-%m-%d') AS day,
+      |  COUNT(DISTINCT user_id) AS active_7d
+      |FROM w WHERE wday <= (SELECT max_day FROM mx)
+      |GROUP BY wday ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q126: COHORT retention matrix — the product-analytics standard
+  // that q93's next-day retention is one cell of: bucket every user
+  // by first-activity day (their cohort), then count distinct users
+  // active at each day offset from their cohort. One pass computes
+  // cohorts (min day per user, a partial-aggregated groupBy that
+  // broadcasts back); offsets come from the activity stream joined
+  // to that per-user table — no day-by-day re-scans. Retention is
+  // exact int64 against the cohort size.
+  // ---------------------------------------------------------------
+  def q126CohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("cohort_n"))
+    ud.join(broadcast(cohorts), Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("off"))
+      .filter(col("off") <= 7)
+      .groupBy(col("cohort_day"), col("off"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("off"), col("n_active"), col("cohort_n"),
+        Relational.ratio4(col("n_active"), col("cohort_n"))
+          .as("retention"))
+      .orderBy("cohort_day", "off")
+  }
+
+  val q126Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_n
+      |  FROM cohorts GROUP BY cohort_day
+      |), cells AS (
+      |  SELECT c.cohort_day, datediff('day', c.cohort_day, ud.day) AS off,
+      |    COUNT(DISTINCT ud.user_id) AS n_active
+      |  FROM ud JOIN cohorts c USING (user_id)
+      |  WHERE datediff('day', c.cohort_day, ud.day) <= 7
+      |  GROUP BY c.cohort_day, datediff('day', c.cohort_day, ud.day)
+      |)
+      |SELECT strftime(cells.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(off AS BIGINT) AS off, n_active, cohort_n,
+      |  ((20000*n_active + cohort_n) // (2*cohort_n)) / 10000.0 AS retention
+      |FROM cells JOIN sizes USING (cohort_day)
+      |ORDER BY cohort_day, off""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_rolling_active" -> q125RollingActive _,
+    "q126_cohort_matrix" -> q126CohortMatrix _,
     "q105_sketch_rollup" -> q105SketchRollup _,
     "q101_gap_fill" -> q101GapFill _,
     "q82_scd2_join" -> q82Scd2Join _,
@@ -334,6 +431,8 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q125_rolling_active" -> q125Sql,
+    "q126_cohort_matrix" -> q126Sql,
     "q105_sketch_rollup" -> q105Sql,
     "q101_gap_fill" -> q101Sql,
     "q82_scd2_join" -> q82Sql,
