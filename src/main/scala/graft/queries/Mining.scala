@@ -244,11 +244,21 @@ object Mining {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val n = li.agg(countDistinct(col("ok")).as("n_orders"))
-    val a = li.select(col("ok"), col("pk").as("p1"))
-    val b = li.select(col("ok"), col("pk").as("p2"))
-    val pairs = a.join(b, Seq("ok"))
-      .filter(col("p1") < col("p2"))
-      .groupBy(col("p1"), col("p2"))
+    // JOIN-FREE pair generation: one shuffle collects each basket's
+    // item set (sorted -> p1 < p2 for free), then the pairs explode
+    // from the per-basket array — C(items, 2) fan-out exactly like
+    // the self-join form, but one fewer shuffle of the item table
+    // (same local[32] time — the scan+distinct dominates here — but
+    // at cluster scale the saved exchange is the difference; baskets
+    // are <= 13 items, so at most 78 structs allocate per basket)
+    val baskets = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("items"))
+    val pairExpr = flatten(transform(col("items"), (p1, i) =>
+      transform(slice(col("items"), i + 2, size(col("items"))), p2 =>
+        struct(p1.as("p1"), p2.as("p2")))))
+    val pairs = baskets
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(count(lit(1)).as("n_both"))
     val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val c1 = cnt.select(col("pk").as("p1"), col("c").as("c1"))
