@@ -488,7 +488,69 @@ object Curation {
       |  md5(string_agg(target, chr(10) ORDER BY doc_id)) AS targets_md5
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q127: TARGETED DELETION apply with audit — the right-to-be-
+  // forgotten / opt-out maintenance pass every stored corpus needs:
+  // remove every event belonging to a deletion list and account for
+  // exactly what was removed. The deletion list is user-keyed and
+  // tiny relative to the data (here: user_id ≡ 0 mod 97), so the
+  // apply is a BROADCAST anti join — the corpus never shuffles; at
+  // 100 TB the same pass is a bloom-filter pre-pass + anti join
+  // (q51's shape) when the list outgrows a broadcast. The audit
+  // emits before/after/deleted rows and users per type, plus a
+  // residual count joined back from the cleaned frame — pinned 0,
+  // so the gate FAILS if the apply ever leaks a requested row.
+  // ---------------------------------------------------------------
+  def q127DeletionApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val toDelete = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 97 === 0)
+    val cleaned = ev.join(broadcast(toDelete), Seq("user_id"), "left_anti")
+    val before = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rows_before"),
+        countDistinct(col("user_id")).as("users_before"))
+    val after = cleaned.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rows_after"),
+        countDistinct(col("user_id")).as("users_after"))
+    val residual = cleaned.join(broadcast(toDelete), Seq("user_id"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("res"))
+    before.join(after, Seq("event_type"))
+      .join(residual, Seq("event_type"), "left")
+      .select(col("event_type"),
+        col("rows_before"), col("rows_after"),
+        (col("rows_before") - col("rows_after")).as("rows_deleted"),
+        (col("users_before") - col("users_after")).as("users_deleted"),
+        coalesce(col("res"), lit(0L)).as("residual_rows"))
+      .orderBy("event_type")
+  }
+
+  val q127Sql: String =
+    """WITH del AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+      |), cleaned AS (
+      |  SELECT * FROM events e
+      |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.user_id = e.user_id)
+      |), b AS (
+      |  SELECT event_type, COUNT(*) AS rows_before,
+      |    COUNT(DISTINCT user_id) AS users_before
+      |  FROM events GROUP BY event_type
+      |), a AS (
+      |  SELECT event_type, COUNT(*) AS rows_after,
+      |    COUNT(DISTINCT user_id) AS users_after
+      |  FROM cleaned GROUP BY event_type
+      |), r AS (
+      |  SELECT event_type, COUNT(*) AS res
+      |  FROM cleaned c JOIN del USING (user_id) GROUP BY event_type
+      |)
+      |SELECT event_type, rows_before, rows_after,
+      |  rows_before - rows_after AS rows_deleted,
+      |  users_before - users_after AS users_deleted,
+      |  CAST(COALESCE(res, 0) AS BIGINT) AS residual_rows
+      |FROM b JOIN a USING (event_type) LEFT JOIN r USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_deletion_apply" -> q127DeletionApply _,
     "q119_span_corruption" -> q119SpanCorruption _,
     "q108_url_curation" -> q108UrlCuration _,
     "q76_mixture_sample" -> q76MixtureSample _,
@@ -499,6 +561,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q127_deletion_apply" -> q127Sql,
     "q119_span_corruption" -> q119Sql,
     "q108_url_curation" -> q108Sql,
     "q76_mixture_sample" -> q76Sql,

@@ -420,7 +420,106 @@ object Temporal {
       |FROM cells JOIN sizes USING (cohort_day)
       |ORDER BY cohort_day, off""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q128: BITEMPORAL as-of — two time axes: when a fact became VALID
+  // (the purchase ts) and when it became KNOWN to the system (here:
+  // recorded one hour late, the realistic ingestion lag). A plain
+  // as-of join (q37/q60) answers "latest version valid at t"; the
+  // bitemporal query answers "latest version valid at t AMONG those
+  // already known at t" — what a reproducible training snapshot or a
+  // point-in-time feature store must use, or late-arriving facts
+  // leak into the past. Implemented as the q37 window shape with the
+  // knowledge filter applied before the last_value sweep; the output
+  // diffs the two answers per day, pinning that they genuinely
+  // disagree (n_differs > 0) and by how much.
+  // ---------------------------------------------------------------
+  def q128BitemporalAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val KnowledgeLagUs = 3600L * 1000000L
+    def latestVersionValue(knowledgeAware: Boolean): DataFrame = {
+      // tag stream: versions (purchases) + probes (views), swept in
+      // one (ts, event_id) order per user; a knowledge-aware sweep
+      // shifts each version's effectiveness to its RECORD time
+      val versions = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) +
+            (if (knowledgeAware) KnowledgeLagUs else 0L)).as("eff_us"),
+          col("event_id"), floor(col("value") * 100).as("vcents"))
+      val probes = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("eff_us"),
+          col("event_id"), lit(null).cast("long").as("vcents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("eff_us"), col("vcents").isNotNull.desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      versions.unionByName(probes)
+        .withColumn("cur", last(col("vcents"), ignoreNulls = true).over(w))
+        .filter(col("vcents").isNull) // keep probes only
+        .select(col("user_id"), col("event_id"), col("cur"))
+    }
+    val naive = latestVersionValue(knowledgeAware = false)
+      .withColumnRenamed("cur", "naive_cents")
+    val bitemporal = latestVersionValue(knowledgeAware = true)
+      .withColumnRenamed("cur", "bt_cents")
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .join(naive, Seq("user_id", "event_id"))
+      .join(bitemporal, Seq("user_id", "event_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("naive_cents").isNotNull &&
+          (col("bt_cents").isNull ||
+            col("bt_cents") =!= col("naive_cents")), 1L)
+          .otherwise(0L)).as("n_differs"),
+        sum(coalesce(col("bt_cents"), lit(0L))).as("bt_sum"),
+        sum(coalesce(col("naive_cents"), lit(0L))).as("naive_sum"))
+      .orderBy("day")
+  }
+
+  val q128Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS eff_us, event_id,
+      |    CAST(floor(value*100) AS BIGINT) AS vcents
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), event_id, NULL
+      |  FROM events WHERE event_type = 'view'
+      |), naive AS (
+      |  SELECT user_id, event_id,
+      |    last_value(vcents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY eff_us, (vcents IS NOT NULL) DESC, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS naive_cents
+      |  FROM tagged
+      |), tagged_bt AS (
+      |  SELECT user_id, eff_us + 3600000000 AS eff_us, event_id, vcents
+      |  FROM tagged WHERE vcents IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, eff_us, event_id, NULL
+      |  FROM tagged WHERE vcents IS NULL
+      |), bt AS (
+      |  SELECT user_id, event_id,
+      |    last_value(vcents IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY eff_us, (vcents IS NOT NULL) DESC, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt_cents
+      |  FROM tagged_bt
+      |)
+      |SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n_probes,
+      |  CAST(SUM(CASE WHEN n.naive_cents IS NOT NULL AND
+      |    (b.bt_cents IS NULL OR b.bt_cents <> n.naive_cents)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_differs,
+      |  CAST(SUM(COALESCE(b.bt_cents, 0)) AS BIGINT) AS bt_sum,
+      |  CAST(SUM(COALESCE(n.naive_cents, 0)) AS BIGINT) AS naive_sum
+      |FROM events e
+      |JOIN naive n ON n.user_id = e.user_id AND n.event_id = e.event_id
+      |JOIN bt b ON b.user_id = e.user_id AND b.event_id = e.event_id
+      |WHERE e.event_type = 'view'
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_bitemporal_asof" -> q128BitemporalAsof _,
     "q125_rolling_active" -> q125RollingActive _,
     "q126_cohort_matrix" -> q126CohortMatrix _,
     "q105_sketch_rollup" -> q105SketchRollup _,
@@ -431,6 +530,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q128_bitemporal_asof" -> q128Sql,
     "q125_rolling_active" -> q125Sql,
     "q126_cohort_matrix" -> q126Sql,
     "q105_sketch_rollup" -> q105Sql,
