@@ -549,7 +549,56 @@ object Curation {
       |FROM b JOIN a USING (event_type) LEFT JOIN r USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q129: WEIGHTED sampling without replacement — priority sampling
+  // (Duffield/Lund/Thorup): each doc draws a deterministic uniform
+  // h (md5-prefix int) and keeps priority h / weight; the k smallest
+  // priorities per source are the sample, so heavier docs (more
+  // chars) are proportionally likelier — exactly, without float RNG
+  // (the division is int64 floor, ties broken by doc_id). The top-k
+  // runs through the NATIVE TopKPerGroup heap operator: the shuffle
+  // carries <= k rows per (partition, source), not the corpus —
+  // q47/q56 are the unweighted/stratified siblings.
+  // ---------------------------------------------------------------
+  def q129WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val d = documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      // `div`, not ldiv: the 60-bit h exceeds double's 53-bit mantissa,
+      // so ldiv's (a - a%b)/b double division rounds the quotient;
+      // the SQL div operator stays in int64 end to end
+      .withColumn("h", h)
+      .withColumn("pri", expr("h div n_chars"))
+      .drop("h")
+    val top = graft.plans.ops.topKPerGroup(d,
+      groupCols = Seq(col("source")),
+      orderCols = Seq(col("pri").asc, col("doc_id").asc),
+      k = 5)
+    top.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("pri"), col("doc_id"))))
+      .select(col("source"), col("rnk"), col("doc_id"),
+        col("n_chars"), col("pri"))
+      .orderBy("source", "rnk")
+  }
+
+  val q129Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      // n_chars AS pri
+      |  FROM documents
+      |)
+      |SELECT source, rnk, doc_id, n_chars, pri FROM (
+      |  SELECT source, doc_id, n_chars, pri,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY pri, doc_id) AS rnk
+      |  FROM d
+      |) WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_weighted_sample" -> q129WeightedSample _,
     "q127_deletion_apply" -> q127DeletionApply _,
     "q119_span_corruption" -> q119SpanCorruption _,
     "q108_url_curation" -> q108UrlCuration _,
@@ -561,6 +610,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q129_weighted_sample" -> q129Sql,
     "q127_deletion_apply" -> q127Sql,
     "q119_span_corruption" -> q119Sql,
     "q108_url_curation" -> q108Sql,
