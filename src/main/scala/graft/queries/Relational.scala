@@ -30,6 +30,11 @@ object Relational {
   /** Exact integer division for non-negative int64 columns (all
     * operands well below 2^53, so the intermediate double arithmetic
     * is exact): a DIV b = (a - a%b)/b.
+    *
+    * PRECISION BOUND: the numerator must stay below 2^53 or the
+    * double division rounds the quotient (observed with 60-bit md5
+    * hashes — off-by-one vs DuckDB's `//`). For full-range int64
+    * numerators use the SQL `div` operator instead (q129).
     */
   private[queries] def ldiv(a: Column, b: Column): Column =
     ((a - a % b) / b).cast("long")
