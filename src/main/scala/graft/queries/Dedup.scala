@@ -583,7 +583,80 @@ object Dedup {
        |FROM pairs WHERE jac_ok + ham_ok + cont_ok >= 1
        |ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q130: threshold SENSITIVITY sweep — tuning a dedup pipeline means
+  // asking "how many pairs/docs does each jaccard cutoff remove?",
+  // and the naive way re-runs the pipeline per cutoff. This answers
+  // all four cutoffs in ONE pass: candidates and their exact
+  // intersections are computed once (the expensive part), then a
+  // bounded ×4 threshold explode classifies each pair — the flag is
+  // pure int64 (10^4·inter ≥ t·union). Re-scan cost: zero; at 100 TB
+  // the sweep column is free relative to the blocked self-join it
+  // rides on.
+  // ---------------------------------------------------------------
+  // chosen to straddle the corpus's similarity knee: noise candidates
+  // sit near 0, true near-dups near 1 — the sweep shows the cliff
+  private val SweepThresholds = Seq(100L, 1000L, 9000L, 9500L)
+
+  def q130ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+        shingles(col("text"), 3).as("sh"))
+      .withColumn("mk", minhash(col("sh"), 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager (q25's race note)
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val cand = a.join(b, col("a.mk") === col("b.mk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+          .as("inter"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("uni"))
+    val flagged = cand
+      .select(col("i"), col("j"), col("inter"), col("uni"),
+        explode(array(SweepThresholds.map(lit(_)): _*)).as("thr"))
+      .filter(col("inter") * 10000L >= col("thr") * col("uni"))
+    val pairs = flagged.groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docs = flagged
+      .select(col("thr"), explode(array(col("i"), col("j"))).as("d"))
+      .distinct()
+      .groupBy(col("thr")).agg(count(lit(1)).as("n_docs"))
+    pairs.join(docs, Seq("thr"))
+      .select((col("thr") / 10000.0).as("threshold"),
+        col("n_pairs"), col("n_docs"))
+      .orderBy("threshold")
+  }
+
+  val q130Sql: String = {
+    val thrList = SweepThresholds.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, sh, ${sqlMinhash("sh", 0)} AS mk
+       |  FROM (SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents)
+       |), cand AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+       |  FROM d a JOIN d b ON a.mk = b.mk AND a.doc_id < b.doc_id
+       |), flagged AS (
+       |  SELECT i, j, thr FROM cand, unnest($thrList) t(thr)
+       |  WHERE inter * 10000 >= thr * uni
+       |), p AS (
+       |  SELECT thr, COUNT(*) AS n_pairs FROM flagged GROUP BY thr
+       |), dd AS (
+       |  SELECT thr, COUNT(*) AS n_docs FROM (
+       |    SELECT DISTINCT thr, d FROM (
+       |      SELECT thr, i AS d FROM flagged
+       |      UNION ALL SELECT thr, j FROM flagged
+       |    )
+       |  ) GROUP BY thr
+       |)
+       |SELECT thr / 10000.0 AS threshold, n_pairs, n_docs
+       |FROM p JOIN dd USING (thr) ORDER BY threshold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_threshold_sweep" -> q130ThresholdSweep _,
     "q120_dedup_ensemble" -> q120DedupEnsemble _,
     "q110_span_removal" -> q110SpanRemoval _,
     "q66_incremental_dedup" -> q66IncrementalDedup _,
@@ -594,6 +667,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q130_threshold_sweep" -> q130Sql,
     "q120_dedup_ensemble" -> q120Sql,
     "q110_span_removal" -> q110Sql,
     "q66_incremental_dedup" -> q66Sql,

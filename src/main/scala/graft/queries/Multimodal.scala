@@ -181,13 +181,72 @@ object Multimodal {
       |  CAST(length(rs) AS INT) AS new_units, md5(rs) AS resized_md5
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q131: binary payload NEAR-dup via fixed-block signatures — how
+  // storage/media dedup works on opaque bytes (no tokens to shingle):
+  // split each payload into fixed 32-byte blocks, hash each block,
+  // and call two payloads near-dup when the smaller one's block set
+  // is ≥80% contained in the other — robust to local edits, which
+  // disturb only the blocks they touch. Candidates are blocked on
+  // the MIN block hash (the q25 prefix filter applied to bytes), so
+  // no all-pairs stage; containment is exact int64 (5·inter ≥
+  // 4·min). Payloads here are the q33 to_binary(text) stand-ins, so
+  // the 32-byte blocks are 32-char substrings in both engines.
+  // ---------------------------------------------------------------
+  def q131PayloadBlocks(s: SparkSession, dir: String): DataFrame = {
+    val nBlocks = ceil(length(col("text")) / 32.0).cast("int")
+    val blocks = array_distinct(transform(sequence(lit(0), nBlocks - 1),
+      i => md5(col("text").substr(lit(1) + i * 32, lit(32)))))
+    val d = documents(s, dir)
+      .select(col("doc_id"), blocks.as("bl"))
+      .withColumn("mk", array_min(col("bl")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager (q25's race note)
+    val a = d.alias("a")
+    val b = d.alias("b")
+    val inter = size(array_intersect(col("a.bl"), col("b.bl"))).cast("long")
+    val nmin = least(size(col("a.bl")), size(col("b.bl"))).cast("long")
+    a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", inter)
+      .withColumn("nmin", nmin)
+      .filter(col("inter") * 5L >= col("nmin") * 4L)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("inter").as("shared_blocks"), col("nmin").as("min_blocks"),
+        Relational.ratio4(col("inter"), col("nmin")).as("containment"))
+      .orderBy("i", "j")
+  }
+
+  val q131Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(CAST(ceil(length(text) / 32.0) AS BIGINT)),
+      |      i -> md5(substr(text, CAST(1 + i*32 AS INT), 32)))) AS bl
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, bl, list_aggregate(bl, 'min') AS mk FROM d
+      |)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(len(list_intersect(a.bl, b.bl)) AS BIGINT) AS shared_blocks,
+      |  CAST(least(len(a.bl), len(b.bl)) AS BIGINT) AS min_blocks,
+      |  ((20000*CAST(len(list_intersect(a.bl, b.bl)) AS BIGINT)
+      |      + least(len(a.bl), len(b.bl)))
+      |    // (2*CAST(least(len(a.bl), len(b.bl)) AS BIGINT))) / 10000.0
+      |    AS containment
+      |FROM m a JOIN m b ON a.mk = b.mk AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.bl, b.bl)) * 5
+      |      >= least(len(a.bl), len(b.bl)) * 4
+      |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_payload_blocks" -> q131PayloadBlocks _,
     "q33_multimodal_bundle" -> q33MultimodalBundle _,
     "q35_multimodal_features" -> q35MultimodalFeatures _,
     "q40_frame_sample" -> q40FrameSample _,
     "q104_resize" -> q104Resize _)
 
   val oracles: Map[String, String] = Map(
+    "q131_payload_blocks" -> q131Sql,
     "q33_multimodal_bundle" -> q33Sql,
     "q35_multimodal_features" -> q35Sql,
     "q40_frame_sample" -> q40Sql,
