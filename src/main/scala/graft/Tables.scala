@@ -37,13 +37,22 @@ object Tables {
     * layout (many files / row groups per table) the condition is
     * false and this is a no-op: no extra exchange at 100 TB.
     */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // df.rdd.getNumPartitions plans the frame to RDDs — a driver-side
+    // analyze/optimize cycle. The answer is fixed per (session, path),
+    // and documents()/embeddings() are called hundreds of times per
+    // Verify/Bench run, so memoize it.
+    val needs = spreadCache.computeIfAbsent(s.hashCode() + ":" + key,
+      _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target))
+    if (needs) df.repartition(target) else df
   }
 
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "documents"))
+    spread(s, table(s, d, "documents"), s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "embeddings"))
+    spread(s, table(s, d, "embeddings"), s"$d/embeddings")
 }

@@ -17,10 +17,6 @@ import graft.queries.Hashing
   */
 object ops {
 
-  /** Exact floor division for non-negative int64 columns. */
-  private def floorDiv(a: Column, b: Column): Column =
-    ((a - a % b) / b).cast("long")
-
   /** Exact dedup: one surviving row per `keys` group — the survivor
     * is the row with the smallest `tiebreak` (deterministic, unlike
     * dropDuplicates' arbitrary pick). One window pass, no join.
@@ -287,14 +283,20 @@ object ops {
     * broadcast; the only shuffles are the wedge self-join on the
     * wedge apex and the closure join on the canonical edge key.
     */
-  def triangleCounts(edges: DataFrame, a: String, b: String): DataFrame = {
-    val und = edges
-      .filter(col(a) =!= col(b))
-      .select(least(col(a), col(b)).as("__a"),
-        greatest(col(a), col(b)).as("__b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    und.count() // eager: degree, orientation and closure all read it
+  def triangleCounts(edges: DataFrame, a: String, b: String,
+      assumeCanonical: Boolean = false): DataFrame = {
+    // NOT persisted here: a library call must not leave cached
+    // partitions behind (the nearDupPairs invariant). The canonical
+    // edge set is read three times (degree, orientation, closure) —
+    // for large graphs, canonicalize once yourself, persist, and pass
+    // assumeCanonical = true (q115 does exactly this).
+    val und =
+      if (assumeCanonical) edges.select(col(a).as("__a"), col(b).as("__b"))
+      else edges
+        .filter(col(a) =!= col(b))
+        .select(least(col(a), col(b)).as("__a"),
+          greatest(col(a), col(b)).as("__b"))
+        .distinct()
     val deg = und.select(explode(array(col("__a"), col("__b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val dA = deg.select(col("v").as("__a"), col("dg").as("__da"))
@@ -327,6 +329,11 @@ object ops {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def normed(df: DataFrame, idName: String, vecName: String): DataFrame = {
+      // positional contract (documented): first column = id, second =
+      // vector; fail fast instead of MatchError / silent mis-binding
+      require(df.columns.length >= 2,
+        s"cosineTopK needs (id, vector) as the first two columns; " +
+          s"got ${df.columns.mkString("[", ", ", "]")}")
       val Array(idCol, vecCol) = df.columns.take(2)
       val v = col(vecCol).cast("array<double>")
       val n = sqrt(graft.functions.vec.arrayDot(v, v))

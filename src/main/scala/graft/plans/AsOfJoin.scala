@@ -88,11 +88,17 @@ case class AsOfJoinExec(
     * sort order, so without a total order the kept payload would
     * depend on shuffle arrival order. Sorting ties by payload makes
     * the survivor deterministic (the payload-wise maximum) across
-    * runs and partitionings.
+    * runs and partitionings. Payload columns of UNORDERABLE types
+    * (e.g. MapType) are excluded from the tiebreak — SortOrder over
+    * them fails at planning — so (key, time)-duplicate right rows
+    * with only map payloads keep the documented arrival-order
+    * nondeterminism instead of throwing.
     */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    ((rightKeys :+ rightTime) ++ payload).map(SortOrder(_, Ascending)))
+    ((rightKeys :+ rightTime) ++ payload.filter(p =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(p.dataType))).map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))

@@ -272,12 +272,16 @@ object Dedup {
       val g = local.groupBy(col("node")).agg(min(col("root")).as("root"))
         .persist(MEMORY_AND_DISK)
       // compose: a node's representative may itself have been merged
-      mapping = if (mapping == null) g else {
+      val prevMapping = mapping
+      mapping = if (prevMapping == null) g else {
         val gg = g.select(col("node").as("g_node"), col("root").as("g_root"))
-        mapping.join(gg, mapping("root") === col("g_node"), "left")
-          .select(mapping("node"),
-            coalesce(col("g_root"), mapping("root")).as("root"))
+        val composed = prevMapping
+          .join(gg, prevMapping("root") === col("g_node"), "left")
+          .select(prevMapping("node"),
+            coalesce(col("g_root"), prevMapping("root")).as("root"))
           .persist(MEMORY_AND_DISK)
+        composed.count() // materialize BEFORE releasing its parents
+        composed
       }
       // contract edges to the roots; a fully-collapsed component
       // yields only self-loops, which drop out
@@ -291,7 +295,15 @@ object Dedup {
         .repartition(edgeParts).as[(Long, Long)]
         .persist(MEMORY_AND_DISK)
       done = newEdges.isEmpty
+      // round hygiene (the q79 pattern): everything superseded this
+      // round is released once its consumers have materialized —
+      // newEdges via isEmpty above, the composed mapping via count().
+      // In round 1 mapping IS g, so g must stay cached.
       edges.unpersist(blocking = false)
+      if (prevMapping != null) {
+        prevMapping.unpersist(blocking = false)
+        g.unpersist(blocking = false)
+      }
       edges = newEdges
     }
     edges.unpersist(blocking = false)

@@ -313,13 +313,22 @@ object Mining {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
-    val edges = ev.crossJoin(broadcast(n))
-      .select(col("user_id").as("a"),
-        ((col("user_id") * 31L + col("k")) % col("n")).as("b"))
-    // the counting itself is the reusable API transform (canonicalize
-    // -> degree-orient -> wedge -> close), property-tested against a
-    // brute-force enumeration in MiningSpec
-    graft.api.ops.triangleCounts(edges, "a", "b")
+    // canonicalize + persist HERE (the query layer owns the cache;
+    // Bench clears it after each query) — the API transform reads the
+    // edge set three times and deliberately never caches
+    val und = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("s"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    // the counting itself is the reusable API transform (degree-orient
+    // -> wedge -> close), property-tested against a brute-force
+    // enumeration in MiningSpec
+    graft.api.ops.triangleCounts(und, "a", "b", assumeCanonical = true)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n_tri").desc, col("node"))))
       .filter(col("rnk") <= 10)

@@ -195,8 +195,14 @@ object Multimodal {
   // ---------------------------------------------------------------
   def q131PayloadBlocks(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = ceil(length(col("text")) / 32.0).cast("int")
-    val blocks = array_distinct(transform(sequence(lit(0), nBlocks - 1),
-      i => md5(col("text").substr(lit(1) + i * 32, lit(32)))))
+    // empty-payload guard: sequence(0, -1) would DESCEND ([0, -1])
+    // and fabricate a phantom md5('') block that the oracle's empty
+    // range never builds; an empty block set gives mk = NULL, which
+    // never joins — identical to the oracle's behavior
+    val blocks = when(length(col("text")) > 0,
+      array_distinct(transform(sequence(lit(0), nBlocks - 1),
+        i => md5(col("text").substr(lit(1) + i * 32, lit(32))))))
+      .otherwise(array().cast("array<string>"))
     val d = documents(s, dir)
       .select(col("doc_id"), blocks.as("bl"))
       .withColumn("mk", array_min(col("bl")))
