@@ -31,28 +31,27 @@ object TextAnalysis {
   // (identical CASE order in the oracle). Output: per-language
   // accuracy against the labeled lang column.
   // ---------------------------------------------------------------
-  def q29LangId(s: SparkSession, dir: String): DataFrame = {
+  /** The marker-scoring language classifier expression — shared by
+    * q29 (accuracy) and q132 (confusion matrix).
+    */
+  private def predLang: Column = {
     val ws = words(col("text"))
     val scores = Markers.map { case (l, ms) =>
       l -> size(filter(ws, w => w.isin(ms.map(lit(_)): _*)))
     }.toMap
     def ge(l: String, others: Seq[String]): Column =
       others.map(o => scores(l) >= scores(o)).reduce(_ && _)
-    val pred = when(ge("de", Seq("en", "es", "fr", "zh")), "de")
+    when(ge("de", Seq("en", "es", "fr", "zh")), "de")
       .when(ge("en", Seq("es", "fr", "zh")), "en")
       .when(ge("es", Seq("fr", "zh")), "es")
       .when(ge("fr", Seq("zh")), "fr")
       .otherwise("zh")
-    documents(s, dir)
-      .withColumn("pred", pred)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(col("pred") === col("lang"), 1)).as("n_correct"))
-      .withColumn("accuracy", Relational.ratio4(col("n_correct"), col("n_docs")))
-      .orderBy("lang")
   }
 
-  val q29Sql: String = {
+  /** DuckDB mirror of [[predLang]] (a CTE body ending in a `pred`
+    * column next to `lang`).
+    */
+  private def sqlPredLang: String = {
     def score(l: String): String = {
       val in = Markers.toMap.apply(l).map(m => s"'$m'").mkString(", ")
       s"len(list_filter(string_split(text,' '), w -> w IN ($in)))"
@@ -71,12 +70,58 @@ object TextAnalysis {
        |         WHEN ${ge("fr", Seq("zh"))} THEN 'fr'
        |         ELSE 'zh' END AS pred
        |  FROM scored
-       |)
+       |)""".stripMargin
+  }
+
+  def q29LangId(s: SparkSession, dir: String): DataFrame = {
+    val pred = predLang
+    documents(s, dir)
+      .withColumn("pred", pred)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pred") === col("lang"), 1)).as("n_correct"))
+      .withColumn("accuracy", Relational.ratio4(col("n_correct"), col("n_docs")))
+      .orderBy("lang")
+  }
+
+  val q29Sql: String =
+    s"""$sqlPredLang
        |SELECT lang, COUNT(*) AS n_docs,
        |  COUNT(CASE WHEN pred = lang THEN 1 END) AS n_correct,
        |  ((20000*COUNT(CASE WHEN pred = lang THEN 1 END) + COUNT(*)) // (2*COUNT(*))) / 10000.0 AS accuracy
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q132: language-ID CONFUSION matrix — the per-cell view behind
+  // q29's accuracy scalar: which labeled language gets mistaken for
+  // which predicted one, with each cell's share of its true-label
+  // row. The evaluation every classifier-driven curation gate needs
+  // before trusting the gate; same single corpus pass as q29, one
+  // extra grouping key.
+  // ---------------------------------------------------------------
+  def q132LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val perCell = documents(s, dir)
+      .withColumn("pred", predLang)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = perCell.groupBy(col("lang"))
+      .agg(sum(col("n")).as("row_n"))
+    perCell.join(broadcast(rowTotals), Seq("lang"))
+      .select(col("lang"), col("pred"), col("n"),
+        Relational.ratio4(col("n"), col("row_n")).as("row_share"))
+      .orderBy("lang", "pred")
   }
+
+  val q132Sql: String =
+    s"""$sqlPredLang, cells AS (
+       |  SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred
+       |), totals AS (
+       |  SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY lang
+       |)
+       |SELECT lang, pred, n,
+       |  ((20000*n + row_n) // (2*row_n)) / 10000.0 AS row_share
+       |FROM cells JOIN totals USING (lang)
+       |ORDER BY lang, pred""".stripMargin
 
   // ---------------------------------------------------------------
   // q30: per-document quality scoring: type-token ratio, stopword
@@ -754,6 +799,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_cdc_chunking" -> q116CdcChunking _,
+    "q132_lang_confusion" -> q132LangConfusion _,
     "q109_unigram_surprisal" -> q109UnigramSurprisal _,
     "q111_bpe_merge" -> q111BpeMergeStep _,
     "q71_chunking" -> q71Chunking _,
@@ -771,6 +817,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q116_cdc_chunking" -> q116Sql,
+    "q132_lang_confusion" -> q132Sql,
     "q109_unigram_surprisal" -> q109Sql,
     "q111_bpe_merge" -> q111Sql,
     "q71_chunking" -> q71Sql,

@@ -59,4 +59,37 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("bounded backfill: maxFilesPerTrigger + AvailableNow drains in batches then stops") {
+    // the 100-TB reprocessing pattern: draining a large directory must
+    // come in bounded micro-batches (state/memory stay flat), and the
+    // query must STOP when caught up instead of polling forever
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("backfill")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"f$i")).toDF("id", "tag")
+        .write.parquet(src.resolve(s"part$i").toString)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType)))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString + "/*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    q.awaitTermination(60000) // AvailableNow terminates on its own
+    assert(!q.isActive, "query should stop when the backlog is drained")
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(sizes.sum === 4, sizes.mkString(","))
+    // rate limit respected: no batch read more than one file's rows
+    assert(sizes.forall(_ <= 1), sizes.mkString(","))
+    assert(sizes.count(_ > 0) >= 4)
+  }
 }
