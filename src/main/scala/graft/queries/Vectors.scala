@@ -767,7 +767,54 @@ object Vectors {
        |) GROUP BY n_hits ORDER BY n_hits""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q133: embedding near-dup SELF-join blocked on LSH buckets — the
+  // SemDeDup shape: semantic dedup over embeddings with NO metadata
+  // key to block on (q26 needs a label; real corpora mostly don't
+  // have one). Candidates must share their 8-bit sign signature —
+  // near-identical vectors almost never straddle a hyperplane, and
+  // every surviving pair is verified with the exact cosine (>= 0.35, q26's near-dup bar for this corpus), so
+  // precision is exact and the (documented) trade is recall at the
+  // bucket boundary (q117/q118 quantify it; multiprobe recovers it).
+  // The self-join shuffles each side once on the bucket key — never
+  // all-pairs.
+  // ---------------------------------------------------------------
+  def q133EmbeddingSelfjoin(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+      .withColumn("bucket", lshBucket(col("e")))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.e"), col("b.e")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        col("a.bucket").as("bucket"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("i", "j")
+  }
+
+  val q133Sql: String = {
+    def planeList(p: Int): String =
+      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
+    val bucketTerms = (0 until Planes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
+       |)
+       |SELECT a.vec_id AS i, e.vec_id AS j, a.bucket AS bucket,
+       |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(e.embedding AS DOUBLE[])), 4)
+       |    AS cos_sim
+       |FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(e.embedding AS DOUBLE[])) >= 0.35
+       |ORDER BY i, j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_embedding_selfjoin" -> q133EmbeddingSelfjoin _,
     "q118_ann_multiprobe" -> q118AnnMultiprobe _,
     "q117_ann_recall" -> q117AnnRecall _,
     "q97_maxsim" -> q97MaxSim _,
@@ -781,6 +828,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q133_embedding_selfjoin" -> q133Sql,
     "q118_ann_multiprobe" -> q118Sql,
     "q117_ann_recall" -> q117Sql,
     "q97_maxsim" -> q97Sql,
