@@ -518,7 +518,55 @@ object Temporal {
       |WHERE e.event_type = 'view'
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q134: seasonal-naive FORECAST baseline + backtest — the
+  // forecasting floor every model must beat: predict each hour's
+  // value sum as the same hour yesterday, then score the prediction
+  // with MAE/bias over the backtest horizon. One bucket aggregate,
+  // one self-join on (type, hour-24h) — both key-bounded — and the
+  // error statistics are exact int64 cents (a float exponential
+  // smoother would not hash across engines; the seasonal-naive
+  // baseline is the standard yardstick anyway). Hours with no
+  // yesterday (the first day) are excluded from scoring.
+  // ---------------------------------------------------------------
+  def q134SeasonalBaseline(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(sum(floor(col("value") * 100)).as("cents"))
+    val prev = hourly.select(col("event_type"),
+      (col("hr") + expr("INTERVAL 24 HOURS")).as("hr"),
+      col("cents").as("pred_cents"))
+    hourly.join(prev, Seq("event_type", "hr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("cents") - col("pred_cents"))).as("abs_err_cents"),
+        sum(col("cents") - col("pred_cents")).as("bias_cents"),
+        Relational.ratio4(sum(abs(col("cents") - col("pred_cents"))),
+          count(lit(1))).as("mae_cents"))
+      .orderBy("event_type")
+  }
+
+  val q134Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+      |), joined AS (
+      |  SELECT h.event_type, h.cents, p.cents AS pred_cents
+      |  FROM hourly h JOIN hourly p
+      |    ON p.event_type = h.event_type
+      |   AND p.hr + INTERVAL 24 HOUR = h.hr
+      |)
+      |SELECT event_type, COUNT(*) AS n_hours,
+      |  CAST(SUM(abs(cents - pred_cents)) AS BIGINT) AS abs_err_cents,
+      |  CAST(SUM(cents - pred_cents) AS BIGINT) AS bias_cents,
+      |  ((20000*CAST(SUM(abs(cents - pred_cents)) AS BIGINT) + COUNT(*))
+      |    // (2*COUNT(*))) / 10000.0 AS mae_cents
+      |FROM joined GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_seasonal_baseline" -> q134SeasonalBaseline _,
     "q128_bitemporal_asof" -> q128BitemporalAsof _,
     "q125_rolling_active" -> q125RollingActive _,
     "q126_cohort_matrix" -> q126CohortMatrix _,
@@ -530,6 +578,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q134_seasonal_baseline" -> q134Sql,
     "q128_bitemporal_asof" -> q128Sql,
     "q125_rolling_active" -> q125Sql,
     "q126_cohort_matrix" -> q126Sql,
