@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayIntersect, ArrayUnion, Expression, ExpressionInfo, If, IsNull, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Or, Size, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Rewrites the portable higher-order dot-product idiom
   *
@@ -47,6 +47,39 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
               (s1.exprId == v2.exprId && v1.exprId == s2.exprId)) &&
             isIdentityLambda(finish) =>
         ArrayDotProduct(a, b)
+    }
+}
+
+/** Rewrites `size(array_intersect(a, b))` / `size(array_union(a, b))`
+  * over string arrays into the native counting expressions
+  * [[ArrayIntersectSize]] / [[ArrayUnionSize]] — the builtin
+  * composition materializes the full intermediate array per row just
+  * to read its length, which is the dominant allocation on the dedup
+  * verify stages (one evaluation per candidate pair). Semantics are
+  * preserved exactly, including `size`'s legacy -1-on-NULL mode
+  * (guarded by an explicit IsNull branch when that mode is on).
+  */
+object RewriteSetSizes extends Rule[LogicalPlan] {
+
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  private def substitute(counted: Expression, a: Expression,
+      b: Expression, legacySizeOfNull: Boolean): Expression =
+    if (legacySizeOfNull)
+      If(Or(IsNull(a), IsNull(b)), Literal(-1), counted)
+    else counted
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), legacy)
+          if isStringArray(a) && isStringArray(b) =>
+        substitute(ArrayIntersectSize(a, b), a, b, legacy)
+      case Size(ArrayUnion(a, b), legacy)
+          if isStringArray(a) && isStringArray(b) =>
+        substitute(ArrayUnionSize(a, b), a, b, legacy)
     }
 }
 
@@ -109,6 +142,24 @@ object GraftFunctions {
             s"minhash_sig requires exactly 1 argument, got ${args.length}")
         }
         MinHashSig(args(0))
+      }),
+    (FunctionIdentifier("array_intersect_size"),
+      new ExpressionInfo(classOf[ArrayIntersectSize].getName, "array_intersect_size"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) {
+          throw new IllegalArgumentException(
+            s"array_intersect_size requires exactly 2 arguments, got ${args.length}")
+        }
+        ArrayIntersectSize(args(0), args(1))
+      }),
+    (FunctionIdentifier("array_union_size"),
+      new ExpressionInfo(classOf[ArrayUnionSize].getName, "array_union_size"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) {
+          throw new IllegalArgumentException(
+            s"array_union_size requires exactly 2 arguments, got ${args.length}")
+        }
+        ArrayUnionSize(args(0), args(1))
       }))
 
   /** Register the function surface into an existing session's registry
@@ -129,5 +180,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteSetSizes)
   }
 }

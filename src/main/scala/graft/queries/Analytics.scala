@@ -40,7 +40,8 @@ object Analytics {
     val b = d.alias("b")
     a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        graft.functions.setcard.intersectSize(col("a.sh"), col("b.sh"))
+          .cast("long").as("inter"),
         least(size(col("a.sh")), size(col("b.sh"))).cast("long").as("n_small"))
       .filter(lit(2L) * col("inter") >= col("n_small"))
       .withColumn("containment", Relational.ratio4(col("inter"), col("n_small")))

@@ -550,8 +550,10 @@ object Dedup {
     d.count() // eager: both self-join sides read it (q25's race note)
     val a = d.alias("a")
     val b = d.alias("b")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
-    val uni = size(array_union(col("a.sh"), col("b.sh"))).cast("long")
+    val inter = graft.functions.setcard
+      .intersectSize(col("a.sh"), col("b.sh")).cast("long")
+    val uni = graft.functions.setcard
+      .unionSize(col("a.sh"), col("b.sh")).cast("long")
     val nmin = least(size(col("a.sh")), size(col("b.sh"))).cast("long")
     a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
@@ -621,9 +623,10 @@ object Dedup {
     val cand = a.join(b, col("a.mk") === col("b.mk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
-          .as("inter"),
-        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("uni"))
+        graft.functions.setcard.intersectSize(col("a.sh"), col("b.sh"))
+          .cast("long").as("inter"),
+        graft.functions.setcard.unionSize(col("a.sh"), col("b.sh"))
+          .cast("long").as("uni"))
     val flagged = cand
       .select(col("i"), col("j"), col("inter"), col("uni"),
         explode(array(SweepThresholds.map(lit(_)): _*)).as("thr"))

@@ -93,10 +93,13 @@ object Hashing {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays —
+    * counted through the native set-cardinality expressions (no
+    * intermediate intersection/union array per candidate pair).
+    */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graft.functions.setcard.intersectSize(a, b).cast("double") /
+      graft.functions.setcard.unionSize(a, b).cast("double")
 
   /** The 15-bit chunk c (0..3) of a 60-bit signature — the pigeonhole
     * blocking key: two signatures within hamming distance 3 must agree

@@ -210,7 +210,8 @@ object Multimodal {
     d.count() // eager (q25's race note)
     val a = d.alias("a")
     val b = d.alias("b")
-    val inter = size(array_intersect(col("a.bl"), col("b.bl"))).cast("long")
+    val inter = graft.functions.setcard
+      .intersectSize(col("a.bl"), col("b.bl")).cast("long")
     val nmin = least(size(col("a.bl")), size(col("b.bl"))).cast("long")
     a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", inter)

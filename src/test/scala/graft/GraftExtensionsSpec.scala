@@ -8,9 +8,11 @@ import graft.functions.ArrayDotProduct
 /** The SparkSessionExtensions install path: SQL function registration
   * and the HOF-to-native optimizer rewrite.
   */
-class GraftExtensionsSpec extends AnyFunSuite {
-
-  private lazy val extSpark: SparkSession = {
+/** The extensions-enabled session, shared with other suites that
+  * need the optimizer rules installed (SetCardExpressionSpec).
+  */
+object GraftExtensionsSpec {
+  lazy val extSession: SparkSession = {
     // force a fresh session (getOrCreate would return the shared one
     // and static spark.sql.extensions would be ignored)
     SparkSpec.session // ensure the shared context exists first
@@ -29,6 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     SparkSession.setActiveSession(SparkSpec.session)
     s
   }
+}
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val extSpark: SparkSession = GraftExtensionsSpec.extSession
 
   test("array_dot is callable from SQL") {
     val r = extSpark.sql(
