@@ -40,16 +40,27 @@ object Tables {
   private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     // df.rdd.getNumPartitions plans the frame to RDDs — a driver-side
-    // analyze/optimize cycle. The answer is fixed per (session, path),
-    // and documents()/embeddings() are called hundreds of times per
-    // Verify/Bench run, so memoize it.
-    val needs = spreadCache.computeIfAbsent(s.hashCode() + ":" + key,
+    // analyze/optimize cycle. The answer is fixed per (session, path)
+    // (the testdata is read-only), and documents()/embeddings() are
+    // called hundreds of times per Verify/Bench run, so memoize it.
+    // Keyed by the SESSION OBJECT in a weak map — a hashCode string
+    // would leak entries and could alias a new session to a dead
+    // session's cached decision.
+    val perSession = spreadCache.synchronized {
+      var m = spreadCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+        spreadCache.put(s, m)
+      }
+      m
+    }
+    val needs = perSession.computeIfAbsent(key,
       _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target))
     if (needs) df.repartition(target) else df
   }
 
-  private val spreadCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val spreadCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
 
   def documents(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "documents"), s"$d/documents")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayIntersect, ArrayUnion, Expression, ExpressionInfo, If, IsNull, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Or, Size, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayIntersect, ArrayUnion, Coalesce, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Size, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
@@ -57,7 +57,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   * to read its length, which is the dominant allocation on the dedup
   * verify stages (one evaluation per candidate pair). Semantics are
   * preserved exactly, including `size`'s legacy -1-on-NULL mode
-  * (guarded by an explicit IsNull branch when that mode is on).
+  * (a Coalesce to -1 when that mode is on).
   */
 object RewriteSetSizes extends Rule[LogicalPlan] {
 
@@ -68,8 +68,11 @@ object RewriteSetSizes extends Rule[LogicalPlan] {
 
   private def substitute(counted: Expression, a: Expression,
       b: Expression, legacySizeOfNull: Boolean): Expression =
-    if (legacySizeOfNull)
-      If(Or(IsNull(a), IsNull(b)), Literal(-1), counted)
+    // the counting expression is null exactly when an input is null,
+    // so legacy -1-on-NULL is a Coalesce — unlike an If(IsNull(a)...)
+    // guard, the children are evaluated ONCE (an expensive or
+    // non-deterministic array expression must not run twice)
+    if (legacySizeOfNull) Coalesce(Seq(counted, Literal(-1)))
     else counted
 
   override def apply(plan: LogicalPlan): LogicalPlan =

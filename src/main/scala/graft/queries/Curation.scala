@@ -514,12 +514,19 @@ object Curation {
         countDistinct(col("user_id")).as("users_after"))
     val residual = cleaned.join(broadcast(toDelete), Seq("user_id"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("res"))
-    before.join(after, Seq("event_type"))
+    // LEFT join from `before`: an event type whose rows were ALL
+    // deleted must still appear in the audit (rows_after = 0) — an
+    // inner join would silently drop exactly the rows the audit is
+    // for
+    before.join(after, Seq("event_type"), "left")
       .join(residual, Seq("event_type"), "left")
       .select(col("event_type"),
-        col("rows_before"), col("rows_after"),
-        (col("rows_before") - col("rows_after")).as("rows_deleted"),
-        (col("users_before") - col("users_after")).as("users_deleted"),
+        col("rows_before"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        (col("rows_before") - coalesce(col("rows_after"), lit(0L)))
+          .as("rows_deleted"),
+        (col("users_before") - coalesce(col("users_after"), lit(0L)))
+          .as("users_deleted"),
         coalesce(col("res"), lit(0L)).as("residual_rows"))
       .orderBy("event_type")
   }
@@ -542,11 +549,12 @@ object Curation {
       |  SELECT event_type, COUNT(*) AS res
       |  FROM cleaned c JOIN del USING (user_id) GROUP BY event_type
       |)
-      |SELECT event_type, rows_before, rows_after,
-      |  rows_before - rows_after AS rows_deleted,
-      |  users_before - users_after AS users_deleted,
+      |SELECT event_type, rows_before,
+      |  COALESCE(rows_after, 0) AS rows_after,
+      |  rows_before - COALESCE(rows_after, 0) AS rows_deleted,
+      |  users_before - COALESCE(users_after, 0) AS users_deleted,
       |  CAST(COALESCE(res, 0) AS BIGINT) AS residual_rows
-      |FROM b JOIN a USING (event_type) LEFT JOIN r USING (event_type)
+      |FROM b LEFT JOIN a USING (event_type) LEFT JOIN r USING (event_type)
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------

@@ -631,6 +631,11 @@ object Dedup {
       .select(col("i"), col("j"), col("inter"), col("uni"),
         explode(array(SweepThresholds.map(lit(_)): _*)).as("thr"))
       .filter(col("inter") * 10000L >= col("thr") * col("uni"))
+      // persisted: BOTH aggregations below read it — without the cache
+      // the blocked self-join and its per-pair intersect/union counts
+      // (the expensive part) would execute twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flagged.count()
     val pairs = flagged.groupBy(col("thr"))
       .agg(count(lit(1)).as("n_pairs"))
     val docs = flagged

@@ -445,8 +445,13 @@ object Events {
         date_format(col("day"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dur_s")).as("total_dur_s"),
-        Relational.ratio4(sum(col("cents") * col("dur_s")),
-          sum(col("dur_s"))).as("twap_cents"))
+        sum(col("cents") * col("dur_s")).as("swv"))
+      // int64 `div`, not ratio4/ldiv: 20000*sum(cents*dur_s) can
+      // exceed ldiv's 2^53 double-mantissa bound on denser data (the
+      // q129 lesson) — div stays exact for the full int64 range
+      .withColumn("twap_cents",
+        expr("(20000 * swv + total_dur_s) div (2 * total_dur_s)") / 10000.0)
+      .drop("swv")
       .orderBy("event_type", "day")
   }
 

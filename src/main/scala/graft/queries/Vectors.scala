@@ -144,6 +144,19 @@ object Vectors {
   private def planeArr(p: Int): Column =
     array((0 until Dim).map(d => lit(planeVal(p, d))): _*)
 
+  /** DuckDB literal for hyperplane p (shared by every LSH oracle —
+    * q28/q117/q118/q133; one definition so the oracle bucket can
+    * never desynchronize from the Spark-side [[lshBucket]]).
+    */
+  private def sqlPlaneList(p: Int): String =
+    (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
+
+  /** DuckDB mirror of [[lshBucket]] over a column named `embedding`. */
+  private def sqlBucketTerms: String =
+    (0 until Planes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlPlaneList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** 8-bit bucket signature of a vector column. */
   private def lshBucket(v: Column): Column =
     (0 until Planes).map { p =>
@@ -173,11 +186,7 @@ object Vectors {
   }
 
   val q28Sql: String = {
-    def planeList(p: Int): String =
-      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
-    val bucketTerms = (0 until Planes).map { p =>
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketTerms = sqlBucketTerms
     s"""WITH b AS (
        |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
        |), scored AS (
@@ -634,11 +643,7 @@ object Vectors {
   }
 
   val q117Sql: String = {
-    def planeList(p: Int): String =
-      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
-    val bucketTerms = (0 until Planes).map { p =>
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketTerms = sqlBucketTerms
     s"""WITH ex AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
@@ -721,11 +726,7 @@ object Vectors {
   }
 
   val q118Sql: String = {
-    def planeList(p: Int): String =
-      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
-    val bucketTerms = (0 until Planes).map { p =>
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketTerms = sqlBucketTerms
     val flipList = (Seq("bucket") ++
       (0 until Planes).map(p => s"xor(bucket, ${1 << p})")).mkString("[", ", ", "]")
     s"""WITH ex AS (
@@ -795,11 +796,7 @@ object Vectors {
   }
 
   val q133Sql: String = {
-    def planeList(p: Int): String =
-      (0 until Dim).map(d => planeVal(p, d).toString).mkString("[", ", ", "]")
-    val bucketTerms = (0 until Planes).map { p =>
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketTerms = sqlBucketTerms
     s"""WITH b AS (
        |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
        |)
