@@ -435,7 +435,83 @@ object Mining {
       |  FROM a
       |) WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q135: graph DEGREE PROFILE + assortativity sufficient statistics
+  // — the structural health check before running anything iterative
+  // on a graph (q79 PageRank, q115 triangles): the degree histogram
+  // (bucketed by power of two) says whether hubs exist, and the
+  // per-edge endpoint-degree sums (edge count, Σ(du+dv), Σdu·dv —
+  // the Pearson-numerator pieces in exact int64) say whether hubs
+  // attach to hubs (assortative) or to leaves. One
+  // degree aggregate (node-sized, broadcast back onto the edge list),
+  // one edge pass. Same q79 graph derivation.
+  // ---------------------------------------------------------------
+  def q135DegreeProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val und = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("s"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    // power-of-two degree buckets: the hub detector
+    val hist = deg
+      .withColumn("bucket",
+        pow(lit(2.0), floor(log2(col("dg")))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("sum_deg"))
+      .select(lit("hist").as("part"), col("bucket").as("key"),
+        col("n_nodes").as("v1"), col("sum_deg").as("v2"),
+        lit(0L).as("v3"))
+    // per-edge endpoint-degree statistics (assortativity pieces)
+    val dA = deg.select(col("v").as("a"), col("dg").as("da"))
+    val dB = deg.select(col("v").as("b"), col("dg").as("db"))
+    val stats = und.join(broadcast(dA), Seq("a")).join(broadcast(dB), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") + col("db")).as("sum_d"),
+        sum(col("da") * col("db")).as("sum_dd"))
+      .select(lit("edge_stats").as("part"), lit(0L).as("key"),
+        col("m").as("v1"), col("sum_d").as("v2"), col("sum_dd").as("v3"))
+    hist.unionByName(stats).orderBy("part", "key")
+  }
+
+  val q135Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), deg AS (
+      |  SELECT v, COUNT(*) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+      |  ) GROUP BY v
+      |), hist AS (
+      |  SELECT 'hist' AS part,
+      |    CAST(power(2, floor(log2(dg))) AS BIGINT) AS key,
+      |    COUNT(*) AS v1, CAST(SUM(dg) AS BIGINT) AS v2,
+      |    CAST(0 AS BIGINT) AS v3
+      |  FROM deg GROUP BY 2
+      |), es AS (
+      |  SELECT 'edge_stats' AS part, CAST(0 AS BIGINT) AS key,
+      |    COUNT(*) AS v1,
+      |    CAST(SUM(da.dg + db.dg) AS BIGINT) AS v2,
+      |    CAST(SUM(da.dg * db.dg) AS BIGINT) AS v3
+      |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+      |)
+      |SELECT * FROM hist UNION ALL SELECT * FROM es
+      |ORDER BY part, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_degree_profile" -> q135DegreeProfile _,
     "q122_skip_grams" -> q122SkipGrams _,
     "q114_basket_pairs" -> q114BasketPairs _,
     "q115_triangle_count" -> q115TriangleCount _,
@@ -445,6 +521,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q135_degree_profile" -> q135Sql,
     "q122_skip_grams" -> q122Sql,
     "q114_basket_pairs" -> q114Sql,
     "q115_triangle_count" -> q115Sql,
