@@ -260,4 +260,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), p)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("q121: phrase terms join is broadcast; no k-way self-join") {
+    val p = plan("q121_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q122: skip-gram generation is join-free") {
+    val p = plan("q122_skip_grams")
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("q126: cohort join sides stay broadcast") {
+    val p = plan("q126_cohort_matrix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q129: weighted sampling routes through the native TopKPerGroup") {
+    val p = plan("q129_weighted_sample")
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
+  test("q133: embedding self-join is a bucket equi-join, never all-pairs") {
+    val p = plan("q133_embedding_selfjoin")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q25/q120: dedup verify stages use the native set-cardinality exprs") {
+    val p25 = plan("q25_ngram_jaccard")
+    assert(p25.contains("array_intersect_size"), p25)
+    val p120 = plan("q120_dedup_ensemble")
+    assert(p120.contains("array_intersect_size") &&
+      p120.contains("array_union_size"), p120)
+  }
 }
