@@ -810,7 +810,106 @@ object Vectors {
        |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q136: per-dimension QUANTILE normalization — the rank-based
+  // feature transform (sklearn's QuantileTransformer shape): each of
+  // the first 8 embedding dimensions is replaced by its corpus rank,
+  // making every dimension uniformly distributed and outlier-immune.
+  // One posexplode to (dim, value) rows, one rank window per dim
+  // (partitioned BY dim — at corpus scale each dimension's ranking
+  // is an independent sort, the same shuffle a groupBy would pay),
+  // then per-label accounting of the normalized mass. Ranks are
+  // integers; ties break on vec_id, so both engines rank
+  // identically.
+  // ---------------------------------------------------------------
+  private val NormDims = 8
+
+  def q136QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(slice(emb(col("embedding")), 1, NormDims)))
+      .select(col("vec_id"), col("label"), col("pos").as("dim"),
+        col("col").as("v"))
+    val w = Window.partitionBy(col("dim"))
+      .orderBy(col("v"), col("vec_id"))
+    e.withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("rnk")).as("rank_mass"),
+        min(col("rnk")).as("min_rank"),
+        max(col("rnk")).as("max_rank"))
+      .withColumn("avg_rank",
+        Relational.ratio4(col("rank_mass"), col("n_cells")))
+      .orderBy("label")
+  }
+
+  val q136Sql: String =
+    s"""WITH cells AS (
+       |  SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+       |    CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range($NormDims)) t(i)
+       |), ranked AS (
+       |  SELECT label,
+       |    CAST(row_number() OVER (PARTITION BY dim ORDER BY v, vec_id)
+       |      AS BIGINT) AS rnk
+       |  FROM cells
+       |)
+       |SELECT label, COUNT(*) AS n_cells,
+       |  CAST(SUM(rnk) AS BIGINT) AS rank_mass,
+       |  MIN(rnk) AS min_rank, MAX(rnk) AS max_rank,
+       |  ((20000*CAST(SUM(rnk) AS BIGINT) + COUNT(*)) // (2*COUNT(*)))
+       |    / 10000.0 AS avg_rank
+       |FROM ranked GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q137: label-centroid DISTANCE matrix — cluster-separation eval
+  // over the q34 centroids: pairwise cosine between every pair of
+  // label centroids (the compact between-cluster half of a
+  // silhouette check; well-separated labels score near 0). Centroids
+  // are label-count-sized (10 rows), so the pair stage is trivially
+  // broadcast — the only corpus pass is the per-dim mean aggregate,
+  // partially combined like every sum.
+  // ---------------------------------------------------------------
+  def q137CentroidDistances(s: SparkSession, dir: String): DataFrame = {
+    val cells = embeddings(s, dir)
+      .select(col("label"), posexplode(emb(col("embedding"))))
+      .select(col("label"), col("pos").as("dim"), col("col").as("v"))
+    val cent = cells.groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val a = cent.select(col("label").as("la"), col("cv").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("cv").as("cb"))
+    a.join(broadcast(b), col("la") < col("lb"))
+      .withColumn("cos", round(
+        dot(col("ca"), col("cb")) /
+          (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))),
+        4))
+      .select(col("la"), col("lb"), col("cos").as("cos_sim"))
+      .orderBy("la", "lb")
+  }
+
+  val q137Sql: String =
+    """WITH cells AS (
+      |  SELECT label, CAST(i AS BIGINT) AS dim,
+      |    CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(64)) t(i)
+      |), cent AS (
+      |  SELECT label, list(c ORDER BY dim) AS cv FROM (
+      |    SELECT label, dim, AVG(v) AS c FROM cells GROUP BY label, dim
+      |  ) GROUP BY label
+      |)
+      |SELECT a.label AS la, b.label AS lb,
+      |  ROUND(list_dot_product(a.cv, b.cv) /
+      |    (sqrt(list_dot_product(a.cv, a.cv)) *
+      |     sqrt(list_dot_product(b.cv, b.cv))), 4) AS cos_sim
+      |FROM cent a JOIN cent b ON a.label < b.label
+      |ORDER BY la, lb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_quantile_norm" -> q136QuantileNorm _,
+    "q137_centroid_distances" -> q137CentroidDistances _,
     "q133_embedding_selfjoin" -> q133EmbeddingSelfjoin _,
     "q118_ann_multiprobe" -> q118AnnMultiprobe _,
     "q117_ann_recall" -> q117AnnRecall _,
@@ -825,6 +924,8 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q136_quantile_norm" -> q136Sql,
+    "q137_centroid_distances" -> q137Sql,
     "q133_embedding_selfjoin" -> q133Sql,
     "q118_ann_multiprobe" -> q118Sql,
     "q117_ann_recall" -> q117Sql,
