@@ -874,8 +874,12 @@ object Vectors {
     val cells = embeddings(s, dir)
       .select(col("label"), posexplode(emb(col("embedding"))))
       .select(col("label"), col("pos").as("dim"), col("col").as("v"))
+    // exact, order-independent centroid components: decimal sums (a
+    // float avg would vary in the last ulps with partial-agg order and
+    // could flip a ROUND boundary between engines/runs); cosine is
+    // scale-invariant, so the un-divided sum IS the centroid direction
     val cent = cells.groupBy(col("label"), col("dim"))
-      .agg(avg(col("v")).as("c"))
+      .agg(sum(col("v").cast("decimal(20,10)")).cast("double").as("c"))
       .groupBy(col("label"))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
         p => p.getField("c")).as("cv"))
@@ -897,7 +901,9 @@ object Vectors {
       |  FROM embeddings, unnest(range(64)) t(i)
       |), cent AS (
       |  SELECT label, list(c ORDER BY dim) AS cv FROM (
-      |    SELECT label, dim, AVG(v) AS c FROM cells GROUP BY label, dim
+      |    SELECT label, dim,
+      |      CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) AS c
+      |    FROM cells GROUP BY label, dim
       |  ) GROUP BY label
       |)
       |SELECT a.label AS la, b.label AS lb,
