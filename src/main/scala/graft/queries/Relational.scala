@@ -39,6 +39,34 @@ object Relational {
   private[queries] def ldiv(a: Column, b: Column): Column =
     ((a - a % b) / b).cast("long")
 
+  // ---------------------------------------------------------------
+  // q138: top-k per group with RANK semantics — row_number top-k
+  // (q08/q41) silently drops rows tied at the boundary; RANK keeps
+  // every tied row, which is what "top 3 longest documents" actually
+  // means when lengths collide. The output size is data-dependent
+  // (k + ties), so this is the variant the native heap operator
+  // cannot serve without a second tie-expansion pass — documented
+  // here as the declarative companion to q41.
+  // ---------------------------------------------------------------
+  def q138TopkTies(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.documents
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars").desc)
+    documents(s, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rnk", "doc_id")
+  }
+
+  val q138Sql: String =
+    """SELECT lang, rnk, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+      |      AS BIGINT) AS rnk
+      |  FROM documents
+      |) WHERE rnk <= 3 ORDER BY lang, rnk, doc_id""".stripMargin
+
   /** Exact half-up ratio x/n scaled to 4 decimals as a double:
     * round(10^4 * x/n) = (2*10^4*x + n) DIV (2n) in pure int64 —
     * float division disagrees across engines exactly on the .00005
@@ -488,6 +516,7 @@ object Relational {
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_topk_ties" -> q138TopkTies _,
     "q41_topk_native" -> q41TopkNative _,
     "q36_approx_distinct" -> q36ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -507,6 +536,7 @@ object Relational {
     "q15_conditional_agg" -> q15ConditionalAgg _)
 
   val oracles: Map[String, String] = Map(
+    "q138_topk_ties" -> q138Sql,
     "q41_topk_native" -> q41Sql,
     "q36_approx_distinct" -> q36Sql,
     "q01_pricing_summary" -> q01Sql,

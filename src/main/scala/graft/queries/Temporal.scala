@@ -565,7 +565,73 @@ object Temporal {
       |    // (2*COUNT(*))) / 10000.0 AS mae_cents
       |FROM joined GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q139: TIME-CONSTRAINED funnel — q84's strictly-ordered funnel
+  // with per-step deadlines: a click counts only within 1 hour of
+  // the user's first view, a purchase only within 24 hours of that
+  // click (the form conversion analysis actually uses — unbounded
+  // step windows overcount users who "converted" days later for
+  // unrelated reasons). Same scale shape as q84: per-stage partial
+  // aggregates chained by broadcast per-user timestamp tables.
+  // ---------------------------------------------------------------
+  def q139TimedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(s1), "user_id")
+      .filter(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(s2), "user_id")
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    import s.implicits._
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit(1L))
+      .union(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit(2L)))
+      .union(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit(3L)))
+    val names = Seq((1L, "view"), (2L, "click_1h"), (3L, "purchase_24h"))
+      .toDF("stage", "stage_name")
+    val wprev = Window.orderBy(col("stage"))
+    counts.join(broadcast(names), "stage")
+      .withColumn("conv_ratio",
+        Relational.ratio4(col("n"),
+          coalesce(lag(col("n"), 1).over(wprev), col("n"))))
+      .select(col("stage"), col("stage_name"), col("n").as("n_users"),
+        col("conv_ratio"))
+      .orderBy("stage")
+  }
+
+  val q139Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id
+      |   AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON s2.user_id = e.user_id
+      |   AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+      |), counts AS (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+      |    COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'click_1h', COUNT(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase_24h', COUNT(*) FROM s3
+      |)
+      |SELECT stage, stage_name, n_users,
+      |  ((20000*n_users + COALESCE(LAG(n_users) OVER (ORDER BY stage), n_users))
+      |    // (2*COALESCE(LAG(n_users) OVER (ORDER BY stage), n_users))) / 10000.0
+      |    AS conv_ratio
+      |FROM counts ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_timed_funnel" -> q139TimedFunnel _,
     "q134_seasonal_baseline" -> q134SeasonalBaseline _,
     "q128_bitemporal_asof" -> q128BitemporalAsof _,
     "q125_rolling_active" -> q125RollingActive _,
@@ -578,6 +644,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q139_timed_funnel" -> q139Sql,
     "q134_seasonal_baseline" -> q134Sql,
     "q128_bitemporal_asof" -> q128Sql,
     "q125_rolling_active" -> q125Sql,
