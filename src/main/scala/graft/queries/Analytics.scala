@@ -495,7 +495,59 @@ object Analytics {
       |    AS anomaly_id_sum
       |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q140: cross-LANGUAGE contamination — q94's overlap accounting on
+  // the language axis: the same content fingerprint appearing under
+  // different lang labels means copied/untranslated text leaking
+  // across a multilingual corpus's language buckets (it poisons
+  // per-language mixing ratios and language-ID training). Exact-match
+  // blocking on the fingerprint, distinct-first so the join sides
+  // stay fingerprint-sized; reports each lang pair's shared
+  // fingerprints plus how much of the smaller language they cover.
+  // ---------------------------------------------------------------
+  def q140LangContamination(s: SparkSession, dir: String): DataFrame = {
+    val f = documents(s, dir)
+      .select(md5(substring(col("text"), 1, 120)).as("fp"), col("lang"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count() // eager: both self-join sides + the per-lang totals read it
+    val totals = f.groupBy(col("lang")).agg(count(lit(1)).as("n_fp"))
+    val a = f.alias("a")
+    val b = f.alias("b")
+    val ta = totals.select(col("lang").as("lang_a"), col("n_fp").as("na"))
+    val tb = totals.select(col("lang").as("lang_b"), col("n_fp").as("nb"))
+    a.join(b, col("a.fp") === col("b.fp") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(ta), Seq("lang_a"))
+      .join(broadcast(tb), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared"),
+        Relational.ratio4(col("n_shared"), least(col("na"), col("nb")))
+          .as("contamination"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  val q140Sql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT md5(substr(text, 1, 120)) AS fp, lang
+      |  FROM documents
+      |), totals AS (
+      |  SELECT lang, COUNT(*) AS n_fp FROM f GROUP BY lang
+      |), pairs AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+      |  FROM f a JOIN f b ON a.fp = b.fp AND a.lang < b.lang
+      |  GROUP BY a.lang, b.lang
+      |)
+      |SELECT lang_a, lang_b, n_shared,
+      |  ((20000*n_shared + least(ta.n_fp, tb.n_fp))
+      |    // (2*least(ta.n_fp, tb.n_fp))) / 10000.0 AS contamination
+      |FROM pairs
+      |JOIN totals ta ON ta.lang = lang_a
+      |JOIN totals tb ON tb.lang = lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_lang_contamination" -> q140LangContamination _,
     "q112_zscore_anomaly" -> q112ZscoreAnomaly _,
     "q106_record_linkage" -> q106RecordLinkage _,
     "q100_snapshot_diff" -> q100SnapshotDiff _,
@@ -509,6 +561,7 @@ object Analytics {
     "q96_hash_exemplars" -> q96HashExemplars _)
 
   val oracles: Map[String, String] = Map(
+    "q140_lang_contamination" -> q140Sql,
     "q112_zscore_anomaly" -> q112Sql,
     "q106_record_linkage" -> q106Sql,
     "q100_snapshot_diff" -> q100Sql,
