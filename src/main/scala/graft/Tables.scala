@@ -43,6 +43,12 @@ object Tables {
     // analyze/optimize cycle. The answer is fixed per (session, path)
     // (the testdata is read-only), and documents()/embeddings() are
     // called hundreds of times per Verify/Bench run, so memoize it.
+    // CONTRACT: the memo assumes the dataset directory is never
+    // rewritten within a session's lifetime — a caller that
+    // regenerates a table under the same path would keep the stale
+    // partition-count decision (harmless: spread only toggles an
+    // extra repartition). If that contract ever breaks, key on a
+    // file-listing snapshot instead.
     // Keyed by the SESSION OBJECT in a weak map — a hashCode string
     // would leak entries and could alias a new session to a dead
     // session's cached decision.

@@ -636,6 +636,17 @@ object Advanced {
   // column also shreds into parquet typed subcolumns so the k-path
   // scan prunes like a real column. Aggregates bucket on k%10 in
   // exact int64.
+  //
+  // ORACLE COUPLING: the oracle hard-codes n_types = 1 because the
+  // two engines' type-string vocabularies are not comparable (Spark's
+  // schema_of_variant distinguishes int width classes TINYINT/
+  // SMALLINT/...; DuckDB's json_structure reports one integer type),
+  // so the distinct count itself can't be cross-computed. The query
+  // therefore RELIES on the testdata invariant that every
+  // events.props payload has the identical physical shape —
+  // asserted explicitly in ExtOperatorsSpec ("q113 testdata
+  // invariant"), so a testdata change fails there by name instead of
+  // hash-mismatching here.
   // ---------------------------------------------------------------
   def q113VariantPipeline(s: SparkSession, dir: String): DataFrame = {
     val v = events(s, dir)

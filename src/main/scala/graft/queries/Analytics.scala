@@ -384,54 +384,79 @@ object Analytics {
 
   // ---------------------------------------------------------------
   // q106: RECORD LINKAGE scoring — the Fellegi-Sunter shape: block
-  // candidate pairs on hard keys (nation, segment), score each pair
-  // by integer-weighted field agreements (name edit distance within
-  // 3 via the banded early-exit kernel: +10; account balance within
-  // $500, exact integer cents: +5), and classify match / possible /
-  // non-match by score threshold. The entity-resolution operator
-  // that generalizes exact dedup to noisy identifiers. Blocked —
-  // never all-pairs — and every agreement test is exact int64.
+  // candidate pairs on hard keys (nation, segment) PLUS a sorted-
+  // neighborhood secondary block (q83's shape): within each hard
+  // block, records are sorted by (name, custkey) and each record is
+  // compared only with its next W=5 neighbors. Each pair is scored by
+  // integer-weighted field agreements (name edit distance within 3
+  // via the banded early-exit kernel: +10; account balance within
+  // $500, exact integer cents: +5) and classified match / possible /
+  // non-match by score threshold. The entity-resolution operator that
+  // generalizes exact dedup to noisy identifiers. Pair count is
+  // bounded by W·N however large the data grows — the previous bare
+  // (nation, segment) scheme had <= 125 fixed blocks, so within-block
+  // pairs grew O(n²/125); sort-similar names land adjacent, which is
+  // exactly where the edit-distance agreements live. Every agreement
+  // test is exact int64.
   // ---------------------------------------------------------------
+  private val LinkW = 5 // sorted-neighborhood window width
+
   def q106RecordLinkage(s: SparkSession, dir: String): DataFrame = {
     val cents = round(col("c_acctbal") * 100).cast("long")
     val c = customer(s, dir).select(col("c_custkey").as("ck"),
       col("c_name").as("nm"), col("c_nationkey").as("nk"),
       col("c_mktsegment").as("seg"), cents.as("bal"))
-    val a = c.alias("a")
-    val b = c.alias("b")
-    val scored = a.join(b,
-        col("a.nk") === col("b.nk") && col("a.seg") === col("b.seg") &&
-          col("a.ck") < col("b.ck"))
+    val w = Window.partitionBy(col("nk"), col("seg"))
+      .orderBy(col("nm"), col("ck"))
+    val scored = c
+      .withColumn("nbrs", array((1 to LinkW).map(k =>
+        struct(lead(col("ck"), k).over(w).as("ck2"),
+          lead(col("nm"), k).over(w).as("nm2"),
+          lead(col("bal"), k).over(w).as("bal2"))): _*))
+      .select(col("nk"), col("nm"), col("bal"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb.ck2").isNotNull)
       .withColumn("w",
-        when(levenshtein(col("a.nm"), col("b.nm"), 3) =!= -1, 10L)
+        when(levenshtein(col("nm"), col("nb.nm2"), 3) =!= -1, 10L)
           .otherwise(0L) +
-        when(abs(col("a.bal") - col("b.bal")) <= 50000L, 5L).otherwise(0L))
+        when(abs(col("bal") - col("nb.bal2")) <= 50000L, 5L).otherwise(0L))
       .withColumn("cls",
         when(col("w") >= 15L, "match")
           .when(col("w") >= 10L, "possible").otherwise("non_match"))
-    scored.groupBy(col("a.nk").as("nationkey"), col("cls"))
+    scored.groupBy(col("nk").as("nationkey"), col("cls"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("w_sum"))
       .orderBy("nationkey", "cls")
   }
 
-  val q106Sql: String =
-    """WITH c AS (
-      |  SELECT c_custkey AS ck, c_name AS nm, c_nationkey AS nk,
-      |    c_mktsegment AS seg,
-      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
-      |  FROM customer
-      |), p AS (
-      |  SELECT a.nk,
-      |    (CASE WHEN levenshtein(a.nm, b.nm) <= 3 THEN 10 ELSE 0 END
-      |     + CASE WHEN ABS(a.bal - b.bal) <= 50000 THEN 5 ELSE 0 END) AS w
-      |  FROM c a JOIN c b
-      |    ON a.nk = b.nk AND a.seg = b.seg AND a.ck < b.ck
-      |)
-      |SELECT nk AS nationkey,
-      |  CASE WHEN w >= 15 THEN 'match' WHEN w >= 10 THEN 'possible'
-      |       ELSE 'non_match' END AS cls,
-      |  COUNT(*) AS n_pairs, CAST(SUM(w) AS BIGINT) AS w_sum
-      |FROM p GROUP BY 1, 2 ORDER BY nationkey, cls""".stripMargin
+  val q106Sql: String = {
+    val leads = (1 to LinkW).map(k =>
+      s"LEAD(ck, $k) OVER w AS ck$k, LEAD(nm, $k) OVER w AS nm$k, " +
+        s"LEAD(bal, $k) OVER w AS bal$k").mkString(",\n    ")
+    val arms = (1 to LinkW).map(k =>
+      s"SELECT nk, nm AS a, nm$k AS b, bal AS x, bal$k AS y FROM l " +
+        s"WHERE ck$k IS NOT NULL").mkString("\n  UNION ALL ")
+    s"""WITH c AS (
+       |  SELECT c_custkey AS ck, c_name AS nm, c_nationkey AS nk,
+       |    c_mktsegment AS seg,
+       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+       |  FROM customer
+       |), l AS (
+       |  SELECT nk, ck, nm, bal,
+       |    $leads
+       |  FROM c WINDOW w AS (PARTITION BY nk, seg ORDER BY nm, ck)
+       |), p0 AS (
+       |  $arms
+       |), p AS (
+       |  SELECT nk,
+       |    (CASE WHEN levenshtein(a, b) <= 3 THEN 10 ELSE 0 END
+       |     + CASE WHEN ABS(x - y) <= 50000 THEN 5 ELSE 0 END) AS w
+       |  FROM p0
+       |)
+       |SELECT nk AS nationkey,
+       |  CASE WHEN w >= 15 THEN 'match' WHEN w >= 10 THEN 'possible'
+       |       ELSE 'non_match' END AS cls,
+       |  COUNT(*) AS n_pairs, CAST(SUM(w) AS BIGINT) AS w_sum
+       |FROM p GROUP BY 1, 2 ORDER BY nationkey, cls""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q112: trailing-window z-score anomaly detection — the streaming-

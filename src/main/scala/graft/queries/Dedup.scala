@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -58,6 +58,27 @@ object Dedup {
   private val R = 3 // rows per band
   private val B = K / R // bands
 
+  /** LSH band keys for a K-value minhash signature column: B bands of
+    * R rows, one md5 key per band — the blocking family shared by q23
+    * and q120 (banding spreads candidate generation over B independent
+    * keys, so no single hot shingle can form one quadratic bucket).
+    */
+  private def bandStructsOf(msig: Column): Column = {
+    val ms = (0 until K).map(i => get(msig, lit(i)))
+    array((0 until B).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",", ms(R * b), ms(R * b + 1), ms(R * b + 2))).as("band_key"))
+    }: _*)
+  }
+
+  /** DuckDB twin of [[bandStructsOf]]: one SELECT per band over a CTE
+    * exposing doc_id and minhash columns m0..m11, UNION ALL'd. */
+  private def sqlBandSelects(fromCte: String): String =
+    (0 until B).map { b =>
+      val parts = (0 until R).map(r => s"CAST(m${R * b + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_idx, md5(${parts.mkString(" || ',' || ")}) AS band_key FROM $fromCte"
+    }.mkString("\n  UNION ALL\n  ")
+
   def q23MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // cached: BOTH sides of the verify join read the shingle arrays —
     // materialize once (eagerly: the two join-side scans would
@@ -76,13 +97,8 @@ object Dedup {
     val sig = documents(s, dir)
       .select(col("doc_id"),
         graft.functions.texthash.minhashSig(col("text")).as("msig"))
-    val ms = (0 until K).map(i => get(col("msig"), lit(i)))
-    val bandStructs = (0 until B).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws(",", ms(R * b), ms(R * b + 1), ms(R * b + 2))).as("band_key"))
-    }
     val bands = sig.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
+      explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
     val a = bands.alias("a")
     val b = bands.alias("b")
@@ -104,10 +120,7 @@ object Dedup {
   val q23Sql: String = {
     val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
       .mkString(",\n    ")
-    val bandKeys = (0 until B).map { b =>
-      val parts = (0 until R).map(r => s"CAST(m${R * b + r} AS VARCHAR)")
-      s"SELECT doc_id, $b AS band_idx, md5(${parts.mkString(" || ',' || ")}) AS band_key FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
+    val bandKeys = sqlBandSelects("sig")
     s"""WITH sh AS (
        |  SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
        |), ex AS (
@@ -533,32 +546,51 @@ object Dedup {
   //   jaccard >= 0.5   (set overlap, q23/q25's statistic)
   //   hamming  <= 3    (SimHash60 distance, q24's statistic)
   //   containment >= 0.8 (doc-contains-doc, q91's statistic)
-  // Candidates come from the min-shingle prefix filter (one equi-join
-  // key per doc — each pair appears at most once, no distinct
-  // needed); signatures ride the zero-shuffle native SimHash60
-  // expression. Every gate is pure int64 (2·inter ≥ union,
-  // 5·inter ≥ 4·min) so both engines branch identically on the
-  // boundaries. At 100 TB this is one blocked self-join — the three
-  // verdicts are column arithmetic on rows the join already built.
+  // Candidates come from q23's banded LSH keys (B=4 bands of R=3
+  // minhashes, md5 band key) — NOT a single min-shingle bucket: one
+  // boilerplate shingle shared by a large fraction of a web corpus
+  // would make one quadratic bucket, while a band key requires 3
+  // simultaneous minhash collisions, so hot buckets need near-full
+  // similarity. A pair can collide in several bands, hence the
+  // DISTINCT before the verify join. Signatures ride the zero-shuffle
+  // native SimHash60/MinHashSig expressions. Every gate is pure int64
+  // (2·inter ≥ union, 5·inter ≥ 4·min) so both engines branch
+  // identically on the boundaries. At 100 TB this is one banded
+  // bucket equi-join — the three verdicts are column arithmetic on
+  // rows the join already built.
   // ---------------------------------------------------------------
   def q120DedupEnsemble(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir).select(col("doc_id"),
         shingles(col("text"), 3).as("sh"),
         graft.functions.texthash.simhash60(col("text")).as("sig"))
-      .withColumn("mk", minhash(col("sh"), 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager: both self-join sides read it (q25's race note)
-    val a = d.alias("a")
-    val b = d.alias("b")
+    d.count() // eager: both verify-join sides read it (q25's race note)
+    val bands = documents(s, dir)
+      .select(col("doc_id"),
+        explode(bandStructsOf(
+          graft.functions.texthash.minhashSig(col("text")))).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val ba = bands.alias("ba")
+    val bb = bands.alias("bb")
+    val cand = ba.join(bb,
+        col("ba.band_idx") === col("bb.band_idx") &&
+          col("ba.band_key") === col("bb.band_key") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
+      .distinct()
+    val da = d.select(col("doc_id").as("i"), col("sh").as("sha"),
+      col("sig").as("siga"))
+    val db = d.select(col("doc_id").as("j"), col("sh").as("shb"),
+      col("sig").as("sigb"))
     val inter = graft.functions.setcard
-      .intersectSize(col("a.sh"), col("b.sh")).cast("long")
+      .intersectSize(col("sha"), col("shb")).cast("long")
     val uni = graft.functions.setcard
-      .unionSize(col("a.sh"), col("b.sh")).cast("long")
-    val nmin = least(size(col("a.sh")), size(col("b.sh"))).cast("long")
-    a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+      .unionSize(col("sha"), col("shb")).cast("long")
+    val nmin = least(size(col("sha")), size(col("shb"))).cast("long")
+    cand.join(da, "i").join(db, "j")
+      .select(col("i"), col("j"),
         (lit(2L) * inter >= uni).cast("long").as("jac_ok"),
-        (bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+        (bit_count(col("siga").bitwiseXOR(col("sigb"))) <= 3)
           .cast("long").as("ham_ok"),
         (lit(5L) * inter >= lit(4L) * nmin).cast("long").as("cont_ok"))
       .withColumn("score", col("jac_ok") + col("ham_ok") + col("cont_ok"))
@@ -567,17 +599,29 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  val q120Sql: String =
+  val q120Sql: String = {
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
     s"""WITH h AS (
        |  SELECT doc_id, text, $sqlWordHashes AS hs FROM documents
        |), d AS (
        |  SELECT doc_id, ${sqlShingles(3)} AS sh,
        |    $sqlSimhashTerms AS sig
        |  FROM h
-       |), m AS (
-       |  SELECT doc_id, sh, sig, ${sqlMinhash("sh", 0)} AS mk FROM d
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM d, unnest(d.sh) s(s)
+       |), msig AS (
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  ${sqlBandSelects("msig")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
        |), pairs AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |  SELECT i, j,
        |    CASE WHEN 2*len(list_intersect(a.sh, b.sh))
        |           >= len(list_distinct(list_concat(a.sh, b.sh)))
        |         THEN 1 ELSE 0 END AS jac_ok,
@@ -586,7 +630,7 @@ object Dedup {
        |    CASE WHEN 5*len(list_intersect(a.sh, b.sh))
        |           >= 4*least(len(a.sh), len(b.sh))
        |         THEN 1 ELSE 0 END AS cont_ok
-       |  FROM m a JOIN m b ON a.mk = b.mk AND a.doc_id < b.doc_id
+       |  FROM cand JOIN d a ON a.doc_id = i JOIN d b ON b.doc_id = j
        |)
        |SELECT i, j, CAST(jac_ok AS BIGINT) AS jac_ok,
        |  CAST(ham_ok AS BIGINT) AS ham_ok,
@@ -596,6 +640,7 @@ object Dedup {
        |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM pairs WHERE jac_ok + ham_ok + cont_ok >= 1
        |ORDER BY i, j""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q130: threshold SENSITIVITY sweep — tuning a dedup pipeline means

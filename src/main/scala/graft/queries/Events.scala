@@ -386,8 +386,11 @@ object Events {
   // + running-sum construction (q17's hand-built twin). The oracle
   // replays the identical gap rule declaratively, pinning that
   // Spark's native session assignment matches the definitional one —
-  // start = first ts, end = last ts + gap, events merge while
-  // consecutive gaps stay <= 30 min.
+  // start = first ts, end = last ts + gap, events merge only while
+  // consecutive gaps stay STRICTLY under 30 min: session_window
+  // merges on overlap of half-open [ts, ts+gap) windows, so a gap of
+  // exactly 30 minutes starts a NEW session — hence the oracle's
+  // >= in the new-session flag.
   // ---------------------------------------------------------------
   def q123SessionWindowBatch(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -405,7 +408,7 @@ object Events {
     """WITH flags AS (
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -100,7 +100,13 @@ object Mining {
     // unpivot the two bigram constituents so ONE broadcast join pass
     // over the dictionary fetches both counts; the surviving-bigram
     // side is tiny (cxy >= 5 collocations), so the dictionary never
-    // shuffles for a join
+    // shuffles for a join.
+    // broadcast is valid while the surviving collocations stay
+    // executor-sized (~<= 10M rows of (lang, bigram, count) ~ 0.5 GB
+    // — a cxy >= 5 cutoff keeps any natural-language corpus far under
+    // that, since collocation counts are Zipfian); a larger survivor
+    // set switches to bucketing both sides on (lang, w) and
+    // equi-joining (the q28/q42 treatment)
     val sides = bi.select(col("lang"), col("bg"), col("cxy"),
         explode(array(
           struct(lit(1).as("pos"), get(parts, lit(0)).as("w")),

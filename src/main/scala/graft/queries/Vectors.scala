@@ -778,7 +778,12 @@ object Vectors {
   // precision is exact and the (documented) trade is recall at the
   // bucket boundary (q117/q118 quantify it; multiprobe recovers it).
   // The self-join shuffles each side once on the bucket key — never
-  // all-pairs.
+  // all-pairs. The similarity GATE compares the 4-dp-ROUNDED cosine
+  // in both engines (each computes the float in its own operation
+  // order — Spark normalizes then dots, DuckDB list_cosine_similarity
+  // — so gating the raw float would let a pair within a ulp of the
+  // threshold diverge; rounding first snaps both to the same grid,
+  // the treatment every ranked query already applies).
   // ---------------------------------------------------------------
   def q133EmbeddingSelfjoin(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -788,10 +793,10 @@ object Vectors {
     val b = e.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dot(col("a.e"), col("b.e")))
-      .filter(col("cos") >= 0.35)
+      .withColumn("cos_sim", round(dot(col("a.e"), col("b.e")), 4))
+      .filter(col("cos_sim") >= 0.35)
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        col("a.bucket").as("bucket"), round(col("cos"), 4).as("cos_sim"))
+        col("a.bucket").as("bucket"), col("cos_sim"))
       .orderBy("i", "j")
   }
 
@@ -805,8 +810,9 @@ object Vectors {
        |                               CAST(e.embedding AS DOUBLE[])), 4)
        |    AS cos_sim
        |FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
-       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                             CAST(e.embedding AS DOUBLE[])) >= 0.35
+       |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                   CAST(e.embedding AS DOUBLE[])), 4)
+       |      >= 0.35
        |ORDER BY i, j""".stripMargin
   }
 

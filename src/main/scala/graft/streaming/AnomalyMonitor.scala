@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One raw metric observation on the stream. */
 final case class RawObservation(key: Long, seq: Long, value: Double)
@@ -19,6 +19,17 @@ final case class ScoredObservation(key: Long, seq: Long, cents: Long,
   * ThermostatStream/TwsTimerSpec and timer state in TimeoutSession).
   * AnomalyMonitorSpec pins stream/batch equivalence on the same input.
   *
+  * ORDERING CONTRACT: scoring is defined over the per-key seq order.
+  * Within a micro-batch, rows arrive in shuffle order and are sorted
+  * by seq before scoring. ACROSS micro-batches the monitor assumes
+  * per-key seq-monotone arrival (the batch twin total-orders by seq
+  * globally); a row whose seq is at or below the last scored seq for
+  * its key — i.e. late across a batch boundary — is DROPPED
+  * explicitly (lastSeq ValueState guard) rather than scored against
+  * a history it was never part of, so the stream can under-report
+  * late observations but never silently diverges from the batch twin
+  * on the rows it does score.
+  *
   * At scale: state is O(lookback) longs per key regardless of stream
   * length, checkpointed in RocksDB; a restart resumes scoring
   * mid-history with no re-read of the past.
@@ -28,10 +39,14 @@ object AnomalyMonitor {
   class ZScoreProcessor(lookback: Int, z: Long, minHistory: Int)
       extends StatefulProcessor[Long, RawObservation, ScoredObservation] {
     @transient private var hist: ListState[Long] = _
+    @transient private var lastSeq: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       hist = getHandle.getListState[Long](
         "hist", Encoders.scalaLong, TTLConfig.NONE)
+      lastSeq = getHandle.getValueState[Long](
+        "lastSeq", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         key: Long,
@@ -42,8 +57,11 @@ object AnomalyMonitor {
         else Vector.empty
       // a micro-batch delivers a key's rows in shuffle order; scoring
       // is defined over the seq order, so sort within the batch (the
-      // same total order the batch twin's window uses)
-      val out = rows.toSeq.sortBy(_.seq).map { o =>
+      // same total order the batch twin's window uses). Rows late
+      // ACROSS a batch boundary (seq <= last scored seq) are dropped
+      // — see the ordering contract in the object scaladoc.
+      val floorSeq = if (lastSeq.exists()) lastSeq.get() else Long.MinValue
+      val out = rows.toSeq.filter(_.seq > floorSeq).sortBy(_.seq).map { o =>
         val x = math.floor(o.value * 100).toLong
         val n = h.length.toLong
         val flagged = if (n >= minHistory) {
@@ -56,6 +74,7 @@ object AnomalyMonitor {
         ScoredObservation(key, o.seq, x, flagged)
       }
       hist.put(h.toArray)
+      if (out.nonEmpty) lastSeq.update(out.last.seq) // sorted: max seq
       out.iterator
     }
   }

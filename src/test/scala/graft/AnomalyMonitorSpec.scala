@@ -64,4 +64,34 @@ class AnomalyMonitorSpec extends SparkSpec {
       } finally q.stop()
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("a row late across a micro-batch boundary is dropped, not mis-scored") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[RawObservation]
+      val sink = s"anomlate_${System.nanoTime()}"
+      val q = AnomalyMonitor.monitor(in.toDS(), minHistory = 2)
+        .writeStream.format("memory").queryName(sink).outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+        .start()
+      try {
+        in.addData((1 to 5).map(i => RawObservation(7L, i.toLong, 10.0)))
+        q.processAllAvailable()
+        // seq=3 arrives again after the boundary — already scored;
+        // the guard must drop it (scoring it against the 5-row
+        // history would diverge from the batch twin's seq order)
+        in.addData(Seq(RawObservation(7L, 3L, 999.0),
+          RawObservation(7L, 6L, 10.0)))
+        q.processAllAvailable()
+        val seqs = s.table(sink).select("seq")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(seqs === (1L to 6L), s"late seq=3 must appear once: $seqs")
+      } finally q.stop()
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

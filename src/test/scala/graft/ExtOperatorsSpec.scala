@@ -74,4 +74,16 @@ class ExtOperatorsSpec extends SparkSpec {
       assert(r.getLong(3) == bytes.take(8).map(_.toLong & 0xffL).sum)
     }
   }
+
+  test("q113 testdata invariant: every events.props payload has one physical shape") {
+    // q113's oracle hard-codes n_types = 1 (the engines' variant
+    // type-string vocabularies aren't cross-comparable — see the
+    // scaladoc in Advanced.scala). This pins the invariant the oracle
+    // relies on: if the testdata ever grows heterogeneous props, THIS
+    // test fails by name instead of q113's hash gate.
+    val n = Tables.events(spark, dir)
+      .select(expr("schema_of_variant(parse_json(props))").as("t"))
+      .distinct().count()
+    assert(n == 1L, s"events.props now has $n distinct variant shapes")
+  }
 }

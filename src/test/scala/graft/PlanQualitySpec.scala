@@ -297,4 +297,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(p120.contains("array_intersect_size") &&
       p120.contains("array_union_size"), p120)
   }
+
+  test("q120: ensemble candidates stay a banded bucket equi-join") {
+    val p = plan("q120_dedup_ensemble")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // banded keys (4 band hashes per doc), not one min-shingle bucket
+    // that a hot boilerplate shingle could turn quadratic
+    assert(p.contains("band_key"), p)
+  }
+
+  test("q106: linkage pairs come from a keyed sorted-neighborhood window — no self-join") {
+    val p = plan("q106_record_linkage")
+    assert(!p.toLowerCase.contains("join"), p)
+    // window is partitioned by the hard block keys, never global
+    assert(p.contains("windowspecdefinition(nk"), p)
+  }
+
+  test("global top-k rank windows push a partial limit below the exchange") {
+    // filter(row_number over global orderBy <= k) must not window-sort
+    // the whole frame on one partition: Spark 4 plans a partial
+    // WindowGroupLimit / TakeOrderedAndProject below the
+    // single-partition Window, so only k rows ever cross it — pinned
+    // here for every query whose ranked frame scales with the data
+    for (name <- Seq("q111_bpe_merge", "q114_basket_pairs",
+        "q115_triangle_count", "q122_skip_grams")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit") ||
+        p.contains("TakeOrderedAndProject"), s"$name:\n$p")
+    }
+  }
+
+  test("q58: per-language top-k routes through the native TopKPerGroup heap") {
+    val p = plan("q58_bigram_topk")
+    assert(p.contains("TopKPerGroup"), p)
+  }
 }
