@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -56,8 +57,28 @@ object Bench {
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // run metadata: separates plan changes from box noise when
+    // comparing rounds (a loaded box shows up as GC time / load
+    // average, not as a plan regression). Detail file only — the
+    // stdout line must stay inside the driver's 2000-char window.
+    val meta = {
+      import scala.jdk.CollectionConverters._
+      import java.lang.management.ManagementFactory
+      val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(g => "\"" + g.getName + "\":{\"count\":" + g.getCollectionCount +
+          ",\"ms\":" + g.getCollectionTime + "}")
+        .mkString("{", ",", "}")
+      val load = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage))
+      val wall = String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box((System.nanoTime() - tStart) / 1e9))
+      s"""{"jvm":"${System.getProperty("java.version")}","cpus":$cpus,""" +
+        s""""runs_per_query":2,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
+        s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
+        s""""gc":$gc,"wall_s":$wall}"""
+    }
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$failedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$failedField,"sf":"$sfDir","meta":$meta}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),

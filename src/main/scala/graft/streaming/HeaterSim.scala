@@ -51,4 +51,53 @@ object HeaterSim {
       upDelta: Double = 1.0, downDelta: Double = 1.0): Vector[ControlEvent] =
     ControlEvent(1L, 0L, "control", 0.0, desired, upDelta, downDelta) +:
       steps.map(s => ControlEvent(1L, s.seq, "data", s.temp, 0.0, 0.0, 0.0))
+
+  /** Closed loop WITH the reference Heater's setpoint random walk
+    * (reference: heater/.../Heater.scala:72-86 — start 45.0, then
+    * `desired += nextInt(10) - 5` per control interval; the reference
+    * re-publishes every 10 min against 10-s readings, i.e. one control
+    * per ~60 readings — here `controlEvery` compresses that ratio so
+    * short fixtures still cross several control changes). Returns the
+    * full interleaved event stream: control upserts land MID-stream,
+    * exercising the reference's core "dynamically controlled" claim —
+    * the state.update control path under re-configuration
+    * (sparkcontroller/.../SparkStructuredController.scala:100-103) —
+    * rather than a single fixed setting. Deterministic under `seed`.
+    */
+  def closedLoopWalk(
+      n: Int,
+      controlEvery: Int = 10,
+      seed: Long = 42L,
+      sensorID: Long = 1L,
+      startTemp: Double = 42.0,
+      heatStep: Double = 0.8,
+      coolStep: Double = 0.4): Vector[ControlEvent] = {
+    val rnd = new scala.util.Random(seed)
+    var desired = 45.0
+    var temp = startTemp
+    var heating = true
+    var st = ControlState.empty
+    var seq = 0L
+    val out = Vector.newBuilder[ControlEvent]
+    var i = 0
+    while (i < n) {
+      if (i % controlEvery == 0) {
+        val ctl = ControlEvent(sensorID, seq, "control", 0.0, desired, 1.0, 1.0)
+        out += ctl
+        st = Hysteresis.step(st, ctl)._1
+        // walk AFTER publishing, as the reference does (Heater.scala:83)
+        desired = desired + (rnd.nextInt(10) - 5)
+        seq += 1
+      }
+      temp = if (heating) temp + heatStep else temp - coolStep
+      val ev = ControlEvent(sensorID, seq, "data", temp, 0.0, 0.0, 0.0)
+      out += ev
+      val (st2, emitted) = Hysteresis.step(st, ev)
+      st = st2
+      emitted.foreach { a => heating = a == 0 } // On=0 heats
+      seq += 1
+      i += 1
+    }
+    out.result()
+  }
 }

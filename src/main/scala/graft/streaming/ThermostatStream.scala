@@ -160,6 +160,38 @@ object ThermostatStream {
     cmds.map(Codec.encodeCommand)
   }
 
+  /** [[fromWire]] with the REAL proto3 wire format (ProtoCodec) —
+    * the bytes ScalaPB writes in the reference's Heater
+    * (heater/.../Heater.scala:58-61,76-79). Same drop-on-malformed
+    * contract.
+    */
+  def fromWireProto(
+      sensorBytes: Dataset[(Long, Array[Byte])],
+      controlBytes: Dataset[(Long, Array[Byte])]): Dataset[ControlEvent] = {
+    val spark = sensorBytes.sparkSession
+    import spark.implicits._
+    val data = sensorBytes.flatMap { case (seq, b) =>
+      ProtoCodec.decodeSensor(b).map(sd => (sd, seq))
+    }
+    val ctl = controlBytes.flatMap { case (seq, b) =>
+      ProtoCodec.decodeControl(b).map(tc => (tc, seq))
+    }
+    unify(data, ctl)
+  }
+
+  /** [[toWire]] in the reference's actual output message: proto3
+    * HeaterControl(sensorID, command) (messages.proto:12-15) — the
+    * wire message carries NO seq, exactly like the reference's
+    * InternalHeaterControl → HeaterControl serialization
+    * (sparkcontroller/.../DataModelTransform.scala:34-36).
+    */
+  def toWireProto(cmds: Dataset[HeaterCommand]): Dataset[Array[Byte]] = {
+    val spark = cmds.sparkSession
+    import spark.implicits._
+    cmds.map(c => ProtoCodec.encodeHeater(
+      graft.model.HeaterControl(c.sensorID.toInt, c.action)))
+  }
+
   /** Kafka wiring (NOT exercised offline — no Kafka connector jar in
     * /opt/spark/jars and zero egress; shape mirrors the reference,
     * SparkStructuredController.scala:42-86):

@@ -123,4 +123,61 @@ class ThermostatStreamSpec extends SparkSpec {
     val out = ThermostatStream.pipeline(unified).collect().sortBy(_.seq)
     assert(out.toSeq == Seq(HeaterCommand(1L, 2L, 1), HeaterCommand(1L, 4L, 0)))
   }
+
+  private def runStreamTws(batches: Seq[Seq[ControlEvent]]): Seq[HeaterCommand] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[ControlEvent]
+      val sink = s"twsr_${System.nanoTime()}"
+      val q = ThermostatStream.pipelineTws(ms.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+        .start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(sink).as[HeaterCommand].collect().toSeq
+        .sortBy(c => (c.sensorID, c.seq))
+    } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("setpoint random walk: control upserts land mid-stream, both stateful APIs") {
+    // the reference's core "dynamically controlled" claim: the Heater
+    // re-randomizes the desired temperature while the stream runs
+    // (Heater.scala:72-86), so state.update must apply a NEW control
+    // to a key that already has state — across micro-batch boundaries
+    val evs = HeaterSim.closedLoopWalk(60, controlEvery = 13, seed = 42L)
+    val controls = evs.filter(_.kind == "control")
+    assert(controls.size >= 4, "walk must re-configure repeatedly")
+    assert(controls.map(_.desired).distinct.size >= 3, "setpoint must move")
+    val golden = goldenFold(evs)
+    // emissions continue AFTER a re-configuration (non-vacuous)
+    assert(golden.exists(_.seq > controls(1).seq),
+      "no transitions after the first control change")
+    val batches = evs.grouped(7).toSeq // controls land in several batches
+    assert(runStream(batches) == golden)
+    assert(runStreamTws(batches) == golden)
+  }
+
+  test("per-key state isolation: three sensors interleaved in one stream") {
+    // the Akka variant spawns one actor per sensor
+    // (ControllerManagerBehavior.scala:22-28); the GroupState analog
+    // must keep the same isolation with all keys in one stream
+    val walks = Seq((1L, 42L), (2L, 43L), (3L, 44L)).map { case (id, seed) =>
+      HeaterSim.closedLoopWalk(40, controlEvery = 11, seed = seed,
+        sensorID = id, startTemp = 38.0 + 2 * id)
+    }
+    val len = walks.head.size
+    assert(walks.forall(_.size == len))
+    val interleaved = (0 until len).flatMap(i => walks.map(_(i)))
+    val golden = goldenFold(walks.flatten)
+    // every sensor produced transitions (non-vacuous isolation check)
+    assert(golden.map(_.sensorID).distinct.sorted == Seq(1L, 2L, 3L))
+    assert(runStream(interleaved.grouped(10).toSeq) == golden)
+    assert(runStreamTws(interleaved.grouped(10).toSeq) == golden)
+  }
 }
