@@ -571,7 +571,61 @@ object Analytics {
       |JOIN totals tb ON tb.lang = lang_b
       |ORDER BY lang_a, lang_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q144: K-ANONYMITY audit — the privacy preflight a training-data
+  // release runs over quasi-identifiers: group records by the QI
+  // tuple (nation, market segment, $1000 balance band — integer cents
+  // div, so both engines band identically) and report, per nation,
+  // how many QI groups fall below k=5 and how many rows sit in those
+  // re-identifiable groups. The output drives either suppression
+  // (drop risky rows) or generalization (coarsen the band) before
+  // release. One groupBy + one rollup — partial-aggregated, no joins;
+  // the QI-group frame is bounded by the QI-space cardinality, not
+  // the data.
+  // ---------------------------------------------------------------
+  private val AnonK = 5L
+
+  def q144KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val g = customer(s, dir)
+      .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        cents.as("bal"))
+      .withColumn("band", expr("bal div 100000"))
+      .groupBy(col("nk"), col("seg"), col("band"))
+      .agg(count(lit(1)).as("gsize"))
+    g.groupBy(col("nk").as("nationkey"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("gsize")).as("n_rows"),
+        min(col("gsize")).as("min_group"),
+        sum(when(col("gsize") < AnonK, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("gsize") < AnonK, col("gsize")).otherwise(0L))
+          .as("n_risky_rows"))
+      .withColumn("risky_rate",
+        Relational.ratio4(col("n_risky_rows"), col("n_rows")))
+      .orderBy("nationkey")
+  }
+
+  val q144Sql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+       |    COUNT(*) AS gsize
+       |  FROM customer GROUP BY 1, 2, 3
+       |)
+       |SELECT nk AS nationkey, COUNT(*) AS n_groups,
+       |  CAST(SUM(gsize) AS BIGINT) AS n_rows,
+       |  MIN(gsize) AS min_group,
+       |  CAST(SUM(CASE WHEN gsize < $AnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_small_groups,
+       |  CAST(SUM(CASE WHEN gsize < $AnonK THEN gsize ELSE 0 END) AS BIGINT)
+       |    AS n_risky_rows,
+       |  ((20000*CAST(SUM(CASE WHEN gsize < $AnonK THEN gsize ELSE 0 END)
+       |        AS BIGINT) + CAST(SUM(gsize) AS BIGINT))
+       |    // (2*CAST(SUM(gsize) AS BIGINT))) / 10000.0 AS risky_rate
+       |FROM g GROUP BY nk ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_k_anonymity" -> q144KAnonymity _,
     "q140_lang_contamination" -> q140LangContamination _,
     "q112_zscore_anomaly" -> q112ZscoreAnomaly _,
     "q106_record_linkage" -> q106RecordLinkage _,
@@ -586,6 +640,7 @@ object Analytics {
     "q96_hash_exemplars" -> q96HashExemplars _)
 
   val oracles: Map[String, String] = Map(
+    "q144_k_anonymity" -> q144Sql,
     "q140_lang_contamination" -> q140Sql,
     "q112_zscore_anomaly" -> q112Sql,
     "q106_record_linkage" -> q106Sql,

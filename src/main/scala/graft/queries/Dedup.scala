@@ -720,7 +720,293 @@ object Dedup {
        |FROM p JOIN dd USING (thr) ORDER BY threshold""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q142: FUZZY eval-set decontamination — q61 catches exact 5-gram
+  // overlap; paraphrased / lightly-edited benchmark leakage slips
+  // through an exact-gram gate. This runs the q23 banded-LSH machinery
+  // BETWEEN splits: eval docs (doc_id % 97 == 0, q61's held-out
+  // convention) publish their band keys; a training doc sharing any
+  // band is a candidate, verified with exact jaccard >= 0.5 (int64
+  // gate). Scale shape: the eval split is benchmark-sized, so its
+  // band keys BROADCAST — the corpus side is a map stage into a
+  // broadcast join, no corpus shuffle; the verify join touches only
+  // candidates.
+  // ---------------------------------------------------------------
+  def q142FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val d = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: both verify sides read it (q25's race note)
+    val bands = docs.select(col("doc_id"),
+        explode(bandStructsOf(
+          graft.functions.texthash.minhashSig(col("text")))).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val ev = bands.filter(col("doc_id") % 97 === 0)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))
+    val cand = bands.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("eval_id"))
+      .distinct()
+    val inter = graft.functions.setcard
+      .intersectSize(col("sht"), col("she")).cast("long")
+    val uni = graft.functions.setcard
+      .unionSize(col("sht"), col("she")).cast("long")
+    val ver = cand
+      .join(d.select(col("doc_id"), col("sh").as("sht")), "doc_id")
+      .join(broadcast(d.select(col("doc_id").as("eval_id"), col("sh").as("she"))),
+        "eval_id")
+      .filter(lit(2L) * inter >= uni) // jaccard >= 0.5, exact int64
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(ver, Seq("doc_id"), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        count(when(col("n_matches") >= 1, 1)).as("n_contaminated"),
+        sum(col("n_matches")).cast("long").as("n_pairs"))
+      .withColumn("contam_rate",
+        Relational.ratio4(col("n_contaminated"), col("n_train")))
+      .orderBy("source")
+  }
+
+  val q142Sql: String = {
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, ${sqlShingles(3)} AS sh FROM documents
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM sh, unnest(sh.sh) s(s)
+       |), msig AS (
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  ${sqlBandSelects("msig")}
+       |), ev AS (
+       |  SELECT band_idx, band_key, doc_id AS eval_id
+       |  FROM bands WHERE doc_id % 97 = 0
+       |), cand AS (
+       |  SELECT DISTINCT t.doc_id, ev.eval_id
+       |  FROM bands t JOIN ev USING (band_idx, band_key)
+       |  WHERE t.doc_id % 97 <> 0
+       |), ver AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_matches
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_id
+       |  JOIN sh b ON b.doc_id = c.eval_id
+       |  WHERE 2*len(list_intersect(a.sh, b.sh))
+       |        >= len(list_distinct(list_concat(a.sh, b.sh)))
+       |  GROUP BY c.doc_id
+       |), t AS (
+       |  SELECT d.doc_id, d.source, coalesce(v.n_matches, 0) AS n_matches
+       |  FROM documents d LEFT JOIN ver v USING (doc_id)
+       |  WHERE d.doc_id % 97 <> 0
+       |)
+       |SELECT source, COUNT(*) AS n_train,
+       |  COUNT(CASE WHEN n_matches >= 1 THEN 1 END) AS n_contaminated,
+       |  CAST(SUM(n_matches) AS BIGINT) AS n_pairs,
+       |  ((20000*COUNT(CASE WHEN n_matches >= 1 THEN 1 END) + COUNT(*))
+       |   // (2*COUNT(*))) / 10000.0 AS contam_rate
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q143: MinHash ESTIMATOR-accuracy evaluation — before trusting the
+  // 12-value signature as a jaccard proxy (q23's candidate filter),
+  // measure its error against the exact jaccard on real candidate
+  // pairs: est = agreeing-minhash-count / 12, exact = |A∩B| / |A∪B|,
+  // report |est - exact| bucketed at 0.1 (the sketch-quality harness
+  // — q117's recall eval for the OTHER index family). All arithmetic
+  // is integer floor-division in e4 units so both engines bucket
+  // identically. One banded candidate join (bounded, q23's plan) —
+  // the eval rides the join the dedup pipeline already pays for.
+  // ---------------------------------------------------------------
+  def q143SketchAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+        shingles(col("text"), 3).as("sh"),
+        graft.functions.texthash.minhashSig(col("text")).as("msig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager (q25's race note)
+    val bands = d.select(col("doc_id"),
+        explode(bandStructsOf(col("msig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val ba = bands.alias("ba")
+    val bb = bands.alias("bb")
+    val cand = ba.join(bb,
+        col("ba.band_idx") === col("bb.band_idx") &&
+          col("ba.band_key") === col("bb.band_key") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
+      .distinct()
+    val agree = (0 until K).map(idx =>
+      when(get(col("ma"), lit(idx)) === get(col("mb"), lit(idx)), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val inter = graft.functions.setcard
+      .intersectSize(col("sha"), col("shb")).cast("long")
+    val uni = graft.functions.setcard
+      .unionSize(col("sha"), col("shb")).cast("long")
+    cand
+      .join(d.select(col("doc_id").as("i"), col("sh").as("sha"),
+        col("msig").as("ma")), "i")
+      .join(d.select(col("doc_id").as("j"), col("sh").as("shb"),
+        col("msig").as("mb")), "j")
+      .withColumn("agree", agree)
+      .withColumn("inter_n", inter)
+      .withColumn("uni_n", uni)
+      .withColumn("est_e4", expr(s"(agree * 10000) div $K"))
+      .withColumn("ex_e4", expr("(inter_n * 10000) div uni_n"))
+      .withColumn("err_e4", abs(col("est_e4") - col("ex_e4")))
+      .withColumn("bucket", expr("err_e4 div 1000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err_e4")).as("err_sum"))
+      .orderBy("bucket")
+  }
+
+  val q143Sql: String = {
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    val agreeSum = (0 until K).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM sh, unnest(sh.sh) s(s)
+       |), msig AS (
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  ${sqlBandSelects("msig")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), scored AS (
+       |  SELECT i, j,
+       |    (($agreeSum) * 10000) // $K AS est_e4,
+       |    (len(list_intersect(sa.sh, sb.sh)) * 10000)
+       |      // len(list_distinct(list_concat(sa.sh, sb.sh))) AS ex_e4
+       |  FROM cand
+       |  JOIN msig a ON a.doc_id = i
+       |  JOIN msig b ON b.doc_id = j
+       |  JOIN sh sa ON sa.doc_id = i
+       |  JOIN sh sb ON sb.doc_id = j
+       |)
+       |SELECT ABS(est_e4 - ex_e4) // 1000 AS bucket,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(ABS(est_e4 - ex_e4)) AS BIGINT) AS err_sum
+       |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q145: near-dup graph TRANSITIVITY audit — "A~B and B~C, is A~C?"
+  // Before trusting q48's union-find clusters (which assume the
+  // similarity relation is usefully transitive), measure the wedge
+  // closure rate of the verified near-dup pair graph: every open
+  // wedge is a pair the pipeline would merge transitively without
+  // direct evidence. Pairs come from the banded candidates verified
+  // at jaccard >= 0.5 (q23's plan); the wedge join runs on the PAIR
+  // set, which post-verification is duplicate-sized, not corpus-sized
+  // — a degenerate giant near-dup cluster would need q115's
+  // degree-orientation treatment, noted here, not needed at any sane
+  // dedup threshold.
+  // ---------------------------------------------------------------
+  def q145TransitivityAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+        shingles(col("text"), 3).as("sh"),
+        graft.functions.texthash.minhashSig(col("text")).as("msig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager (q25's race note)
+    val bands = d.select(col("doc_id"),
+        explode(bandStructsOf(col("msig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val ba = bands.alias("ba")
+    val bb = bands.alias("bb")
+    val inter = graft.functions.setcard
+      .intersectSize(col("sha"), col("shb")).cast("long")
+    val uni = graft.functions.setcard
+      .unionSize(col("sha"), col("shb")).cast("long")
+    val pairs = ba.join(bb,
+        col("ba.band_idx") === col("bb.band_idx") &&
+          col("ba.band_key") === col("bb.band_key") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
+      .distinct()
+      .join(d.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(d.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .filter(lit(2L) * inter >= uni)
+      .select(col("i"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: read by the wedge join and the closure probe
+    val oriented = pairs.select(col("i").as("c"), col("j").as("o"))
+      .unionByName(pairs.select(col("j").as("c"), col("i").as("o")))
+    val oa = oriented.alias("oa")
+    val ob = oriented.alias("ob")
+    val wedges = oa.join(ob,
+        col("oa.c") === col("ob.c") && col("oa.o") < col("ob.o"))
+      .select(col("oa.o").as("x"), col("ob.o").as("y"))
+    val closed = wedges
+      .join(pairs.withColumn("closed", lit(1L))
+          .withColumnRenamed("i", "x").withColumnRenamed("j", "y"),
+        Seq("x", "y"), "left")
+      .withColumn("closed", coalesce(col("closed"), lit(0L)))
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    closed.agg(count(lit(1)).as("n_wedges"),
+        sum(col("closed")).as("n_closed"))
+      .crossJoin(broadcast(nPairs))
+      .withColumn("closure_rate",
+        Relational.ratio4(col("n_closed"), greatest(col("n_wedges"), lit(1L))))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        col("closure_rate"))
+  }
+
+  val q145Sql: String = {
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM sh, unnest(sh.sh) s(s)
+       |), msig AS (
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  ${sqlBandSelects("msig")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT i, j FROM cand
+       |  JOIN sh sa ON sa.doc_id = i
+       |  JOIN sh sb ON sb.doc_id = j
+       |  WHERE 2*len(list_intersect(sa.sh, sb.sh))
+       |        >= len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |), oriented AS (
+       |  SELECT i AS c, j AS o FROM pairs
+       |  UNION ALL SELECT j AS c, i AS o FROM pairs
+       |), wedges AS (
+       |  SELECT a.o AS x, b.o AS y
+       |  FROM oriented a JOIN oriented b ON a.c = b.c AND a.o < b.o
+       |), closed AS (
+       |  SELECT w.x, w.y,
+       |    CASE WHEN p.i IS NULL THEN 0 ELSE 1 END AS closed
+       |  FROM wedges w LEFT JOIN pairs p ON p.i = w.x AND p.j = w.y
+       |)
+       |SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+       |  COUNT(*) AS n_wedges,
+       |  CAST(SUM(closed) AS BIGINT) AS n_closed,
+       |  ((20000*CAST(SUM(closed) AS BIGINT)
+       |      + GREATEST(COUNT(*), 1))
+       |    // (2*GREATEST(COUNT(*), 1))) / 10000.0 AS closure_rate
+       |FROM closed""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_fuzzy_decontaminate" -> q142FuzzyDecontaminate _,
+    "q143_sketch_accuracy" -> q143SketchAccuracy _,
+    "q145_transitivity_audit" -> q145TransitivityAudit _,
     "q130_threshold_sweep" -> q130ThresholdSweep _,
     "q120_dedup_ensemble" -> q120DedupEnsemble _,
     "q110_span_removal" -> q110SpanRemoval _,
@@ -732,6 +1018,9 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q142_fuzzy_decontaminate" -> q142Sql,
+    "q143_sketch_accuracy" -> q143Sql,
+    "q145_transitivity_audit" -> q145Sql,
     "q130_threshold_sweep" -> q130Sql,
     "q120_dedup_ensemble" -> q120Sql,
     "q110_span_removal" -> q110Sql,

@@ -797,7 +797,83 @@ object TextAnalysis {
       |FROM chunked LEFT JOIN dup USING (chunk_hash)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q141: per-source LEXICAL DRIFT — total-variation distance between
+  // each source's unigram distribution and the whole-corpus
+  // distribution: TVD(s) = Σ_w |P_s(w) - P(w)| / 2. The distribution-
+  // shift monitor for corpus composition (a source whose language
+  // model suddenly diverges from the pool is a crawl change or a
+  // contamination event) — q95's drift statistic lifted from numeric
+  // buckets to the open vocabulary. Exact int64 by cross-multiplying:
+  // |c_sw·N - C_w·n_s| over a common denominator n_s·N; words ABSENT
+  // from a source contribute (N - Σ_present C_w)·n_s without ever
+  // materializing the absent rows. Envelope: c_sw·N < 2^63 up to
+  // ~3e9-token corpora per the comment at the div; beyond that the
+  // statistic shards by vocabulary range first. Scale shape: one
+  // token explode, two partial-aggregated groupBys, corpus vocab
+  // BROADCAST to the per-source rows — the corpus never shuffles
+  // twice.
+  // ---------------------------------------------------------------
+  def q141LexicalDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count() // eager: three aggregations read it
+    val perSrc = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val srcTot = perSrc.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("n_s"), count(lit(1)).as("v_s"))
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = toks.agg(count(lit(1)).as("n_tot")) // 1-row scalar frame
+    perSrc
+      .join(broadcast(corpus), "w") // vocab-sized
+      .join(broadcast(srcTot), "source") // |sources|-sized
+      .crossJoin(broadcast(tot)) // scalar-subquery idiom
+      .groupBy(col("source"), col("n_s"), col("v_s"), col("n_tot"))
+      .agg(sum(abs(col("c_sw") * col("n_tot") - col("c_w") * col("n_s")))
+          .as("present_num"),
+        sum(col("c_w")).as("c_present"))
+      // int64 envelope: 20000·num ≤ 20000·2·n_s·N — safe while
+      // n_s·N < 2^53-ish, i.e. corpora to ~3e9 tokens; `div` keeps
+      // the quotient exact (the q124 lesson)
+      .withColumn("num",
+        col("present_num") + (col("n_tot") - col("c_present")) * col("n_s"))
+      .withColumn("tvd4",
+        expr("(20000 * num + 2 * n_s * n_tot) div (4 * n_s * n_tot)")
+          / 10000.0)
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("v_s").as("n_vocab"), col("tvd4"))
+      .orderBy("source")
+  }
+
+  val q141Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      |), per AS (
+      |  SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY 1, 2
+      |), st AS (
+      |  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+      |    COUNT(*) AS v_s
+      |  FROM per GROUP BY 1
+      |), cw AS (
+      |  SELECT w, COUNT(*) AS c_w FROM toks GROUP BY 1
+      |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM toks),
+      |agg AS (
+      |  SELECT p.source, st.n_s, st.v_s,
+      |    CAST(SUM(ABS(p.c_sw*(SELECT n_tot FROM tot) - cw.c_w*st.n_s))
+      |      AS BIGINT) AS present_num,
+      |    CAST(SUM(cw.c_w) AS BIGINT) AS c_present
+      |  FROM per p JOIN cw USING (w) JOIN st ON st.source = p.source
+      |  GROUP BY p.source, st.n_s, st.v_s
+      |)
+      |SELECT source, n_s AS n_tokens, v_s AS n_vocab,
+      |  ((20000*(present_num + ((SELECT n_tot FROM tot) - c_present)*n_s)
+      |      + 2*n_s*(SELECT n_tot FROM tot))
+      |    // (4*n_s*(SELECT n_tot FROM tot))) / 10000.0 AS tvd4
+      |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_lexical_drift" -> q141LexicalDrift _,
     "q116_cdc_chunking" -> q116CdcChunking _,
     "q132_lang_confusion" -> q132LangConfusion _,
     "q109_unigram_surprisal" -> q109UnigramSurprisal _,
@@ -816,6 +892,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q141_lexical_drift" -> q141Sql,
     "q116_cdc_chunking" -> q116Sql,
     "q132_lang_confusion" -> q132Sql,
     "q109_unigram_surprisal" -> q109Sql,

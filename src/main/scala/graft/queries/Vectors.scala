@@ -919,7 +919,51 @@ object Vectors {
       |FROM cent a JOIN cent b ON a.label < b.label
       |ORDER BY la, lb""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q146: LSH bucket-BALANCE audit — the index-health preflight for
+  // every bucketed ANN/self-join plan here (q28/q118/q133): per
+  // 8-bit sign bucket, the member count, corpus share, and a hot
+  // flag (> 4x the mean bucket size). A skewed hyperplane set turns
+  // the "bucket-bounded" promise into one quadratic bucket — this is
+  // q98's partition-skew profiler specialized to the LSH key space,
+  // run BEFORE committing to a plane seed. One groupBy over a map
+  // stage; the 256-bucket histogram then joins a 1-row total — both
+  // broadcast by construction.
+  // ---------------------------------------------------------------
+  def q146BucketBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+      .withColumn("bucket", lshBucket(col("e")))
+    val g = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_buckets"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("share4", Relational.ratio4(col("n"), col("total")))
+      .withColumn("hot",
+        (col("n") * col("n_buckets") > lit(4L) * col("total")).cast("long"))
+      .select(col("bucket"), col("n"), col("share4"), col("hot"))
+      .orderBy("bucket")
+  }
+
+  val q146Sql: String = {
+    val bucketTerms = sqlBucketTerms
+    s"""WITH b AS (
+       |  SELECT vec_id, $bucketTerms AS bucket FROM embeddings
+       |), g AS (
+       |  SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+       |), t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_buckets
+       |  FROM g
+       |)
+       |SELECT bucket, n,
+       |  ((20000*n + t.total) // (2*t.total)) / 10000.0 AS share4,
+       |  CAST(CASE WHEN n * t.n_buckets > 4 * t.total THEN 1 ELSE 0 END
+       |    AS BIGINT) AS hot
+       |FROM g, t ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_bucket_balance" -> q146BucketBalance _,
     "q136_quantile_norm" -> q136QuantileNorm _,
     "q137_centroid_distances" -> q137CentroidDistances _,
     "q133_embedding_selfjoin" -> q133EmbeddingSelfjoin _,
@@ -936,6 +980,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q146_bucket_balance" -> q146Sql,
     "q136_quantile_norm" -> q136Sql,
     "q137_centroid_distances" -> q137Sql,
     "q133_embedding_selfjoin" -> q133Sql,

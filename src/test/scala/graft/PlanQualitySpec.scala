@@ -332,4 +332,27 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q58_bigram_topk")
     assert(p.contains("TopKPerGroup"), p)
   }
+
+  test("q141: corpus vocab joins stay broadcast — the token frame never re-shuffles for a join") {
+    val p = plan("q141_lexical_drift")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q142/q143/q145: banded cross-split and audit joins are bucket equi-joins") {
+    for (name <- Seq("q142_fuzzy_decontaminate", "q143_sketch_accuracy",
+        "q145_transitivity_audit")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("band_key"), s"$name:\n$p")
+    }
+    // q142's eval side is benchmark-sized and must broadcast
+    assert(plan("q142_fuzzy_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("q144: k-anonymity audit is pure aggregation — no join") {
+    val p = plan("q144_k_anonymity")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
+  }
 }
