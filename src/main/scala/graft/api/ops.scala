@@ -189,6 +189,88 @@ object ops {
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
   }
 
+  /** FUZZY eval-set decontamination (q142's parameterized form):
+    * flags every `corpus` row whose text is a verified near-dup
+    * (3-shingle Jaccard >= `minJaccard`) of any `evalSet` row — the
+    * paraphrase-robust complement of [[decontaminate]]'s exact n-gram
+    * overlap. The eval side is benchmark-sized by assumption: its
+    * band keys and shingle arrays are BROADCAST, so the corpus never
+    * shuffles — one map stage into a broadcast join, then a
+    * candidates-only verify. Returns `corpus` plus `n_eval_matches`.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      id: String, text: String, minJaccard: Double = 0.5): DataFrame = {
+    def bandsOf(df: DataFrame): DataFrame = {
+      val sig = df.select(col(id).as("__id"),
+        graft.functions.texthash.minhashSig(col(text)).as("__msig"))
+      val ms = (0 until 12).map(i => get(col("__msig"), lit(i)))
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat_ws(",", ms(3 * b), ms(3 * b + 1), ms(3 * b + 2)))
+            .as("band_key"))
+      }
+      sig.select(col("__id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("__id"), col("bk.band_idx"), col("bk.band_key"))
+    }
+    val evBands = bandsOf(evalSet)
+      .select(col("band_idx"), col("band_key"), col("__id").as("__eid"))
+    val cand = bandsOf(corpus)
+      .join(broadcast(evBands), Seq("band_idx", "band_key"))
+      .select(col("__id"), col("__eid")).distinct()
+    val shc = corpus.select(col(id).as("__id"),
+      Hashing.shingles(col(text), 3).as("__sha"))
+    val she = evalSet.select(col(id).as("__eid"),
+      Hashing.shingles(col(text), 3).as("__shb"))
+    val hits = cand.join(shc, "__id").join(broadcast(she), "__eid")
+      .filter(Hashing.jaccard(col("__sha"), col("__shb")) >= minJaccard)
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_eval_matches"))
+    corpus.join(hits, corpus(id) === hits("__id"), "left")
+      .drop("__id")
+      .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
+  }
+
+  /** K-ANONYMITY audit (q144's parameterized form): appends each
+    * row's quasi-identifier group size and a `below_k` flag — rows
+    * flagged 1 sit in groups smaller than `k` and are re-identifiable
+    * by the `qi` tuple; callers either suppress them or coarsen a QI
+    * column and re-audit. One window pass over the QI key, no join.
+    */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[String], k: Long): DataFrame = {
+    val w = Window.partitionBy(qi.map(col): _*)
+    df.withColumn("qi_group_size", count(lit(1)).over(w))
+      .withColumn("below_k", (col("qi_group_size") < k).cast("long"))
+  }
+
+  /** Per-group LEXICAL DRIFT (q141's parameterized form): exact-int64
+    * total-variation distance between each `group`'s whitespace-token
+    * unigram distribution and the whole frame's, as `tvd4` (4-dp,
+    * half-up). The corpus vocabulary is broadcast to the per-group
+    * count rows; the token frame shuffles once per aggregation.
+    * Envelope: exact while group_tokens x total_tokens < ~2^59.
+    */
+  def lexicalDrift(df: DataFrame, group: String, text: String): DataFrame = {
+    val toks = df.select(col(group).as("__g"),
+      explode(split(col(text), " ")).as("__w"))
+    val per = toks.groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__c_gw"))
+    val gt = per.groupBy(col("__g")).agg(sum(col("__c_gw")).as("__n_g"))
+    val cw = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c_w"))
+    val tot = toks.agg(count(lit(1)).as("__n"))
+    per.join(broadcast(cw), "__w")
+      .join(broadcast(gt), "__g")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__g"), col("__n_g"), col("__n"))
+      .agg(sum(abs(col("__c_gw") * col("__n") - col("__c_w") * col("__n_g")))
+          .as("__pnum"),
+        sum(col("__c_w")).as("__cpres"))
+      .withColumn("__num",
+        col("__pnum") + (col("__n") - col("__cpres")) * col("__n_g"))
+      .withColumn("tvd4",
+        expr("(20000 * __num + 2 * __n_g * __n) div (4 * __n_g * __n)")
+          / 10000.0)
+      .select(col("__g").as(group), col("__n_g").as("n_tokens"), col("tvd4"))
+  }
+
   /** Rank-based QUALITY GATE: keeps the top `keepPerMille`/1000 of
     * rows per `group` by `score` (ties broken by `tiebreak` so the
     * cut is deterministic). Rank cutoffs beat value-percentile

@@ -98,6 +98,49 @@ class ApiSpec extends SparkSpec {
     assert(out(1)._2 === 0L)
   }
 
+  test("fuzzyDecontaminate flags near-dup but not unrelated docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("id", "text")
+    // near-dup of doc 1 (one word changed), nothing like doc 2
+    val eval = Seq((99L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("id", "text")
+    val out = ops.fuzzyDecontaminate(corpus, eval, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_eval_matches"))).toSeq
+    assert(out === Seq((1L, 1L), (2L, 0L)))
+  }
+
+  test("kAnonymityAudit flags exactly the rows in below-k QI groups") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")))
+      .zipWithIndex.map { case ((p, q), i) => (i.toLong, p, q) }
+      .toDF("id", "p", "q")
+    val out = ops.kAnonymityAudit(df, Seq("p", "q"), k = 5L)
+      .select("q", "qi_group_size", "below_k").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("x", 5L, 0L), ("y", 2L, 1L)))
+  }
+
+  test("lexicalDrift is 0 for an identical distribution and ~1 for disjoint ones") {
+    val s = spark
+    import s.implicits._
+    // two groups with IDENTICAL text => each group's distribution
+    // equals the corpus distribution => TVD 0
+    val same = Seq(("g1", "a b c"), ("g2", "a b c")).toDF("g", "text")
+    val d0 = ops.lexicalDrift(same, "g", "text")
+      .collect().map(_.getAs[Double]("tvd4")).toSeq
+    assert(d0 === Seq(0.0, 0.0))
+    // disjoint vocabularies, equal sizes => TVD = 0.5 vs the pooled corpus
+    val disj = Seq(("g1", "a a a"), ("g2", "b b b")).toDF("g", "text")
+    val d1 = ops.lexicalDrift(disj, "g", "text")
+      .collect().map(_.getAs[Double]("tvd4")).toSeq
+    assert(d1 === Seq(0.5, 0.5))
+  }
+
   test("qualityGate keeps the deterministic top fraction per group") {
     val s = spark
     import s.implicits._
