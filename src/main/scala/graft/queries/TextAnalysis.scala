@@ -872,7 +872,103 @@ object TextAnalysis {
       |    // (4*n_s*(SELECT n_tot FROM tot))) / 10000.0 AS tvd4
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q147: prefix-fingerprint dedup YIELD curve — the accounting that
+  // decides whether a dedup pass is worth running: cluster docs by
+  // the md5 of their first 10 words (the cheap boilerplate/template
+  // key — URL-dedup's text analog; exact-content clustering is q22's
+  // job), bucket clusters by size (1, 2, 3, 4, 5+), and report per
+  // bucket how many docs a keep-one policy removes and how many
+  // tokens it saves. The keeper is the min-doc_id member (min_by /
+  // arg_min — deterministic), so tokens_saved = cluster tokens minus
+  // the keeper's. One hash-groupBy + one bucket rollup, both
+  // partial-aggregated — the same plan at any corpus size.
+  // ---------------------------------------------------------------
+  def q147DedupYield(s: SparkSession, dir: String): DataFrame = {
+    val prefix = concat_ws(" ", slice(words(col("text")), 1, 10))
+    val cl = documents(s, dir)
+      .withColumn("tok", size(words(col("text"))).cast("long"))
+      .groupBy(md5(prefix).as("h"))
+      .agg(count(lit(1)).as("sz"), sum(col("tok")).as("tok_sum"),
+        min_by(col("tok"), col("doc_id")).as("tok_keep"))
+    cl.groupBy(when(col("sz") >= 5, lit("5+"))
+        .otherwise(col("sz").cast("string")).as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"),
+        sum(col("tok_sum") - col("tok_keep")).as("tokens_saved"))
+      .orderBy("cluster_size")
+  }
+
+  val q147Sql: String =
+    """WITH cl AS (
+      |  SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h,
+      |    COUNT(*) AS sz,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+      |    arg_min(len(string_split(text, ' ')), doc_id) AS tok_keep
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT CASE WHEN sz >= 5 THEN '5+' ELSE CAST(sz AS VARCHAR) END
+      |    AS cluster_size,
+      |  COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+      |  CAST(SUM(tok_sum - tok_keep) AS BIGINT) AS tokens_saved
+      |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q148: deterministic train/val/test SPLIT assignment — the
+  // reproducible-split primitive: each doc's split comes from a
+  // salted content-independent hash of its ID (salt "split:", so the
+  // assignment is independent of q47's sampling hash and stable
+  // under corpus growth — a doc never changes split when others are
+  // added), thresholded 90/5/5 on the 28-bit space in exact integers.
+  // Output audits the realized proportions per language — the check
+  // that hash splitting actually delivered the nominal rates. Pure
+  // map + one aggregation + a lang-partitioned share window.
+  // ---------------------------------------------------------------
+  private val SplitSpace = 1L << 28
+  private val TrainMax = SplitSpace * 90 / 100
+  private val ValMax = SplitSpace * 95 / 100
+
+  def q148SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val h = hash28(concat(lit("split:"), col("doc_id").cast("string")))
+    val split = when(h < TrainMax, "train")
+      .when(h < ValMax, "val").otherwise("test")
+    val w = Window.partitionBy(col("lang"))
+    documents(s, dir)
+      .withColumn("tok", size(words(col("text"))).cast("long"))
+      .groupBy(col("lang"), split.as("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .withColumn("share4",
+        Relational.ratio4(col("n_docs"), sum(col("n_docs")).over(w)))
+      .orderBy("lang", "split")
+  }
+
+  val q148Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CASE WHEN ${sqlHash28("'split:' || CAST(doc_id AS VARCHAR)")}
+       |           < $TrainMax THEN 'train'
+       |         WHEN ${sqlHash28("'split:' || CAST(doc_id AS VARCHAR)")}
+       |           < $ValMax THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    len(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang, split, COUNT(*) AS n_docs,
+       |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1, 2
+       |)
+       |SELECT lang, split, n_docs, n_tokens,
+       |  ((20000*n_docs + SUM(n_docs) OVER (PARTITION BY lang))
+       |    // (2*SUM(n_docs) OVER (PARTITION BY lang))) / 10000.0
+       |    AS share4
+       |FROM g ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_dedup_yield" -> q147DedupYield _,
+    "q148_split_assign" -> q148SplitAssign _,
     "q141_lexical_drift" -> q141LexicalDrift _,
     "q116_cdc_chunking" -> q116CdcChunking _,
     "q132_lang_confusion" -> q132LangConfusion _,
@@ -892,6 +988,8 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q147_dedup_yield" -> q147Sql,
+    "q148_split_assign" -> q148Sql,
     "q141_lexical_drift" -> q141Sql,
     "q116_cdc_chunking" -> q116Sql,
     "q132_lang_confusion" -> q132Sql,
