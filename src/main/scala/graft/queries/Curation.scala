@@ -605,7 +605,65 @@ object Curation {
       |  FROM d
       |) WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q150: capped-proportional MIXTURE allocation — the "how much of
+  // each source goes in the run" solve that precedes q76's sampling
+  // APPLY: dominant sources are capped at the mean source mass
+  // (scale-free — the cap adapts to the corpus instead of a magic
+  // constant), a half-epoch budget of the capped corpus is allocated
+  // proportionally, and each source's allocation is expressed as
+  // epochs in e3 units (epochs > 1000 ⇒ that source must repeat —
+  // the upsampling signal). Every step is int64 div — no floats, no
+  // sqrt. The corpus is touched once (the per-source mass aggregate);
+  // everything downstream is arithmetic on the |sources|-row frame.
+  // ---------------------------------------------------------------
+  def q150MixtureAllocate(s: SparkSession, dir: String): DataFrame = {
+    val ld = Relational.ldiv _
+    // the per-source mass frame is referenced four times downstream
+    // (caps twice, budget, final) — persist eagerly so the corpus is
+    // scanned ONCE, not once per reference (PlanQualitySpec pins it)
+    val w = documents(s, dir).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("t_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    w.count()
+    val caps = w.crossJoin(broadcast(w.agg(
+        sum(col("t_chars")).as("tot"), count(lit(1)).as("n_src"))))
+      .withColumn("cap", ld(col("tot"), col("n_src")))
+      .withColumn("m", least(col("t_chars"), col("cap")))
+    val budget = caps.agg(sum(col("m")).as("msum"))
+    caps.crossJoin(broadcast(budget))
+      .withColumn("b", ld(col("msum"), lit(2L))) // half-epoch budget
+      .withColumn("alloc_chars", ld(col("b") * col("m"), col("msum")))
+      .withColumn("epochs_e3",
+        ld(lit(1000L) * col("alloc_chars"), col("t_chars")))
+      .withColumn("capped", (col("t_chars") > col("cap")).cast("long"))
+      .select(col("source"), col("t_chars"), col("capped"),
+        col("alloc_chars"), col("epochs_e3"))
+      .orderBy("source")
+  }
+
+  val q150Sql: String =
+    """WITH w AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t_chars
+      |  FROM documents GROUP BY source
+      |), caps AS (
+      |  SELECT source, t_chars,
+      |    (SELECT CAST(SUM(t_chars) AS BIGINT) FROM w)
+      |      // (SELECT COUNT(*) FROM w) AS cap
+      |  FROM w
+      |), m AS (
+      |  SELECT source, t_chars, cap, LEAST(t_chars, cap) AS m FROM caps
+      |), b AS (SELECT CAST(SUM(m) AS BIGINT) AS msum FROM m)
+      |SELECT source, t_chars,
+      |  CAST(CASE WHEN t_chars > cap THEN 1 ELSE 0 END AS BIGINT) AS capped,
+      |  (((SELECT msum FROM b) // 2) * m) // (SELECT msum FROM b)
+      |    AS alloc_chars,
+      |  (1000 * ((((SELECT msum FROM b) // 2) * m) // (SELECT msum FROM b)))
+      |    // t_chars AS epochs_e3
+      |FROM m ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_mixture_allocate" -> q150MixtureAllocate _,
     "q129_weighted_sample" -> q129WeightedSample _,
     "q127_deletion_apply" -> q127DeletionApply _,
     "q119_span_corruption" -> q119SpanCorruption _,
@@ -618,6 +676,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q150_mixture_allocate" -> q150Sql,
     "q129_weighted_sample" -> q129Sql,
     "q127_deletion_apply" -> q127Sql,
     "q119_span_corruption" -> q119Sql,

@@ -337,7 +337,71 @@ object Retrieval {
        |GROUP BY phrase ORDER BY phrase""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q149: retrieval-quality EVAL (MRR / hit@k) — the metric loop that
+  // gates any retrieval change (q87's index, q88's BM25, a new
+  // analyzer): every 50th doc poses its first-5-word prefix as a
+  // query whose known-relevant answer is the doc itself; candidates
+  // are scored by distinct shared terms (tiebreak doc_id) and the
+  // source doc's rank yields reciprocal-rank / hit@1 / hit@5 — all
+  // exact int64 (rr in e6 units via ldiv). Scale shape: the
+  // query-term/corpus-token join is a shuffle equi-join on the term
+  // (right for a large query set; a benchmark-sized set would
+  // broadcast); at real scale the standard prefilter drops
+  // high-df terms (IDF cut) so no stopword term fans out — noted,
+  // not needed on this corpus.
+  // ---------------------------------------------------------------
+  def q149RetrievalMrr(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val qs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(col("ws"), 1, 5))).as("term"))
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(col("ws"))).as("term"))
+    val scored = toks.join(qs, "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("doc_id") === col("q_id")) // the known-relevant doc
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_at_1"),
+        sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("n_at_5"),
+        sum(Relational.ldiv(lit(1000000L), col("rnk"))).as("rr_sum_e6"))
+      .withColumn("mrr4",
+        Relational.ratio4(col("rr_sum_e6"), col("n_queries") * lit(1000000L)))
+  }
+
+  val q149Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), qs AS (
+      |  SELECT doc_id AS q_id, UNNEST(list_distinct(ws[1:5])) AS term
+      |  FROM docs WHERE doc_id % 50 = 0
+      |), toks AS (
+      |  SELECT doc_id, UNNEST(list_distinct(ws)) AS term FROM docs
+      |), scored AS (
+      |  SELECT q.q_id, t.doc_id, COUNT(*) AS n_shared
+      |  FROM toks t JOIN qs q USING (term)
+      |  GROUP BY q.q_id, t.doc_id
+      |), ranked AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY n_shared DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM scored
+      |)
+      |SELECT COUNT(*) AS n_queries,
+      |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_1,
+      |  CAST(SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_5,
+      |  CAST(SUM(1000000 // rnk) AS BIGINT) AS rr_sum_e6,
+      |  ((20000*CAST(SUM(1000000 // rnk) AS BIGINT) + COUNT(*)*1000000)
+      |    // (2*COUNT(*)*1000000)) / 10000.0 AS mrr4
+      |FROM ranked WHERE doc_id = q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_retrieval_mrr" -> q149RetrievalMrr _,
     "q121_phrase_search" -> q121PhraseSearch _,
     "q83_sorted_neighborhood" -> q83SortedNeighborhood _,
     "q85_unpivot" -> q85Unpivot _,
@@ -346,6 +410,7 @@ object Retrieval {
     "q90_winsorize" -> q90Winsorize _)
 
   val oracles: Map[String, String] = Map(
+    "q149_retrieval_mrr" -> q149Sql,
     "q121_phrase_search" -> q121Sql,
     "q83_sorted_neighborhood" -> q83Sql,
     "q85_unpivot" -> q85Sql,

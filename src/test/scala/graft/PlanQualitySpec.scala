@@ -355,4 +355,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
   }
+
+  test("q149: eval ranking window is per-query, never global; no cartesian") {
+    val p = plan("q149_retrieval_mrr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(q_id"), p)
+  }
+
+  test("q150: allocation arithmetic rides broadcast frames — one corpus scan") {
+    val p = plan("q150_mixture_allocate")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-source mass frame is persisted, so exactly ONE distinct
+    // parquet scan node exists — every other reference reads the cache
+    // (the same string renders once per InMemoryRelation description,
+    // so count distinct node ids, not occurrences)
+    val scanIds = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"distinct scans $scanIds:\n$p")
+    assert(p.contains("InMemoryTableScan"), p)
+  }
 }
