@@ -60,6 +60,19 @@ object ops {
     df.filter(h * 1000000L < lit(keepPerMillion) * 1048576L)
   }
 
+  /** (id, band_idx, band_key) rows for a text frame — the banded-LSH
+    * blocking key every near-dup consumer here shares. Geometry
+    * (signature width, bands x rows) comes from [[Hashing.MinhashK]]/
+    * [[Hashing.bandStructs]] — the single source of truth also used by
+    * the oracle-gated q23/q120/q142 plans, so the API can never drift
+    * from them.
+    */
+  private def bandsOf(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("__id"),
+        explode(Hashing.bandStructs(
+          graft.functions.texthash.minhashSig(col(text)))).as("bk"))
+      .select(col("__id"), col("bk.band_idx"), col("bk.band_key"))
+
   /** MinHash-LSH near-dup CANDIDATE pairs (i, j) with i < j: the
     * banded 12-perm signature (native codegen expression, zero
     * shuffle) split 4 bands x 3 rows; docs sharing any band bucket
@@ -67,17 +80,7 @@ object ops {
     * all-pairs.
     */
   def nearDupCandidates(df: DataFrame, id: String, text: String): DataFrame = {
-    val sig = df.select(col(id).as("__id"),
-      graft.functions.texthash.minhashSig(col(text)).as("__msig"))
-    val ms = (0 until 12).map(i => get(col("__msig"), lit(i)))
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws(",", ms(3 * b), ms(3 * b + 1), ms(3 * b + 2)))
-          .as("band_key"))
-    }
-    val bands = sig.select(col("__id"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("__id"), col("bk.band_idx"), col("bk.band_key"))
+    val bands = bandsOf(df, id, text)
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -200,21 +203,9 @@ object ops {
     */
   def fuzzyDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       id: String, text: String, minJaccard: Double = 0.5): DataFrame = {
-    def bandsOf(df: DataFrame): DataFrame = {
-      val sig = df.select(col(id).as("__id"),
-        graft.functions.texthash.minhashSig(col(text)).as("__msig"))
-      val ms = (0 until 12).map(i => get(col("__msig"), lit(i)))
-      val bandStructs = (0 until 4).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat_ws(",", ms(3 * b), ms(3 * b + 1), ms(3 * b + 2)))
-            .as("band_key"))
-      }
-      sig.select(col("__id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("__id"), col("bk.band_idx"), col("bk.band_key"))
-    }
-    val evBands = bandsOf(evalSet)
+    val evBands = bandsOf(evalSet, id, text)
       .select(col("band_idx"), col("band_key"), col("__id").as("__eid"))
-    val cand = bandsOf(corpus)
+    val cand = bandsOf(corpus, id, text)
       .join(broadcast(evBands), Seq("band_idx", "band_key"))
       .select(col("__id"), col("__eid")).distinct()
     val shc = corpus.select(col(id).as("__id"),

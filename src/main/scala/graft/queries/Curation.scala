@@ -610,12 +610,17 @@ object Curation {
   // each source goes in the run" solve that precedes q76's sampling
   // APPLY: dominant sources are capped at the mean source mass
   // (scale-free — the cap adapts to the corpus instead of a magic
-  // constant), a half-epoch budget of the capped corpus is allocated
-  // proportionally, and each source's allocation is expressed as
-  // epochs in e3 units (epochs > 1000 ⇒ that source must repeat —
-  // the upsampling signal). Every step is int64 div — no floats, no
-  // sqrt. The corpus is touched once (the per-source mass aggregate);
-  // everything downstream is arithmetic on the |sources|-row frame.
+  // constant), and a budget of HALF THE UNCAPPED corpus is allocated
+  // proportionally to the capped masses — so the mass the cap removes
+  // from dominant sources genuinely redistributes to the small ones
+  // (budget over msum, never msum over itself, which would degenerate
+  // to a flat m/2 regardless of capping). Each source's allocation is
+  // expressed as epochs in e3 units; epochs_e3 > 1000 ⇒ that source
+  // must repeat (reachable exactly when capping removes more than
+  // half the corpus mass: 500·tot/msum > 1000 ⇔ tot > 2·msum). Every
+  // step is int64 div — no floats, no sqrt. The corpus is touched
+  // once (the per-source mass aggregate); everything downstream is
+  // arithmetic on the |sources|-row frame.
   // ---------------------------------------------------------------
   def q150MixtureAllocate(s: SparkSession, dir: String): DataFrame = {
     val ld = Relational.ldiv _
@@ -632,7 +637,7 @@ object Curation {
       .withColumn("m", least(col("t_chars"), col("cap")))
     val budget = caps.agg(sum(col("m")).as("msum"))
     caps.crossJoin(broadcast(budget))
-      .withColumn("b", ld(col("msum"), lit(2L))) // half-epoch budget
+      .withColumn("b", ld(col("tot"), lit(2L))) // half the UNCAPPED corpus
       .withColumn("alloc_chars", ld(col("b") * col("m"), col("msum")))
       .withColumn("epochs_e3",
         ld(lit(1000L) * col("alloc_chars"), col("t_chars")))
@@ -653,12 +658,15 @@ object Curation {
       |  FROM w
       |), m AS (
       |  SELECT source, t_chars, cap, LEAST(t_chars, cap) AS m FROM caps
-      |), b AS (SELECT CAST(SUM(m) AS BIGINT) AS msum FROM m)
+      |), b AS (
+      |  SELECT CAST(SUM(m) AS BIGINT) AS msum,
+      |    (SELECT CAST(SUM(t_chars) AS BIGINT) FROM w) // 2 AS bgt
+      |  FROM m
+      |)
       |SELECT source, t_chars,
       |  CAST(CASE WHEN t_chars > cap THEN 1 ELSE 0 END AS BIGINT) AS capped,
-      |  (((SELECT msum FROM b) // 2) * m) // (SELECT msum FROM b)
-      |    AS alloc_chars,
-      |  (1000 * ((((SELECT msum FROM b) // 2) * m) // (SELECT msum FROM b)))
+      |  ((SELECT bgt FROM b) * m) // (SELECT msum FROM b) AS alloc_chars,
+      |  (1000 * (((SELECT bgt FROM b) * m) // (SELECT msum FROM b)))
       |    // t_chars AS epochs_e3
       |FROM m ORDER BY source""".stripMargin
 

@@ -54,25 +54,16 @@ object Dedup {
   // Plan: signature map stage -> explode 4 band keys -> shuffle by
   // band key -> self-join -> verify. No all-pairs stage.
   // ---------------------------------------------------------------
-  private val K = 12 // minhashes
-  private val R = 3 // rows per band
-  private val B = K / R // bands
+  // band geometry lives in Hashing (single source of truth shared
+  // with api.ops); these aliases keep the query code terse
+  private val K = Hashing.MinhashK
+  private val R = Hashing.BandRows
+  private val B = Hashing.BandCount
 
-  /** LSH band keys for a K-value minhash signature column: B bands of
-    * R rows, one md5 key per band — the blocking family shared by q23
-    * and q120 (banding spreads candidate generation over B independent
-    * keys, so no single hot shingle can form one quadratic bucket).
-    */
-  private def bandStructsOf(msig: Column): Column = {
-    val ms = (0 until K).map(i => get(msig, lit(i)))
-    array((0 until B).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws(",", ms(R * b), ms(R * b + 1), ms(R * b + 2))).as("band_key"))
-    }: _*)
-  }
+  private def bandStructsOf(msig: Column): Column = Hashing.bandStructs(msig)
 
-  /** DuckDB twin of [[bandStructsOf]]: one SELECT per band over a CTE
-    * exposing doc_id and minhash columns m0..m11, UNION ALL'd. */
+  /** DuckDB twin of [[Hashing.bandStructs]]: one SELECT per band over
+    * a CTE exposing doc_id and minhash columns m0..m11, UNION ALL'd. */
   private def sqlBandSelects(fromCte: String): String =
     (0 until B).map { b =>
       val parts = (0 until R).map(r => s"CAST(m${R * b + r} AS VARCHAR)")
@@ -560,15 +551,17 @@ object Dedup {
   // rows the join already built.
   // ---------------------------------------------------------------
   def q120DedupEnsemble(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan: shingles + both signatures ride the same persisted
+    // frame (bands, both verify-join sides, all read it — re-scanning
+    // for the band keys would re-tokenize and re-hash the corpus)
     val d = documents(s, dir).select(col("doc_id"),
         shingles(col("text"), 3).as("sh"),
-        graft.functions.texthash.simhash60(col("text")).as("sig"))
+        graft.functions.texthash.simhash60(col("text")).as("sig"),
+        graft.functions.texthash.minhashSig(col("text")).as("msig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager: both verify-join sides read it (q25's race note)
-    val bands = documents(s, dir)
-      .select(col("doc_id"),
-        explode(bandStructsOf(
-          graft.functions.texthash.minhashSig(col("text")))).as("bk"))
+    d.count() // eager (q25's race note)
+    val bands = d
+      .select(col("doc_id"), explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
     val ba = bands.alias("ba")
     val bb = bands.alias("bb")
@@ -734,12 +727,15 @@ object Dedup {
   // ---------------------------------------------------------------
   def q142FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val d = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    // ONE scan: shingles + minhash signature ride the same persisted
+    // frame; bands, the train verify side, and the eval broadcast all
+    // read it
+    val d = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"),
+        graft.functions.texthash.minhashSig(col("text")).as("msig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager: both verify sides read it (q25's race note)
-    val bands = docs.select(col("doc_id"),
-        explode(bandStructsOf(
-          graft.functions.texthash.minhashSig(col("text")))).as("bk"))
+    d.count() // eager (q25's race note)
+    val bands = d
+      .select(col("doc_id"), explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
     val ev = bands.filter(col("doc_id") % 97 === 0)
       .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))
@@ -753,7 +749,12 @@ object Dedup {
       .unionSize(col("sht"), col("she")).cast("long")
     val ver = cand
       .join(d.select(col("doc_id"), col("sh").as("sht")), "doc_id")
-      .join(broadcast(d.select(col("doc_id").as("eval_id"), col("sh").as("she"))),
+      // broadcast ONLY the eval split's shingles (benchmark-sized by
+      // the scale contract above) — broadcasting the whole corpus
+      // frame here would ship ~97x the intended bytes and cap out at
+      // the broadcast threshold on a real corpus
+      .join(broadcast(d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("sh").as("she"))),
         "eval_id")
       .filter(lit(2L) * inter >= uni) // jaccard >= 0.5, exact int64
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))

@@ -42,6 +42,34 @@ object Hashing {
   def minhash(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
 
+  // ----- banded LSH keys (single source of truth for the geometry) -
+
+  /** Signature width / band geometry shared by every banded-LSH
+    * consumer (q23/q120/q142/q143/q145, `api.ops.nearDupCandidates`,
+    * `api.ops.fuzzyDecontaminate`) — change HERE or band keys silently
+    * diverge between the library API and the oracle-gated plans.
+    */
+  val MinhashK = 12 // minhash values per signature
+  val BandRows = 3 // signature rows per band
+  val BandCount: Int = MinhashK / BandRows
+
+  /** LSH band keys for a [[MinhashK]]-value minhash signature column:
+    * [[BandCount]] bands of [[BandRows]] rows, one md5 key per band as
+    * array<struct<band_idx:int, band_key:string>> (explode
+    * downstream). Banding spreads candidate generation over
+    * independent keys so no single hot shingle can form one quadratic
+    * bucket.
+    */
+  def bandStructs(msig: Column): Column = {
+    val ms = (0 until MinhashK).map(i => get(msig, lit(i)))
+    array((0 until BandCount).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws(",",
+          (0 until BandRows).map(r => ms(BandRows * b + r)): _*))
+          .as("band_key"))
+    }: _*)
+  }
+
   // ----- universal-hash MinHash family (one md5 per shingle) -------
 
   /** Mersenne prime 2^31 - 1: (a*h + b) % P with 28-bit h and a,b < P

@@ -103,8 +103,12 @@ object ProtoCodec {
     }
   }
 
-  /** Generic flat-message decode loop: `f(field, wire, reader)` returns
-    * true when it consumed a known field, false to skip as unknown. */
+  /** Wraps a full-message decode loop: runs `loop` over a fresh
+    * [[Reader]] on the payload and maps any structural error
+    * ([[Malformed]]) to None. Each per-message decoder owns its own
+    * tag-dispatch loop and MUST end its match with a
+    * `case _ => r.skip(wire)` arm — that catch-all, not this wrapper,
+    * is what skips unknown fields. */
   private def decodeWith[T](b: Array[Byte])(loop: Reader => T): Option[T] =
     if (b == null) None
     else
