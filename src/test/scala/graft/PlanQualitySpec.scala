@@ -356,6 +356,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
   }
 
+  test("q147/q148: yield curve and split audit are join-free aggregation plans") {
+    val p147 = plan("q147_dedup_yield")
+    assert(!p147.toLowerCase.contains("join"), p147)
+    assert("HashAggregate".r.findAllIn(p147).size >= 2, p147) // partial agg
+    val p148 = plan("q148_split_assign")
+    assert(!p148.toLowerCase.contains("join"), p148)
+    // the share window partitions by lang — never a global frame
+    assert(p148.contains("windowspecdefinition(lang"), p148)
+  }
+
   test("q149: eval ranking window is per-query, never global; no cartesian") {
     val p = plan("q149_retrieval_mrr")
     assert(!p.contains("CartesianProduct"), p)
