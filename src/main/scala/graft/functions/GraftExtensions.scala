@@ -127,7 +127,13 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
-      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) {
+          throw new IllegalArgumentException(
+            s"bloom_might_contain requires exactly 2 arguments, got ${args.length}")
+        }
+        BloomFilterMightContain(args(0), args(1))
+      }),
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (args: Seq[Expression]) => {

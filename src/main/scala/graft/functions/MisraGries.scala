@@ -24,6 +24,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * without a full groupBy.
   */
 class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  // k <= 0 would silently yield an always-empty sketch (the size guard
+  // in reduce never admits an item), voiding the frequency guarantee
+  // with no error — fail at construction like TopKPerGroupNode does
+  require(k > 0, "MisraGries capacity k must be positive")
 
   override def zero: Map[String, Long] = Map.empty
 

@@ -42,6 +42,20 @@ case class AsOfJoinNode(
     strict: Boolean) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
   require(payload.length == payloadOut.length)
+  // built-in joins get ImplicitTypeCasts during analysis; a custom
+  // node bypasses that rule, and a type mismatch (int vs long key)
+  // would make the byte-wise/ordering comparisons read garbage — fail
+  // loudly at construction instead
+  // (guarded on resolution: dataType throws on unresolved exprs, and
+  // node copies during analysis may momentarily carry them)
+  require(leftKeys.zip(rightKeys).forall { case (l, r) =>
+    !l.resolved || !r.resolved || l.dataType.sql == r.dataType.sql },
+    s"as-of join key types must match pairwise: " +
+      s"${leftKeys.map(_.sql)} vs ${rightKeys.map(_.sql)}")
+  require(!leftTime.resolved || !rightTime.resolved ||
+    leftTime.dataType.sql == rightTime.dataType.sql,
+    s"as-of join time types must match: " +
+      s"${leftTime.sql} vs ${rightTime.sql}")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -188,7 +202,11 @@ case class AsOfJoinExec(
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
-      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+      // normalize float keys/times at planning time (resolved here):
+      // the interpreted orderings would otherwise treat -0.0 < 0.0
+      val nf = org.apache.spark.sql.graftbridge.Bridge.normalizeFloats _
+      AsOfJoinExec(n.leftKeys.map(nf), n.rightKeys.map(nf),
+        nf(n.leftTime), nf(n.rightTime),
         n.payload, n.payloadOut, n.strict,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil

@@ -41,6 +41,17 @@ case class RangeJoinNode(
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "range join times must be long (cast timestamps to epoch units first)")
   require(lower <= upper)
+  // custom nodes bypass ImplicitTypeCasts — mismatched key types would
+  // make the byte-wise comparisons read garbage (see AsOfJoinNode)
+  require(leftKeys.zip(rightKeys).forall { case (l, r) =>
+    !l.resolved || !r.resolved || l.dataType.sql == r.dataType.sql },
+    s"range join key types must match pairwise: " +
+      s"${leftKeys.map(_.sql)} vs ${rightKeys.map(_.sql)}")
+  // lt + lower / lt + upper are computed with saturating adds in the
+  // exec, but bounds at the very edge of Long would still make the
+  // window semantics ambiguous — keep them in a sane band
+  require(lower > Long.MinValue / 2 && upper < Long.MaxValue / 2,
+    "range bounds must lie in (-2^62, 2^62) — use a domain-plausible horizon")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -90,6 +101,15 @@ case class RangeJoinExec(
     val rTimeB = rightTime
     val lowerB = lower
     val upperB = upper
+    // saturating add: lt + bound must never wrap (a left time near the
+    // Long edge with a sentinel-sized bound would otherwise flip sign
+    // and silently drain/starve the window); saturation preserves the
+    // intended "unbounded in that direction" reading
+    def satAdd(a: Long, b: Long): Long = {
+      val r = a + b
+      if (((a ^ r) & (b ^ r)) < 0) { if (a > 0) Long.MaxValue else Long.MinValue }
+      else r
+    }
     val payloadB = payload
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -124,7 +144,7 @@ case class RangeJoinExec(
           winKey = lk.copy()
         }
         // evict rights that fell behind the window
-        while (!win.isEmpty && win.peekFirst()._1 < lt + lowerB) win.pollFirst()
+        while (!win.isEmpty && win.peekFirst()._1 < satAdd(lt, lowerB)) win.pollFirst()
         // admit rights of this key up to the window's upper edge
         var advancing = true
         while (advancing && rBuf.hasNext) {
@@ -139,11 +159,11 @@ case class RangeJoinExec(
               rBuf.next() // NULL right time never joins: discard
             } else {
             val rt = rtRow.getLong(0)
-            if (rt <= lt + upperB) {
+            if (rt <= satAdd(lt, upperB)) {
               // a right below the lower edge can never qualify for any
               // LATER left row either (left times are nondecreasing, so
               // lt + lower only moves forward): drop it outright
-              if (rt >= lt + lowerB) win.addLast((rt, payloadProj(rRow).copy()))
+              if (rt >= satAdd(lt, lowerB)) win.addLast((rt, payloadProj(rRow).copy()))
               rBuf.next()
             } else {
               advancing = false
@@ -175,7 +195,11 @@ case class RangeJoinExec(
 object RangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: RangeJoinNode =>
-      RangeJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+      // normalize float keys at planning time (resolved here) — see
+      // AsOfJoinStrategy; times are LongType by the node contract
+      val nf = org.apache.spark.sql.graftbridge.Bridge.normalizeFloats _
+      RangeJoinExec(n.leftKeys.map(nf), n.rightKeys.map(nf),
+        n.leftTime, n.rightTime,
         n.lower, n.upper, n.payload, n.payloadOut,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil

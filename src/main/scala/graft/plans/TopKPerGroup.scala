@@ -52,6 +52,7 @@ case class TopKPerGroupExec(
     val groupE = groupExprs
     val orderE = order
     val kk = k
+    val part = partial
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       val ord = new LazilyGeneratedOrdering(orderE, childOutput)
@@ -60,7 +61,26 @@ case class TopKPerGroupExec(
       }
       // max-heap by the output order: head = worst row currently kept
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
+      // memory bound for the PARTIAL phase: a near-unique group column
+      // would otherwise hold groups x k rows in the map with no spill
+      // (the hash-aggregate pitfall without its sort fallback). When
+      // the map reaches the cap, flush every current heap downstream
+      // and start over — correct because the final phase re-heaps per
+      // group across ALL partial emissions, and any row discarded
+      // before a flush was dominated by k flushed rows of its group.
+      // The FINAL phase must NOT flush (its input is grouped by the
+      // exchange but not sorted, so a mid-stream flush would emit one
+      // group twice); its footprint is the post-shuffle per-partition
+      // group count x k — callers with near-unique groups should use
+      // the window row_number form, which sort-spills, instead.
+      val maxGroups = if (part) 1 << 17 else Int.MaxValue
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps.valuesIterator.flatMap(_.iterator)
+          .map(_.asInstanceOf[InternalRow]).toArray
+        heaps.clear()
+        out.iterator
+      }
+      val flushed = iter.flatMap { row =>
         val key = groupProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -75,8 +95,10 @@ case class TopKPerGroupExec(
           heap.dequeue()
           heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
         }
+        if (heaps.size >= maxGroups) drain() else Iterator.empty
       }
-      heaps.valuesIterator.flatMap(_.iterator).map(_.asInstanceOf[InternalRow])
+      flushed ++ heaps.valuesIterator.flatMap(_.iterator)
+        .map(_.asInstanceOf[InternalRow])
     }
   }
 
@@ -91,8 +113,13 @@ case class TopKPerGroupExec(
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+      // normalize float group keys HERE (expressions are resolved at
+      // planning time; at construction a bare col() may not be):
+      // byte-wise heap-map keys and the hash exchange must collapse
+      // -0.0/0.0 and NaN bit patterns like built-in aggregates do
+      val gn = g.map(org.apache.spark.sql.graftbridge.Bridge.normalizeFloats)
+      TopKPerGroupExec(gn, o, k, partial = false,
+        TopKPerGroupExec(gn, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

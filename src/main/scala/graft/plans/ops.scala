@@ -25,8 +25,16 @@ object ops {
       case s: SortOrder => s
       case e => SortOrder(e, Ascending)
     })
+    // analyzedPlan (not logical): dataset-bound group/order columns
+    // carry the ANALYZED plan's exprIds; wrapping the unanalyzed plan
+    // would let re-analysis re-alias toDF-style projections under
+    // fresh ids and orphan them (see Bridge.analyzedPlan's doc — the
+    // same contract asofJoin/rangeJoin follow).
+    // (float group keys are normalized in TopKStrategy at planning
+    // time, when the expressions are guaranteed resolved)
     Bridge.ofRows(spark, TopKPerGroupNode(
-      groupCols.map(Bridge.catalystExpression), order, k, Bridge.logicalPlan(df)))
+      groupCols.map(Bridge.catalystExpression),
+      order, k, Bridge.analyzedPlan(df)))
   }
 
   /** Self-join safety: when the right plan shares attribute ids with
@@ -54,6 +62,44 @@ object ops {
     }
   }
 
+  /** Shared setup for the two native binary time-join operators:
+    * registers `strategy` on the session, builds the fresh payload
+    * output attributes, and runs the right side
+    * through [[disambiguated]]. One implementation so the subtle
+    * disambiguation protocol (exprId remap + splitAt unpacking) can
+    * never drift between asofJoin and rangeJoin.
+    */
+  private final case class BinaryParts(
+      lPlan: LogicalPlan, lKeys: Seq[Expression], lTime: Expression,
+      rPlan: LogicalPlan, rKeys: Seq[Expression], rTime: Expression,
+      rPayload: Seq[Expression], payloadOut: Seq[AttributeReference])
+
+  private def binaryJoinParts(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      payload: Seq[(Column, String)],
+      strategy: org.apache.spark.sql.execution.SparkStrategy): BinaryParts = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(strategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ strategy
+    }
+    val payloadExprs = payload.map { case (c, _) => Bridge.catalystExpression(c) }
+    val payloadOut = payload.zip(payloadExprs).map { case ((_, n), e) =>
+      AttributeReference(n, e.dataType, nullable = true)()
+    }
+    val lPlan = Bridge.analyzedPlan(left)
+    val (rPlan, rExprs) = disambiguated(lPlan, Bridge.analyzedPlan(right),
+      rightKeys.map(Bridge.catalystExpression) ++
+        (Bridge.catalystExpression(rightTime) +: payloadExprs))
+    val (rKeys, rTimeAndPayload) = rExprs.splitAt(rightKeys.length)
+    BinaryParts(lPlan,
+      leftKeys.map(Bridge.catalystExpression),
+      Bridge.catalystExpression(leftTime),
+      rPlan, rKeys, rTimeAndPayload.head, rTimeAndPayload.tail, payloadOut)
+  }
+
   /** Native as-of join: each left row gains `payload` columns from the
     * latest right row with the same key and rightTime <= leftTime
     * (strictly < when `strict`); NULLs when no such row. Pass
@@ -67,27 +113,11 @@ object ops {
       leftTime: Column, rightTime: Column,
       payload: Seq[(Column, String)],
       strict: Boolean = false): DataFrame = {
-    val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    }
-    val payloadExprs = payload.map { case (c, _) => Bridge.catalystExpression(c) }
-    val payloadOut = payload.zip(payloadExprs).map { case ((_, n), e) =>
-      AttributeReference(n, e.dataType, nullable = true)()
-    }
-    val lPlan = Bridge.analyzedPlan(left)
-    val (rPlan, rExprs) = disambiguated(lPlan, Bridge.analyzedPlan(right),
-      rightKeys.map(Bridge.catalystExpression) ++
-        (Bridge.catalystExpression(rightTime) +: payloadExprs))
-    val (rKeys, rTimeAndPayload) = rExprs.splitAt(rightKeys.length)
-    Bridge.ofRows(spark, AsOfJoinNode(
-      lPlan, rPlan,
-      leftKeys.map(Bridge.catalystExpression),
-      rKeys,
-      Bridge.catalystExpression(leftTime),
-      rTimeAndPayload.head,
-      rTimeAndPayload.tail, payloadOut, strict))
+    val p = binaryJoinParts(left, right, leftKeys, rightKeys,
+      leftTime, rightTime, payload, AsOfJoinStrategy)
+    Bridge.ofRows(left.sparkSession, AsOfJoinNode(
+      p.lPlan, p.rPlan, p.lKeys, p.rKeys, p.lTime, p.rTime,
+      p.rPayload, p.payloadOut, strict))
   }
 
   /** Native keyed range (interval) join: each left row paired with the
@@ -102,26 +132,10 @@ object ops {
       leftTime: Column, rightTime: Column,
       lower: Long, upper: Long,
       payload: Seq[(Column, String)]): DataFrame = {
-    val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ RangeJoinStrategy
-    }
-    val payloadExprs = payload.map { case (c, _) => Bridge.catalystExpression(c) }
-    val payloadOut = payload.zip(payloadExprs).map { case ((_, n), e) =>
-      AttributeReference(n, e.dataType, nullable = true)()
-    }
-    val lPlan = Bridge.analyzedPlan(left)
-    val (rPlan, rExprs) = disambiguated(lPlan, Bridge.analyzedPlan(right),
-      rightKeys.map(Bridge.catalystExpression) ++
-        (Bridge.catalystExpression(rightTime) +: payloadExprs))
-    val (rKeys, rTimeAndPayload) = rExprs.splitAt(rightKeys.length)
-    Bridge.ofRows(spark, RangeJoinNode(
-      lPlan, rPlan,
-      leftKeys.map(Bridge.catalystExpression),
-      rKeys,
-      Bridge.catalystExpression(leftTime),
-      rTimeAndPayload.head,
-      lower, upper, rTimeAndPayload.tail, payloadOut))
+    val p = binaryJoinParts(left, right, leftKeys, rightKeys,
+      leftTime, rightTime, payload, RangeJoinStrategy)
+    Bridge.ofRows(left.sparkSession, RangeJoinNode(
+      p.lPlan, p.rPlan, p.lKeys, p.rKeys, p.lTime, p.rTime,
+      lower, upper, p.rPayload, p.payloadOut))
   }
 }

@@ -41,6 +41,16 @@ object Bridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
 
+  /** Float/double normalization (-0.0 → 0.0, canonical NaN bits) for
+    * expressions used as GROUPING or JOIN keys in custom plan nodes.
+    * Spark's NormalizeFloatingNumbers rule does this for built-in
+    * aggregates/joins/windows but never sees custom nodes, whose
+    * byte-wise UnsafeRow comparisons would otherwise treat -0.0 and
+    * 0.0 as different keys. No-op for non-floating types.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Register a SQL function into an EXISTING session's registry
     * (sessionState is private[sql]). The SparkSessionExtensions path
     * only applies at session build time; this covers sessions created

@@ -176,4 +176,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Union"), p)
   }
+
+  test("mismatched key or time types fail loudly at construction") {
+    val s = spark
+    import s.implicits._
+    // custom nodes bypass ImplicitTypeCasts: an int-vs-long key would
+    // silently compare garbage bytes without the constructor guard
+    val l = Seq((1, 10L, 1.0)).toDF("k", "t", "x")
+    val r = Seq((1L, 5L, 9.0)).toDF("k", "t", "v")
+    val eKey = intercept[IllegalArgumentException] {
+      ops.asofJoin(l, r, Seq(l("k")), Seq(r("k")),
+        l("t"), r("t"), Seq((r("v"), "v")))
+    }
+    assert(eKey.getMessage.contains("key types"), eKey.getMessage)
+    val r2 = Seq((1, 5, 9.0)).toDF("k", "t", "v") // int time vs long time
+    val eTime = intercept[IllegalArgumentException] {
+      ops.asofJoin(l, r2, Seq(l("k")), Seq(r2("k")),
+        l("t"), r2("t"), Seq((r2("v"), "v")))
+    }
+    assert(eTime.getMessage.contains("time types"), eTime.getMessage)
+  }
 }

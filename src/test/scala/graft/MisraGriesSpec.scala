@@ -55,4 +55,10 @@ class MisraGriesSpec extends SparkSpec {
       if (c > n / 17) assert(sk.contains(w), s"missing $w ($c) in $sk")
     }
   }
+
+  test("non-positive capacity is rejected at construction") {
+    // k <= 0 would otherwise yield a silently-empty sketch forever
+    intercept[IllegalArgumentException] { new graft.functions.MisraGries(0) }
+    intercept[IllegalArgumentException] { new graft.functions.MisraGries(-3) }
+  }
 }

@@ -32,6 +32,35 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(native == windowed)
   }
 
+  test("float group keys collapse -0.0/0.0 like built-in aggregates") {
+    val s = spark
+    import s.implicits._
+    // without planning-time NormalizeFloatingNumbers, -0.0 and 0.0
+    // have different UnsafeRow bytes and would form TWO groups
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L)).toDF("g", "id")
+    val out = ops.topKPerGroup(df, Seq(col("g")), Seq(col("id")), k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 4L), s"got $out") // one zero-group, top-2 = ids 1,2
+  }
+
+  test("partial phase flushes at the group cap without losing true top-k rows") {
+    val s = spark
+    import s.implicits._
+    // > 2^17 distinct groups in one partition forces at least one
+    // mid-stream partial flush; equivalence with the window form pins
+    // that flushed partials merge correctly in the final phase
+    val n = (1 << 17) + 5000
+    val df = s.range(0, n.toLong, 1, 1)
+      .select((col("id") % (n / 2)).as("g"), col("id"))
+    val native = ops.topKPerGroup(df, Seq(col("g")), Seq(col("id")), k = 1)
+      .agg(count(lit(1)), sum(col("id"))).collect().head
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .agg(count(lit(1)), sum(col("id"))).collect().head
+    assert(native == windowed)
+  }
+
   test("plan has two heap stages, an exchange, and no sort before output") {
     val df = ops.topKPerGroup(Tables.orders(spark, dir),
       Seq(col("o_orderpriority")), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
