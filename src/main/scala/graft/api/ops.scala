@@ -134,7 +134,9 @@ object ops {
     * every pack's `nTokens` total (rows capped at `budget`) is
     * STRICTLY within `budget`. Rows are greedily first-fit in
     * `orderCol` order within a deterministic md5 shard; packs never
-    * span shards. This is genuine sequential logic — a prefix-sum
+    * span shards. `orderCol` must be UNIQUE per row (an id): rows
+    * tied on it have no defined order within a shard, so their pack
+    * boundaries would vary run to run. This is genuine sequential logic — a prefix-sum
     * window can overflow the budget whenever a boundary-crossing row
     * leaves slack — so it runs as per-partition imperative code
     * (repartition by shard, sort within, one greedy pass), the
@@ -173,11 +175,12 @@ object ops {
     packed.drop("__shard", "__n")
   }
 
-  /** Eval-set DECONTAMINATION: flags every `corpus` row sharing at
-    * least `minOverlap` word 5-grams with any `evalSet` text. The
-    * eval-gram set broadcasts (eval sets are small by definition),
-    * so the corpus is one explode + broadcast-semi pass — it never
-    * shuffles. Returns the corpus with an appended `n_overlap`.
+  /** Eval-set DECONTAMINATION: appends to each `corpus` row the
+    * count `n_overlap` of distinct word 5-grams it shares with the
+    * `evalSet` texts — callers apply their own threshold (q61 uses
+    * `n_overlap >= 3`). The eval-gram set broadcasts (eval sets are
+    * small by definition), so the corpus is one explode + broadcast
+    * join pass — it never shuffles.
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
       id: String, text: String): DataFrame = {
@@ -323,8 +326,13 @@ object ops {
     * the mean of the `lookback` rows before it (per `key`, ordered by
     * `ts` then `tiebreak`). The test runs in integer cents — the z²
     * comparison (n·x−Σx)² > z²·(n·Σx²−(Σx)²) — so results are exact
-    * and reproducible; rows with under `minHistory` prior points are
-    * never flagged. One window pass, O(lookback) state per key.
+    * and reproducible WITHIN the int64 envelope: the largest term is
+    * z²·n·Σx², so |value| must stay under ~2.2e6 (cents ≈ 2.3e8) at
+    * the default lookback=20, z=3 — beyond that the comparison wraps
+    * silently. Metrics outside that range should be rescaled first
+    * (the same envelope bounds the streaming twin, AnomalyMonitor).
+    * Rows with under `minHistory` prior points are never flagged. One
+    * window pass, O(lookback) state per key.
     */
   def zscoreAnomalies(df: DataFrame, key: String, ts: String,
       value: String, tiebreak: String, lookback: Int = 20,
@@ -396,9 +404,12 @@ object ops {
   /** Brute-force cosine top-k: `queries` (qid, vec) is broadcast
     * against `corpus` (id, vec); both are unit-normalized here so
     * the per-pair work is one codegen'd dot product. The corpus is
-    * scanned once and never shuffled. Valid while the query set is
-    * broadcast-sized; above that, block both sides (IVF/LSH — see
-    * q28/q42).
+    * scanned once, and the scored stream reduces to <= k rows per
+    * (query, partition) through the native partial-heap operator
+    * BEFORE any exchange — a bare row_number window would shuffle the
+    * whole |corpus| x |queries| scored stream to rank it. Valid while
+    * the query set is broadcast-sized; above that, block both sides
+    * (IVF/LSH — see q28/q42).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def normed(df: DataFrame, idName: String, vecName: String): DataFrame = {
@@ -417,12 +428,15 @@ object ops {
     }
     val c = normed(corpus, "id", "__cv")
     val q = normed(queries, "qid", "__qv")
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("__cos", graft.functions.vec.arrayDot(col("__cv"), col("__qv")))
+      .select(col("qid"), col("id"), col("__cos"))
+    val top = graft.plans.ops.topKPerGroup(scored,
+      groupCols = Seq(col("qid")),
+      orderCols = Seq(col("__cos").desc, col("id")), k = k)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("__cos").desc, col("id"))
-    c.crossJoin(broadcast(q))
-      .withColumn("__cos", graft.functions.vec.arrayDot(col("__cv"), col("__qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w)) // over <= k rows/query
       .select(col("qid"), col("rank"), col("id"),
         round(col("__cos"), 4).as("cos_sim"))
   }

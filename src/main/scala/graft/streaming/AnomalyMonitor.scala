@@ -32,7 +32,9 @@ final case class ScoredObservation(key: Long, seq: Long, cents: Long,
   *
   * At scale: state is O(lookback) longs per key regardless of stream
   * length, checkpointed in RocksDB; a restart resumes scoring
-  * mid-history with no re-read of the past.
+  * mid-history with no re-read of the past. Int64 envelope as for
+  * `ops.zscoreAnomalies`: |value| under ~2.2e6 at the default
+  * lookback/z — rescale larger metrics before monitoring.
   */
 object AnomalyMonitor {
 

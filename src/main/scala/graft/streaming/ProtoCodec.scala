@@ -99,7 +99,23 @@ object ProtoCodec {
         if (len < 0 || pos + len > buf.length) throw malformed
         pos += len.toInt
       case 5 => if (pos + 4 > buf.length) throw malformed else pos += 4
-      case _ => throw malformed // 3/4 (groups) are proto2-only
+      // groups are proto2 wire relics, but conforming parsers
+      // (protobuf-java) still SKIP an embedded group rather than
+      // reject the message: consume nested fields until the matching
+      // END_GROUP tag. A bare END_GROUP here is malformed.
+      case 3 =>
+        var open = 1
+        while (open > 0) {
+          val tag = readVarint()
+          val (f, w) = ((tag >>> 3).toInt, (tag & 7).toInt)
+          if (f == 0) throw malformed
+          w match {
+            case 3 => open += 1
+            case 4 => open -= 1
+            case other => skip(other)
+          }
+        }
+      case _ => throw malformed // wire 4 outside a group, or 6/7
     }
   }
 
@@ -132,6 +148,7 @@ object ProtoCodec {
     while (r.hasMore) {
       val tag = r.readVarint()
       val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      if (field == 0) throw malformed // conforming parsers reject tag 0
       (field, wire) match {
         case (1, 0) => id = r.readVarint().toInt
         case (2, 1) => temp = java.lang.Double.longBitsToDouble(r.readFixed64())
@@ -160,6 +177,7 @@ object ProtoCodec {
     while (r.hasMore) {
       val tag = r.readVarint()
       val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      if (field == 0) throw malformed // conforming parsers reject tag 0
       (field, wire) match {
         case (1, 0) => id = r.readVarint().toInt
         case (2, 1) => desired = java.lang.Double.longBitsToDouble(r.readFixed64())
@@ -188,6 +206,7 @@ object ProtoCodec {
     while (r.hasMore) {
       val tag = r.readVarint()
       val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      if (field == 0) throw malformed // conforming parsers reject tag 0
       (field, wire) match {
         case (1, 0) => id = r.readVarint().toInt
         case (2, 0) => action = r.readVarint().toInt

@@ -40,13 +40,25 @@ object ThermostatStream {
 
   /** Per-key state transition for one micro-batch: buffer the batch's
     * events, apply in seq order, emit deduped transitions.
+    *
+    * Tie rule: seq values come from PER-TOPIC offsets at the wire
+    * boundary, so a control and a data event can legitimately share a
+    * seq. Sorting by bare seq would break such ties by shuffle-arrival
+    * order — nondeterministic emissions run to run. The defined order
+    * is (seq, control-before-data): the documented resolution of the
+    * reference's unordered-union ambiguity (SURVEY.md §7.5 — its own
+    * Spark variant just assumes controls arrive first,
+    * SparkStructuredController.scala:69-71).
     */
+  private def seqOrder(ev: ControlEvent): (Long, Int) =
+    (ev.seq, if (ev.kind == "control") 0 else 1)
+
   def stateFunc(
       sensorID: Long,
       events: Iterator[ControlEvent],
       state: GroupState[ControlState]): Iterator[HeaterCommand] = {
     var st = state.getOption.getOrElse(ControlState.empty)
-    val out = events.toSeq.sortBy(_.seq).flatMap { ev =>
+    val out = events.toSeq.sortBy(seqOrder).flatMap { ev =>
       val (st2, emitted) = Hysteresis.step(st, ev)
       st = st2
       emitted.map(a => HeaterCommand(sensorID, ev.seq, a))
@@ -87,7 +99,7 @@ object ThermostatStream {
         rows: Iterator[ControlEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[HeaterCommand] = {
       var st = if (state.exists()) state.get() else ControlState.empty
-      val out = rows.toSeq.sortBy(_.seq).flatMap { ev =>
+      val out = rows.toSeq.sortBy(seqOrder).flatMap { ev =>
         val (st2, emitted) = Hysteresis.step(st, ev)
         st = st2
         emitted.map(a => HeaterCommand(key, ev.seq, a))
@@ -188,8 +200,18 @@ object ThermostatStream {
   def toWireProto(cmds: Dataset[HeaterCommand]): Dataset[Array[Byte]] = {
     val spark = cmds.sparkSession
     import spark.implicits._
-    cmds.map(c => ProtoCodec.encodeHeater(
-      graft.model.HeaterControl(c.sensorID.toInt, c.action)))
+    cmds.map { c =>
+      // the wire message's sensorID is proto int32 (messages.proto:13)
+      // while the internal command carries a Long key — a silent
+      // .toInt would wire-encode a WRONG sensor id for keys past
+      // 2^31-1; fail the query loudly instead
+      if (c.sensorID < Int.MinValue || c.sensorID > Int.MaxValue) {
+        throw new IllegalArgumentException(
+          s"sensorID ${c.sensorID} does not fit the proto3 int32 wire field")
+      }
+      ProtoCodec.encodeHeater(
+        graft.model.HeaterControl(c.sensorID.toInt, c.action))
+    }
   }
 
   /** Kafka wiring (NOT exercised offline — no Kafka connector jar in

@@ -67,6 +67,11 @@ class ProtoWireSpec extends SparkSpec {
       Array[Byte](0x5a, 0x03, 1, 2, 3) ++
       Array[Byte](0x65, 1, 2, 3, 4)
     assert(ProtoCodec.decodeSensor(base ++ unknown).contains(SensorData(5, 20.0)))
+    // an embedded proto2-style GROUP is skipped (protobuf-java
+    // conformance), including one nested varint field: field 9
+    // START_GROUP (0x4b), field 9 varint (0x48 0x01), END_GROUP (0x4c)
+    val group = Array[Byte](0x4b, 0x48, 0x01, 0x4c)
+    assert(ProtoCodec.decodeSensor(base ++ group).contains(SensorData(5, 20.0)))
     // duplicate field: last one wins (proto3 merge rule for scalars)
     val dup = base ++ Array[Byte](0x08, 0x09)
     assert(ProtoCodec.decodeSensor(dup).contains(SensorData(9, 20.0)))
@@ -84,8 +89,10 @@ class ProtoWireSpec extends SparkSpec {
     // over-long varint (11 continuation bytes)
     assert(ProtoCodec.decodeSensor(
       Array[Byte](0x08) ++ Array.fill(11)(0x80.toByte)).isEmpty)
-    // proto2 group wire types are illegal in proto3
-    assert(ProtoCodec.decodeSensor(Array[Byte](0x0b)).isEmpty)
+    // field number 0 is an invalid tag for conforming parsers
+    assert(ProtoCodec.decodeSensor(Array[Byte](0x00, 0x01)).isEmpty)
+    // a bare END_GROUP (wire 4) outside any group is malformed
+    assert(ProtoCodec.decodeSensor(Array[Byte](0x0c)).isEmpty)
     // length-delimited length past end of buffer
     assert(ProtoCodec.decodeSensor(Array[Byte](0x5a, 0x7f, 1)).isEmpty)
     assert(ProtoCodec.decodeSensor(null).isEmpty)

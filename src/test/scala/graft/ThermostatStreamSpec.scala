@@ -145,6 +145,21 @@ class ThermostatStreamSpec extends SparkSpec {
     } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("a control and data event sharing a seq apply control-first, deterministically") {
+    val s = spark
+    import s.implicits._
+    // per-topic offsets can collide across topics; bare-seq sorting
+    // would break the tie by shuffle-arrival order (run-dependent
+    // emissions). The defined rule is control-before-data: the reading
+    // at seq 2 must be evaluated against the setting that shares its
+    // seq — emitting Off — not dropped for lack of a setting.
+    val evs = Seq(
+      ControlEvent(1L, 2L, "data", 50.0, 0.0, 0.0, 0.0),
+      ControlEvent(1L, 2L, "control", 0.0, 45.0, 1.0, 1.0))
+    val out = ThermostatStream.pipeline(s.createDataset(evs)).collect().toSeq
+    assert(out == Seq(HeaterCommand(1L, 2L, 1)))
+  }
+
   test("setpoint random walk: control upserts land mid-stream, both stateful APIs") {
     // the reference's core "dynamically controlled" claim: the Heater
     // re-randomizes the desired temperature while the stream runs
