@@ -439,7 +439,7 @@ object Events {
       .orderBy(col("ts"), col("event_id"))
     val iv = events(s, dir)
       .withColumn("day", to_date(col("ts")))
-      .withColumn("cents", floor(col("value") * 100))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
       .withColumn("dur_s",
         ((unix_micros(lead(col("ts"), 1).over(w)) -
           unix_micros(col("ts"))) / lit(1000000L)).cast("long"))
@@ -461,7 +461,7 @@ object Events {
   val q124Sql: String =
     """WITH iv AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
-      |    CAST(floor(value*100) AS BIGINT) AS cents,
+      |    CAST(round(value*100) AS BIGINT) AS cents,
       |    (epoch_us(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
       |        ORDER BY ts, event_id))
       |      - epoch_us(ts)) // 1000000 AS dur_s

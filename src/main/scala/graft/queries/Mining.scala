@@ -246,9 +246,14 @@ object Mining {
   // scalar subquery, not a driver action.
   // ---------------------------------------------------------------
   def q114BasketPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: baskets, the order count, and the item counts all
+    // read this frame — without the cache each would re-run the
+    // dominant scan + distinct shuffle (the q74/q115 convention)
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    li.count() // eager (q25's race note)
     val n = li.agg(countDistinct(col("ok")).as("n_orders"))
     // JOIN-FREE pair generation: one shuffle collects each basket's
     // item set (sorted -> p1 < p2 for free), then the pairs explode
@@ -272,9 +277,12 @@ object Mining {
     pairs
       .join(broadcast(c1), Seq("p1")).join(broadcast(c2), Seq("p2"))
       .crossJoin(broadcast(n))
-      .withColumn("lift", Relational.ldiv(
-        lit(20000L) * col("n_orders") * col("n_both") + col("c1") * col("c2"),
-        lit(2L) * col("c1") * col("c2")) / 10000.0)
+      // int64 div, not ldiv: 20000*n_orders*n_both passes ldiv's 2^53
+      // double-mantissa bound at large SFs (the q124 lesson); div is
+      // exact for the full int64 range
+      .withColumn("lift",
+        expr("(20000 * n_orders * n_both + c1 * c2) div (2 * c1 * c2)")
+          / 10000.0)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n_both").desc, col("p1"), col("p2"))))
       .filter(col("rnk") <= 15)
@@ -464,6 +472,12 @@ object Mining {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
+      // persisted: the histogram, both endpoint-degree joins, and the
+      // edge stats all read this frame — q115 caches the identical
+      // derivation; without it each consumer re-runs the scan +
+      // distinct exchange
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // eager (q25's race note)
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     // power-of-two degree buckets: the hub detector

@@ -31,9 +31,11 @@ object Temporal {
   //
   // Scale shape: versions are built with one window pass over the
   // (small) signup subset; the fact side joins on the user_id equi
-  // key — Spark plans a hash/sort-merge join on user_id and applies
-  // the interval predicate as a post-filter, so the fact stream
-  // shuffles once and the version table (per-user, tiny) broadcasts.
+  // key and applies the interval predicate as a post-filter. The
+  // broadcast() hint holds while the version table fits an executor
+  // (a handful of versions per user — to ~10M users); at full
+  // dimension cardinality drop it and the equi-join co-partitions
+  // both sides on user_id — the fact stream still shuffles once.
   // Facts before the first version are intentionally dropped (inner
   // join) — the standard SCD2 "no dimension yet" rule.
   // ---------------------------------------------------------------
@@ -93,9 +95,12 @@ object Temporal {
   //
   // Scale shape: each stage is a partial-aggregated pass over one
   // event-type partition of the stream; the per-user timestamps of
-  // the previous stage are the join side and stay per-user-small. At
-  // 100 TB all three passes co-partition on user_id, so AQE plans the
-  // stage joins shuffle-free after the first exchange.
+  // the previous stage are the join side. The broadcast() hints hold
+  // while those stage tables fit an executor (one row per converting
+  // user — fine to ~10M users); at full user cardinality DROP the
+  // hints: all three passes co-partition on user_id and AQE plans the
+  // stage joins shuffle-free after the first exchange (the q27/q74
+  // broadcast-envelope treatment).
   // ---------------------------------------------------------------
   def q84Funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
@@ -375,7 +380,10 @@ object Temporal {
   // cohorts (min day per user, a partial-aggregated groupBy that
   // broadcasts back); offsets come from the activity stream joined
   // to that per-user table — no day-by-day re-scans. Retention is
-  // exact int64 against the cohort size.
+  // exact int64 against the cohort size. Broadcast envelope: the
+  // cohort table is one row per user — the hint holds to ~10M users;
+  // beyond that drop it and the join co-partitions on user_id
+  // (the sizes side is one row per DAY — broadcast at any scale).
   // ---------------------------------------------------------------
   def q126CohortMatrix(s: SparkSession, dir: String): DataFrame = {
     val ud = events(s, dir)
@@ -444,7 +452,7 @@ object Temporal {
         .select(col("user_id"),
           (unix_micros(col("ts")) +
             (if (knowledgeAware) KnowledgeLagUs else 0L)).as("eff_us"),
-          col("event_id"), floor(col("value") * 100).as("vcents"))
+          col("event_id"), round(col("value") * 100).cast("long").as("vcents"))
       val probes = ev.filter(col("event_type") === "view")
         .select(col("user_id"), unix_micros(col("ts")).as("eff_us"),
           col("event_id"), lit(null).cast("long").as("vcents"))
@@ -479,7 +487,7 @@ object Temporal {
   val q128Sql: String =
     """WITH tagged AS (
       |  SELECT user_id, epoch_us(ts) AS eff_us, event_id,
-      |    CAST(floor(value*100) AS BIGINT) AS vcents
+      |    CAST(round(value*100) AS BIGINT) AS vcents
       |  FROM events WHERE event_type = 'purchase'
       |  UNION ALL
       |  SELECT user_id, epoch_us(ts), event_id, NULL
@@ -533,7 +541,7 @@ object Temporal {
     val hourly = events(s, dir)
       .withColumn("hr", date_trunc("hour", col("ts")))
       .groupBy(col("event_type"), col("hr"))
-      .agg(sum(floor(col("value") * 100)).as("cents"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
     val prev = hourly.select(col("event_type"),
       (col("hr") + expr("INTERVAL 24 HOURS")).as("hr"),
       col("cents").as("pred_cents"))
@@ -541,16 +549,19 @@ object Temporal {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(abs(col("cents") - col("pred_cents"))).as("abs_err_cents"),
-        sum(col("cents") - col("pred_cents")).as("bias_cents"),
-        Relational.ratio4(sum(abs(col("cents") - col("pred_cents"))),
-          count(lit(1))).as("mae_cents"))
+        sum(col("cents") - col("pred_cents")).as("bias_cents"))
+      // int64 div, not ratio4/ldiv: 20000*abs_err_cents can pass
+      // ldiv's 2^53 double-mantissa bound on dense data (the q124
+      // lesson); div stays exact for the full int64 range
+      .withColumn("mae_cents",
+        expr("(20000 * abs_err_cents + n_hours) div (2 * n_hours)") / 10000.0)
       .orderBy("event_type")
   }
 
   val q134Sql: String =
     """WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hr,
-      |    CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
       |  FROM events GROUP BY event_type, date_trunc('hour', ts)
       |), joined AS (
       |  SELECT h.event_type, h.cents, p.cents AS pred_cents
@@ -572,7 +583,9 @@ object Temporal {
   // click (the form conversion analysis actually uses — unbounded
   // step windows overcount users who "converted" days later for
   // unrelated reasons). Same scale shape as q84: per-stage partial
-  // aggregates chained by broadcast per-user timestamp tables.
+  // aggregates chained by per-user timestamp tables — the same
+  // broadcast envelope (hints hold to ~10M converting users; beyond
+  // that drop them for the co-partitioned AQE plan).
   // ---------------------------------------------------------------
   def q139TimedFunnel(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
