@@ -1004,7 +1004,68 @@ object Dedup {
        |FROM closed""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q152: sliding-window CHUNKING with cross-document chunk dedup —
+  // the RAG/context-packing shape, complementary to q116's
+  // content-defined chunking: fixed 200-char windows at stride 100
+  // (50% overlap), then per-source accounting of how much of the
+  // chunk stream is boilerplate (the same chunk text appearing in
+  // more than one document — exactly the windows a retrieval index
+  // should store once). Chunks are materialized by a bounded
+  // transform() over the offset sequence INSIDE the array before the
+  // explode, so the parent text is never duplicated per chunk row.
+  // Scale shape: one explode with fan-out len/stride (bounded by the
+  // document length cap), one groupBy on the chunk text (map-side
+  // combined), and the instance/share join re-uses that same chunk
+  // hash partitioning — no all-pairs stage anywhere; a hot chunk
+  // (megadup boilerplate) lands on one reducer as ONE group row,
+  // not a quadratic bucket. Uses length(text), not the n_chars
+  // column, so the query carries no testdata invariant.
+  // ---------------------------------------------------------------
+  private val ChunkLen = 200
+  private val ChunkStride = 100
+
+  def q152ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val ch = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(0), length(col("text")) - 1, lit(ChunkStride)),
+          o => col("text").substr(o + 1, lit(ChunkLen)))).as("chunk"))
+    val shared = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(shared, Seq("chunk"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk")).as("n_distinct"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_crossdoc"),
+        sum(length(col("chunk")).cast("long")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  val q152Sql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, source,
+       |    substring(text, CAST(o AS INT) + 1, $ChunkLen) AS chunk
+       |  FROM (
+       |    SELECT doc_id, source, text,
+       |      unnest(range(0, length(text), $ChunkStride)) AS o
+       |    FROM documents
+       |  )
+       |), shared AS (
+       |  SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM ch GROUP BY chunk
+       |)
+       |SELECT ch.source AS source, COUNT(*) AS n_chunks,
+       |  COUNT(DISTINCT ch.chunk) AS n_distinct,
+       |  CAST(SUM(CASE WHEN shared.n_docs >= 2 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_crossdoc,
+       |  CAST(SUM(length(ch.chunk)) AS BIGINT) AS sum_chars
+       |FROM ch JOIN shared ON ch.chunk = shared.chunk
+       |GROUP BY ch.source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_chunk_dedup" -> q152ChunkDedup _,
     "q142_fuzzy_decontaminate" -> q142FuzzyDecontaminate _,
     "q143_sketch_accuracy" -> q143SketchAccuracy _,
     "q145_transitivity_audit" -> q145TransitivityAudit _,
@@ -1019,6 +1080,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q152_chunk_dedup" -> q152Sql,
     "q142_fuzzy_decontaminate" -> q142Sql,
     "q143_sketch_accuracy" -> q143Sql,
     "q145_transitivity_audit" -> q145Sql,

@@ -61,10 +61,14 @@ object Vectors {
     val b = e.alias("b")
     a.join(b, col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dot(col("a.e"), col("b.e")))
-      .filter(col("cos") >= 0.35)
+      // gate on the 4-dp-ROUNDED cosine: each engine computes the
+      // float in its own operation order, so a pair within a ulp of
+      // the threshold could diverge on the raw value — rounding first
+      // snaps both to the same grid (the q133 treatment)
+      .withColumn("cos_sim", round(dot(col("a.e"), col("b.e")), 4))
+      .filter(col("cos_sim") >= 0.35)
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        col("a.label").as("label"), round(col("cos"), 4).as("cos_sim"))
+        col("a.label").as("label"), col("cos_sim"))
       .orderBy("i", "j")
   }
 
@@ -74,8 +78,8 @@ object Vectors {
       |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+      |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |            CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
       |ORDER BY i, j""".stripMargin
 
   // ---------------------------------------------------------------
@@ -962,7 +966,88 @@ object Vectors {
        |FROM g, t ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q151: ANN rank AGREEMENT — Spearman-footrule distance between the
+  // exact top-5 ranking (q27's brute-force shape) and the sign-LSH
+  // top-5 (q28's bucketed shape), per query, as a histogram. Recall
+  // (q117) counts WHICH neighbors survive the approximation; the
+  // footrule measures whether the ones that survive keep their ORDER
+  // — the property downstream rerankers and top-1 retrieval actually
+  // depend on. A true neighbor missing from the LSH list takes the
+  // pessimal rank k+1, so the distance is defined (and integer) for
+  // every query; range is 0 (identical lists) to 25 (disjoint).
+  // Both rankings order by the 4-dp-rounded cosine with vec_id
+  // tiebreak, so the two engines rank identically and the whole
+  // statistic stays exact int64. Scale shape: the two already-pinned
+  // probe plans plus one (q_id, vec_id) equi-join and a per-query
+  // aggregate — eval cost is bounded by the index probes it grades.
+  // ---------------------------------------------------------------
+  def q151RankAgreement(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    val exact = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
+      .withColumn("r_ex", row_number().over(w))
+      .filter(col("r_ex") <= 5)
+      .select(col("q_id"), col("vec_id"), col("r_ex"))
+    val eb = e.withColumn("bucket", lshBucket(col("e")))
+    val qb = eb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
+    val ann = broadcast(qb).join(eb, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", round(dot(col("qe"), col("e")), 4))
+      .withColumn("r_lsh", row_number().over(w))
+      .filter(col("r_lsh") <= 5)
+      .select(col("q_id"), col("vec_id"), col("r_lsh"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .withColumn("d", abs(col("r_ex") - coalesce(col("r_lsh"), lit(6))))
+      .groupBy(col("q_id")).agg(sum(col("d")).as("footrule"))
+      .groupBy(col("footrule")).agg(count(lit(1)).as("n_queries"))
+      .orderBy("footrule")
+  }
+
+  val q151Sql: String = {
+    val bucketTerms = sqlBucketTerms
+    s"""WITH ex AS (
+       |  SELECT q_id, vec_id, r_ex FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                     CAST(e.embedding AS DOUBLE[])), 4)
+       |          DESC, e.vec_id) AS r_ex
+       |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 100 = 0
+       |  ) WHERE r_ex <= 5
+       |), b AS (
+       |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
+       |), ann AS (
+       |  SELECT q_id, vec_id, r_lsh FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                     CAST(e.embedding AS DOUBLE[])), 4)
+       |          DESC, e.vec_id) AS r_lsh
+       |    FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 100 = 0
+       |  ) WHERE r_lsh <= 5
+       |), fr AS (
+       |  SELECT ex.q_id,
+       |    CAST(SUM(ABS(ex.r_ex - COALESCE(ann.r_lsh, 6))) AS BIGINT)
+       |      AS footrule
+       |  FROM ex LEFT JOIN ann
+       |    ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+       |  GROUP BY ex.q_id
+       |)
+       |SELECT footrule, COUNT(*) AS n_queries FROM fr
+       |GROUP BY footrule ORDER BY footrule""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_rank_agreement" -> q151RankAgreement _,
     "q146_bucket_balance" -> q146BucketBalance _,
     "q136_quantile_norm" -> q136QuantileNorm _,
     "q137_centroid_distances" -> q137CentroidDistances _,
@@ -980,6 +1065,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q151_rank_agreement" -> q151Sql,
     "q146_bucket_balance" -> q146Sql,
     "q136_quantile_norm" -> q136Sql,
     "q137_centroid_distances" -> q137Sql,

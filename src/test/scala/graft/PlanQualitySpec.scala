@@ -384,4 +384,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanIds.size == 1, s"distinct scans $scanIds:\n$p")
     assert(p.contains("InMemoryTableScan"), p)
   }
+
+  test("q151: both eval probes keep the query side broadcast; ranks are per-query") {
+    val p = plan("q151_rank_agreement")
+    // exact probe: broadcast nested-loop of the tiny query set;
+    // LSH probe: broadcast hash on the bucket key — losing either
+    // hint would shuffle the corpus per eval run
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(q_id"), p)
+  }
+
+  test("q152: chunk dedup is one explode + chunk-key aggregation, no all-pairs") {
+    val p = plan("q152_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the boilerplate share join is an equi-join on the chunk text —
+    // a hot chunk is ONE group row, never a quadratic bucket; chunks
+    // come from transform() INSIDE the explode (text not duplicated)
+    assert(p.contains("explode(transform(sequence"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
+  }
 }
