@@ -122,6 +122,44 @@ object TextHashing {
     }
     new GenericArrayData(mins)
   }
+
+  /** Distinct word n-gram shingles in first-occurrence order — the
+    * JVM twin of the declarative split → transform/slice/concat_ws →
+    * array_distinct chain (Hashing.shingles). The declarative form is
+    * a higher-order-function tree, and HOFs are CodegenFallback:
+    * every row pays interpreted lambda dispatch plus an intermediate
+    * non-distinct array allocation. This kernel builds the distinct
+    * set in one pass and runs inside whole-stage codegen. Shares the
+    * truncated-final-shingle rule with [[minhashSig]]: docs shorter
+    * than n words yield one truncated shingle.
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val ws = words(text)
+    val cnt = ws.length
+    val last = math.max(cnt - n, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, cnt)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Codegen'd 60-bit SimHash of a string column (see [[TextHashing]]).
@@ -177,6 +215,36 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd distinct word n-gram shingle array of a string column
+  * (see [[TextHashing.wordShingles]]). `n` is a plan-time constant —
+  * a parameter, not a child expression — so generated code inlines
+  * it. Output order (first occurrence) and the truncated-short-doc
+  * rule match the declarative array_distinct form bit-for-bit, which
+  * the DuckDB-gated dedup queries rely on.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires n >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native text-hash expressions. */
 object texthash {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -188,4 +256,8 @@ object texthash {
   /** 12-value MinHash signature array of a string column. */
   def minhashSig(c: Column): Column =
     Bridge.column(MinHashSig(Bridge.expression(c)))
+
+  /** Distinct word n-gram shingles, codegen'd. */
+  def wordShingles(c: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), n))
 }

@@ -198,9 +198,9 @@ object Curation {
   // join on src — same plan, one more exchange.
   // ---------------------------------------------------------------
   def q79PageRank(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .filter(col("k").isNotNull)
+    // persisted (user_id, k) projection — the scalar n, the edge
+    // build, AND the nodes frame all read it (see Mining.graphEv)
+    val ev = Mining.graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
     val edges = ev.crossJoin(broadcast(n))
       .select(col("user_id").as("src"),

@@ -25,14 +25,16 @@ object Hashing {
 
   /** Word n-gram shingles, de-duplicated. For docs shorter than n
     * words, one truncated shingle (mirrors the oracle's
-    * range(greatest(len-(n-1),1)) guard).
+    * range(greatest(len-(n-1),1)) guard). Routed through the native
+    * [[graft.functions.WordShingles]] expression: the declarative
+    * split → transform/slice/concat_ws → array_distinct chain is a
+    * CodegenFallback HOF tree evaluated interpreted per row, while
+    * the kernel builds the same first-occurrence-ordered distinct
+    * array inside whole-stage codegen (bit-identical output — the
+    * DuckDB oracles pin it).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(ws) - lit(n), lit(0))),
-      i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.texthash.wordShingles(text, n)
 
   /** One MinHash value: the lexicographic minimum of md5("<seed>:" ++
     * shingle). Min-over-any-total-order preserves the MinHash

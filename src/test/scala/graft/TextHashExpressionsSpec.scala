@@ -100,6 +100,39 @@ class TextHashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("word_shingles matches the declarative split/slice/array_distinct form") {
+    // Hashing.shingles now ROUTES through the native kernel, so this
+    // is the one place the original declarative HOF chain is still
+    // spelled out — order (first occurrence) and the truncated-short-
+    // doc rule must stay bit-identical, or every shingle-based oracle
+    // silently shifts definition.
+    import org.apache.spark.sql.Column
+    def declarative(text: Column, n: Int): Column = {
+      val ws = split(text, " ")
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(ws) - lit(n), lit(0))),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab c"
+    val s = spark; import s.implicits._
+    val extra = (100 until 160).map { i =>
+      val len = rnd.nextInt(15)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = docs.select(col("doc_id"), col("text"))
+      .union(extra.toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      df.select(col("text"),
+          texthash.wordShingles(col("text"), n).as("nat"),
+          declarative(col("text"), n).as("decl"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"n=$n text=<${r.getString(0)}>")
+        }
+    }
+  }
+
   test("null text yields null signatures") {
     val d = docs.select(col("doc_id"),
       when(col("doc_id") === 1, null).otherwise(col("text")).as("text"))
