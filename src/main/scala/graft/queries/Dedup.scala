@@ -1064,7 +1064,51 @@ object Dedup {
        |FROM ch JOIN shared ON ch.chunk = shared.chunk
        |GROUP BY ch.source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q154: bag-of-words (order-insensitive) duplicate detection — the
+  // near-dup class exact dedup (q22) misses and shingling (q23/q25)
+  // only scores partially: documents built from the SAME word
+  // multiset in a different order (template reshuffles, scraped
+  // listings re-sorted by a site). The canonical key is the md5 of
+  // the doc's SORTED token sequence, so detection is one hash
+  // groupBy on a 128-bit key — identical scale shape to q22: no
+  // joins, no pairs, per-row work bounded by doc length (sort of
+  // ~100 tokens). Reported as a per-source audit (q22's per-lang
+  // summary shape, with bag and byte granularities side by side) so
+  // the result is non-degenerate at every SF: `n_texts - n_bags` is
+  // the count of distinct texts that collapse under bag
+  // canonicalization — the pure word-order shuffles; byte-identical
+  // copy groups are q22's catch.
+  // ---------------------------------------------------------------
+  def q154BowDup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"),
+        md5(array_join(array_sort(split(col("text"), " ")), " ")).as("bow"),
+        md5(col("text")).as("txt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bow")).as("n_bags"),
+        countDistinct(col("txt")).as("n_texts"))
+      .withColumn("bag_dup_docs", col("n_docs") - col("n_bags"))
+      .withColumn("shuffle_only_texts", col("n_texts") - col("n_bags"))
+      .orderBy("source")
+
+  val q154Sql: String =
+    """WITH k AS (
+      |  SELECT source,
+      |    md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow,
+      |    md5(text) AS txt
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT bow) AS n_bags,
+      |  COUNT(DISTINCT txt) AS n_texts,
+      |  COUNT(*) - COUNT(DISTINCT bow) AS bag_dup_docs,
+      |  COUNT(DISTINCT txt) - COUNT(DISTINCT bow) AS shuffle_only_texts
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_bow_dup" -> q154BowDup _,
     "q152_chunk_dedup" -> q152ChunkDedup _,
     "q142_fuzzy_decontaminate" -> q142FuzzyDecontaminate _,
     "q143_sketch_accuracy" -> q143SketchAccuracy _,
@@ -1080,6 +1124,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q154_bow_dup" -> q154Sql,
     "q152_chunk_dedup" -> q152Sql,
     "q142_fuzzy_decontaminate" -> q142Sql,
     "q143_sketch_accuracy" -> q143Sql,

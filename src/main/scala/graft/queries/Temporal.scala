@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -643,7 +643,91 @@ object Temporal {
       |    AS conv_ratio
       |FROM counts ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q153: exponential-decay smoothing (EWMA, alpha = 1/2) — each
+  // user's "current level" with geometrically fading history, the
+  // batch twin of a streaming decayed counter. With halving weights
+  // the truncated 8-term EWMA is EXACT integer arithmetic: weight
+  // 2^(7-k) on lag k of integer cents, so the weighted numerator and
+  // the present-lag weight sum are int64 (max |cents| ~3.3e4, max
+  // numerator 3.3e4 * 255 ~ 8.4e6 — no overflow, no float drift).
+  // The alpha=1/2, depth-8 truncation bounds the dropped tail mass
+  // at 2^-8 of the oldest retained weight — below the 4-dp output
+  // grid, which is why a fixed depth is the right scale trade: a
+  // true unbounded EWMA needs a running-product scan (inherently
+  // sequential per key), while this form is one window pass.
+  //
+  // Scale shape: everything — the 8 lags, the last-row pick, the
+  // per-user count — shares ONE hash partition on user_id, so the
+  // event stream shuffles exactly once; the asc/desc sorts resolve
+  // inside that exchange. Output is one row per user (the latest
+  // smoothed level), i.e. key-cardinality, not event-cardinality.
+  // ---------------------------------------------------------------
+  def q153EwmaDecay(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def lagK(k: Int): Column =
+      if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+    val num = (0 until 8).map { k =>
+      coalesce(lagK(k), lit(0L)) * lit(1L << (7 - k))
+    }.reduce(_ + _)
+    val den = (0 until 8).map { k =>
+      when(lagK(k).isNotNull, lit(1L << (7 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
+      .withColumn("ew_num", num)
+      .withColumn("ew_den", den)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        // smoothed level in exact 4-dp cents: ratio4(num, den)
+        Relational.ratio4(col("ew_num"), col("ew_den")).as("ewma_c4"),
+        col("cents").as("last_cents"))
+      .orderBy("user_id")
+  }
+
+  val q153Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events
+      |), t AS (
+      |  SELECT user_id, ts, event_id, cents,
+      |    128*cents
+      |      + 64*COALESCE(LAG(cents,1) OVER w, 0)
+      |      + 32*COALESCE(LAG(cents,2) OVER w, 0)
+      |      + 16*COALESCE(LAG(cents,3) OVER w, 0)
+      |      +  8*COALESCE(LAG(cents,4) OVER w, 0)
+      |      +  4*COALESCE(LAG(cents,5) OVER w, 0)
+      |      +  2*COALESCE(LAG(cents,6) OVER w, 0)
+      |      +  1*COALESCE(LAG(cents,7) OVER w, 0) AS ew_num,
+      |    128
+      |      + CASE WHEN LAG(cents,1) OVER w IS NULL THEN 0 ELSE 64 END
+      |      + CASE WHEN LAG(cents,2) OVER w IS NULL THEN 0 ELSE 32 END
+      |      + CASE WHEN LAG(cents,3) OVER w IS NULL THEN 0 ELSE 16 END
+      |      + CASE WHEN LAG(cents,4) OVER w IS NULL THEN 0 ELSE  8 END
+      |      + CASE WHEN LAG(cents,5) OVER w IS NULL THEN 0 ELSE  4 END
+      |      + CASE WHEN LAG(cents,6) OVER w IS NULL THEN 0 ELSE  2 END
+      |      + CASE WHEN LAG(cents,7) OVER w IS NULL THEN 0 ELSE  1 END AS ew_den,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      |  ((20000*ew_num + ew_den) // (2*ew_den)) / 10000.0 AS ewma_c4,
+      |  cents AS last_cents
+      |FROM t WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ewma_decay" -> q153EwmaDecay _,
     "q139_timed_funnel" -> q139TimedFunnel _,
     "q134_seasonal_baseline" -> q134SeasonalBaseline _,
     "q128_bitemporal_asof" -> q128BitemporalAsof _,
@@ -657,6 +741,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q153_ewma_decay" -> q153Sql,
     "q139_timed_funnel" -> q139Sql,
     "q134_seasonal_baseline" -> q134Sql,
     "q128_bitemporal_asof" -> q128Sql,

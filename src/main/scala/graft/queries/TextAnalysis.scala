@@ -966,7 +966,58 @@ object TextAnalysis {
        |    AS share4
        |FROM g ORDER BY lang, split""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q156: word-concentration quality signal — the Herfindahl index
+  // of each document's word-frequency distribution (sum of squared
+  // frequency shares) plus the top-word share. This is the
+  // REPETITIVENESS axis the existing quality gates don't cover: TTR
+  // (q30) sees how many distinct words exist but not how skewed
+  // their mass is, and the dup-n-gram rules (q67) need repeats to be
+  // ADJACENT n-grams — a document that scatters one word everywhere
+  // scores clean on both yet has HHI near 1. Exact int64 throughout:
+  // hhi = sum(c_w^2)/w^2 and top_share = max(c_w)/w are integer
+  // ratios (c_w <= w <= doc length, so sum(c_w^2) <= w^2 < 2^40),
+  // surfaced through ratio4's half-up 4-dp grid — both engines
+  // branch identically, no float entropy needed.
+  //
+  // Scale shape: explode -> two partially-combined hash aggregates
+  // keyed by doc_id (token counts, then per-doc moments) — no joins,
+  // no windows; the shuffle carries per-doc DISTINCT-word counts,
+  // not raw tokens, thanks to the map-side combine.
+  // ---------------------------------------------------------------
+  def q156WordConcentration(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("c")).as("sq_mass"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        Relational.ratio4(col("sq_mass"), col("n_words") * col("n_words"))
+          .as("hhi4"),
+        Relational.ratio4(col("top_count"), col("n_words")).as("top_share4"))
+      .orderBy("doc_id")
+
+  val q156Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), counts AS (
+      |  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_words,
+      |  ((20000*CAST(SUM(c*c) AS BIGINT)
+      |      + CAST(SUM(c)*SUM(c) AS BIGINT))
+      |    // (2*CAST(SUM(c)*SUM(c) AS BIGINT))) / 10000.0 AS hhi4,
+      |  ((20000*CAST(MAX(c) AS BIGINT) + CAST(SUM(c) AS BIGINT))
+      |    // (2*CAST(SUM(c) AS BIGINT))) / 10000.0 AS top_share4
+      |FROM counts GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_word_concentration" -> q156WordConcentration _,
     "q147_dedup_yield" -> q147DedupYield _,
     "q148_split_assign" -> q148SplitAssign _,
     "q141_lexical_drift" -> q141LexicalDrift _,
@@ -988,6 +1039,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q156_word_concentration" -> q156Sql,
     "q147_dedup_yield" -> q147Sql,
     "q148_split_assign" -> q148Sql,
     "q141_lexical_drift" -> q141Sql,

@@ -1046,7 +1046,75 @@ object Vectors {
        |GROUP BY footrule ORDER BY footrule""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q155: hard-negative mining — for every class, the other-class
+  // vectors CLOSEST to the class centroid: the contrastive-training
+  // pairs a trivial random-negative sampler never finds. Centroids
+  // are q137's exact-decimal per-dim sums (order-independent, and
+  // cosine is scale-invariant so the un-divided sum IS the centroid
+  // direction). The query side is label-cardinality (10 rows) —
+  // broadcast by construction — so the corpus is scanned once, each
+  // vector scored against every centroid map-side, and the per-label
+  // top-5 resolves in a label-partitioned window (label count is
+  // fixed, so no single-partition global window). The rank gates on
+  // the 4-dp-ROUNDED cosine with a vec_id tiebreak (q27's pattern:
+  // each engine computes the float in its own operation order, so
+  // ranking the raw float could flip within-ulp neighbors).
+  // ---------------------------------------------------------------
+  def q155HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val cells = embeddings(s, dir)
+      .select(col("label"), posexplode(emb(col("embedding"))))
+      .select(col("label"), col("pos").as("dim"), col("col").as("v"))
+    val cent = cells.groupBy(col("label"), col("dim"))
+      .agg(sum(col("v").cast("decimal(20,10)")).cast("double").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .select(col("label").as("qlabel"), col("cv"))
+    val e = embeddings(s, dir).select(col("vec_id"),
+      col("label").as("neg_label"), emb(col("embedding")).as("ev"))
+    val rw = Window.partitionBy(col("qlabel"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    broadcast(cent).join(e, col("qlabel") =!= col("neg_label"))
+      .withColumn("cos_r", round(
+        dot(col("cv"), col("ev")) /
+          (sqrt(dot(col("cv"), col("cv"))) * sqrt(dot(col("ev"), col("ev")))),
+        4))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 5)
+      .select(col("qlabel"), col("rank"), col("vec_id"),
+        col("neg_label"), col("cos_r").as("cos_sim"))
+      .orderBy("qlabel", "rank")
+  }
+
+  val q155Sql: String =
+    """WITH cells AS (
+      |  SELECT label, CAST(i AS BIGINT) AS dim,
+      |    CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(64)) t(i)
+      |), cent AS (
+      |  SELECT label, list(c ORDER BY dim) AS cv FROM (
+      |    SELECT label, dim,
+      |      CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) AS c
+      |    FROM cells GROUP BY label, dim
+      |  ) GROUP BY label
+      |), scored AS (
+      |  SELECT c.label AS qlabel, e.vec_id, e.label AS neg_label,
+      |    ROUND(list_cosine_similarity(c.cv,
+      |      CAST(e.embedding AS DOUBLE[])), 4) AS cos_r
+      |  FROM cent c JOIN embeddings e ON c.label <> e.label
+      |), ranked AS (
+      |  SELECT qlabel, vec_id, neg_label, cos_r,
+      |    row_number() OVER (PARTITION BY qlabel
+      |      ORDER BY cos_r DESC, vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT qlabel, CAST(rank AS INT) AS rank, vec_id, neg_label,
+      |  cos_r AS cos_sim
+      |FROM ranked WHERE rank <= 5 ORDER BY qlabel, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_hard_negatives" -> q155HardNegatives _,
     "q151_rank_agreement" -> q151RankAgreement _,
     "q146_bucket_balance" -> q146BucketBalance _,
     "q136_quantile_norm" -> q136QuantileNorm _,
@@ -1065,6 +1133,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q155_hard_negatives" -> q155Sql,
     "q151_rank_agreement" -> q151Sql,
     "q146_bucket_balance" -> q146Sql,
     "q136_quantile_norm" -> q136Sql,

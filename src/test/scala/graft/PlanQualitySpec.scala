@@ -406,4 +406,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("explode(transform(sequence"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
   }
+
+  test("q153: the three windows share ONE user_id exchange; no global window") {
+    val p = plan("q153_ewma_decay")
+    // lag chain (ts asc), last-row row_number (ts desc), per-user
+    // count — all partitioned by user_id, so the event stream
+    // shuffles exactly once and the asc/desc sorts resolve inside
+    // that exchange; a second hashpartitioning would mean a window
+    // lost the shared key
+    // (the only other exchange is the final ORDER BY's range partition)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("windowspecdefinition()"), p) // no single-partition window
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q154: bag-of-words dedup is joinless hash aggregation") {
+    val p = plan("q154_bow_dup")
+    assert(!p.contains("Join"), p)
+    // two distinct-count granularities ride one scan + partial aggs
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      readSchema) // prunes to (source, text)
+  }
+
+  test("q155: centroid side stays broadcast; top-k window is label-partitioned") {
+    val p = plan("q155_hard_negatives")
+    // label-cardinality query side x corpus via broadcast nested loop
+    // (the <> join has no equi key); never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(qlabel"), p)
+  }
+
+  test("q155: word concentration is joinless two-stage aggregation") {
+    val p = plan("q156_word_concentration")
+    assert(!p.contains("Join"), p)
+    // token counts then per-doc moments, each with a map-side partial
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p)
+  }
 }
