@@ -440,4 +440,112 @@ object ops {
       .select(col("qid"), col("rank"), col("id"),
         round(col("__cos"), 4).as("cos_sim"))
   }
+
+  /** Exponential-decay smoothing (EWMA, alpha = 1/2) truncated at
+    * `depth` terms — appends `ewma_c4`, the smoothed level of `value`
+    * in exact 4-dp cents (q153's parameterized form). With halving
+    * weights the truncated EWMA is pure int64: weight 2^(depth-1-k)
+    * on lag k of integer cents, so results are bit-identical under
+    * any partitioning. The dropped tail mass is 2^-depth of the
+    * oldest retained weight — below the 4-dp grid at the default
+    * depth. Envelope: |value|·100 · 2^depth · depth must stay inside
+    * int64 (~9e18); at depth=8 that allows |value| up to ~4e13.
+    * One window pass, one shuffle on `key`.
+    */
+  def ewma(df: DataFrame, key: String, ts: String, tiebreak: String,
+      value: String, depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth $depth outside [1,32]")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    def lagK(k: Int): Column =
+      if (k == 0) col("__c") else lag(col("__c"), k).over(w)
+    val num = (0 until depth).map { k =>
+      coalesce(lagK(k), lit(0L)) * lit(1L << (depth - 1 - k))
+    }.reduce(_ + _)
+    val den = (0 until depth).map { k =>
+      when(lagK(k).isNotNull, lit(1L << (depth - 1 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("__c", round(col(value) * 100).cast("long"))
+      .withColumn("__num", num).withColumn("__den", den)
+      // half-up 4-dp ratio in int64 (the queries' ratio4 idiom)
+      .withColumn("ewma_c4",
+        expr("(20000 * __num + __den) div (2 * __den)") / 10000.0)
+      .drop("__c", "__num", "__den")
+  }
+
+  /** Bag-of-words duplicate audit per `group` (q154's parameterized
+    * form): canonicalizes each text to the md5 of its SORTED token
+    * sequence, then reports per group the doc count, distinct bag
+    * count, distinct byte-text count, and the two derived dup
+    * signals (`bag_dup_docs`, and `shuffle_only_texts` — distinct
+    * texts that collapse under bag canonicalization, i.e. pure
+    * word-order shuffles). Joinless hash aggregation.
+    */
+  def bagDedupAudit(df: DataFrame, group: String, text: String): DataFrame =
+    df.select(col(group),
+        md5(array_join(array_sort(split(col(text), " ")), " ")).as("__bow"),
+        md5(col(text)).as("__txt"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__bow")).as("n_bags"),
+        countDistinct(col("__txt")).as("n_texts"))
+      .withColumn("bag_dup_docs", col("n_docs") - col("n_bags"))
+      .withColumn("shuffle_only_texts", col("n_texts") - col("n_bags"))
+
+  /** Hard-negative mining (q155's parameterized form): for every
+    * class in `label`, the `k` OTHER-class vectors closest to the
+    * class centroid by cosine. Centroid components are exact decimal
+    * sums (order-independent; cosine is scale-invariant so the
+    * un-divided sum is the centroid direction). The centroid side is
+    * label-cardinality and broadcast; the corpus is scanned once.
+    * Returns (label, rank, id, neg_label, cos_sim) with the rank
+    * gated on the 4-dp-rounded cosine + id tiebreak.
+    */
+  def hardNegatives(corpus: DataFrame, id: String, vec: String,
+      label: String, k: Int = 5): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    val cent = corpus
+      .select(col(label).as("__ql"), posexplode(v).as(Seq("__d", "__v")))
+      .groupBy(col("__ql"), col("__d"))
+      .agg(sum(col("__v").cast("decimal(20,10)")).cast("double").as("__c"))
+      .groupBy(col("__ql"))
+      .agg(transform(sort_array(collect_list(struct(col("__d"), col("__c")))),
+        p => p.getField("__c")).as("__cv"))
+    val e = corpus.select(col(id).as("id"), col(label).as("neg_label"),
+      v.as("__ev"))
+    val dotc = graft.functions.vec.arrayDot _
+    val rw = Window.partitionBy(col("__ql"))
+      .orderBy(col("__cos").desc, col("id"))
+    broadcast(cent).join(e, col("__ql") =!= col("neg_label"))
+      .withColumn("__cos", round(
+        dotc(col("__cv"), col("__ev")) /
+          (sqrt(dotc(col("__cv"), col("__cv"))) *
+            sqrt(dotc(col("__ev"), col("__ev")))), 4))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("__ql").as(label), col("rank"), col("id"),
+        col("neg_label"), col("__cos").as("cos_sim"))
+  }
+
+  /** Word-concentration quality signal (q156's parameterized form):
+    * per `id`, the Herfindahl index of the word-frequency
+    * distribution (`hhi4` = sum of squared frequency shares) and the
+    * top-word share — the repetitiveness axis type-token ratio and
+    * adjacent-dup-n-gram rules both miss. Exact int64 ratios on the
+    * 4-dp half-up grid; explode + two partially-combined aggregates,
+    * no joins.
+    */
+  def wordConcentration(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(split(col(text), " ")).as("__w"))
+      .groupBy(col(id), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__c")).as("__sq"),
+        max(col("__c")).as("__top"))
+      .withColumn("hhi4",
+        expr("(20000 * __sq + n_words * n_words) div " +
+          "(2 * n_words * n_words)") / 10000.0)
+      .withColumn("top_share4",
+        expr("(20000 * __top + n_words) div (2 * n_words)") / 10000.0)
+      .drop("__sq", "__top")
 }

@@ -220,4 +220,62 @@ class ApiSpec extends SparkSpec {
       .agg(sum("n_anomalies")).head.getLong(0)
     assert(api === q112)
   }
+
+  test("ewma fades history geometrically and agrees with q153") {
+    val s = spark
+    import s.implicits._
+    // one key, constant 1.00 then a jump to 9.00: the smoothed level
+    // must sit strictly between the old and new levels, closer to new
+    val df = ((1 to 8).map(i => (1L, f"2024-01-01 00:$i%02d:00", i.toLong, 1.0)) :+
+      (1L, "2024-01-01 00:09:00", 9L, 9.0)).toDF("k", "ts", "id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val lvl = ops.ewma(df, "k", "ts", "id", "v")
+      .filter(col("id") === 9L).head.getAs[Double]("ewma_c4")
+    // num = 128*900 + 127*100, den = 255 -> 501.5686 cents
+    assert(lvl === 501.5686)
+    // corpus-scale agreement: latest-row levels match q153
+    val ev = Tables.events(spark, dir)
+    val api = ops.ewma(ev, "user_id", "ts", "event_id", "value")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ewma_c4"))
+    val q153 = SparkEntry.queries("q153_ewma_decay")(spark, dir)
+      .select(col("user_id"), col("ewma_c4"))
+    assert(api.except(q153).count() === 0 && q153.except(api).count() === 0)
+  }
+
+  test("bagDedupAudit counts order-shuffled duplicates, not byte copies") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "g", "a b c"), (2L, "g", "c b a"),   // same bag, shuffled
+      (3L, "g", "a b c"),                        // byte copy of 1
+      (4L, "g", "x y z")).toDF("id", "src", "text")
+    val r = ops.bagDedupAudit(df, "src", "text").head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_bags") === 2L)
+    assert(r.getAs[Long]("n_texts") === 3L)
+    assert(r.getAs[Long]("bag_dup_docs") === 2L)
+    assert(r.getAs[Long]("shuffle_only_texts") === 1L)
+  }
+
+  test("hardNegatives agrees with the oracle-gated q155 pipeline") {
+    val emb = Tables.embeddings(spark, dir)
+    val api = ops.hardNegatives(emb, "vec_id", "embedding", "label")
+      .select(col("label").as("qlabel"), col("rank"),
+        col("id").as("vec_id"), col("neg_label"), col("cos_sim"))
+    val q155 = SparkEntry.queries("q155_hard_negatives")(spark, dir)
+    assert(api.except(q155).count() === 0 && q155.except(api).count() === 0)
+  }
+
+  test("wordConcentration agrees with the oracle-gated q156 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.wordConcentration(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "hhi4", "top_share4")
+    val q156 = SparkEntry.queries("q156_word_concentration")(spark, dir)
+      .select("doc_id", "n_words", "hhi4", "top_share4")
+    assert(api.except(q156).count() === 0 && q156.except(api).count() === 0)
+  }
 }
