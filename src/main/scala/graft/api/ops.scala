@@ -548,4 +548,120 @@ object ops {
       .withColumn("top_share4",
         expr("(20000 * __top + n_words) div (2 * n_words)") / 10000.0)
       .drop("__sq", "__top")
+
+  /** One synchronous label-propagation round (q157's parameterized
+    * form, with a REAL label table instead of the query's derivable
+    * labels): every node in `edges` adopts the most frequent label
+    * among its neighbors, ties toward the smallest label. Returns
+    * (id, old_label, new_label) — nodes absent from `labels` or with
+    * no edges are absent from the output. Scale shape: one 2m-row
+    * undirected explode, one node-keyed label join, one map-side
+    * combined count, one per-node argmax window — no all-pairs stage,
+    * no global window.
+    */
+  def labelPropagationRound(edges: DataFrame, src: String, dst: String,
+      labels: DataFrame, id: String, label: String): DataFrame = {
+    val lbl = labels.select(col(id).as("__n"), col(label).as("__l"))
+    val nbrs = edges.select(col(src).as("__node"), col(dst).as("__nbr"))
+      .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
+    val counts = nbrs
+      .join(lbl.withColumnRenamed("__n", "__nbr"), "__nbr")
+      .groupBy(col("__node"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__node"))
+      .orderBy(col("__c").desc, col("__l").asc)
+    val won = counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__node"), col("__l").as("new_label"))
+    won.join(lbl.select(col("__n").as("__node"), col("__l").as("old_label")),
+        "__node")
+      .select(col("__node").as(id), col("old_label"), col("new_label"))
+  }
+
+  /** Cross-group near-dup contamination matrix (q158's parameterized
+    * form): LSH-banded candidates verified at 3-shingle Jaccard >=
+    * `minJaccard`, attributed to the canonicalized (group_a, group_b)
+    * pair. Diagonal rows are within-group dup mass; off-diagonal is
+    * cross-group leakage (mirrors, syndication). Output is
+    * O(groups^2) whatever the corpus size; the only non-equi work is
+    * the band-bucket self-join nearDupCandidates already bounds.
+    */
+  def sourceNeardupMatrix(df: DataFrame, id: String, group: String,
+      text: String, minJaccard: Double = 0.5): DataFrame = {
+    val g = df.select(col(id).as("__id"), col(group).as("__g"))
+    nearDupPairs(df, id, text, minJaccard)
+      .join(g.select(col("__id").as("i"), col("__g").as("__gi")), "i")
+      .join(g.select(col("__id").as("j"), col("__g").as("__gj")), "j")
+      .select(least(col("__gi"), col("__gj")).as("group_a"),
+        greatest(col("__gi"), col("__gj")).as("group_b"),
+        when(col("__gi") <= col("__gj"), col("i")).otherwise(col("j"))
+          .as("__da"),
+        when(col("__gi") <= col("__gj"), col("j")).otherwise(col("i"))
+          .as("__db"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("__da")).as("n_docs_a"),
+        countDistinct(col("__db")).as("n_docs_b"))
+  }
+
+  /** Context-length packing curve (q159's parameterized form): for
+    * each candidate context length, the chunk-and-pad batching cost
+    * of the `nTokens` column per `group` — docs that fit whole,
+    * ceil-division chunk count, padding waste, and fill rate (exact
+    * int64 on the 4-dp half-up grid). The explode multiplies a
+    * 2-column frame by |ctxs|, never the text.
+    */
+  def packingCurve(df: DataFrame, group: String, nTokens: String,
+      ctxs: Seq[Long] = Seq(256L, 512L, 1024L, 2048L)): DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ >= 1), s"bad ctxs $ctxs")
+    df.select(col(group), col(nTokens).cast("long").as("__tok"))
+      .withColumn("ctx", explode(array(ctxs.map(lit): _*)))
+      .withColumn("__chunks",
+        expr("(__tok + ctx - 1) div ctx"))
+      .groupBy(col(group), col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tok") <= col("ctx"), 1L).otherwise(0L)).as("n_fit"),
+        sum(col("__chunks")).cast("long").as("n_chunks"),
+        sum(col("__tok")).cast("long").as("n_tokens"))
+      .withColumn("pad_waste", col("n_chunks") * col("ctx") - col("n_tokens"))
+      .withColumn("fill_rate",
+        expr("(20000 * n_tokens + n_chunks * ctx) div " +
+          "(2 * n_chunks * ctx)") / 10000.0)
+  }
+
+  /** Embedding-dimension Pearson correlation matrix (q160's
+    * parameterized form): the first `dims` components of `vec`,
+    * quantized to int64 at `scale` so every sufficient statistic is
+    * exact and order-independent, correlated pairwise from ONE grand
+    * aggregate (all sums map-side combined — the exchange carries one
+    * partial row per task). Returns (dim_i, dim_j, corr) for the
+    * upper triangle, corr on the 4-dp grid. Envelope: n · (|v|·scale)²
+    * must stay inside int64; widen the sums to decimal(38) past that.
+    */
+  def dimensionCorrelation(df: DataFrame, vec: String, dims: Int = 8,
+      scale: Long = 1000L): DataFrame = {
+    require(dims >= 2 && dims <= 64, s"dims $dims outside [2,64]")
+    val qs = (0 until dims).map { i =>
+      round(element_at(col(vec), i + 1).cast("double") * scale, 0)
+        .cast("long").as(s"__q$i")
+    }
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n")) ++
+        (0 until dims).map(i => sum(col(s"__q$i")).as(s"__s$i")) ++
+        (for { i <- 0 until dims; j <- i until dims }
+          yield sum(col(s"__q$i") * col(s"__q$j")).as(s"__p${i}_$j"))
+    val g = df.select(qs: _*).agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- 0 until dims; j <- i + 1 until dims } yield {
+      val num = (col("__n") * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j"))
+        .cast("double")
+      val di = (col("__n") * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i"))
+        .cast("double")
+      val dj = (col("__n") * col(s"__p${j}_$j") - col(s"__s$j") * col(s"__s$j"))
+        .cast("double")
+      struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+        round(num / sqrt(di * dj), 4).as("corr"))
+    }
+    g.select(explode(array(pairs: _*)).as("__p"))
+      .select(col("__p.dim_i"), col("__p.dim_j"), col("__p.corr"))
+  }
 }

@@ -680,7 +680,64 @@ object Advanced {
       |  CAST(1 AS BIGINT) AS n_types
       |FROM v GROUP BY k % 10 ORDER BY k_bucket""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q159: context-length PACKING CURVE — the tuning sweep next to
+  // q62's greedy packer: for each candidate context length, what does
+  // chunk-and-pad batching cost? Per (lang, ctx): docs that fit
+  // whole, chunks produced under ceil-division splitting, and the
+  // padding waste `n_chunks·ctx − n_tokens` (every chunk padded to
+  // ctx), with fill_rate = tokens/capacity. All quantities are exact
+  // int64 (ceil-div via `(tok + ctx − 1) DIV ctx`), so the curve is
+  // hash-match gated, unlike a float-modeled estimate. Scale shape:
+  // one token-count map stage, a ×|ctxs| bounded explode (4 here),
+  // one partially-aggregated groupBy on (lang, ctx) — output is
+  // O(langs·ctxs) regardless of corpus size, and the explode
+  // multiplies a 3-column frame, not the text.
+  // ---------------------------------------------------------------
+  private val PackCtxs = Seq(256L, 512L, 1024L, 2048L)
+
+  def q159PackingCurve(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("lang"), size(words(col("text"))).cast("long").as("tok"))
+    toks
+      .withColumn("ctx", explode(array(PackCtxs.map(lit): _*)))
+      .withColumn("chunks",
+        Relational.ldiv(col("tok") + col("ctx") - 1L, col("ctx")))
+      .groupBy(col("lang"), col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tok") <= col("ctx"), 1L).otherwise(0L)).as("n_fit"),
+        sum(col("chunks")).cast("long").as("n_chunks"),
+        sum(col("tok")).cast("long").as("n_tokens"))
+      .withColumn("pad_waste", col("n_chunks") * col("ctx") - col("n_tokens"))
+      .withColumn("fill_rate",
+        Relational.ratio4(col("n_tokens"), col("n_chunks") * col("ctx")))
+      .orderBy("lang", "ctx")
+  }
+
+  val q159Sql: String = {
+    val ctxList = PackCtxs.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+       |  FROM documents
+       |), x AS (
+       |  SELECT lang, tok, CAST(ctx AS BIGINT) AS ctx
+       |  FROM toks, unnest([$ctxList]) c(ctx)
+       |), g AS (
+       |  SELECT lang, ctx, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN tok <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+       |    CAST(SUM((tok + ctx - 1) // ctx) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |  FROM x GROUP BY lang, ctx
+       |)
+       |SELECT lang, ctx, n_docs, n_fit, n_chunks, n_tokens,
+       |  n_chunks*ctx - n_tokens AS pad_waste,
+       |  ((20000*n_tokens + n_chunks*ctx) // (2*n_chunks*ctx)) / 10000.0
+       |    AS fill_rate
+       |FROM g ORDER BY lang, ctx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_packing_curve" -> q159PackingCurve _,
     "q113_variant_pipeline" -> q113VariantPipeline _,
     "q107_exists_chains" -> q107ExistsChains _,
     "q103_map_profile" -> q103MapProfile _,
@@ -701,6 +758,7 @@ object Advanced {
     "q59_pii_scrub" -> q59PiiScrub _)
 
   val oracles: Map[String, String] = Map(
+    "q159_packing_curve" -> q159Sql,
     "q107_exists_chains" -> q107Sql,
     "q103_map_profile" -> q103Sql,
     "q60_asof_native" -> Events.q37Sql,

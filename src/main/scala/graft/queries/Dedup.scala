@@ -1107,7 +1107,98 @@ object Dedup {
       |  COUNT(DISTINCT txt) - COUNT(DISTINCT bow) AS shuffle_only_texts
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q158: cross-source NEAR-DUP CONTAMINATION MATRIX — the corpus
+  // provenance audit built on the q23 machinery: which source pairs
+  // share near-duplicate documents (mirror sites, syndicated feeds,
+  // one crawl slice re-scraped under another label). Candidates come
+  // from the banded LSH keys (never all-pairs), verified with the
+  // exact int64 jaccard gate (2·inter ≥ union ⇔ J ≥ 0.5); each
+  // surviving pair is then attributed to its CANONICALIZED source
+  // pair (least/greatest, with the doc ids swapped alongside so
+  // n_docs_a always counts the lexically-smaller source's members).
+  // Output is O(sources²) rows regardless of corpus size. Scale
+  // shape: identical to q23 — signature map stage, band-key bucket
+  // join, verify join on candidates only — plus one constant-size
+  // aggregation; the diagonal (src==src) rows are the within-source
+  // dup mass, the off-diagonal the cross-source leakage.
+  // ---------------------------------------------------------------
+  def q158SourceNeardupMatrix(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan: shingles + source + signature ride the same persisted
+    // frame (bands and both verify-join sides all read it)
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        shingles(col("text"), 3).as("sh"),
+        graft.functions.texthash.minhashSig(col("text")).as("msig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager (q25's race note)
+    val bands = d
+      .select(col("doc_id"), explode(bandStructsOf(col("msig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val ba = bands.alias("ba")
+    val bb = bands.alias("bb")
+    val cand = ba.join(bb,
+        col("ba.band_idx") === col("bb.band_idx") &&
+          col("ba.band_key") === col("bb.band_key") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
+      .distinct()
+    val da = d.select(col("doc_id").as("i"), col("source").as("si"),
+      col("sh").as("sha"))
+    val db = d.select(col("doc_id").as("j"), col("source").as("sj"),
+      col("sh").as("shb"))
+    val inter = graft.functions.setcard
+      .intersectSize(col("sha"), col("shb")).cast("long")
+    val uni = graft.functions.setcard
+      .unionSize(col("sha"), col("shb")).cast("long")
+    cand.join(da, "i").join(db, "j")
+      .filter(lit(2L) * inter >= uni) // jaccard >= 0.5, exact int64
+      .select(least(col("si"), col("sj")).as("src_a"),
+        greatest(col("si"), col("sj")).as("src_b"),
+        when(col("si") <= col("sj"), col("i")).otherwise(col("j")).as("doc_a"),
+        when(col("si") <= col("sj"), col("j")).otherwise(col("i")).as("doc_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q158Sql: String = {
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, ${sqlShingles(3)} AS sh FROM documents
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM sh, unnest(sh.sh) s(s)
+       |), msig AS (
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  ${sqlBandSelects("msig")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), ver AS (
+       |  SELECT least(a.source, b.source) AS src_a,
+       |    greatest(a.source, b.source) AS src_b,
+       |    CASE WHEN a.source <= b.source THEN i ELSE j END AS doc_a,
+       |    CASE WHEN a.source <= b.source THEN j ELSE i END AS doc_b
+       |  FROM cand JOIN sh a ON a.doc_id = i JOIN sh b ON b.doc_id = j
+       |  WHERE 2*len(list_intersect(a.sh, b.sh))
+       |        >= len(list_distinct(list_concat(a.sh, b.sh)))
+       |)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT doc_a) AS n_docs_a,
+       |  COUNT(DISTINCT doc_b) AS n_docs_b
+       |FROM ver GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_source_neardup_matrix" -> q158SourceNeardupMatrix _,
     "q154_bow_dup" -> q154BowDup _,
     "q152_chunk_dedup" -> q152ChunkDedup _,
     "q142_fuzzy_decontaminate" -> q142FuzzyDecontaminate _,
@@ -1124,6 +1215,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q158_source_neardup_matrix" -> q158Sql,
     "q154_bow_dup" -> q154Sql,
     "q152_chunk_dedup" -> q152Sql,
     "q142_fuzzy_decontaminate" -> q142Sql,

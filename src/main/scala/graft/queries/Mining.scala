@@ -553,7 +553,78 @@ object Mining {
       |SELECT * FROM hist UNION ALL SELECT * FROM es
       |ORDER BY part, key""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q157: one synchronous LABEL-PROPAGATION round — community
+  // detection's inner loop (and the label-spreading step of
+  // semi-supervised curation): every node adopts the most frequent
+  // label among its neighbors, ties broken toward the smallest label
+  // (the textbook random tiebreak is irreproducible across runs).
+  // Initial labels are id % 10, so the neighbor's label needs NO
+  // join — it is derived from the neighbor id inside the edge pass;
+  // with real (non-derivable) labels the `nbr % 10` expression
+  // becomes a node-keyed broadcast/bucketed label join and nothing
+  // else changes. The round is: one undirected-edge explode (2m
+  // rows), one (node, label) count aggregate (map-side combined),
+  // one per-node argmax window (partitioned BY node — never a global
+  // sort), and the output is the label-TRANSITION matrix, so result
+  // size is O(labels^2) regardless of graph scale. Same q79/q115/
+  // q135 graph derivation.
+  // ---------------------------------------------------------------
+  def q157LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val ev = graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val und = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("s"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val counts = nbrs
+      .select(col("node"), (col("nbr") % 10L).as("lbl"))
+      .groupBy(col("node"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+    val wnd = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    counts.withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") === 1)
+      .select((col("node") % 10L).as("old_label"), col("lbl").as("new_label"),
+        col("node"))
+      .groupBy(col("old_label"), col("new_label"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy("old_label", "new_label")
+  }
+
+  val q157Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), nbrs AS (
+      |  SELECT a AS node, b AS nbr FROM und
+      |  UNION ALL SELECT b AS node, a AS nbr FROM und
+      |), cnt AS (
+      |  SELECT node, nbr % 10 AS lbl, COUNT(*) AS cnt
+      |  FROM nbrs GROUP BY node, nbr % 10
+      |), win AS (
+      |  SELECT node, lbl,
+      |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk
+      |  FROM cnt
+      |)
+      |SELECT node % 10 AS old_label, lbl AS new_label,
+      |  COUNT(*) AS n_nodes, MIN(node) AS min_node
+      |FROM win WHERE rk = 1
+      |GROUP BY node % 10, lbl
+      |ORDER BY old_label, new_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_label_propagation" -> q157LabelPropagation _,
     "q135_degree_profile" -> q135DegreeProfile _,
     "q122_skip_grams" -> q122SkipGrams _,
     "q114_basket_pairs" -> q114BasketPairs _,
@@ -564,6 +635,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q157_label_propagation" -> q157Sql,
     "q135_degree_profile" -> q135Sql,
     "q122_skip_grams" -> q122Sql,
     "q114_basket_pairs" -> q114Sql,

@@ -1113,7 +1113,87 @@ object Vectors {
       |  cos_r AS cos_sim
       |FROM ranked WHERE rank <= 5 ORDER BY qlabel, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q160: embedding-dimension CORRELATION MATRIX — the feature audit
+  // run before indexing or training on a vector column: strongly
+  // correlated dimensions mean wasted index capacity (and tell you
+  // whether a PCA/OPQ rotation is worth it). Pearson correlation over
+  // the first 8 dimensions, computed from sufficient statistics in
+  // ONE pass: every Σq, Σq·q rides a single grand aggregate (44 sums,
+  // all map-side combined — the exchange carries one partial row per
+  // task whatever the corpus size), and the 28 upper-triangle pairs
+  // are exploded from the single aggregated row. Oracle parity: each
+  // value is first QUANTIZED to exact int64 (round(x·1000)) so every
+  // sum is exact in both engines — the raw-float sums would differ in
+  // the 15th digit from accumulation order alone; the final corr is
+  // identical double math from identical int64 inputs. Magnitudes:
+  // |q| ≤ ~580 here, so Σq·q ≤ n·3.4e5 — exact past 1e10 rows; a
+  // larger corpus widens the sums to decimal(38), nothing else
+  // changes.
+  // ---------------------------------------------------------------
+  private val CorrDims = 8
+
+  def q160EmbeddingCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val qs = (0 until CorrDims).map { i =>
+      round(element_at(col("embedding"), i + 1).cast("double") * 1000.0, 0)
+        .cast("long").as(s"q$i")
+    }
+    val base = embeddings(s, dir).select(qs: _*)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        (0 until CorrDims).map(i => sum(col(s"q$i")).as(s"s$i")) ++
+        (for { i <- 0 until CorrDims; j <- i until CorrDims }
+          yield sum(col(s"q$i") * col(s"q$j")).as(s"p${i}_$j"))
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- 0 until CorrDims; j <- i + 1 until CorrDims } yield {
+      val num = (col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j"))
+        .cast("double")
+      val di = (col("n") * col(s"p${i}_$i") - col(s"s$i") * col(s"s$i"))
+        .cast("double")
+      val dj = (col("n") * col(s"p${j}_$j") - col(s"s$j") * col(s"s$j"))
+        .cast("double")
+      struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+        round(num / sqrt(di * dj), 4).as("corr"))
+    }
+    g.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.corr"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  val q160Sql: String = {
+    val dims = 0 until CorrDims
+    val qCols = dims.map(i =>
+        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000) AS BIGINT) AS q$i")
+      .mkString(",\n    ")
+    val sums = dims.map(i => s"CAST(SUM(q$i) AS BIGINT) AS s$i")
+      .mkString(",\n    ")
+    val prods = (for { i <- dims; j <- i until CorrDims }
+        yield s"CAST(SUM(q$i*q$j) AS BIGINT) AS p${i}_$j")
+      .mkString(",\n    ")
+    val selects = (for { i <- dims; j <- i + 1 until CorrDims } yield
+        s"""SELECT CAST($i AS BIGINT) AS dim_i, CAST($j AS BIGINT) AS dim_j,
+           |    ROUND(CAST(n*p${i}_$j - s$i*s$j AS DOUBLE)
+           |      / sqrt(CAST(n*p${i}_$i - s$i*s$i AS DOUBLE)
+           |           * CAST(n*p${j}_$j - s$j*s$j AS DOUBLE)), 4) AS corr
+           |  FROM g""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH q AS (
+       |  SELECT
+       |    $qCols
+       |  FROM embeddings
+       |), g AS (
+       |  SELECT COUNT(*) AS n,
+       |    $sums,
+       |    $prods
+       |  FROM q
+       |)
+       |SELECT dim_i, dim_j, corr FROM (
+       |  $selects
+       |) ORDER BY dim_i, dim_j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_embedding_correlation" -> q160EmbeddingCorrelation _,
     "q155_hard_negatives" -> q155HardNegatives _,
     "q151_rank_agreement" -> q151RankAgreement _,
     "q146_bucket_balance" -> q146BucketBalance _,
@@ -1133,6 +1213,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q160_embedding_correlation" -> q160Sql,
     "q155_hard_negatives" -> q155Sql,
     "q151_rank_agreement" -> q151Sql,
     "q146_bucket_balance" -> q146Sql,

@@ -445,4 +445,45 @@ class PlanQualitySpec extends SparkSpec {
     // token counts then per-doc moments, each with a map-side partial
     assert("HashAggregate".r.findAllIn(p).size >= 3, p)
   }
+
+  test("q157: label-propagation argmax window is node-partitioned") {
+    val p = plan("q157_label_propagation")
+    // the per-node argmax must partition by node — a global window
+    // here would sort every (node,label) count on one partition
+    assert(p.contains("windowspecdefinition(node"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // neighbor-label counts are map-side combined
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q158: source near-dup candidates stay a band-key equi-join") {
+    val p = plan("q158_source_neardup_matrix")
+    // the candidate stage must join on the banded LSH key — an
+    // all-pairs (cartesian/BNLJ) plan here is the quadratic
+    // scale-killer q23/q120 are designed around
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q159: packing curve is joinless with a pruned scan") {
+    val p = plan("q159_packing_curve")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      readSchema) // prunes to (lang, text)
+  }
+
+  test("q160: correlation matrix is one joinless grand aggregate") {
+    val p = plan("q160_embedding_correlation")
+    assert(!p.contains("Join"), p)
+    // 44 sufficient statistics in ONE two-phase aggregate — the
+    // exchange carries one partial row per task, not the corpus
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("label") && !readSchema.contains("vec_id"),
+      readSchema) // prunes to the embedding column alone
+  }
 }
