@@ -21,6 +21,10 @@ object Bench {
     // occasionally inflated 3-5x by one-off scheduler/GC artifacts
     // (observed on the cached self-join queries); the min is the
     // reproducible steady-state cost of the plan.
+    // (name, min-of-runs or -1, raw per-run seconds, start offset s):
+    // raw runs + a start timestamp let a reader see WHICH queries a
+    // box-contention window hit (round-4's q58-q71 noise block was
+    // only diagnosable by re-running) — the min stays the headline
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a query that throws records the sentinel -1, never its
       // time-to-failure — a crash must not masquerade as a fast run
@@ -34,8 +38,10 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) dt else -1.0
       }
-      val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val startS = (System.nanoTime() - tStart) / 1e9
+      val runs = Seq(once(), once())
+      val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
+      (name, agg, runs, startS)
     }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON metric line out of that window (BENCH_r01/r02 both came back
@@ -49,14 +55,21 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val detail = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // raw per-run times + start offset (seconds since bench start):
+    // a contention window shows up as a contiguous band of inflated
+    // runs at adjacent start_s values — self-diagnosing in-artifact
+    val runsDetail = results.map { case (k, _, runs, startS) =>
+      "\"" + k + "\":{\"start_s\":" + fmt(startS) +
+        ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
     // average, not as a plan regression). Detail file only — the
@@ -78,7 +91,7 @@ object Bench {
         s""""gc":$gc,"wall_s":$wall}"""
     }
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$failedField,"sf":"$sfDir","meta":$meta}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$failedField,"sf":"$sfDir","runs":$runsDetail,"meta":$meta}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),

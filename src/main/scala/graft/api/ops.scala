@@ -466,7 +466,11 @@ object ops {
     }.reduce(_ + _)
     df.withColumn("__c", round(col(value) * 100).cast("long"))
       .withColumn("__num", num).withColumn("__den", den)
-      // half-up 4-dp ratio in int64 (the queries' ratio4 idiom)
+      // half-up 4-dp ratio in int64 (the queries' ratio4 idiom).
+      // ASSUMES value >= 0: `div` truncates toward zero, so for a
+      // negative numerator this formula is not half-up and can differ
+      // from DuckDB's floor-division `//` by one ulp at the .00005
+      // boundary (same envelope caveat as zscoreAnomalies).
       .withColumn("ewma_c4",
         expr("(20000 * __num + __den) div (2 * __den)") / 10000.0)
       .drop("__c", "__num", "__den")

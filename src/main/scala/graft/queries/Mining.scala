@@ -623,7 +623,120 @@ object Mining {
       |GROUP BY node % 10, lbl
       |ORDER BY old_label, new_label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q161: connected components to CONVERGENCE — the iterate-until-
+  // fixpoint discipline every 100-TB graph/cluster job needs, run on
+  // a sparsified cut of the q79/q115/q157 user graph (hash filter
+  // keeps ~3% of edges so the component structure is non-trivial:
+  // 13 components, diameters up to ~16 hops at sf0.1). Per round:
+  //   (1) neighbor-min: each node takes the min label over itself
+  //       and its neighbors (one node-keyed shuffle — at scale the
+  //       edge list is bucketed by node so this is co-located);
+  //   (2) pointer jump: l(u) <- l(l(u)) (a label-table self-join,
+  //       node-sized, NOT edge-sized) — halves label-chain depth
+  //       per round, so rounds are O(log diameter), not O(diameter)
+  //       (11 rounds at sf0.01 vs 17 without the jump).
+  // The round count is DATA-DRIVEN: the loop stops when zero labels
+  // changed, with a bounded-round guard (a cycle in a buggy rewrite
+  // must fail loudly, not spin). Lineage hygiene: every round's
+  // label table is localCheckpoint(eager)-ed, which BOTH
+  // materializes it (one action serves the convergence count and the
+  // next round) AND truncates plan+RDD lineage so round N+1's plan
+  // is exactly round N's shape — pinned by CcLoopSpec via the
+  // per-round probe. On a cluster, swap localCheckpoint for
+  // reliable checkpoint() (setCheckpointDir) so a lost executor
+  // cannot have to recompute the whole loop; superseded round RDDs
+  // are reclaimed by the ContextCleaner (bounded by the round
+  // guard; label tables are node-sized, orders smaller than edges).
+  // Alternative for very-high-diameter graphs: q48's partition-local
+  // union-find contraction (O(log P) rounds). Oracle: recursive-CTE
+  // transitive min-label closure.
+  // ---------------------------------------------------------------
+  /** Sparsified undirected user graph shared by q161/q165: the q157
+    * edge derivation with a deterministic hash cut. NOT persisted —
+    * callers own caching.
+    */
+  private[graft] def sparseUnd(s: SparkSession, dir: String): DataFrame = {
+    val ev = graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("s"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .filter((col("a") * 131L + col("b") * 17L) % 32L === 0L)
+  }
+
+  /** The convergence loop, factored out so CcLoopSpec can observe
+    * each round's label frame (plan-shape pin). Returns the final
+    * (node, lbl) table and the data-driven round count.
+    */
+  private[graft] def ccLoop(s: SparkSession, dir: String,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = sparseUnd(s, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist(MEMORY_AND_DISK)
+    var labels = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    val maxRounds = 50 // guard: fail loudly, never spin
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val nbrMin = nbrs
+        .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
+        .groupBy(col("node")).agg(min(col("nlbl")).as("nmin"))
+      val l1 = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
+      // pointer jump via node-sized self-join on the label table
+      val stepped = l1
+        .join(l1.select(col("node").as("t"), col("l1").as("tl")),
+          col("l1") === col("t"))
+        .select(col("node"), col("lbl").as("old_lbl"), col("tl").as("lbl"))
+        .localCheckpoint(true) // one materialization serves both uses below
+      converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
+      labels = stepped.select(col("node"), col("lbl"))
+      probe(rounds, labels)
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    nbrs.unpersist(blocking = false)
+    (labels, rounds)
+  }
+
+  def q161ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = ccLoop(s, dir)
+    labels.groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .orderBy("cluster")
+  }
+
+  val q161Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), sp AS (SELECT a, b FROM und WHERE (a*131 + b*17) % 32 = 0),
+      |bi AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+      |reach(v, l) AS (
+      |  SELECT a, a FROM bi
+      |  UNION
+      |  SELECT bi.b, r.l FROM reach r JOIN bi ON r.v = bi.a
+      |), lab AS (SELECT v, MIN(l) AS cluster FROM reach GROUP BY v)
+      |SELECT cluster, COUNT(*) AS n_nodes, MAX(v) AS max_node
+      |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_connected_components" -> q161ConnectedComponents _,
     "q157_label_propagation" -> q157LabelPropagation _,
     "q135_degree_profile" -> q135DegreeProfile _,
     "q122_skip_grams" -> q122SkipGrams _,
@@ -635,6 +748,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q161_connected_components" -> q161Sql,
     "q157_label_propagation" -> q157Sql,
     "q135_degree_profile" -> q135Sql,
     "q122_skip_grams" -> q122Sql,

@@ -370,8 +370,12 @@ object Retrieval {
         sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_at_1"),
         sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("n_at_5"),
         sum(Relational.ldiv(lit(1000000L), col("rnk"))).as("rr_sum_e6"))
+      // exact `div`, not ldiv/ratio4: the numerator 20000*rr_sum_e6
+      // exceeds ldiv's 2^53 double-mantissa bound once n_queries
+      // reaches ~4.5e5 (same int64 lift as q114/q134)
       .withColumn("mrr4",
-        Relational.ratio4(col("rr_sum_e6"), col("n_queries") * lit(1000000L)))
+        expr("(20000 * rr_sum_e6 + n_queries * 1000000) div (2 * n_queries * 1000000)")
+          / 10000.0)
   }
 
   val q149Sql: String =

@@ -1075,6 +1075,12 @@ object Vectors {
       col("label").as("neg_label"), emb(col("embedding")).as("ev"))
     val rw = Window.partitionBy(col("qlabel"))
       .orderBy(col("cos_r").desc, col("vec_id"))
+    // SCALE CAP (q27/q28/q42 convention): the inequality condition
+    // makes this a BroadcastNestedLoopJoin by construction — the
+    // broadcast side is one centroid row PER LABEL, so the envelope
+    // is label cardinality L: each embedding row is compared against
+    // L-1 centroids (per-row work O(L·d)). Sound for L up to ~10^3;
+    // beyond that, block by a coarse label family first.
     broadcast(cent).join(e, col("qlabel") =!= col("neg_label"))
       .withColumn("cos_r", round(
         dot(col("cv"), col("ev")) /

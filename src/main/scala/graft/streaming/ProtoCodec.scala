@@ -96,7 +96,9 @@ object ProtoCodec {
       case 1 => if (pos + 8 > buf.length) throw malformed else pos += 8
       case 2 =>
         val len = readVarint()
-        if (len < 0 || pos + len > buf.length) throw malformed
+        // overflow-safe bound: `pos + len` wraps negative for a crafted
+        // 10-byte varint near Long.MaxValue and would pass a naive check
+        if (len < 0 || len > (buf.length - pos).toLong) throw malformed
         pos += len.toInt
       case 5 => if (pos + 4 > buf.length) throw malformed else pos += 4
       // groups are proto2 wire relics, but conforming parsers

@@ -1,0 +1,52 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+/** q161's convergence loop: the Spark-at-scale disciplines a driver
+  * loop must demonstrate — data-driven round count, bounded-round
+  * guard, and lineage truncation (localCheckpoint per round) so the
+  * plan a round builds on never grows with the round number.
+  */
+class CcLoopSpec extends SparkSpec {
+
+  // sf0.01, not the usual sf0.001: the larger graph iterates ~11
+  // rounds (vs 2), so the plan-depth pin actually spans a deep loop
+  private val dir = "/root/testdata/sf0.01"
+
+  test("cc loop: converges with a data-driven round count within the guard") {
+    val (_, rounds) = graft.queries.Mining.ccLoop(spark, dir)
+    // >3: the loop genuinely iterates on this data (a near-instant
+    // "loop" would not exercise the fixpoint machinery);
+    // <50: the bounded-round guard was never the stop reason
+    assert(rounds > 3 && rounds < 50, s"rounds=$rounds")
+  }
+
+  test("cc loop: lineage does not grow across rounds (localCheckpoint pin)") {
+    val plans = ArrayBuffer.empty[(Int, Int)] // (round, plan depth)
+    def depth(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    graft.queries.Mining.ccLoop(spark, dir, (r, labels) => plans += (r -> depth(labels)))
+    // Every round's label frame is a projection over a checkpointed
+    // LogicalRDD — identical plan depth from round 1 on. Without the
+    // per-round localCheckpoint, depth grows by the per-round join
+    // stack (~10+ nodes/round) and round N replays rounds 1..N-1.
+    val depths = plans.map(_._2).distinct
+    assert(depths.size == 1, s"plan depth varies across rounds: $plans")
+    // and the truncated plan is genuinely flat, not a growing tree
+    assert(depths.head <= 3, s"label plan deeper than LogicalRDD+Project: $plans")
+  }
+
+  test("cc loop: final labels are a fixpoint (one more round changes nothing)") {
+    import org.apache.spark.sql.functions._
+    val (labels, _) = graft.queries.Mining.ccLoop(spark, dir)
+    val und = graft.queries.Mining.sparseUnd(spark, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    // adjacent nodes carry equal labels => min-neighbor step is identity
+    val crossEdges = nbrs
+      .join(labels, "node")
+      .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
+      .filter(col("lbl") =!= col("nlbl"))
+    assert(crossEdges.isEmpty, "an edge crosses two label classes")
+  }
+}
