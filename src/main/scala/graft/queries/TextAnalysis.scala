@@ -1016,7 +1016,102 @@ object TextAnalysis {
       |    // (2*CAST(SUM(c) AS BIGINT))) / 10000.0 AS top_share4
       |FROM counts GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q162: BPE tokenizer APPLY — q111 trains the merge step; this
+  // query ENCODES the corpus with the trained table, the operator a
+  // production pipeline executes on every document forever after.
+  // Train: the first-generation char-pair merges (q111's counting,
+  // top 15 by weighted frequency). The table is collected to the
+  // driver ON PURPOSE — a tokenizer merge table is a trained
+  // artifact (tokenizer.json, ~50k entries real-world, 15 here; both
+  // driver-sized by construction), loaded once and shipped inside
+  // the codegen'd BpeEncode expression as a reference object. The
+  // alternative (joining the table per token pair) would shuffle the
+  // tokenized corpus against the vocab — exactly the exchange the
+  // native kernel deletes.
+  // Apply: over the DISTINCT-word table, weighted by word count
+  // (q111's |V|-not-|corpus| optimization), so the plan is one
+  // corpus pass -> vocab aggregate -> codegen'd encode -> explode ->
+  // token aggregate -> top-25. Joinless; pinned in PlanQualitySpec.
+  // Oracle: same merges derived in SQL, applied sequentially by
+  // rank via an unrolled list_reduce chain — equivalent to the
+  // kernel's greedy lowest-rank-first loop because char-pair merges
+  // never create new single-char tokens (applicability only shrinks,
+  // so priority order == sequential order; BpeEncodeSpec pins this
+  // equivalence property plus the kernel corners).
+  // ---------------------------------------------------------------
+  def q162BpeApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wc = documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(MEMORY_AND_DISK)
+    val merges: Seq[(String, String)] = wc.filter(length(col("w")) >= 2)
+      .select(col("c"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(15)
+      .collect().toSeq.map { r =>
+        val p = r.getString(0) // 2 code points by construction
+        val cut = p.offsetByCodePoints(0, 1)
+        (p.substring(0, cut), p.substring(cut))
+      }
+    val enc = wc.select(col("w"), col("c"),
+      graft.functions.tokenizer.bpeEncode(col("w"), merges).as("toks"))
+    enc.select(col("w"), col("c"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"), countDistinct(col("w")).as("n_forms"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n_occ").desc, col("token"))).cast("long"))
+      .filter(col("rnk") <= 25)
+      .select(col("rnk"), col("token"), col("n_occ"), col("n_forms"))
+      .orderBy("rnk")
+  }
+
+  /** The oracle's unrolled sequential-by-rank apply: step r fuses
+    * every leftmost non-overlapping single-char adjacency equal to
+    * merge r via a list_reduce fold (see q162's equivalence note).
+    */
+  val q162Sql: String = {
+    val steps = (1 to 15).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""s$r AS (
+         |  SELECT w, c, CASE WHEN pr IS NULL THEN toks ELSE
+         |    list_reduce(list_transform(toks, t -> [t]), (acc, x) ->
+         |      CASE WHEN length(acc[-1])=1 AND length(x[1])=1 AND acc[-1] || x[1] = pr
+         |           THEN acc[1:length(acc)-1] || [acc[-1] || x[1]]
+         |           ELSE acc || x END) END AS toks
+         |  FROM $prev LEFT JOIN (SELECT pair AS pr FROM m WHERE rnk=$r) ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (
+       |  SELECT w, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w
+       |), p AS (
+       |  SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+       |  FROM wc, unnest(range(1, length(w))) t(i)
+       |  WHERE length(w) >= 2
+       |), m AS (
+       |  SELECT pair, row_number() OVER (ORDER BY CAST(SUM(c) AS BIGINT) DESC, pair) AS rnk
+       |  FROM p GROUP BY pair QUALIFY rnk <= 15
+       |), s0 AS (
+       |  SELECT w, c,
+       |    list_transform(range(length(w)), i -> substr(w, CAST(i+1 AS INT), 1)) AS toks
+       |  FROM wc
+       |),
+       |$steps,
+       |ex AS (SELECT w, c, unnest(toks) AS token FROM s15)
+       |SELECT rnk, token, n_occ, n_forms FROM (
+       |  SELECT token, CAST(SUM(c) AS BIGINT) AS n_occ,
+       |    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_forms,
+       |    row_number() OVER (ORDER BY SUM(c) DESC, token) AS rnk
+       |  FROM ex GROUP BY token
+       |) WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_bpe_apply" -> q162BpeApply _,
     "q156_word_concentration" -> q156WordConcentration _,
     "q147_dedup_yield" -> q147DedupYield _,
     "q148_split_assign" -> q148SplitAssign _,
@@ -1039,6 +1134,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q162_bpe_apply" -> q162Sql,
     "q156_word_concentration" -> q156Sql,
     "q147_dedup_yield" -> q147Sql,
     "q148_split_assign" -> q148Sql,

@@ -486,4 +486,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("label") && !readSchema.contains("vec_id"),
       readSchema) // prunes to the embedding column alone
   }
+
+  test("q162: tokenizer apply is the native kernel over the vocab, joinless") {
+    val p = plan("q162_bpe_apply")
+    // the merge table rides inside the codegen'd expression — a plan
+    // with a join would mean the vocab/table shuffle came back
+    assert(p.contains("bpe_encode"), p)
+    assert(!p.contains("Join"), p)
+    // vocab comes from the persisted word-count frame, not a rescan
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
 }
