@@ -1198,7 +1198,174 @@ object Vectors {
        |) ORDER BY dim_i, dim_j""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q163: k-means to CONVERGENCE — q73 is one Lloyd step; this is
+  // the real clustering job: iterate assignment -> decimal-exact
+  // 4dp-rounded means until the movement threshold (reassignments
+  // <= 2% of the corpus, an exact int64 predicate both engines
+  // evaluate identically), with a bounded-round guard. MLlib's own
+  // architecture: centroids are DRIVER state (k x 64 doubles — model
+  // parameters, control-plane-sized at any corpus scale), shipped
+  // into the assignment fold as a literal each round, so assignment
+  // stays a pure map stage (zero shuffle, q73's aggregate() fold).
+  // Per round the cluster-side work is: one map-assignment pass over
+  // the persisted base, one partially-aggregated (cell, dim) mean
+  // exchange, one vec_id-keyed join against the previous assignment
+  // for the reassignment count (bucket/co-partition at scale). The
+  // previous-assignment table — (vec_id, cell), NO payload — is
+  // localCheckpoint-ed each round: lineage stays flat (ccLoop's
+  // discipline; reliable checkpoint() on a cluster) and a lost
+  // partition never replays earlier rounds. Empty cells carry the
+  // previous centroid forward (both engines). All means use the
+  // order-independent decimal(20,10) sum so the 4dp round is
+  // bit-identical across engines at every round, not just round 1.
+  // Output: the movement curve (round, dims moved at 4dp,
+  // reassignments) through the stop round, then the final cell
+  // census — integer-gated end to end. Oracle: the Lloyd chain
+  // unrolled to the round cap with the same stop-round selection.
+  // ---------------------------------------------------------------
+  private val KmCap = 16 // bound: SQL unroll length == Spark guard
+
+  def q163KmeansConverge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), emb(col("embedding")).as("e"))
+      .persist(MEMORY_AND_DISK)
+    val n = base.count() // eager persist + the threshold denominator
+    // exact mean: decimal sum (order-independent) -> double -> 4dp
+    def mean4(x: Column): Column =
+      round(sum(x.cast("decimal(20,10)")).cast("double") / count(lit(1)), 4)
+    def centroidsOf(assigned: DataFrame, by: Column): Map[Int, Seq[Double]] =
+      assigned.select(by.cast("int").as("cell"), posexplode(col("e")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(mean4(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+    var cells: Map[Int, Seq[Double]] = centroidsOf(base, col("label"))
+    // the q73 argmin fold against a LITERAL cells array (driver-held
+    // model state): assignment is map-only at any scale
+    def nearest(cellsNow: Map[Int, Seq[Double]]): Column = {
+      val lit0 = typedLit(cellsNow.toSeq.sortBy(_._1))
+      aggregate(lit0,
+        struct(lit(Double.MaxValue).as("d2"), lit(null).cast("int").as("lbl")),
+        (acc, cell) => {
+          val diff = zip_with(col("e"), cell.getField("_2"), (x, y) => x - y)
+          val d2 = round(graft.functions.vec.arrayDot(diff, diff), 6)
+          val lbl = cell.getField("_1")
+          val better = acc.getField("lbl").isNull
+            .or(d2 < acc.getField("d2"))
+            .or(d2 === acc.getField("d2") && lbl < acc.getField("lbl"))
+          when(better, struct(d2.as("d2"), lbl.as("lbl"))).otherwise(acc)
+        }).getField("lbl")
+    }
+    var prevAssign = base.select(col("vec_id"), col("label").cast("int").as("cell"))
+      .localCheckpoint(true)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var rounds = 0
+    var stopped = false
+    while (!stopped && rounds < KmCap) {
+      rounds += 1
+      val assigned = base
+        .select(col("vec_id"), col("e"), nearest(cells).as("cell"))
+        .persist(MEMORY_AND_DISK)
+      val newCells = centroidsOf(assigned, col("cell"))
+      val filled = cells.map { case (c, old) => c -> newCells.getOrElse(c, old) }
+      val moved = cells.toSeq.map { case (c, old) =>
+        old.zip(filled(c)).count { case (a, b) => a != b }.toLong
+      }.sum
+      val newAssign = assigned.select(col("vec_id"), col("cell")).localCheckpoint(true)
+      val reass = newAssign
+        .join(prevAssign.withColumnRenamed("cell", "old_cell"), "vec_id")
+        .filter(col("cell") =!= col("old_cell")).count()
+      assigned.unpersist(blocking = false)
+      curve += ((rounds.toLong, moved, reass))
+      cells = filled
+      prevAssign = newAssign
+      stopped = reass * 50L <= n // <= 2% reassigned
+    }
+    require(stopped, s"k-means did not reach the movement threshold in $KmCap rounds")
+    val census = prevAssign.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("mn"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+    base.unpersist(blocking = false)
+    val ss = s; import ss.implicits._
+    (curve.toSeq.map { case (r, mv, rs) => ("round", r, mv, rs) } ++
+      census.sortBy(_._1).map { case (c, cnt, mn) => ("cell", c, cnt, mn) })
+      .toDF("part", "k", "v1", "v2")
+      .orderBy("part", "k")
+  }
+
+  /** Oracle: Lloyd unrolled to KmCap rounds; the stop round R* is the
+    * first with reass*50 <= n, the curve keeps rounds 1..R*, and the
+    * census reads the R* assignment. Mirrors q163's decimal-exact
+    * means and (round(d2,6), label) argmin tie order.
+    */
+  val q163Sql: String = {
+    val dIdx = "CAST(t.i+1 AS INT)"
+    val lIdx = "CAST(i+1 AS INT)" // lambda-var index (1-based list access)
+    def assignStep(r: Int): String =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT e.vec_id, e.emb, c.label AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ROUND(list_sum(list_transform(range(64),
+         |          i -> (e.emb[$lIdx] - c.c[$lIdx]) * (e.emb[$lIdx] - c.c[$lIdx]))), 6),
+         |        c.label) AS rn
+         |    FROM base e CROSS JOIN cent${r - 1} c
+         |  ) WHERE rn = 1)""".stripMargin
+    def centStep(r: Int): String =
+      s"""m$r AS MATERIALIZED (
+         |  SELECT cell, CAST(t.i AS INT) AS d,
+         |    ROUND(CAST(SUM(CAST(emb[$dIdx] AS DECIMAL(20,10))) AS DOUBLE)
+         |          / COUNT(*), 4) AS m
+         |  FROM a$r, range(64) t(i) GROUP BY cell, CAST(t.i AS INT)
+         |), cn$r AS (
+         |  SELECT cell, list(m ORDER BY d) AS c FROM m$r GROUP BY cell
+         |), cent$r AS MATERIALIZED (
+         |  SELECT p.label, COALESCE(n.c, p.c) AS c
+         |  FROM cent${r - 1} p LEFT JOIN cn$r n ON n.cell = p.label)""".stripMargin
+    def statStep(r: Int): String = {
+      val prevA = if (r == 1) "a0" else s"a${r - 1}"
+      s"""st$r AS (
+         |  SELECT $r AS r,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cent$r n
+         |       JOIN cent${r - 1} p ON n.label = p.label,
+         |       range(64) t(i) WHERE n.c[$dIdx] <> p.c[$dIdx]) AS moved,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM a$r n
+         |       JOIN $prevA p ON n.vec_id = p.vec_id
+         |       WHERE n.cell <> p.cell) AS reass)""".stripMargin
+    }
+    def censusStep(r: Int): String =
+      s"""SELECT 'cell' AS part, CAST(cell AS BIGINT) AS k,
+         |  CAST(COUNT(*) AS BIGINT) AS v1, MIN(vec_id) AS v2
+         |FROM a$r WHERE $r = (SELECT rstar FROM pick) GROUP BY cell""".stripMargin
+    val rs = (1 to KmCap)
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), nn AS (SELECT COUNT(*) AS n FROM base),
+       |a0 AS MATERIALIZED (SELECT vec_id, emb, label AS cell FROM base),
+       |m0 AS (
+       |  SELECT label AS cell, CAST(t.i AS INT) AS d,
+       |    ROUND(CAST(SUM(CAST(emb[$dIdx] AS DECIMAL(20,10))) AS DOUBLE)
+       |          / COUNT(*), 4) AS m
+       |  FROM base, range(64) t(i) GROUP BY label, CAST(t.i AS INT)
+       |), cent0 AS (SELECT cell AS label, list(m ORDER BY d) AS c FROM m0 GROUP BY cell),
+       |${rs.map(r => assignStep(r) + ",\n" + centStep(r) + ",\n" + statStep(r)).mkString(",\n")},
+       |stats AS MATERIALIZED (${rs.map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")}),
+       |pick AS (
+       |  SELECT MIN(r) AS rstar FROM stats WHERE reass * 50 <= (SELECT n FROM nn)
+       |)
+       |SELECT part, k, v1, v2 FROM (
+       |  SELECT 'round' AS part, CAST(r AS BIGINT) AS k, moved AS v1, reass AS v2
+       |  FROM stats WHERE r <= (SELECT rstar FROM pick)
+       |  UNION ALL
+       |  ${rs.map(censusStep).mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY part, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_kmeans_converge" -> q163KmeansConverge _,
     "q160_embedding_correlation" -> q160EmbeddingCorrelation _,
     "q155_hard_negatives" -> q155HardNegatives _,
     "q151_rank_agreement" -> q151RankAgreement _,
@@ -1219,6 +1386,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q163_kmeans_converge" -> q163Sql,
     "q160_embedding_correlation" -> q160Sql,
     "q155_hard_negatives" -> q155Sql,
     "q151_rank_agreement" -> q151Sql,

@@ -36,6 +36,25 @@ class CcLoopSpec extends SparkSpec {
     assert(depths.head <= 3, s"label plan deeper than LogicalRDD+Project: $plans")
   }
 
+  test("kmeans loop: curve is monotone to the threshold and census covers the corpus") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q163_kmeans_converge")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val curve = out.filter(_._1 == "round").sortBy(_._2)
+    val cells = out.filter(_._1 == "cell")
+    // data-driven round count, stopped by the threshold not the guard
+    assert(curve.nonEmpty && curve.length < 16, curve.mkString(","))
+    val n = cells.map(_._3).sum
+    // every round BEFORE the stop round exceeded the 2% threshold;
+    // the stop round satisfies it — the loop stopped for the stated
+    // reason, not by accident
+    curve.init.foreach { case (_, r, _, reass) =>
+      assert(reass * 50L > n, s"round $r under threshold yet loop continued")
+    }
+    assert(curve.last._4 * 50L <= n, curve.last.toString)
+    assert(n == 500L) // sf0.01 embeddings corpus, fully assigned
+  }
+
   test("cc loop: final labels are a fixpoint (one more round changes nothing)") {
     import org.apache.spark.sql.functions._
     val (labels, _) = graft.queries.Mining.ccLoop(spark, dir)
