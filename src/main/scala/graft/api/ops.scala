@@ -668,4 +668,46 @@ object ops {
     g.select(explode(array(pairs: _*)).as("__p"))
       .select(col("__p.dim_i"), col("__p.dim_j"), col("__p.corr"))
   }
+
+  /** DSIR-style importance resampling (q164's parameterized form):
+    * score each row's whitespace-tokenized `text` by the add-1-
+    * smoothed hashed-n-gram (unigram + bigram, `buckets` buckets)
+    * likelihood ratio of the `isTarget` slice vs the whole frame, in
+    * exact 4-dp int64 fixed point, and keep rows with probability
+    * ~min(1, ratio) via the deterministic md5-uniform on `id`.
+    * Returns the input row plus `score_e4` (int64) and `kept`
+    * (boolean). The `buckets`-row rate table is broadcast; the frame
+    * is scanned twice (count pass, score pass) — recompute beats
+    * caching a corpus-tokens-sized frame at scale. Envelope:
+    * (t_f+1)·(C+B)·10^4 must stay inside int64 — at ~10^12-token
+    * scale split the 10^4 lift into a two-step div.
+    */
+  def importanceResample(df: DataFrame, id: String, text: String,
+      isTarget: Column, buckets: Long = 512L): DataFrame = {
+    require(buckets >= 2, s"buckets $buckets < 2")
+    val ws = split(col(text), " ").as("__ws")
+    val base = df.select(col(id).as("__id"), isTarget.as("__t"), ws)
+    val feats = base.select(col("__id"), col("__t"), explode(concat(
+        col("__ws"),
+        when(size(col("__ws")) > 1,
+          transform(sequence(lit(1), size(col("__ws")) - 1),
+            i => concat_ws(" ", element_at(col("__ws"), i),
+              element_at(col("__ws"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("__g"))
+      .select(col("__id"), col("__t"),
+        (Hashing.hash28(col("__g")) % buckets).as("__f"))
+    val counts = feats.groupBy(col("__f"))
+      .agg(count(lit(1)).as("__cf"), count(when(col("__t"), 1)).as("__tf"))
+    val totals = counts.agg(sum(col("__cf")).as("__ct"), sum(col("__tf")).as("__tt"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("__f"), expr(
+        s"((__tf + 1) * (__ct + $buckets) * 10000) div ((__cf + 1) * (__tt + $buckets))"
+      ).as("__rate"))
+    val scored = feats.join(broadcast(rates), "__f")
+      .groupBy(col("__id"))
+      .agg(expr("sum(__rate) div count(1)").as("score_e4"))
+    df.join(scored.withColumnRenamed("__id", id), id)
+      .withColumn("kept",
+        Hashing.hash28(col(id).cast("string")) % 10000L < col("score_e4"))
+  }
 }

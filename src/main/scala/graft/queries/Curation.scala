@@ -670,7 +670,110 @@ object Curation {
       |    // t_chars AS epochs_e3
       |FROM m ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q164: DSIR-style IMPORTANCE RESAMPLING — the standard curation
+  // sampler (Xie et al. 2023, "Data Selection for Language Models
+  // via Importance Resampling"): score every document by how much
+  // more likely its hashed n-gram features are under a TARGET
+  // distribution (here: the English slice) than under the whole
+  // corpus, then resample keeping documents with probability
+  // proportional to that likelihood ratio. All arithmetic exact
+  // int64 so both engines hash identically:
+  //   feature  = hash28(unigram | bigram) mod 512 buckets
+  //   rate_e4  = ((t_f+1)(C+B) * 10^4) div ((c_f+1)(T+B))
+  //              (add-1-smoothed frequency ratio, 4-dp fixed point;
+  //              t_f/c_f = target/corpus counts of bucket f, T/C the
+  //              totals, B the bucket count. At ~10^12-token scale
+  //              the 10^4 lift must move inside a two-step div to
+  //              stay under 2^63 — same envelope note as q129.)
+  //   score    = avg rate over the doc's features (div, exact)
+  //   keep     = hash28(doc_id) mod 10^4 < score  — the q47/q129
+  //              deterministic-uniform idiom: p(keep) ~ min(1, ratio)
+  // Shapes compose q76 + q109: the 512-row rate table is BROADCAST
+  // into the feature stream; the corpus is scanned twice (count
+  // pass, score pass) — at 100 TB you recompute the tokenize from
+  // the pruned scan rather than cache a corpus-tokens-sized frame.
+  // ---------------------------------------------------------------
+  private val DsirB = 512L // feature buckets
+
+  def q164ImportanceResample(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Hashing.hash28
+    val ws = Hashing.words(col("text")).as("ws")
+    val feats = documents(s, dir).select(col("doc_id"), col("lang"), ws)
+      .select(col("doc_id"), col("lang"), explode(concat(
+        col("ws"),
+        // guard: Spark sequence(1, 0) counts DOWN — a 1-word doc
+        // must contribute zero bigrams, not an out-of-bounds access
+        when(size(col("ws")) > 1,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>"))
+      )).as("g"))
+      .select(col("doc_id"), col("lang"), (hash28(col("g")) % DsirB).as("f"))
+    val counts = feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("c_f"),
+        count(when(col("lang") === "en", 1)).as("t_f"))
+    val totals = counts.agg(sum(col("c_f")).as("c_tot"), sum(col("t_f")).as("t_tot"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("f"), expr(
+        s"((t_f + 1) * (c_tot + $DsirB) * 10000) div ((c_f + 1) * (t_tot + $DsirB))"
+      ).as("rate_e4"))
+    val scored = feats.join(broadcast(rates), "f")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("rate_e4")).as("rate_sum"))
+      .select(col("doc_id"), col("lang"),
+        expr("rate_sum div n_feats").as("score_e4"))
+    scored
+      .withColumn("kept",
+        hash28(col("doc_id").cast("string")) % 10000L < col("score_e4"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(col("score_e4")).as("sum_score_e4"),
+        min(when(col("kept"), col("doc_id"))).as("min_kept_doc"))
+      .orderBy("lang")
+  }
+
+  val q164Sql: String = {
+    import Hashing.sqlHash28
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+       |), feats AS (
+       |  SELECT doc_id, lang, ${sqlHash28("g")} % $DsirB AS f FROM (
+       |    SELECT doc_id, lang, unnest(ws) AS g FROM d
+       |    UNION ALL
+       |    SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)])) AS g
+       |    FROM d
+       |  )
+       |), counts AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS c_f,
+       |    CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS t_f
+       |  FROM feats GROUP BY f
+       |), tot AS (
+       |  SELECT CAST(SUM(c_f) AS BIGINT) AS c_tot,
+       |    CAST(SUM(t_f) AS BIGINT) AS t_tot FROM counts
+       |), rates AS (
+       |  SELECT f, ((t_f + 1) * ((SELECT c_tot FROM tot) + $DsirB) * 10000)
+       |    // ((c_f + 1) * ((SELECT t_tot FROM tot) + $DsirB)) AS rate_e4
+       |  FROM counts
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(SUM(rate_e4) AS BIGINT) // COUNT(*) AS score_e4
+       |  FROM feats JOIN rates USING (f)
+       |  GROUP BY doc_id, lang
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(CASE WHEN ${sqlHash28("CAST(doc_id AS VARCHAR)")} % 10000 < score_e4
+       |        THEN 1 END) AS n_kept,
+       |  CAST(SUM(score_e4) AS BIGINT) AS sum_score_e4,
+       |  MIN(CASE WHEN ${sqlHash28("CAST(doc_id AS VARCHAR)")} % 10000 < score_e4
+       |      THEN doc_id END) AS min_kept_doc
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_importance_resample" -> q164ImportanceResample _,
     "q150_mixture_allocate" -> q150MixtureAllocate _,
     "q129_weighted_sample" -> q129WeightedSample _,
     "q127_deletion_apply" -> q127DeletionApply _,
@@ -684,6 +787,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q164_importance_resample" -> q164Sql,
     "q150_mixture_allocate" -> q150Sql,
     "q129_weighted_sample" -> q129Sql,
     "q127_deletion_apply" -> q127Sql,

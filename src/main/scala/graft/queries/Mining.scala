@@ -709,6 +709,99 @@ object Mining {
     (labels, rounds)
   }
 
+  // ---------------------------------------------------------------
+  // q165: MULTI-ROUND label propagation — q157 is one synchronous
+  // round with labels DERIVABLE from the neighbor id (`nbr % 10`);
+  // this runs R=3 rounds where rounds 2..R have genuinely evolved,
+  // non-derivable labels, so every round needs the REAL label join
+  // q157's comment promises: nbrs ⋈ labels on the node key. The
+  // label table is node-sized; here it is broadcast() (pinned in
+  // PlanQualitySpec via the per-round probe) — on a 100-TB graph
+  // where nodes no longer fit a broadcast, the same join runs as a
+  // bucketed/co-partitioned shuffle join on `node` and nothing else
+  // changes. Round hygiene = ccLoop's: each round's label table is
+  // localCheckpoint(eager)-ed so the next round joins a flat
+  // LogicalRDD, never a growing plan. Tie rule: most frequent
+  // neighbor label, ties to the SMALLEST label (q157's reproducible
+  // tiebreak). Output: the init->final transition matrix
+  // (O(labels²) rows at any graph scale).
+  // ---------------------------------------------------------------
+  private[graft] def lpLoop(s: SparkSession, dir: String, rounds: Int,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val und = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("s"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist(MEMORY_AND_DISK)
+    var labels = nbrs.select(col("node")).distinct()
+      .select(col("node"), (col("node") % 10L).as("lbl"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { r =>
+      val cnt = nbrs
+        .join(broadcast(labels.select(col("node").as("nbr"), col("lbl").as("nlbl"))),
+          "nbr")
+        .groupBy(col("node"), col("nlbl")).agg(count(lit(1)).as("cnt"))
+      val wnd = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("nlbl").asc)
+      val next = cnt.withColumn("rk", row_number().over(wnd))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("nlbl").as("lbl"))
+      probe(r, next) // pre-checkpoint: the round's join is visible
+      labels = next.localCheckpoint(true)
+    }
+    nbrs.unpersist(blocking = false)
+    labels
+  }
+
+  def q165LabelPropRounds(s: SparkSession, dir: String): DataFrame =
+    lpLoop(s, dir, 3)
+      .select((col("node") % 10L).as("init_label"), col("lbl").as("final_label"),
+        col("node"))
+      .groupBy(col("init_label"), col("final_label"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy("init_label", "final_label")
+
+  val q165Sql: String = {
+    def round(r: Int): String =
+      s"""c$r AS MATERIALIZED (
+         |  SELECT n.node, l.lbl, COUNT(*) AS cnt
+         |  FROM nbrs n JOIN l${r - 1} l ON l.node = n.nbr
+         |  GROUP BY n.node, l.lbl
+         |), l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk
+         |    FROM c$r
+         |  ) WHERE rk = 1)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+       |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+       |und AS (
+       |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+       |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+       |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+       |), nbrs AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und
+       |  UNION ALL SELECT b AS node, a AS nbr FROM und
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, node % 10 AS lbl FROM nbrs
+       |),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node % 10 AS init_label, lbl AS final_label,
+       |  COUNT(*) AS n_nodes, MIN(node) AS min_node
+       |FROM l3 GROUP BY node % 10, lbl
+       |ORDER BY init_label, final_label""".stripMargin
+  }
+
   def q161ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = ccLoop(s, dir)
     labels.groupBy(col("lbl").as("cluster"))
@@ -736,6 +829,7 @@ object Mining {
       |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_label_prop_rounds" -> q165LabelPropRounds _,
     "q161_connected_components" -> q161ConnectedComponents _,
     "q157_label_propagation" -> q157LabelPropagation _,
     "q135_degree_profile" -> q135DegreeProfile _,
@@ -748,6 +842,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q165_label_prop_rounds" -> q165Sql,
     "q161_connected_components" -> q161Sql,
     "q157_label_propagation" -> q157Sql,
     "q135_degree_profile" -> q135Sql,

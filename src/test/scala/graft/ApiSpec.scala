@@ -278,4 +278,17 @@ class ApiSpec extends SparkSpec {
       .select("doc_id", "n_words", "hhi4", "top_share4")
     assert(api.except(q156).count() === 0 && q156.except(api).count() === 0)
   }
+
+  test("importanceResample agrees with the oracle-gated q164 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.importanceResample(docs, "doc_id", "text",
+        col("lang") === "en")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(col("score_e4")).as("sum_score_e4"),
+        min(when(col("kept"), col("doc_id"))).as("min_kept_doc"))
+    val q164 = SparkEntry.queries("q164_importance_resample")(spark, dir)
+    assert(api.except(q164).count() === 0 && q164.except(api).count() === 0)
+  }
 }

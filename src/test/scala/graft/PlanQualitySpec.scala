@@ -487,6 +487,31 @@ class PlanQualitySpec extends SparkSpec {
       readSchema) // prunes to the embedding column alone
   }
 
+  test("q165: every propagation round joins labels by broadcast on flat lineage") {
+    var seen = 0
+    graft.queries.Mining.lpLoop(SparkSpec.session, dir, 3, (r, next) => {
+      seen = r
+      // SimpleMode: one line per operator instance, so instance
+      // counts below are exact (FormattedMode repeats names in the
+      // detail section)
+      val p = next.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      // the node-sized label table is broadcast into the edge list;
+      // a SortMergeJoin here would mean the hint was lost (at 100-TB
+      // node counts the same join runs bucketed — a deliberate swap,
+      // not a silent regression)
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 1, s"round $r:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"round $r:\n$p")
+      // flat lineage: the label side is the PREVIOUS round's
+      // checkpoint (Scan ExistingRDD), so round plans never nest —
+      // a second Window/argmax in the tree would mean round r is
+      // replaying round r-1 instead of reading its checkpoint
+      assert(p.contains("Scan ExistingRDD"), s"round $r:\n$p")
+      assert("WindowGroupLimit".r.findAllIn(p).size <= 2, s"round $r:\n$p")
+    })
+    assert(seen == 3)
+  }
+
   test("q162: tokenizer apply is the native kernel over the vocab, joinless") {
     val p = plan("q162_bpe_apply")
     // the merge table rides inside the codegen'd expression — a plan
