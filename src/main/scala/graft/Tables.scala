@@ -72,4 +72,17 @@ object Tables {
     spread(s, table(s, d, "documents"), s"$d/documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "embeddings"), s"$d/embeddings")
+
+  /** Eager one-pass materialization of a persisted frame (see
+    * Dedup.q25's race note for WHY eager: two downstream consumers
+    * inside one job would otherwise race to compute-and-cache the
+    * same partitions). Unlike `count()`, this consumes the
+    * internal-row iterator directly — no aggregate plan, no
+    * per-partition count shuffled to the driver for a number nobody
+    * reads. Cache population happens as the iterator is drained, so
+    * the drain must be complete (`foreach`), not just iterator
+    * creation.
+    */
+  def touch(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreachPartition(it => it.foreach(_ => ()))
 }

@@ -35,7 +35,7 @@ object Analytics {
         shingles(col("text"), 3).as("sh"))
       .withColumn("mk", minhash(col("sh"), 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count()
+    touch(d)
     val a = d.alias("a")
     val b = d.alias("b")
     a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
@@ -535,7 +535,7 @@ object Analytics {
       .select(md5(substring(col("text"), 1, 120)).as("fp"), col("lang"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    f.count() // eager: both self-join sides + the per-lang totals read it
+    touch(f) // eager: both self-join sides + the per-lang totals read it
     val totals = f.groupBy(col("lang")).agg(count(lit(1)).as("n_fp"))
     val a = f.alias("a")
     val b = f.alias("b")

@@ -210,14 +210,14 @@ object Curation {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edeg = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edeg.count() // eager: both downstream consumers read the cache
+    touch(edeg) // eager: both downstream consumers read the cache
     // nodes is referenced by every unrolled iteration AND the final
     // join; without a persist the parquet-scan + JSON-parse + distinct
     // subtree is replanned once per reference (4x) inside one job.
     // The frame is |users| rows — persist is a few KB per executor.
     val nodes = ev.select(col("user_id").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
+    touch(nodes)
     // each round's rank vector is persisted eagerly and the superseded
     // one unpersisted (q48's iteration hygiene): without the persist,
     // round i's broadcast re-executes rounds 1..i-1 from lineage and
@@ -235,7 +235,7 @@ object Curation {
           Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
           .as("pr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
+      touch(next)
       prev.foreach(_.unpersist(blocking = false))
       prev = Some(next)
       pr = next
@@ -630,7 +630,7 @@ object Curation {
     val w = documents(s, dir).groupBy(col("source"))
       .agg(sum(col("n_chars")).as("t_chars"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    w.count()
+    touch(w)
     val caps = w.crossJoin(broadcast(w.agg(
         sum(col("t_chars")).as("tot"), count(lit(1)).as("n_src"))))
       .withColumn("cap", ld(col("tot"), col("n_src")))

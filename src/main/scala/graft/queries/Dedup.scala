@@ -77,7 +77,7 @@ object Dedup {
     val sh = documents(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
+    touch(sh)
     // signatures via the NATIVE MinHashSig expression: the full
     // 12-value signature is computed per row inside the scan's
     // codegen loop (one md5 + 12 muladds per distinct shingle, all
@@ -200,7 +200,7 @@ object Dedup {
         shingles(col("text"), 3).as("sh"))
       .withColumn("mk", minhash(col("sh"), 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count()
+    touch(d)
     val a = d.alias("a")
     val b = d.alias("b")
     a.join(b, col("a.mk") === col("b.mk") &&
@@ -284,7 +284,7 @@ object Dedup {
           .select(prevMapping("node"),
             coalesce(col("g_root"), prevMapping("root")).as("root"))
           .persist(MEMORY_AND_DISK)
-        composed.count() // materialize BEFORE releasing its parents
+        touch(composed) // materialize BEFORE releasing its parents
         composed
       }
       // contract edges to the roots; a fully-collapsed component
@@ -559,7 +559,7 @@ object Dedup {
         graft.functions.texthash.simhash60(col("text")).as("sig"),
         graft.functions.texthash.minhashSig(col("text")).as("msig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager (q25's race note)
+    touch(d) // eager (q25's race note)
     val bands = d
       .select(col("doc_id"), explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
@@ -655,7 +655,7 @@ object Dedup {
         shingles(col("text"), 3).as("sh"))
       .withColumn("mk", minhash(col("sh"), 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager (q25's race note)
+    touch(d) // eager (q25's race note)
     val a = d.alias("a")
     val b = d.alias("b")
     val cand = a.join(b, col("a.mk") === col("b.mk") &&
@@ -673,7 +673,7 @@ object Dedup {
       // the blocked self-join and its per-pair intersect/union counts
       // (the expensive part) would execute twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    flagged.count()
+    touch(flagged)
     val pairs = flagged.groupBy(col("thr"))
       .agg(count(lit(1)).as("n_pairs"))
     val docs = flagged
@@ -733,7 +733,7 @@ object Dedup {
     val d = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"),
         graft.functions.texthash.minhashSig(col("text")).as("msig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager (q25's race note)
+    touch(d) // eager (q25's race note)
     val bands = d
       .select(col("doc_id"), explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
@@ -827,7 +827,7 @@ object Dedup {
         shingles(col("text"), 3).as("sh"),
         graft.functions.texthash.minhashSig(col("text")).as("msig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager (q25's race note)
+    touch(d) // eager (q25's race note)
     val bands = d.select(col("doc_id"),
         explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
@@ -917,7 +917,7 @@ object Dedup {
         shingles(col("text"), 3).as("sh"),
         graft.functions.texthash.minhashSig(col("text")).as("msig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager (q25's race note)
+    touch(d) // eager (q25's race note)
     val bands = d.select(col("doc_id"),
         explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
@@ -938,7 +938,7 @@ object Dedup {
       .filter(lit(2L) * inter >= uni)
       .select(col("i"), col("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count() // eager: read by the wedge join and the closure probe
+    touch(pairs) // eager: read by the wedge join and the closure probe
     val oriented = pairs.select(col("i").as("c"), col("j").as("o"))
       .unionByName(pairs.select(col("j").as("c"), col("i").as("o")))
     val oa = oriented.alias("oa")
@@ -1131,7 +1131,7 @@ object Dedup {
         shingles(col("text"), 3).as("sh"),
         graft.functions.texthash.minhashSig(col("text")).as("msig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager (q25's race note)
+    touch(d) // eager (q25's race note)
     val bands = d
       .select(col("doc_id"), explode(bandStructsOf(col("msig"))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))

@@ -87,7 +87,7 @@ object Mining {
     val uni = documents(s, dir).select(col("lang"), explode(ws).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    uni.count()
+    touch(uni)
     val tot = uni.groupBy(col("lang")).agg(sum(col("cw")).as("t"))
     val bigrams = when(size(ws) >= 2,
       transform(sequence(lit(0), size(ws) - 2),
@@ -259,7 +259,7 @@ object Mining {
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    baskets.count() // eager (q25's race note)
+    touch(baskets) // eager (q25's race note)
     val n = baskets.agg(count(lit(1)).as("n_orders"))
     // JOIN-FREE pair generation: the sorted set gives p1 < p2 for
     // free and the pairs explode from the per-basket array —
@@ -332,7 +332,7 @@ object Mining {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .filter(col("k").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ev.count() // eager (q25's race note)
+    touch(ev) // eager (q25's race note)
     ev
   }
 
@@ -363,7 +363,7 @@ object Mining {
         greatest(col("s"), col("d")).as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    und.count()
+    touch(und)
     // the counting itself is the reusable API transform (degree-orient
     // -> wedge -> close), property-tested against a brute-force
     // enumeration in MiningSpec
@@ -500,7 +500,7 @@ object Mining {
       // derivation; without it each consumer re-runs the scan +
       // distinct exchange
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    und.count() // eager (q25's race note)
+    touch(und) // eager (q25's race note)
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     // power-of-two degree buckets: the hub detector

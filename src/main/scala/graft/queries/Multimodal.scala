@@ -207,7 +207,7 @@ object Multimodal {
       .select(col("doc_id"), blocks.as("bl"))
       .withColumn("mk", array_min(col("bl")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count() // eager (q25's race note)
+    touch(d) // eager (q25's race note)
     val a = d.alias("a")
     val b = d.alias("b")
     val inter = graft.functions.setcard

@@ -290,7 +290,7 @@ object TextAnalysis {
         substring(col("text"), 1, 64).as("head"),
         minhash(shingles(col("text"), 3), 0).as("mk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count()
+    touch(d)
     val a = d.alias("a")
     val b = d.alias("b")
     a.join(b, col("a.mk") === col("b.mk") && col("a.doc_id") < col("b.doc_id"))
@@ -818,7 +818,7 @@ object TextAnalysis {
     val toks = documents(s, dir)
       .select(col("source"), explode(words(col("text"))).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    toks.count() // eager: three aggregations read it
+    touch(toks) // eager: three aggregations read it
     val perSrc = toks.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c_sw"))
     val srcTot = perSrc.groupBy(col("source"))

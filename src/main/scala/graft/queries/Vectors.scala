@@ -301,7 +301,7 @@ object Vectors {
     val cells1 = labelCentroids(s, dir)
       .agg(array_sort(collect_list(struct(col("label"), col("c")))).as("cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cells1.count()
+    touch(cells1)
     cells1
   }
 
