@@ -736,7 +736,108 @@ object Advanced {
        |FROM g ORDER BY lang, ctx""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q166: Z-ORDER LAYOUT EFFECTIVENESS — the multi-dimensional
+  // clustering decision a 100-TB table owner makes (Delta/Iceberg
+  // OPTIMIZE ZORDER BY): quantize two order dimensions (price cents,
+  // order day) to 16 bits, interleave with functions.ZOrder.morton16
+  // (pure built-in shifts/masks — one codegen stage, no custom
+  // expression), then score three physical layouts by how many
+  // equal-width "files" a fixed 2-D range predicate touches. A file
+  // is one of 256 equal-width buckets of the layout's sort key —
+  // exactly the granule parquet min/max stats prune at. The output
+  // is the pruning story in one frame: a single-column sort serves
+  // its own dimension and floods the other; the Z-curve bounds BOTH
+  // (touched buckets ~ rectangle area x small fragmentation factor).
+  // All arithmetic is exact int64 (quantize via `div`, cents via
+  // round()) so the oracle hash-matches bit-for-bit.
+  // At scale: the measured frame is what a layout advisor persists;
+  // the write side is repartitionByRange(morton16(qx,qy)) + sortWithin
+  // — one range exchange, no extra pass.
+  // ---------------------------------------------------------------
+  def q166ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrder.morton16
+    val base = orders(s, dir).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+    // corpus min/max: one broadcast row (the q69 scalar-subquery idiom)
+    val ext = base.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"),
+      min(col("day")).as("mind"), max(col("day")).as("maxd"))
+    val q = base.crossJoin(broadcast(ext))
+      .withColumn("qx", expr("((cents - minc) * 65535) div (maxc - minc)"))
+      .withColumn("qy", expr("((day - mind) * 65535) div (maxd - mind)"))
+      .withColumn("zv", morton16(col("qx"), col("qy")))
+      // the query rectangle: middle 1/8 of the price range x a 1/8
+      // band of the date range — selective in BOTH dimensions
+      .withColumn("m", col("qx").between(16384L, 24575L) &&
+        col("qy").between(32768L, 40959L))
+    q.select(col("m"), explode(array(
+        struct(lit("date_sort").as("layout"), expr("qy div 256").as("bucket")),
+        struct(lit("price_sort").as("layout"), expr("qx div 256").as("bucket")),
+        struct(lit("zorder").as("layout"), expr("zv div 16777216").as("bucket"))))
+        .as("lb"))
+      .select(col("m"), col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+      .groupBy(col("layout"))
+      .agg(sum(when(col("m"), 1L).otherwise(0L)).cast("long").as("n_match"),
+        countDistinct(when(col("m"), col("bucket"))).cast("long").as("buckets_touched"),
+        countDistinct(col("bucket")).cast("long").as("buckets_total"))
+      .withColumn("touched_rate",
+        Relational.ratio4(col("buckets_touched"), col("buckets_total")))
+      .orderBy("layout")
+  }
+
+  val q166Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+      |    CAST(date_diff('day', DATE '1995-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      |  FROM orders
+      |), ext AS (
+      |  SELECT min(cents) AS minc, max(cents) AS maxc,
+      |    min(day) AS mind, max(day) AS maxd FROM base
+      |), q AS (
+      |  SELECT ((cents - minc) * 65535) // (maxc - minc) AS qx,
+      |    ((day - mind) * 65535) // (maxd - mind) AS qy
+      |  FROM base, ext
+      |), s1 AS (
+      |  SELECT qx, qy,
+      |    (qx | (qx << 8)) & 16711935 AS x1,
+      |    (qy | (qy << 8)) & 16711935 AS y1 FROM q
+      |), s2 AS (
+      |  SELECT qx, qy,
+      |    (x1 | (x1 << 4)) & 252645135 AS x2,
+      |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1
+      |), s3 AS (
+      |  SELECT qx, qy,
+      |    (x2 | (x2 << 2)) & 858993459 AS x3,
+      |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2
+      |), s4 AS (
+      |  SELECT qx, qy,
+      |    (x3 | (x3 << 1)) & 1431655765 AS x4,
+      |    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3
+      |), zr AS (
+      |  SELECT qx, qy, (x4 | (y4 << 1)) AS zv,
+      |    (qx BETWEEN 16384 AND 24575) AND (qy BETWEEN 32768 AND 40959) AS m
+      |  FROM s4
+      |), lb AS (
+      |  SELECT 'zorder' AS layout, zv // 16777216 AS bucket, m FROM zr
+      |  UNION ALL SELECT 'price_sort', qx // 256, m FROM zr
+      |  UNION ALL SELECT 'date_sort', qy // 256, m FROM zr
+      |)
+      |SELECT layout,
+      |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |  CAST(COUNT(DISTINCT CASE WHEN m THEN bucket END) AS BIGINT)
+      |    AS buckets_touched,
+      |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS buckets_total,
+      |  ((20000*CAST(COUNT(DISTINCT CASE WHEN m THEN bucket END) AS BIGINT)
+      |    + CAST(COUNT(DISTINCT bucket) AS BIGINT))
+      |   // (2*CAST(COUNT(DISTINCT bucket) AS BIGINT))) / 10000.0
+      |    AS touched_rate
+      |FROM lb GROUP BY layout ORDER BY layout""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_zorder_layout" -> q166ZorderLayout _,
     "q159_packing_curve" -> q159PackingCurve _,
     "q113_variant_pipeline" -> q113VariantPipeline _,
     "q107_exists_chains" -> q107ExistsChains _,
@@ -758,6 +859,7 @@ object Advanced {
     "q59_pii_scrub" -> q59PiiScrub _)
 
   val oracles: Map[String, String] = Map(
+    "q166_zorder_layout" -> q166Sql,
     "q159_packing_curve" -> q159Sql,
     "q107_exists_chains" -> q107Sql,
     "q103_map_profile" -> q103Sql,
