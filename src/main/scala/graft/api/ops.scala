@@ -710,4 +710,175 @@ object ops {
       .withColumn("kept",
         Hashing.hash28(col(id).cast("string")) % 10000L < col("score_e4"))
   }
+
+  /** Connected components to a data-driven fixpoint (q161's
+    * parameterized form): min-label propagation over the undirected
+    * edge set with a pointer jump (l(u) <- l(l(u))) each round, so
+    * round count is O(log diameter), not O(diameter). Loop hygiene
+    * is the discipline CcLoopSpec pins on the query twin: every
+    * round's label table is localCheckpoint(eager)-ed — one
+    * materialization serves both the convergence count and the next
+    * round, and the plan a round builds on never grows with the
+    * round number (swap for reliable checkpoint() on a cluster so a
+    * lost executor never replays earlier rounds). Bounded-round
+    * guard fails loudly, never spins. Scale shape per round: one
+    * node-keyed join + min agg over the edge list (co-located when
+    * edges are bucketed by node) and one NODE-sized label self-join
+    * — never edges². Returns the (id, component) frame — component
+    * is the smallest member node id — and the round count.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nbrs = edges.select(col(src).as("__node"), col(dst).as("__nbr"))
+      .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
+      .filter(col("__node") =!= col("__nbr"))
+      .persist(MEMORY_AND_DISK)
+    var labels = nbrs.select(col("__node")).distinct()
+      .select(col("__node"), col("__node").as("__lbl"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val nbrMin = nbrs
+        .join(labels.select(col("__node").as("__nbr"), col("__lbl").as("__nlbl")),
+          "__nbr")
+        .groupBy(col("__node")).agg(min(col("__nlbl")).as("__nmin"))
+      val l1 = labels.join(nbrMin, Seq("__node"), "left")
+        .select(col("__node"), col("__lbl"),
+          least(col("__lbl"), coalesce(col("__nmin"), col("__lbl"))).as("__l1"))
+      val stepped = l1
+        .join(l1.select(col("__node").as("__t"), col("__l1").as("__tl")),
+          col("__l1") === col("__t"))
+        .select(col("__node"), col("__lbl").as("__old"), col("__tl").as("__lbl"))
+        .localCheckpoint(true)
+      converged = stepped.filter(col("__old") =!= col("__lbl")).isEmpty
+      labels = stepped.select(col("__node"), col("__lbl"))
+      probe(rounds, labels)
+    }
+    nbrs.unpersist(blocking = false)
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    (labels.select(col("__node").as("id"), col("__lbl").as("component")), rounds)
+  }
+
+  /** Lloyd's k-means to a reassignment-threshold stop (q163's
+    * parameterized form). Centroids are DRIVER state — model
+    * parameters, k × dims doubles, control-plane-sized at any corpus
+    * scale — shipped into the assignment stage as a literal each
+    * round, so assignment is a pure map stage (zero shuffle). Per
+    * round the cluster-side work is one assignment pass over the
+    * persisted points, one partially-aggregated (cell, dim) mean
+    * exchange, and one id-keyed join against the previous assignment
+    * for the reassignment count (bucket/co-partition at scale). The
+    * (id, cell) assignment — no payload — is localCheckpoint-ed per
+    * round (flat lineage; reliable checkpoint() on a cluster). Empty
+    * cells carry the previous centroid forward. Means use the
+    * order-independent decimal(20,10) sum rounded to 4dp, so rounds
+    * are bit-reproducible across partitionings. Stops when
+    * reassignments·100 ≤ n·stopReassignPct; the bounded-round guard
+    * fails loudly. Returns the final (id, cell) assignment and the
+    * (round, centroid dims moved at 4dp, reassignments) curve.
+    */
+  def kmeansToConvergence(points: DataFrame, id: String, vec: Column,
+      initCell: Column, stopReassignPct: Long = 2L, maxRounds: Int = 16)
+    : (DataFrame, Seq[(Long, Long, Long)]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = points.select(col(id).as("__id"),
+      initCell.cast("int").as("__c0"), vec.cast("array<double>").as("__e"))
+      .persist(MEMORY_AND_DISK)
+    val n = base.count() // eager persist + the threshold denominator
+    def mean4(x: Column): Column =
+      round(sum(x.cast("decimal(20,10)")).cast("double") / count(lit(1)), 4)
+    def centroidsOf(assigned: DataFrame, by: Column): Map[Int, Seq[Double]] =
+      assigned.select(by.cast("int").as("cell"),
+          posexplode(col("__e")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(mean4(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+    var cells: Map[Int, Seq[Double]] = centroidsOf(base, col("__c0"))
+    // argmin fold against a LITERAL centroid array (driver-held
+    // model state): assignment is map-only at any scale
+    def nearest(cellsNow: Map[Int, Seq[Double]]): Column = {
+      val lit0 = typedLit(cellsNow.toSeq.sortBy(_._1))
+      aggregate(lit0,
+        struct(lit(Double.MaxValue).as("d2"), lit(null).cast("int").as("lbl")),
+        (acc, cell) => {
+          val diff = zip_with(col("__e"), cell.getField("_2"), (x, y) => x - y)
+          val d2 = round(graft.functions.vec.arrayDot(diff, diff), 6)
+          val lbl = cell.getField("_1")
+          val better = acc.getField("lbl").isNull
+            .or(d2 < acc.getField("d2"))
+            .or(d2 === acc.getField("d2") && lbl < acc.getField("lbl"))
+          when(better, struct(d2.as("d2"), lbl.as("lbl"))).otherwise(acc)
+        }).getField("lbl")
+    }
+    var prevAssign = base.select(col("__id"), col("__c0").as("cell"))
+      .localCheckpoint(true)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var rounds = 0
+    var stopped = false
+    while (!stopped && rounds < maxRounds) {
+      rounds += 1
+      val assigned = base
+        .select(col("__id"), col("__e"), nearest(cells).as("cell"))
+        .persist(MEMORY_AND_DISK)
+      val newCells = centroidsOf(assigned, col("cell"))
+      val filled = cells.map { case (c, old) => c -> newCells.getOrElse(c, old) }
+      val moved = cells.toSeq.map { case (c, old) =>
+        old.zip(filled(c)).count { case (a, b) => a != b }.toLong
+      }.sum
+      val newAssign = assigned.select(col("__id"), col("cell"))
+        .localCheckpoint(true)
+      val reass = newAssign
+        .join(prevAssign.withColumnRenamed("cell", "__old"), "__id")
+        .filter(col("cell") =!= col("__old")).count()
+      assigned.unpersist(blocking = false)
+      curve += ((rounds.toLong, moved, reass))
+      cells = filled
+      prevAssign = newAssign
+      stopped = reass * 100L <= n * stopReassignPct
+    }
+    base.unpersist(blocking = false)
+    require(stopped,
+      s"k-means did not reach the reassignment threshold in $maxRounds rounds")
+    (prevAssign.select(col("__id").as(id), col("cell")), curve.toSeq)
+  }
+
+  /** Write-side 2-D clustering (q166's layout op): quantize two
+    * numeric dimensions to 16 bits against the frame's own extremes
+    * (one broadcast scalar row — the q69 idiom), interleave with
+    * [[graft.functions.ZOrder.morton16]] (built-in shifts/masks,
+    * whole-stage codegen), then range-repartition and sort within
+    * partitions on the Z key. Written to parquet, file-level min/max
+    * stats then prune range predicates on EITHER dimension (q166
+    * measures the effect: a 2-D rectangle touches ~area·fragmentation
+    * buckets instead of a full stripe of a one-column sort). The key
+    * survives as `z_key` so a writer can bucket or verify on it; a
+    * constant dimension quantizes to 0 instead of dividing by zero.
+    * Cost: one tiny agg + ONE range exchange — the same price as any
+    * global sort-on-write.
+    */
+  def clusterByZOrder(df: DataFrame, x: String, y: String,
+      numPartitions: Int): DataFrame = {
+    val ext = df.agg(min(col(x).cast("long")).as("__minx"),
+      max(col(x).cast("long")).as("__maxx"),
+      min(col(y).cast("long")).as("__miny"),
+      max(col(y).cast("long")).as("__maxy"))
+    df.crossJoin(broadcast(ext))
+      .withColumn("__qx", when(col("__maxx") === col("__minx"), lit(0L))
+        .otherwise(expr(s"((CAST(`$x` AS BIGINT) - __minx) * 65535)" +
+          " div (__maxx - __minx)")))
+      .withColumn("__qy", when(col("__maxy") === col("__miny"), lit(0L))
+        .otherwise(expr(s"((CAST(`$y` AS BIGINT) - __miny) * 65535)" +
+          " div (__maxy - __miny)")))
+      .withColumn("z_key",
+        graft.functions.ZOrder.morton16(col("__qx"), col("__qy")))
+      .drop("__minx", "__maxx", "__miny", "__maxy", "__qx", "__qy")
+      .repartitionByRange(numPartitions, col("z_key"))
+      .sortWithinPartitions(col("z_key"))
+  }
 }

@@ -291,4 +291,55 @@ class ApiSpec extends SparkSpec {
     val q164 = SparkEntry.queries("q164_importance_resample")(spark, dir)
     assert(api.except(q164).count() === 0 && q164.except(api).count() === 0)
   }
+
+  test("connectedComponents agrees with the oracle-gated q161 pipeline") {
+    val und = graft.queries.Mining.sparseUnd(spark, dir)
+    val (labels, rounds) = ops.connectedComponents(und, "a", "b")
+    assert(rounds > 0 && rounds < 50, s"rounds=$rounds")
+    val api = labels.groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
+    val q161 = SparkEntry.queries("q161_connected_components")(spark, dir)
+    assert(api.except(q161).count() === 0 && q161.except(api).count() === 0)
+  }
+
+  test("kmeansToConvergence agrees with the oracle-gated q163 pipeline") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val (assign, curve) = ops.kmeansToConvergence(emb, "vec_id",
+      col("embedding"), col("label"))
+    val census = assign.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("mn"))
+      .select(lit("cell").as("part"), col("cell").cast("long").as("k"),
+        col("cnt").as("v1"), col("mn").as("v2"))
+    val api = census.unionByName(
+      curve.map { case (r, mv, rs) => ("round", r, mv, rs) }
+        .toDF("part", "k", "v1", "v2"))
+    val q163 = SparkEntry.queries("q163_kmeans_converge")(spark, dir)
+    assert(api.except(q163).count() === 0 && q163.except(api).count() === 0)
+  }
+
+  test("clusterByZOrder yields disjoint ordered z-ranges per partition") {
+    val df = Tables.orders(spark, dir).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+    val out = ops.clusterByZOrder(df, "cents", "day", 8)
+    assert(out.count() === df.count()) // layout op: no row is lost
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange on z_key:\n$plan")
+    // partition p's z range ends before partition p+1's begins — the
+    // property parquet file-level min/max pruning needs from a writer
+    val ranges = out.select(spark_partition_id().as("p"), col("z_key"))
+      .groupBy("p").agg(min("z_key").as("lo"), max("z_key").as("hi"))
+      .orderBy("p").collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          s"overlapping z ranges: $a vs $b")
+      case _ => ()
+    }
+  }
 }
