@@ -881,4 +881,113 @@ object ops {
       .repartitionByRange(numPartitions, col("z_key"))
       .sortWithinPartitions(col("z_key"))
   }
+
+  /** Bigram-LM surprisal scoring (q167's parameterized form — the
+    * CCNet/KenLM perplexity-filter shape with the exact-int64
+    * surrogate): trains a bigram model on `df` itself and appends,
+    * per row, `n_bigrams` and `sum_sp_e4` — the sum over the text's
+    * token transitions of the Laplace-smoothed inverse conditional
+    * frequency ((c1 + V)·10000) div (c12 + 1), monotone in
+    * -log p̂(w2|w1). Gate on sum_sp_e4 > n_bigrams·threshold_e4 —
+    * pure int64, no float log, identical on every engine. Rows whose
+    * text has fewer than two tokens get n_bigrams = 0. Plan: bigrams
+    * explode array-side (no window), counts are map-side combined
+    * and BROADCAST into one scoring pass; past broadcast scale the
+    * same joins shuffle on the bigram key unchanged.
+    */
+  def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val bg = df.select(col(id).as("__id"),
+        split(col(text), " ").as("__ws"))
+      .select(col("__id"), explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col("__id"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val c12 = bg.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val v = c12.agg(countDistinct(col("__w2")).as("__v"))
+    val perRow = bg
+      .join(broadcast(c12), Seq("__w1", "__w2"))
+      .join(broadcast(c1), Seq("__w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("__sp", expr("((__c1 + __v) * 10000) div (__c12 + 1)"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__sp")).as("sum_sp_e4"))
+    df.join(perRow.withColumnRenamed("__id", id), Seq(id), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("sum_sp_e4", coalesce(col("sum_sp_e4"), lit(0L)))
+  }
+
+  /** Rank-difference quality classifier (q168's parameterized form —
+    * the fastText/DCLM filter shape with the exact-int64 surrogate):
+    * trains per-class token frequency-rank tables on the rows
+    * `isPositive` selects vs the rest, then appends per row the
+    * accumulated evidence `score` (sum of rank_pos - rank_neg; by
+    * Zipf, rank is monotone in -log p̂, so typical-of-positive tokens
+    * pull negative exactly as their NB log-odds would), `n_toks`,
+    * and the keep decision `pred_positive` (mean rank-diff < -0.1,
+    * i.e. 10·score < -n_toks — all-integer, so the negative-value
+    * floor-vs-truncate division hazard never arises). Unseen-in-
+    * class tokens rank |V_class|+1 (the +1-smoothing analog). Plan:
+    * two vocab-sized rank tables (single-partition window over |V|
+    * rows, never the corpus), both BROADCAST into one scoring pass;
+    * past broadcast scale the scoring join shuffles on the token.
+    */
+  def rankClassifierScore(df: DataFrame, id: String, text: String,
+      isPositive: Column): DataFrame = {
+    val toks = df.select(col(id).as("__id"), isPositive.as("__p"),
+        explode(split(col(text), " ")).as("__w"))
+    def rankTable(flt: Column): DataFrame = toks.filter(flt)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number()
+        .over(Window.orderBy(col("__c").desc, col("__w"))).cast("long"))
+      .select(col("__w"), col("__r"))
+    val pos = rankTable(col("__p"))
+    val neg = rankTable(!col("__p"))
+    val vp = pos.agg(count(lit(1)).as("__vp"))
+    val vn = neg.agg(count(lit(1)).as("__vn"))
+    val perRow = toks
+      .join(broadcast(pos.withColumnRenamed("__r", "__rp")), Seq("__w"), "left")
+      .join(broadcast(neg.withColumnRenamed("__r", "__rn")), Seq("__w"), "left")
+      .crossJoin(broadcast(vp)).crossJoin(broadcast(vn))
+      .withColumn("__d", coalesce(col("__rp"), col("__vp") + 1L)
+        - coalesce(col("__rn"), col("__vn") + 1L))
+      .groupBy(col("__id"))
+      .agg(sum(col("__d")).as("score"), count(lit(1)).as("n_toks"))
+    df.join(perRow.withColumnRenamed("__id", id), id)
+      .withColumn("pred_positive", col("score") * 10L < -col("n_toks"))
+  }
+
+  /** WordPiece-style tokenization (q169's parameterized form): train
+    * a subword vocabulary on `df` itself — the top `nBigrams` char
+    * bigrams and `nTrigrams` char trigrams by corpus-weighted
+    * frequency — then append `tokens`, the greedy longest-match
+    * segmentation of each text's words, via the codegen'd
+    * [[graft.functions.WordPieceEncode]] kernel (vocabulary ships as
+    * a reference object, zero joins on the apply path; single code
+    * points always fall back, so segmentation is total). The train
+    * pass aggregates over the DISTINCT-word table (|V|, not
+    * |corpus|); two driver-sized collects hold the trained artifact,
+    * exactly like a tokenizer.json load.
+    */
+  def wordpieceTokens(df: DataFrame, text: String,
+      nBigrams: Int = 15, nTrigrams: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wc = df.select(explode(split(col(text), " ")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .persist(MEMORY_AND_DISK)
+    def top(len: Int, k: Int): Seq[String] = wc
+      .filter(length(col("__w")) >= len)
+      .select(col("__c"),
+        explode(transform(sequence(lit(1), length(col("__w")) - (len - 1)),
+          i => col("__w").substr(i, lit(len)))).as("__piece"))
+      .groupBy(col("__piece")).agg(sum(col("__c")).as("__n"))
+      .orderBy(col("__n").desc, col("__piece")).limit(k)
+      .collect().toSeq.map(_.getString(0))
+    val vocab = top(2, nBigrams) ++ top(3, nTrigrams)
+    wc.unpersist(blocking = false)
+    df.withColumn("tokens", flatten(transform(split(col(text), " "),
+      w => graft.functions.tokenizer.wordpieceEncode(w, vocab))))
+  }
 }

@@ -138,6 +138,93 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword segmentation — the WordPiece/
+  * SentencePiece INFERENCE rule (without the continuation-prefix
+  * bookkeeping): at each position take the longest vocab piece that
+  * matches, else emit the single code point and advance. This is the
+  * other standard tokenizer-apply family next to BPE's merge loop
+  * ([[BpeKernel]]): BPE replays trained merges, WordPiece matches a
+  * trained vocabulary directly — one left-to-right pass, O(len ·
+  * maxPieceLen) per word, no backtracking.
+  *
+  * Scale notes mirror BpeKernel's: the vocabulary is a trained
+  * artifact (~30k pieces real-world), parsed once at construction
+  * into a hash set shipped as a codegen reference object — O(1)
+  * membership per candidate, zero joins. Single code points always
+  * fall back whether or not they are in the vocab, so segmentation
+  * is total (no UNK loop).
+  */
+object WordPieceKernel {
+
+  final class Vocab(pieces: Seq[String]) extends Serializable {
+    val set = new java.util.HashSet[String](pieces.size * 2)
+    /** Longest piece length in CODE POINTS (a supplementary character
+      * counts 1, matching character-indexed oracle substr).
+      */
+    var maxLen = 1
+    pieces.foreach { p =>
+      set.add(p)
+      maxLen = math.max(maxLen, p.codePointCount(0, p.length))
+    }
+  }
+
+  /** Greedy longest-match encode of one word. */
+  def encode(word: UTF8String, vocab: Vocab): ArrayData = {
+    val s = word.toString
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](4)
+    var i = 0 // UTF-16 char index
+    while (i < s.length) {
+      // longest match first: try maxLen code points down to 2, then
+      // fall back to the single code point unconditionally
+      var matched: String = null
+      var cp = math.min(vocab.maxLen, s.codePointCount(i, s.length))
+      while (matched == null && cp >= 2) {
+        val end = s.offsetByCodePoints(i, cp)
+        val cand = s.substring(i, end)
+        if (vocab.set.contains(cand)) matched = cand
+        else cp -= 1
+      }
+      if (matched == null)
+        matched = s.substring(i, i + Character.charCount(s.codePointAt(i)))
+      out += UTF8String.fromString(matched)
+      i += matched.length
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `wordpiece_encode(word)` with a construction-time vocabulary:
+  * STRING -> ARRAY<STRING>. Codegen'd; the parsed vocab rides along
+  * as a reference object (one instance per task, not per row).
+  */
+case class WordPieceEncode(child: Expression, pieces: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_encode"
+
+  @transient private lazy val vocab = new WordPieceKernel.Vocab(pieces)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordPieceKernel.encode(input.asInstanceOf[UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("wpVocab", vocab,
+      classOf[WordPieceKernel.Vocab].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordPieceKernel.encode($c, $vocabRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncode =
+    copy(child = newChild)
+}
+
 /** Column-level entry point. */
 object tokenizer {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -147,4 +234,10 @@ object tokenizer {
     */
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(Bridge.expression(c), merges))
+
+  /** Greedy longest-match subword segmentation with a trained
+    * vocabulary (single code points are always valid fallbacks).
+    */
+  def wordpieceEncode(c: Column, pieces: Seq[String]): Column =
+    Bridge.column(WordPieceEncode(Bridge.expression(c), pieces))
 }

@@ -1110,7 +1110,264 @@ object TextAnalysis {
        |) WHERE rnk <= 25 ORDER BY rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q167: bigram-LM surprisal scoring — q109's quality gate upgraded
+  // from a unigram statistic to a CONDITIONAL model, the shape of
+  // CCNet/KenLM perplexity filtering: score each document by how
+  // surprising its token TRANSITIONS are under a bigram model
+  // trained on the corpus itself. Exact-int64 portability (the q109
+  // move): -log p(w2|w1) is replaced by the Laplace-smoothed inverse
+  // conditional frequency in 4-dp fixed point,
+  //   sp_e4 = ((c1(w1) + V) * 10000) div (c12(w1,w2) + 1),
+  // which is monotone in 1/p̂(w2|w1), so rare-transition-heavy
+  // documents score high exactly as under a float log — and both
+  // engines agree bit-for-bit. Envelope: (c1+V)*10000 needs c1+V <
+  // 9e14 — corpus token count, safe far past 100 TB of text.
+  // Plan: bigrams explode ARRAY-SIDE (slice+zip over the word array
+  // — no window, no per-doc shuffle); one corpus pass builds the
+  // bigram/context tables (map-side combined, vocab²-bounded); the
+  // scoring pass joins them BROADCAST. At 100 TB the bigram table
+  // outgrows a broadcast: the same joins shuffle on (w1[, w2]) and
+  // nothing else changes.
+  // ---------------------------------------------------------------
+  def q167BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bg = documents(s, dir)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(MEMORY_AND_DISK) // feeds c1, v, and the scoring join
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.agg(countDistinct(col("w2")).as("v"))
+    val perDoc = bg
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("sp_e4", expr("((c1 + v) * 10000) div (c12 + 1)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("sp_e4")).as("sum_sp"))
+    // high-surprisal flag: avg sp > 31.0 (p75 of the per-doc range —
+    // the cutoff separates; all-int64 comparison)
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_bigrams"),
+        Relational.ratio4(sum(col("sum_sp")), sum(col("n_bg"))).as("avg_sp4"),
+        sum((col("sum_sp") > col("n_bg") * 310000L).cast("long")).as("n_high"))
+      .orderBy("lang")
+  }
+
+  val q167Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+      |), bg AS (
+      |  SELECT doc_id, lang, ws[CAST(i+1 AS INT)] AS w1,
+      |    ws[CAST(i+2 AS INT)] AS w2
+      |  FROM toks, unnest(range(len(ws) - 1)) t(i)
+      |), c12 AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+      |), vv AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM c12),
+      |scored AS (
+      |  SELECT b.doc_id, b.lang,
+      |    ((c1.c1 + (SELECT v FROM vv)) * 10000) // (c12.c12 + 1) AS sp_e4
+      |  FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |), per_doc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_bg,
+      |    CAST(SUM(sp_e4) AS BIGINT) AS sum_sp
+      |  FROM scored GROUP BY 1, 2
+      |)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+      |  ((20000*CAST(SUM(sum_sp) AS BIGINT) + CAST(SUM(n_bg) AS BIGINT))
+      |    // (2*CAST(SUM(n_bg) AS BIGINT))) / 10000.0 AS avg_sp4,
+      |  CAST(SUM(CASE WHEN sum_sp > n_bg * 310000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_high
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q168: rank-difference quality classifier — the fastText/DCLM
+  // filter shape: train per-class token statistics on a labeled seed
+  // (positive = lang 'en', negative = the rest), score every
+  // document by accumulated per-token evidence, threshold into a
+  // keep decision, and report the (source, actual, predicted)
+  // confusion census. Exact-int64 portability (the q109 move):
+  // Naive-Bayes log-odds log p̂(w|pos) - log p̂(w|neg) is replaced by
+  // the FREQUENCY-RANK difference rank_pos(w) - rank_neg(w) — by
+  // Zipf, rank is monotone in -log p̂, so tokens typical of the
+  // positive corpus contribute negative evidence just as their
+  // log-odds would, and every number is an integer. A token unseen
+  // in a class gets rank |V_class|+1 (the +1-smoothing analog). The
+  // decision rule (10·score < -n_toks, i.e. mean rank-diff < -0.1)
+  // and the census sums are pure int64 — no division anywhere, so no
+  // floor-vs-truncate hazard on the NEGATIVE scores (ADVICE r4's
+  // ewma caveat is structural here, hence sums, not ratios).
+  // Plan: two vocab-sized rank tables (per-class window over |V|
+  // rows, never the corpus), both BROADCAST into one corpus scoring
+  // pass. At 100 TB the vocab tables are ~millions of rows — still
+  // broadcastable; past that the scoring join shuffles on `w` and
+  // nothing else changes.
+  // ---------------------------------------------------------------
+  def q168RankClassifier(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(words(col("text"))).as("w"))
+    def rankTable(flt: Column): DataFrame = toks.filter(flt)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      .select(col("w"), col("r"))
+    val pos = rankTable(col("lang") === "en")
+    val neg = rankTable(col("lang") =!= "en")
+    val vp = pos.agg(count(lit(1)).as("vp"))
+    val vn = neg.agg(count(lit(1)).as("vn"))
+    val perDoc = toks
+      .join(broadcast(pos.withColumnRenamed("r", "rp")), Seq("w"), "left")
+      .join(broadcast(neg.withColumnRenamed("r", "rn")), Seq("w"), "left")
+      .crossJoin(broadcast(vp)).crossJoin(broadcast(vn))
+      .withColumn("d",
+        coalesce(col("rp"), col("vp") + 1L) - coalesce(col("rn"), col("vn") + 1L))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum(col("d")).as("score"), count(lit(1)).as("n_toks"))
+    perDoc.groupBy(col("source"),
+        (col("lang") === "en").cast("long").as("actual_en"),
+        (col("score") * 10L < -col("n_toks")).cast("long").as("pred_en"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("sum_rankdiff"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy("source", "actual_en", "pred_en")
+  }
+
+  val q168Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), pos_rank AS (
+      |  SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS r
+      |  FROM toks WHERE lang = 'en' GROUP BY w
+      |), neg_rank AS (
+      |  SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS r
+      |  FROM toks WHERE lang <> 'en' GROUP BY w
+      |), vp AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pos_rank),
+      |vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM neg_rank),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, t.source,
+      |    coalesce(p.r, (SELECT v FROM vp) + 1)
+      |      - coalesce(n.r, (SELECT v FROM vn) + 1) AS d
+      |  FROM toks t LEFT JOIN pos_rank p USING (w)
+      |    LEFT JOIN neg_rank n USING (w)
+      |), per_doc AS (
+      |  SELECT doc_id, lang, source, CAST(SUM(d) AS BIGINT) AS score,
+      |    COUNT(*) AS n_toks
+      |  FROM scored GROUP BY 1, 2, 3
+      |)
+      |SELECT source, CAST(lang = 'en' AS BIGINT) AS actual_en,
+      |  CAST(score * 10 < -n_toks AS BIGINT) AS pred_en,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(score) AS BIGINT) AS sum_rankdiff,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |FROM per_doc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q169: WordPiece tokenizer APPLY — the OTHER tokenizer-inference
+  // family next to q162's BPE merge replay: greedy longest-match
+  // segmentation against a trained subword vocabulary (the
+  // WordPiece/SentencePiece inference rule, minus the continuation-
+  // prefix bookkeeping). Train: top-15 character bigrams + top-10
+  // trigrams by corpus-weighted frequency (q111's counting, per
+  // piece length); single code points are always valid fallbacks, so
+  // segmentation is total. The vocab is collected to the driver ON
+  // PURPOSE (a tokenizer vocabulary is a trained artifact, ~30k
+  // pieces real-world) and ships inside the codegen'd
+  // WordPieceEncode expression — O(1) hash membership per candidate,
+  // zero joins. Apply runs over the DISTINCT-word table weighted by
+  // count (the |V|-not-|corpus| optimization), so the plan is one
+  // corpus pass -> vocab aggregate -> codegen'd encode -> explode ->
+  // token census. Joinless; pinned in PlanQualitySpec. Oracle: same
+  // vocab derived in SQL, segmentation replayed by a recursive CTE
+  // that advances a cursor by the longest matching piece
+  // (trigram-first, matching the kernel's longest-match order).
+  // ---------------------------------------------------------------
+  def q169WordpieceApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wc = documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(MEMORY_AND_DISK)
+    def topPieces(len: Int, k: Int): Seq[String] = wc
+      .filter(length(col("w")) >= len)
+      .select(col("c"),
+        explode(transform(sequence(lit(1), length(col("w")) - (len - 1)),
+          i => col("w").substr(i, lit(len)))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("piece")).limit(k)
+      .collect().toSeq.map(_.getString(0))
+    val vocab = topPieces(2, 15) ++ topPieces(3, 10)
+    val enc = wc.select(col("w"), col("c"),
+      graft.functions.tokenizer.wordpieceEncode(col("w"), vocab).as("toks"))
+    enc.select(col("w"), col("c"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_occ"), countDistinct(col("w")).as("n_forms"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n_occ").desc, col("token"))).cast("long"))
+      .filter(col("rnk") <= 25)
+      .select(col("rnk"), col("token"), col("n_occ"), col("n_forms"))
+      .orderBy("rnk")
+  }
+
+  val q169Sql: String =
+    """WITH RECURSIVE wc AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w
+      |), cand AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS piece,
+      |    CAST(SUM(c) AS BIGINT) AS n, 2 AS len
+      |  FROM wc, unnest(range(1, length(w))) t(i) WHERE length(w) >= 2
+      |  GROUP BY 1
+      |  UNION ALL
+      |  SELECT substr(w, CAST(i AS INT), 3) AS piece,
+      |    CAST(SUM(c) AS BIGINT) AS n, 3 AS len
+      |  FROM wc, unnest(range(1, length(w) - 1)) t(i) WHERE length(w) >= 3
+      |  GROUP BY 1
+      |), vocab AS (
+      |  SELECT piece FROM (
+      |    SELECT piece, len,
+      |      row_number() OVER (PARTITION BY len ORDER BY n DESC, piece) AS rk
+      |    FROM cand) WHERE (len = 2 AND rk <= 15) OR (len = 3 AND rk <= 10)
+      |), seg AS (
+      |  SELECT w, c, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM wc
+      |  UNION ALL
+      |  SELECT w, c, pos + length(piece), toks || [piece] FROM (
+      |    SELECT w, c, pos, toks,
+      |      coalesce(
+      |        CASE WHEN EXISTS (SELECT 1 FROM vocab v
+      |               WHERE v.piece = substr(seg.w, CAST(seg.pos AS INT), 3))
+      |             THEN substr(w, CAST(pos AS INT), 3) END,
+      |        CASE WHEN EXISTS (SELECT 1 FROM vocab v
+      |               WHERE v.piece = substr(seg.w, CAST(seg.pos AS INT), 2))
+      |             THEN substr(w, CAST(pos AS INT), 2) END,
+      |        substr(w, CAST(pos AS INT), 1)) AS piece
+      |    FROM seg WHERE pos <= length(w))
+      |), fin AS (
+      |  SELECT w, c, toks FROM seg WHERE pos = length(w) + 1
+      |), ex AS (SELECT w, c, unnest(toks) AS token FROM fin)
+      |SELECT rnk, token, n_occ, n_forms FROM (
+      |  SELECT token, CAST(SUM(c) AS BIGINT) AS n_occ,
+      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_forms,
+      |    row_number() OVER (ORDER BY SUM(c) DESC, token) AS rnk
+      |  FROM ex GROUP BY token
+      |) WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_bigram_surprisal" -> q167BigramSurprisal _,
+    "q168_rank_classifier" -> q168RankClassifier _,
+    "q169_wordpiece_apply" -> q169WordpieceApply _,
     "q162_bpe_apply" -> q162BpeApply _,
     "q156_word_concentration" -> q156WordConcentration _,
     "q147_dedup_yield" -> q147DedupYield _,
@@ -1134,6 +1391,9 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q167_bigram_surprisal" -> q167Sql,
+    "q168_rank_classifier" -> q168Sql,
+    "q169_wordpiece_apply" -> q169Sql,
     "q162_bpe_apply" -> q162Sql,
     "q156_word_concentration" -> q156Sql,
     "q147_dedup_yield" -> q147Sql,

@@ -319,6 +319,47 @@ class ApiSpec extends SparkSpec {
     assert(api.except(q163).count() === 0 && q163.except(api).count() === 0)
   }
 
+  test("bigramSurprisal agrees with the oracle-gated q167 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.bigramSurprisal(docs, "doc_id", "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sum_sp_e4")).as("__s"),
+        sum((col("sum_sp_e4") > col("n_bigrams") * 310000L).cast("long"))
+          .as("n_high"))
+      .withColumn("avg_sp4", // the queries' half-up 4-dp ratio idiom
+        expr("(20000 * __s + n_bigrams) div (2 * n_bigrams)") / 10000.0)
+      .select("lang", "n_docs", "n_bigrams", "avg_sp4", "n_high")
+    val q167 = SparkEntry.queries("q167_bigram_surprisal")(spark, dir)
+    assert(api.except(q167).count() === 0 && q167.except(api).count() === 0)
+  }
+
+  test("rankClassifierScore agrees with the oracle-gated q168 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.rankClassifierScore(docs, "doc_id", "text",
+        col("lang") === "en")
+      .groupBy(col("source"), (col("lang") === "en").cast("long").as("actual_en"),
+        col("pred_positive").cast("long").as("pred_en"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_rankdiff"),
+        sum(col("n_toks")).as("n_tokens"))
+    val q168 = SparkEntry.queries("q168_rank_classifier")(spark, dir)
+    assert(api.except(q168).count() === 0 && q168.except(api).count() === 0)
+  }
+
+  test("wordpieceTokens agrees with the oracle-gated q169 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    // per-word encode (the q169 census path) == per-doc flatten apply
+    val api = ops.wordpieceTokens(docs, "text")
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occ_docs"))
+    val q169 = SparkEntry.queries("q169_wordpiece_apply")(spark, dir)
+      .select(col("token"), col("n_occ"))
+    // q169 keeps top-25 by weighted count; the API must agree there
+    val joined = q169.join(api, Seq("token"), "left")
+    assert(joined.filter(col("n_occ") =!= col("n_occ_docs")).count() === 0)
+    assert(joined.filter(col("n_occ_docs").isNull).count() === 0)
+  }
+
   test("clusterByZOrder yields disjoint ordered z-ranges per partition") {
     val df = Tables.orders(spark, dir).select(
       round(col("o_totalprice") * 100).cast("long").as("cents"),

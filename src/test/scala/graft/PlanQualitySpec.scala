@@ -521,4 +521,32 @@ class PlanQualitySpec extends SparkSpec {
     // vocab comes from the persisted word-count frame, not a rescan
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
+
+  test("q167: bigram scoring joins broadcast the LM tables, no sort-merge") {
+    val p = plan("q167_bigram_surprisal")
+    // c12, c1, and the V scalar all ride broadcasts into one
+    // corpus scoring pass; a SortMergeJoin would mean the corpus
+    // shuffled against its own vocab statistics
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the V scalar
+    assert(!p.contains("SortMergeJoin"), p)
+    // bigrams explode array-side: no window exchange keyed by doc
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q168: classifier scoring pass broadcasts both class rank tables") {
+    val p = plan("q168_rank_classifier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q169: wordpiece apply is the native kernel over the vocab, joinless") {
+    val p = plan("q169_wordpiece_apply")
+    // the vocabulary rides inside the codegen'd expression — a plan
+    // with a join would mean the vocab shuffle came back
+    assert(p.contains("wordpiece_encode"), p)
+    assert(!p.contains("Join"), p)
+    // apply runs over the persisted distinct-word frame, not a rescan
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
 }
