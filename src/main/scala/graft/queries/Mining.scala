@@ -235,6 +235,77 @@ object Mining {
       |ORDER BY cnt DESC, token""".stripMargin
 
   // ---------------------------------------------------------------
+  // q170: COUNT-MIN point-frequency estimation — the fourth sketch
+  // family member (`functions/CountMin.scala`) next to Misra-Gries
+  // (candidate set, q102), HLL (cardinality, q105), and Bloom
+  // (membership, q51): one O(d·w)-state typed Aggregator pass builds
+  // the counter matrix; any key's frequency estimate is the MIN over
+  // its d row counters. Unlike MG/HLL, every CMS transition is a
+  // pure counter ADD, so the sketch is merge-order-INDEPENDENT —
+  // bit-identical under any partitioning — which lets this query
+  // hash-gate the ESTIMATES themselves (not just guarantee flags):
+  // the oracle rebuilds the counter matrix from the exact counts
+  // (sum per (row, md5-bucket) — additivity means corpus-order and
+  // count-weighted construction agree exactly) and takes the same
+  // min. Sized d=4, w=16 < |V| ON PURPOSE so collisions actually
+  // exercise the estimator (real deployments size w = e/ε in the
+  // thousands); est - cnt >= 0 by construction (upper-bound sketch),
+  // and here every value is deterministic, so the overcount column
+  // is gated exactly too. The rank window runs over the vocab-sized
+  // counts frame, never the corpus.
+  // ---------------------------------------------------------------
+  private val CmD = 4
+  private val CmW = 16
+
+  def q170CountminEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, dir)
+      .select(explode(words(col("text"))).as("token")).as[String]
+    val sketch = toks.select(
+      new graft.functions.CountMin(CmD, CmW).toColumn.name("cm"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = counts.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .filter(col("rnk") <= 20)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est", (0 until CmD).map { j =>
+        element_at(col("cm"),
+          (Hashing.hash28(concat(lit(s"cm$j:"), col("token"))) % CmW)
+            .cast("int") + lit(j * CmW) + 1)
+      }.reduce(least(_, _)))
+      .select(col("rnk"), col("token"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy("rnk")
+  }
+
+  val q170Sql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |), c AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token
+       |), rws AS (SELECT CAST(j AS BIGINT) AS j FROM unnest(range($CmD)) r(j)),
+       |bk AS (
+       |  SELECT j,
+       |    CAST('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || ':' || token), 1, 7)
+       |      AS BIGINT) % $CmW AS b,
+       |    CAST(SUM(cnt) AS BIGINT) AS s
+       |  FROM c CROSS JOIN rws GROUP BY 1, 2
+       |), top AS (
+       |  SELECT token, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+       |  FROM c QUALIFY rnk <= 20
+       |), e AS (
+       |  SELECT rnk, top.token, top.cnt, MIN(s) AS est
+       |  FROM top CROSS JOIN rws r JOIN bk ON bk.j = r.j
+       |    AND bk.b = CAST('0x' ||
+       |      substr(md5('cm' || CAST(r.j AS VARCHAR) || ':' || top.token), 1, 7)
+       |      AS BIGINT) % $CmW
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT rnk, token, cnt, est, est - cnt AS overcount
+       |FROM e ORDER BY rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   // q114: market-basket pair mining — frequent-itemset support and
   // lift at the pair level (the first level of an FP-growth / apriori
   // pass), over orders as baskets and parts as items. The pair
@@ -829,6 +900,7 @@ object Mining {
       |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_countmin_est" -> q170CountminEst _,
     "q165_label_prop_rounds" -> q165LabelPropRounds _,
     "q161_connected_components" -> q161ConnectedComponents _,
     "q157_label_propagation" -> q157LabelPropagation _,
@@ -842,6 +914,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q170_countmin_est" -> q170Sql,
     "q165_label_prop_rounds" -> q165Sql,
     "q161_connected_components" -> q161Sql,
     "q157_label_propagation" -> q157Sql,

@@ -1364,7 +1364,91 @@ object Vectors {
        |) ORDER BY part, k""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q171: MATRYOSHKA truncation-recall curve — the eval behind
+  // MRL-style dimension truncation (Kusupati et al. 2022): serve
+  // top-k with only the first 16/32 of 64 embedding dims and measure
+  // how much of the full-dim exact top-5 survives, as a recall@5
+  // histogram PER PREFIX WIDTH. This is the accuracy-side of the
+  // cost knob q63 (int8 quantization) measures on the storage side:
+  // a prefix slice cuts scan bytes 4x/2x with NO re-embedding, and
+  // this harness says what it costs in neighbor fidelity. Shape is
+  // q117's recall harness with the probe side swapped for sliced
+  // vectors: query side broadcast (|corpus|/100 rows), cosine on the
+  // SLICED raw vectors (slice-then-normalize — truncated cosine, not
+  // a slice of the full-vector normalization), 4-dp-rounded with the
+  // vec_id tiebreak (q27's determinism convention). The shared
+  // projection and the full-dim truth set are persisted once (the
+  // q114/q135 convention); each prefix adds one broadcast join + one
+  // per-query aggregate.
+  // ---------------------------------------------------------------
+  def q171MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), emb(col("embedding")).as("v"))
+      .persist(MEMORY_AND_DISK)
+    def topk(dims: Int): DataFrame = {
+      val proj = if (dims >= 64) col("v") else slice(col("v"), 1, dims)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), proj.as("qv"))
+      val c = e.select(col("vec_id"), proj.as("cv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+        .withColumn("cos_r", round(
+          dot(col("qv"), col("cv")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))),
+          4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val exact = topk(64).persist(MEMORY_AND_DISK)
+    def recallOf(dims: Int): DataFrame = {
+      val hits = exact.join(topk(dims), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(lit(dims.toLong).as("dims"),
+          coalesce(col("h"), lit(0L)).as("n_hits"))
+    }
+    recallOf(16).unionByName(recallOf(32))
+      .groupBy(col("dims"), col("n_hits"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("dims", "n_hits")
+  }
+
+  val q171Sql: String = {
+    def topkSql(name: String, proj: String): String =
+      s"""$name AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ROUND(list_cosine_similarity(
+         |          CAST(${proj.replace("%", "q.embedding")} AS DOUBLE[]),
+         |          CAST(${proj.replace("%", "e.embedding")} AS DOUBLE[])), 4)
+         |          DESC, e.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+         |    WHERE q.vec_id % 100 = 0
+         |  ) WHERE rank <= 5)""".stripMargin
+    def recallSql(dims: Int): String =
+      s"""SELECT $dims AS dims, n_hits, COUNT(*) AS n_queries FROM (
+         |  SELECT DISTINCT ex.q_id, COALESCE(h.h, 0) AS n_hits
+         |  FROM ex LEFT JOIN (
+         |    SELECT ex.q_id, COUNT(*) AS h
+         |    FROM ex JOIN t$dims ON ex.q_id = t$dims.q_id
+         |      AND ex.vec_id = t$dims.vec_id
+         |    GROUP BY ex.q_id) h ON ex.q_id = h.q_id
+         |) GROUP BY n_hits""".stripMargin
+    s"""WITH ${topkSql("ex", "%")},
+       |${topkSql("t16", "list_slice(%, 1, 16)")},
+       |${topkSql("t32", "list_slice(%, 1, 32)")}
+       |SELECT * FROM (${recallSql(16)} UNION ALL ${recallSql(32)})
+       |ORDER BY dims, n_hits""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_matryoshka_recall" -> q171MatryoshkaRecall _,
     "q163_kmeans_converge" -> q163KmeansConverge _,
     "q160_embedding_correlation" -> q160EmbeddingCorrelation _,
     "q155_hard_negatives" -> q155HardNegatives _,
@@ -1386,6 +1470,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q171_matryoshka_recall" -> q171Sql,
     "q163_kmeans_converge" -> q163Sql,
     "q160_embedding_correlation" -> q160Sql,
     "q155_hard_negatives" -> q155Sql,

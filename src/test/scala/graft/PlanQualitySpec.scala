@@ -540,6 +540,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q170: sketch rides one broadcast; rank window is vocab-sized") {
+    val p = plan("q170_countmin_est")
+    // the d×w counter matrix is ONE broadcast row against the
+    // vocab-sized top-20 frame — the corpus is scanned for the
+    // sketch aggregate and the counts aggregate, never joined
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
+  }
+
+  test("q171: every truncation probe keeps the query side broadcast") {
+    val p = plan("q171_matryoshka_recall")
+    // 3 top-k passes (full, 16, 32): each joins the 1%-sampled query
+    // side broadcast against the shared persisted projection; rank
+    // windows are per-query, never global
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("q169: wordpiece apply is the native kernel over the vocab, joinless") {
     val p = plan("q169_wordpiece_apply")
     // the vocabulary rides inside the codegen'd expression — a plan
