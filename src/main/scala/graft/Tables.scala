@@ -18,15 +18,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is nanosecond-precision parquet, which Spark's timestamp
-    * type (µs) cannot hold; read nanos as long (legacy conf) and truncate
-    * to a µs timestamp — the same truncation DuckDB applies, so oracle
-    * comparisons agree.
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations: int64 NANOSECONDS (read as long via the legacy conf,
+    * truncated to µs — the same truncation DuckDB applies) and plain
+    * timestamp[us] (no isAdjustedToUTC, which Spark reads as
+    * TIMESTAMP_NTZ). Normalize both to TimestampType: the session
+    * timezone is pinned to UTC everywhere (Verify/Bench/specs), so the
+    * NTZ→timestamp cast is value-preserving and every downstream
+    * consumer (window(), session_window, unix_millis) sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   /** The testdata parquet files are written as a single row group, so
     * byte-range file splitting cannot parallelize the scan: every
