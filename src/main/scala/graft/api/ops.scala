@@ -763,6 +763,58 @@ object ops {
     (labels.select(col("__node").as("id"), col("__lbl").as("component")), rounds)
   }
 
+  /** Multi-source BFS to frontier exhaustion (q172's parameterized
+    * form): hop distances from a seed predicate over an undirected
+    * edge set — Pregel-style message passing where per-round work is
+    * proportional to the FRONTIER, not the node set. Per hop: one
+    * node-keyed edge join (the edge list is repartitioned by node
+    * once before the persist, so hops reuse that co-location — the
+    * bucketing shape at 100 TB), one anti-join against the monotone
+    * visited accumulator, and a localCheckpoint(eager) whose single
+    * materialization serves the frontier-empty stop probe, the
+    * visited union, and the next hop (reliable checkpoint() on a
+    * cluster). Nodes in seedless components come back dist = -1.
+    * Returns the (id, dist) frame and the hop count (the final hop
+    * is the empty probe).
+    */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+      isSeed: Column => Column, maxHops: Int = 40,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nbrs = edges.select(col(src).as("__node"), col(dst).as("__nbr"))
+      .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
+      .filter(col("__node") =!= col("__nbr"))
+      .repartition(col("__node"))
+      .persist(MEMORY_AND_DISK)
+    val nodes = nbrs.select(col("__node")).distinct().localCheckpoint(true)
+    var visited = nodes.filter(isSeed(col("__node")))
+      .select(col("__node"), lit(0L).as("__dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("__node"))
+    var hop = 0
+    var exhausted = false
+    while (!exhausted && hop < maxHops) {
+      hop += 1
+      val fresh = nbrs.join(frontier, "__node")
+        .select(col("__nbr").as("__node")).distinct()
+        .join(visited, Seq("__node"), "left_anti")
+        .select(col("__node"), lit(hop.toLong).as("__dist"))
+        .localCheckpoint(true)
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        visited = visited.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh.select(col("__node"))
+      }
+      probe(hop, visited)
+    }
+    nbrs.unpersist(blocking = false)
+    require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
+    val dist = nodes.join(visited, Seq("__node"), "left")
+      .select(col("__node").as("id"),
+        coalesce(col("__dist"), lit(-1L)).as("dist"))
+    (dist, hop)
+  }
+
   /** Lloyd's k-means to a reassignment-threshold stop (q163's
     * parameterized form). Centroids are DRIVER state — model
     * parameters, k × dims doubles, control-plane-sized at any corpus

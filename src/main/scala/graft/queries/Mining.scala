@@ -873,6 +873,94 @@ object Mining {
        |ORDER BY init_label, final_label""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q172: multi-source BFS to FRONTIER EXHAUSTION — the third
+  // convergence discipline next to q161 (whole-table fixpoint with
+  // pointer jumping) and q163 (driver-held model state): Pregel-style
+  // message passing where per-round work is proportional to the
+  // FRONTIER, not the node set. Seeds = node % 97 == 0 on the q161
+  // sparsified graph; per hop the frontier expands one edge-join,
+  // anti-joins the visited set (monotone accumulator), and the loop
+  // stops when a hop yields ZERO fresh nodes — the frontier-empty
+  // predicate every 100-TB BFS/reachability job stops on (influence
+  // radius, taint propagation, recall-graph expansion). Hygiene is
+  // ccLoop's: the fresh frame is localCheckpoint(eager)-ed so ONE
+  // materialization serves the emptiness probe, the visited union,
+  // and the next hop's expansion; visited is re-checkpointed per
+  // round so the plan never grows (reliable checkpoint() on a
+  // cluster). The edge list is repartitioned by node BEFORE the
+  // persist, so every hop's frontier join reuses that co-location
+  // instead of re-exchanging edges (bucketing at 100 TB). Components
+  // with no seed stay unreached on purpose — dist = -1 exercises the
+  // unreachable branch. Oracle: recursive-CTE reachability with a
+  // bounded hop column, MIN(d) per node.
+  // ---------------------------------------------------------------
+  private[graft] def bfsLoop(s: SparkSession, dir: String,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = sparseUnd(s, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node")) // co-locate once; every hop joins on node
+      .persist(MEMORY_AND_DISK)
+    val nodes = nbrs.select(col("node")).distinct().localCheckpoint(true)
+    var visited = nodes.filter(col("node") % 97L === 0L)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    val maxHops = 40 // guard: fail loudly, never spin
+    var hop = 0
+    var exhausted = false
+    while (!exhausted && hop < maxHops) {
+      hop += 1
+      val fresh = nbrs.join(frontier, "node")
+        .select(col("nbr").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("dist"))
+        .localCheckpoint(true) // one materialization: probe + union + next hop
+      exhausted = fresh.isEmpty
+      if (!exhausted) {
+        visited = visited.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh.select(col("node"))
+      }
+      probe(hop, visited)
+    }
+    require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
+    nbrs.unpersist(blocking = false)
+    val dist = nodes.join(visited, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    (dist, hop)
+  }
+
+  def q172BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val (dist, _) = bfsLoop(s, dir)
+    dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy("dist")
+  }
+
+  val q172Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), sp AS (SELECT a, b FROM und WHERE (a*131 + b*17) % 32 = 0),
+      |bi AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+      |nodes AS (SELECT DISTINCT a AS node FROM bi),
+      |reach(v, d) AS (
+      |  SELECT node, 0 FROM nodes WHERE node % 97 = 0
+      |  UNION
+      |  SELECT bi.b, r.d + 1 FROM reach r JOIN bi ON r.v = bi.a WHERE r.d < 40
+      |), dist AS (SELECT v, MIN(d) AS d FROM reach GROUP BY v)
+      |SELECT COALESCE(d.d, -1) AS dist, COUNT(*) AS n_nodes,
+      |  MIN(n.node) AS min_node
+      |FROM nodes n LEFT JOIN dist d ON d.v = n.node
+      |GROUP BY 1 ORDER BY dist""".stripMargin
+
   def q161ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = ccLoop(s, dir)
     labels.groupBy(col("lbl").as("cluster"))
@@ -900,6 +988,7 @@ object Mining {
       |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_bfs_hops" -> q172BfsHops _,
     "q170_countmin_est" -> q170CountminEst _,
     "q165_label_prop_rounds" -> q165LabelPropRounds _,
     "q161_connected_components" -> q161ConnectedComponents _,
@@ -914,6 +1003,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q172_bfs_hops" -> q172Sql,
     "q170_countmin_est" -> q170Sql,
     "q165_label_prop_rounds" -> q165Sql,
     "q161_connected_components" -> q161Sql,

@@ -302,6 +302,16 @@ class ApiSpec extends SparkSpec {
     assert(api.except(q161).count() === 0 && q161.except(api).count() === 0)
   }
 
+  test("bfsDistances agrees with the oracle-gated q172 pipeline") {
+    val und = graft.queries.Mining.sparseUnd(spark, dir)
+    val (dist, hops) = ops.bfsDistances(und, "a", "b", _ % 97L === 0L)
+    assert(hops > 0 && hops < 40, s"hops=$hops")
+    val api = dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+    val q172 = SparkEntry.queries("q172_bfs_hops")(spark, dir)
+    assert(api.except(q172).count() === 0 && q172.except(api).count() === 0)
+  }
+
   test("kmeansToConvergence agrees with the oracle-gated q163 pipeline") {
     val s = spark
     import s.implicits._

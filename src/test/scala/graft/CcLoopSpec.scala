@@ -55,6 +55,50 @@ class CcLoopSpec extends SparkSpec {
     assert(n == 500L) // sf0.01 embeddings corpus, fully assigned
   }
 
+  test("bfs loop: exhausts the frontier with a data-driven hop count within the guard") {
+    val (dist, hops) = graft.queries.Mining.bfsLoop(spark, dir)
+    // >2: the loop genuinely expands multiple hops; <40: the guard
+    // was never the stop reason (the final hop is the empty probe)
+    assert(hops > 2 && hops < 40, s"hops=$hops")
+    import org.apache.spark.sql.functions._
+    // every distance is either -1 (seedless component) or < hops
+    val bad = dist.filter(col("dist") < -1L || col("dist") >= hops.toLong)
+    assert(bad.isEmpty)
+  }
+
+  test("bfs loop: lineage does not grow across hops (localCheckpoint pin)") {
+    val plans = ArrayBuffer.empty[(Int, Int)]
+    def depth(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    graft.queries.Mining.bfsLoop(spark, dir, (h, visited) => plans += (h -> depth(visited)))
+    // the visited accumulator is re-checkpointed per hop: every hop
+    // observes a flat LogicalRDD(+Project), not a growing union tree
+    val depths = plans.map(_._2).distinct
+    assert(depths.size == 1, s"plan depth varies across hops: $plans")
+    assert(depths.head <= 3, s"visited plan deeper than LogicalRDD+Project: $plans")
+  }
+
+  test("bfs loop: distances are a BFS fixpoint (triangle inequality on every edge)") {
+    import org.apache.spark.sql.functions._
+    val (dist, _) = graft.queries.Mining.bfsLoop(spark, dir)
+    val und = graft.queries.Mining.sparseUnd(spark, dir)
+    val edges = und
+      .join(dist.select(col("node").as("a"), col("dist").as("da")), "a")
+      .join(dist.select(col("node").as("b"), col("dist").as("db")), "b")
+    // adjacent reached nodes differ by at most one hop; a reached node
+    // adjacent to an unreached one is impossible (BFS would reach it)
+    val badPair = edges.filter(
+      (col("da") >= 0L && col("db") >= 0L &&
+        abs(col("da") - col("db")) > 1L) ||
+      (col("da") >= 0L) =!= (col("db") >= 0L))
+    assert(badPair.isEmpty, "an edge violates the BFS distance fixpoint")
+    // seeds are exactly the dist-0 set
+    val seedsWrong = dist.filter(
+      (col("node") % 97L === 0L && col("dist") =!= 0L) ||
+      (col("node") % 97L =!= 0L && col("dist") === 0L))
+    assert(seedsWrong.isEmpty)
+  }
+
   test("cc loop: final labels are a fixpoint (one more round changes nothing)") {
     import org.apache.spark.sql.functions._
     val (labels, _) = graft.queries.Mining.ccLoop(spark, dir)
