@@ -763,6 +763,36 @@ object ops {
     (labels.select(col("__node").as("id"), col("__lbl").as("component")), rounds)
   }
 
+  /** One-pass multi-pattern blocklist audit (q173's parameterized
+    * form): per-needle occurrence totals and docs-hit over a text
+    * column via the compiled Aho-Corasick expression
+    * (`functions/MultiMatch.scala`) — the corpus is read ONCE for the
+    * whole needle set, never once per needle. Overlapping and nested
+    * matches all count (position-scan semantics). Scale shape: one
+    * kernel evaluation per row fanned into per-needle columns (no
+    * row-multiplying explode), one partially-aggregated global pass.
+    */
+  def blocklistAudit(df: DataFrame, text: String,
+      needles: Seq[String]): DataFrame = {
+    val ids = needles.indices
+    val perDoc = df
+      .select(graft.functions.scrub
+        .multiMatchCount(col(text), needles).as("__c"))
+      .select(ids.map(i => element_at(col("__c"), i + 1).as(s"__m$i")): _*)
+    val aggs = ids.flatMap(i => Seq(
+      sum(col(s"__m$i")).as(s"__s$i"),
+      count(when(col(s"__m$i") > 0L, 1)).as(s"__d$i")))
+    val rows = array(ids.map(i => struct(
+      lit(i.toLong).as("needle_id"),
+      lit(needles(i)).as("needle"),
+      col(s"__d$i").as("n_docs"),
+      col(s"__s$i").as("n_matches"))): _*)
+    perDoc.agg(aggs.head, aggs.tail: _*)
+      .select(explode(rows).as("__r"))
+      .select(col("__r.needle_id"), col("__r.needle"),
+        col("__r.n_docs"), col("__r.n_matches"))
+  }
+
   /** Multi-source BFS to frontier exhaustion (q172's parameterized
     * form): hop distances from a seed predicate over an undirected
     * edge set — Pregel-style message passing where per-round work is

@@ -1364,7 +1364,82 @@ object TextAnalysis {
       |  FROM ex GROUP BY token
       |) WHERE rnk <= 25 ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q173: MULTI-PATTERN blocklist scan — the one-pass Aho-Corasick
+  // needle audit (`functions/MultiMatch.scala`) behind every
+  // blocklist/PII/compliance scrub: per-needle total occurrences and
+  // docs-hit over the corpus with the text read ONCE, where the
+  // naive form re-reads the 100-TB corpus once per needle (regex or
+  // replace per blocklist entry). Needles are config (a blocklist),
+  // compiled into the expression at construction — no joins. The
+  // per-doc count vector aggregates through a bounded ×|needles|
+  // posexplode (q130's bounded-explode shape), partially aggregated
+  // before the exchange. Nested needles ("hash join" vs "join")
+  // count independently via the automaton's fail-link output
+  // closure; overlapping occurrences all count — matching the
+  // position-scan oracle exactly.
+  // ---------------------------------------------------------------
+  private[graft] val BlockNeedles: Seq[String] = Seq(
+    "hash join", "join", "sort merge", "fast scan", "slow query",
+    "big table", "small batch", "data stream", "key value",
+    "row group", "window agg", "scan scan")
+
+  def q173BlocklistScan(s: SparkSession, dir: String): DataFrame = {
+    val ids = BlockNeedles.indices
+    // per-needle columns off ONE kernel evaluation per row (the 12-way
+    // element_at fan-out keeps the non-cheap expression un-inlined —
+    // CollapseProject never duplicates a multiply-referenced alias),
+    // then a single global partial-aggregated pass: no row-multiplying
+    // explode over the corpus, and no InferFiltersFromGenerate
+    // re-evaluating the automaton in a pre-generate filter (the trap
+    // the posexplode shape falls into — pinned in PlanQualitySpec)
+    val perDoc = documents(s, dir)
+      .select(graft.functions.scrub
+        .multiMatchCount(col("text"), BlockNeedles).as("c"))
+      .select(ids.map(i => element_at(col("c"), i + 1).as(s"m$i")): _*)
+    val aggs = ids.flatMap(i => Seq(
+      sum(col(s"m$i")).as(s"s$i"),
+      count(when(col(s"m$i") > 0L, 1)).as(s"d$i")))
+    val rows = array(ids.map(i => struct(
+      lit(i.toLong).as("needle_id"),
+      lit(BlockNeedles(i)).as("needle"),
+      col(s"d$i").as("n_docs"),
+      col(s"s$i").as("n_matches"))): _*)
+    perDoc.agg(aggs.head, aggs.tail: _*)
+      .select(explode(rows).as("r"))
+      .select(col("r.needle_id"), col("r.needle"),
+        col("r.n_docs"), col("r.n_matches"))
+      .orderBy("needle_id")
+  }
+
+  val q173Sql: String = {
+    val values = BlockNeedles.zipWithIndex
+      .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+    s"""WITH needles AS (
+       |  SELECT CAST(nid AS BIGINT) AS nid, needle
+       |  FROM (VALUES $values) AS t(nid, needle)
+       |), pos AS (
+       |  SELECT CAST(p AS INT) AS p FROM unnest(range(1,
+       |    (SELECT MAX(length(text)) + 1 FROM documents))) t(p)
+       |), hit AS (
+       |  SELECT d.doc_id, n.nid
+       |  FROM documents d CROSS JOIN needles n JOIN pos
+       |    ON pos.p + length(n.needle) - 1 <= length(d.text)
+       |   AND substr(d.text, pos.p, length(n.needle)) = n.needle
+       |), agg AS (
+       |  SELECT nid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_matches
+       |  FROM hit GROUP BY nid
+       |)
+       |SELECT n.nid AS needle_id, n.needle,
+       |  COALESCE(a.n_docs, 0) AS n_docs,
+       |  COALESCE(a.n_matches, 0) AS n_matches
+       |FROM needles n LEFT JOIN agg a ON a.nid = n.nid
+       |ORDER BY needle_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_blocklist_scan" -> q173BlocklistScan _,
     "q167_bigram_surprisal" -> q167BigramSurprisal _,
     "q168_rank_classifier" -> q168RankClassifier _,
     "q169_wordpiece_apply" -> q169WordpieceApply _,
@@ -1391,6 +1466,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q173_blocklist_scan" -> q173Sql,
     "q167_bigram_surprisal" -> q167Sql,
     "q168_rank_classifier" -> q168Sql,
     "q169_wordpiece_apply" -> q169Sql,

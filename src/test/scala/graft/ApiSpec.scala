@@ -302,6 +302,14 @@ class ApiSpec extends SparkSpec {
     assert(api.except(q161).count() === 0 && q161.except(api).count() === 0)
   }
 
+  test("blocklistAudit agrees with the oracle-gated q173 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.blocklistAudit(docs, "text",
+      graft.queries.TextAnalysis.BlockNeedles)
+    val q173 = SparkEntry.queries("q173_blocklist_scan")(spark, dir)
+    assert(api.except(q173).count() === 0 && q173.except(api).count() === 0)
+  }
+
   test("bfsDistances agrees with the oracle-gated q172 pipeline") {
     val und = graft.queries.Mining.sparseUnd(spark, dir)
     val (dist, hops) = ops.bfsDistances(und, "a", "b", _ % 97L === 0L)

@@ -150,6 +150,27 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q173: blocklist scan is one corpus pass — native automaton, no join, two-phase agg") {
+    val p = plan("q173_blocklist_scan")
+    // the needle table is compiled INTO the expression: no join
+    // OPERATOR anywhere (needle literals legitimately contain "join")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .foreach(op => assert(!p.contains(op), p))
+    // one-pass multi-pattern scan, not one regex/contains pass per needle
+    assert(p.contains("multi_match_count"), p)
+    assert(!p.toLowerCase.contains("rlike"), p)
+    // the kernel is evaluated ONCE per row: no InferFiltersFromGenerate
+    // pre-generate filter re-running the automaton, and no generate
+    // over the corpus at all (the only explode is over the 12-row
+    // aggregated result)
+    assert(!p.contains("Filter") ||
+      !p.linesIterator.filter(_.contains("condition"))
+        .exists(_.contains("multi_match_count")), p)
+    // global aggregate is two-phase: partial before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q73/q42: cell assignment is a map stage — no per-vector window, no cartesian") {
     val p73 = plan("q73_kmeans_step")
     assert(!p73.contains("CartesianProduct"), p73)
