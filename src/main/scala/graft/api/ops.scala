@@ -763,6 +763,20 @@ object ops {
     (labels.select(col("__node").as("id"), col("__lbl").as("component")), rounds)
   }
 
+  /** Deterministic per-epoch shard assignment (q174's parameterized
+    * form): shard = h28("ep<epoch>:" || id) mod shards — reproducible
+    * across reruns, reshuffled between epochs, and a pure map stage
+    * (the only shape that survives 100 TB; exact-balance round-robin
+    * needs a global row_number). Adds a `shard` column; balance holds
+    * in expectation — audit it with the q174 query before trusting a
+    * layout.
+    */
+  def epochShard(df: DataFrame, id: String, epoch: Int,
+      shards: Int): DataFrame =
+    df.withColumn("shard",
+      Hashing.hash28(concat(lit(s"ep$epoch:"), col(id).cast("string"))) %
+        lit(shards.toLong))
+
   /** One-pass multi-pattern blocklist audit (q173's parameterized
     * form): per-needle occurrence totals and docs-hit over a text
     * column via the compiled Aho-Corasick expression

@@ -772,7 +772,71 @@ object Curation {
        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q174: EPOCH SHARD layout — the write-side determinism every
+  // training run needs: assign each document to one of S shards per
+  // epoch via a seeded hash (shard = h28("ep<e>:" || doc_id) mod S),
+  // so the assignment is (a) reproducible bit-for-bit across reruns,
+  // (b) a pure MAP stage — the only shape that survives 100 TB (the
+  // exact-balance alternative, row_number round-robin over a global
+  // sort, is a single-partition window at scale), and (c) RESHUFFLED
+  // between epochs (different seed => different co-location, the
+  // property gradient noise decorrelation wants). The audit then
+  // PROVES what hash sharding only promises in expectation: per
+  // (epoch, shard) doc counts, token mass, source diversity, and —
+  // for epoch 2 — how many docs landed with the same shard id as in
+  // epoch 1 (co-location churn, expected n/S per shard). One corpus
+  // scan: both epochs' assignments are columns of the same pass, the
+  // bounded x2 union collapses map-side to 2*S groups.
+  // ---------------------------------------------------------------
+  private val EpochShards = 8
+
+  def q174EpochShards(s: SparkSession, dir: String): DataFrame = {
+    def shard(e: Int): Column =
+      Hashing.hash28(concat(lit(s"ep$e:"), col("doc_id").cast("string"))) %
+        lit(EpochShards.toLong)
+    val a = documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(Hashing.words(col("text"))).cast("long").as("toks"),
+      shard(1).as("sh1"), shard(2).as("sh2"))
+    val u = a.select(lit(1L).as("epoch"), col("sh1").as("shard"),
+        col("source"), col("toks"), lit(0L).as("same"))
+      .unionByName(a.select(lit(2L).as("epoch"), col("sh2").as("shard"),
+        col("source"), col("toks"),
+        when(col("sh1") === col("sh2"), 1L).otherwise(0L).as("same")))
+    u.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("same")).as("n_same_shard"))
+      .orderBy("epoch", "shard")
+  }
+
+  val q174Sql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    CAST('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 7)
+       |      AS BIGINT) % $EpochShards AS sh1,
+       |    CAST('0x' || substr(md5('ep2:' || CAST(doc_id AS VARCHAR)), 1, 7)
+       |      AS BIGINT) % $EpochShards AS sh2
+       |  FROM documents
+       |), u AS (
+       |  SELECT 1 AS epoch, sh1 AS shard, source, toks, 0 AS same FROM a
+       |  UNION ALL
+       |  SELECT 2 AS epoch, sh2 AS shard, source, toks,
+       |    CASE WHEN sh1 = sh2 THEN 1 ELSE 0 END AS same FROM a
+       |)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(SUM(same) AS BIGINT) AS n_same_shard
+       |FROM u GROUP BY epoch, shard
+       |ORDER BY epoch, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_epoch_shards" -> q174EpochShards _,
     "q164_importance_resample" -> q164ImportanceResample _,
     "q150_mixture_allocate" -> q150MixtureAllocate _,
     "q129_weighted_sample" -> q129WeightedSample _,
@@ -787,6 +851,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q174_epoch_shards" -> q174Sql,
     "q164_importance_resample" -> q164Sql,
     "q150_mixture_allocate" -> q150Sql,
     "q129_weighted_sample" -> q129Sql,

@@ -302,6 +302,15 @@ class ApiSpec extends SparkSpec {
     assert(api.except(q161).count() === 0 && q161.except(api).count() === 0)
   }
 
+  test("epochShard agrees with the oracle-gated q174 pipeline") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.epochShard(docs, "doc_id", 1, 8)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+    val q174 = SparkEntry.queries("q174_epoch_shards")(spark, dir)
+      .filter(col("epoch") === 1L).select(col("shard"), col("n_docs"))
+    assert(api.except(q174).count() === 0 && q174.except(api).count() === 0)
+  }
+
   test("blocklistAudit agrees with the oracle-gated q173 pipeline") {
     val docs = Tables.documents(spark, dir)
     val api = ops.blocklistAudit(docs, "text",

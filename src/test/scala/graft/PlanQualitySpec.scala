@@ -171,6 +171,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q174: epoch sharding is a pure map stage — no join, no window, no global sort before the agg") {
+    val p = plan("q174_epoch_shards")
+    // hash assignment, NOT row_number round-robin: a global window
+    // would serialize the corpus through one partition at scale
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    // the x2 epoch union collapses map-side before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q73/q42: cell assignment is a map stage — no per-vector window, no cartesian") {
     val p73 = plan("q73_kmeans_step")
     assert(!p73.contains("CartesianProduct"), p73)
