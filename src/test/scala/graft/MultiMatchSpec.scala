@@ -58,6 +58,36 @@ class MultiMatchSpec extends SparkSpec {
     }
   }
 
+  test("streaming twin: live blocklist counts accumulate across micro-batches") {
+    // the stateless kernel composes with Structured Streaming as-is:
+    // a per-needle running aggregate in update mode is q173's live
+    // monitor — counts must carry across the micro-batch boundary
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val needles = Seq("fast scan", "scan")
+    val agg = in.toDS().toDF("text")
+      .select(scrub.multiMatchCount(col("text"), needles).as("c"))
+      .select(
+        element_at(col("c"), 1).as("m0"), element_at(col("c"), 2).as("m1"))
+      .agg(sum(col("m0")).as("s0"), sum(col("m1")).as("s1"))
+    val sink = s"mm_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk").toString)
+      .start()
+    try {
+      in.addData("fast scan here")
+      q.processAllAvailable()
+      in.addData("scan then fast scan then scan")
+      q.processAllAvailable()
+      val r = s.table(sink).collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(r.toSeq == Seq((2L, 4L)), r.mkString(","))
+    } finally q.stop()
+  }
+
   test("expression runs under codegen in a DataFrame plan") {
     val s = spark
     import s.implicits._
