@@ -250,6 +250,146 @@ object Curation {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------
+  // q175: PAGERANK to a data-driven CONVERGENCE stop — q79's three
+  // unrolled rounds lifted to the loop a 100-TB link-graph job
+  // actually runs: iterate until the total integer rank movement
+  // sum(|pr_r - pr_{r-1}|) falls under eps = n_nodes * EpsPerNode,
+  // with a bounded-round guard that fails loudly. The stop round is
+  // ORACLE-GATED, not trusted: the DuckDB twin materializes the same
+  // integer iteration for the full guard depth, computes the same
+  // movement curve, picks MIN(round | mv <= eps), and compares both
+  // the curve rows up to the stop and the top-20 ranks AT the stop
+  // round — if Spark stopped a round early or late, the hash
+  // mismatches. Per round: one broadcast of the node-sized rank
+  // vector (bucketed join once nodes outgrow a broadcast), one
+  // partially-aggregated contribution exchange, and one
+  // localCheckpoint whose single materialization serves the movement
+  // scalar AND the next round (q161's hygiene; reliable checkpoint()
+  // on a cluster). All arithmetic is the exact-int64 q79 update, so
+  // the two engines walk bit-identical trajectories.
+  // ---------------------------------------------------------------
+  private val MaxPrRounds = 20
+  // stop: avg per-node movement < 1e-6 of the base rank. The graph
+  // mixes fast (movement decays ~10x/round), so a loose threshold
+  // would stop after 1-2 rounds and never exercise the loop; this one
+  // stops at ~6-8 data-driven rounds at sf0.01/sf0.1, well under the
+  // guard.
+  private val EpsPerNode = 1000L
+
+  private[graft] def prLoop(s: SparkSession, dir: String,
+      probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Seq[(Long, Long)]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = Mining.graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val edges = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edeg = edges.join(deg, "src").persist(MEMORY_AND_DISK)
+    touch(edeg)
+    val nodes = ev.select(col("user_id").as("id")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val nNodes = nodes.count() // eager persist + the eps denominator
+    val eps = nNodes * EpsPerNode
+    var pr = nodes.select(col("id"), lit(1000000000L).as("pr"))
+      .localCheckpoint(true)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxPrRounds) {
+      round += 1
+      val contrib = edeg
+        .join(broadcast(pr), col("src") === col("id"))
+        .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      val next = pr.select(col("id"), col("pr").as("old"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"), (lit(150000000L) +
+          Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
+          .as("pr"), col("old"))
+        .select(col("id"), col("pr"),
+          abs(col("pr") - col("old")).as("mv"))
+        .localCheckpoint(true) // one materialization: movement + next round
+      val mv = next.agg(sum(col("mv"))).head().getLong(0)
+      curve += ((round.toLong, mv))
+      converged = mv <= eps
+      pr = next.select(col("id"), col("pr"))
+      probe(round, pr)
+    }
+    require(converged, s"pagerank did not converge in $MaxPrRounds rounds")
+    edeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    (pr, curve.toSeq)
+  }
+
+  def q175PagerankConverge(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val (pr, curve) = prLoop(s, dir)
+    val top = pr.orderBy(col("pr").desc, col("id")).limit(20)
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("pr").desc, col("id"))).cast("long"))
+      .select(lit("rank").as("part"), col("k"),
+        col("id").as("v1"), col("pr").as("v2"))
+    val curveDf = curve.toDF("k", "v1")
+      .select(lit("round").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    top.unionByName(curveDf).orderBy("part", "k")
+  }
+
+  val q175Sql: String = {
+    def it(r: Int): String = {
+      val prev = if (r == 1) "pr0" else s"it${r - 1}"
+      s"""it$r AS MATERIALIZED (
+         |${prIter(prev)})""".stripMargin
+    }
+    val mvRows = (1 to MaxPrRounds).map { r =>
+      val prev = if (r == 1) "pr0" else s"it${r - 1}"
+      s"""SELECT $r AS round, (SELECT CAST(SUM(ABS(a.pr - b.pr)) AS BIGINT)
+         |  FROM it$r a JOIN $prev b ON a.id = b.id) AS mv""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val rankRows = (1 to MaxPrRounds)
+      .map(r => s"SELECT $r AS round, id, pr FROM it$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), edges AS (
+       |  SELECT DISTINCT user_id AS src,
+       |    (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev) AS dst
+       |  FROM ev
+       |  WHERE user_id <> (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev)
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT user_id AS id FROM ev
+       |), pr0 AS (
+       |  SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes
+       |),
+       |${(1 to MaxPrRounds).map(it).mkString(",\n")},
+       |curve AS (
+       |$mvRows
+       |), stop AS (
+       |  SELECT MIN(round) AS r FROM curve
+       |  WHERE mv <= (SELECT COUNT(*) FROM nodes) * $EpsPerNode
+       |), ranks AS (
+       |$rankRows
+       |)
+       |SELECT part, k, v1, v2 FROM (
+       |  SELECT 'rank' AS part, CAST(rn AS BIGINT) AS k, id AS v1, pr AS v2
+       |  FROM (SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rn
+       |        FROM ranks WHERE round = (SELECT r FROM stop))
+       |  WHERE rn <= 20
+       |  UNION ALL
+       |  SELECT 'round' AS part, CAST(round AS BIGINT) AS k,
+       |    mv AS v1, 0 AS v2
+       |  FROM curve WHERE round <= (SELECT r FROM stop)
+       |) ORDER BY part, k""".stripMargin
+  }
+
   private def prIter(prev: String): String =
     s"""SELECT nd.id, 150000000 + (85 * COALESCE(s.sc, 0)) // 100 AS pr
        |  FROM nodes nd LEFT JOIN (
@@ -836,6 +976,7 @@ object Curation {
        |ORDER BY epoch, shard""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_pagerank_converge" -> q175PagerankConverge _,
     "q174_epoch_shards" -> q174EpochShards _,
     "q164_importance_resample" -> q164ImportanceResample _,
     "q150_mixture_allocate" -> q150MixtureAllocate _,
@@ -851,6 +992,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q175_pagerank_converge" -> q175Sql,
     "q174_epoch_shards" -> q174Sql,
     "q164_importance_resample" -> q164Sql,
     "q150_mixture_allocate" -> q150Sql,

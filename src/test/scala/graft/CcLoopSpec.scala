@@ -99,6 +99,35 @@ class CcLoopSpec extends SparkSpec {
     assert(seedsWrong.isEmpty)
   }
 
+  test("pr loop: stops at the movement threshold with a data-driven round count") {
+    val (pr, curve) = graft.queries.Curation.prLoop(spark, dir)
+    // >3: the loop genuinely iterates; <20: the guard never stopped it
+    assert(curve.length > 3 && curve.length < 20, curve.mkString(","))
+    // movement decreases monotonically (a damped-integer iteration
+    // that oscillated would be a bug, and the oracle would miss it
+    // only if both engines oscillated identically)
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b < a, s"movement not decreasing: $curve")
+    }
+    // the loop stopped for the stated reason: every round before the
+    // stop exceeds eps, the stop round satisfies it (the rank frame
+    // covers exactly the node set, so its count is the denominator)
+    val eps = pr.count() * 1000L
+    curve.init.foreach { case (r, mv) =>
+      assert(mv > eps, s"round $r under threshold yet loop continued") }
+    assert(curve.last._2 <= eps, curve.last.toString)
+  }
+
+  test("pr loop: lineage does not grow across rounds (localCheckpoint pin)") {
+    val plans = ArrayBuffer.empty[(Int, Int)]
+    def depth(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    graft.queries.Curation.prLoop(spark, dir, (r, pr) => plans += (r -> depth(pr)))
+    val depths = plans.map(_._2).distinct
+    assert(depths.size == 1, s"plan depth varies across rounds: $plans")
+    assert(depths.head <= 3, s"rank plan deeper than LogicalRDD+Project: $plans")
+  }
+
   test("cc loop: final labels are a fixpoint (one more round changes nothing)") {
     import org.apache.spark.sql.functions._
     val (labels, _) = graft.queries.Mining.ccLoop(spark, dir)
