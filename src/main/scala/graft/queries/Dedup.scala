@@ -1197,7 +1197,89 @@ object Dedup {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q176: WINNOWING fingerprint selection (Schleimer-Wilkerson-Aiken
+  // 2003, the MOSS algorithm) — the fourth fingerprint-SELECTION
+  // family next to MinHash (q23, random sampling), SimHash (q24,
+  // projection), and CDC (q116, content-defined boundaries): hash
+  // every k-word gram, slide a w-window over the gram-hash sequence,
+  // keep each window's MINIMUM — the only local sampling rule with a
+  // detection GUARANTEE (any shared run of >= w+k-1 words shares a
+  // selected fingerprint, while storing ~2/(w+1) of the grams).
+  // Output: the top shared fingerprints across docs — the
+  // plagiarism/boilerplate index MOSS builds. Scale shape: the gram
+  // hashing AND the window minima are Column transforms inside ONE
+  // projection (no per-window explode — the corpus row count never
+  // multiplies until the final bounded fingerprint explode), then a
+  // partially-aggregated groupBy on the (distinct-per-doc)
+  // fingerprints; the rank window runs over the fingerprint-sized
+  // aggregate, never the corpus. Oracle: the same selection via SQL
+  // window MIN over unnested gram positions.
+  // ---------------------------------------------------------------
+  private val WinK = 3 // words per gram
+  private val WinW = 4 // grams per window
+
+  /** The winnowing selection as one Column pipeline: k-gram 28-bit
+    * hashes -> w-window minima -> distinct fingerprints. Exposed so
+    * the detection guarantee (shared >= w+k-1 word run => shared
+    * fingerprint) is property-testable off the corpus path.
+    */
+  private[graft] def winnowFps(text: Column): Column = {
+    val ws = words(text)
+    val grams = when(size(ws) >= WinK,
+      transform(sequence(lit(0), size(ws) - WinK),
+        i => Hashing.hash28(concat_ws(" ", slice(ws, i + 1, lit(WinK))))))
+      .otherwise(array().cast("array<bigint>"))
+    when(size(grams) >= WinW,
+      array_distinct(transform(sequence(lit(0), size(grams) - WinW),
+        j => array_min(slice(grams, j + 1, lit(WinW))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  def q176Winnowing(s: SparkSession, dir: String): DataFrame = {
+    documents(s, dir)
+      .select(col("doc_id"), explode(winnowFps(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2L)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs").desc, col("fp"))).cast("long"))
+      .filter(col("rnk") <= 15)
+      .select(col("rnk"), col("fp"), col("n_docs"),
+        col("min_doc"), col("max_doc"))
+      .orderBy("rnk")
+  }
+
+  val q176Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(p AS INT) AS p,
+       |    CAST('0x' || substr(md5(ws[CAST(p AS INT)] || ' ' ||
+       |      ws[CAST(p AS INT) + 1] || ' ' || ws[CAST(p AS INT) + 2]), 1, 7)
+       |      AS BIGINT) AS h
+       |  FROM t, unnest(range(1, len(ws) - ${WinK - 2})) r(p)
+       |  WHERE len(ws) >= $WinK
+       |), w AS (
+       |  SELECT doc_id, p,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS fp,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM g
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, fp FROM w WHERE p + ${WinW - 1} <= m
+       |)
+       |SELECT rnk, fp, n_docs, min_doc, max_doc FROM (
+       |  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |    CAST(row_number() OVER (ORDER BY COUNT(*) DESC, fp) AS BIGINT) AS rnk
+       |  FROM sel GROUP BY fp HAVING COUNT(*) >= 2
+       |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_winnowing" -> q176Winnowing _,
     "q158_source_neardup_matrix" -> q158SourceNeardupMatrix _,
     "q154_bow_dup" -> q154BowDup _,
     "q152_chunk_dedup" -> q152ChunkDedup _,
@@ -1215,6 +1297,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q176_winnowing" -> q176Sql,
     "q158_source_neardup_matrix" -> q158Sql,
     "q154_bow_dup" -> q154Sql,
     "q152_chunk_dedup" -> q152Sql,

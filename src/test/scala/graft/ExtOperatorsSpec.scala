@@ -10,6 +10,34 @@ class ExtOperatorsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q176 winnowing guarantee: a shared >= w+k-1 word run shares a fingerprint") {
+    // the property that distinguishes winnowing from random sampling
+    // (Schleimer et al. 2003, thm 1): with k=3, w=4 any common run of
+    // >= 6 words must contribute at least one common selected
+    // fingerprint, whatever surrounds it
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 words
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val pairs = (0 until 10).map { _ =>
+      (s"${soup(8)} $shared ${soup(8)}", s"${soup(12)} $shared ${soup(5)}")
+    }
+    val fps = pairs.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i.toLong * 2, a), (i.toLong * 2 + 1, b)) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), queries.Dedup.winnowFps(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (0 until 10).foreach { i =>
+      val common = fps(i.toLong * 2).intersect(fps(i.toLong * 2 + 1))
+      assert(common.nonEmpty, s"pair $i shares a 6-word run but no fingerprint")
+    }
+    // and the selection genuinely samples: far fewer fingerprints
+    // than grams (~2/(w+1) of them)
+    assert(fps.values.forall(f => f.nonEmpty && f.size <= 16))
+  }
+
   test("q23 minhash-LSH emits only verified pairs with jaccard >= 0.5") {
     val rows = queries.Dedup.q23MinhashLsh(spark, dir).collect()
     assert(rows.forall(r => r.getDouble(2) >= 0.5))
