@@ -726,6 +726,14 @@ object ops {
     * edges are bucketed by node) and one NODE-sized label self-join
     * — never edges². Returns the (id, component) frame — component
     * is the smallest member node id — and the round count.
+    *
+    * Guard tuning: `maxRounds = 50` is a FAILURE bound, not a stop
+    * rule — pointer jumping needs ~log2(diameter) rounds, so 50
+    * covers any graph whose diameter fits in an int; hitting it
+    * means the input is pathological (e.g. labels oscillating on a
+    * mutating edge frame), and the loud `require` should fire rather
+    * than ship a half-converged labeling. Raise it only with a
+    * measured round curve in hand (the `probe` hook exposes it).
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxRounds: Int = 50,
@@ -772,10 +780,12 @@ object ops {
     * layout.
     */
   def epochShard(df: DataFrame, id: String, epoch: Int,
-      shards: Int): DataFrame =
+      shards: Int): DataFrame = {
+    require(shards > 0, s"epochShard needs shards > 0, got $shards")
     df.withColumn("shard",
       Hashing.hash28(concat(lit(s"ep$epoch:"), col(id).cast("string"))) %
         lit(shards.toLong))
+  }
 
   /** One-pass multi-pattern blocklist audit (q173's parameterized
     * form): per-needle occurrence totals and docs-hit over a text
@@ -788,6 +798,7 @@ object ops {
     */
   def blocklistAudit(df: DataFrame, text: String,
       needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty, "blocklistAudit needs at least one needle")
     val ids = needles.indices
     val perDoc = df
       .select(graft.functions.scrub
@@ -820,6 +831,13 @@ object ops {
     * cluster). Nodes in seedless components come back dist = -1.
     * Returns the (id, dist) frame and the hop count (the final hop
     * is the empty probe).
+    *
+    * Guard tuning: `maxHops = 40` is a FAILURE bound — BFS runs
+    * exactly ecc(seeds) hops (the seed set's eccentricity), and
+    * real-world / power-law graphs sit far below 40; a long chain
+    * graph is the one honest case that needs it raised. Hitting the
+    * guard otherwise means the frontier never drained — fail loudly,
+    * inspect the hop curve via `probe`, then raise deliberately.
     */
   def bfsDistances(edges: DataFrame, src: String, dst: String,
       isSeed: Column => Column, maxHops: Int = 40,
@@ -830,7 +848,12 @@ object ops {
       .filter(col("__node") =!= col("__nbr"))
       .repartition(col("__node"))
       .persist(MEMORY_AND_DISK)
-    val nodes = nbrs.select(col("__node")).distinct().localCheckpoint(true)
+    // Node set from the UNFILTERED endpoints: a node whose only edges
+    // are self-loops still appears (dist = -1, or 0 if it is a seed)
+    // even though self-loops carry no traversal and are dropped above.
+    val nodes = edges.select(col(src).as("__node"))
+      .unionByName(edges.select(col(dst).as("__node")))
+      .distinct().localCheckpoint(true)
     var visited = nodes.filter(isSeed(col("__node")))
       .select(col("__node"), lit(0L).as("__dist"))
       .localCheckpoint(true)
@@ -876,6 +899,16 @@ object ops {
     * reassignments·100 ≤ n·stopReassignPct; the bounded-round guard
     * fails loudly. Returns the final (id, cell) assignment and the
     * (round, centroid dims moved at 4dp, reassignments) curve.
+    *
+    * Guard tuning: `stopReassignPct = 2` stops when under 2% of
+    * points change cell in a round — the elbow where further Lloyd
+    * rounds move centroids less than the 4dp mean rounding; tighten
+    * toward 0 for a publishable clustering, loosen for a quick
+    * partition. `maxRounds = 16` is the FAILURE bound: Lloyd's on
+    * separated data reaches 2% in well under 10 rounds; hitting 16
+    * means the threshold is too tight for the data's overlap (the
+    * returned curve shows reassignments flat-lining) — fix the
+    * threshold rather than raising the bound blindly.
     */
   def kmeansToConvergence(points: DataFrame, id: String, vec: Column,
       initCell: Column, stopReassignPct: Long = 2L, maxRounds: Int = 16)

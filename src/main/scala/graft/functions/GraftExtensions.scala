@@ -152,6 +152,20 @@ object GraftFunctions {
         }
         MinHashSig(args(0))
       }),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (args: Seq[Expression]) => {
+        if (args.length != 3) {
+          throw new IllegalArgumentException(
+            s"winnow_fps requires exactly 3 arguments (text, k, w), got ${args.length}")
+        }
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps $name must be an integer literal, got $other")
+        }
+        WinnowFps(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+      }),
     (FunctionIdentifier("array_intersect_size"),
       new ExpressionInfo(classOf[ArrayIntersectSize].getName, "array_intersect_size"),
       (args: Seq[Expression]) => {

@@ -123,6 +123,61 @@ object TextHashing {
     new GenericArrayData(mins)
   }
 
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003,
+    * the MOSS sampler; reference analog: local fingerprint selection
+    * over the event text stream) in ONE imperative pass: hash every
+    * k-word gram to its 28-bit md5-prefix (identical to
+    * Hashing.hash28, so q176's DuckDB oracle is unchanged), slide a
+    * w-gram window over the hash sequence with a monotonic deque
+    * (O(grams), independent of w), and keep each window's minimum,
+    * distinct in first-occurrence order — exactly the declarative
+    * split → transform/slice/md5 → transform/array_min/array_distinct
+    * chain (Dedup.winnowFpsDeclarative), whose higher-order-function
+    * tree is CodegenFallback AND cost a 36 s Janino cold-compile
+    * spike at sf0.1. Docs with fewer than k words, or fewer than w
+    * grams, select nothing (the guarantee needs >= w+k-1 words).
+    */
+  def winnowFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val ws = words(text)
+    val n = ws.length
+    val g = n - k + 1 // gram count; every gram is a FULL k words
+    if (g < w) return new GenericArrayData(Array.empty[Any])
+    val grams = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      grams(i) = md5Prefix(sb.toString.getBytes("UTF-8"), 7)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](g) // indices of candidate minima, increasing value
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < g) {
+      while (tail > head && grams(dq(tail - 1)) >= grams(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(grams(dq(head)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) {
+      out(m) = it.next().longValue()
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles in first-occurrence order — the
     * JVM twin of the declarative split → transform/slice/concat_ws →
     * array_distinct chain (Hashing.shingles). The declarative form is
@@ -245,6 +300,38 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd winnowing fingerprint array of a string column (see
+  * [[TextHashing.winnowFps]]). `k` (words per gram) and `w` (grams
+  * per window) are plan-time constants inlined into generated code.
+  * The selection rule, hash (md5-prefix hash28), short-doc cutoffs,
+  * and first-occurrence distinct order match the declarative form
+  * bit-for-bit — pinned by WinnowingSpec's equivalence test — so
+  * q176's DuckDB oracle needs no change.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k >= 1 and w >= 1, got k=$k w=$w")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashing.winnowFps(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashing.winnowFps($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native text-hash expressions. */
 object texthash {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -260,4 +347,8 @@ object texthash {
   /** Distinct word n-gram shingles, codegen'd. */
   def wordShingles(c: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(c), n))
+
+  /** Winnowing (MOSS) fingerprint selection, codegen'd, one pass. */
+  def winnowFps(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(c), k, w))
 }

@@ -320,9 +320,11 @@ object Curation {
       pr = next.select(col("id"), col("pr"))
       probe(round, pr)
     }
-    require(converged, s"pagerank did not converge in $MaxPrRounds rounds")
+    // Unpersist BEFORE the guard so the MEMORY_AND_DISK blocks are
+    // released even when the loop fails loudly (ops.bfsDistances order).
     edeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    require(converged, s"pagerank did not converge in $MaxPrRounds rounds")
     (pr, curve.toSeq)
   }
 

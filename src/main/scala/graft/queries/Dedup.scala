@@ -1208,9 +1208,9 @@ object Dedup {
   // selected fingerprint, while storing ~2/(w+1) of the grams).
   // Output: the top shared fingerprints across docs — the
   // plagiarism/boilerplate index MOSS builds. Scale shape: the gram
-  // hashing AND the window minima are Column transforms inside ONE
-  // projection (no per-window explode — the corpus row count never
-  // multiplies until the final bounded fingerprint explode), then a
+  // hashing AND the window minima run inside ONE codegen'd kernel
+  // call in the scan projection (no per-window explode — the corpus
+  // row count never multiplies until the bounded fp explode), then a
   // partially-aggregated groupBy on the (distinct-per-doc)
   // fingerprints; the rank window runs over the fingerprint-sized
   // aggregate, never the corpus. Oracle: the same selection via SQL
@@ -1219,12 +1219,23 @@ object Dedup {
   private val WinK = 3 // words per gram
   private val WinW = 4 // grams per window
 
-  /** The winnowing selection as one Column pipeline: k-gram 28-bit
-    * hashes -> w-window minima -> distinct fingerprints. Exposed so
-    * the detection guarantee (shared >= w+k-1 word run => shared
-    * fingerprint) is property-testable off the corpus path.
+  /** The winnowing selection: k-gram 28-bit hashes -> w-window
+    * minima -> distinct fingerprints, as ONE codegen'd kernel call
+    * (`functions.TextHashing.winnowFps` — monotonic-deque sliding
+    * minimum, one pass, one md5 per gram). The corpus path used the
+    * declarative twin below until round 6; its giant HOF tree was
+    * CodegenFallback and cost a 36 s Janino cold-compile at sf0.1.
+    * Exposed so the detection guarantee (shared >= w+k-1 word run =>
+    * shared fingerprint) is property-testable off the corpus path.
     */
-  private[graft] def winnowFps(text: Column): Column = {
+  private[graft] def winnowFps(text: Column): Column =
+    graft.functions.texthash.winnowFps(text, WinK, WinW)
+
+  /** The same selection as a declarative Column pipeline — kept (off
+    * the corpus path) as the independent second implementation that
+    * WinnowingSpec pins the native kernel against bit-for-bit.
+    */
+  private[graft] def winnowFpsDeclarative(text: Column): Column = {
     val ws = words(text)
     val grams = when(size(ws) >= WinK,
       transform(sequence(lit(0), size(ws) - WinK),

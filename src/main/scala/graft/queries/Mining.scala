@@ -775,8 +775,8 @@ object Mining {
       labels = stepped.select(col("node"), col("lbl"))
       probe(rounds, labels)
     }
+    nbrs.unpersist(blocking = false) // release before the loud guard
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    nbrs.unpersist(blocking = false)
     (labels, rounds)
   }
 
@@ -925,8 +925,8 @@ object Mining {
       }
       probe(hop, visited)
     }
+    nbrs.unpersist(blocking = false) // release before the loud guard
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
-    nbrs.unpersist(blocking = false)
     val dist = nodes.join(visited, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
     (dist, hop)

