@@ -17,14 +17,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     // sorted key order: a deterministic run sequence makes per-round
     // per-query deltas comparable (Map order varies with hashing).
-    // min of two runs: a single sample in a 59-query session is
-    // occasionally inflated 3-5x by one-off scheduler/GC artifacts
-    // (observed on the cached self-join queries); the min is the
-    // reproducible steady-state cost of the plan.
-    // (name, min-of-runs or -1, raw per-run seconds, start offset s):
-    // raw runs + a start timestamp let a reader see WHICH queries a
-    // box-contention window hit (round-4's q58-q71 noise block was
-    // only diagnosable by re-running) — the min stays the headline
+    // min of THREE runs (two until round 6): a single sample in a
+    // 176-query session is occasionally inflated 3-5x by one-off
+    // scheduler/GC artifacts, and round 5 showed two elevated runs
+    // can still be one contention window (q160/q157/q79) — a third
+    // sample adjudicates that; the min is the reproducible
+    // steady-state cost of the plan.
+    // (name, min-of-runs or -1, raw per-run seconds, start offset s,
+    // loop round counts): raw runs + a start timestamp let a reader
+    // see WHICH queries a box-contention window hit; round counts
+    // make a loop query's drift attributable to "more rounds" vs
+    // "slower rounds" without a re-run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a query that throws records the sentinel -1, never its
       // time-to-failure — a crash must not masquerade as a fast run
@@ -39,9 +42,12 @@ object Bench {
         if (ok) dt else -1.0
       }
       val startS = (System.nanoTime() - tStart) / 1e9
-      val runs = Seq(once(), once())
+      LoopStats.drain() // discard any counts from a prior query
+      val runs = Seq(once(), once(), once())
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
-      (name, agg, runs, startS)
+      // round counts are data-driven and identical across the runs,
+      // so the post-runs snapshot is THE count for this query
+      (name, agg, runs, startS, LoopStats.drain())
     }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON metric line out of that window (BENCH_r01/r02 both came back
@@ -55,20 +61,28 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    val detail = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val detail = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // raw per-run times + start offset (seconds since bench start):
     // a contention window shows up as a contiguous band of inflated
-    // runs at adjacent start_s values — self-diagnosing in-artifact
-    val runsDetail = results.map { case (k, _, runs, startS) =>
+    // runs at adjacent start_s values — self-diagnosing in-artifact.
+    // Convergence-loop queries also carry their data-driven round
+    // counts (e.g. "rounds":{"cc":11}).
+    val runsDetail = results.map { case (k, _, runs, startS, loops) =>
+      val roundsField =
+        if (loops.isEmpty) ""
+        else loops.toSeq.sorted
+          .map { case (l, n) => "\"" + l + "\":" + n }
+          .mkString(",\"rounds\":{", ",", "}")
       "\"" + k + "\":{\"start_s\":" + fmt(startS) +
-        ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") + "}"
+        ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
+        roundsField + "}"
     }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
@@ -86,7 +100,7 @@ object Bench {
       val wall = String.format(java.util.Locale.ROOT, "%.1f",
         Double.box((System.nanoTime() - tStart) / 1e9))
       s"""{"jvm":"${System.getProperty("java.version")}","cpus":$cpus,""" +
-        s""""runs_per_query":2,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
+        s""""runs_per_query":3,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
         s""""gc":$gc,"wall_s":$wall}"""
     }

@@ -152,6 +152,24 @@ object GraftFunctions {
         }
         MinHashSig(args(0))
       }),
+    (FunctionIdentifier("ppm_synth"),
+      new ExpressionInfo(classOf[PpmSynth].getName, "ppm_synth"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"ppm_synth requires exactly 1 argument, got ${args.length}")
+        }
+        PpmSynth(args(0))
+      }),
+    (FunctionIdentifier("ppm_decode"),
+      new ExpressionInfo(classOf[PpmDecode].getName, "ppm_decode"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"ppm_decode requires exactly 1 argument, got ${args.length}")
+        }
+        PpmDecode(args(0))
+      }),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => {

@@ -281,6 +281,30 @@ object Curation {
       probe: (Int, DataFrame) => Unit = (_, _) => ())
     : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (_, edges, nodesRaw) = prGraphEdges(s, dir)
+    val edeg = withOutdeg(edges).persist(MEMORY_AND_DISK)
+    touch(edeg)
+    val nodes = nodesRaw.persist(MEMORY_AND_DISK)
+    val nNodes = nodes.count() // eager persist + the eps denominator
+    val eps = nNodes * EpsPerNode
+    val init = nodes.select(col("id"), lit(1000000000L).as("pr"))
+    val (pr, curve, converged) =
+      prIterate(edeg, init, eps, MaxPrRounds, probe)
+    // Unpersist BEFORE the guard so the MEMORY_AND_DISK blocks are
+    // released even when the loop fails loudly (ops.bfsDistances order).
+    edeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    require(converged, s"pagerank did not converge in $MaxPrRounds rounds")
+    graft.LoopStats.record("pr", curve.length.toLong)
+    (pr, curve)
+  }
+
+  /** The base link graph q79/q175/q178 iterate over: the source
+    * event frame, the derived edge set, and the node set (kept
+    * stable across the q178 changelog — only EDGES churn).
+    */
+  private def prGraphEdges(s: SparkSession, dir: String)
+    : (DataFrame, DataFrame, DataFrame) = {
     val ev = Mining.graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
     val edges = ev.crossJoin(broadcast(n))
@@ -288,19 +312,27 @@ object Curation {
         ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edeg = edges.join(deg, "src").persist(MEMORY_AND_DISK)
-    touch(edeg)
-    val nodes = ev.select(col("user_id").as("id")).distinct()
-      .persist(MEMORY_AND_DISK)
-    val nNodes = nodes.count() // eager persist + the eps denominator
-    val eps = nNodes * EpsPerNode
-    var pr = nodes.select(col("id"), lit(1000000000L).as("pr"))
-      .localCheckpoint(true)
+    (ev, edges, ev.select(col("user_id").as("id")).distinct())
+  }
+
+  private def withOutdeg(edges: DataFrame): DataFrame =
+    edges.join(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+
+  /** The integer PageRank loop from a caller-supplied init rank
+    * vector — the core shared by the cold start (q175, uniform init)
+    * and the warm start (q178, previous-fixpoint init). The caller
+    * owns edeg's persist; returns `converged` instead of requiring,
+    * so callers release persists before failing loudly.
+    */
+  private def prIterate(edeg: DataFrame, init: DataFrame, eps: Long,
+      maxRounds: Int, probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Seq[(Long, Long)], Boolean) = {
+    var pr = init.select(col("id"), col("pr")).localCheckpoint(true)
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0
     var converged = false
-    while (!converged && round < MaxPrRounds) {
+    while (!converged && round < maxRounds) {
       round += 1
       val contrib = edeg
         .join(broadcast(pr), col("src") === col("id"))
@@ -320,12 +352,7 @@ object Curation {
       pr = next.select(col("id"), col("pr"))
       probe(round, pr)
     }
-    // Unpersist BEFORE the guard so the MEMORY_AND_DISK blocks are
-    // released even when the loop fails loudly (ops.bfsDistances order).
-    edeg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    require(converged, s"pagerank did not converge in $MaxPrRounds rounds")
-    (pr, curve.toSeq)
+    (pr, curve.toSeq, converged)
   }
 
   def q175PagerankConverge(s: SparkSession, dir: String): DataFrame = {
@@ -392,12 +419,213 @@ object Curation {
        |) ORDER BY part, k""".stripMargin
   }
 
-  private def prIter(prev: String): String =
+  private def prIter(prev: String): String = prIterOn(prev, "edges", "deg")
+
+  private def prIterOn(prev: String, edges: String, deg: String): String =
     s"""SELECT nd.id, 150000000 + (85 * COALESCE(s.sc, 0)) // 100 AS pr
        |  FROM nodes nd LEFT JOIN (
        |    SELECT e.dst, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sc
-       |    FROM edges e JOIN deg d ON d.src = e.src
+       |    FROM $edges e JOIN $deg d ON d.src = e.src
        |    JOIN $prev p ON p.id = e.src GROUP BY e.dst) s ON s.dst = nd.id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q178: INCREMENTAL PageRank — the 100-TB reality behind q175: the
+  // edge set does not arrive fresh each day, it CHANGES via a CDC
+  // changelog (q77's op-row shape). Compose them: converge on the
+  // base graph (phase 0 = q175's loop), apply a deterministic
+  // delete/insert changelog (~1-2% edge churn, node set unchanged),
+  // then WARM-START the loop from the previous fixpoint instead of
+  // uniform ranks. Because the integer iteration contracts toward
+  // the new fixpoint from wherever it starts, the warm start's
+  // round-1 movement reflects only the delta's disturbance — it
+  // converges in fewer rounds than a cold start on the same delta
+  // graph (asserted in CcLoopSpec by running both). BOTH movement
+  // curves and the final ranks are oracle-gated, so an early/late
+  // stop in either phase hash-mismatches. Per-round scale shape is
+  // exactly q175's (broadcast rank vector, partial-agg contribution
+  // exchange, flat lineage); the changelog apply is one anti-join +
+  // union-distinct on the edge list.
+  // ---------------------------------------------------------------
+  private val MaxWarmRounds = 12
+
+  /** q178's phases, exposed so CcLoopSpec can run the cold loop on
+    * the same delta graph and assert the warm start's round-count
+    * advantage. Returns (final ranks, base curve, warm curve, the
+    * delta edge frame, the node frame, eps).
+    */
+  private[graft] def incrementalPrRun(s: SparkSession, dir: String)
+    : (DataFrame, Seq[(Long, Long)], Seq[(Long, Long)], DataFrame,
+       DataFrame, Long) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (ev, edges0, nodesRaw) = prGraphEdges(s, dir)
+    val nodes = nodesRaw.persist(MEMORY_AND_DISK)
+    val nNodes = nodes.count()
+    val eps = nNodes * EpsPerNode
+    val edeg0 = withOutdeg(edges0).persist(MEMORY_AND_DISK)
+    touch(edeg0)
+    val uniform = nodes.select(col("id"), lit(1000000000L).as("pr"))
+    val (pr0, curve0, conv0) =
+      prIterate(edeg0, uniform, eps, MaxPrRounds)
+    edeg0.unpersist(blocking = false)
+    require(conv0, s"base pagerank did not converge in $MaxPrRounds rounds")
+    // CDC changelog, q77's (op, key...) row shape: deterministic
+    // deletes (a ~0.1% residue class of the base edges) +
+    // deterministic inserts (a second derived edge family from a
+    // sparse event slice) — both closed-form so the DuckDB twin
+    // rebuilds them. Churn must stay SMALL: the iteration's movement
+    // contracts geometrically, so warm rounds saved ~ log(cold
+    // disturbance / delta disturbance) — a 1%+ churn at this graph
+    // size disturbs nearly as much as uniform init and saves nothing
+    // (measured: warm 6 = cold 6 at the 97/149 residues).
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val dels = edges0
+      .filter((col("src") * 7L + col("dst") * 11L) % 997L === 0L)
+      .select(lit("D").as("op"), col("src"), col("dst"))
+    val ins = ev.crossJoin(broadcast(n))
+      .filter((col("user_id") + col("k")) % 1499L === 0L)
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 37L + col("k")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .select(lit("I").as("op"), col("src"), col("dst"))
+    // (the 997/1499 residues give ~0.1% deletes + ~0.07% inserts)
+    val chg = dels.unionByName(ins)
+    val edges1 = edges0
+      .join(chg.filter(col("op") === "D").select(col("src"), col("dst")),
+        Seq("src", "dst"), "left_anti")
+      .unionByName(chg.filter(col("op") === "I").select(col("src"), col("dst")))
+      .distinct()
+    val edeg1 = withOutdeg(edges1).persist(MEMORY_AND_DISK)
+    touch(edeg1)
+    val (pr1, curve1, conv1) =
+      prIterate(edeg1, pr0, eps, MaxWarmRounds)
+    edeg1.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    require(conv1, s"warm pagerank did not converge in $MaxWarmRounds rounds")
+    graft.LoopStats.record("pr_base", curve0.length.toLong)
+    graft.LoopStats.record("pr_warm", curve1.length.toLong)
+    (pr1, curve0, curve1, edges1, nodes, eps)
+  }
+
+  /** Cold-start round count on an arbitrary edge frame — the
+    * baseline CcLoopSpec compares q178's warm start against.
+    */
+  private[graft] def coldPrRounds(s: SparkSession, edges: DataFrame,
+      nodes: DataFrame, eps: Long): Int = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edeg = withOutdeg(edges).persist(MEMORY_AND_DISK)
+    touch(edeg)
+    val uniform = nodes.select(col("id"), lit(1000000000L).as("pr"))
+    val (_, curve, converged) =
+      prIterate(edeg, uniform, eps, MaxPrRounds)
+    edeg.unpersist(blocking = false)
+    require(converged, s"cold pagerank did not converge in $MaxPrRounds rounds")
+    curve.length
+  }
+
+  def q178IncrementalPagerank(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val (pr1, curve0, curve1, _, _, _) = incrementalPrRun(s, dir)
+    val top = pr1.orderBy(col("pr").desc, col("id")).limit(20)
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("pr").desc, col("id"))).cast("long"))
+      .select(lit("rank").as("part"), col("k"),
+        col("id").as("v1"), col("pr").as("v2"))
+    val c0 = curve0.toDF("k", "v1")
+      .select(lit("round0").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    val c1 = curve1.toDF("k", "v1")
+      .select(lit("round1").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    top.unionByName(c0).unionByName(c1).orderBy("part", "k")
+  }
+
+  val q178Sql: String = {
+    def it(r: Int): String = {
+      val prev = if (r == 1) "pr0" else s"it${r - 1}"
+      s"""it$r AS MATERIALIZED (
+         |${prIter(prev)})""".stripMargin
+    }
+    def wit(r: Int): String = {
+      val prev = if (r == 1) "winit" else s"wit${r - 1}"
+      s"""wit$r AS MATERIALIZED (
+         |${prIterOn(prev, "edges1", "deg1")})""".stripMargin
+    }
+    def mvRows(rounds: Int, tbl: Int => String): String =
+      (1 to rounds).map { r =>
+        s"""SELECT $r AS round, (SELECT CAST(SUM(ABS(a.pr - b.pr)) AS BIGINT)
+           |  FROM ${tbl(r)} a JOIN ${tbl(r - 1)} b ON a.id = b.id) AS mv""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    val rank0Rows = (1 to MaxPrRounds)
+      .map(r => s"SELECT $r AS round, id, pr FROM it$r")
+      .mkString("\nUNION ALL\n")
+    val rank1Rows = (1 to MaxWarmRounds)
+      .map(r => s"SELECT $r AS round, id, pr FROM wit$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), edges AS (
+       |  SELECT DISTINCT user_id AS src,
+       |    (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev) AS dst
+       |  FROM ev
+       |  WHERE user_id <> (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev)
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT user_id AS id FROM ev
+       |), pr0 AS (
+       |  SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes
+       |),
+       |${(1 to MaxPrRounds).map(it).mkString(",\n")},
+       |curve0 AS (
+       |${mvRows(MaxPrRounds, r => if (r == 0) "pr0" else s"it$r")}
+       |), stop0 AS (
+       |  SELECT MIN(round) AS r FROM curve0
+       |  WHERE mv <= (SELECT COUNT(*) FROM nodes) * $EpsPerNode
+       |), ranks0 AS (
+       |$rank0Rows
+       |), winit AS (
+       |  SELECT id, pr FROM ranks0 WHERE round = (SELECT r FROM stop0)
+       |), ins AS (
+       |  SELECT DISTINCT user_id AS src,
+       |    (user_id * 37 + k) % (SELECT MAX(user_id) + 1 FROM ev) AS dst
+       |  FROM ev
+       |  WHERE (user_id + k) % 1499 = 0
+       |    AND user_id <> (user_id * 37 + k) % (SELECT MAX(user_id) + 1 FROM ev)
+       |), edges1 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM edges
+       |    EXCEPT
+       |    SELECT src, dst FROM edges WHERE (src * 7 + dst * 11) % 997 = 0)
+       |  UNION
+       |  SELECT src, dst FROM ins
+       |), deg1 AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges1 GROUP BY src
+       |),
+       |${(1 to MaxWarmRounds).map(wit).mkString(",\n")},
+       |curve1 AS (
+       |${mvRows(MaxWarmRounds, r => if (r == 0) "winit" else s"wit$r")}
+       |), stop1 AS (
+       |  SELECT MIN(round) AS r FROM curve1
+       |  WHERE mv <= (SELECT COUNT(*) FROM nodes) * $EpsPerNode
+       |), ranks1 AS (
+       |$rank1Rows
+       |)
+       |SELECT part, k, v1, v2 FROM (
+       |  SELECT 'rank' AS part, CAST(rn AS BIGINT) AS k, id AS v1, pr AS v2
+       |  FROM (SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rn
+       |        FROM ranks1 WHERE round = (SELECT r FROM stop1))
+       |  WHERE rn <= 20
+       |  UNION ALL
+       |  SELECT 'round0' AS part, CAST(round AS BIGINT) AS k,
+       |    mv AS v1, 0 AS v2
+       |  FROM curve0 WHERE round <= (SELECT r FROM stop0)
+       |  UNION ALL
+       |  SELECT 'round1' AS part, CAST(round AS BIGINT) AS k,
+       |    mv AS v1, 0 AS v2
+       |  FROM curve1 WHERE round <= (SELECT r FROM stop1)
+       |) ORDER BY part, k""".stripMargin
+  }
 
   val q79Sql: String =
     s"""WITH ev AS (
@@ -979,6 +1207,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_pagerank_converge" -> q175PagerankConverge _,
+    "q178_incremental_pagerank" -> q178IncrementalPagerank _,
     "q174_epoch_shards" -> q174EpochShards _,
     "q164_importance_resample" -> q164ImportanceResample _,
     "q150_mixture_allocate" -> q150MixtureAllocate _,
@@ -995,6 +1224,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q175_pagerank_converge" -> q175Sql,
+    "q178_incremental_pagerank" -> q178Sql,
     "q174_epoch_shards" -> q174Sql,
     "q164_importance_resample" -> q164Sql,
     "q150_mixture_allocate" -> q150Sql,

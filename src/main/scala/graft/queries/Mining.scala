@@ -777,6 +777,7 @@ object Mining {
     }
     nbrs.unpersist(blocking = false) // release before the loud guard
     require(converged, s"connected components did not converge in $maxRounds rounds")
+    graft.LoopStats.record("cc", rounds.toLong)
     (labels, rounds)
   }
 
@@ -927,6 +928,7 @@ object Mining {
     }
     nbrs.unpersist(blocking = false) // release before the loud guard
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
+    graft.LoopStats.record("bfs", hop.toLong)
     val dist = nodes.join(visited, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
     (dist, hop)

@@ -129,6 +129,21 @@ class CcLoopSpec extends SparkSpec {
     assert(depths.head <= 3, s"rank plan deeper than LogicalRDD+Project: $plans")
   }
 
+  test("q178: warm start beats cold start in rounds on the same delta graph") {
+    val (_, curve0, curve1, edges1, nodes, eps) =
+      graft.queries.Curation.incrementalPrRun(spark, dir)
+    val cold = graft.queries.Curation.coldPrRounds(spark, edges1, nodes, eps)
+    // the warm start's whole point: starting from the previous
+    // fixpoint, a ~1-2% edge delta converges in strictly fewer
+    // rounds than re-running from uniform ranks
+    assert(curve1.length < cold,
+      s"warm=${curve1.length} not < cold=$cold (base=${curve0.length})")
+    // and the warm loop genuinely iterated (the delta disturbed the
+    // fixpoint enough to need at least one correction round)
+    assert(curve1.nonEmpty && curve0.length > 3,
+      s"degenerate curves: base=${curve0.length} warm=${curve1.length}")
+  }
+
   test("cc loop: final labels are a fixpoint (one more round changes nothing)") {
     import org.apache.spark.sql.functions._
     val (labels, _) = graft.queries.Mining.ccLoop(spark, dir)

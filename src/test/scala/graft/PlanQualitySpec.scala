@@ -379,6 +379,18 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q177: synth+decode is one codegen projection over a doc_id-only scan — no UDF, no object ser/de") {
+    val p = plan("q177_image_decode")
+    assert(p.contains("ppm_decode") && p.contains("ppm_synth"), p)
+    // the codec never leaves codegen: no typed mapPartitions round
+    // trip (q35's shape), no Scala UDF
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"), p)
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text") && !readSchema.contains("lang"),
+      readSchema)
+  }
+
   test("q58: per-language top-k routes through the native TopKPerGroup heap") {
     val p = plan("q58_bigram_topk")
     assert(p.contains("TopKPerGroup"), p)
