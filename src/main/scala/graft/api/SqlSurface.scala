@@ -1,0 +1,283 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.{Curation, Mining}
+
+/** The SQL-first entry surface: the engine consumed the way a
+  * SQL-only user consumes a real analytics engine — temp views over
+  * the table inventory, `spark.sql` texts for representative
+  * operators (one per family), and SQL-driven forms of the
+  * convergence loops. SqlSurfaceSpec pins each SQL form PLAN-EQUAL
+  * (`optimizedPlan.sameResult`) to its DataFrame twin, so a SQL user
+  * gets byte-identical plans — same pushdown, same broadcast sides,
+  * same partial aggregation — not a parallel implementation.
+  *
+  * Texts are Spark SQL (the engine surface), distinct from the
+  * DuckDB oracle texts in the qNN files (the correctness gate).
+  * Two authoring rules keep the plans equal to the DataFrame forms:
+  *
+  *  - No `WITH` CTEs for multi-referenced subqueries: the DataFrame
+  *    forms duplicate the subplan at each use site, while a retained
+  *    `WithCTE` node would canonicalize differently. Subquery text is
+  *    interpolated per use site instead (the optimizer dedups work
+  *    via exchange reuse either way).
+  *  - Native graft functions (`word_shingles`, `minhash_sig`,
+  *    `array_intersect_size`, ...) are called by their registered SQL
+  *    names — [[graft.functions.GraftFunctions.ensureRegistered]]
+  *    must have run (or the session built with GraftExtensions).
+  */
+object SqlSurface {
+
+  /** All driver testdata tables as session temp views, read through
+    * the same [[graft.Tables]] loaders the DataFrame queries use
+    * (events timestamp normalization and single-row-group spreading
+    * included), so a SQL text and its DataFrame twin share scan
+    * plans exactly.
+    */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach(t =>
+      Tables.table(s, dir, t).createOrReplaceTempView(t))
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+  }
+
+  // ----- SQL-text mirrors of the Scala expression helpers ----------
+
+  /** Relational.ldiv in SQL text: exact int64 floor division via
+    * (a - a % b) / b, CAST BIGINT — same tree, same 2^53 envelope.
+    */
+  private def ldiv(a: String, b: String): String =
+    s"CAST((($a) - ($a) % ($b)) / ($b) AS BIGINT)"
+
+  private def dec(c: String): String = s"CAST($c AS DECIMAL(18,2))"
+
+  /** Relational.davg4 in SQL text: exact half-up 4dp average of a
+    * 2-decimal column (200*cents + n) DIV (2n) over 10^4.
+    */
+  private def davg4(c: String): String = {
+    val cents = s"CAST(SUM(${dec(c)}) * 100 AS BIGINT)"
+    s"${ldiv(s"200L * $cents + COUNT(1)", "2L * COUNT(1)")} / 10000.0D"
+  }
+
+  // ----- q01: relational family (filter -> hash agg -> sort) -------
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(${dec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(${dec("l_extendedprice")} * (1 - ${dec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}) * (1 + ${dec("l_tax")})) AS DOUBLE) AS sum_charge,
+       |  ${davg4("l_quantity")} AS avg_qty,
+       |  ${davg4("l_extendedprice")} AS avg_price,
+       |  ${davg4("l_discount")} AS avg_disc,
+       |  COUNT(1) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= CAST('1998-09-01' AS TIMESTAMP)
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ----- q23: dedup family (MinHash sig -> banded LSH -> verify) ---
+
+  /** Hashing.bandStructs in SQL text: 4 bands of 3 signature rows,
+    * one md5 band key each.
+    */
+  private val bandArray: String = {
+    import graft.queries.Hashing.{BandCount, BandRows}
+    (0 until BandCount).map { b =>
+      val ms = (0 until BandRows)
+        .map(r => s"get(msig, ${BandRows * b + r})").mkString(", ")
+      s"named_struct('band_idx', $b, 'band_key', md5(concat_ws(',', $ms)))"
+    }.mkString("array(\n    ", ",\n    ", ")")
+  }
+
+  private val bandsSub: String =
+    s"""SELECT doc_id, bk.band_idx AS band_idx, bk.band_key AS band_key
+       |FROM (
+       |  SELECT doc_id, explode($bandArray) AS bk
+       |  FROM (SELECT doc_id, minhash_sig(text) AS msig FROM documents)
+       |)""".stripMargin
+
+  private val shSub: String =
+    "SELECT doc_id, word_shingles(text, 3) AS sh FROM documents"
+
+  val q23Sql: String =
+    s"""SELECT i, j, round(jac, 4) AS jaccard
+       |FROM (
+       |  SELECT i, j,
+       |    CAST(array_intersect_size(sha, shb) AS DOUBLE) /
+       |    CAST(array_union_size(sha, shb) AS DOUBLE) AS jac
+       |  FROM (
+       |    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |    FROM ($bandsSub) a JOIN ($bandsSub) b
+       |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |     AND a.doc_id < b.doc_id
+       |  )
+       |  JOIN (SELECT doc_id AS i, sh AS sha FROM ($shSub)) USING (i)
+       |  JOIN (SELECT doc_id AS j, sh AS shb FROM ($shSub)) USING (j)
+       |)
+       |WHERE jac >= 0.5
+       |ORDER BY i, j""".stripMargin
+
+  // ----- q88: retrieval family (BM25 over one corpus pass) ---------
+
+  private val docsSub: String =
+    """SELECT doc_id, ws, CAST(size(ws) AS BIGINT) AS dl
+      |FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)""".stripMargin
+
+  private val tfSub: String =
+    s"""SELECT /*+ BROADCAST(t) */ doc_id, dl, term, COUNT(1) AS tf
+       |FROM (SELECT doc_id, dl, explode(ws) AS token FROM ($docsSub))
+       |JOIN (SELECT term FROM VALUES ('join'), ('vector'), ('spark') AS v(term)) t
+       |  ON token = term
+       |GROUP BY doc_id, dl, term""".stripMargin
+
+  val q88Sql: String = {
+    val sterm = ldiv("idf_s * tf * 1000L",
+      s"tf * 1000L + ${ldiv("1200L * norm1000", "1000L")}")
+    s"""SELECT doc_id, SUM(sterm) AS score, COUNT(1) AS n_terms
+       |FROM (
+       |  SELECT *, $sterm AS sterm FROM (
+       |  SELECT *, 250L + ${ldiv("750L * dl * 1000L", "avgdl1000")} AS norm1000 FROM (
+       |  SELECT *, ${ldiv("1000000L * (nn - df + 1L)", "df + 1L")} AS idf_s FROM (
+       |  SELECT /*+ BROADCAST(dfc), BROADCAST(totals) */ *,
+       |    ${ldiv("1000L * tt", "nn")} AS avgdl1000
+       |  FROM ($tfSub)
+       |  JOIN (SELECT term, COUNT(1) AS df FROM ($tfSub) GROUP BY term) dfc
+       |    USING (term)
+       |  CROSS JOIN (SELECT COUNT(1) AS nn, SUM(dl) AS tt FROM ($docsSub)) totals
+       |  )))
+       |)
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** SQL texts keyed by their SparkEntry query name — the surface a
+    * SQL-only user runs after [[registerViews]].
+    */
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q23_minhash_lsh" -> q23Sql,
+    "q88_bm25" -> q88Sql)
+
+  // ----- q161: the connected-components loop, SQL-driven -----------
+
+  /** Mining.ccLoop's initial label table over the `cc_nbrs` view. */
+  val ccInitSql: String =
+    "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM cc_nbrs)"
+
+  private val ccL1Sub: String =
+    """SELECT node, lbl, least(lbl, coalesce(nmin, lbl)) AS l1
+      |FROM cc_labels LEFT JOIN (
+      |  SELECT node, MIN(nlbl) AS nmin
+      |  FROM cc_nbrs JOIN (SELECT node AS nbr, lbl AS nlbl FROM cc_labels)
+      |    USING (nbr)
+      |  GROUP BY node
+      |) USING (node)""".stripMargin
+
+  /** One Mining.ccRound over the `cc_nbrs` / `cc_labels` views:
+    * neighbor-min propagation + pointer jump, plan-equal to the
+    * DataFrame round (pinned in SqlSurfaceSpec).
+    */
+  val ccRoundSql: String =
+    s"""SELECT a.node, a.lbl AS old_lbl, b.tl AS lbl
+       |FROM ($ccL1Sub) a
+       |JOIN (SELECT node AS t, l1 AS tl FROM ($ccL1Sub)) b ON a.l1 = b.t""".stripMargin
+
+  /** q161's loop driven entirely through `spark.sql`: same round
+    * hygiene as Mining.ccLoop (per-round localCheckpoint flat
+    * lineage, loud bounded-round guard), rounds data-driven. Returns
+    * the final (node, lbl) frame and the round count.
+    */
+  def ccLoopSql(s: SparkSession, dir: String, maxRounds: Int = 50,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = Mining.sparseUnd(s, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist(MEMORY_AND_DISK)
+    nbrs.createOrReplaceTempView("cc_nbrs")
+    var labels = s.sql(ccInitSql).localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      labels.createOrReplaceTempView("cc_labels")
+      val stepped = s.sql(ccRoundSql).localCheckpoint(true)
+      converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
+      labels = stepped.select(col("node"), col("lbl"))
+      probe(rounds, labels)
+    }
+    nbrs.unpersist(blocking = false)
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    (labels, rounds)
+  }
+
+  /** q161's output shape over the SQL-driven loop. */
+  def q161ComponentsSql(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = ccLoopSql(s, dir)
+    labels.createOrReplaceTempView("cc_final")
+    s.sql("""SELECT lbl AS cluster, COUNT(1) AS n_nodes, MAX(node) AS max_node
+            |FROM cc_final GROUP BY lbl ORDER BY cluster""".stripMargin)
+  }
+
+  // ----- q175: the PageRank loop, SQL-driven -----------------------
+
+  /** One Curation.prRound over the `pr_edeg` / `pr_ranks` views:
+    * broadcast-rank contribution exchange + node-sized left join,
+    * plan-equal to the DataFrame round (pinned in SqlSurfaceSpec).
+    */
+  val prRoundSql: String =
+    s"""SELECT id, pr, abs(pr - old) AS mv
+       |FROM (
+       |  SELECT id, 150000000L + ${ldiv("85L * coalesce(sc, 0L)", "100L")} AS pr, old
+       |  FROM (SELECT id, pr AS old FROM pr_ranks)
+       |  LEFT JOIN (
+       |    SELECT dst, SUM(c) AS sc
+       |    FROM (
+       |      SELECT /*+ BROADCAST(pr_ranks) */ dst, ${ldiv("pr", "outdeg")} AS c
+       |      FROM pr_edeg JOIN pr_ranks ON src = id
+       |    )
+       |    GROUP BY dst
+       |  ) ON id = dst
+       |)""".stripMargin
+
+  /** q175's integer-PageRank loop driven through `spark.sql` — the
+    * same movement-threshold stop, curve, and per-round hygiene as
+    * Curation.prLoop. Returns (final ranks, movement curve, rounds).
+    */
+  def prLoopSql(s: SparkSession, dir: String)
+    : (DataFrame, Seq[(Long, Long)], Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (_, edges, nodesRaw) = Curation.prGraphEdges(s, dir)
+    val edeg = Curation.withOutdeg(edges).persist(MEMORY_AND_DISK)
+    graft.Tables.touch(edeg)
+    edeg.createOrReplaceTempView("pr_edeg")
+    val nodes = nodesRaw.persist(MEMORY_AND_DISK)
+    val eps = nodes.count() * Curation.EpsPerNode
+    var pr = nodes.select(col("id"), lit(1000000000L).as("pr"))
+      .localCheckpoint(true)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0
+    var converged = false
+    while (!converged && round < Curation.MaxPrRounds) {
+      round += 1
+      pr.createOrReplaceTempView("pr_ranks")
+      val next = s.sql(prRoundSql).localCheckpoint(true)
+      val mv = next.agg(sum(col("mv"))).head().getLong(0)
+      curve += ((round.toLong, mv))
+      converged = mv <= eps
+      pr = next.select(col("id"), col("pr"))
+    }
+    edeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    require(converged,
+      s"pagerank did not converge in ${Curation.MaxPrRounds} rounds")
+    (pr, curve.toSeq, round)
+  }
+}

@@ -1119,4 +1119,82 @@ object ops {
     df.withColumn("tokens", flatten(transform(split(col(text), " "),
       w => graft.functions.tokenizer.wordpieceEncode(w, vocab))))
   }
+
+  /** Integer PageRank to a movement-threshold fixpoint (q175's
+    * parameterized form; damping 0.85, ranks scaled to 1e9 so every
+    * round is exact int64 and bit-reproducible across partitionings
+    * and engines). Per round: one contribution exchange — edge list
+    * joined to the node-sized rank vector (broadcast here; on a graph
+    * whose node set outgrows a broadcast, bucket/co-partition both
+    * sides on the node key and nothing else changes), partial-agg
+    * SUM per destination — and one node-sized left join producing
+    * the next vector plus the |Δpr| movement column. The round frame
+    * is localCheckpoint(eager)-ed so ONE materialization serves the
+    * movement scalar and the next round, and lineage never grows
+    * (swap for reliable checkpoint() on a cluster). Dangling nodes
+    * (no out-edges) contribute nothing and settle at the floor
+    * 0.15e9; nodes that only ever appear as destinations still get
+    * ranks (the node set is the distinct edge ENDPOINTS).
+    *
+    * `init` warm-starts the loop from a previous (id, pr) fixpoint —
+    * q178's incremental shape: after a small edge churn, the
+    * contraction from the old fixpoint re-converges in strictly
+    * fewer rounds than the uniform cold start. Callers own `init`'s
+    * correctness envelope: ids must cover the node set (missing ids
+    * would re-enter at the dangling floor).
+    *
+    * Guard tuning: `epsPerNode = 100` stops when the summed movement
+    * is under 100 rank units (1e-7 of a unit rank) per node —
+    * tighter than the 4dp anyone reads ranks at. `maxRounds = 30` is
+    * the FAILURE bound: damped PageRank contracts geometrically
+    * (factor 0.85), so movement falls ~7x per decade of rounds;
+    * hitting 30 means the input mutated mid-loop or eps is set below
+    * the integer floor — inspect the returned curve, don't raise
+    * the bound blindly. Returns the final (id, pr) vector, the
+    * (round, movement) curve, and the round count.
+    */
+  def pagerank(edges: DataFrame, src: String, dst: String,
+      epsPerNode: Long = 100L, maxRounds: Int = 30,
+      init: Option[DataFrame] = None,
+      probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Seq[(Long, Long)], Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
+      .filter(col("__src") =!= col("__dst")).distinct()
+    val edeg = e.join(
+        e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg")), "__src")
+      .persist(MEMORY_AND_DISK)
+    val nodes = e.select(col("__src").as("id"))
+      .unionByName(e.select(col("__dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val eps = nodes.count() * epsPerNode
+    var pr = init.map(_.select(col("id"), col("pr")))
+      .getOrElse(nodes.select(col("id"), lit(1000000000L).as("pr")))
+      .localCheckpoint(true)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val contrib = edeg
+        .join(broadcast(pr), col("__src") === col("id"))
+        .select(col("__dst"), expr("pr div __outdeg").as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).as("__sc"))
+      val next = pr.select(col("id"), col("pr").as("__old"))
+        .join(contrib, col("id") === col("__dst"), "left")
+        .select(col("id"),
+          expr("150000000L + (85L * coalesce(__sc, 0L)) div 100L").as("pr"),
+          col("__old"))
+        .select(col("id"), col("pr"), abs(col("pr") - col("__old")).as("__mv"))
+        .localCheckpoint(true) // one materialization: movement + next round
+      val mv = next.agg(sum(col("__mv"))).head().getLong(0)
+      curve += ((round.toLong, mv))
+      converged = mv <= eps
+      pr = next.select(col("id"), col("pr"))
+      probe(round, pr)
+    }
+    edeg.unpersist(blocking = false) // release before the loud guard
+    require(converged, s"pagerank did not converge in $maxRounds rounds")
+    (pr, curve.toSeq, round)
+  }
 }

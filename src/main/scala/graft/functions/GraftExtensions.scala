@@ -184,6 +184,20 @@ object GraftFunctions {
         }
         WinnowFps(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
       }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) {
+          throw new IllegalArgumentException(
+            s"word_shingles requires exactly 2 arguments (text, n), got ${args.length}")
+        }
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(args(0), n)
+      }),
     (FunctionIdentifier("array_intersect_size"),
       new ExpressionInfo(classOf[ArrayIntersectSize].getName, "array_intersect_size"),
       (args: Seq[Expression]) => {

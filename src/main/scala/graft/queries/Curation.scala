@@ -269,13 +269,13 @@ object Curation {
   // on a cluster). All arithmetic is the exact-int64 q79 update, so
   // the two engines walk bit-identical trajectories.
   // ---------------------------------------------------------------
-  private val MaxPrRounds = 20
+  private[graft] val MaxPrRounds = 20
   // stop: avg per-node movement < 1e-6 of the base rank. The graph
   // mixes fast (movement decays ~10x/round), so a loose threshold
   // would stop after 1-2 rounds and never exercise the loop; this one
   // stops at ~6-8 data-driven rounds at sf0.01/sf0.1, well under the
   // guard.
-  private val EpsPerNode = 1000L
+  private[graft] val EpsPerNode = 1000L
 
   private[graft] def prLoop(s: SparkSession, dir: String,
       probe: (Int, DataFrame) => Unit = (_, _) => ())
@@ -303,7 +303,7 @@ object Curation {
     * event frame, the derived edge set, and the node set (kept
     * stable across the q178 changelog — only EDGES churn).
     */
-  private def prGraphEdges(s: SparkSession, dir: String)
+  private[graft] def prGraphEdges(s: SparkSession, dir: String)
     : (DataFrame, DataFrame, DataFrame) = {
     val ev = Mining.graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
@@ -315,7 +315,7 @@ object Curation {
     (ev, edges, ev.select(col("user_id").as("id")).distinct())
   }
 
-  private def withOutdeg(edges: DataFrame): DataFrame =
+  private[graft] def withOutdeg(edges: DataFrame): DataFrame =
     edges.join(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
 
@@ -325,6 +325,27 @@ object Curation {
     * owns edeg's persist; returns `converged` instead of requiring,
     * so callers release persists before failing loudly.
     */
+  /** One integer-PageRank round over the (src, dst, outdeg) edge
+    * frame and a (id, pr) rank vector: broadcast-rank contribution
+    * exchange + node-sized left join. Factored out of [[prIterate]]
+    * so SqlSurfaceSpec can pin the SQL-driven round body plan-equal
+    * to this exact production code. Returns the (id, pr, mv) frame
+    * (caller checkpoints it).
+    */
+  private[graft] def prRound(edeg: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = edeg
+      .join(broadcast(pr), col("src") === col("id"))
+      .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+    pr.select(col("id"), col("pr").as("old"))
+      .join(contrib, col("id") === col("dst"), "left")
+      .select(col("id"), (lit(150000000L) +
+        Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
+        .as("pr"), col("old"))
+      .select(col("id"), col("pr"),
+        abs(col("pr") - col("old")).as("mv"))
+  }
+
   private def prIterate(edeg: DataFrame, init: DataFrame, eps: Long,
       maxRounds: Int, probe: (Int, DataFrame) => Unit = (_, _) => ())
     : (DataFrame, Seq[(Long, Long)], Boolean) = {
@@ -334,17 +355,7 @@ object Curation {
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      val contrib = edeg
-        .join(broadcast(pr), col("src") === col("id"))
-        .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      val next = pr.select(col("id"), col("pr").as("old"))
-        .join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"), (lit(150000000L) +
-          Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
-          .as("pr"), col("old"))
-        .select(col("id"), col("pr"),
-          abs(col("pr") - col("old")).as("mv"))
+      val next = prRound(edeg, pr)
         .localCheckpoint(true) // one materialization: movement + next round
       val mv = next.agg(sum(col("mv"))).head().getLong(0)
       curve += ((round.toLong, mv))

@@ -740,6 +740,26 @@ object Mining {
       .filter((col("a") * 131L + col("b") * 17L) % 32L === 0L)
   }
 
+  /** One connected-components round over (node, nbr) edges and a
+    * (node, lbl) label table: neighbor-min propagation + pointer
+    * jump. Factored out of [[ccLoop]] so SqlSurfaceSpec can pin the
+    * SQL-driven round body plan-equal to this exact production code.
+    * Returns the stepped (node, old_lbl, lbl) frame (caller
+    * checkpoints it).
+    */
+  private[graft] def ccRound(nbrs: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = nbrs
+      .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
+      .groupBy(col("node")).agg(min(col("nlbl")).as("nmin"))
+    val l1 = labels.join(nbrMin, Seq("node"), "left")
+      .select(col("node"), col("lbl"),
+        least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
+    // pointer jump via node-sized self-join on the label table
+    l1.join(l1.select(col("node").as("t"), col("l1").as("tl")),
+        col("l1") === col("t"))
+      .select(col("node"), col("lbl").as("old_lbl"), col("tl").as("lbl"))
+  }
+
   /** The convergence loop, factored out so CcLoopSpec can observe
     * each round's label frame (plan-shape pin). Returns the final
     * (node, lbl) table and the data-driven round count.
@@ -759,17 +779,7 @@ object Mining {
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val nbrMin = nbrs
-        .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
-        .groupBy(col("node")).agg(min(col("nlbl")).as("nmin"))
-      val l1 = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
-      // pointer jump via node-sized self-join on the label table
-      val stepped = l1
-        .join(l1.select(col("node").as("t"), col("l1").as("tl")),
-          col("l1") === col("t"))
-        .select(col("node"), col("lbl").as("old_lbl"), col("tl").as("lbl"))
+      val stepped = ccRound(nbrs, labels)
         .localCheckpoint(true) // one materialization serves both uses below
       converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
       labels = stepped.select(col("node"), col("lbl"))

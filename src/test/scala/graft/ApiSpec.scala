@@ -329,6 +329,57 @@ class ApiSpec extends SparkSpec {
     assert(api.except(q172).count() === 0 && q172.except(api).count() === 0)
   }
 
+  test("pagerank reaches the closed-form fixpoint and ranks dst-only nodes") {
+    val s = spark
+    import s.implicits._
+    // symmetric 2-cycle: the uniform vector IS the fixpoint — one
+    // round, zero movement, ranks stay at the 1e9 base
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val (prCyc, curveCyc, rCyc) = ops.pagerank(cyc, "s", "d")
+    assert(rCyc === 1 && curveCyc === Seq((1L, 0L)))
+    assert(prCyc.collect().map(_.getLong(1)).toSet === Set(1000000000L))
+    // 1<->2 plus a dangling sink 3 (appears only as dst): closed-form
+    // fixpoint pr1 = 0.2775e9/0.63875, pr2 = pr3 = 0.15e9 + 0.425*pr1
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    // tiny graphs mix slowly (contraction ~0.36/round through the
+    // 2-cycle), so use a looser eps: 1e-4 of the base rank per node
+    val (pr, curve, rounds) = ops.pagerank(g, "s", "d", epsPerNode = 100000L)
+    assert(rounds === curve.length && rounds < 30)
+    val byId = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet === Set(1L, 2L, 3L), "dst-only node 3 must get a rank")
+    val exp1 = 277500000.0 / 0.63875
+    val exp2 = 150000000.0 + 0.425 * exp1
+    assert(math.abs(byId(1L) - exp1) < 1000000, s"pr1=${byId(1L)} exp=$exp1")
+    assert(math.abs(byId(2L) - exp2) < 1000000, s"pr2=${byId(2L)} exp=$exp2")
+    assert(byId(2L) === byId(3L), "3 receives the same contribution as 2")
+    // movement decays overall (integer damping can plateau locally)
+    assert(curve.last._2 < curve.head._2)
+  }
+
+  test("pagerank warm start re-converges no slower and near the same fixpoint") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+    val (pr0, _, _) = ops.pagerank(base, "s", "d", epsPerNode = 100000L)
+    // churn: the sink grows an out-edge back to 1
+    val delta = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("s", "d")
+    // this graph contracts slowly (~0.72/round: 1 -> {2,3} -> 1), so
+    // give the FAILURE bound headroom; rounds stay data-driven
+    val (cold, _, coldRounds) =
+      ops.pagerank(delta, "s", "d", epsPerNode = 100000L, maxRounds = 80)
+    val (warm, _, warmRounds) =
+      ops.pagerank(delta, "s", "d", epsPerNode = 100000L, maxRounds = 80,
+        init = Some(pr0))
+    assert(warmRounds <= coldRounds,
+      s"warm=$warmRounds cold=$coldRounds")
+    val c = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    c.keySet.foreach { id =>
+      assert(math.abs(c(id) - w(id)) <= 1000000L,
+        s"id=$id cold=${c(id)} warm=${w(id)}")
+    }
+  }
+
   test("kmeansToConvergence agrees with the oracle-gated q163 pipeline") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.SqlSurface
+import graft.functions.GraftFunctions
+import graft.queries.{Curation, Mining}
+
+/** Pins the SQL-first entry surface PLAN-EQUAL to the DataFrame
+  * forms: a SQL-only user who runs `SqlSurface.sql` texts against
+  * `registerViews` gets the same optimized plan — same pushdown,
+  * same broadcast sides, same partial aggregation — as the Scala
+  * API, not a second implementation that happens to agree. One
+  * representative query per family (relational q01, dedup q23,
+  * retrieval q88) plus the two convergence loops (q161 connected
+  * components, q175 PageRank), whose SQL-driven rounds are pinned
+  * against the exact production round bodies (Mining.ccRound /
+  * Curation.prRound) and whose loops must match round-for-round.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val ready: Unit = {
+    GraftFunctions.ensureRegistered(spark)
+    SqlSurface.registerViews(spark, dir)
+  }
+
+  private def pinPlanEqual(name: String, df: DataFrame, sq: DataFrame): Unit = {
+    val a = df.queryExecution.optimizedPlan
+    val b = sq.queryExecution.optimizedPlan
+    assert(a.sameResult(b),
+      s"$name: SQL plan diverges from DataFrame plan\n--- DataFrame ---\n$a\n--- SQL ---\n$b")
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("q01/q23/q88 SQL texts are plan-equal to the DataFrame forms") {
+    ready
+    SqlSurface.sql.foreach { case (name, text) =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val sq = spark.sql(text)
+      pinPlanEqual(name, df, sq)
+      assert(rows(df) == rows(sq), s"$name: SQL rows diverge")
+    }
+  }
+
+  test("SQL-driven cc round is plan-equal to Mining.ccRound; loops agree") {
+    ready
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = Mining.sparseUnd(spark, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist(MEMORY_AND_DISK)
+    nbrs.createOrReplaceTempView("cc_nbrs")
+    val dfInit = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val sqInit = spark.sql(SqlSurface.ccInitSql)
+    pinPlanEqual("cc_init", dfInit, sqInit)
+    val labels = sqInit.localCheckpoint(true)
+    labels.createOrReplaceTempView("cc_labels")
+    pinPlanEqual("cc_round",
+      Mining.ccRound(nbrs, labels), spark.sql(SqlSurface.ccRoundSql))
+    nbrs.unpersist(blocking = false)
+
+    val (dfLabels, dfRounds) = Mining.ccLoop(spark, dir)
+    val (sqLabels, sqRounds) = SqlSurface.ccLoopSql(spark, dir)
+    assert(dfRounds == sqRounds,
+      s"round counts diverge: df=$dfRounds sql=$sqRounds")
+    assert(rows(dfLabels.orderBy("node")) == rows(sqLabels.orderBy("node")))
+  }
+
+  test("SQL-driven pr round is plan-equal to Curation.prRound; loops agree") {
+    ready
+    val (_, edges, nodesRaw) = Curation.prGraphEdges(spark, dir)
+    val edeg = Curation.withOutdeg(edges)
+    edeg.createOrReplaceTempView("pr_edeg")
+    val pr0 = nodesRaw.select(col("id"), lit(1000000000L).as("pr"))
+      .localCheckpoint(true)
+    pr0.createOrReplaceTempView("pr_ranks")
+    pinPlanEqual("pr_round",
+      Curation.prRound(edeg, pr0), spark.sql(SqlSurface.prRoundSql))
+
+    val (dfPr, dfCurve) = Curation.prLoop(spark, dir)
+    val (sqPr, sqCurve, sqRounds) = SqlSurface.prLoopSql(spark, dir)
+    assert(dfCurve == sqCurve,
+      s"movement curves diverge: df=$dfCurve sql=$sqCurve")
+    assert(sqRounds == sqCurve.length)
+    assert(rows(dfPr.orderBy("id")) == rows(sqPr.orderBy("id")))
+  }
+}
