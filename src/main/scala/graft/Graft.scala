@@ -21,8 +21,17 @@ object Graft {
     */
   def register(spark: SparkSession, dir: String): Unit = {
     tableNames.foreach { t =>
-      val df = if (t == "events") Tables.events(spark, dir)
-               else Tables.table(spark, dir, t)
+      // the dedicated loaders, not raw table(): `events` normalizes
+      // both shipped ts shapes, `documents`/`embeddings` spread the
+      // single-row-group files across cores — a SQL user's view must
+      // plan exactly like the DataFrame queries (SqlSurfaceSpec pins
+      // this via optimizedPlan.sameResult)
+      val df = t match {
+        case "events" => Tables.events(spark, dir)
+        case "documents" => Tables.documents(spark, dir)
+        case "embeddings" => Tables.embeddings(spark, dir)
+        case _ => Tables.table(spark, dir, t)
+      }
       df.createOrReplaceTempView(t)
     }
     graft.functions.GraftFunctions.ensureRegistered(spark)

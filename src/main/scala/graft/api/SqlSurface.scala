@@ -3,7 +3,6 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.queries.{Curation, Mining}
 
 /** The SQL-first entry surface: the engine consumed the way a
@@ -31,20 +30,16 @@ import graft.queries.{Curation, Mining}
   */
 object SqlSurface {
 
-  /** All driver testdata tables as session temp views, read through
-    * the same [[graft.Tables]] loaders the DataFrame queries use
-    * (events timestamp normalization and single-row-group spreading
+  /** All driver testdata tables as session temp views plus the SQL
+    * function registry — delegates to [[graft.Graft.register]], the
+    * single registration path, which reads through the same
+    * [[graft.Tables]] loaders the DataFrame queries use (events
+    * timestamp normalization and single-row-group spreading
     * included), so a SQL text and its DataFrame twin share scan
     * plans exactly.
     */
-  def registerViews(s: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach(t =>
-      Tables.table(s, dir, t).createOrReplaceTempView(t))
-    Tables.events(s, dir).createOrReplaceTempView("events")
-    Tables.documents(s, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
-  }
+  def registerViews(s: SparkSession, dir: String): Unit =
+    graft.Graft.register(s, dir)
 
   // ----- SQL-text mirrors of the Scala expression helpers ----------
 
