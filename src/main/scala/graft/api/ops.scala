@@ -441,6 +441,90 @@ object ops {
         round(col("__cos"), 4).as("cos_sim"))
   }
 
+  /** Greedy MMR (maximal marginal relevance) diversified top-k with
+    * lambda = 1/2 (q182's parameterized form): re-ranks each query's
+    * top-`nCandidates` exact-cosine candidates into `k` results that
+    * trade relevance against redundancy — pick 1 maximizes rel(d),
+    * pick i maximizes rel(d) - max_{s in picked} sim(d, s). Both
+    * terms are the x10000-rounded cosines in EXACT int64 (2*MMR =
+    * rel - maxsim at lambda = 1/2), with an id tiebreak, so the
+    * greedy chain is deterministic under any partitioning. The
+    * recursion is unrolled k times as dataframe rounds over a
+    * persisted |queries| x nCandidates candidate frame and its
+    * pairwise-sim frame — k and nCandidates are serving-side
+    * constants, so the unroll IS the scale shape; the corpus is
+    * scanned once with the query side broadcast (cosineTopK's
+    * envelope). Positional contract like [[cosineTopK]]: first two
+    * columns of each frame are (id, vector); zero-norm vectors are
+    * dropped; a corpus row whose id equals the query id is skipped
+    * (self-match). Returns (qid, pos, id, rel, mmr2x).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      nCandidates: Int = 8, k: Int = 3): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"mmrRerank needs nCandidates >= k >= 1, got n=$nCandidates k=$k")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def normed(df: DataFrame, idName: String, vecName: String): DataFrame = {
+      require(df.columns.length >= 2,
+        s"mmrRerank needs (id, vector) as the first two columns; " +
+          s"got ${df.columns.mkString("[", ", ", "]")}")
+      val Array(idCol, vecCol) = df.columns.take(2)
+      val v = col(vecCol).cast("array<double>")
+      val n = sqrt(graft.functions.vec.arrayDot(v, v))
+      df.filter(n > 0.0)
+        .select(col(idCol).as(idName), transform(v, x => x / n).as(vecName))
+    }
+    val c = normed(corpus, "__id", "__cv")
+    val q = normed(queries, "__qid", "__qv")
+    val wTop = Window.partitionBy(col("__qid"))
+      .orderBy(col("__rel").desc, col("__id"))
+    val cand = c.join(broadcast(q), col("__qid") =!= col("__id"))
+      .withColumn("__rel", round(graft.functions.vec
+        .arrayDot(col("__qv"), col("__cv")) * 10000).cast("long"))
+      .withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") <= nCandidates)
+      .persist(MEMORY_AND_DISK)
+    val x = cand.alias("x")
+    val y = cand.alias("y")
+    val sims = x.join(y, col("x.__qid") === col("y.__qid") &&
+        col("x.__id") =!= col("y.__id"))
+      .select(col("x.__qid").as("__qid"), col("x.__id").as("__d"),
+        col("y.__id").as("__s"),
+        round(graft.functions.vec.arrayDot(col("x.__cv"), col("y.__cv"))
+          * 10000).cast("long").as("__sim"))
+      .persist(MEMORY_AND_DISK)
+    var picks = cand.filter(col("__rk") === 1)
+      .select(col("__qid"), lit(1).as("pos"), col("__id").as("__pick"),
+        col("__rel"), col("__rel").as("mmr2x"))
+    (2 to k).foreach { pos =>
+      val rest = cand.join(
+        picks.select(col("__qid"), col("__pick").as("__id")),
+        Seq("__qid", "__id"), "left_anti")
+      val ms = sims
+        .join(picks.select(col("__qid"), col("__pick").as("__s")),
+          Seq("__qid", "__s"))
+        .groupBy(col("__qid"), col("__d"))
+        .agg(max(col("__sim")).as("__msim"))
+        .withColumnRenamed("__d", "__id")
+      val wSel = Window.partitionBy(col("__qid"))
+        .orderBy(col("mmr2x").desc, col("__id"))
+      val next = rest.join(ms, Seq("__qid", "__id"))
+        .withColumn("mmr2x", col("__rel") - col("__msim"))
+        .withColumn("__r", row_number().over(wSel))
+        .filter(col("__r") === 1)
+        .select(col("__qid"), lit(pos).as("pos"), col("__id").as("__pick"),
+          col("__rel"), col("mmr2x"))
+      picks = picks.unionByName(next)
+    }
+    val out = picks
+      .select(col("__qid").as("qid"), col("pos"), col("__pick").as("id"),
+        col("__rel").as("rel"), col("mmr2x"))
+      .localCheckpoint(true) // |queries| x k rows
+    cand.unpersist(blocking = false)
+    sims.unpersist(blocking = false)
+    out
+  }
+
   /** Exponential-decay smoothing (EWMA, alpha = 1/2) truncated at
     * `depth` terms — appends `ewma_c4`, the smoothed level of `value`
     * in exact 4-dp cents (q153's parameterized form). With halving
@@ -880,6 +964,126 @@ object ops {
       .select(col("__node").as("id"),
         coalesce(col("__dist"), lit(-1L)).as("dist"))
     (dist, hop)
+  }
+
+  /** Synchronous k-core peel to a data-driven fixpoint (q181's
+    * parameterized form): each round removes every node whose degree
+    * WITHIN the surviving induced subgraph is below k, and stops when
+    * a round removes nothing — the standard degeneracy/robustness
+    * decomposition (spam-farm detection, dense-community seeding).
+    * Scale shape per round: the edge list is repartitioned by node
+    * once before the persist and never re-exchanged; the survivor
+    * set is node-sized and broadcast into both endpoint joins (on a
+    * graph whose node set outgrows a broadcast, drop the hint and
+    * the joins run co-partitioned on the node key — nothing else
+    * changes); survivors are localCheckpoint(eager)-ed so one
+    * materialization serves the stability count and the next round
+    * (reliable checkpoint() on a cluster). Self-loops are dropped
+    * from traversal, so a self-loop-only node peels out in round 1
+    * for any k >= 1 (its induced degree is 0). Returns the
+    * (id, core_degree) table — empty when the graph dissolves — and
+    * the data-driven round count (the stable-detection round
+    * included).
+    *
+    * Guard tuning: `maxRounds = 40` is a FAILURE bound — peel depth
+    * is the graph's degeneracy-layer count, single digits on
+    * power-law graphs; a long-chain graph peeled with k = 2 is the
+    * one honest shape that needs it raised. Hitting the guard
+    * otherwise means the peel never stabilized — fail loudly,
+    * inspect the census curve via `probe`, then raise deliberately.
+    */
+  def kcore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxRounds: Int = 40,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    require(k > 0, s"kcore needs k > 0, got $k")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nbrs = edges.select(col(src).as("__node"), col(dst).as("__nbr"))
+      .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
+      .filter(col("__node") =!= col("__nbr"))
+      .repartition(col("__node"))
+      .persist(MEMORY_AND_DISK)
+    var alive = nbrs.select(col("__node")).distinct().localCheckpoint(true)
+    var aliveCnt = alive.count()
+    def induced(core: DataFrame): DataFrame = nbrs
+      .join(broadcast(core), "__node")
+      .join(broadcast(core.select(col("__node").as("__nbr"))), "__nbr")
+      .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      rounds += 1
+      val kept = induced(alive)
+        .filter(col("__deg") >= k).select(col("__node"))
+        .localCheckpoint(true)
+      val keptCnt = kept.count()
+      stable = keptCnt == aliveCnt
+      alive = kept
+      aliveCnt = keptCnt
+      probe(rounds, alive)
+    }
+    // materialize the final degrees only on success; release the edge
+    // persist BEFORE the loud guard so a guard hit leaks nothing
+    val coreDeg =
+      if (stable) Some(induced(alive)
+        .select(col("__node").as("id"), col("__deg").as("core_degree"))
+        .localCheckpoint(true))
+      else None
+    nbrs.unpersist(blocking = false)
+    require(stable, s"k-core peel did not stabilize in $maxRounds rounds")
+    (coreDeg.get, rounds)
+  }
+
+  /** Newman-modularity sufficient statistics of a node partition
+    * (q180's parameterized form) — the eval harness for any
+    * community assignment (connectedComponents, label propagation,
+    * an external clusterer): per community, the intra-edge count
+    * m_c, the endpoint-degree sum d_c, the member count, and the
+    * common-denominator numerator contrib_4m2 = 4·m·m_c − d_c², so
+    * Q = Σ contrib_4m2 / (4·m²) with no floats anywhere (int64-safe
+    * while the audited graph holds under 2^31 edges; audit
+    * per-shard graphs or widen to decimal beyond that). Edges are
+    * treated as undirected; self-loops are dropped; edges with an
+    * unlabeled endpoint are ignored (label coverage is the caller's
+    * contract). A label class with no intra edges — or no edges at
+    * all — still reports a row, with zeros: dropping it would
+    * overstate Q. One pass over the edge list (labels are node-sized
+    * and broadcast to both endpoints; one persisted labeled-edge
+    * frame feeds all three aggregates).
+    */
+  def modularityAudit(edges: DataFrame, src: String, dst: String,
+      labels: DataFrame, id: String, label: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lab = labels.select(col(id).as("__id"), col(label).as("__lbl"))
+    val el = edges
+      .select(col(src).as("__a"), col(dst).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .join(broadcast(lab.select(col("__id").as("__a"), col("__lbl").as("__la"))),
+        "__a")
+      .join(broadcast(lab.select(col("__id").as("__b"), col("__lbl").as("__lb"))),
+        "__b")
+      .persist(MEMORY_AND_DISK)
+    val m = el.agg(count(lit(1)).as("__m"))
+    val intra = el.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("__c")).agg(count(lit(1)).as("__intra"))
+    val degs = el.select(col("__la").as("__c"))
+      .unionByName(el.select(col("__lb").as("__c")))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__deg"))
+    val census = lab.groupBy(col("__lbl").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val out = census
+      // community-sized aggregates: hint the broadcast (no stats)
+      .join(broadcast(intra), Seq("__c"), "left")
+      .join(broadcast(degs), Seq("__c"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("__c").as("community"), col("__n").as("n_nodes"),
+        coalesce(col("__intra"), lit(0L)).as("intra_edges"),
+        coalesce(col("__deg"), lit(0L)).as("degree_sum"),
+        (lit(4L) * col("__m") * coalesce(col("__intra"), lit(0L))
+          - coalesce(col("__deg"), lit(0L))
+            * coalesce(col("__deg"), lit(0L))).as("contrib_4m2"))
+      .localCheckpoint(true) // community-sized; frees the edge frame
+    el.unpersist(blocking = false)
+    out
   }
 
   /** Lloyd's k-means to a reassignment-threshold stop (q163's

@@ -170,6 +170,24 @@ object GraftFunctions {
         }
         PpmDecode(args(0))
       }),
+    (FunctionIdentifier("wav_synth"),
+      new ExpressionInfo(classOf[WavSynth].getName, "wav_synth"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"wav_synth requires exactly 1 argument, got ${args.length}")
+        }
+        WavSynth(args(0))
+      }),
+    (FunctionIdentifier("wav_stats"),
+      new ExpressionInfo(classOf[WavStats].getName, "wav_stats"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"wav_stats requires exactly 1 argument, got ${args.length}")
+        }
+        WavStats(args(0))
+      }),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => {

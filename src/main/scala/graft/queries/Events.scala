@@ -476,7 +476,109 @@ object Events {
       |GROUP BY event_type, strftime(day, '%Y-%m-%d')
       |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q184: MAD (median absolute deviation) ROBUST anomaly audit — the
+  // robust twin of q112's rolling z-score: mean/stddev gates are
+  // themselves dragged by the outliers they hunt (one 100x spike
+  // inflates sigma enough to hide a 10x spike), while the
+  // median-of-deviations breaks down only past 50% contamination.
+  // Per event_type: med = median(cents), MAD = median(|c - med|),
+  // flag |c - med| > 3*MAD. Everything is EXACT int64 via q45's
+  // middle-two-rows trick applied TWICE, carrying medians in scaled
+  // units so even-count averaging never leaves the integers:
+  // med_x2 = 2*median (half-cents), dev2 = |2c - med_x2| (exact),
+  // mad_x4 = 2*median(dev2) (quarter-cents), and the flag is the
+  // cross-multiplied 2*dev2 > 3*mad_x4. The mad_x4 = 0 degenerate
+  // (a majority-constant type) flags every differing row — the
+  // textbook MAD behavior, reported rather than special-cased.
+  //
+  // Scale shape: two rank passes (by cents, then by dev2), BOTH
+  // partitioned on event_type — the second reuses the first's
+  // exchange; the per-type med/mad tables are type-cardinality and
+  // broadcast back. Output is type-cardinality.
+  // ---------------------------------------------------------------
+  def q184MadAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val ev = events(s, dir)
+      .select(col("event_type"), col("event_id"), cents.as("cents"))
+    def middleMedianX2(df: DataFrame, v: String): DataFrame = {
+      // q45's trick: rank, take rows (n+1)/2 and (n+2)/2 (one row
+      // twice when odd), then 2*median = 2*mid_sum/n_mid exactly
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(v), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === Relational.ldiv(col("n") + 1, lit(2L)) ||
+          col("rn") === Relational.ldiv(col("n") + 2, lit(2L)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), sum(col(v)).as("mid_sum"),
+          count(lit(1)).as("n_mid"))
+        .select(col("event_type"), col("n"),
+          Relational.ldiv(lit(2L) * col("mid_sum"), col("n_mid")).as("m2"))
+    }
+    val med = middleMedianX2(ev, "cents")
+      .select(col("event_type"), col("n"), col("m2").as("med_x2"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(lit(2L) * col("cents") - col("med_x2")))
+    val mad = middleMedianX2(
+      dev.select(col("event_type"), col("event_id"), col("dev2")), "dev2")
+      .select(col("event_type"), col("m2").as("mad_x4"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("is_anom", lit(2L) * col("dev2") > lit(3L) * col("mad_x4"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med_x2")).as("med_x2"), max(col("mad_x4")).as("mad_x4"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"),
+        max(col("dev2")).as("max_dev2"),
+        coalesce(min(when(col("is_anom"), col("event_id"))), lit(-1L))
+          .as("first_anom_event"))
+      .orderBy("event_type")
+  }
+
+  val q184Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events
+      |), r1 AS (
+      |  SELECT event_type, event_id, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev
+      |), med AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |    CAST(2*SUM(cents) // COUNT(*) AS BIGINT) AS med_x2
+      |  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |  GROUP BY event_type
+      |), dev AS (
+      |  SELECT e.event_type, e.event_id, abs(2*e.cents - m.med_x2) AS dev2
+      |  FROM ev e JOIN med m ON m.event_type = e.event_type
+      |), r2 AS (
+      |  SELECT event_type, event_id, dev2,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dev2, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev
+      |), mad AS (
+      |  SELECT event_type, CAST(2*SUM(dev2) // COUNT(*) AS BIGINT) AS mad_x4
+      |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |  GROUP BY event_type
+      |)
+      |SELECT d.event_type,
+      |  MAX(m.med_x2) AS med_x2, MAX(a.mad_x4) AS mad_x4,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN 2*d.dev2 > 3*a.mad_x4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anom,
+      |  MAX(d.dev2) AS max_dev2,
+      |  COALESCE(MIN(CASE WHEN 2*d.dev2 > 3*a.mad_x4
+      |    THEN d.event_id END), -1) AS first_anom_event
+      |FROM dev d
+      |JOIN med m ON m.event_type = d.event_type
+      |JOIN mad a ON a.event_type = d.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_mad_anomaly" -> q184MadAnomaly _,
     "q123_session_window" -> q123SessionWindowBatch _,
     "q124_twap" -> q124Twap _,
     "q45_median_value" -> q45MedianValue _,
@@ -492,6 +594,7 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q184_mad_anomaly" -> q184Sql,
     "q123_session_window" -> q123Sql,
     "q124_twap" -> q124Sql,
     "q45_median_value" -> q45Sql,

@@ -808,18 +808,27 @@ object Mining {
   // tiebreak). Output: the init->final transition matrix
   // (O(labels²) rows at any graph scale).
   // ---------------------------------------------------------------
-  private[graft] def lpLoop(s: SparkSession, dir: String, rounds: Int,
-      probe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  /** The full (non-sparsified) undirected user graph shared by
+    * q165's label-propagation loop and q180's modularity audit: the
+    * q157 edge derivation, deduplicated to canonical (a < b) pairs.
+    * NOT persisted — callers own caching.
+    */
+  private[graft] def undGraph(s: SparkSession, dir: String): DataFrame = {
     val ev = graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
-    val und = ev.crossJoin(broadcast(n))
+    ev.crossJoin(broadcast(n))
       .select(col("user_id").as("s"),
         ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
+  }
+
+  private[graft] def lpLoop(s: SparkSession, dir: String, rounds: Int,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = undGraph(s, dir)
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
       .persist(MEMORY_AND_DISK)
@@ -883,6 +892,124 @@ object Mining {
        |FROM l3 GROUP BY node % 10, lbl
        |ORDER BY init_label, final_label""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q180: community MODULARITY audit — the eval harness for the
+  // graph-clustering family (q157/q161/q165 produce partitions; this
+  // grades one), the structural sibling of q117/q132/q143/q149's
+  // per-family quality harnesses. Newman modularity
+  //   Q = sum_c [ m_c/m - (d_c / 2m)^2 ]
+  // over the q165 partition after ONE synchronous label-propagation
+  // round, kept in EXACT integers: per community c the output carries
+  // the sufficient statistics (intra-edge count m_c, endpoint-degree
+  // sum d_c) plus the common-denominator numerator
+  //   contrib_4m2 = 4*m*m_c - d_c^2        (Q = sum(contrib) / 4m^2)
+  // so both engines agree bit-for-bit with no floats. int64 envelope:
+  // |contrib| <= 4m^2 needs m < 2^31 edges PER AUDITED GRAPH — at
+  // 100 TB you audit per-shard/per-snapshot graphs or scale the
+  // statistics to decimal(38), the schema is unchanged. Scale shape:
+  // labels are node-sized and broadcast to BOTH endpoint joins; the
+  // edge list is touched ONCE (one persisted labeled-edge frame feeds
+  // the intra count, the degree sums, and the m scalar), communities
+  // materialize O(|labels|) rows. A partition with no intra edges
+  // still reports (left join, coalesce 0) — silently dropping it
+  // would overstate Q.
+  // ---------------------------------------------------------------
+  /** The un-checkpointed statistics frame and its persisted
+    * labeled-edge dependency — factored out so PlanQualitySpec can
+    * pin the join strategy (the broadcast label joins are invisible
+    * in [[q180Modularity]]'s returned plan, which is a checkpointed
+    * LogicalRDD). Caller owns `el.unpersist`.
+    */
+  private[graft] def modularityStats(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lab = lpLoop(s, dir, 1).select(col("node"), col("lbl"))
+    val el = undGraph(s, dir)
+      .join(broadcast(lab.select(col("node").as("a"), col("lbl").as("la"))), "a")
+      .join(broadcast(lab.select(col("node").as("b"), col("lbl").as("lb"))), "b")
+      .persist(MEMORY_AND_DISK)
+    val m = el.agg(count(lit(1)).as("m"))
+    val intra = el.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degs = el.select(col("la").as("community"))
+      .unionByName(el.select(col("lb").as("community")))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("degree_sum"))
+    val census = lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val out = census
+      // intra/degs are community-sized aggregates with no stats —
+      // hint the broadcast or the rollup plans a needless sort-merge
+      .join(broadcast(intra), Seq("community"), "left")
+      .join(broadcast(degs), Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        (lit(4L) * col("m") * coalesce(col("intra_edges"), lit(0L))
+          - coalesce(col("degree_sum"), lit(0L))
+            * coalesce(col("degree_sum"), lit(0L))).as("contrib_4m2"))
+      .orderBy("community")
+    (out, el)
+  }
+
+  def q180Modularity(s: SparkSession, dir: String): DataFrame = {
+    val (out, el) = modularityStats(s, dir)
+    // community-sized (O(|labels|) rows): eager-materialize so the
+    // labeled-edge frame can be released before returning
+    val ck = out.localCheckpoint(true)
+    el.unpersist(blocking = false)
+    ck
+  }
+
+  val q180Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), nbrs AS MATERIALIZED (
+      |  SELECT a AS node, b AS nbr FROM und
+      |  UNION ALL SELECT b AS node, a AS nbr FROM und
+      |), l0 AS MATERIALIZED (
+      |  SELECT DISTINCT node, node % 10 AS lbl FROM nbrs
+      |), c1 AS MATERIALIZED (
+      |  SELECT n.node, l.lbl, COUNT(*) AS cnt
+      |  FROM nbrs n JOIN l0 l ON l.node = n.nbr
+      |  GROUP BY n.node, l.lbl
+      |), l1 AS MATERIALIZED (
+      |  SELECT node, lbl FROM (
+      |    SELECT node, lbl,
+      |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk
+      |    FROM c1
+      |  ) WHERE rk = 1
+      |), mm AS (SELECT COUNT(*) AS m FROM und),
+      |el AS MATERIALIZED (
+      |  SELECT u.a, u.b, la.lbl AS la, lb.lbl AS lb
+      |  FROM und u JOIN l1 la ON la.node = u.a JOIN l1 lb ON lb.node = u.b
+      |), intra AS (
+      |  SELECT la AS community, COUNT(*) AS intra_edges
+      |  FROM el WHERE la = lb GROUP BY la
+      |), degs AS (
+      |  SELECT community, COUNT(*) AS degree_sum FROM (
+      |    SELECT la AS community FROM el
+      |    UNION ALL SELECT lb AS community FROM el
+      |  ) GROUP BY community
+      |), census AS (SELECT lbl AS community, COUNT(*) AS n_nodes FROM l1 GROUP BY lbl)
+      |SELECT c.community, c.n_nodes,
+      |  COALESCE(i.intra_edges, 0) AS intra_edges,
+      |  COALESCE(d.degree_sum, 0) AS degree_sum,
+      |  4 * (SELECT m FROM mm) * COALESCE(i.intra_edges, 0)
+      |    - COALESCE(d.degree_sum, 0) * COALESCE(d.degree_sum, 0) AS contrib_4m2
+      |FROM census c
+      |LEFT JOIN intra i ON i.community = c.community
+      |LEFT JOIN degs d ON d.community = c.community
+      |ORDER BY c.community""".stripMargin
 
   // ---------------------------------------------------------------
   // q172: multi-source BFS to FRONTIER EXHAUSTION — the third
@@ -973,6 +1100,135 @@ object Mining {
       |FROM nodes n LEFT JOIN dist d ON d.v = n.node
       |GROUP BY 1 ORDER BY dist""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q181: K-CORE decomposition to a data-driven PEEL fixpoint — the
+  // fourth convergence discipline next to q161 (pointer-jump
+  // fixpoint), q163 (driver-held model state), and q172 (frontier
+  // message passing): synchronous PEELING, where each round REMOVES
+  // the nodes that fail a predicate over the surviving induced
+  // subgraph (degree < k within the current core) and the loop stops
+  // when a round removes nothing. The k-core is the standard
+  // degeneracy/robustness statistic (spam-farm detection, dense-
+  // community seeding, graph sparsification preflight) and the
+  // simplest member of the peel family (truss decomposition, onion
+  // layers). Scale shape per round: the edge list was repartitioned
+  // by node ONCE before the loop and never re-exchanged; the alive
+  // set is node-sized and broadcast into BOTH endpoint semi-joins
+  // (on a graph whose node set outgrows a broadcast the same joins
+  // run bucketed/co-partitioned on `node` — lpLoop's documented
+  // fallback); the survivor set is localCheckpoint(eager)-ed so one
+  // materialization serves the driver-side stability count and the
+  // next round, with plan lineage flat every round (ccLoop's
+  // hygiene; reliable checkpoint() on a cluster). The STOP ROUND is
+  // itself oracle-gated (q175's discipline): the DuckDB twin
+  // materializes the full unrolled peel, recomputes the census
+  // curve, and selects MIN(round | census stable), so a loop that
+  // stops early or late mismatches the hash. Output: the degree
+  // histogram WITHIN the final core (each surviving node's induced
+  // degree — all >= k by the fixpoint, a self-verifying invariant
+  // ExtOperatorsSpec pins) plus the peel round count. An empty core
+  // (sf0.001's sparsified graph dissolves entirely) yields zero
+  // rows in BOTH engines — the agreed-on degenerate case.
+  // ---------------------------------------------------------------
+  /** The peel loop, factored out so CcLoopSpec can observe each
+    * round's survivor frame. Returns the final core's induced degree
+    * table and the data-driven round count (the stable-detection
+    * round included, q175's counting rule).
+    */
+  private[graft] def kcoreLoop(s: SparkSession, dir: String, k: Int = 2,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = sparseUnd(s, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node")) // co-locate once; every round joins on node
+      .persist(MEMORY_AND_DISK)
+    var alive = nbrs.select(col("node")).distinct().localCheckpoint(true)
+    var aliveCnt = alive.count()
+    /** Induced degrees: an edge survives iff BOTH endpoints survive. */
+    def induced(core: DataFrame): DataFrame = nbrs
+      .join(broadcast(core), "node")
+      .join(broadcast(core.select(col("node").as("nbr"))), "nbr")
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val maxRounds = 40 // guard: fail loudly, never spin
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      rounds += 1
+      val kept = induced(alive)
+        .filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint(true) // one materialization: count + next round
+      val keptCnt = kept.count()
+      stable = keptCnt == aliveCnt
+      alive = kept
+      aliveCnt = keptCnt
+      probe(rounds, alive)
+    }
+    // materialize the final induced degrees only on success, and
+    // release the edge persist BEFORE the loud guard (no leak if it
+    // fires — the r5-ADVICE unpersist-ordering rule)
+    val coreDeg =
+      if (stable) Some(induced(alive).localCheckpoint(true)) else None
+    nbrs.unpersist(blocking = false)
+    require(stable, s"k-core peel did not stabilize in $maxRounds rounds")
+    graft.LoopStats.record("kcore", rounds.toLong)
+    (coreDeg.get, rounds)
+  }
+
+  def q181Kcore(s: SparkSession, dir: String): DataFrame = {
+    val (coreDeg, rounds) = kcoreLoop(s, dir)
+    coreDeg.groupBy(col("deg").as("core_degree"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .withColumn("rounds", lit(rounds.toLong))
+      .orderBy("core_degree")
+  }
+
+  val q181Sql: String = {
+    // full-guard unroll (q175's oracle discipline): 16 peel rounds
+    // materialized — comfortably past the ~5 data-driven rounds at
+    // the gated SFs; if a regenerated graph ever needs more, the
+    // stable-round subquery comes up empty and the gate fails LOUDLY
+    // rather than silently accepting a truncated peel
+    val unroll = 16
+    def round(r: Int): String =
+      s"""d$r AS MATERIALIZED (
+         |  SELECT bi.a AS node, COUNT(*) AS deg FROM bi
+         |  JOIN a${r - 1} x ON x.node = bi.a
+         |  JOIN a${r - 1} y ON y.node = bi.b
+         |  GROUP BY bi.a
+         |), a$r AS MATERIALIZED (
+         |  SELECT node FROM d$r WHERE deg >= 2)""".stripMargin
+    val cnts = (0 to unroll)
+      .map(r => s"SELECT $r AS r, COUNT(*) AS c FROM a$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+       |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+       |und AS (
+       |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+       |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+       |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+       |), sp AS (SELECT a, b FROM und WHERE (a*131 + b*17) % 32 = 0),
+       |bi AS MATERIALIZED (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+       |a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM bi),
+       |${(1 to unroll).map(round).mkString(",\n")},
+       |cnts AS MATERIALIZED (
+       |  $cnts
+       |), stable AS (
+       |  SELECT MIN(c1.r) AS rounds FROM cnts c1
+       |  JOIN cnts c0 ON c1.r = c0.r + 1 AND c1.c = c0.c
+       |), fd AS (
+       |  SELECT bi.a AS node, COUNT(*) AS deg FROM bi
+       |  JOIN a$unroll x ON x.node = bi.a
+       |  JOIN a$unroll y ON y.node = bi.b
+       |  GROUP BY bi.a
+       |)
+       |SELECT deg AS core_degree, COUNT(*) AS n_nodes,
+       |  MIN(node) AS min_node, (SELECT rounds FROM stable) AS rounds
+       |FROM fd GROUP BY deg ORDER BY core_degree""".stripMargin
+  }
+
   def q161ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = ccLoop(s, dir)
     labels.groupBy(col("lbl").as("cluster"))
@@ -1000,6 +1256,8 @@ object Mining {
       |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_kcore" -> q181Kcore _,
+    "q180_modularity" -> q180Modularity _,
     "q172_bfs_hops" -> q172BfsHops _,
     "q170_countmin_est" -> q170CountminEst _,
     "q165_label_prop_rounds" -> q165LabelPropRounds _,
@@ -1015,6 +1273,8 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q181_kcore" -> q181Sql,
+    "q180_modularity" -> q180Sql,
     "q172_bfs_hops" -> q172Sql,
     "q170_countmin_est" -> q170Sql,
     "q165_label_prop_rounds" -> q165Sql,

@@ -303,7 +303,69 @@ object Multimodal {
       |FROM t JOIN s ON t.doc_id = s.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q179: REAL audio decode — the audio sibling of q177's image
+  // kernel: every document gets a deterministic RIFF/WAVE PCM16
+  // payload (mono for doc_id % 5 == 0, interleaved stereo otherwise;
+  // rates cycle 8000/12000/16000, frame counts 16..24 — synthesized
+  // from doc_id because the testdata carries no binary audio
+  // column), and the native codegen'd decoder
+  // (`functions/AudioExpressions.scala`) recovers channel count /
+  // sample rate / frame count / duration and exact-int64 sample
+  // statistics FROM THE BYTES: RIFF chunk walk (unknown chunks
+  // skipped with the odd-size pad honored), PCM16 fmt validation,
+  // interleaved sample scan, malformed -> NULL. The oracle
+  // replicates the closed-form sample arithmetic, so a decoder that
+  // misreads the header, de-interleaves wrong, or sign-extends wrong
+  // hash-mismatches (samples span negative int16 territory on
+  // purpose). Scale shape: synth+decode in one whole-stage-codegen
+  // projection over a doc_id-only scan — zero shuffle, zero Scala
+  // UDF; the per-payload scan is O(bytes), embarrassingly parallel.
+  // ---------------------------------------------------------------
+  def q179AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val dec = graft.functions.audio
+      .wavStats(graft.functions.audio.wavSynth(col("doc_id")))
+    documents(s, dir)
+      .select(col("doc_id"), dec.as("au"))
+      .select(col("doc_id"),
+        col("au.channels").as("channels"),
+        col("au.sample_rate").as("sample_rate"),
+        col("au.bits").as("bits"), col("au.n_frames").as("n_frames"),
+        col("au.dur_ms").as("dur_ms"), col("au.sum_l").as("sum_l"),
+        col("au.sum_r").as("sum_r"), col("au.peak").as("peak"),
+        col("au.energy").as("energy"))
+      .orderBy("doc_id")
+  }
+
+  val q179Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS ch,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+      |    16 + doc_id % 9 AS frames
+      |  FROM documents
+      |), smp AS (
+      |  SELECT doc_id, ch,
+      |    (doc_id*37 + k*101) % 4001 - 2000 AS s0,
+      |    CASE WHEN ch = 2 THEN (doc_id*53 + k*67) % 4001 - 2000 END AS s1
+      |  FROM t, unnest(range(frames)) r(k)
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(s0) AS BIGINT) AS sum_l,
+      |    CAST(COALESCE(SUM(s1), 0) AS BIGINT) AS sum_r,
+      |    CAST(MAX(GREATEST(abs(s0), COALESCE(abs(s1), 0))) AS INT) AS peak,
+      |    CAST(SUM(s0*s0 + COALESCE(s1*s1, 0)) AS BIGINT) AS energy
+      |  FROM smp GROUP BY doc_id
+      |)
+      |SELECT t.doc_id AS doc_id, ch AS channels, rate AS sample_rate,
+      |  16 AS bits, CAST(frames AS BIGINT) AS n_frames,
+      |  CAST(frames * 1000 // rate AS BIGINT) AS dur_ms,
+      |  sum_l, sum_r, peak, energy
+      |FROM t JOIN agg ON t.doc_id = agg.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_audio_decode" -> q179AudioDecode _,
     "q177_image_decode" -> q177ImageDecode _,
     "q131_payload_blocks" -> q131PayloadBlocks _,
     "q33_multimodal_bundle" -> q33MultimodalBundle _,
@@ -312,6 +374,7 @@ object Multimodal {
     "q104_resize" -> q104Resize _)
 
   val oracles: Map[String, String] = Map(
+    "q179_audio_decode" -> q179Sql,
     "q177_image_decode" -> q177Sql,
     "q131_payload_blocks" -> q131Sql,
     "q33_multimodal_bundle" -> q33Sql,

@@ -404,7 +404,122 @@ object Retrieval {
       |    // (2*COUNT(*)*1000000)) / 10000.0 AS mrr4
       |FROM ranked WHERE doc_id = q_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q185: RECIPROCAL RANK FUSION (RRF) — the standard hybrid-
+  // retrieval combiner: a lexical ranker and a vector ranker each
+  // produce a top-10, and each hit contributes 1/(60 + rank) to the
+  // fused score (Cormack et al.'s k = 60), so a document ranked well
+  // by BOTH channels beats one ranked excellently by a single
+  // channel. This is the op every RAG stack runs between its two
+  // indexes; it composes the q87/q88 lexical family with the
+  // q27/q182 vector family over the aligned doc_id = vec_id
+  // corpus. Portability: the reciprocal is the FIXED-POINT integer
+  // floor(1e9 / (60 + rank)) — summing two such terms stays exact
+  // int64, so both engines fuse identically (a float 1/(60+r) sum
+  // can reorder ties); a doc missing from one channel's top-10
+  // contributes 0 and reports rank -1. Lexical score = shared
+  // DISTINCT token count with the query doc (exact int); vector
+  // score = the q27 rounded cosine; both rank with doc_id
+  // tiebreaks.
+  //
+  // Scale shape: the query side of BOTH channels broadcasts (query
+  // token set, query vectors); the corpus is scanned once per
+  // channel (token explode + equi-join; one vector pass); the two
+  // top-10 frames are |queries| x 10 and full-outer-join on
+  // (q_id, doc_id) — candidate-bounded, never corpus-bounded. The
+  // per-query windows partition on q_id.
+  // ---------------------------------------------------------------
+  def q185RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val ld = Relational.ldiv _
+    // lexical channel: shared-distinct-token overlap with the query doc
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("token"))
+    val qtok = tok.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("token"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("ov").desc, col("doc_id"))
+    val lex = tok.join(broadcast(qtok), "token")
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= 10)
+      .select(col("q_id"), col("doc_id"), col("lex_rank").cast("long").as("lex_rank"))
+    // vector channel: q27's rounded-cosine ranking on the aligned ids
+    val v = col("embedding").cast("array<double>")
+    val nrm = sqrt(graft.functions.vec.arrayDot(v, v))
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), transform(v, x => x / nrm).as("e"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val wVec = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    val vec = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r",
+        round(graft.functions.vec.arrayDot(col("qe"), col("e")), 4))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("vec_rank").cast("long").as("vec_rank"))
+    // fuse: fixed-point reciprocal ranks, missing channel -> 0
+    val wFuse = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(ld(lit(1000000000L), lit(60L) + col("lex_rank")), lit(0L)) +
+          coalesce(ld(lit(1000000000L), lit(60L) + col("vec_rank")), lit(0L)))
+      .withColumn("fused_rank", row_number().over(wFuse))
+      .filter(col("fused_rank") <= 5)
+      .select(col("q_id"), col("fused_rank"), col("doc_id"), col("rrf"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"))
+      .orderBy("q_id", "fused_rank")
+  }
+
+  val q185Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents
+      |), lex AS (
+      |  SELECT q_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank FROM (
+      |    SELECT q.doc_id AS q_id, t.doc_id AS doc_id, COUNT(*) AS ov,
+      |      row_number() OVER (PARTITION BY q.doc_id
+      |        ORDER BY COUNT(*) DESC, t.doc_id) AS lex_rank
+      |    FROM tok t JOIN tok q ON q.token = t.token
+      |    WHERE q.doc_id % 100 = 0 AND q.doc_id <> t.doc_id
+      |    GROUP BY q.doc_id, t.doc_id
+      |  ) WHERE lex_rank <= 10
+      |), ev AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), vec AS (
+      |  SELECT q_id, doc_id, CAST(vec_rank AS BIGINT) AS vec_rank FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        ROUND(list_cosine_similarity(a.emb, b.emb), 4) DESC, b.vec_id)
+      |        AS vec_rank
+      |    FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+      |    WHERE a.vec_id % 100 = 0
+      |  ) WHERE vec_rank <= 10
+      |), fused AS (
+      |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+      |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |    COALESCE(1000000000 // (60 + l.lex_rank), 0)
+      |      + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf,
+      |    COALESCE(l.lex_rank, -1) AS lex_rank,
+      |    COALESCE(v.vec_rank, -1) AS vec_rank
+      |  FROM lex l FULL OUTER JOIN vec v
+      |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+      |)
+      |SELECT q_id, CAST(fused_rank AS INT) AS fused_rank, doc_id, rrf,
+      |  lex_rank, vec_rank FROM (
+      |  SELECT fused.*, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY rrf DESC, doc_id) AS fused_rank
+      |  FROM fused
+      |) WHERE fused_rank <= 5
+      |ORDER BY q_id, fused_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_rrf_fusion" -> q185RrfFusion _,
     "q149_retrieval_mrr" -> q149RetrievalMrr _,
     "q121_phrase_search" -> q121PhraseSearch _,
     "q83_sorted_neighborhood" -> q83SortedNeighborhood _,
@@ -414,6 +529,7 @@ object Retrieval {
     "q90_winsorize" -> q90Winsorize _)
 
   val oracles: Map[String, String] = Map(
+    "q185_rrf_fusion" -> q185Sql,
     "q149_retrieval_mrr" -> q149Sql,
     "q121_phrase_search" -> q121Sql,
     "q83_sorted_neighborhood" -> q83Sql,

@@ -726,7 +726,131 @@ object Temporal {
       |  cents AS last_cents
       |FROM t WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q183: HOLT-style LEVEL + TREND smoothing (Brown's double
+  // exponential method) — q153 gives each user a decayed "current
+  // level" but is structurally blind to drift: a user whose spend
+  // rises every event and one holding steady can share an EWMA. The
+  // classical fix is a second smoothing pass: with S' = EWMA(x) and
+  // S'' = EWMA(S'),  level = 2S' - S'',  trend = S' - S'' (alpha =
+  // 1/2), forecast(+1) = level + trend = 3S' - 2S''. Composing two
+  // truncated alpha=1/2 EWMAs gives EXACT integer lag weights:
+  // S'' over 15 lags with weight (8 - |m-7|) * 2^(14-m) on lag m
+  // (the convolution of the two halving kernels), so level / trend /
+  // forecast are pure int64 rational arithmetic on integer cents —
+  // cross-multiplied to the common denominator s1d*s2d, rounded
+  // half-up at 4 dp SIGN-SAFELY (trend is negative for decaying
+  // users; |num| is divided and the sign reapplied, so the two
+  // engines' differing negative-division conventions can never
+  // diverge — the q124/ops.ewma lesson, closed instead of
+  // documented). Envelope: 20000 * |num| <= 2e4 * (3*255*65025*maxc)
+  // ~ 1e15 * maxc-in-dollars — int64-safe to ~$9000 event values;
+  // the full-range `div` operator (not ldiv) keeps the division
+  // exact past 2^53. Partial histories renormalize both kernels
+  // over the available lags (q153's den trick).
+  //
+  // Scale shape: identical to q153 — all 15 lags, the last-row pick,
+  // and the per-user count share ONE user_id exchange; output is
+  // key-cardinality. The depth-15 window is the price of the exact
+  // closed form; the recursive alternative is inherently sequential
+  // per key (a mapGroups sort), strictly worse on a 100-TB shuffle.
+  // ---------------------------------------------------------------
+  private val HoltW: IndexedSeq[Long] =
+    (0 to 14).map(m => (8L - math.abs(m - 7)) * (1L << (14 - m)))
+
+  def q183HoltTrend(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def lagK(k: Int): Column =
+      if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+    val s1num = (0 until 8).map { k =>
+      coalesce(lagK(k), lit(0L)) * lit(1L << (7 - k))
+    }.reduce(_ + _)
+    val s1den = (0 until 8).map { k =>
+      when(lagK(k).isNotNull, lit(1L << (7 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val s2num = (0 to 14).map { m =>
+      coalesce(lagK(m), lit(0L)) * lit(HoltW(m))
+    }.reduce(_ + _)
+    val s2den = (0 to 14).map { m =>
+      when(lagK(m).isNotNull, lit(HoltW(m))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // sign-safe half-up 4-dp rounding of num/den (den > 0)
+    def r4s(n: String): Column =
+      (when(col(n) < 0L, lit(-1L)).otherwise(lit(1L)) *
+        expr(s"(20000 * abs($n) + den) div (2 * den)")) / 10000.0
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
+      .withColumn("s1n", s1num)
+      .withColumn("s1d", s1den)
+      .withColumn("s2n", s2num)
+      .withColumn("s2d", s2den)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .withColumn("den", col("s1d") * col("s2d"))
+      .withColumn("lvl_n",
+        lit(2L) * col("s1n") * col("s2d") - col("s2n") * col("s1d"))
+      .withColumn("trd_n",
+        col("s1n") * col("s2d") - col("s2n") * col("s1d"))
+      .withColumn("fc_n",
+        lit(3L) * col("s1n") * col("s2d") - lit(2L) * col("s2n") * col("s1d"))
+      .select(col("user_id"), col("n_events"),
+        r4s("lvl_n").as("level_c4"), r4s("trd_n").as("trend_c4"),
+        r4s("fc_n").as("fc1_c4"), col("cents").as("last_cents"))
+      .orderBy("user_id")
+  }
+
+  val q183Sql: String = {
+    def numTerm(k: Int, w: Long): String =
+      if (k == 0) s"$w*cents"
+      else s"$w*COALESCE(LAG(cents,$k) OVER w, 0)"
+    def denTerm(k: Int, w: Long): String =
+      if (k == 0) s"$w"
+      else s"CASE WHEN LAG(cents,$k) OVER w IS NULL THEN 0 ELSE $w END"
+    val s1n = (0 until 8).map(k => numTerm(k, 1L << (7 - k))).mkString(" + ")
+    val s1d = (0 until 8).map(k => denTerm(k, 1L << (7 - k))).mkString(" + ")
+    val s2n = (0 to 14).map(m => numTerm(m, HoltW(m))).mkString(" + ")
+    val s2d = (0 to 14).map(m => denTerm(m, HoltW(m))).mkString(" + ")
+    def r4s(n: String): String =
+      s"CASE WHEN $n < 0 THEN -1 ELSE 1 END" +
+        s" * ((20000*abs($n) + den) // (2*den)) / 10000.0"
+    s"""WITH c AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events
+       |), t AS (
+       |  SELECT user_id, cents,
+       |    $s1n AS s1n,
+       |    $s1d AS s1d,
+       |    $s2n AS s2n,
+       |    $s2d AS s2d,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), f AS (
+       |  SELECT user_id, n_events, cents, s1d * s2d AS den,
+       |    2*s1n*s2d - s2n*s1d AS lvl_n,
+       |    s1n*s2d - s2n*s1d AS trd_n,
+       |    3*s1n*s2d - 2*s2n*s1d AS fc_n
+       |  FROM t WHERE rn = 1
+       |)
+       |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       |  ${r4s("lvl_n")} AS level_c4,
+       |  ${r4s("trd_n")} AS trend_c4,
+       |  ${r4s("fc_n")} AS fc1_c4,
+       |  cents AS last_cents
+       |FROM f ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_holt_trend" -> q183HoltTrend _,
     "q153_ewma_decay" -> q153EwmaDecay _,
     "q139_timed_funnel" -> q139TimedFunnel _,
     "q134_seasonal_baseline" -> q134SeasonalBaseline _,
@@ -741,6 +865,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q183_holt_trend" -> q183Sql,
     "q153_ewma_decay" -> q153Sql,
     "q139_timed_funnel" -> q139Sql,
     "q134_seasonal_baseline" -> q134Sql,

@@ -1448,7 +1448,136 @@ object Vectors {
        |ORDER BY dims, n_hits""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q182: MMR (maximal marginal relevance) DIVERSIFIED re-ranking —
+  // the retrieval property recall@k and rank agreement (q117/q151)
+  // cannot see: a top-k of near-duplicate passages is "accurate" yet
+  // useless to a RAG prompt. Greedy MMR with lambda = 1/2 re-ranks
+  // each query's top-8 exact-cosine candidates, picking 3 results
+  // that trade relevance against redundancy:
+  //   pick_1 = argmax rel(d);  pick_i = argmax [rel(d) - max_{s in S} sim(d, s)]
+  // (lambda = 1/2 scales both terms equally, so 2*MMR = rel - maxsim
+  // stays in EXACT scaled int64 — rel and sim are the x10000-rounded
+  // cosines, the q26/q133 grid treatment, and the selection is pure
+  // integer comparison with a vec_id tiebreak: both engines pick
+  // identical chains, no float drift can flip a pick). The greedy
+  // recursion is unrolled k=3 times as dataframe rounds (anti-join
+  // the picked set, max-sim join against it, one row_number per
+  // round) — k is a serving-side constant, so the unroll IS the
+  // scale shape. Scale: query side broadcast against one corpus scan
+  // (q27's layout), candidate frame is |queries| x 8 rows, the
+  // pairwise sim frame |queries| x 56 — both persisted once and
+  // bounded by the candidate count, never the corpus; every
+  // selection window partitions by q_id.
+  // ---------------------------------------------------------------
+  private val MmrCands = 8
+  private val MmrK = 3
+
+  def q182MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("rel", round(dot(col("qe"), col("e")) * 10000).cast("long"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= MmrCands)
+      .persist(MEMORY_AND_DISK)
+    val x = cand.alias("x")
+    val y = cand.alias("y")
+    val sims = x.join(y, col("x.q_id") === col("y.q_id") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.q_id").as("q_id"), col("x.vec_id").as("d"),
+        col("y.vec_id").as("s"),
+        round(dot(col("x.e"), col("y.e")) * 10000).cast("long").as("sim"))
+      .persist(MEMORY_AND_DISK)
+    // pick 1: pure relevance (the diversity term is empty)
+    var picks = cand.filter(col("rk") === 1)
+      .select(col("q_id"), lit(1).as("pos"), col("vec_id").as("pick_id"),
+        col("rel"), col("rel").as("mmr2x"))
+    (2 to MmrK).foreach { pos =>
+      val rest = cand.join(
+        picks.select(col("q_id"), col("pick_id").as("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val ms = sims
+        .join(picks.select(col("q_id"), col("pick_id").as("s")), Seq("q_id", "s"))
+        .groupBy(col("q_id"), col("d"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("d", "vec_id")
+      val wSel = Window.partitionBy(col("q_id"))
+        .orderBy(col("mmr2x").desc, col("vec_id"))
+      val next = rest.join(ms, Seq("q_id", "vec_id"))
+        .withColumn("mmr2x", col("rel") - col("msim"))
+        .withColumn("r", row_number().over(wSel))
+        .filter(col("r") === 1)
+        .select(col("q_id"), lit(pos).as("pos"), col("vec_id").as("pick_id"),
+          col("rel"), col("mmr2x"))
+      picks = picks.unionByName(next)
+    }
+    // |queries| x 3 rows: eager-materialize, then release the
+    // candidate/sim persists
+    val out = picks.orderBy("q_id", "pos").localCheckpoint(true)
+    cand.unpersist(blocking = false)
+    sims.unpersist(blocking = false)
+    out
+  }
+
+  val q182Sql: String = {
+    def pickRound(pos: Int, picked: String): String =
+      s"""r$pos AS (
+         |  SELECT c.q_id, c.vec_id, c.rel, c.rel - ms.msim AS mmr2x
+         |  FROM cand c
+         |  JOIN (
+         |    SELECT s.q_id, s.d, MAX(s.sim) AS msim FROM sims s
+         |    JOIN $picked p ON p.q_id = s.q_id AND p.pick_id = s.s
+         |    GROUP BY s.q_id, s.d) ms
+         |    ON ms.q_id = c.q_id AND ms.d = c.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $picked p
+         |    WHERE p.q_id = c.q_id AND p.pick_id = c.vec_id)
+         |), p$pos AS (
+         |  SELECT q_id, $pos AS pos, vec_id AS pick_id, rel, mmr2x FROM (
+         |    SELECT r$pos.*, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY mmr2x DESC, vec_id) AS r
+         |    FROM r$pos) WHERE r = 1)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |), cand AS MATERIALIZED (
+       |  SELECT q_id, vec_id, rel, rk FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |      CAST(ROUND(list_cosine_similarity(a.emb, b.emb) * 10000, 0)
+       |        AS BIGINT) AS rel,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(ROUND(list_cosine_similarity(a.emb, b.emb) * 10000, 0)
+       |          AS BIGINT) DESC, b.vec_id) AS rk
+       |    FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id % 100 = 0
+       |  ) WHERE rk <= $MmrCands
+       |), sims AS MATERIALIZED (
+       |  SELECT x.q_id, x.vec_id AS d, y.vec_id AS s,
+       |    CAST(ROUND(list_cosine_similarity(ex.emb, ey.emb) * 10000, 0)
+       |      AS BIGINT) AS sim
+       |  FROM cand x JOIN cand y
+       |    ON x.q_id = y.q_id AND x.vec_id <> y.vec_id
+       |  JOIN ev ex ON ex.vec_id = x.vec_id
+       |  JOIN ev ey ON ey.vec_id = y.vec_id
+       |), p1 AS (
+       |  SELECT q_id, 1 AS pos, vec_id AS pick_id, rel, rel AS mmr2x
+       |  FROM cand WHERE rk = 1
+       |),
+       |${pickRound(2, "p1")},
+       |p12 AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+       |${pickRound(3, "p12")}
+       |SELECT q_id, pos, pick_id, rel, mmr2x
+       |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |      UNION ALL SELECT * FROM p3)
+       |ORDER BY q_id, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_mmr_rerank" -> q182MmrRerank _,
     "q171_matryoshka_recall" -> q171MatryoshkaRecall _,
     "q163_kmeans_converge" -> q163KmeansConverge _,
     "q160_embedding_correlation" -> q160EmbeddingCorrelation _,
@@ -1471,6 +1600,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q182_mmr_rerank" -> q182Sql,
     "q171_matryoshka_recall" -> q171Sql,
     "q163_kmeans_converge" -> q163Sql,
     "q160_embedding_correlation" -> q160Sql,

@@ -438,6 +438,97 @@ class ApiSpec extends SparkSpec {
     assert(joined.filter(col("n_occ_docs").isNull).count() === 0)
   }
 
+  test("mmrRerank prefers a diverse pick over a redundant near-duplicate") {
+    val s = spark
+    import s.implicits._
+    // doc 2 is a near-verbatim copy of doc 1 (sim x1e4 = 10000 after
+    // rounding); doc 3 is moderately relevant but genuinely
+    // different. Plain top-2 = (1, 2); MMR scores doc 2 at
+    // rel - sim(2,1) = 9939 - 10000 = -61 against doc 3's
+    // 6000 - 5963 = 37, so the second pick flips to doc 3.
+    val corpus = Seq(
+      (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.001)),
+      (3L, Seq(0.6, 0.0, 0.8))).toDF("id", "vec")
+    val queries = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("id", "vec")
+    val out = ops.mmrRerank(corpus, queries, nCandidates = 3, k = 2)
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 3L)), out.mkString(","))
+    intercept[IllegalArgumentException](
+      ops.mmrRerank(corpus, queries, nCandidates = 1, k = 2))
+  }
+
+  test("mmrRerank agrees with the oracle-gated q182 pipeline") {
+    val d01 = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, d01)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val api = ops.mmrRerank(e, q, nCandidates = 8, k = 3)
+      .select(col("qid").as("q_id"), col("pos"), col("id").as("pick_id"),
+        col("rel"), col("mmr2x"))
+    val q182 = SparkEntry.queries("q182_mmr_rerank")(spark, d01)
+    assert(api.except(q182).count() === 0 && q182.except(api).count() === 0)
+  }
+
+  test("kcore peels a tail to nothing but keeps the triangle intact") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} with a 2-hop tail 3-4-5: k=2 peels 5 (deg 1),
+    // which exposes 4 (deg 1), then stabilizes — the cascade is the
+    // point; a single-pass degree filter would leave 4 behind
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val (core, rounds) = ops.kcore(edges, "a", "b", 2)
+    val got = core.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L)), got.toString)
+    assert(rounds == 3, s"rounds=$rounds") // peel, peel, stable-probe
+    // k above the clique degree dissolves the graph: empty, not error
+    val (gone, _) = ops.kcore(edges, "a", "b", 3)
+    assert(gone.isEmpty)
+    intercept[IllegalArgumentException](ops.kcore(edges, "a", "b", 0))
+  }
+
+  test("kcore agrees with the oracle-gated q181 pipeline") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001's sparse graph dissolves
+    val und = graft.queries.Mining.sparseUnd(spark, d01)
+    val (core, rounds) = ops.kcore(und, "a", "b", 2)
+    val api = core.groupBy(col("core_degree"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"))
+      .withColumn("rounds", lit(rounds.toLong))
+    val q181 = SparkEntry.queries("q181_kcore")(spark, d01)
+    assert(api.except(q181).count() === 0 && q181.except(api).count() === 0)
+  }
+
+  test("modularityAudit matches hand-computed statistics; edgeless classes report zeros") {
+    val s = spark
+    import s.implicits._
+    // two triangles joined by a bridge, plus a labeled isolated node:
+    // m = 7; each triangle community: m_c = 3, d_c = 7
+    //   -> contrib = 4*7*3 - 49 = 35; isolate: all zeros
+    // Q = (35 + 35 + 0) / (4*49) ~ 0.357, the hand arithmetic
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L), (7L, 2L)).toDF("node", "lbl")
+    val out = ops.modularityAudit(edges, "a", "b", labels, "node", "lbl")
+      .orderBy("community").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 3L, 7L, 35L),
+      (1L, 3L, 3L, 7L, 35L),
+      (2L, 1L, 0L, 0L, 0L)), out.mkString(","))
+  }
+
+  test("modularityAudit agrees with the oracle-gated q180 pipeline") {
+    val d01 = "/root/testdata/sf0.01"
+    val labels = graft.queries.Mining.lpLoop(spark, d01, 1)
+    val api = ops.modularityAudit(
+      graft.queries.Mining.undGraph(spark, d01), "a", "b",
+      labels, "node", "lbl")
+    val q180 = SparkEntry.queries("q180_modularity")(spark, d01)
+    assert(api.except(q180).count() === 0 && q180.except(api).count() === 0)
+  }
+
   test("clusterByZOrder yields disjoint ordered z-ranges per partition") {
     val df = Tables.orders(spark, dir).select(
       round(col("o_totalprice") * 100).cast("long").as("cents"),

@@ -144,6 +144,35 @@ class CcLoopSpec extends SparkSpec {
       s"degenerate curves: base=${curve0.length} warm=${curve1.length}")
   }
 
+  test("kcore loop: peels with a data-driven round count within the guard") {
+    val (_, rounds) = graft.queries.Mining.kcoreLoop(spark, dir)
+    // >2: the peel genuinely cascades (removals re-expose new
+    // sub-threshold nodes); <40: the guard was never the stop reason
+    assert(rounds > 2 && rounds < 40, s"rounds=$rounds")
+  }
+
+  test("kcore loop: lineage does not grow across rounds (localCheckpoint pin)") {
+    val plans = ArrayBuffer.empty[(Int, Int)]
+    def depth(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    graft.queries.Mining.kcoreLoop(spark, dir, probe =
+      (r, alive) => plans += (r -> depth(alive)))
+    val depths = plans.map(_._2).distinct
+    assert(depths.size == 1, s"plan depth varies across rounds: $plans")
+    assert(depths.head <= 3, s"survivor plan deeper than LogicalRDD: $plans")
+  }
+
+  test("kcore loop: the core is a fixpoint (every induced degree >= k)") {
+    val (coreDeg, _) = graft.queries.Mining.kcoreLoop(spark, dir)
+    import org.apache.spark.sql.functions._
+    // the defining invariant: one more peel round removes nothing
+    assert(coreDeg.filter(col("deg") < 2).isEmpty,
+      "a surviving node has induced degree < k")
+    // and the core is non-trivial on this graph (sf0.01 keeps ~110
+    // nodes; an empty core here would mean the peel over-removed)
+    assert(coreDeg.count() > 50)
+  }
+
   test("cc loop: final labels are a fixpoint (one more round changes nothing)") {
     import org.apache.spark.sql.functions._
     val (labels, _) = graft.queries.Mining.ccLoop(spark, dir)

@@ -103,6 +103,90 @@ class ExtOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q182 MMR: pick 1 is the relevance top-1, picks are distinct, and diversification bites") {
+    // sf0.01: 5 queries — large enough that MMR provably disagrees
+    // with plain top-3 somewhere (7 of 15 picks at this SF)
+    val d01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q182_mmr_rerank")(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    byQ.values.foreach { picks =>
+      assert(picks.length == 3, picks.mkString(","))
+      assert(picks.map(_._3).distinct.length == 3, "picked a result twice")
+      val p1 = picks.find(_._2 == 1).get
+      // pick 1 is pure relevance: its mmr2x IS its rel
+      assert(p1._4 == p1._5)
+      // later picks never beat pick 1 on relevance (it was the max)
+      picks.filter(_._2 > 1).foreach(p => assert(p._4 <= p1._4))
+    }
+    // the diversity term moved at least one pick off the plain top-3
+    val e = Tables.embeddings(spark, d01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"))
+    val plain = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("rel", round(graft.functions.vec.arrayDot(
+        col("qe"), col("emb")) / sqrt(graft.functions.vec.arrayDot(col("qe"), col("qe")))
+        / sqrt(graft.functions.vec.arrayDot(col("emb"), col("emb"))) * 10000).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mmr = rows.map(r => (r._1, r._3)).toSet
+    assert((mmr -- plain).nonEmpty, "MMR never diverged from plain top-3")
+  }
+
+  test("q183 Holt: forecast = level + trend within the 4-dp rounding grid") {
+    val rows = SparkEntry.queries("q183_holt_trend")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lvl, trd, fc) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // the three rationals share a denominator; each rounds
+      // independently, so the identity holds to 2 ulps of the grid
+      assert(math.abs(fc - (lvl + trd)) < 0.00021, r.toString)
+    }
+    // the corpus genuinely exercises both trend signs
+    assert(rows.exists(_.getDouble(3) < 0) && rows.exists(_.getDouble(3) > 0))
+  }
+
+  test("q184 MAD: the gate never flags a majority (robustness breakdown bound)") {
+    val rows = SparkEntry.queries("q184_mad_anomaly")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nAnom) = (r.getLong(3), r.getLong(4))
+      // by construction at least half the values sit within the MAD
+      // band: dev2 <= mad_x4/2 for the median half; 3*MAD > MAD
+      assert(nAnom * 2 < n, s"MAD flagged a majority: $r")
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 0) // med_x2, mad_x4
+      assert(r.getLong(5) >= 0) // max_dev2
+    }
+  }
+
+  test("q185 RRF: the fused score IS the fixed-point reciprocal identity") {
+    val d01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q185_rrf_fusion")(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    def rec(rank: Long): Long = if (rank < 0) 0L else 1000000000L / (60L + rank)
+    byQ.values.foreach { picks =>
+      assert(picks.length == 5)
+      assert(picks.map(_._3).distinct.length == 5, "duplicate fused doc")
+      picks.foreach { case (_, _, _, rrf, lexR, vecR) =>
+        // at least one channel backs every pick, and the score is
+        // exactly the sum of the fixed-point reciprocals
+        assert(lexR > 0 || vecR > 0)
+        assert(rrf == rec(lexR) + rec(vecR), s"rrf=$rrf lex=$lexR vec=$vecR")
+      }
+      // fused order is non-increasing in rrf
+      val sorted = picks.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q113 testdata invariant: every events.props payload has one physical shape") {
     // q113's oracle hard-codes n_types = 1 (the engines' variant
     // type-string vocabularies aren't cross-comparable — see the

@@ -391,6 +391,52 @@ class PlanQualitySpec extends SparkSpec {
       readSchema)
   }
 
+  test("q179: audio synth+decode is one codegen projection over a doc_id-only scan — no UDF, no object ser/de") {
+    val p = plan("q179_audio_decode")
+    assert(p.contains("wav_stats") && p.contains("wav_synth"), p)
+    // the codec never leaves codegen: no typed mapPartitions round
+    // trip, no Scala UDF
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"), p)
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text") && !readSchema.contains("lang"),
+      readSchema)
+  }
+
+  test("q180: modularity labels broadcast to both endpoints; edge list never sort-merge-shuffles") {
+    val (out, el) = graft.queries.Mining.modularityStats(spark, dir)
+    try {
+      val p = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // node-sized label table -> both endpoint joins broadcast; the
+      // community rollup joins are community-sized (broadcast too)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+      // partial aggregation on every rollup
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    } finally el.unpersist(blocking = false)
+  }
+
+  test("q183: all Holt windows share one user_id exchange — the event stream shuffles once") {
+    val p = plan("q183_holt_trend")
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    // the 15 lags, the last-row pick, and the per-user count all hang
+    // off the same hashpartitioning(user_id) exchange; the only other
+    // exchange is the final global sort's range partitioning
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q184: the med/mad tables broadcast back — the event stream never sort-merge-joins") {
+    val p = plan("q184_mad_anomaly")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // both rank passes partition on event_type
+    assert(p.contains("hashpartitioning(event_type"), p)
+  }
+
   test("q58: per-language top-k routes through the native TopKPerGroup heap") {
     val p = plan("q58_bigram_topk")
     assert(p.contains("TopKPerGroup"), p)
