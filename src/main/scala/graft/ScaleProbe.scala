@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.ops
 
 /** Scale probe for the convergence-loop operators (q161 connected
-  * components, q172 BFS, q175 PageRank): the max driver testdata is
+  * components, q172 BFS, q175 PageRank, q181 k-core): the max driver testdata is
   * sf0.1, so the "survives 100x" claim would otherwise rest on plan
   * shape alone. This main builds 1x/3x/10x graphs IN-FLIGHT by
   * chain-replicating the base edge set (no files written) and runs
@@ -128,13 +128,18 @@ object ScaleProbe {
       val pr = timeLoop(p =>
         ops.pagerank(edges, "a", "b", epsPerNode = 1000L, maxRounds = 60,
           probe = p)._3)
+      // peel depth is a degeneracy-layer count — a LOCAL property the
+      // chain replication leaves flat (the evidence: rounds stay ~
+      // constant while per-round cost tracks edges)
+      val kc = timeLoop(p => ops.kcore(edges, "a", "b", 2, probe = p)._2)
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
         s""""cc":${loopJson(cc)},"bfs":${loopJson(bfs)},""" +
-        s""""pr":${loopJson(pr)}}"""
+        s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)}}"""
       // one human-readable summary per scale as the run progresses
       println(s"[scale-probe] m=$m edges=$nEdges cc=${cc.rounds}r/" +
         s"${fmt(cc.totalS)}s bfs=${bfs.rounds}r/${fmt(bfs.totalS)}s " +
-        s"pr=${pr.rounds}r/${fmt(pr.totalS)}s")
+        s"pr=${pr.rounds}r/${fmt(pr.totalS)}s kcore=${kc.rounds}r/" +
+        s"${fmt(kc.totalS)}s")
       line
     }
     val json = s"""{"sf_dir":"$sfDir","cpus":$cpus,"stride":$n,"anchor_mod":$mod,""" +

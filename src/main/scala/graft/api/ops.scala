@@ -1356,11 +1356,19 @@ object ops {
     * the integer floor — inspect the returned curve, don't raise
     * the bound blindly. Returns the final (id, pr) vector, the
     * (round, movement) curve, and the round count.
+    *
+    * `personalizeTo` (q186's parameterized form): a seed predicate —
+    * when set, the 15% teleport mass lands only on the seeds
+    * ((0.15e9 * n) DIV |S| each), so rank measures proximity to the
+    * seed set (recommendation / trust propagation); the default init
+    * concentrates the full mass uniformly on the seeds. Composes
+    * with `init` for warm-started PPR.
     */
   def pagerank(edges: DataFrame, src: String, dst: String,
       epsPerNode: Long = 100L, maxRounds: Int = 30,
       init: Option[DataFrame] = None,
-      probe: (Int, DataFrame) => Unit = (_, _) => ())
+      probe: (Int, DataFrame) => Unit = (_, _) => (),
+      personalizeTo: Option[Column => Column] = None)
     : (DataFrame, Seq[(Long, Long)], Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
@@ -1371,9 +1379,30 @@ object ops {
     val nodes = e.select(col("__src").as("id"))
       .unionByName(e.select(col("__dst").as("id")))
       .distinct().localCheckpoint(true)
-    val eps = nodes.count() * epsPerNode
+    val nNodes = nodes.count()
+    val eps = nNodes * epsPerNode
+    // personalizeTo (q186's shape): the 15% teleport mass lands only
+    // on the seed predicate's nodes — rank becomes seed proximity.
+    // tpOf(id) replaces the uniform 0.15e9 constant in the update;
+    // the default init concentrates the full mass on the seeds.
+    val tpOf: Column => Column = personalizeTo match {
+      case None => _ => lit(150000000L)
+      case Some(isSeed) =>
+        val nSeeds = nodes.filter(isSeed(col("id"))).count()
+        require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
+        val tp = 150000000L * nNodes / nSeeds
+        idc => when(isSeed(idc), lit(tp)).otherwise(lit(0L))
+    }
+    val defaultInit = personalizeTo match {
+      case None => nodes.select(col("id"), lit(1000000000L).as("pr"))
+      case Some(isSeed) =>
+        val nSeeds = nodes.filter(isSeed(col("id"))).count()
+        val ip = 1000000000L * nNodes / math.max(nSeeds, 1L)
+        nodes.select(col("id"),
+          when(isSeed(col("id")), lit(ip)).otherwise(lit(0L)).as("pr"))
+    }
     var pr = init.map(_.select(col("id"), col("pr")))
-      .getOrElse(nodes.select(col("id"), lit(1000000000L).as("pr")))
+      .getOrElse(defaultInit)
       .localCheckpoint(true)
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0
@@ -1387,7 +1416,8 @@ object ops {
       val next = pr.select(col("id"), col("pr").as("__old"))
         .join(contrib, col("id") === col("__dst"), "left")
         .select(col("id"),
-          expr("150000000L + (85L * coalesce(__sc, 0L)) div 100L").as("pr"),
+          (tpOf(col("id")) +
+            expr("(85L * coalesce(__sc, 0L)) div 100L")).as("pr"),
           col("__old"))
         .select(col("id"), col("pr"), abs(col("pr") - col("__old")).as("__mv"))
         .localCheckpoint(true) // one materialization: movement + next round

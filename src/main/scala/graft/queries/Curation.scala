@@ -347,7 +347,8 @@ object Curation {
   }
 
   private def prIterate(edeg: DataFrame, init: DataFrame, eps: Long,
-      maxRounds: Int, probe: (Int, DataFrame) => Unit = (_, _) => ())
+      maxRounds: Int, probe: (Int, DataFrame) => Unit = (_, _) => (),
+      roundFn: (DataFrame, DataFrame) => DataFrame = prRound)
     : (DataFrame, Seq[(Long, Long)], Boolean) = {
     var pr = init.select(col("id"), col("pr")).localCheckpoint(true)
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -355,7 +356,7 @@ object Curation {
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      val next = prRound(edeg, pr)
+      val next = roundFn(edeg, pr)
         .localCheckpoint(true) // one materialization: movement + next round
       val mv = next.agg(sum(col("mv"))).head().getLong(0)
       curve += ((round.toLong, mv))
@@ -438,6 +439,149 @@ object Curation {
        |    SELECT e.dst, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sc
        |    FROM $edges e JOIN $deg d ON d.src = e.src
        |    JOIN $prev p ON p.id = e.src GROUP BY e.dst) s ON s.dst = nd.id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q186: PERSONALIZED PageRank (PPR) — q175's global prior becomes
+  // a PROXIMITY score: the 15% teleport mass lands only on a SEED
+  // set (id % 97 == 0, q172's seed rule) instead of uniformly, so a
+  // node ranks by how reachable it is FROM the seeds — the
+  // recommendation / trust-propagation / related-content primitive
+  // (per-user or per-topic PPR is how link structure personalizes).
+  // Update per round, exact int64 like q175:
+  //   pr(id) = tp(id) + (85 * inbound) DIV 100,
+  //   tp(id) = (15e7 * n) DIV |S| on seeds, 0 elsewhere
+  // with init = the full mass concentrated uniformly on the seeds.
+  // The STOP ROUND is oracle-gated by the q175 discipline (full-
+  // guard SQL unroll, MIN(round | mv <= eps), curve + top-20 ranks
+  // at the stop compared). Round shape and hygiene are exactly
+  // q175's — the same prIterate core runs both; only the round
+  // function differs (seed-conditional teleport instead of the
+  // constant). Convergence is data-driven at ~8-9 rounds at the
+  // gated SFs, under the shared MaxPrRounds guard.
+  // ---------------------------------------------------------------
+  /** One PPR round: q175's contribution exchange with the teleport
+    * mass landing only on seed nodes.
+    */
+  private[graft] def pprRound(tpPerSeed: Long)(
+      edeg: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = edeg
+      .join(broadcast(pr), col("src") === col("id"))
+      .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+    pr.select(col("id"), col("pr").as("old"))
+      .join(contrib, col("id") === col("dst"), "left")
+      .select(col("id"),
+        (when(col("id") % 97L === 0L, lit(tpPerSeed)).otherwise(lit(0L)) +
+          Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
+          .as("pr"), col("old"))
+      .select(col("id"), col("pr"), abs(col("pr") - col("old")).as("mv"))
+  }
+
+  private[graft] def pprLoop(s: SparkSession, dir: String,
+      probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Seq[(Long, Long)]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (_, edges, nodesRaw) = prGraphEdges(s, dir)
+    val edeg = withOutdeg(edges).persist(MEMORY_AND_DISK)
+    touch(edeg)
+    val nodes = nodesRaw.persist(MEMORY_AND_DISK)
+    val nNodes = nodes.count()
+    val nSeeds = nodes.filter(col("id") % 97L === 0L).count()
+    require(nSeeds > 0, "PPR needs a non-empty seed set")
+    val eps = nNodes * EpsPerNode
+    // driver-side scalars (control-plane-sized); both divisions are
+    // exact int64 on positive operands
+    val tpPerSeed = 150000000L * nNodes / nSeeds
+    val initPerSeed = 1000000000L * nNodes / nSeeds
+    val init = nodes.select(col("id"),
+      when(col("id") % 97L === 0L, lit(initPerSeed)).otherwise(lit(0L))
+        .as("pr"))
+    val (pr, curve, converged) =
+      prIterate(edeg, init, eps, MaxPrRounds, probe, pprRound(tpPerSeed))
+    edeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    require(converged, s"personalized pagerank did not converge in $MaxPrRounds rounds")
+    graft.LoopStats.record("ppr", curve.length.toLong)
+    (pr, curve)
+  }
+
+  def q186PersonalizedPr(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val (pr, curve) = pprLoop(s, dir)
+    val top = pr.orderBy(col("pr").desc, col("id")).limit(20)
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("pr").desc, col("id"))).cast("long"))
+      .select(lit("rank").as("part"), col("k"),
+        col("id").as("v1"), col("pr").as("v2"))
+    val curveDf = curve.toDF("k", "v1")
+      .select(lit("round").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    top.unionByName(curveDf).orderBy("part", "k")
+  }
+
+  val q186Sql: String = {
+    def it(r: Int): String = {
+      val prev = if (r == 1) "ppr0" else s"pit${r - 1}"
+      s"""pit$r AS MATERIALIZED (
+         |  SELECT nd.id,
+         |    (CASE WHEN nd.id % 97 = 0 THEN (SELECT tp FROM sc1) ELSE 0 END)
+         |      + (85 * COALESCE(s.sc, 0)) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS sc
+         |    FROM edges e JOIN deg d ON d.src = e.src
+         |    JOIN $prev p ON p.id = e.src GROUP BY e.dst) s ON s.dst = nd.id)""".stripMargin
+    }
+    val mvRows = (1 to MaxPrRounds).map { r =>
+      val prev = if (r == 1) "ppr0" else s"pit${r - 1}"
+      s"""SELECT $r AS round, (SELECT CAST(SUM(ABS(a.pr - b.pr)) AS BIGINT)
+         |  FROM pit$r a JOIN $prev b ON a.id = b.id) AS mv""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val rankRows = (1 to MaxPrRounds)
+      .map(r => s"SELECT $r AS round, id, pr FROM pit$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), edges AS (
+       |  SELECT DISTINCT user_id AS src,
+       |    (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev) AS dst
+       |  FROM ev
+       |  WHERE user_id <> (user_id * 31 + k) % (SELECT MAX(user_id) + 1 FROM ev)
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT user_id AS id FROM ev
+       |), sc1 AS (
+       |  SELECT
+       |    CAST(150000000 * (SELECT COUNT(*) FROM nodes)
+       |      // (SELECT COUNT(*) FROM nodes WHERE id % 97 = 0) AS BIGINT) AS tp,
+       |    CAST(1000000000 * (SELECT COUNT(*) FROM nodes)
+       |      // (SELECT COUNT(*) FROM nodes WHERE id % 97 = 0) AS BIGINT) AS ip
+       |), ppr0 AS (
+       |  SELECT id, CASE WHEN id % 97 = 0
+       |    THEN (SELECT ip FROM sc1) ELSE CAST(0 AS BIGINT) END AS pr
+       |  FROM nodes
+       |),
+       |${(1 to MaxPrRounds).map(it).mkString(",\n")},
+       |curve AS (
+       |$mvRows
+       |), stop AS (
+       |  SELECT MIN(round) AS r FROM curve
+       |  WHERE mv <= (SELECT COUNT(*) FROM nodes) * $EpsPerNode
+       |), ranks AS (
+       |$rankRows
+       |)
+       |SELECT part, k, v1, v2 FROM (
+       |  SELECT 'rank' AS part, CAST(rn AS BIGINT) AS k, id AS v1, pr AS v2
+       |  FROM (SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rn
+       |        FROM ranks WHERE round = (SELECT r FROM stop))
+       |  WHERE rn <= 20
+       |  UNION ALL
+       |  SELECT 'round' AS part, CAST(round AS BIGINT) AS k,
+       |    mv AS v1, 0 AS v2
+       |  FROM curve WHERE round <= (SELECT r FROM stop)
+       |) ORDER BY part, k""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q178: INCREMENTAL PageRank — the 100-TB reality behind q175: the
@@ -1217,6 +1361,7 @@ object Curation {
        |ORDER BY epoch, shard""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_personalized_pr" -> q186PersonalizedPr _,
     "q175_pagerank_converge" -> q175PagerankConverge _,
     "q178_incremental_pagerank" -> q178IncrementalPagerank _,
     "q174_epoch_shards" -> q174EpochShards _,
@@ -1234,6 +1379,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q186_personalized_pr" -> q186Sql,
     "q175_pagerank_converge" -> q175Sql,
     "q178_incremental_pagerank" -> q178Sql,
     "q174_epoch_shards" -> q174Sql,

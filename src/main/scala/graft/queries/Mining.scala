@@ -826,9 +826,13 @@ object Mining {
   }
 
   private[graft] def lpLoop(s: SparkSession, dir: String, rounds: Int,
-      probe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      probe: (Int, DataFrame) => Unit = (_, _) => (),
+      undPre: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = undGraph(s, dir)
+    // undPre: a caller-owned (ideally persisted) edge frame — q180
+    // passes its persisted copy so the events scan + JSON parse +
+    // distinct run ONCE for the labels and the modularity statistics
+    val und = undPre.getOrElse(undGraph(s, dir))
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
       .persist(MEMORY_AND_DISK)
@@ -922,10 +926,13 @@ object Mining {
     * LogicalRDD). Caller owns `el.unpersist`.
     */
   private[graft] def modularityStats(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val lab = lpLoop(s, dir, 1).select(col("node"), col("lbl"))
-    val el = undGraph(s, dir)
+    // one edge derivation serves the label round AND the audit pass
+    val und = undGraph(s, dir).persist(MEMORY_AND_DISK)
+    val lab = lpLoop(s, dir, 1, undPre = Some(und))
+      .select(col("node"), col("lbl"))
+    val el = und
       .join(broadcast(lab.select(col("node").as("a"), col("lbl").as("la"))), "a")
       .join(broadcast(lab.select(col("node").as("b"), col("lbl").as("lb"))), "b")
       .persist(MEMORY_AND_DISK)
@@ -952,15 +959,15 @@ object Mining {
           - coalesce(col("degree_sum"), lit(0L))
             * coalesce(col("degree_sum"), lit(0L))).as("contrib_4m2"))
       .orderBy("community")
-    (out, el)
+    (out, Seq(el, und)) // caller unpersists both
   }
 
   def q180Modularity(s: SparkSession, dir: String): DataFrame = {
-    val (out, el) = modularityStats(s, dir)
+    val (out, persisted) = modularityStats(s, dir)
     // community-sized (O(|labels|) rows): eager-materialize so the
-    // labeled-edge frame can be released before returning
+    // labeled-edge and shared edge frames can be released
     val ck = out.localCheckpoint(true)
-    el.unpersist(blocking = false)
+    persisted.foreach(_.unpersist(blocking = false))
     ck
   }
 
@@ -1229,6 +1236,107 @@ object Mining {
        |FROM fd GROUP BY deg ORDER BY core_degree""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q187: deterministic RANDOM-WALK corpus generation — the
+  // graph-to-sequence data op behind DeepWalk/node2vec: one L-step
+  // walk per node over the sparsified undirected graph, emitted as a
+  // training sequence. "Random" is a SEEDED closed form so the
+  // corpus is reproducible and the DuckDB twin replays it exactly:
+  // at step t from node cur, the walk takes neighbor
+  //   rank = hash28("w:<start>:<t>:<cur>") mod deg(cur)
+  // over the adjacency list indexed by (node, nbr-sorted rank).
+  // Scale shape: the adjacency index is built ONCE (one row_number
+  // window per node partition) and persisted; each of the L steps is
+  // two node-keyed equi-joins (walk frontier -> degree table for the
+  // modulus, then (cur, rank) -> indexed adjacency) — the frontier
+  // is node-sized, the walk state carries only (start, cur, path),
+  // and at 100 TB both joins run co-partitioned on the node key
+  // against a bucketed adjacency. L is a training-corpus constant,
+  // so the unroll IS the scale shape (per-step frontier work, no
+  // quadratic anything). Output: one row per walk — the full path
+  // string (the actual training sequence), its end node, and the
+  // distinct-node count (revisit accounting).
+  // ---------------------------------------------------------------
+  private val WalkSteps = 4
+
+  def q187RandomWalks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = sparseUnd(s, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val adj = nbrs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("nbr"))) - 1)
+      .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(adj)
+    val degT = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .select(col("node").as("dnode"), col("deg"))
+    val adjIdx = adj.select(col("node").as("anode"), col("rk").as("ark"),
+      col("nbr").as("anbr"))
+    var walks = adj.select(col("node")).distinct()
+      .select(col("node").as("start"), col("node").as("cur"),
+        array(col("node").cast("string")).as("path"))
+    (1 to WalkSteps).foreach { t =>
+      walks = walks
+        .join(degT, col("cur") === col("dnode"))
+        .withColumn("choice", Hashing.hash28(concat_ws(":",
+          lit("w"), col("start"), lit(t), col("cur"))) % col("deg"))
+        .join(adjIdx,
+          col("cur") === col("anode") && col("choice") === col("ark"))
+        .select(col("start"), col("anbr").as("cur"),
+          array_append(col("path"), col("anbr").cast("string")).as("path"))
+    }
+    val out = walks.select(col("start"),
+        array_join(col("path"), "->").as("walk"),
+        col("cur").as("end_node"),
+        size(array_distinct(col("path"))).cast("long").as("n_distinct"))
+      .orderBy("start")
+      // walk-corpus-sized (one row per start node); materialize so
+      // the adjacency persist can be released
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    out
+  }
+
+  val q187Sql: String = {
+    def step(t: Int): String = {
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      s"""w$t AS MATERIALIZED (
+         |  SELECT p.start, a.nbr AS cur, p.path || '->' || a.nbr AS path
+         |  FROM $prev p
+         |  JOIN deg d ON d.node = p.cur
+         |  JOIN adj a ON a.node = p.cur AND a.rk =
+         |    ${Hashing.sqlHash28(s"'w:' || p.start || ':' || $t || ':' || p.cur")}
+         |      % d.deg)""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+       |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+       |und AS (
+       |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+       |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+       |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+       |), sp AS (SELECT a, b FROM und WHERE (a*131 + b*17) % 32 = 0),
+       |bi AS (SELECT a AS node, b AS nbr FROM sp
+       |       UNION ALL SELECT b, a FROM sp),
+       |adj AS MATERIALIZED (
+       |  SELECT node, nbr,
+       |    row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rk
+       |  FROM bi
+       |), deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+       |w0 AS (
+       |  SELECT DISTINCT node AS start, node AS cur,
+       |    CAST(node AS VARCHAR) AS path
+       |  FROM adj
+       |),
+       |${(1 to WalkSteps).map(step).mkString(",\n")}
+       |SELECT start, path AS walk, cur AS end_node,
+       |  CAST(len(list_distinct(string_split(path, '->'))) AS BIGINT)
+       |    AS n_distinct
+       |FROM w$WalkSteps ORDER BY start""".stripMargin
+  }
+
   def q161ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = ccLoop(s, dir)
     labels.groupBy(col("lbl").as("cluster"))
@@ -1256,6 +1364,7 @@ object Mining {
       |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_random_walks" -> q187RandomWalks _,
     "q181_kcore" -> q181Kcore _,
     "q180_modularity" -> q180Modularity _,
     "q172_bfs_hops" -> q172BfsHops _,
@@ -1273,6 +1382,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q187_random_walks" -> q187Sql,
     "q181_kcore" -> q181Sql,
     "q180_modularity" -> q180Sql,
     "q172_bfs_hops" -> q172Sql,

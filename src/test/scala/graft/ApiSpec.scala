@@ -380,6 +380,27 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("personalized pagerank agrees with the oracle-gated q186 pipeline") {
+    val d01 = "/root/testdata/sf0.01"
+    val (_, edges, _) = graft.queries.Curation.prGraphEdges(spark, d01)
+    val (pr, curve, _) = ops.pagerank(edges, "src", "dst",
+      epsPerNode = 1000L, maxRounds = 20,
+      personalizeTo = Some(_ % 97L === 0L))
+    val q186 = SparkEntry.queries("q186_personalized_pr")(spark, d01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // curves identical round for round
+    val oracleCurve = q186.filter(_._1 == "round").sortBy(_._2)
+      .map(r => (r._2, r._3))
+    assert(curve == oracleCurve.toSeq,
+      s"api=$curve oracle=${oracleCurve.toSeq}")
+    // top-20 ranks identical
+    val apiTop = pr.orderBy(col("pr").desc, col("id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oracleTop = q186.filter(_._1 == "rank").sortBy(_._2)
+      .map(r => (r._3, r._4)).toSeq
+    assert(apiTop == oracleTop)
+  }
+
   test("kmeansToConvergence agrees with the oracle-gated q163 pipeline") {
     val s = spark
     import s.implicits._

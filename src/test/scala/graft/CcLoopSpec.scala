@@ -173,6 +173,24 @@ class CcLoopSpec extends SparkSpec {
     assert(coreDeg.count() > 50)
   }
 
+  test("ppr loop: teleport concentrates rank on the seed neighborhood") {
+    val (pr, curve) = graft.queries.Curation.pprLoop(spark, dir)
+    // data-driven stop, under the shared guard
+    assert(curve.length > 3 && curve.length < 20, curve.mkString(","))
+    // movement decays monotonically (<=: integer iterations may
+    // plateau a round — the r5-ADVICE relaxation)
+    curve.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"movement increased: $curve")
+      case _ => ()
+    }
+    import org.apache.spark.sql.functions._
+    // the personalization property global PageRank cannot have: the
+    // top-ranked node IS a seed (teleport mass dominates), and seeds
+    // outrank the global median by construction
+    val top = pr.orderBy(col("pr").desc, col("id")).limit(1).collect()(0)
+    assert(top.getLong(0) % 97L == 0L, s"top node ${top.getLong(0)} not a seed")
+  }
+
   test("cc loop: final labels are a fixpoint (one more round changes nothing)") {
     import org.apache.spark.sql.functions._
     val (labels, _) = graft.queries.Mining.ccLoop(spark, dir)

@@ -404,7 +404,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q180: modularity labels broadcast to both endpoints; edge list never sort-merge-shuffles") {
-    val (out, el) = graft.queries.Mining.modularityStats(spark, dir)
+    val (out, persisted) = graft.queries.Mining.modularityStats(spark, dir)
     try {
       val p = out.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -415,7 +415,7 @@ class PlanQualitySpec extends SparkSpec {
       assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
       // partial aggregation on every rollup
       assert("HashAggregate".r.findAllIn(p).size >= 2, p)
-    } finally el.unpersist(blocking = false)
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   test("q183: all Holt windows share one user_id exchange — the event stream shuffles once") {
