@@ -8,7 +8,7 @@ import graft.api.ops
 /** Scale probe for the convergence-loop operators (q161 connected
   * components, q172 BFS, q175 PageRank, q181 k-core): the max driver testdata is
   * sf0.1, so the "survives 100x" claim would otherwise rest on plan
-  * shape alone. This main builds 1x/3x/10x graphs IN-FLIGHT by
+  * shape alone. This main builds 1x/10x/100x graphs IN-FLIGHT by
   * chain-replicating the base edge set (no files written) and runs
   * the public loop APIs on each, recording the data-driven round
   * count and per-round wall times — evidence that round count grows

@@ -189,6 +189,11 @@ object SqlSurface {
     * lineage, loud bounded-round guard), rounds data-driven. Returns
     * the final (node, lbl) frame and the round count.
     */
+  /** RESERVED VIEW NAMES: the loop owns `cc_nbrs` / `cc_labels` for
+    * its duration and drops them on exit (success or failure) — a
+    * session view of either name is replaced; two concurrent loops
+    * must run in separate sessions (`SparkSession.newSession()`).
+    */
   def ccLoopSql(s: SparkSession, dir: String, maxRounds: Int = 50,
       probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -196,29 +201,37 @@ object SqlSurface {
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
       .persist(MEMORY_AND_DISK)
-    nbrs.createOrReplaceTempView("cc_nbrs")
-    var labels = s.sql(ccInitSql).localCheckpoint(true)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      rounds += 1
-      labels.createOrReplaceTempView("cc_labels")
-      val stepped = s.sql(ccRoundSql).localCheckpoint(true)
-      converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
-      labels = stepped.select(col("node"), col("lbl"))
-      probe(rounds, labels)
+    try {
+      nbrs.createOrReplaceTempView("cc_nbrs")
+      var labels = s.sql(ccInitSql).localCheckpoint(true)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxRounds) {
+        rounds += 1
+        labels.createOrReplaceTempView("cc_labels")
+        val stepped = s.sql(ccRoundSql).localCheckpoint(true)
+        converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
+        labels = stepped.select(col("node"), col("lbl"))
+        probe(rounds, labels)
+      }
+      require(converged, s"connected components did not converge in $maxRounds rounds")
+      (labels, rounds)
+    } finally {
+      nbrs.unpersist(blocking = false)
+      s.catalog.dropTempView("cc_nbrs")
+      s.catalog.dropTempView("cc_labels")
     }
-    nbrs.unpersist(blocking = false)
-    require(converged, s"connected components did not converge in $maxRounds rounds")
-    (labels, rounds)
   }
 
   /** q161's output shape over the SQL-driven loop. */
   def q161ComponentsSql(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = ccLoopSql(s, dir)
     labels.createOrReplaceTempView("cc_final")
-    s.sql("""SELECT lbl AS cluster, COUNT(1) AS n_nodes, MAX(node) AS max_node
-            |FROM cc_final GROUP BY lbl ORDER BY cluster""".stripMargin)
+    try s.sql(
+      """SELECT lbl AS cluster, COUNT(1) AS n_nodes, MAX(node) AS max_node
+        |FROM cc_final GROUP BY lbl ORDER BY cluster""".stripMargin)
+      .localCheckpoint(true) // materialize before the view drops
+    finally s.catalog.dropTempView("cc_final")
   }
 
   // ----- q175: the PageRank loop, SQL-driven -----------------------
@@ -246,33 +259,41 @@ object SqlSurface {
     * same movement-threshold stop, curve, and per-round hygiene as
     * Curation.prLoop. Returns (final ranks, movement curve, rounds).
     */
+  /** RESERVED VIEW NAMES: owns `pr_edeg` / `pr_ranks` for the loop's
+    * duration, dropped on exit — see [[ccLoopSql]]'s contract.
+    */
   def prLoopSql(s: SparkSession, dir: String)
     : (DataFrame, Seq[(Long, Long)], Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (_, edges, nodesRaw) = Curation.prGraphEdges(s, dir)
     val edeg = Curation.withOutdeg(edges).persist(MEMORY_AND_DISK)
     graft.Tables.touch(edeg)
-    edeg.createOrReplaceTempView("pr_edeg")
     val nodes = nodesRaw.persist(MEMORY_AND_DISK)
-    val eps = nodes.count() * Curation.EpsPerNode
-    var pr = nodes.select(col("id"), lit(1000000000L).as("pr"))
-      .localCheckpoint(true)
-    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    var round = 0
-    var converged = false
-    while (!converged && round < Curation.MaxPrRounds) {
-      round += 1
-      pr.createOrReplaceTempView("pr_ranks")
-      val next = s.sql(prRoundSql).localCheckpoint(true)
-      val mv = next.agg(sum(col("mv"))).head().getLong(0)
-      curve += ((round.toLong, mv))
-      converged = mv <= eps
-      pr = next.select(col("id"), col("pr"))
+    try {
+      edeg.createOrReplaceTempView("pr_edeg")
+      val eps = nodes.count() * Curation.EpsPerNode
+      var pr = nodes.select(col("id"), lit(1000000000L).as("pr"))
+        .localCheckpoint(true)
+      val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var round = 0
+      var converged = false
+      while (!converged && round < Curation.MaxPrRounds) {
+        round += 1
+        pr.createOrReplaceTempView("pr_ranks")
+        val next = s.sql(prRoundSql).localCheckpoint(true)
+        val mv = next.agg(sum(col("mv"))).head().getLong(0)
+        curve += ((round.toLong, mv))
+        converged = mv <= eps
+        pr = next.select(col("id"), col("pr"))
+      }
+      require(converged,
+        s"pagerank did not converge in ${Curation.MaxPrRounds} rounds")
+      (pr, curve.toSeq, round)
+    } finally {
+      edeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      s.catalog.dropTempView("pr_edeg")
+      s.catalog.dropTempView("pr_ranks")
     }
-    edeg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    require(converged,
-      s"pagerank did not converge in ${Curation.MaxPrRounds} rounds")
-    (pr, curve.toSeq, round)
   }
 }

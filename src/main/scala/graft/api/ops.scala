@@ -514,7 +514,10 @@ object ops {
         .filter(col("__r") === 1)
         .select(col("__qid"), lit(pos).as("pos"), col("__id").as("__pick"),
           col("__rel"), col("mmr2x"))
-      picks = picks.unionByName(next)
+      // checkpoint the accumulated picks: each round references the
+      // previous picks THREE times (anti-join, max-sim join, union),
+      // so an unbounded k would otherwise grow the plan ~3^k
+      picks = picks.unionByName(next).localCheckpoint(true)
     }
     val out = picks
       .select(col("__qid").as("qid"), col("pos"), col("__pick").as("id"),
@@ -523,6 +526,40 @@ object ops {
     cand.unpersist(blocking = false)
     sims.unpersist(blocking = false)
     out
+  }
+
+  /** Reciprocal rank fusion (q185's parameterized form, Cormack's
+    * k = 60): combine ANY number of per-query rankings — lexical,
+    * vector, recency, a reranker — into one fused top-`k`. Each
+    * input frame carries (qid, id, rank) columns (positional: first
+    * three); a hit contributes the FIXED-POINT integer
+    * floor(1e9 / (60 + rank)) so the fused score is exact int64 and
+    * deterministic under any partitioning; a doc missing from a
+    * channel contributes 0. The fuse is a candidate-bounded
+    * (qid, id) outer-merge of the channel frames — never
+    * corpus-bounded; the final per-query window partitions on qid.
+    * Returns (qid, fused_rank, id, rrf).
+    */
+  def rrfFuse(channels: Seq[DataFrame], k: Int = 5): DataFrame = {
+    require(channels.nonEmpty, "rrfFuse needs at least one channel")
+    require(k >= 1, s"rrfFuse needs k >= 1, got $k")
+    val normed = channels.zipWithIndex.map { case (df, i) =>
+      require(df.columns.length >= 3,
+        s"rrfFuse channel $i needs (qid, id, rank) as the first three " +
+          s"columns; got ${df.columns.mkString("[", ", ", "]")}")
+      val Array(q, d, r) = df.columns.take(3)
+      df.select(col(q).as("qid"), col(d).as("id"),
+        (lit(1000000000L) - (lit(1000000000L) % (lit(60L) + col(r))))
+          ./(lit(60L) + col(r)).cast("long").as("__rec"))
+    }
+    val all = normed.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("id"))
+    all.groupBy(col("qid"), col("id"))
+      .agg(sum(col("__rec")).as("rrf"))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .select(col("qid"), col("fused_rank"), col("id"), col("rrf"))
   }
 
   /** Exponential-decay smoothing (EWMA, alpha = 1/2) truncated at
@@ -927,16 +964,21 @@ object ops {
       isSeed: Column => Column, maxHops: Int = 40,
       probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nbrs = edges.select(col(src).as("__node"), col(dst).as("__nbr"))
+    // ONE pass over the caller's edge frame (it may be an expensive
+    // unpersisted derivation): the unfiltered endpoint union serves
+    // both the node set and, self-loop-filtered, the traversal list
+    val endpoints = edges
+      .select(col(src).as("__node"), col(dst).as("__nbr"))
       .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
+      .persist(MEMORY_AND_DISK)
+    val nbrs = endpoints
       .filter(col("__node") =!= col("__nbr"))
       .repartition(col("__node"))
       .persist(MEMORY_AND_DISK)
     // Node set from the UNFILTERED endpoints: a node whose only edges
     // are self-loops still appears (dist = -1, or 0 if it is a seed)
     // even though self-loops carry no traversal and are dropped above.
-    val nodes = edges.select(col(src).as("__node"))
-      .unionByName(edges.select(col(dst).as("__node")))
+    val nodes = endpoints.select(col("__node"))
       .distinct().localCheckpoint(true)
     var visited = nodes.filter(isSeed(col("__node")))
       .select(col("__node"), lit(0L).as("__dist"))
@@ -959,6 +1001,7 @@ object ops {
       probe(hop, visited)
     }
     nbrs.unpersist(blocking = false)
+    endpoints.unpersist(blocking = false)
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
     val dist = nodes.join(visited, Seq("__node"), "left")
       .select(col("__node").as("id"),
@@ -1385,19 +1428,23 @@ object ops {
     // on the seed predicate's nodes — rank becomes seed proximity.
     // tpOf(id) replaces the uniform 0.15e9 constant in the update;
     // the default init concentrates the full mass on the seeds.
+    // count the seed set ONCE (one Spark action) and share it between
+    // the teleport column and the default init
+    val nSeeds = personalizeTo.map { isSeed =>
+      val ns = nodes.filter(isSeed(col("id"))).count()
+      require(ns > 0, "personalized pagerank needs a non-empty seed set")
+      ns
+    }
     val tpOf: Column => Column = personalizeTo match {
       case None => _ => lit(150000000L)
       case Some(isSeed) =>
-        val nSeeds = nodes.filter(isSeed(col("id"))).count()
-        require(nSeeds > 0, "personalized pagerank needs a non-empty seed set")
-        val tp = 150000000L * nNodes / nSeeds
+        val tp = 150000000L * nNodes / nSeeds.get
         idc => when(isSeed(idc), lit(tp)).otherwise(lit(0L))
     }
-    val defaultInit = personalizeTo match {
+    def defaultInit = personalizeTo match { // lazy: skipped on warm start
       case None => nodes.select(col("id"), lit(1000000000L).as("pr"))
       case Some(isSeed) =>
-        val nSeeds = nodes.filter(isSeed(col("id"))).count()
-        val ip = 1000000000L * nNodes / math.max(nSeeds, 1L)
+        val ip = 1000000000L * nNodes / nSeeds.get
         nodes.select(col("id"),
           when(isSeed(col("id")), lit(ip)).otherwise(lit(0L)).as("pr"))
     }

@@ -622,6 +622,9 @@ object Curation {
     val (pr0, curve0, conv0) =
       prIterate(edeg0, uniform, eps, MaxPrRounds)
     edeg0.unpersist(blocking = false)
+    // release nodes too if the guard is about to fire (it outlives
+    // the guard only on the success path, for the warm phase)
+    if (!conv0) nodes.unpersist(blocking = false)
     require(conv0, s"base pagerank did not converge in $MaxPrRounds rounds")
     // CDC changelog, q77's (op, key...) row shape: deterministic
     // deletes (a ~0.1% residue class of the base edges) +

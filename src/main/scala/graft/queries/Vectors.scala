@@ -1515,7 +1515,9 @@ object Vectors {
         .filter(col("r") === 1)
         .select(col("q_id"), lit(pos).as("pos"), col("vec_id").as("pick_id"),
           col("rel"), col("mmr2x"))
-      picks = picks.unionByName(next)
+      // checkpoint: each round references picks 3x (anti-join,
+      // max-sim join, union) — unchecked the plan grows ~3^k
+      picks = picks.unionByName(next).localCheckpoint(true)
     }
     // |queries| x 3 rows: eager-materialize, then release the
     // candidate/sim persists

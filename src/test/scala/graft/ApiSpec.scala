@@ -459,6 +459,25 @@ class ApiSpec extends SparkSpec {
     assert(joined.filter(col("n_occ_docs").isNull).count() === 0)
   }
 
+  test("rrfFuse sums fixed-point reciprocals and ranks a both-channel doc first") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("q", "doc", "r")
+    val vec = Seq((1L, 30L, 1L), (1L, 40L, 2L)).toDF("q", "doc", "r")
+    val out = ops.rrfFuse(Seq(lex, vec), k = 3)
+      .orderBy("fused_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    def rec(r: Long) = 1000000000L / (60L + r)
+    // doc 30 (rank 3 + rank 1) beats doc 10 (a single rank 1);
+    // docs 20 and 40 tie on rec(2) — id breaks the tie
+    assert(out.toSeq == Seq(
+      (1, 30L, rec(3) + rec(1)),
+      (2, 10L, rec(1)),
+      (3, 20L, rec(2))), out.mkString(","))
+    intercept[IllegalArgumentException](ops.rrfFuse(Seq.empty))
+  }
+
   test("mmrRerank prefers a diverse pick over a redundant near-duplicate") {
     val s = spark
     import s.implicits._
