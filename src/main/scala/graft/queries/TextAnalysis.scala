@@ -1213,7 +1213,12 @@ object TextAnalysis {
   // broadcastable; past that the scoring join shuffles on `w` and
   // nothing else changes.
   // ---------------------------------------------------------------
-  def q168RankClassifier(s: SparkSession, dir: String): DataFrame = {
+  /** q168's per-document rank-difference scores — factored out so
+    * q188's calibration audit grades the SAME classifier the
+    * confusion query reports on. Returns (doc_id, lang, source,
+    * score, n_toks); prediction rule: en iff score*10 < -n_toks.
+    */
+  private[queries] def rankScores(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(words(col("text"))).as("w"))
@@ -1226,7 +1231,7 @@ object TextAnalysis {
     val neg = rankTable(col("lang") =!= "en")
     val vp = pos.agg(count(lit(1)).as("vp"))
     val vn = neg.agg(count(lit(1)).as("vn"))
-    val perDoc = toks
+    toks
       .join(broadcast(pos.withColumnRenamed("r", "rp")), Seq("w"), "left")
       .join(broadcast(neg.withColumnRenamed("r", "rn")), Seq("w"), "left")
       .crossJoin(broadcast(vp)).crossJoin(broadcast(vn))
@@ -1234,6 +1239,10 @@ object TextAnalysis {
         coalesce(col("rp"), col("vp") + 1L) - coalesce(col("rn"), col("vn") + 1L))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sum(col("d")).as("score"), count(lit(1)).as("n_toks"))
+  }
+
+  def q168RankClassifier(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = rankScores(s, dir)
     perDoc.groupBy(col("source"),
         (col("lang") === "en").cast("long").as("actual_en"),
         (col("score") * 10L < -col("n_toks")).cast("long").as("pred_en"))
@@ -1272,6 +1281,90 @@ object TextAnalysis {
       |  CAST(SUM(score) AS BIGINT) AS sum_rankdiff,
       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
       |FROM per_doc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q188: classifier CALIBRATION audit — the reliability table
+  // behind q168's confusion counts: q132 grades the language-ID's
+  // CELLS, q168's output grades its AGGREGATE errors, but neither
+  // says whether the classifier's CONFIDENCE means anything — the
+  // property thresholding and cascade routing depend on. Bucket the
+  // per-document decision margin (per-token, so long documents do
+  // not masquerade as confident) into exact NTILE deciles (q81's
+  // equi-depth discipline — identical tie/remainder semantics in
+  // both engines under the (margin, doc_id) total order) and report
+  // per decile: predicted-positive count, actual-positive count,
+  // and CORRECT count. A calibrated classifier shows accuracy rising
+  // monotonically away from the middle deciles; a flat curve means
+  // the margin is noise and the q168 cutoff should not be trusted as
+  // a ranking score. All integer: margin m = -(score*10 + n_toks)
+  // (positive = predicts en, the exact q168 rule), per-token margin
+  // mm = sign(m) * (1000*|m| DIV n_toks) — sign-safe fixed point
+  // (q183's negative-division treatment).
+  //
+  // Scale shape: one pass over the per-doc score frame; the NTILE
+  // window is a global sort of doc-cardinality rows — the exact-
+  // decile price (q81); at 100 TB calibrate on a deterministic hash
+  // sample (q47) or swap to q90's rank-cut two-pass form, the
+  // schema is unchanged.
+  // ---------------------------------------------------------------
+  def q188CalibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    val pd = rankScores(s, dir)
+      .withColumn("m", -(col("score") * 10L + col("n_toks")))
+      .withColumn("mm",
+        when(col("m") < 0L, lit(-1L)).otherwise(lit(1L)) *
+          expr("(1000 * abs(m)) div n_toks"))
+    pd.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("mm"), col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("m") > 0L).cast("long")).as("n_pred_en"),
+        sum((col("lang") === "en").cast("long")).as("n_actual_en"),
+        sum(((col("m") > 0L) === (col("lang") === "en")).cast("long"))
+          .as("n_correct"),
+        min(col("mm")).as("min_mm"), max(col("mm")).as("max_mm"))
+      .orderBy("decile")
+  }
+
+  val q188Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), pos_rank AS (
+      |  SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS r
+      |  FROM toks WHERE lang = 'en' GROUP BY w
+      |), neg_rank AS (
+      |  SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS r
+      |  FROM toks WHERE lang <> 'en' GROUP BY w
+      |), vp AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pos_rank),
+      |vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM neg_rank),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang,
+      |    coalesce(p.r, (SELECT v FROM vp) + 1)
+      |      - coalesce(n.r, (SELECT v FROM vn) + 1) AS d
+      |  FROM toks t LEFT JOIN pos_rank p USING (w)
+      |    LEFT JOIN neg_rank n USING (w)
+      |), per_doc AS (
+      |  SELECT doc_id, lang, CAST(SUM(d) AS BIGINT) AS score,
+      |    COUNT(*) AS n_toks
+      |  FROM scored GROUP BY 1, 2
+      |), marg AS (
+      |  SELECT doc_id, lang, -(score * 10 + n_toks) AS m,
+      |    CASE WHEN -(score * 10 + n_toks) < 0 THEN -1 ELSE 1 END
+      |      * ((1000 * abs(-(score * 10 + n_toks))) // n_toks) AS mm
+      |  FROM per_doc
+      |), dec AS (
+      |  SELECT *, CAST(NTILE(10) OVER (ORDER BY mm, doc_id) AS BIGINT)
+      |    AS decile
+      |  FROM marg
+      |)
+      |SELECT decile, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_actual_en,
+      |  CAST(SUM(CASE WHEN (m > 0) = (lang = 'en') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  MIN(mm) AS min_mm, MAX(mm) AS max_mm
+      |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
 
   // ---------------------------------------------------------------
   // q169: WordPiece tokenizer APPLY — the OTHER tokenizer-inference
@@ -1439,6 +1532,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_calibration_audit" -> q188CalibrationAudit _,
     "q173_blocklist_scan" -> q173BlocklistScan _,
     "q167_bigram_surprisal" -> q167BigramSurprisal _,
     "q168_rank_classifier" -> q168RankClassifier _,
@@ -1466,6 +1560,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q188_calibration_audit" -> q188Sql,
     "q173_blocklist_scan" -> q173Sql,
     "q167_bigram_surprisal" -> q167Sql,
     "q168_rank_classifier" -> q168Sql,

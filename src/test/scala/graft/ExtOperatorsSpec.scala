@@ -187,6 +187,29 @@ class ExtOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q188 calibration: deciles cover the corpus evenly and counts are consistent") {
+    val rows = SparkEntry.queries("q188_calibration_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_._2).sum == total) // every doc lands in one decile
+    // equi-depth within NTILE's remainder rule
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    rows.foreach { case (d, n, pred, actual, correct, lo, hi) =>
+      assert(pred <= n && actual <= n && correct <= n, s"decile $d")
+      // correct = agree(pred, actual): bounded below by overlap arithmetic
+      assert(correct >= (pred + actual - n).max((n - pred) + (n - actual) - n),
+        s"decile $d inconsistent: $n $pred $actual $correct")
+      assert(lo <= hi)
+    }
+    // deciles are ordered by margin: bucket ranges never overlap
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._7 <= b._6, s"decile ranges overlap: $a vs $b")
+      case _ => ()
+    }
+  }
+
   test("q113 testdata invariant: every events.props payload has one physical shape") {
     // q113's oracle hard-codes n_types = 1 (the engines' variant
     // type-string vocabularies aren't cross-comparable — see the
