@@ -340,6 +340,97 @@ object Dedup {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q189: dedup SURVIVORSHIP-POLICY audit — q48 finds the clusters
+  // and q57 applies ONE keep rule (min doc_id); this measures what
+  // the CHOICE of keep rule does to the kept corpus before anyone
+  // commits to it. Three standard policies over the same cluster
+  // frame: keep-min-id (reproducibility), keep-longest (maximize
+  // retained text), keep-richest (max distinct-word count — lexical
+  // value, which diverges from raw length exactly when a long member
+  // is repetitive). Per policy: cluster count (invariant — one
+  // survivor per cluster), total kept chars / distinct words (what
+  // the corpus actually retains), and the disagreement count vs the
+  // min-id baseline (how much the choice matters on THIS corpus).
+  // All survivor selections are deterministic (explicit tiebreak to
+  // doc_id) so both engines pick identical survivors.
+  //
+  // Scale shape: one q48 clustering pass, one documents join (the
+  // cluster frame is the near-dup subset — orders smaller than the
+  // corpus), three row_number windows sharing the SAME cluster-key
+  // exchange, and a cluster-sized baseline broadcast. Output is
+  // 3 rows.
+  // ---------------------------------------------------------------
+  def q189SurvivorshipAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cl = q48DedupClusters(s, dir).select(col("doc_id"), col("cluster"))
+    val d = documents(s, dir).select(col("doc_id"), col("n_chars"),
+      size(array_distinct(Hashing.words(col("text")))).cast("long")
+        .as("n_dwords"))
+    val m = cl.join(d, "doc_id").persist(MEMORY_AND_DISK)
+    def survivor(order: Seq[Column], policy: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(order: _*)
+      m.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cluster"), col("doc_id").as("keep"),
+          col("n_chars").as("kc"), col("n_dwords").as("kw"))
+        .withColumn("policy", lit(policy))
+    }
+    val a = survivor(Seq(col("doc_id").asc), "a_min_id")
+    val b = survivor(Seq(col("n_chars").desc, col("doc_id").asc), "b_longest")
+    val c = survivor(Seq(col("n_dwords").desc, col("doc_id").asc), "c_richest")
+    val aKeep = a.select(col("cluster"), col("keep").as("keep_a"))
+    val out = a.unionByName(b).unionByName(c)
+      .join(broadcast(aKeep), "cluster")
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("kc")).as("kept_chars"),
+        sum(col("kw")).as("kept_distinct_words"),
+        min(col("keep")).as("min_kept_doc"),
+        sum((col("keep") =!= col("keep_a")).cast("long"))
+          .as("n_differ_vs_min_id"))
+      .orderBy("policy")
+      .localCheckpoint(true) // 3 rows; frees the cluster frame
+    m.unpersist(blocking = false)
+    out
+  }
+
+  val q189Sql: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |cl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |m AS (
+       |  SELECT c.doc_id, c.cluster, d.n_chars,
+       |    CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+       |      AS n_dwords
+       |  FROM cl c JOIN documents d USING (doc_id)
+       |), sa AS (
+       |  SELECT 'a_min_id' AS policy, cluster, doc_id AS keep, n_chars AS kc,
+       |    n_dwords AS kw
+       |  FROM (SELECT m.*, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY doc_id) AS rk FROM m) WHERE rk = 1
+       |), sb AS (
+       |  SELECT 'b_longest' AS policy, cluster, doc_id AS keep, n_chars AS kc,
+       |    n_dwords AS kw
+       |  FROM (SELECT m.*, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY n_chars DESC, doc_id) AS rk FROM m) WHERE rk = 1
+       |), sc AS (
+       |  SELECT 'c_richest' AS policy, cluster, doc_id AS keep, n_chars AS kc,
+       |    n_dwords AS kw
+       |  FROM (SELECT m.*, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY n_dwords DESC, doc_id) AS rk FROM m) WHERE rk = 1
+       |), all3 AS (
+       |  SELECT * FROM sa UNION ALL SELECT * FROM sb UNION ALL SELECT * FROM sc
+       |)
+       |SELECT policy, COUNT(*) AS n_clusters,
+       |  CAST(SUM(kc) AS BIGINT) AS kept_chars,
+       |  CAST(SUM(kw) AS BIGINT) AS kept_distinct_words,
+       |  MIN(keep) AS min_kept_doc,
+       |  CAST(SUM(CASE WHEN keep <> ka.keep_a THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_differ_vs_min_id
+       |FROM all3
+       |JOIN (SELECT cluster, keep AS keep_a FROM sa) ka USING (cluster)
+       |GROUP BY policy ORDER BY policy""".stripMargin
+
+  // ---------------------------------------------------------------
   // q66: INCREMENTAL dedup — the daily-shard shape: a NEW batch of
   // documents (doc_id % 10 >= 8) checked against the already-indexed
   // corpus (doc_id % 10 < 8) without re-deduping the corpus itself.
@@ -1290,6 +1381,7 @@ object Dedup {
        |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_survivorship_audit" -> q189SurvivorshipAudit _,
     "q176_winnowing" -> q176Winnowing _,
     "q158_source_neardup_matrix" -> q158SourceNeardupMatrix _,
     "q154_bow_dup" -> q154BowDup _,
@@ -1308,6 +1400,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q189_survivorship_audit" -> q189Sql,
     "q176_winnowing" -> q176Sql,
     "q158_source_neardup_matrix" -> q158Sql,
     "q154_bow_dup" -> q154Sql,
