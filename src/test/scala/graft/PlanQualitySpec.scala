@@ -437,6 +437,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("hashpartitioning(event_type"), p)
   }
 
+  test("q185: both RRF channels keep the query side broadcast; no cartesian stage") {
+    val p = plan("q185_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p)
+    // lexical: broadcast query-token equi-join; vector: broadcast
+    // query vectors against one corpus scan (q27's layout)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the fuse is an outer merge of candidate-bounded frames, and the
+    // reciprocal arithmetic stayed integral (no float division)
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p)
+  }
+
   test("q58: per-language top-k routes through the native TopKPerGroup heap") {
     val p = plan("q58_bigram_topk")
     assert(p.contains("TopKPerGroup"), p)
