@@ -703,6 +703,49 @@ object ops {
       .select(col("__node").as(id), col("old_label"), col("new_label"))
   }
 
+  /** End-to-end near-duplicate REMOVAL — the q23 -> q48 -> q57
+    * pipeline as one call, the operation a corpus owner actually
+    * runs: banded-LSH candidates verified at 3-shingle Jaccard >=
+    * `minJaccard`, transitively clustered with
+    * [[connectedComponents]], one survivor kept per cluster under
+    * `policy`, everything else dropped; singletons pass through
+    * untouched with the original schema. Policies (deterministic,
+    * tiebreak to min id — both engines and any partitioning pick the
+    * same survivors; q189 measures how much the choice matters):
+    * "min_id" (q57's reproducible rule) and "longest" (keep the
+    * member with the largest `lengthCol`). Scale shape: the pair
+    * graph and everything derived from it are near-dup-subset-sized
+    * (orders smaller than the corpus); clustering runs the
+    * pointer-jump loop on that subset; the final removal is one
+    * anti-join of the drop list against the corpus (broadcast while
+    * the dup subset fits an executor — drop the hint past that and
+    * the anti-join co-partitions on the id).
+    */
+  def nearDupDedup(df: DataFrame, id: String, text: String,
+      minJaccard: Double = 0.5, policy: String = "min_id",
+      lengthCol: Option[String] = None): DataFrame = {
+    require(Seq("min_id", "longest").contains(policy),
+      s"nearDupDedup policy must be min_id or longest, got '$policy'")
+    require(policy != "longest" || lengthCol.nonEmpty,
+      "nearDupDedup policy 'longest' needs lengthCol")
+    val pairs = nearDupPairs(df, id, text, minJaccard)
+      .select(col("i"), col("j"))
+    val (labels, _) = connectedComponents(pairs, "i", "j")
+    val keyCols = Seq(col(id).as("__id")) ++
+      lengthCol.map(c => col(c).as("__len"))
+    val m = labels.select(col("id").as("__id"), col("component").as("__c"))
+      .join(df.select(keyCols: _*), "__id")
+    val order = policy match {
+      case "min_id" => Seq(col("__id").asc)
+      case _ => Seq(col("__len").desc, col("__id").asc)
+    }
+    val w = Window.partitionBy(col("__c")).orderBy(order: _*)
+    val drops = m.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("__id").as(id))
+    df.join(broadcast(drops), Seq(id), "left_anti")
+  }
+
   /** Cross-group near-dup contamination matrix (q158's parameterized
     * form): LSH-banded candidates verified at 3-shingle Jaccard >=
     * `minJaccard`, attributed to the canonicalized (group_a, group_b)

@@ -459,6 +459,49 @@ class ApiSpec extends SparkSpec {
     assert(joined.filter(col("n_occ_docs").isNull).count() === 0)
   }
 
+  test("nearDupDedup keeps one survivor per transitive cluster, singletons untouched") {
+    val s = spark
+    import s.implicits._
+    // docs 1/2/3 are a near-dup CHAIN (1~2 and 2~3 overlap; 1~3 may
+    // not pair directly — the transitive closure must still merge
+    // them); doc 9 is unrelated and must survive under every policy
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base + " one"),
+      (2L, base + " one two"),
+      (3L, base + " one two three"),
+      (9L, "completely different words nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val keptMin = ops.nearDupDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(1L, 9L), keptMin.toString)
+    val keptLong = ops.nearDupDedup(docs, "doc_id", "text",
+        policy = "longest", lengthCol = Some("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptLong == Set(3L, 9L), keptLong.toString)
+    // schema passes through untouched
+    assert(ops.nearDupDedup(docs, "doc_id", "text").columns.toSeq ==
+      docs.columns.toSeq)
+    // no pairs at an unreachable threshold -> corpus unchanged
+    assert(ops.nearDupDedup(docs, "doc_id", "text", minJaccard = 0.999)
+      .count() == 4L)
+    intercept[IllegalArgumentException](
+      ops.nearDupDedup(docs, "doc_id", "text", policy = "longest"))
+  }
+
+  test("nearDupDedup removal count matches the q48 cluster arithmetic") {
+    val docs = Tables.documents(spark, dir)
+    val kept = ops.nearDupDedup(docs, "doc_id", "text").count()
+    val cl = SparkEntry.queries("q48_dedup_clusters")(spark, dir)
+    // kept = corpus - (clustered members - clusters): exactly one
+    // survivor per cluster, everything unclustered untouched
+    val members = cl.count()
+    val clusters = cl.select("cluster").distinct().count()
+    assert(kept == docs.count() - (members - clusters),
+      s"kept=$kept members=$members clusters=$clusters")
+  }
+
   test("rrfFuse sums fixed-point reciprocals and ranks a both-channel doc first") {
     val s = spark
     import s.implicits._
