@@ -577,7 +577,70 @@ object Events {
       |JOIN mad a ON a.event_type = d.event_type
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q190: INTER-ARRIVAL latency profile — the telemetry/SLO
+  // histogram: per event_type, the exact p50/p90/p99 of the gaps
+  // between a user's consecutive events (lag within (type, user) in
+  // (ts, event_id) order, microsecond-exact — both engines read the
+  // same µs). Percentiles are q90's RANK-CUT form — the smallest gap
+  // whose rank reaches P% of the type's gap count, all int64, no
+  // interpolation — so a p99 regression in a pipeline's event flow
+  // is a hash-level diff, not a float drift. The distributional
+  // sibling of q17's sessionization (which thresholds the same gaps
+  // at one fixed cutoff) and q184's MAD (level outliers vs arrival
+  // cadence).
+  //
+  // Scale shape: one (event_type, user_id)-keyed window pass
+  // computes the gaps; the rank window partitions on event_type
+  // only — at 100 TB that second pass is the exact-percentile
+  // price, and the documented scale path is a per-type q52-style
+  // sketch with this query as its gate. Output is type-cardinality.
+  // ---------------------------------------------------------------
+  def q190ArrivalProfile(s: SparkSession, dir: String): DataFrame = {
+    val wGap = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wGap)))
+      .filter(col("gap_us").isNotNull)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us"), col("event_id"))
+    gaps
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_gaps"),
+        min(when(col("r") * 2 >= col("cnt"), col("gap_us"))).as("p50_us"),
+        min(when(col("r") * 10 >= col("cnt") * 9, col("gap_us"))).as("p90_us"),
+        min(when(col("r") * 100 >= col("cnt") * 99, col("gap_us"))).as("p99_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val q190Sql: String =
+    """WITH gaps AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |      PARTITION BY event_type, user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, gap_us,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY gap_us, event_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM gaps WHERE gap_us IS NOT NULL
+      |)
+      |SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_gaps,
+      |  MIN(CASE WHEN r * 2 >= cnt THEN gap_us END) AS p50_us,
+      |  MIN(CASE WHEN r * 10 >= cnt * 9 THEN gap_us END) AS p90_us,
+      |  MIN(CASE WHEN r * 100 >= cnt * 99 THEN gap_us END) AS p99_us,
+      |  MAX(gap_us) AS max_gap_us
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_arrival_profile" -> q190ArrivalProfile _,
     "q184_mad_anomaly" -> q184MadAnomaly _,
     "q123_session_window" -> q123SessionWindowBatch _,
     "q124_twap" -> q124Twap _,
@@ -594,6 +657,7 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q190_arrival_profile" -> q190Sql,
     "q184_mad_anomaly" -> q184Sql,
     "q123_session_window" -> q123Sql,
     "q124_twap" -> q124Sql,
