@@ -39,6 +39,14 @@ object Bench {
         // release per-query persist()s (q23/q25/q42) — they never help
         // a different query and would accumulate for the session
         spark.catalog.clearCache()
+        // ... and any surviving localCheckpoint blocks (the returned
+        // frame of a loop query outlives its run by design; counted,
+        // it is dead). clearCache() does NOT see these: raw RDD
+        // persists live outside the CacheManager. Round-6 evidence
+        // this matters: q163's three runs in one JVM were
+        // 5.3/7.3/19.6 s as superseded checkpoints squeezed the heap.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (ok) dt else -1.0
       }
       val startS = (System.nanoTime() - tStart) / 1e9
@@ -88,6 +96,25 @@ object Bench {
     // comparing rounds (a loaded box shows up as GC time / load
     // average, not as a plan regression). Detail file only — the
     // stdout line must stay inside the driver's 2000-char window.
+    // Content fingerprint of the sf dir: round 6's q115 3.9x drift was
+    // eventually traced (by mtime archaeology) to a testdata
+    // regeneration hours before the bench — record the data identity
+    // IN the artifact so BenchDiff can separate "plan regressed" from
+    // "data changed" mechanically. Size+mtime per table is enough to
+    // detect regeneration; the md5 collapses it to one comparable id.
+    val dataFp = {
+      val files = new java.io.File(sfDir).listFiles()
+      if (files == null) """{"hash":"missing","bytes":0}"""
+      else {
+        val rows = files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified / 1000}")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(rows.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val bytes = files.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        s"""{"hash":"$md5","bytes":$bytes}"""
+      }
+    }
     val meta = {
       import scala.jdk.CollectionConverters._
       import java.lang.management.ManagementFactory
@@ -102,7 +129,7 @@ object Bench {
       s"""{"jvm":"${System.getProperty("java.version")}","cpus":$cpus,""" +
         s""""runs_per_query":3,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
-        s""""gc":$gc,"wall_s":$wall}"""
+        s""""gc":$gc,"wall_s":$wall,"data":$dataFp}"""
     }
     val detailLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$failedField,"sf":"$sfDir","runs":$runsDetail,"meta":$meta}"""

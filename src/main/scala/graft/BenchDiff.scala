@@ -1,0 +1,117 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Bench-regression gate: diff the current `bench_detail.json`
+  * against the previous round's snapshot (`bench_baseline.json`,
+  * checked in when a round's numbers are adjudicated) and write
+  * `BENCH_DIFF.json` listing every query whose min-of-runs moved
+  * more than 1.5x either way.
+  *
+  * Why: the round-6 q115 regression (2.3 s -> 9.1 s on unchanged
+  * code) was found by the judge reading artifacts, not by the repo —
+  * this main makes that class of drift self-reporting. Each drift
+  * row carries the raw per-run arrays, loop round counts (so "more
+  * rounds" vs "slower rounds" is attributable without a re-run), and
+  * an adjudication status merged from the hand-maintained
+  * `BENCH_ADJUDICATIONS.json` ({"q115_triangle_count": "cause..."}).
+  * A drift with no entry reports "unadjudicated" — the loud default.
+  *
+  * Also compares the `meta.data` fingerprint Bench records, so a
+  * testdata regeneration between the two benches is named in the
+  * artifact instead of inferred from file mtimes after the fact.
+  *
+  * Usage: BenchDiff [current] [baseline] [out]
+  * (defaults: bench_detail.json bench_baseline.json BENCH_DIFF.json)
+  */
+object BenchDiff {
+  private val Threshold = 1.5
+  // ignore sub-noise absolute moves: a 0.04 s -> 0.09 s "2.2x" is
+  // scheduler jitter, not a plan regression
+  private val MinAbsDelta = 0.15
+
+  def main(args: Array[String]): Unit = {
+    val curPath = if (args.length > 0) args(0) else "bench_detail.json"
+    val basePath = if (args.length > 1) args(1) else "bench_baseline.json"
+    val outPath = if (args.length > 2) args(2) else "BENCH_DIFF.json"
+    val m = new ObjectMapper()
+    def load(p: String): Option[JsonNode] =
+      if (Files.exists(Paths.get(p))) Some(m.readTree(Files.readString(Paths.get(p))))
+      else None
+    val cur = load(curPath).getOrElse {
+      System.err.println(s"[benchdiff] missing $curPath"); sys.exit(1)
+    }
+    val base = load(basePath)
+    val adjud: Map[String, String] = load("BENCH_ADJUDICATIONS.json")
+      .map(n => n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+
+    def fp(n: JsonNode): String =
+      Option(n.at("/meta/data/hash")).filterNot(_.isMissingNode)
+        .map(_.asText()).getOrElse("unrecorded")
+    val dataChanged = base.exists(b => fp(b) != fp(cur) || fp(cur) == "unrecorded")
+
+    def qmap(n: JsonNode): Map[String, Double] =
+      n.get("queries").fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    def runsOf(n: JsonNode, q: String): Option[JsonNode] =
+      Option(n.at(s"/runs/$q")).filterNot(_.isMissingNode)
+
+    val curQ = qmap(cur)
+    val baseQ = base.map(qmap).getOrElse(Map.empty)
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val drifts = curQ.keys.toSeq.sorted.flatMap { q =>
+      (curQ.get(q), baseQ.get(q)) match {
+        case (Some(c), Some(b)) if c > 0 && b > 0 =>
+          val ratio = c / b
+          val moved = (ratio > Threshold || ratio < 1.0 / Threshold) &&
+            math.abs(c - b) > MinAbsDelta
+          if (!moved) None
+          else {
+            val dir = if (c > b) "slower" else "faster"
+            val runs = runsOf(cur, q).map(_.get("runs").toString).getOrElse("[]")
+            val rounds = runsOf(cur, q).flatMap(r => Option(r.get("rounds")))
+              .map(r => s""","rounds":$r""").getOrElse("")
+            val status = adjud.getOrElse(q,
+              if (dir == "faster") "improvement" else "unadjudicated")
+            Some(s"""  "$q": {"baseline_s":${f3(b)},"current_s":${f3(c)},""" +
+              s""""ratio":${f3(ratio)},"direction":"$dir","runs":$runs$rounds,""" +
+              s""""status":"${esc(status)}"}""")
+          }
+        case (Some(c), None) => // new query this round: informational
+          None
+        case _ => None
+      }
+    }
+    val missing = baseQ.keySet -- curQ.keySet
+    val added = curQ.keySet -- baseQ.keySet
+    val unadjudicated = drifts.count(_.contains("\"unadjudicated\""))
+    val out =
+      s"""{
+         |"baseline":"${esc(basePath)}",
+         |"baseline_present":${base.isDefined},
+         |"data_changed":$dataChanged,
+         |"data_fingerprint":{"baseline":"${base.map(fp).getOrElse("none")}","current":"${fp(cur)}"},
+         |"threshold_ratio":$Threshold,
+         |"min_abs_delta_s":$MinAbsDelta,
+         |"n_compared":${curQ.keySet.intersect(baseQ.keySet).size},
+         |"n_drifts":${drifts.size},
+         |"n_unadjudicated":$unadjudicated,
+         |"queries_added":${added.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |"queries_removed":${missing.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |"drifts":{
+         |${drifts.mkString(",\n")}
+         |}
+         |}""".stripMargin
+    Files.writeString(Paths.get(outPath), out)
+    println(s"[benchdiff] ${drifts.size} drifts (${unadjudicated} unadjudicated), " +
+      s"data_changed=$dataChanged -> $outPath")
+  }
+}

@@ -3,8 +3,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: time one query N times. runMain graft.BenchOne <sfDir> <name> [n] */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,6 +16,8 @@ object BenchOne {
       val c = SparkEntry.queries(args(1))(spark, args(0)).count()
       println(f"[b1] ${args(1)} run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$c")
       spark.catalog.clearCache() // drop per-query persist()s between runs
+      spark.sparkContext.getPersistentRDDs.values // + checkpoint blocks
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

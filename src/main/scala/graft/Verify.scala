@@ -27,7 +27,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // drop per-query persist()s
+      finally {
+        spark.catalog.clearCache() // drop per-query persist()s
+        // drop surviving localCheckpoint blocks too — the returned
+        // frame of a loop query is written out above, so nothing in a
+        // later query can legally read them (see Ck.scala)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -211,6 +211,7 @@ object SqlSurface {
         labels.createOrReplaceTempView("cc_labels")
         val stepped = s.sql(ccRoundSql).localCheckpoint(true)
         converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
+        graft.Ck.release(labels) // superseded round, fully consumed
         labels = stepped.select(col("node"), col("lbl"))
         probe(rounds, labels)
       }
@@ -227,11 +228,14 @@ object SqlSurface {
   def q161ComponentsSql(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = ccLoopSql(s, dir)
     labels.createOrReplaceTempView("cc_final")
-    try s.sql(
-      """SELECT lbl AS cluster, COUNT(1) AS n_nodes, MAX(node) AS max_node
-        |FROM cc_final GROUP BY lbl ORDER BY cluster""".stripMargin)
-      .localCheckpoint(true) // materialize before the view drops
-    finally s.catalog.dropTempView("cc_final")
+    val out =
+      try s.sql(
+        """SELECT lbl AS cluster, COUNT(1) AS n_nodes, MAX(node) AS max_node
+          |FROM cc_final GROUP BY lbl ORDER BY cluster""".stripMargin)
+        .localCheckpoint(true) // materialize before the view drops
+      finally s.catalog.dropTempView("cc_final")
+    graft.Ck.release(labels) // the census above was its last reader
+    out
   }
 
   // ----- q175: the PageRank loop, SQL-driven -----------------------
@@ -282,6 +286,7 @@ object SqlSurface {
         pr.createOrReplaceTempView("pr_ranks")
         val next = s.sql(prRoundSql).localCheckpoint(true)
         val mv = next.agg(sum(col("mv"))).head().getLong(0)
+        graft.Ck.release(pr) // superseded round, fully consumed
         curve += ((round.toLong, mv))
         converged = mv <= eps
         pr = next.select(col("id"), col("pr"))
@@ -295,5 +300,85 @@ object SqlSurface {
       s.catalog.dropTempView("pr_edeg")
       s.catalog.dropTempView("pr_ranks")
     }
+  }
+
+  // ----- q181: the k-core peel loop, SQL-driven --------------------
+
+  /** One induced-degree round over the `kc_nbrs` / `kc_alive` views:
+    * an edge survives iff BOTH endpoints survive, with the survivor
+    * set broadcast into both endpoint joins — plan-equal to
+    * Mining.kcoreInduced (pinned in SqlSurfaceSpec).
+    */
+  val kcInducedSql: String =
+    """SELECT /*+ BROADCAST(c1), BROADCAST(c2) */ node, COUNT(1) AS deg
+      |FROM kc_nbrs
+      |JOIN (SELECT node FROM kc_alive) c1 USING (node)
+      |JOIN (SELECT node AS nbr FROM kc_alive) c2 USING (nbr)
+      |GROUP BY node""".stripMargin
+
+  /** q181's synchronous peel loop driven through `spark.sql` — same
+    * stop rule (a round that removes nothing), bounded-round guard,
+    * and per-round checkpoint hygiene (including the Ck release of
+    * superseded survivor sets) as Mining.kcoreLoop. Returns the
+    * final core's induced degree table and the round count (the
+    * stable-detection round included, q175's counting rule).
+    */
+  /** RESERVED VIEW NAMES: owns `kc_nbrs` / `kc_alive` for the loop's
+    * duration, dropped on exit — see [[ccLoopSql]]'s contract.
+    */
+  def kcoreLoopSql(s: SparkSession, dir: String, k: Int = 2,
+      maxRounds: Int = 40): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = Mining.sparseUnd(s, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node")) // co-locate once; every round joins on node
+      .persist(MEMORY_AND_DISK)
+    try {
+      nbrs.createOrReplaceTempView("kc_nbrs")
+      var alive = s.sql("SELECT DISTINCT node FROM kc_nbrs")
+        .localCheckpoint(true)
+      var aliveCnt = alive.count()
+      var rounds = 0
+      var stable = false
+      while (!stable && rounds < maxRounds) {
+        rounds += 1
+        alive.createOrReplaceTempView("kc_alive")
+        val kept = s.sql(s"SELECT node FROM ($kcInducedSql) WHERE deg >= $k")
+          .localCheckpoint(true)
+        val keptCnt = kept.count()
+        stable = keptCnt == aliveCnt
+        graft.Ck.release(alive) // superseded survivor set
+        alive = kept
+        aliveCnt = keptCnt
+      }
+      val coreDeg =
+        if (stable) Some {
+          alive.createOrReplaceTempView("kc_alive")
+          s.sql(kcInducedSql).localCheckpoint(true)
+        } else None
+      graft.Ck.release(alive) // coreDeg (if any) is materialized off it
+      require(stable, s"k-core peel did not stabilize in $maxRounds rounds")
+      (coreDeg.get, rounds)
+    } finally {
+      nbrs.unpersist(blocking = false)
+      s.catalog.dropTempView("kc_nbrs")
+      s.catalog.dropTempView("kc_alive")
+    }
+  }
+
+  /** q181's output shape over the SQL-driven loop. */
+  def q181KcoreSql(s: SparkSession, dir: String): DataFrame = {
+    val (coreDeg, rounds) = kcoreLoopSql(s, dir)
+    coreDeg.createOrReplaceTempView("kc_final")
+    val out =
+      try s.sql(
+        s"""SELECT deg AS core_degree, COUNT(1) AS n_nodes,
+           |  MIN(node) AS min_node, CAST($rounds AS BIGINT) AS rounds
+           |FROM kc_final GROUP BY deg ORDER BY core_degree""".stripMargin)
+        .localCheckpoint(true) // materialize before the view drops
+      finally s.catalog.dropTempView("kc_final")
+    graft.Ck.release(coreDeg) // the census above was its last reader
+    out
   }
 }

@@ -517,12 +517,15 @@ object ops {
       // checkpoint the accumulated picks: each round references the
       // previous picks THREE times (anti-join, max-sim join, union),
       // so an unbounded k would otherwise grow the plan ~3^k
-      picks = picks.unionByName(next).localCheckpoint(true)
+      val np = picks.unionByName(next).localCheckpoint(true)
+      graft.Ck.release(picks) // no-op in round 2 (picks is a lazy plan)
+      picks = np
     }
     val out = picks
       .select(col("__qid").as("qid"), col("pos"), col("__pick").as("id"),
         col("__rel").as("rel"), col("mmr2x"))
       .localCheckpoint(true) // |queries| x k rows
+    graft.Ck.release(picks) // out is materialized off it
     cand.unpersist(blocking = false)
     sims.unpersist(blocking = false)
     out
@@ -711,39 +714,56 @@ object ops {
     * `policy`, everything else dropped; singletons pass through
     * untouched with the original schema. Policies (deterministic,
     * tiebreak to min id — both engines and any partitioning pick the
-    * same survivors; q189 measures how much the choice matters):
-    * "min_id" (q57's reproducible rule) and "longest" (keep the
-    * member with the largest `lengthCol`). Scale shape: the pair
-    * graph and everything derived from it are near-dup-subset-sized
-    * (orders smaller than the corpus); clustering runs the
-    * pointer-jump loop on that subset; the final removal is one
-    * anti-join of the drop list against the corpus (broadcast while
-    * the dup subset fits an executor — drop the hint past that and
-    * the anti-join co-partitions on the id).
+    * same survivors; q189 measures how much the choice matters —
+    * on its corpus "richest" flips 10 of 23 survivors vs min_id):
+    * "min_id" (q57's reproducible rule), "longest" (keep the member
+    * with the largest `lengthCol`), and "richest" (keep the member
+    * with the most DISTINCT words — q189's lexical-value rule,
+    * computed internally from `text` with the q189 tokenizer, no
+    * extra column needed; diverges from "longest" exactly when a
+    * long member is repetitive). Scale shape: the pair graph and
+    * everything derived from it are near-dup-subset-sized (orders
+    * smaller than the corpus); clustering runs the pointer-jump loop
+    * on that subset; the final removal is one anti-join of the drop
+    * list against the corpus. `broadcastDrops = true` hints that
+    * anti-join's build side — right while the dup subset fits an
+    * executor; pass false once it doesn't (the ~terabyte-dup-set
+    * case) and the anti-join runs co-partitioned on the id, with AQE
+    * still free to pick a broadcast when runtime stats allow it.
     */
   def nearDupDedup(df: DataFrame, id: String, text: String,
       minJaccard: Double = 0.5, policy: String = "min_id",
-      lengthCol: Option[String] = None): DataFrame = {
-    require(Seq("min_id", "longest").contains(policy),
-      s"nearDupDedup policy must be min_id or longest, got '$policy'")
+      lengthCol: Option[String] = None,
+      broadcastDrops: Boolean = true): DataFrame = {
+    require(Seq("min_id", "longest", "richest").contains(policy),
+      s"nearDupDedup policy must be min_id, longest, or richest, got '$policy'")
     require(policy != "longest" || lengthCol.nonEmpty,
       "nearDupDedup policy 'longest' needs lengthCol")
     val pairs = nearDupPairs(df, id, text, minJaccard)
       .select(col("i"), col("j"))
     val (labels, _) = connectedComponents(pairs, "i", "j")
     val keyCols = Seq(col(id).as("__id")) ++
-      lengthCol.map(c => col(c).as("__len"))
+      lengthCol.map(c => col(c).as("__len")) ++
+      (if (policy == "richest")
+         // q189's n_dwords: distinct-word count over the shared
+         // tokenizer — computed only for cluster members (the join
+         // below prunes first), never over the whole corpus
+         Seq(size(array_distinct(Hashing.words(col(text))))
+           .cast("long").as("__rich"))
+       else Nil)
     val m = labels.select(col("id").as("__id"), col("component").as("__c"))
       .join(df.select(keyCols: _*), "__id")
     val order = policy match {
       case "min_id" => Seq(col("__id").asc)
-      case _ => Seq(col("__len").desc, col("__id").asc)
+      case "longest" => Seq(col("__len").desc, col("__id").asc)
+      case _ => Seq(col("__rich").desc, col("__id").asc)
     }
     val w = Window.partitionBy(col("__c")).orderBy(order: _*)
     val drops = m.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") > 1)
       .select(col("__id").as(id))
-    df.join(broadcast(drops), Seq(id), "left_anti")
+    df.join(if (broadcastDrops) broadcast(drops) else drops,
+      Seq(id), "left_anti")
   }
 
   /** Cross-group near-dup contamination matrix (q158's parameterized
@@ -927,10 +947,12 @@ object ops {
         .select(col("__node"), col("__lbl").as("__old"), col("__tl").as("__lbl"))
         .localCheckpoint(true)
       converged = stepped.filter(col("__old") =!= col("__lbl")).isEmpty
+      graft.Ck.release(labels) // superseded round, fully consumed
       labels = stepped.select(col("__node"), col("__lbl"))
       probe(rounds, labels)
     }
     nbrs.unpersist(blocking = false)
+    if (!converged) graft.Ck.release(labels)
     require(converged, s"connected components did not converge in $maxRounds rounds")
     (labels.select(col("__node").as("id"), col("__lbl").as("component")), rounds)
   }
@@ -1029,6 +1051,7 @@ object ops {
     var frontier = visited.select(col("__node"))
     var hop = 0
     var exhausted = false
+    var expanded = false // has frontier ever been re-pointed off visited?
     while (!exhausted && hop < maxHops) {
       hop += 1
       val fresh = nbrs.join(frontier, "__node")
@@ -1038,13 +1061,23 @@ object ops {
         .localCheckpoint(true)
       exhausted = fresh.isEmpty
       if (!exhausted) {
-        visited = visited.unionByName(fresh).localCheckpoint(true)
+        val nv = visited.unionByName(fresh).localCheckpoint(true)
+        // hop h-1's accumulator and frontier are fully consumed
+        graft.Ck.release(visited)
+        graft.Ck.release(frontier)
+        visited = nv
         frontier = fresh.select(col("__node"))
+        expanded = true
+      } else {
+        graft.Ck.release(fresh) // empty probe frame
       }
       probe(hop, visited)
     }
     nbrs.unpersist(blocking = false)
     endpoints.unpersist(blocking = false)
+    // when hop 1 exhausted immediately, frontier still shares the
+    // seed visited checkpoint the dist join below reads — keep it
+    if (expanded) graft.Ck.release(frontier)
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
     val dist = nodes.join(visited, Seq("__node"), "left")
       .select(col("__node").as("id"),
@@ -1065,8 +1098,10 @@ object ops {
     * changes); survivors are localCheckpoint(eager)-ed so one
     * materialization serves the stability count and the next round
     * (reliable checkpoint() on a cluster). Self-loops are dropped
-    * from traversal, so a self-loop-only node peels out in round 1
-    * for any k >= 1 (its induced degree is 0). Returns the
+    * BEFORE the node set is derived, so a self-loop-only node is
+    * excluded up front — it never appears in the alive set, any
+    * probe frame, or the returned table (it is absent, not "peeled
+    * in round 1", and contributes nothing to round counts). Returns the
     * (id, core_degree) table — empty when the graph dissolves — and
     * the data-driven round count (the stable-detection round
     * included).
@@ -1080,7 +1115,8 @@ object ops {
     */
   def kcore(edges: DataFrame, src: String, dst: String, k: Int,
       maxRounds: Int = 40,
-      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+      probe: (Int, DataFrame) => Unit = (_, _) => (),
+      broadcastSurvivors: Boolean = true): (DataFrame, Int) = {
     require(k > 0, s"kcore needs k > 0, got $k")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nbrs = edges.select(col(src).as("__node"), col(dst).as("__nbr"))
@@ -1090,9 +1126,15 @@ object ops {
       .persist(MEMORY_AND_DISK)
     var alive = nbrs.select(col("__node")).distinct().localCheckpoint(true)
     var aliveCnt = alive.count()
+    // broadcastSurvivors is the documented fallback made callable: on
+    // a graph whose NODE SET outgrows an executor, pass false and both
+    // endpoint joins run co-partitioned on the (already repartitioned)
+    // node key instead of shipping the survivor set to every executor
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastSurvivors) broadcast(df) else df
     def induced(core: DataFrame): DataFrame = nbrs
-      .join(broadcast(core), "__node")
-      .join(broadcast(core.select(col("__node").as("__nbr"))), "__nbr")
+      .join(hinted(core), "__node")
+      .join(hinted(core.select(col("__node").as("__nbr"))), "__nbr")
       .groupBy(col("__node")).agg(count(lit(1)).as("__deg"))
     var rounds = 0
     var stable = false
@@ -1103,6 +1145,7 @@ object ops {
         .localCheckpoint(true)
       val keptCnt = kept.count()
       stable = keptCnt == aliveCnt
+      graft.Ck.release(alive) // both endpoint joins materialized into kept
       alive = kept
       aliveCnt = keptCnt
       probe(rounds, alive)
@@ -1114,6 +1157,7 @@ object ops {
         .select(col("__node").as("id"), col("__deg").as("core_degree"))
         .localCheckpoint(true))
       else None
+    graft.Ck.release(alive) // coreDeg (if any) is materialized off it
     nbrs.unpersist(blocking = false)
     require(stable, s"k-core peel did not stabilize in $maxRounds rounds")
     (coreDeg.get, rounds)
@@ -1126,8 +1170,9 @@ object ops {
     * m_c, the endpoint-degree sum d_c, the member count, and the
     * common-denominator numerator contrib_4m2 = 4·m·m_c − d_c², so
     * Q = Σ contrib_4m2 / (4·m²) with no floats anywhere (int64-safe
-    * while the audited graph holds under 2^31 edges; audit
-    * per-shard graphs or widen to decimal beyond that). Edges are
+    * while the audited graph holds under ~1.5e9 edges — the binding
+    * term is 4·m² ≤ 2⁶³−1, i.e. m ≤ ~1.518e9 ≈ 2^30.5, not 2^31;
+    * audit per-shard graphs or widen to decimal beyond). Edges are
     * treated as undirected; self-loops are dropped; edges with an
     * unlabeled endpoint are ignored (label coverage is the caller's
     * contract). A label class with no intra edges — or no edges at
@@ -1256,6 +1301,9 @@ object ops {
         .join(prevAssign.withColumnRenamed("cell", "__old"), "__id")
         .filter(col("cell") =!= col("__old")).count()
       assigned.unpersist(blocking = false)
+      // round r-1's assignment is fully consumed (the reassignment
+      // join above was its last reader): release its blocks
+      graft.Ck.release(prevAssign)
       curve += ((rounds.toLong, moved, reass))
       cells = filled
       prevAssign = newAssign
@@ -1512,12 +1560,16 @@ object ops {
         .select(col("id"), col("pr"), abs(col("pr") - col("__old")).as("__mv"))
         .localCheckpoint(true) // one materialization: movement + next round
       val mv = next.agg(sum(col("__mv"))).head().getLong(0)
+      // round r-1's checkpoint is fully consumed (contribution join +
+      // movement both materialized into `next`): release its blocks
+      graft.Ck.release(pr)
       curve += ((round.toLong, mv))
       converged = mv <= eps
       pr = next.select(col("id"), col("pr"))
       probe(round, pr)
     }
     edeg.unpersist(blocking = false) // release before the loud guard
+    if (!converged) graft.Ck.release(pr)
     require(converged, s"pagerank did not converge in $maxRounds rounds")
     (pr, curve.toSeq, round)
   }

@@ -294,6 +294,7 @@ object Curation {
     // released even when the loop fails loudly (ops.bfsDistances order).
     edeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    if (!converged) graft.Ck.release(pr) // nothing consumes it past the guard
     require(converged, s"pagerank did not converge in $MaxPrRounds rounds")
     graft.LoopStats.record("pr", curve.length.toLong)
     (pr, curve)
@@ -359,6 +360,10 @@ object Curation {
       val next = roundFn(edeg, pr)
         .localCheckpoint(true) // one materialization: movement + next round
       val mv = next.agg(sum(col("mv"))).head().getLong(0)
+      // round r-1's checkpoint is fully consumed (contribution join +
+      // movement both materialized into `next`): release its blocks
+      // now — Ck.scala's leak rationale
+      graft.Ck.release(pr)
       curve += ((round.toLong, mv))
       converged = mv <= eps
       pr = next.select(col("id"), col("pr"))
@@ -500,6 +505,7 @@ object Curation {
       prIterate(edeg, init, eps, MaxPrRounds, probe, pprRound(tpPerSeed))
     edeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    if (!converged) graft.Ck.release(pr)
     require(converged, s"personalized pagerank did not converge in $MaxPrRounds rounds")
     graft.LoopStats.record("ppr", curve.length.toLong)
     (pr, curve)
@@ -624,7 +630,7 @@ object Curation {
     edeg0.unpersist(blocking = false)
     // release nodes too if the guard is about to fire (it outlives
     // the guard only on the success path, for the warm phase)
-    if (!conv0) nodes.unpersist(blocking = false)
+    if (!conv0) { nodes.unpersist(blocking = false); graft.Ck.release(pr0) }
     require(conv0, s"base pagerank did not converge in $MaxPrRounds rounds")
     // CDC changelog, q77's (op, key...) row shape: deterministic
     // deletes (a ~0.1% residue class of the base edges) +
@@ -659,6 +665,10 @@ object Curation {
       prIterate(edeg1, pr0, eps, MaxWarmRounds)
     edeg1.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    // the cold fixpoint is consumed (prIterate checkpointed its own
+    // copy of the warm init in its first action): release its blocks
+    graft.Ck.release(pr0)
+    if (!conv1) graft.Ck.release(pr1)
     require(conv1, s"warm pagerank did not converge in $MaxWarmRounds rounds")
     graft.LoopStats.record("pr_base", curve0.length.toLong)
     graft.LoopStats.record("pr_warm", curve1.length.toLong)
@@ -674,9 +684,10 @@ object Curation {
     val edeg = withOutdeg(edges).persist(MEMORY_AND_DISK)
     touch(edeg)
     val uniform = nodes.select(col("id"), lit(1000000000L).as("pr"))
-    val (_, curve, converged) =
+    val (prF, curve, converged) =
       prIterate(edeg, uniform, eps, MaxPrRounds)
     edeg.unpersist(blocking = false)
+    graft.Ck.release(prF) // only the round count is used here
     require(converged, s"cold pagerank did not converge in $MaxPrRounds rounds")
     curve.length
   }

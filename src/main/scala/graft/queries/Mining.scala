@@ -782,10 +782,14 @@ object Mining {
       val stepped = ccRound(nbrs, labels)
         .localCheckpoint(true) // one materialization serves both uses below
       converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
+      // round r-1's label checkpoint is fully consumed (propagation
+      // join + pointer jump materialized into `stepped`): release it
+      graft.Ck.release(labels)
       labels = stepped.select(col("node"), col("lbl"))
       probe(rounds, labels)
     }
     nbrs.unpersist(blocking = false) // release before the loud guard
+    if (!converged) graft.Ck.release(labels)
     require(converged, s"connected components did not converge in $maxRounds rounds")
     graft.LoopStats.record("cc", rounds.toLong)
     (labels, rounds)
@@ -850,7 +854,9 @@ object Mining {
         .filter(col("rk") === 1)
         .select(col("node"), col("nlbl").as("lbl"))
       probe(r, next) // pre-checkpoint: the round's join is visible
-      labels = next.localCheckpoint(true)
+      val stepped = next.localCheckpoint(true)
+      graft.Ck.release(labels) // superseded round's broadcast source
+      labels = stepped
     }
     nbrs.unpersist(blocking = false)
     labels
@@ -909,7 +915,8 @@ object Mining {
   // sum d_c) plus the common-denominator numerator
   //   contrib_4m2 = 4*m*m_c - d_c^2        (Q = sum(contrib) / 4m^2)
   // so both engines agree bit-for-bit with no floats. int64 envelope:
-  // |contrib| <= 4m^2 needs m < 2^31 edges PER AUDITED GRAPH — at
+  // |contrib| <= 4m^2 needs 4m^2 <= 2^63-1, i.e. m <= ~1.518e9
+  // (~2^30.5, NOT 2^31) edges PER AUDITED GRAPH — at
   // 100 TB you audit per-shard/per-snapshot graphs or scale the
   // statistics to decimal(38), the schema is unchanged. Scale shape:
   // labels are node-sized and broadcast to BOTH endpoint joins; the
@@ -1056,6 +1063,7 @@ object Mining {
     val maxHops = 40 // guard: fail loudly, never spin
     var hop = 0
     var exhausted = false
+    var expanded = false // has frontier ever been re-pointed off visited?
     while (!exhausted && hop < maxHops) {
       hop += 1
       val fresh = nbrs.join(frontier, "node")
@@ -1065,12 +1073,24 @@ object Mining {
         .localCheckpoint(true) // one materialization: probe + union + next hop
       exhausted = fresh.isEmpty
       if (!exhausted) {
-        visited = visited.unionByName(fresh).localCheckpoint(true)
+        val nv = visited.unionByName(fresh).localCheckpoint(true)
+        // hop h-1's accumulator and frontier are fully consumed
+        // (expansion, anti-join, and union all materialized): release
+        graft.Ck.release(visited)
+        graft.Ck.release(frontier)
+        visited = nv
         frontier = fresh.select(col("node"))
+        expanded = true
+      } else {
+        graft.Ck.release(fresh) // empty probe frame
       }
       probe(hop, visited)
     }
     nbrs.unpersist(blocking = false) // release before the loud guard
+    // last non-empty frontier, already unioned — but when hop 1
+    // exhausted immediately, frontier still shares the seed visited
+    // checkpoint the dist join below reads: don't release that one
+    if (expanded) graft.Ck.release(frontier)
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
     graft.LoopStats.record("bfs", hop.toLong)
     val dist = nodes.join(visited, Seq("node"), "left")
@@ -1142,6 +1162,17 @@ object Mining {
     * table and the data-driven round count (the stable-detection
     * round included, q175's counting rule).
     */
+  /** Induced degrees within a survivor set: an edge survives iff
+    * BOTH endpoints survive. Factored out of [[kcoreLoop]] so
+    * SqlSurfaceSpec can pin the SQL-driven round body plan-equal to
+    * this exact production code (the ccRound/prRound discipline).
+    */
+  private[graft] def kcoreInduced(nbrs: DataFrame, core: DataFrame): DataFrame =
+    nbrs
+      .join(broadcast(core), "node")
+      .join(broadcast(core.select(col("node").as("nbr"))), "nbr")
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
   private[graft] def kcoreLoop(s: SparkSession, dir: String, k: Int = 2,
       probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1152,11 +1183,7 @@ object Mining {
       .persist(MEMORY_AND_DISK)
     var alive = nbrs.select(col("node")).distinct().localCheckpoint(true)
     var aliveCnt = alive.count()
-    /** Induced degrees: an edge survives iff BOTH endpoints survive. */
-    def induced(core: DataFrame): DataFrame = nbrs
-      .join(broadcast(core), "node")
-      .join(broadcast(core.select(col("node").as("nbr"))), "nbr")
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    def induced(core: DataFrame): DataFrame = kcoreInduced(nbrs, core)
     val maxRounds = 40 // guard: fail loudly, never spin
     var rounds = 0
     var stable = false
@@ -1167,6 +1194,7 @@ object Mining {
         .localCheckpoint(true) // one materialization: count + next round
       val keptCnt = kept.count()
       stable = keptCnt == aliveCnt
+      graft.Ck.release(alive) // both endpoint joins materialized into kept
       alive = kept
       aliveCnt = keptCnt
       probe(rounds, alive)
@@ -1176,6 +1204,7 @@ object Mining {
     // fires — the r5-ADVICE unpersist-ordering rule)
     val coreDeg =
       if (stable) Some(induced(alive).localCheckpoint(true)) else None
+    graft.Ck.release(alive) // coreDeg (if any) is materialized off it
     nbrs.unpersist(blocking = false)
     require(stable, s"k-core peel did not stabilize in $maxRounds rounds")
     graft.LoopStats.record("kcore", rounds.toLong)

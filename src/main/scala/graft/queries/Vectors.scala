@@ -1279,6 +1279,9 @@ object Vectors {
         .join(prevAssign.withColumnRenamed("cell", "old_cell"), "vec_id")
         .filter(col("cell") =!= col("old_cell")).count()
       assigned.unpersist(blocking = false)
+      // round r-1's assignment is fully consumed (the reassignment
+      // join above was its last reader): release its blocks
+      graft.Ck.release(prevAssign)
       curve += ((rounds.toLong, moved, reass))
       cells = filled
       prevAssign = newAssign
@@ -1289,6 +1292,10 @@ object Vectors {
     val census = prevAssign.groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("mn"))
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+    // the census collect was the final assignment's last reader — the
+    // output below is built purely from driver rows, so this query
+    // leaves ZERO checkpoint blocks behind
+    graft.Ck.release(prevAssign)
     base.unpersist(blocking = false)
     val ss = s; import ss.implicits._
     (curve.toSeq.map { case (r, mv, rs) => ("round", r, mv, rs) } ++
@@ -1517,11 +1524,14 @@ object Vectors {
           col("rel"), col("mmr2x"))
       // checkpoint: each round references picks 3x (anti-join,
       // max-sim join, union) — unchecked the plan grows ~3^k
-      picks = picks.unionByName(next).localCheckpoint(true)
+      val np = picks.unionByName(next).localCheckpoint(true)
+      graft.Ck.release(picks) // no-op in round 2 (picks is a lazy plan)
+      picks = np
     }
     // |queries| x 3 rows: eager-materialize, then release the
-    // candidate/sim persists
+    // candidate/sim persists AND the last round's picks checkpoint
     val out = picks.orderBy("q_id", "pos").localCheckpoint(true)
+    graft.Ck.release(picks)
     cand.unpersist(blocking = false)
     sims.unpersist(blocking = false)
     out

@@ -490,6 +490,39 @@ class ApiSpec extends SparkSpec {
       ops.nearDupDedup(docs, "doc_id", "text", policy = "longest"))
   }
 
+  test("nearDupDedup 'richest' keeps q189's max-distinct-words survivor") {
+    val s = spark
+    import s.implicits._
+    // one near-dup cluster where the three policies pick three
+    // DIFFERENT survivors: doc 3 is longest in chars but repetitive
+    // (" one" x5 adds 11th distinct word only once), doc 2 has the
+    // most distinct words (12), doc 1 the smallest id
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " one two"),
+      (3L, base + " one one one one one"),
+      (9L, "completely different words nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def keptUnder(policy: String, len: Option[String] = None): Set[Long] =
+      ops.nearDupDedup(docs, "doc_id", "text", policy = policy,
+          lengthCol = len)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptUnder("min_id") == Set(1L, 9L))
+    assert(keptUnder("longest", Some("n_chars")) == Set(3L, 9L))
+    // q189's c_richest rule: (distinct-word count DESC, doc_id ASC)
+    // over the SAME tokenizer — no lengthCol needed, computed
+    // internally from the text column
+    assert(keptUnder("richest") == Set(2L, 9L))
+    // the broadcast opt-out (the at-scale co-partitioned anti-join)
+    // must select identical survivors
+    val noHint = ops.nearDupDedup(docs, "doc_id", "text",
+        policy = "richest", broadcastDrops = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noHint == Set(2L, 9L))
+  }
+
   test("nearDupDedup removal count matches the q48 cluster arithmetic") {
     val docs = Tables.documents(spark, dir)
     val kept = ops.nearDupDedup(docs, "doc_id", "text").count()

@@ -85,6 +85,11 @@ class HeavyHitterMonitorSpec extends SparkSpec {
       // the hot key is a surviving candidate at the end, by name
       val fin = s.table(sink).filter(col("item") === "hot")
       assert(fin.count() > 0)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // repo convention (ThermostatStreamSpec et al.): the shared
+      // session must not leak RocksDB onto later suites
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }

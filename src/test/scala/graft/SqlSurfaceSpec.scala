@@ -90,4 +90,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqRounds == sqCurve.length)
     assert(rows(dfPr.orderBy("id")) == rows(sqPr.orderBy("id")))
   }
+
+  test("SQL-driven k-core round is plan-equal to Mining.kcoreInduced; loops agree") {
+    ready
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the round body: same repartitioned edge view, same survivor
+    // frame shape the loop feeds it (a checkpointed node set)
+    val und = Mining.sparseUnd(spark, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("node"))
+      .persist(MEMORY_AND_DISK)
+    nbrs.createOrReplaceTempView("kc_nbrs")
+    val alive = nbrs.select(col("node")).distinct().localCheckpoint(true)
+    alive.createOrReplaceTempView("kc_alive")
+    pinPlanEqual("kcore_induced",
+      Mining.kcoreInduced(nbrs, alive), spark.sql(SqlSurface.kcInducedSql))
+    nbrs.unpersist(blocking = false)
+    Ck.release(alive)
+
+    // loop agreement: same data-driven peel depth, same final census
+    // (sf0.001's sparsified graph dissolves entirely — the empty-core
+    // degenerate case must agree across surfaces too)
+    val dfOut = SparkEntry.queries("q181_kcore")(spark, dir)
+    val sqOut = SqlSurface.q181KcoreSql(spark, dir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"k-core census diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+  }
 }
