@@ -50,7 +50,16 @@ object Bench {
         if (ok) dt else -1.0
       }
       val startS = (System.nanoTime() - tStart) / 1e9
-      LoopStats.drain() // discard any counts from a prior query
+      // ONE untimed warm-up run before the three timed runs: the
+      // bench's stated target is the reproducible steady-state cost
+      // of the PLAN, and the round-7 adjudication of the q115 drift
+      // showed the first in-JVM run of a codegen-heavy query pays
+      // 3-6x in Janino compile + JIT warm-up (q115: 12-19 s first
+      // run vs 3.4 s steady) — without a warm-up, min-of-3 measures
+      // the warm-up curve, not the plan. At 100 TB warm-up is noise
+      // against minutes-long stages; at sf0.1 it dominates.
+      once()
+      LoopStats.drain() // discard any counts from warm-up/prior query
       val runs = Seq(once(), once(), once())
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
       // round counts are data-driven and identical across the runs,
@@ -127,7 +136,7 @@ object Bench {
       val wall = String.format(java.util.Locale.ROOT, "%.1f",
         Double.box((System.nanoTime() - tStart) / 1e9))
       s"""{"jvm":"${System.getProperty("java.version")}","cpus":$cpus,""" +
-        s""""runs_per_query":3,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
+        s""""runs_per_query":3,"warmup_runs":1,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
         s""""gc":$gc,"wall_s":$wall,"data":$dataFp}"""
     }

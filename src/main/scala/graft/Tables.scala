@@ -32,11 +32,20 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
-    df.schema("ts").dataType match {
+    val norm = df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => df
       case _ => df.withColumn("ts", col("ts").cast(TimestampType))
     }
+    // Spread like documents/embeddings: events also ships as ONE row
+    // group, so without this every events consumer runs its scan +
+    // get_json_object parse as a SINGLE task. Round-7 adjudication of
+    // the q115/q139 bench drifts traced the erratic 3-16 s spikes to
+    // exactly that serial stage (TriDebug: s260=15.7s/1t on a quiet
+    // box vs <0.8 s steady-state) — a one-vCPU hiccup stalls the
+    // whole serial parse, while 32 spread tasks absorb it. At scale
+    // the condition is false (many row groups) and this is a no-op.
+    spread(s, norm, s"$d/events")
   }
   /** The testdata parquet files are written as a single row group, so
     * byte-range file splitting cannot parallelize the scan: every

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1392,7 +1392,154 @@ object Mining {
       |SELECT cluster, COUNT(*) AS n_nodes, MAX(v) AS max_node
       |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q191: REGISTER-SKETCH distinct-count audit (the HyperLogLog
+  // shape) — the third canonical streaming sketch next to q102's
+  // Misra-Gries (heavy hitters) and q170's Count-Min (point
+  // frequency): per value, ONE 28-bit hash splits into a 6-bit
+  // bucket and a 22-bit remainder whose bit length gives the rank
+  // rho; per-group state is 64 max-registers. Registers merge with
+  // element-wise MAX — the property that makes distinct counting
+  // distributable (partial-agg per partition, merge at the
+  // exchange; sketch-union of datasets = max of register vectors).
+  // The 'merged' output row PROVES that: the corpus-wide estimate
+  // is reconstructed FROM the per-source registers, never
+  // rescanning the corpus. Everything stays exact int64, so the
+  // driver's hash gate applies (no float harmonic mean): rho via an
+  // unrolled bit-length comparison ladder (no log2), the harmonic
+  // sum as S = sum(2^(32 - r)) <= 64 * 2^32 < 2^39, and the
+  // alpha_64 * m^2 scaling as ONE fixed-point division
+  // (70934*4096*2^32) DIV (100000*S). No small-range linear-
+  // counting correction on purpose: this query IS the accuracy
+  // harness (q143/q117's discipline) — it reports est vs exact and
+  // the signed error, measuring the operator's envelope on THIS
+  // corpus instead of assuming it. At 100 TB the register table is
+  // the ONLY state: |groups| x 64 longs, whatever the corpus size.
+  // ---------------------------------------------------------------
+  private val HllM = 64L
+  private val HllAlpha1e5 = 70934L // alpha_64 = 0.7213/(1 + 1.079/64), 5dp
+  private val HllNum = HllAlpha1e5 * HllM * HllM * 4294967296L // < 2^61
+
+  /** Linear-counting table for the small-range correction: V zero
+    * registers -> round(m * ln(m / V)). The ln runs ONCE here at
+    * build time; both engines consume the same 64 integer literals,
+    * so no runtime float can diverge. Applied under the standard HLL
+    * rule (V > 0 and raw estimate <= 2.5m) — without it, raw HLL at
+    * n << m is off by 2x+ (measured: est 58 vs exact 25 per source).
+    */
+  private val HllLc: Seq[Long] =
+    (1 to HllM.toInt).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** rho = leading-zero count of the 22-bit remainder + 1
+    * = 23 - bit_length(rem), as an unrolled comparison ladder —
+    * exact in both engines (log2 floats could round differently).
+    */
+  private def hllRho(rem: Column): Column =
+    (1 to 22).foldLeft(lit(23L)) { (acc, b) =>
+      when(rem >= lit(1L << (b - 1)), lit((23 - b).toLong)).otherwise(acc)
+    }
+
+  private def hllRhoSql(rem: String): String =
+    (22 to 1 by -1).map(b =>
+      s"WHEN $rem >= ${1L << (b - 1)} THEN ${23 - b}")
+      .mkString("CASE ", " ", " ELSE 23 END")
+
+  def q191DistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = documents(s, dir).select(col("source"), col("text"))
+      .persist(MEMORY_AND_DISK)
+    val h = Hashing.hash28(col("text"))
+    // sparse (source, bucket) -> max rho: two-level partial aggregate
+    val regs = d.select(col("source"), (h % lit(HllM)).as("bucket"),
+        hllRho(Relational.ldiv(h, lit(HllM))).as("rho"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("r"))
+      .persist(MEMORY_AND_DISK)
+    val buckets = s.range(HllM).select(col("id").as("bucket"))
+    // densify: absent buckets are rho 0 (they contribute 2^32 to S)
+    val denseSrc = regs.select(col("source")).distinct()
+      .crossJoin(broadcast(buckets))
+      .join(regs, Seq("source", "bucket"), "left")
+      .select(col("source"), coalesce(col("r"), lit(0L)).as("r"))
+    val mDense = buckets
+      .join(regs.groupBy(col("bucket")).agg(max(col("r")).as("r")),
+        Seq("bucket"), "left")
+      .select(coalesce(col("r"), lit(0L)).as("r"))
+    val pow2 = expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))")
+    val zero = sum(when(col("r") === 0L, 1L).otherwise(0L))
+    // raw HLL estimate, then the standard small-range switch: linear
+    // counting from the zero-register count while raw <= 2.5m
+    def est(): Column = {
+      val raw = Relational.ldiv(lit(HllNum), col("S") * lit(100000L))
+      when(col("V") > 0L && raw <= lit(HllM * 5L / 2L),
+        element_at(typedLit(HllLc), col("V").cast("int"))).otherwise(raw)
+    }
+    val perSrc = denseSrc.groupBy(col("source"))
+      .agg(sum(pow2).as("S"), zero.as("V"))
+      .join(d.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("n_exact")), "source")
+      .select(lit("source").as("part"), col("source").as("grp"),
+        col("n_exact"), est().as("n_est"))
+    val merged = mDense.agg(sum(pow2).as("S"), zero.as("V"))
+      .crossJoin(d.agg(countDistinct(col("text")).as("n_exact")))
+      .select(lit("merged").as("part"), lit("ALL").as("grp"),
+        col("n_exact"), est().as("n_est"))
+    merged.unionByName(perSrc)
+      .withColumn("err", col("n_est") - col("n_exact"))
+      .orderBy("part", "grp")
+  }
+
+  val q191Sql: String = {
+    val h = Hashing.sqlHash28("text")
+    val lcList = HllLc.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT source, text FROM documents),
+       |hb AS (
+       |  SELECT source, h % $HllM AS bucket, ${hllRhoSql(s"h // $HllM")} AS rho
+       |  FROM (SELECT source, $h AS h FROM d)
+       |), regs AS (
+       |  SELECT source, bucket, MAX(rho) AS r FROM hb GROUP BY source, bucket
+       |), bk AS (SELECT CAST(b AS BIGINT) AS bucket FROM unnest(range($HllM)) t(b)),
+       |dsrc AS (
+       |  SELECT s.source, COALESCE(r.r, 0) AS r
+       |  FROM (SELECT DISTINCT source FROM regs) s
+       |  CROSS JOIN bk b
+       |  LEFT JOIN regs r ON r.source = s.source AND r.bucket = b.bucket
+       |), ssrc AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(32 - r AS INT)) AS BIGINT) AS S,
+       |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
+       |  FROM dsrc GROUP BY source
+       |), exsrc AS (
+       |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+       |  FROM d GROUP BY source
+       |), mdense AS (
+       |  SELECT COALESCE(m.r, 0) AS r
+       |  FROM bk b LEFT JOIN (
+       |    SELECT bucket, MAX(r) AS r FROM regs GROUP BY bucket
+       |  ) m ON m.bucket = b.bucket
+       |), mS AS (
+       |  SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(32 - r AS INT)) AS BIGINT) AS S,
+       |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
+       |  FROM mdense
+       |), mex AS (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact FROM d)
+       |SELECT part, grp, n_exact,
+       |  CAST(CASE WHEN V > 0 AND raw <= ${HllM * 5L / 2L}
+       |       THEN ($lcList)[CAST(V AS INT)] ELSE raw END AS BIGINT) AS n_est,
+       |  CAST(CASE WHEN V > 0 AND raw <= ${HllM * 5L / 2L}
+       |       THEN ($lcList)[CAST(V AS INT)] ELSE raw END AS BIGINT)
+       |    - n_exact AS err
+       |FROM (
+       |  SELECT 'merged' AS part, 'ALL' AS grp, mex.n_exact, mS.V AS V,
+       |    CAST($HllNum // (mS.S * 100000) AS BIGINT) AS raw
+       |  FROM mS CROSS JOIN mex
+       |  UNION ALL
+       |  SELECT 'source', e.source, e.n_exact, s.V,
+       |    CAST($HllNum // (s.S * 100000) AS BIGINT)
+       |  FROM ssrc s JOIN exsrc e ON e.source = s.source
+       |) ORDER BY part, grp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_distinct_sketch" -> q191DistinctSketch _,
     "q187_random_walks" -> q187RandomWalks _,
     "q181_kcore" -> q181Kcore _,
     "q180_modularity" -> q180Modularity _,
@@ -1411,6 +1558,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q191_distinct_sketch" -> q191Sql,
     "q187_random_walks" -> q187Sql,
     "q181_kcore" -> q181Sql,
     "q180_modularity" -> q180Sql,

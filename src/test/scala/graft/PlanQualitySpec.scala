@@ -359,6 +359,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q115: oriented wedge shape — broadcast degree/closure sides, exactly one shuffled join") {
+    // the round-7 adjudication of the r6 bench drift confirmed the
+    // Suri-Vassilvitskii shape itself is sound (2.1M wedges, flat
+    // fan-out on the regenerated graph; the drift was a serial events
+    // scan + JIT warm-up, not the plan) — pin the shape so a refactor
+    // cannot regress it: the node-sized degree table broadcasts into
+    // BOTH endpoint joins, the canonical edge set broadcasts into the
+    // closure probe, and the ONLY shuffled join is the wedge
+    // self-join on the apex key
+    val p = plan("q115_triangle_count")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // at sf0.001 even the wedge self-join broadcasts (tiny stats);
+    // at any size, nothing BEYOND that one join may shuffle
+    val shuffled = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffled <= 1,
+      s"want at most the wedge self-join shuffled, got $shuffled:\n$p")
+  }
+
   test("q176: one corpus pass through the native winnow kernel, partial limit below the global window") {
     val p = plan("q176_winnowing")
     // the fingerprint selection is the codegen'd kernel in the scan
