@@ -123,6 +123,74 @@ object Hashing {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ----- register sketch (HLL shape) — single source of truth ------
+  // shared by q191, ops.distinctSketch, and the streaming
+  // DistinctMonitor: one 28-bit hash splits into a 6-bit bucket and a
+  // 22-bit remainder whose bit length gives the rank rho; registers
+  // merge with element-wise MAX. All estimate arithmetic is exact
+  // int64 so the DuckDB oracle hash-matches (no float harmonic mean).
+
+  val HllM = 64L // registers per group (6 bucket bits of the 28)
+  private val HllAlpha1e5 = 70934L // alpha_64 = 0.7213/(1+1.079/64), 5dp
+  /** alpha_64 * m^2 * 2^32, the fixed-point estimate numerator. */
+  val HllNum: Long = HllAlpha1e5 * HllM * HllM * 4294967296L // < 2^61
+
+  /** Linear-counting table for the small-range correction: V zero
+    * registers -> round(m * ln(m/V)). The ln runs ONCE here at build
+    * time; both engines consume the same 64 integer literals.
+    */
+  val HllLc: Seq[Long] =
+    (1 to HllM.toInt).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** rho of a 28-bit hash = leading-zero count of its 22-bit
+    * remainder + 1 = 23 - bit_length(h div 64), as an unrolled
+    * comparison ladder — exact in both engines (log2 floats could
+    * round differently). Shared with the STREAMING monitor via
+    * [[hllRhoOfLong]] so batch and live registers are bit-identical.
+    */
+  def hllRho(h: Column): Column = {
+    val rem = Relational.ldiv(h, lit(HllM))
+    (1 to 22).foldLeft(lit(23L)) { (acc, b) =>
+      when(rem >= lit(1L << (b - 1)), lit((23 - b).toLong)).otherwise(acc)
+    }
+  }
+
+  /** JVM twin of [[hllRho]] for streaming state updates. */
+  def hllRhoOfLong(h: Long): Int = {
+    val rem = h / HllM
+    if (rem == 0L) 23 else 23 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+  }
+
+  /** JVM twin of [[hash28]] (md5 hex, first 7 chars, base 16) — the
+    * streaming DistinctMonitor hashes with THIS so its registers are
+    * bit-identical to the batch sketch's.
+    */
+  def hash28Of(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
+  /** Estimate from the (S, V) sufficient statistics of a DENSE
+    * 64-register vector: S = sum(2^(32-r)), V = zero-register count.
+    * Raw alpha-corrected harmonic estimate with the standard
+    * small-range switch to linear counting while raw <= 2.5m.
+    */
+  def hllEstimate(s: Column, v: Column): Column = {
+    val raw = Relational.ldiv(lit(HllNum), s * lit(100000L))
+    when(v > 0L && raw <= lit(HllM * 5L / 2L),
+      element_at(typedLit(HllLc), v.cast("int"))).otherwise(raw)
+  }
+
+  /** JVM twin of [[hllEstimate]] over a dense register array. */
+  def hllEstimateOf(regs: Array[Int]): Long = {
+    require(regs.length == HllM.toInt, s"need ${HllM} registers")
+    val s = regs.map(r => 1L << (32 - r)).sum
+    val v = regs.count(_ == 0).toLong
+    val raw = HllNum / (s * 100000L)
+    if (v > 0 && raw <= HllM * 5L / 2L) HllLc(v.toInt - 1) else raw
+  }
+
   /** Exact Jaccard similarity of two pre-distinct shingle arrays —
     * counted through the native set-cardinality expressions (no
     * intermediate intersection/union array per candidate pair).

@@ -1416,28 +1416,12 @@ object Mining {
   // corpus instead of assuming it. At 100 TB the register table is
   // the ONLY state: |groups| x 64 longs, whatever the corpus size.
   // ---------------------------------------------------------------
-  private val HllM = 64L
-  private val HllAlpha1e5 = 70934L // alpha_64 = 0.7213/(1 + 1.079/64), 5dp
-  private val HllNum = HllAlpha1e5 * HllM * HllM * 4294967296L // < 2^61
-
-  /** Linear-counting table for the small-range correction: V zero
-    * registers -> round(m * ln(m / V)). The ln runs ONCE here at
-    * build time; both engines consume the same 64 integer literals,
-    * so no runtime float can diverge. Applied under the standard HLL
-    * rule (V > 0 and raw estimate <= 2.5m) — without it, raw HLL at
-    * n << m is off by 2x+ (measured: est 58 vs exact 25 per source).
-    */
-  private val HllLc: Seq[Long] =
-    (1 to HllM.toInt).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
-
-  /** rho = leading-zero count of the 22-bit remainder + 1
-    * = 23 - bit_length(rem), as an unrolled comparison ladder —
-    * exact in both engines (log2 floats could round differently).
-    */
-  private def hllRho(rem: Column): Column =
-    (1 to 22).foldLeft(lit(23L)) { (acc, b) =>
-      when(rem >= lit(1L << (b - 1)), lit((23 - b).toLong)).otherwise(acc)
-    }
+  // HLL primitives (HllM registers, rho ladder, exact-int64 estimate
+  // with the linear-counting small-range switch) live in [[Hashing]]
+  // — the single source of truth shared with ops.distinctSketch and
+  // the streaming DistinctMonitor, so every surface produces
+  // bit-identical registers and estimates.
+  import Hashing.{HllM, HllNum, HllLc}
 
   private def hllRhoSql(rem: String): String =
     (22 to 1 by -1).map(b =>
@@ -1451,7 +1435,7 @@ object Mining {
     val h = Hashing.hash28(col("text"))
     // sparse (source, bucket) -> max rho: two-level partial aggregate
     val regs = d.select(col("source"), (h % lit(HllM)).as("bucket"),
-        hllRho(Relational.ldiv(h, lit(HllM))).as("rho"))
+        Hashing.hllRho(h).as("rho"))
       .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("r"))
       .persist(MEMORY_AND_DISK)
     val buckets = s.range(HllM).select(col("id").as("bucket"))
@@ -1466,13 +1450,7 @@ object Mining {
       .select(coalesce(col("r"), lit(0L)).as("r"))
     val pow2 = expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))")
     val zero = sum(when(col("r") === 0L, 1L).otherwise(0L))
-    // raw HLL estimate, then the standard small-range switch: linear
-    // counting from the zero-register count while raw <= 2.5m
-    def est(): Column = {
-      val raw = Relational.ldiv(lit(HllNum), col("S") * lit(100000L))
-      when(col("V") > 0L && raw <= lit(HllM * 5L / 2L),
-        element_at(typedLit(HllLc), col("V").cast("int"))).otherwise(raw)
-    }
+    def est(): Column = Hashing.hllEstimate(col("S"), col("V"))
     val perSrc = denseSrc.groupBy(col("source"))
       .agg(sum(pow2).as("S"), zero.as("V"))
       .join(d.groupBy(col("source"))
@@ -1538,7 +1516,251 @@ object Mining {
        |) ORDER BY part, grp""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q193: LOCAL CLUSTERING COEFFICIENT histogram + global
+  // transitivity — the per-node statistic BEHIND q115's triangle
+  // counts (lcc_u = 2 T_u / (deg_u (deg_u - 1)), the probability two
+  // of u's neighbors are themselves linked) and the graph-health
+  // scalar behind community detection go/no-go calls (a transitivity
+  // near the random-graph baseline says modularity optimization will
+  // find noise). Composition, not recomputation: the triangle side
+  // IS ops.triangleCounts (q115's degree-ordered wedge kernel,
+  // oriented fan-out bounded O(sqrt m)); this adds ONE node-sized
+  // left join against the degree table and exact fixed-point ratios
+  // — lcc at 4dp via (20000 T_u) DIV (deg (deg-1)), bucketed to 11
+  // bins; global transitivity = (3 x 10000 x triangles) DIV wedges
+  // with wedges = sum C(deg, 2) over the UNDIRECTED degrees. Nodes
+  // of degree < 2 have lcc 0 by convention (no wedge to close) —
+  // both engines agree by the same CASE. Output is O(1) rows at any
+  // graph size.
+  // ---------------------------------------------------------------
+  def q193ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val und = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("s"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    touch(und)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val tri = graft.api.ops.triangleCounts(und, "a", "b",
+      assumeCanonical = true)
+    val nodes = deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("dg"),
+        coalesce(col("n_tri"), lit(0L)).as("t"))
+      .withColumn("lcc4", when(col("dg") < 2, lit(0L))
+        .otherwise(Relational.ldiv(lit(20000L) * col("t"),
+          col("dg") * (col("dg") - 1L))))
+    val hist = nodes
+      .groupBy(Relational.ldiv(col("lcc4"), lit(1000L)).as("k"))
+      .agg(count(lit(1)).as("v1"), min(col("node")).as("v2"))
+      .select(lit("lcc").as("part"), col("k"), col("v1"), col("v2"))
+    val global = nodes
+      .agg(Relational.ldiv(sum(col("t")), lit(3L)).as("n_tri"),
+        sum(Relational.ldiv(col("dg") * (col("dg") - 1L), lit(2L)))
+          .as("wedges"))
+      .select(lit("global").as("part"), lit(0L).as("k"),
+        col("n_tri").as("v1"),
+        Relational.ldiv(lit(30000L) * col("n_tri"), col("wedges")).as("v2"))
+    hist.unionByName(global).orderBy("part", "k")
+  }
+
+  val q193Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), deg AS (
+      |  SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+      |  ) GROUP BY v
+      |), o AS (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+      |              THEN a ELSE b END AS u,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+      |              THEN b ELSE a END AS v
+      |  FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+      |), tri AS (
+      |  SELECT w1.u, w1.v AS v1, w2.v AS v2
+      |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v
+      |  JOIN und ON und.a = w1.v AND und.b = w2.v
+      |), pern AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+      |    SELECT u AS node FROM tri
+      |    UNION ALL SELECT v1 FROM tri
+      |    UNION ALL SELECT v2 FROM tri
+      |  ) GROUP BY node
+      |), nodes AS (
+      |  SELECT d.node, d.dg, COALESCE(p.t, 0) AS t,
+      |    CASE WHEN d.dg < 2 THEN 0
+      |         ELSE (20000 * COALESCE(p.t, 0)) // (d.dg * (d.dg - 1)) END
+      |      AS lcc4
+      |  FROM deg d LEFT JOIN pern p ON p.node = d.node
+      |)
+      |SELECT part, k, v1, v2 FROM (
+      |  SELECT 'lcc' AS part, lcc4 // 1000 AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS v1, MIN(node) AS v2
+      |  FROM nodes GROUP BY lcc4 // 1000
+      |  UNION ALL
+      |  SELECT 'global', 0, CAST(SUM(t) // 3 AS BIGINT),
+      |    CAST((30000 * (SUM(t) // 3)) // SUM(dg * (dg - 1) // 2) AS BIGINT)
+      |  FROM nodes
+      |) ORDER BY part, k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q192: SKETCHED cross-source overlap matrix — q94 computes exact
+  // cross-source duplicate mass by joining fingerprints; this
+  // estimates the same matrix from the q191 REGISTERS ALONE via
+  // sketch set algebra: registers are max-mergeable, so
+  // est(A ∪ B) comes from the element-wise max of A's and B's
+  // vectors, and inclusion-exclusion gives
+  //   est(A ∩ B) = max(0, est(A) + est(B) - est(A ∪ B)).
+  // This is THE 100-TB move: once per-source registers exist
+  // (64 longs each), every pairwise overlap is answerable WITHOUT
+  // rescanning the corpus — |sources|^2 x 64 arithmetic rows vs
+  // q94's full fingerprint join. The audit half reports the exact
+  // md5-distinct intersection next to the estimate (q143/q117's
+  // sketch-accuracy discipline): intersection error compounds THREE
+  // estimate errors, so the measured envelope — not the m = 64
+  // union error — is what a user must trust before replacing q94
+  // with sketch algebra. All arithmetic exact int64; both engines
+  // hash-match.
+  // ---------------------------------------------------------------
+  def q192SketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = documents(s, dir).select(col("source"), col("text"))
+      .persist(MEMORY_AND_DISK)
+    val h = Hashing.hash28(col("text"))
+    val buckets = s.range(HllM).select(col("id").as("bucket"))
+    // dense per-source registers (q191's build, kept dense so the
+    // pair merge is a plain equi-join on bucket)
+    val regs = d.select(col("source"), (h % lit(HllM)).as("bucket"),
+        Hashing.hllRho(h).as("rho"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("r"))
+    val dense = regs.select(col("source")).distinct()
+      .crossJoin(broadcast(buckets))
+      .join(regs, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"), coalesce(col("r"), lit(0L)).as("r"))
+      .persist(MEMORY_AND_DISK)
+    // 2^(32-r) via a 24-entry literal table (r in 0..23): the Scala
+    // shiftleft() only takes a literal shift, and a lookup keeps the
+    // expression in codegen
+    val pow2Tab = typedLit((0 to 23).map(r => 1L << (32 - r)))
+    val pow2of: Column => Column = r =>
+      element_at(pow2Tab, r.cast("int") + 1)
+    def estFrom(g: DataFrame, rCol: Column, key: Seq[String], out: String)
+      : DataFrame =
+      g.groupBy(key.map(col): _*)
+        .agg(sum(pow2of(rCol)).as("S"),
+          sum(when(rCol === 0L, 1L).otherwise(0L)).as("V"))
+        .select(key.map(col) :+
+          Hashing.hllEstimate(col("S"), col("V")).as(out): _*)
+    val perSrc = estFrom(dense, col("r"), Seq("source"), "est")
+    // pair the dense vectors (a < b), merge with element-wise max
+    val a = dense.select(col("source").as("source_a"), col("bucket"),
+      col("r").as("ra"))
+    val b = dense.select(col("source").as("source_b"), col("bucket"),
+      col("r").as("rb"))
+    val unions = estFrom(
+      a.join(b, Seq("bucket")).filter(col("source_a") < col("source_b")),
+      greatest(col("ra"), col("rb")), Seq("source_a", "source_b"), "est_union")
+    // exact audit: md5-distinct texts present in BOTH sources (q75's
+    // uniqueness granularity — md5 collision mass is negligible and
+    // identical in both engines)
+    val fp = d.select(col("source"), md5(col("text")).as("fp")).distinct()
+    val exact = fp.select(col("source").as("source_a"), col("fp"))
+      .join(fp.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("fp")).as("exact_inter"))
+    unions
+      .join(broadcast(perSrc.select(col("source").as("source_a"),
+        col("est").as("est_a"))), "source_a")
+      .join(broadcast(perSrc.select(col("source").as("source_b"),
+        col("est").as("est_b"))), "source_b")
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .withColumn("err", col("est_inter") - col("exact_inter"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q192Sql: String = {
+    val h = Hashing.sqlHash28("text")
+    val lcList = HllLc.mkString("[", ", ", "]")
+    def estExpr(sCol: String, vCol: String): String =
+      s"""CAST(CASE WHEN $vCol > 0
+         |  AND CAST($HllNum // ($sCol * 100000) AS BIGINT) <= ${HllM * 5L / 2L}
+         |  THEN ($lcList)[CAST($vCol AS INT)]
+         |  ELSE CAST($HllNum // ($sCol * 100000) AS BIGINT) END AS BIGINT)"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH d AS (SELECT source, text FROM documents),
+       |hb AS (
+       |  SELECT source, h % $HllM AS bucket, ${hllRhoSql(s"h // $HllM")} AS rho
+       |  FROM (SELECT source, $h AS h FROM d)
+       |), regs AS (
+       |  SELECT source, bucket, MAX(rho) AS r FROM hb GROUP BY source, bucket
+       |), bk AS (SELECT CAST(b AS BIGINT) AS bucket FROM unnest(range($HllM)) t(b)),
+       |dense AS (
+       |  SELECT s.source, b.bucket, COALESCE(r.r, 0) AS r
+       |  FROM (SELECT DISTINCT source FROM regs) s
+       |  CROSS JOIN bk b
+       |  LEFT JOIN regs r ON r.source = s.source AND r.bucket = b.bucket
+       |), persrc AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(32 - r AS INT)) AS BIGINT) AS S,
+       |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS V
+       |  FROM dense GROUP BY source
+       |), uni AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(SUM(CAST(1 AS BIGINT)
+       |      << CAST(32 - greatest(a.r, b.r) AS INT)) AS BIGINT) AS S,
+       |    CAST(SUM(CASE WHEN greatest(a.r, b.r) = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS V
+       |  FROM dense a JOIN dense b ON a.bucket = b.bucket
+       |    AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |), fp AS (SELECT DISTINCT source, md5(text) AS fp FROM d),
+       |ex AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS exact_inter
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |)
+       |SELECT source_a, source_b, est_a, est_b, est_union,
+       |  greatest(0, est_a + est_b - est_union) AS est_inter,
+       |  COALESCE(exact_inter, 0) AS exact_inter,
+       |  greatest(0, est_a + est_b - est_union)
+       |    - COALESCE(exact_inter, 0) AS err
+       |FROM (
+       |  SELECT u.source_a, u.source_b,
+       |    ${estExpr("pa.S", "pa.V")} AS est_a,
+       |    ${estExpr("pb.S", "pb.V")} AS est_b,
+       |    ${estExpr("u.S", "u.V")} AS est_union,
+       |    ex.exact_inter
+       |  FROM uni u
+       |  JOIN persrc pa ON pa.source = u.source_a
+       |  JOIN persrc pb ON pb.source = u.source_b
+       |  LEFT JOIN ex ON ex.source_a = u.source_a AND ex.source_b = u.source_b
+       |) ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_clustering_coeff" -> q193ClusteringCoeff _,
+    "q192_sketch_overlap" -> q192SketchOverlap _,
     "q191_distinct_sketch" -> q191DistinctSketch _,
     "q187_random_walks" -> q187RandomWalks _,
     "q181_kcore" -> q181Kcore _,
@@ -1558,6 +1780,8 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q193_clustering_coeff" -> q193Sql,
+    "q192_sketch_overlap" -> q192Sql,
     "q191_distinct_sketch" -> q191Sql,
     "q187_random_walks" -> q187Sql,
     "q181_kcore" -> q181Sql,

@@ -523,6 +523,17 @@ class ApiSpec extends SparkSpec {
     assert(noHint == Set(2L, 9L))
   }
 
+  test("distinctSketch matches the oracle-gated q191 per-source estimates") {
+    val docs = Tables.documents(spark, dir)
+    val api = ops.distinctSketch(docs, "source", col("text"))
+    val q191 = SparkEntry.queries("q191_distinct_sketch")(spark, dir)
+      .filter(col("part") === "source")
+      .select(col("grp").as("source"), col("n_est").as("q_est"))
+    val joined = api.join(q191, Seq("source"), "full_outer")
+    assert(joined.filter(col("n_est") =!= col("q_est")
+      || col("n_est").isNull || col("q_est").isNull).count() === 0)
+  }
+
   test("nearDupDedup removal count matches the q48 cluster arithmetic") {
     val docs = Tables.documents(spark, dir)
     val kept = ops.nearDupDedup(docs, "doc_id", "text").count()

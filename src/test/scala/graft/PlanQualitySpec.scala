@@ -377,6 +377,31 @@ class PlanQualitySpec extends SparkSpec {
       s"want at most the wedge self-join shuffled, got $shuffled:\n$p")
   }
 
+  test("q191/q192: register sketch builds are two-phase partial aggregates") {
+    // the sketch's 100-TB claim is that registers partially aggregate
+    // map-side (max combine) before any exchange — a plan that
+    // shuffles raw hashed rows to build registers has lost the point
+    for (name <- Seq("q191_distinct_sketch", "q192_sketch_overlap")) {
+      val p = plan(name)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name:\n$p")
+    }
+  }
+
+  test("q193: composes the q115 oriented-wedge shape plus ONE node-keyed outer join") {
+    val p = plan("q193_clustering_coeff")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // count plan NODES (the "(nn) Op" detail headers), not raw string
+    // hits — FormattedMode prints each operator in both the tree and
+    // the detail section. Allowed shuffled joins: the wedge self-join
+    // (may broadcast at tiny SF) + the deg-vs-triangles left join,
+    // which is node-sized on BOTH sides and so correctly
+    // co-partitions on the node key rather than broadcasting
+    val shuffled =
+      """\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(p).size
+    assert(shuffled <= 2,
+      s"want at most wedge self-join + deg join shuffled, got $shuffled:\n$p")
+  }
+
   test("q176: one corpus pass through the native winnow kernel, partial limit below the global window") {
     val p = plan("q176_winnowing")
     // the fingerprint selection is the codegen'd kernel in the scan
