@@ -849,7 +849,107 @@ object Temporal {
        |FROM f ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q194: CUSUM CHANGEPOINT detection — the offline mean-shift
+  // locator the anomaly family still lacked: q112 (z-score) and q184
+  // (MAD) flag individual outlier POINTS, q95 (L1 drift) compares
+  // two pre-named halves; none answers "WHERE did this series'
+  // level shift?". The classical estimator is the max-|CUSUM|
+  // argmax: with series x_1..x_n and total S, C_k = sum_{i<=k} x_i
+  // - k*S/n, and the changepoint estimate is argmax_k |C_k|. To
+  // keep both engines bit-identical the statistic is cross-
+  // multiplied by n into pure int64: D_k = n*P_k - k*S (P_k the
+  // running cents prefix), so no division happens until the final
+  // 4-dp report. Ties (a flat series has D_k = 0 everywhere) break
+  // to the SMALLEST k — reproducible in both engines. The report
+  // carries the segment means on each side of the cut and the
+  // n-normalized peak |C| so downstream gating can threshold on
+  // effect size, not just position. All divisions are sign-safe
+  // (q183's |num| + reapplied-sign treatment) because event values
+  // may be negative.
+  //
+  // Scale shape: ONE exchange on event_type serves the ordering
+  // window, the running sum, and the per-type totals (the window
+  // family shares its partition key); output is key-cardinality.
+  // Overflow envelope: |D_k| <= n^2 * max|cents|, int64-safe while
+  // n-per-type^2 * max|cents| < 2^63 (~3e6 rows/type at $100k
+  // values); past that, run per time-shard or widen D to decimal.
+  // At 100 TB the per-type series is bucketed by event_type so the
+  // window sort is partition-local — no global sort anywhere.
+  // ---------------------------------------------------------------
+  def q194CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    // sign-safe half-up 4-dp rounding of num/den (den > 0) over NAMED
+    // columns — the full-range `div` operator (not ldiv: 20000*|D|
+    // reaches ~4e16 > 2^53 at sf0.1, where ldiv's double path rounds)
+    def r4s(num: String, den: String): Column =
+      (when(col(num) < 0L, lit(-1L)).otherwise(lit(1L)) *
+        expr(s"(20000 * abs($num) + $den) div (2 * $den)")) / 10000.0
+    val base = events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("pfx", sum(col("cents")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+      .withColumn("d", col("n") * col("pfx") - col("k") * col("tot"))
+    base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("d")).desc, col("k"))))
+      .filter(col("rk") === 1)
+      .withColumn("cu_n", abs(col("d")))
+      .withColumn("cu_d", col("n") * lit(100L) * col("n"))
+      .withColumn("mb_d", col("k") * lit(100L))
+      .withColumn("ma_n", col("tot") - col("pfx"))
+      .withColumn("ma_d", (col("n") - col("k")) * lit(100L))
+      .select(col("event_type"), col("n").as("n_events"),
+        col("k").as("cp_idx"), col("event_id").as("cp_event_id"),
+        r4s("cu_n", "cu_d").as("cusum_c4"),
+        r4s("pfx", "mb_d").as("mean_before_c4"),
+        when(col("n") > col("k"), r4s("ma_n", "ma_d"))
+          .otherwise(lit(null).cast("double")).as("mean_after_c4"))
+      .orderBy("event_type")
+  }
+
+  val q194Sql: String = {
+    def r4s(num: String, den: String): String =
+      s"CASE WHEN $num < 0 THEN -1 ELSE 1 END" +
+        s" * ((20000*abs($num) + $den) // (2*($den))) / 10000.0"
+    s"""WITH c AS (
+       |  SELECT event_type, ts, event_id,
+       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events
+       |), t AS (
+       |  SELECT event_type, event_id,
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+       |    SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS pfx,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+       |    SUM(cents) OVER (PARTITION BY event_type) AS tot
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+       |), d AS (
+       |  SELECT event_type, event_id, k, pfx, n, tot,
+       |    n * pfx - k * tot AS d,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY abs(n * pfx - k * tot) DESC, k) AS rk
+       |  FROM t
+       |)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_events, k AS cp_idx,
+       |  event_id AS cp_event_id,
+       |  ${r4s("abs(d)", "n * 100 * n")} AS cusum_c4,
+       |  ${r4s("pfx", "k * 100")} AS mean_before_c4,
+       |  CASE WHEN n > k THEN ${r4s("(tot - pfx)", "(n - k) * 100")}
+       |    ELSE NULL END AS mean_after_c4
+       |FROM d WHERE rk = 1 ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_cusum_changepoint" -> q194CusumChangepoint _,
     "q183_holt_trend" -> q183HoltTrend _,
     "q153_ewma_decay" -> q153EwmaDecay _,
     "q139_timed_funnel" -> q139TimedFunnel _,
@@ -865,6 +965,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q194_cusum_changepoint" -> q194Sql,
     "q183_holt_trend" -> q183Sql,
     "q153_ewma_decay" -> q153Sql,
     "q139_timed_funnel" -> q139Sql,

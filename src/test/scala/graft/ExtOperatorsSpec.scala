@@ -221,4 +221,43 @@ class ExtOperatorsSpec extends SparkSpec {
       .distinct().count()
     assert(n == 1L, s"events.props now has $n distinct variant shapes")
   }
+
+  test("q194 CUSUM: argmax matches an in-JVM exact replay of every series") {
+    val got = SparkEntry.queries("q194_cusum_changepoint")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    // exact replay: same (ts, event_id) order, same int64 statistic
+    val series = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("long").as("tus"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    series.foreach { case (et, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3))
+      val n = xs.length.toLong
+      val tot = xs.map(_._4).sum
+      var pfx = 0L
+      var bestAbs = -1L; var bestK = 0L; var bestEid = 0L
+      xs.zipWithIndex.foreach { case ((_, _, eid, c), i) =>
+        pfx += c
+        val d = math.abs(n * pfx - (i + 1L) * tot)
+        if (d > bestAbs) { bestAbs = d; bestK = i + 1L; bestEid = eid }
+      }
+      val (gn, gk, geid) = got(et)
+      assert(gn == n, s"$et n")
+      assert(gk == bestK && geid == bestEid,
+        s"$et cp: got ($gk,$geid) expected ($bestK,$bestEid)")
+    }
+    // the report is self-consistent: a true interior changepoint has
+    // a non-null after-mean; cp_idx is in [1, n]
+    SparkEntry.queries("q194_cusum_changepoint")(spark, dir).collect()
+      .foreach { r =>
+        val (nEv, k) = (r.getLong(1), r.getLong(2))
+        assert(k >= 1L && k <= nEv)
+        if (k < nEv) assert(!r.isNullAt(6), s"interior cp lacks after-mean: $r")
+      }
+  }
 }
