@@ -1758,7 +1758,107 @@ object Mining {
        |) ORDER BY source_a, source_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q195: DEGREE ASSORTATIVITY — the one scalar the graph-stats
+  // family (q135 degree profile, q180 modularity, q193 clustering)
+  // still lacked: do high-degree nodes attach to high-degree nodes
+  // (r > 0, social cores) or to leaves (r < 0, hub-and-spoke)?
+  // Newman 2002: r = Pearson correlation of (deg u, deg v) over the
+  // DOUBLED edge-endpoint list. With m2 = 2m, Sx = Σ deg(u) over
+  // endpoints (= Σ deg² over nodes), Sxx = Σ deg³, Sxy = Σ
+  // deg(u)·deg(v) over doubled edges:
+  //   r = (m2·Sxy − Sx²) / (m2·Sxx − Sx²)
+  // (the symmetric list makes Sy = Sx, Syy = Sxx — one set of
+  // sufficient statistics, not two). All sums are exact int64; the
+  // final 4-dp rounding runs in DECIMAL(38,0) because 20000·|num|
+  // reaches ~6e18 at sf0.1 — right at the int64 edge, so the report
+  // step refuses to gamble (the q183 sign-safe |num| treatment on
+  // top). Degenerate regular graph (den = 0) reports NULL.
+  //
+  // Scale shape: the degree table is node-sized — broadcast to both
+  // endpoint joins (the q180 treatment; pinned) — and the sufficient
+  // statistics are ONE partial-aggregated pass over the doubled edge
+  // list: no shuffle of edges at all beyond the und distinct. At
+  // node counts past a broadcast, both joins co-partition on the
+  // endpoint key and nothing else changes. Int64 envelope: m2·Sxy ≤
+  // 4m²·maxdeg² → safe while m·maxdeg < ~1.5e9 (sf0.1: m = 7.2e4,
+  // maxdeg = 118); past that, widen the two products to decimal.
+  // ---------------------------------------------------------------
+  def q195Assortativity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = undGraph(s, dir).persist(MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_deg"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val e2 = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val sums = e2
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .agg(sum(col("du")).as("sx"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("du") * col("dv")).as("sxy"))
+    val out = sums.crossJoin(broadcast(m)).crossJoin(broadcast(degStats))
+      .withColumn("m2", lit(2L) * col("m"))
+      .withColumn("num_r", col("m2") * col("sxy") - col("sx") * col("sx"))
+      .withColumn("den_r", col("m2") * col("sxx") - col("sx") * col("sx"))
+      .select(col("m"), col("n_nodes"), col("max_deg"),
+        col("sx"), col("sxx"), col("sxy"),
+        when(col("den_r") === 0L, lit(null).cast("double"))
+          .otherwise((when(col("num_r") < 0L, lit(-1L)).otherwise(lit(1L)) *
+            expr("""(20000 * abs(cast(num_r as decimal(38,0)))
+                    + cast(den_r as decimal(38,0)))
+                   div (2 * cast(den_r as decimal(38,0)))"""))
+            / 10000.0)
+          .as("assort_4"))
+    val ck = out.localCheckpoint(true) // single row — release the edges
+    und.unpersist(blocking = false)
+    ck
+  }
+
+  val q195Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), deg AS MATERIALIZED (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      |  ) GROUP BY node
+      |), e2 AS (
+      |  SELECT a AS u, b AS v FROM und
+      |  UNION ALL SELECT b AS u, a AS v FROM und
+      |), sums AS (
+      |  SELECT CAST(SUM(du.deg) AS BIGINT) AS sx,
+      |    CAST(SUM(du.deg * du.deg) AS BIGINT) AS sxx,
+      |    CAST(SUM(du.deg * dv.deg) AS BIGINT) AS sxy
+      |  FROM e2 JOIN deg du ON du.node = e2.u JOIN deg dv ON dv.node = e2.v
+      |), base AS (
+      |  SELECT (SELECT COUNT(*) FROM und) AS m,
+      |    (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |    (SELECT CAST(MAX(deg) AS BIGINT) FROM deg) AS max_deg,
+      |    sx, sxx, sxy,
+      |    2*(SELECT COUNT(*) FROM und)*sxy - sx*sx AS num_r,
+      |    2*(SELECT COUNT(*) FROM und)*sxx - sx*sx AS den_r
+      |  FROM sums
+      |)
+      |SELECT m, n_nodes, max_deg, sx, sxx, sxy,
+      |  CASE WHEN den_r = 0 THEN NULL ELSE
+      |    CAST(CASE WHEN num_r < 0 THEN -1 ELSE 1 END
+      |      * ((20000 * abs(CAST(num_r AS HUGEINT)) + den_r)
+      |         // (2 * CAST(den_r AS HUGEINT))) AS BIGINT) / 10000.0
+      |  END AS assort_4
+      |FROM base""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_assortativity" -> q195Assortativity _,
     "q193_clustering_coeff" -> q193ClusteringCoeff _,
     "q192_sketch_overlap" -> q192SketchOverlap _,
     "q191_distinct_sketch" -> q191DistinctSketch _,
@@ -1780,6 +1880,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q195_assortativity" -> q195Sql,
     "q193_clustering_coeff" -> q193Sql,
     "q192_sketch_overlap" -> q192Sql,
     "q191_distinct_sketch" -> q191Sql,

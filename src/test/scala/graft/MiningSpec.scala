@@ -74,4 +74,33 @@ class MiningSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(got === expected)
   }
+
+  test("q195 assortativity matches an exact BigInt replay of Newman's r") {
+    val dir = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q195_assortativity")(spark, dir).collect().head
+    // replay the edge derivation + statistic with arbitrary precision
+    val und = queries.Mining.undGraph(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(und.nonEmpty)
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    val e2 = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val m2 = BigInt(e2.length)
+    val sx = e2.map { case (u, _) => BigInt(deg(u)) }.sum
+    val sxx = e2.map { case (u, _) => BigInt(deg(u)) * deg(u) }.sum
+    val sxy = e2.map { case (u, v) => BigInt(deg(u)) * deg(v) }.sum
+    assert(BigInt(row.getLong(0)) * 2 == m2, "m")
+    assert(BigInt(row.getLong(3)) == sx && BigInt(row.getLong(4)) == sxx &&
+      BigInt(row.getLong(5)) == sxy, "sufficient statistics")
+    val num = m2 * sxy - sx * sx
+    val den = m2 * sxx - sx * sx
+    if (den == 0) assert(row.isNullAt(6))
+    else {
+      val q = (BigInt(20000) * num.abs + den) / (den * 2)
+      val expected = (if (num < 0) -q else q).toDouble / 10000.0
+      assert(row.getDouble(6) == expected,
+        s"r: got ${row.getDouble(6)} expected $expected")
+      assert(math.abs(row.getDouble(6)) <= 1.0001, "correlation out of range")
+    }
+  }
 }
