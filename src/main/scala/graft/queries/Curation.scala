@@ -1374,7 +1374,140 @@ object Curation {
        |FROM u GROUP BY epoch, shard
        |ORDER BY epoch, shard""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q196: HITS hubs & authorities (Kleinberg 1999) — the DIRECTED
+  // complement to the PageRank family: PR scores a node by the rank
+  // of whoever points AT it; HITS separates the two roles a link
+  // graph actually has — hubs (pages whose outlinks select well) and
+  // authorities (pages good hubs point at) — the decomposition a
+  // crawl-frontier or source-curation ranker wants when "links to
+  // good stuff" and "is good stuff" must be scored apart. The
+  // mutual recursion a = Eᵀh, h = Ea runs FIXED_ROUNDS = 4 power
+  // iterations in pure int64 fixed point: after every half-step the
+  // vector renormalizes to max = 10000 via integer (x·10⁴) div max —
+  // deterministic in both engines, so the oracle replays it exactly
+  // (floats would drift; the L2 norm of the textbook is replaced by
+  // max-norm, which changes nothing about the fixpoint direction).
+  // max > 0 is structural: every dst has an in-edge, so the maximal
+  // score always sits on a node that feeds the next half-step.
+  //
+  // Scale shape: the edge list is persisted ONCE and both half-steps
+  // of every round join it against a NODE-SIZED score vector
+  // (broadcast; at node counts past a broadcast the joins
+  // co-partition on src/dst — the prRound treatment). Per-round
+  // frames are localCheckpoint(eager)-ed and superseded checkpoints
+  // released (Ck.scala). Int64 envelope: raw ≤ maxdeg·10⁴ and the
+  // renormalize multiplies by 10⁴ — safe while maxdeg < 9e13.
+  // Output is 20 rows at any graph scale.
+  // ---------------------------------------------------------------
+  private val HitsRounds = 4
+
+  def q196Hits(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = Mining.graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val edges = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    touch(edges)
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().persist(MEMORY_AND_DISK)
+    touch(nodes)
+    // one half-step: raw = Σ over `key`-incident edges of the other
+    // role's score, then integer max-renormalize to 10000
+    def halfStep(scores: DataFrame, key: String, out: String): DataFrame = {
+      val raw = nodes.join(
+        edges.join(broadcast(scores.select(col("id").as(key),
+            col("score").as("os"))), key)
+          .groupBy(col(out)).agg(sum(col("os")).as("raw")),
+        col("id") === col(out), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
+        .select(col("id"), expr("(raw * 10000) div mx").as("score"))
+        .localCheckpoint(true)
+    }
+    var h = nodes.withColumn("score", lit(10000L)).localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      val aNext = halfStep(h, "src", "dst")  // authorities ← hubs
+      if (a != null) graft.Ck.release(a)
+      a = aNext
+      val hNext = halfStep(a, "dst", "src")  // hubs ← authorities
+      graft.Ck.release(h)
+      h = hNext
+    }
+    def top(part: String, v: DataFrame): DataFrame =
+      v.orderBy(col("score").desc, col("id")).limit(10)
+        .withColumn("k", row_number().over(
+          Window.orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(lit(part).as("part"), col("k"),
+          col("id").as("node"), col("score"))
+    val out = top("auth", a).unionByName(top("hub", h)).orderBy("part", "k")
+    val ck = out.localCheckpoint(true) // 20 rows — release everything
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    graft.Ck.release(a)
+    graft.Ck.release(h)
+    ck
+  }
+
+  val q196Sql: String = {
+    def round(r: Int): String = {
+      val hPrev = if (r == 1) "h0" else s"h${r - 1}"
+      s"""ar$r AS (
+         |  SELECT n.id, COALESCE(s.raw, 0) AS raw FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id2, CAST(SUM(h.score) AS BIGINT) AS raw
+         |    FROM edges e JOIN $hPrev h ON h.id = e.src GROUP BY e.dst
+         |  ) s ON s.id2 = n.id
+         |), a$r AS MATERIALIZED (
+         |  SELECT id, (raw * 10000) // (SELECT MAX(raw) FROM ar$r) AS score
+         |  FROM ar$r
+         |), hr$r AS (
+         |  SELECT n.id, COALESCE(s.raw, 0) AS raw FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.src AS id2, CAST(SUM(a.score) AS BIGINT) AS raw
+         |    FROM edges e JOIN a$r a ON a.id = e.dst GROUP BY e.src
+         |  ) s ON s.id2 = n.id
+         |), h$r AS MATERIALIZED (
+         |  SELECT id, (raw * 10000) // (SELECT MAX(raw) FROM hr$r) AS score
+         |  FROM hr$r
+         |)""".stripMargin
+    }
+    val rounds = (1 to HitsRounds).map(round).mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+       |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT user_id AS src,
+       |    (user_id*31 + k) % (SELECT n FROM nn) AS dst
+       |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+       |  )
+       |), h0 AS (SELECT id, 10000 AS score FROM nodes),
+       |$rounds
+       |SELECT part, k, node, score FROM (
+       |  SELECT 'auth' AS part,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT) AS k,
+       |    id AS node, CAST(score AS BIGINT) AS score
+       |  FROM a$HitsRounds
+       |  UNION ALL
+       |  SELECT 'hub' AS part,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT) AS k,
+       |    id AS node, CAST(score AS BIGINT) AS score
+       |  FROM h$HitsRounds
+       |) WHERE k <= 10 ORDER BY part, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_hits" -> q196Hits _,
     "q186_personalized_pr" -> q186PersonalizedPr _,
     "q175_pagerank_converge" -> q175PagerankConverge _,
     "q178_incremental_pagerank" -> q178IncrementalPagerank _,
@@ -1393,6 +1526,7 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q196_hits" -> q196Sql,
     "q186_personalized_pr" -> q186Sql,
     "q175_pagerank_converge" -> q175Sql,
     "q178_incremental_pagerank" -> q178Sql,

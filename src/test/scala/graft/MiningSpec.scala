@@ -103,4 +103,45 @@ class MiningSpec extends SparkSpec {
       assert(math.abs(row.getDouble(6)) <= 1.0001, "correlation out of range")
     }
   }
+
+  test("q196 HITS matches an exact integer replay of the fixed-point iteration") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q196_hits")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    // replay: same edge derivation, same (x*10^4) div max renormalize
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = ev.map(_._1).max + 1
+    val edges = ev.map { case (u, k) => (u, (u * 31 + k) % n) }
+      .filter { case (s0, d) => s0 != d }.distinct
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val outE = edges.groupBy(_._1); val inE = edges.groupBy(_._2)
+    var h = nodes.map(_ -> 10000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val rawA = nodes.map(v =>
+        v -> inE.getOrElse(v, Array.empty[(Long, Long)]).map(e => h(e._1)).sum).toMap
+      val mxA = rawA.values.max
+      a = rawA.map { case (v, x) => v -> (x * 10000L) / mxA }
+      val rawH = nodes.map(v =>
+        v -> outE.getOrElse(v, Array.empty[(Long, Long)]).map(e => a(e._2)).sum).toMap
+      val mxH = rawH.values.max
+      h = rawH.map { case (v, x) => v -> (x * 10000L) / mxH }
+    }
+    def top10(m: Map[Long, Long]): Seq[(Long, Long)] =
+      m.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val expAuth = top10(a); val expHub = top10(h)
+    got.filter(_._1 == "auth").sortBy(_._2).zip(expAuth).foreach {
+      case ((_, _, node, score), (eid, esc)) =>
+        assert(node == eid && score == esc, s"auth: ($node,$score) vs ($eid,$esc)")
+    }
+    got.filter(_._1 == "hub").sortBy(_._2).zip(expHub).foreach {
+      case ((_, _, node, score), (eid, esc)) =>
+        assert(node == eid && score == esc, s"hub: ($node,$score) vs ($eid,$esc)")
+    }
+  }
 }
