@@ -1531,7 +1531,91 @@ object TextAnalysis {
        |ORDER BY needle_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q197: VOCABULARY GROWTH curve (Heaps' law audit) — q65 ranks the
+  // FINAL vocabulary by frequency; this tracks how the vocabulary
+  // ACCUMULATES over ingestion order, per source: at each decile of
+  // the source's doc stream (ordered by doc_id), the cumulative
+  // token count, cumulative distinct-type count, and type-token
+  // ratio. The curve is the corpus-curation saturation signal: a
+  // source whose growth curve flattens early is repeating itself
+  // (crawl loops, boilerplate farms) and deserves a lower mixture
+  // weight (q150) long before near-dup dedup (q23) would prove it
+  // pairwise. New-type attribution is exact and order-deterministic:
+  // a type counts at the FIRST position (row_number by doc_id) it
+  // appears in, so cum_vocab at position p is a plain running sum of
+  // per-position first-occurrence counts — no windowed
+  // count-distinct anywhere.
+  //
+  // Scale shape: one exchange on `source` carries the position
+  // window and both running sums; the first-occurrence table is one
+  // partial-aggregated (source, type) min — the same shuffle
+  // geometry as a term-frequency build. The decile explode (×10)
+  // happens AFTER the per-position frame is reduced to one row per
+  // doc. Output is 10 rows per source at any corpus size.
+  // ---------------------------------------------------------------
+  def q197VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val wPos = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        Hashing.words(col("text")).as("ws"))
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("tokcnt", size(col("ws")).cast("long"))
+    val newTypes = docs
+      .select(col("source"), col("pos"), explode(col("ws")).as("w"))
+      .groupBy(col("source"), col("w")).agg(min(col("pos")).as("fpos"))
+      .groupBy(col("source"), col("fpos")).agg(count(lit(1)).as("nt"))
+    docs.select(col("source"), col("pos"), col("tokcnt"))
+      .join(newTypes.select(col("source"), col("fpos").as("pos"),
+        col("nt")), Seq("source", "pos"), "left")
+      .withColumn("cum_tokens", sum(col("tokcnt")).over(wCum))
+      .withColumn("cum_vocab", sum(coalesce(col("nt"), lit(0L))).over(wCum))
+      .withColumn("d_total",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("decile", explode(sequence(lit(1L), lit(10L))))
+      .filter(col("pos") === expr("(decile * d_total) div 10"))
+      .select(col("source"), col("decile"), col("pos").as("n_docs"),
+        col("cum_tokens"), col("cum_vocab"),
+        Relational.ratio4(col("cum_vocab"), col("cum_tokens")).as("ttr_4"))
+      .orderBy("source", "decile")
+  }
+
+  val q197Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS ws,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS pos,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokcnt
+      |  FROM documents
+      |), fw AS (
+      |  SELECT source, w, MIN(pos) AS fpos FROM (
+      |    SELECT source, pos, unnest(ws) AS w FROM d
+      |  ) GROUP BY source, w
+      |), nt AS (
+      |  SELECT source, fpos AS pos, COUNT(*) AS nt FROM fw
+      |  GROUP BY source, fpos
+      |), pp AS (
+      |  SELECT d.source, d.pos,
+      |    SUM(d.tokcnt) OVER w AS cum_tokens,
+      |    SUM(COALESCE(nt.nt, 0)) OVER w AS cum_vocab,
+      |    COUNT(*) OVER (PARTITION BY d.source) AS d_total
+      |  FROM d LEFT JOIN nt ON nt.source = d.source AND nt.pos = d.pos
+      |  WINDOW w AS (PARTITION BY d.source ORDER BY d.pos
+      |    ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT source, CAST(dec AS BIGINT) AS decile, pos AS n_docs,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
+      |  ((20000*CAST(cum_vocab AS BIGINT) + CAST(cum_tokens AS BIGINT))
+      |    // (2*CAST(cum_tokens AS BIGINT))) / 10000.0 AS ttr_4
+      |FROM pp, (SELECT unnest(range(1, 11)) AS dec)
+      |WHERE pos = (dec * d_total) // 10
+      |ORDER BY source, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_vocab_growth" -> q197VocabGrowth _,
     "q188_calibration_audit" -> q188CalibrationAudit _,
     "q173_blocklist_scan" -> q173BlocklistScan _,
     "q167_bigram_surprisal" -> q167BigramSurprisal _,
@@ -1560,6 +1644,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q197_vocab_growth" -> q197Sql,
     "q188_calibration_audit" -> q188Sql,
     "q173_blocklist_scan" -> q173Sql,
     "q167_bigram_surprisal" -> q167Sql,

@@ -260,4 +260,35 @@ class ExtOperatorsSpec extends SparkSpec {
         if (k < nEv) assert(!r.isNullAt(6), s"interior cp lacks after-mean: $r")
       }
   }
+
+  test("q197 vocab growth: curves are monotone and decile 10 closes the corpus") {
+    val rows = SparkEntry.queries("q197_vocab_growth")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_._1)
+    // ground truth from an independent aggregate
+    val truth = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("toks"), countDistinct(col("w")).as("types"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    bySrc.foreach { case (src, g) =>
+      val s10 = g.sortBy(_._2)
+      // deciles present and strictly ordered in n_docs (non-strict on
+      // tiny sources where floor deciles collide)
+      assert(s10.map(_._2).toSeq == (1L to 10L))
+      s10.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 <= b._3 && a._4 <= b._4 && a._5 <= b._5,
+          s"$src curve not monotone: $a -> $b")
+      }
+      // the last decile IS the full corpus of the source
+      val (toks, types) = truth(src)
+      assert(s10.last._4 == toks, s"$src cum_tokens end != corpus tokens")
+      assert(s10.last._5 == types, s"$src cum_vocab end != corpus types")
+      // vocabulary never exceeds tokens
+      s10.foreach(r => assert(r._5 <= r._4))
+    }
+  }
 }
