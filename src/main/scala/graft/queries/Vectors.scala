@@ -1588,7 +1588,188 @@ object Vectors {
        |ORDER BY q_id, pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q198: PCA DOMINANT COMPONENT by power iteration on the exact
+  // integer Gram matrix — the spectral diagnostic an embedding
+  // corpus needs before ANN index tuning: the top principal
+  // direction and its explained share tell you whether the space is
+  // isotropic (IVF/LSH bucket well) or collapsed onto a few axes
+  // (q160's pairwise correlations see two dims at a time; this sees
+  // the whole spectrum's head). Pipeline: (1) embeddings snap to the
+  // q63 int grid round(x·127) — exact in both engines; (2) ONE
+  // distributed pass accumulates the raw second-moment matrix R =
+  // Σ qqᵀ per partition (the treeAggregate/RowMatrix Gramian
+  // pattern: a d×d local array per partition, NOT a per-row d²
+  // explode — at 100 TB the shuffle carries partitions×d² partial
+  // rows, nothing row-scaled) plus the column sums S; (3) the
+  // driver centers G = n²R − nSSᵀ (O(d²) longs — driver-scale at
+  // ANY corpus size, the q163 driver-held-model discipline),
+  // prescales G ÷ 2²⁴, and runs 8 power iterations in pure int64 —
+  // renormalize v to max|v| = 1000 each round — so the oracle's
+  // unrolled SQL replays every bit. ALL divisions TRUNCATE toward
+  // zero (Scala Long `/`), because DuckDB's `//` truncates on
+  // negatives (-7//2 = -3, NOT floor) — measured, not assumed. λ is
+  // the Rayleigh quotient ⌊vᵀG'v / vᵀv⌋ in prescaled units; the
+  // explained share divides by trace(G'). Int64 envelope (post-
+  // prescale): g ≤ n³·127²·4 ÷ 2²⁴, w ≤ 64·g·10³, vᵀG'v ≤
+  // 64²·g·10⁶ — safe to n ~ 3e5 rows; larger corpora raise the
+  // prescale shift (the direction is shift-invariant).
+  // ---------------------------------------------------------------
+  private val PcaDims = 64
+  private val PcaIters = 8
+  private val PcaShift = 24
+
+  def q198PcaPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = PcaDims
+    val rows = embeddings(s, dir)
+      .select(transform(emb(col("embedding")),
+        x => round(x * 127).cast("long")).as("q"))
+      .as[Seq[Long]]
+    // one pass: per-partition (R, S, n) partials; result size is
+    // #partitions × (d² + d + 1) longs, independent of row count
+    val partials = rows.mapPartitions { it =>
+      val acc = new Array[Long](d * d)
+      val sm = new Array[Long](d)
+      var n = 0L
+      it.foreach { q =>
+        val a = q.toArray
+        var j = 0
+        while (j < d) {
+          sm(j) += a(j)
+          var k = 0
+          while (k < d) { acc(j * d + k) += a(j) * a(k); k += 1 }
+          j += 1
+        }
+        n += 1L
+      }
+      if (n == 0L) Iterator.empty else Iterator.single((acc, sm, n))
+    }.collect()
+    val r = new Array[Long](d * d)
+    val sS = new Array[Long](d)
+    var n = 0L
+    partials.foreach { case (acc, sm, cnt) =>
+      var i = 0
+      while (i < d * d) { r(i) += acc(i); i += 1 }
+      var j = 0
+      while (j < d) { sS(j) += sm(j); j += 1 }
+      n += cnt
+    }
+    val (v, lam, tr) = pcaPowerKernel(r, sS, n)
+    val out = (0 until d).map(i =>
+      ("load", i.toLong, v(i), gEntry(r, sS, n, i, i))) ++
+      Seq(("eig", 0L, lam, tr), ("n", 0L, n, d.toLong))
+    out.toDF("part", "k", "v1", "v2").orderBy("part", "k")
+  }
+
+  /** One centered, prescaled Gram entry G'(j,k) = ⌊(n²R − nSSᵀ)ⱼₖ ÷
+    * 2^shift⌋ — TRUNCATING division (Scala `/`), because DuckDB's
+    * `//` truncates on negatives too.
+    */
+  private[graft] def gEntry(r: Array[Long], sS: Array[Long], n: Long,
+      j: Int, k: Int): Long =
+    (n * n * r(j * PcaDims + k) - n * sS(j) * sS(k)) / (1L << PcaShift)
+
+  /** The driver-side half of q198, factored out so VectorsSpec can
+    * pin the ALGORITHM on a constructed anisotropic corpus (the
+    * testdata embeddings are near-isotropic — λ₂/λ₁ ≈ 0.99 — where
+    * NO fixed-round power iteration isolates a direction; the oracle
+    * gate still pins engine-equality bit-for-bit on that data).
+    * Takes the exact second-moment matrix R (row-major d×d), column
+    * sums S and row count n; returns the renormalized integer
+    * direction (max|v| = 1000), the Rayleigh λ in prescaled units,
+    * and trace(G').
+    */
+  private[graft] def pcaPowerKernel(r: Array[Long], sS: Array[Long],
+      n: Long): (Array[Long], Long, Long) = {
+    val d = PcaDims
+    val g = new Array[Long](d * d)
+    var j = 0
+    while (j < d) {
+      var k = 0
+      while (k < d) { g(j * d + k) = gEntry(r, sS, n, j, k); k += 1 }
+      j += 1
+    }
+    var v = Array.fill(d)(1000L)
+    for (_ <- 1 to PcaIters) {
+      val w = new Array[Long](d)
+      var a = 0
+      while (a < d) {
+        var b = 0
+        var acc = 0L
+        while (b < d) { acc += g(a * d + b) * v(b); b += 1 }
+        w(a) = acc
+        a += 1
+      }
+      val mx = math.max(1L, w.map(math.abs).max)
+      v = w.map(x => x * 1000L / mx)
+    }
+    var vgv = 0L
+    var vv = 0L
+    var tr = 0L
+    j = 0
+    while (j < d) {
+      vv += v(j) * v(j)
+      tr += g(j * d + j)
+      var k = 0
+      while (k < d) { vgv += g(j * d + k) * v(j) * v(k); k += 1 }
+      j += 1
+    }
+    (v, vgv / math.max(1L, vv), tr)
+  }
+
+  val q198Sql: String = {
+    def iter(t: Int): String = {
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (
+         |  SELECT g.j, CAST(SUM(g.gv * p.v) AS BIGINT) AS w
+         |  FROM g JOIN $prev p ON p.j = g.k GROUP BY g.j
+         |), v$t AS MATERIALIZED (
+         |  SELECT j, (w*1000) // GREATEST(1, (SELECT MAX(abs(w)) FROM w$t)) AS v
+         |  FROM w$t
+         |)""".stripMargin
+    }
+    val iters = (1 to PcaIters).map(iter).mkString(",\n")
+    val vT = s"v$PcaIters"
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(round(x*127) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), nn AS (SELECT COUNT(*) AS n FROM q),
+       |s AS MATERIALIZED (
+       |  SELECT CAST(j AS BIGINT) AS j,
+       |    CAST(SUM(qe[CAST(j+1 AS INT)]) AS BIGINT) AS sj
+       |  FROM q, unnest(range($PcaDims)) tj(j) GROUP BY j
+       |), r AS MATERIALIZED (
+       |  SELECT CAST(j AS BIGINT) AS j, CAST(k AS BIGINT) AS k,
+       |    CAST(SUM(qe[CAST(j+1 AS INT)] * qe[CAST(k+1 AS INT)]) AS BIGINT) AS rjk
+       |  FROM q, unnest(range($PcaDims)) tj(j), unnest(range($PcaDims)) tk(k)
+       |  GROUP BY j, k
+       |), g AS MATERIALIZED (
+       |  SELECT r.j, r.k,
+       |    CAST(((SELECT n FROM nn)*(SELECT n FROM nn)*r.rjk
+       |      - (SELECT n FROM nn)*sa.sj*sb.sj) // ${1L << PcaShift}
+       |      AS BIGINT) AS gv
+       |  FROM r JOIN s sa ON sa.j = r.j JOIN s sb ON sb.j = r.k
+       |), v0 AS (SELECT DISTINCT j, 1000 AS v FROM g),
+       |$iters,
+       |ray AS (
+       |  SELECT CAST((SELECT SUM(g.gv * a.v * b.v)
+       |      FROM g JOIN $vT a ON a.j = g.j JOIN $vT b ON b.j = g.k) AS BIGINT)
+       |    // CAST(GREATEST(1, (SELECT SUM(v*v) FROM $vT)) AS BIGINT) AS lam,
+       |    (SELECT CAST(SUM(gv) AS BIGINT) FROM g WHERE j = k) AS tr
+       |)
+       |SELECT part, k, v1, v2 FROM (
+       |  SELECT 'load' AS part, t.j AS k, CAST(t.v AS BIGINT) AS v1,
+       |    (SELECT gv FROM g WHERE g.j = t.j AND g.k = t.j) AS v2
+       |  FROM $vT t
+       |  UNION ALL SELECT 'eig', 0, lam, tr FROM ray
+       |  UNION ALL SELECT 'n', 0, (SELECT CAST(n AS BIGINT) FROM nn), $PcaDims
+       |) ORDER BY part, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_pca_power" -> q198PcaPower _,
     "q182_mmr_rerank" -> q182MmrRerank _,
     "q171_matryoshka_recall" -> q171MatryoshkaRecall _,
     "q163_kmeans_converge" -> q163KmeansConverge _,
@@ -1612,6 +1793,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q198_pca_power" -> q198Sql,
     "q182_mmr_rerank" -> q182Sql,
     "q171_matryoshka_recall" -> q171Sql,
     "q163_kmeans_converge" -> q163Sql,

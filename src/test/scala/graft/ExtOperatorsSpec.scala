@@ -291,4 +291,53 @@ class ExtOperatorsSpec extends SparkSpec {
       s10.foreach(r => assert(r._5 <= r._4))
     }
   }
+
+  test("q198 PCA: the integer kernel nails a planted dominant direction") {
+    // the testdata embeddings are near-isotropic (λ₂/λ₁ ≈ 0.99) — no
+    // fixed-round power iteration isolates a direction there, so the
+    // ALGORITHM is pinned on a corpus with a PLANTED component, the
+    // house MiningSpec discipline; the oracle gate pins
+    // engine-equality on the real testdata separately.
+    val dd = 64
+    val rnd = new scala.util.Random(23)
+    val u = Array.tabulate(dd)(j => math.sin(j * 1.7 + 0.3))
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val qs = Array.fill(400) {
+      val a = (rnd.nextDouble() * 2 - 1) * 0.9 // strong planted axis
+      Array.tabulate(dd) { j =>
+        val x = a * u(j) / un + (rnd.nextDouble() * 2 - 1) * 0.05
+        math.round(math.max(-1.0, math.min(1.0, x)) * 127)
+      }
+    }
+    val r = new Array[Long](dd * dd)
+    val sS = new Array[Long](dd)
+    qs.foreach { q =>
+      for (j <- 0 until dd) {
+        sS(j) += q(j)
+        for (k <- 0 until dd) r(j * dd + k) += q(j) * q(k)
+      }
+    }
+    val (v, lam, tr) = queries.Vectors.pcaPowerKernel(r, sS, qs.length.toLong)
+    assert(v.map(math.abs).max == 1000L, "renorm invariant broken")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val c = cos(v.map(_.toDouble), u)
+    assert(math.abs(c) > 0.995, s"missed the planted direction: cos=$c")
+    // the planted axis carries nearly all variance
+    assert(lam > 0L && tr > 0L && lam * 10 > tr * 7,
+      s"explained share too low: lam=$lam tr=$tr")
+    // and on the real (isotropic) testdata the report stays sane:
+    // renormalized loads, spectral bounds, correct n
+    val out = SparkEntry.queries("q198_pca_power")(spark, dir).collect()
+      .map(rr => (rr.getString(0), rr.getLong(1), rr.getLong(2), rr.getLong(3)))
+    val loads = out.filter(_._1 == "load")
+    assert(loads.length == 64)
+    assert(loads.map(x => math.abs(x._3)).max == 1000L)
+    val Some((_, _, lam2, tr2)) = out.find(_._1 == "eig")
+    assert(lam2 >= 0L && lam2 <= tr2, "Rayleigh outside the spectrum bound")
+    val Some((_, _, n2, d2)) = out.find(_._1 == "n")
+    assert(d2 == 64L && n2 == Tables.embeddings(spark, dir).count())
+  }
 }
