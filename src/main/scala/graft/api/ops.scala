@@ -1609,4 +1609,49 @@ object ops {
     require(converged, s"pagerank did not converge in $maxRounds rounds")
     (pr, curve.toSeq, round)
   }
+
+  /** Offline CUSUM changepoint locator (q194's parameterized form):
+    * per `key`, the max-|CUSUM| argmax over the series ordered by
+    * `orderCols` (which must totally order rows within a key — ties
+    * make the argmax engine-dependent), with segment means on both
+    * sides of the cut. `orderId` names the column reported as
+    * `cp_event_id`; `valueCents` must already be integer-scaled
+    * (exact arithmetic is the caller's contract, as for ewma).
+    * Output: (key, n_events, cp_idx, cp_event_id, cusum_c4,
+    * mean_before_c4, mean_after_c4). Scale: ONE exchange on `key`
+    * serves every window; int64-safe while n-per-key² · max|cents|
+    * < 2⁶³. For the LIVE version of the same question, see
+    * streaming.CusumMonitor.
+    */
+  def cusumChangepoint(df: DataFrame, key: String, orderCols: Seq[Column],
+      orderId: Column, valueCents: Column): DataFrame = {
+    require(orderCols.nonEmpty, "cusumChangepoint needs order columns")
+    graft.queries.Temporal.cusumReport(
+      df.select(Seq(col(key), orderId.as("__oid"),
+        valueCents.cast("long").as("cents")) ++ orderCols: _*),
+      key, orderCols)
+  }
+
+  /** Newman degree assortativity (q195's parameterized form) over an
+    * arbitrary directed/undirected edge list: edges are canonicalized
+    * (a<b, distinct, self-loops dropped) and the Pearson correlation
+    * of endpoint degrees is computed from one pass of exact int64
+    * sufficient statistics, reported at 4 dp (DECIMAL-exact — see
+    * q195). Output: one row (m, n_nodes, max_deg, sx, sxx, sxy,
+    * assort_4); assort_4 is NULL for a regular graph (zero degree
+    * variance). Int64-safe while m·maxdeg < ~1.5e9.
+    */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val out = graft.queries.Mining.assortativityStats(und)
+    val ck = out.localCheckpoint(true) // single row — release the edges
+    und.unpersist(blocking = false)
+    ck
+  }
 }

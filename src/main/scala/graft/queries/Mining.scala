@@ -1787,6 +1787,16 @@ object Mining {
   def q195Assortativity(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = undGraph(s, dir).persist(MEMORY_AND_DISK)
+    val out = assortativityStats(und)
+    val ck = out.localCheckpoint(true) // single row — release the edges
+    und.unpersist(blocking = false)
+    ck
+  }
+
+  /** q195's parameterized core (ops.assortativity wraps it): takes a
+    * caller-persisted canonical (a, b) undirected edge frame.
+    */
+  private[graft] def assortativityStats(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1801,7 +1811,7 @@ object Mining {
       .agg(sum(col("du")).as("sx"),
         sum(col("du") * col("du")).as("sxx"),
         sum(col("du") * col("dv")).as("sxy"))
-    val out = sums.crossJoin(broadcast(m)).crossJoin(broadcast(degStats))
+    sums.crossJoin(broadcast(m)).crossJoin(broadcast(degStats))
       .withColumn("m2", lit(2L) * col("m"))
       .withColumn("num_r", col("m2") * col("sxy") - col("sx") * col("sx"))
       .withColumn("den_r", col("m2") * col("sxx") - col("sx") * col("sx"))
@@ -1814,9 +1824,6 @@ object Mining {
                    div (2 * cast(den_r as decimal(38,0)))"""))
             / 10000.0)
           .as("assort_4"))
-    val ck = out.localCheckpoint(true) // single row — release the edges
-    und.unpersist(blocking = false)
-    ck
   }
 
   val q195Sql: String =

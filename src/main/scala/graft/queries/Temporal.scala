@@ -877,43 +877,50 @@ object Temporal {
   // At 100 TB the per-type series is bucketed by event_type so the
   // window sort is partition-local — no global sort anywhere.
   // ---------------------------------------------------------------
-  def q194CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    val wAll = Window.partitionBy(col("event_type"))
+  /** q194's parameterized core (ops.cusumChangepoint wraps it): the
+    * frame must already carry `key`, the order columns, an `__oid`
+    * row identifier, and integer `cents`.
+    */
+  private[graft] def cusumReport(df: DataFrame, key: String,
+      orderCols: Seq[Column]): DataFrame = {
+    val wOrd = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(col(key))
     // sign-safe half-up 4-dp rounding of num/den (den > 0) over NAMED
     // columns — the full-range `div` operator (not ldiv: 20000*|D|
     // reaches ~4e16 > 2^53 at sf0.1, where ldiv's double path rounds)
     def r4s(num: String, den: String): Column =
       (when(col(num) < 0L, lit(-1L)).otherwise(lit(1L)) *
         expr(s"(20000 * abs($num) + $den) div (2 * $den)")) / 10000.0
-    val base = events(s, dir)
-      .select(col("event_type"), col("ts"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
+    df
       .withColumn("k", row_number().over(wOrd).cast("long"))
       .withColumn("pfx", sum(col("cents")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("tot", sum(col("cents")).over(wAll))
       .withColumn("d", col("n") * col("pfx") - col("k") * col("tot"))
-    base
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type"))
-          .orderBy(abs(col("d")).desc, col("k"))))
+        Window.partitionBy(col(key)).orderBy(abs(col("d")).desc, col("k"))))
       .filter(col("rk") === 1)
       .withColumn("cu_n", abs(col("d")))
       .withColumn("cu_d", col("n") * lit(100L) * col("n"))
       .withColumn("mb_d", col("k") * lit(100L))
       .withColumn("ma_n", col("tot") - col("pfx"))
       .withColumn("ma_d", (col("n") - col("k")) * lit(100L))
-      .select(col("event_type"), col("n").as("n_events"),
-        col("k").as("cp_idx"), col("event_id").as("cp_event_id"),
+      .select(col(key), col("n").as("n_events"),
+        col("k").as("cp_idx"), col("__oid").as("cp_event_id"),
         r4s("cu_n", "cu_d").as("cusum_c4"),
         r4s("pfx", "mb_d").as("mean_before_c4"),
         when(col("n") > col("k"), r4s("ma_n", "ma_d"))
           .otherwise(lit(null).cast("double")).as("mean_after_c4"))
-      .orderBy("event_type")
+      .orderBy(key)
   }
+
+  def q194CusumChangepoint(s: SparkSession, dir: String): DataFrame =
+    cusumReport(
+      events(s, dir).select(col("event_type"), col("ts"),
+        col("event_id").as("__oid"),
+        round(col("value") * 100).cast("long").as("cents")),
+      "event_type", Seq(col("ts"), col("__oid")))
 
   val q194Sql: String = {
     def r4s(num: String, den: String): String =

@@ -679,4 +679,55 @@ class ApiSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("cusumChangepoint agrees with the oracle-gated q194 pipeline") {
+    val ev = Tables.events(spark, dir)
+    val got = ops.cusumChangepoint(ev, "event_type",
+        Seq(col("ts"), col("event_id")), col("event_id"),
+        round(col("value") * 100))
+      .collect().map(_.toSeq).toSeq
+    val exp = SparkEntry.queries("q194_cusum_changepoint")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === exp)
+    // and the locator actually finds a planted shift
+    val s = spark
+    import s.implicits._
+    val planted = ((1 to 40).map(i => ("k", i.toLong, 100L)) ++
+      (41 to 60).map(i => ("k", i.toLong, 900L))).toDF("g", "seq", "c")
+    val row = ops.cusumChangepoint(planted, "g", Seq(col("seq")),
+      col("seq"), col("c")).collect().head
+    assert(row.getLong(2) == 40L, s"planted cut at 40, got $row")
+    assert(row.getDouble(5) == 1.0 && row.getDouble(6) == 9.0,
+      s"segment means wrong: $row")
+  }
+
+  test("assortativity agrees with q195 and scores hand graphs correctly") {
+    val got = ops.assortativity(
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .crossJoin(broadcast(Tables.events(spark, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k").isNotNull)
+          .agg((max(col("user_id")) + 1L).as("n"))))
+        .select(col("user_id").as("s"),
+          ((col("user_id") * 31L + col("k")) % col("n")).as("d")),
+      "s", "d").collect().head.toSeq
+    val exp = SparkEntry.queries("q195_assortativity")(spark, dir)
+      .collect().head.toSeq
+    assert(got === exp)
+    val s = spark
+    import s.implicits._
+    // star graph: hub degree n-1 vs leaf degree 1 — maximally
+    // disassortative, r = -1 exactly
+    val star = (1L to 6L).map(i => (0L, i)).toDF("u", "v")
+    val r = ops.assortativity(star, "u", "v").collect().head
+    assert(r.getDouble(6) == -1.0, s"star graph must score -1: $r")
+    // 4-cycle: regular graph, zero degree variance -> NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val rc = ops.assortativity(cyc, "u", "v").collect().head
+    assert(rc.isNullAt(6), s"regular graph must report NULL: $rc")
+  }
 }
