@@ -152,13 +152,74 @@ object SqlSurface {
        |LIMIT 20""".stripMargin
   }
 
+  // ----- q185: retrieval-fusion family (RRF over two channels) -----
+
+  private val rrfTokSub: String =
+    """SELECT doc_id, explode(array_distinct(split(text, ' '))) AS token
+      |FROM documents""".stripMargin
+
+  private val rrfESub: String =
+    """SELECT vec_id, transform(CAST(embedding AS ARRAY<DOUBLE>),
+      |  x -> x / sqrt(array_dot(CAST(embedding AS ARRAY<DOUBLE>),
+      |                          CAST(embedding AS ARRAY<DOUBLE>)))) AS e
+      |FROM embeddings""".stripMargin
+
+  val q185Sql: String = {
+    val lexSub =
+      s"""SELECT q_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank FROM (
+         |  SELECT q_id, doc_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ov DESC, doc_id) AS lex_rank
+         |  FROM (
+         |    SELECT /*+ BROADCAST(q) */ q.q_id, t.doc_id, COUNT(1) AS ov
+         |    FROM ($rrfTokSub) t
+         |    JOIN (SELECT doc_id AS q_id, token FROM ($rrfTokSub)
+         |          WHERE doc_id % 100 = 0) q
+         |      USING (token)
+         |    WHERE q.q_id <> t.doc_id
+         |    GROUP BY q.q_id, t.doc_id
+         |  )
+         |) WHERE lex_rank <= 10""".stripMargin
+    val vecSub =
+      s"""SELECT q_id, vec_id AS doc_id, CAST(vec_rank AS BIGINT) AS vec_rank
+         |FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_r DESC, vec_id) AS vec_rank
+         |  FROM (
+         |    SELECT /*+ BROADCAST(q) */ q.q_id, e.vec_id,
+         |      round(array_dot(q.qe, e.e), 4) AS cos_r
+         |    FROM (SELECT vec_id AS q_id, e AS qe FROM ($rrfESub)
+         |          WHERE vec_id % 100 = 0) q
+         |    JOIN ($rrfESub) e ON q.q_id <> e.vec_id
+         |  )
+         |) WHERE vec_rank <= 10""".stripMargin
+    val rrf =
+      s"COALESCE(${ldiv("1000000000L", "60L + lex_rank")}, 0L)" +
+        s" + COALESCE(${ldiv("1000000000L", "60L + vec_rank")}, 0L)"
+    s"""SELECT q_id, fused_rank, doc_id, rrf,
+       |  COALESCE(lex_rank, -1L) AS lex_rank,
+       |  COALESCE(vec_rank, -1L) AS vec_rank
+       |FROM (
+       |  SELECT q_id, doc_id, lex_rank, vec_rank, rrf,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id) AS fused_rank
+       |  FROM (
+       |    SELECT q_id, doc_id, lex_rank, vec_rank, $rrf AS rrf
+       |    FROM ($lexSub) l FULL OUTER JOIN ($vecSub) v USING (q_id, doc_id)
+       |  )
+       |) WHERE fused_rank <= 5
+       |ORDER BY q_id, fused_rank""".stripMargin
+  }
+
   /** SQL texts keyed by their SparkEntry query name — the surface a
     * SQL-only user runs after [[registerViews]].
     */
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
     "q23_minhash_lsh" -> q23Sql,
-    "q88_bm25" -> q88Sql)
+    "q88_bm25" -> q88Sql,
+    "q185_rrf_fusion" -> q185Sql)
 
   // ----- q161: the connected-components loop, SQL-driven -----------
 

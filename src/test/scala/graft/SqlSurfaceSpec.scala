@@ -13,7 +13,7 @@ import graft.queries.{Curation, Mining}
   * same broadcast sides, same partial aggregation — as the Scala
   * API, not a second implementation that happens to agree. One
   * representative query per family (relational q01, dedup q23,
-  * retrieval q88) plus the two convergence loops (q161 connected
+  * retrieval q88, hybrid fusion q185) plus the convergence loops (q161 connected
   * components, q175 PageRank), whose SQL-driven rounds are pinned
   * against the exact production round bodies (Mining.ccRound /
   * Curation.prRound) and whose loops must match round-for-round.
