@@ -733,4 +733,67 @@ class PlanQualitySpec extends SparkSpec {
     // apply runs over the persisted distinct-word frame, not a rescan
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
+
+  test("q194: every CUSUM window shares ONE event_type exchange, joinless") {
+    val p = plan("q194_cusum_changepoint")
+    // ordering window, running sum, per-type count/total, and the
+    // argmax rank all partition by event_type: the event stream
+    // shuffles exactly once (plus only the final ORDER BY range)
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      readSchema) // prunes to (event_type, ts, event_id, value)
+  }
+
+  test("q195: degree table broadcasts into both endpoint joins; one pass") {
+    // the public query checkpoints its single row (flat RDD), so the
+    // pin inspects the inner statistics plan the checkpoint ran
+    val p = queries.Mining.assortativityStats(
+        queries.Mining.undGraph(spark, dir))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // two node-sized broadcasts (du, dv) + the two scalar frames —
+    // never a shuffled join of the edge list against degrees
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // sufficient statistics partial-aggregate before the single-row agg
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q196: HITS returns a flat 20-row checkpoint, lineage released") {
+    // each half-step localCheckpoints, so the OUTPUT plan must be a
+    // flat RDD scan with no residual join/scan of the iteration
+    val p = SparkEntry.queries("q196_hits")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("RDDScan"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q197: growth curves share the source exchange; explode is post-reduce") {
+    val p = plan("q197_vocab_growth")
+    // position window + two running sums + per-source total all ride
+    // hashpartitioning(source); the first-occurrence table adds its
+    // own (source, w) aggregate exchange — nothing else
+    assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      readSchema) // prunes to (source, doc_id, text)
+  }
+
+  test("q198: the Gram pass is one scan with no shuffle of row-scaled data") {
+    val dirL = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q198_pca_power")(spark, dirL)
+    // the distributed half already ran (driver-held model); the
+    // returned report is a 66-row local relation — row-scaled data
+    // never reaches the driver or a shuffle
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("parquet"), p) // report is detached from the scan
+  }
 }
