@@ -1641,6 +1641,27 @@ object ops {
     * assort_4); assort_4 is NULL for a regular graph (zero degree
     * variance). Int64-safe while m·maxdeg < ~1.5e9.
     */
+  /** Strongly connected components (q199's parameterized form): the
+    * trim + forward-max-coloring + backward-collect loop over an
+    * arbitrary directed edge list (duplicates and self-loops are
+    * normalized away; a self-loop-only node is outside the node set,
+    * the kcore convention). Returns the (id, scc) table with scc =
+    * the component's minimum member id — q161's canonical-label
+    * convention, so undirected CC and SCC labels compare directly.
+    * Every inner loop is data-driven with a loud bounded guard;
+    * per-round frames are localCheckpoint(eager)-ed and released
+    * (reliable checkpoint() on a cluster). All joins are node-keyed —
+    * nothing is quadratic in edges.
+    */
+  def scc(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val canon = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val (labels, _) = graft.queries.Mining.sccAssign(canon)
+    labels // (id, scc) — connectedComponents' (id, component) shape
+  }
+
   def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = edges

@@ -1759,6 +1759,245 @@ object Mining {
   }
 
   // ---------------------------------------------------------------
+  // q199: STRONGLY CONNECTED COMPONENTS — the DIRECTED convergence
+  // discipline the graph family still lacked: q161's min-label
+  // propagation answers undirected reachability; SCC asks the
+  // directed question ("who can reach whom AND be reached back") —
+  // the citation-loop / crawl-cycle / mutual-link structure a link
+  // curator scores differently from one-way chains. Algorithm: the
+  // coloring method (Orzan 2004; Slota et al.'s trim + FW-BW family):
+  // per outer round on the unassigned subgraph,
+  //   (1) TRIM to fixpoint: a node with no in-edge or no out-edge
+  //       inside the live subgraph is its own SCC — peel like q181;
+  //   (2) COLOR: propagate the MAX node id forward along edges to a
+  //       fixpoint — color(v) = max{u : u →* v, u live} ∪ {v};
+  //   (3) COLLECT: every root r (color(r) = r) anchors one SCC =
+  //       the nodes that reach r BACKWARD without leaving color
+  //       class r — collected by a frontier loop, all roots in
+  //       parallel; assign and remove them.
+  // Every inner loop is data-driven with a loud bounded guard, every
+  // round frame localCheckpoint(eager)-ed and superseded checkpoints
+  // released (the ccLoop/bfsLoop hygiene; reliable checkpoint() on a
+  // cluster). Edge frames are persisted per outer round and dropped
+  // before the next — the live subgraph shrinks monotonically.
+  // Worst case (a long id-decreasing chain) degenerates to one SCC
+  // per round — the documented coloring weakness — but TRIM removes
+  // chain/DAG structure first, so outer rounds track the count of
+  // NON-TRIVIAL SCC layers (1-2 on the testdata graph); the guard
+  // fails loudly, never spins. Oracle: recursive-CTE transitive
+  // closure — scc(v) = min{u : u →* v ∧ v →* u}.
+  //
+  // Scale shape: all joins are node-keyed equi-joins (frontier,
+  // color, membership frames are node-sized; the edge list exchanges
+  // on src/dst and would be bucketed at 100 TB); nothing is ever
+  // quadratic in edges. Output is SCC-cardinality.
+  // ---------------------------------------------------------------
+  /** Directed distinct edge list shared by the PR family and q199
+    * (self-loops dropped; a self-loop-only node is outside the node
+    * set entirely, the kcore convention).
+    */
+  private[graft] def dirEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** The SCC assignment loop (parameterized core — ops.scc and the
+    * MiningSpec adversarial graphs call it directly). Takes a
+    * distinct (src, dst) long edge frame without self-loops; returns
+    * the (id, scc) table — scc = the component's MINIMUM member id,
+    * q161's canonical-label convention — and the outer round count.
+    */
+  private[graft] def sccAssign(edges0: DataFrame,
+      maxOuter: Int = 30): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = edges0.persist(MEMORY_AND_DISK)
+    touch(edges)
+    var active = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    var assigned = active.select(col("id"), col("id").as("scc"))
+      .filter(lit(false)).localCheckpoint(true)
+    var outer = 0
+    var done = active.isEmpty
+    while (!done && outer < maxOuter) {
+      outer += 1
+      // ---- (1) trim to fixpoint: peel no-in / no-out nodes --------
+      var cur = active
+      var trimming = true
+      var trimGuard = 0
+      while (trimming && trimGuard < 200) {
+        trimGuard += 1
+        val curE = edges
+          .join(cur.select(col("id").as("src")), "src")
+          .join(cur.select(col("id").as("dst")), "dst")
+        val keep = cur
+          .join(curE.select(col("src").as("id")).distinct(), Seq("id"), "semi")
+          .join(curE.select(col("dst").as("id")).distinct(), Seq("id"), "semi")
+          .localCheckpoint(true)
+        val removed = cur.join(keep, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("scc"))
+          .localCheckpoint(true)
+        trimming = !removed.isEmpty
+        if (trimming) {
+          val na = assigned.unionByName(removed).localCheckpoint(true)
+          graft.Ck.release(assigned)
+          assigned = na
+          if (cur ne active) graft.Ck.release(cur)
+          cur = keep
+        } else {
+          graft.Ck.release(removed)
+          if (cur ne active) graft.Ck.release(cur)
+          cur = keep
+        }
+      }
+      require(!trimming, "SCC trim did not reach a fixpoint")
+      done = cur.isEmpty
+      if (!done) {
+        // live subgraph edges for this round, exchanged once
+        val ce = edges
+          .join(cur.select(col("id").as("src")), "src")
+          .join(cur.select(col("id").as("dst")), "dst")
+          .persist(MEMORY_AND_DISK)
+        touch(ce)
+        // ---- (2) forward MAX-color propagation to fixpoint --------
+        var color = cur.select(col("id"), col("id").as("clr"))
+          .localCheckpoint(true)
+        var stable = false
+        var colGuard = 0
+        while (!stable && colGuard < 100) {
+          colGuard += 1
+          val inMax = ce
+            .join(color.select(col("id").as("src"), col("clr").as("sclr")), "src")
+            .groupBy(col("dst")).agg(max(col("sclr")).as("mc"))
+          val next = color
+            .join(inMax, col("id") === col("dst"), "left")
+            .select(col("id"), col("clr").as("old"),
+              greatest(col("clr"), coalesce(col("mc"), col("clr"))).as("clr"))
+            .localCheckpoint(true)
+          stable = next.filter(col("clr") =!= col("old")).isEmpty
+          graft.Ck.release(color)
+          color = next.select(col("id"), col("clr"))
+        }
+        require(stable, "SCC coloring did not reach a fixpoint")
+        // ---- (3) collect: roots + backward growth within color ----
+        var members = color.filter(col("clr") === col("id"))
+          .localCheckpoint(true)
+        var growing = true
+        var bwGuard = 0
+        while (growing && bwGuard < 100) {
+          bwGuard += 1
+          val grow = ce
+            .join(members.select(col("id").as("dst"), col("clr").as("mclr")), "dst")
+            .select(col("src").as("id"), col("mclr"))
+            .distinct()
+            .join(color, Seq("id"))
+            .filter(col("clr") === col("mclr"))
+            .select(col("id"), col("clr"))
+            .join(members, Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          growing = !grow.isEmpty
+          if (growing) {
+            val nm = members.unionByName(grow).localCheckpoint(true)
+            graft.Ck.release(members)
+            graft.Ck.release(grow)
+            members = nm
+          } else graft.Ck.release(grow)
+        }
+        require(!growing, "SCC backward collect did not converge")
+        // assign this round's SCCs by their MINIMUM member id (the
+        // canonical label — the root's max-id is propagation-internal)
+        val minId = members.groupBy(col("clr")).agg(min(col("id")).as("scc"))
+        val roundA = members.join(minId, Seq("clr"))
+          .select(col("id"), col("scc"))
+          .localCheckpoint(true)
+        val na = assigned.unionByName(roundA).localCheckpoint(true)
+        graft.Ck.release(assigned)
+        graft.Ck.release(roundA)
+        assigned = na
+        val nextActive = cur.join(members, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        graft.Ck.release(members)
+        graft.Ck.release(color)
+        if (cur ne active) graft.Ck.release(cur)
+        ce.unpersist(blocking = false)
+        graft.Ck.release(active)
+        active = nextActive
+        done = active.isEmpty
+      } else {
+        // the live subgraph dissolved entirely inside the trim
+        if (cur ne active) { graft.Ck.release(active); active = cur }
+      }
+    }
+    edges.unpersist(blocking = false) // release before the loud guard
+    graft.Ck.release(active) // empty (or superseded) on every exit path
+    require(done, s"SCC did not converge in $maxOuter outer rounds")
+    graft.LoopStats.record("scc", outer.toLong)
+    (assigned, outer)
+  }
+
+  def q199Scc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = dirEdges(s, dir).persist(MEMORY_AND_DISK)
+    touch(edges)
+    val (labels, _) = sccAssign(edges)
+    val sizes = labels.groupBy(col("scc")).agg(count(lit(1)).as("n_nodes"))
+    val intra = edges
+      .join(labels.select(col("id").as("src"), col("scc").as("ssc")), "src")
+      .join(labels.select(col("id").as("dst"), col("scc").as("dsc")), "dst")
+      .filter(col("ssc") === col("dsc"))
+      .groupBy(col("ssc").as("scc"))
+      .agg(count(lit(1)).as("n_intra"))
+    val out = sizes.join(intra, Seq("scc"), "left")
+      .select(col("scc"), col("n_nodes"),
+        coalesce(col("n_intra"), lit(0L)).as("n_intra"))
+      .orderBy("scc")
+    val ck = out.localCheckpoint(true) // SCC-cardinality rows
+    graft.Ck.release(labels)
+    edges.unpersist(blocking = false)
+    ck
+  }
+
+  val q199Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    (user_id*31 + k) % (SELECT n FROM nn) AS dst
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), nodes AS MATERIALIZED (
+      |  SELECT DISTINCT id FROM (
+      |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      |  )
+      |), reach(s, d) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d
+      |), lbl AS MATERIALIZED (
+      |  SELECT v, MIN(u) AS scc FROM (
+      |    SELECT id AS v, id AS u FROM nodes
+      |    UNION ALL
+      |    SELECT a.d AS v, a.s AS u FROM reach a
+      |    JOIN reach b ON b.s = a.d AND b.d = a.s
+      |  ) GROUP BY v
+      |), sizes AS (
+      |  SELECT scc, COUNT(*) AS n_nodes FROM lbl GROUP BY scc
+      |), intra AS (
+      |  SELECT ls.scc, COUNT(*) AS n_intra
+      |  FROM edges e JOIN lbl ls ON ls.v = e.src JOIN lbl ld ON ld.v = e.dst
+      |  WHERE ls.scc = ld.scc GROUP BY ls.scc
+      |)
+      |SELECT s.scc, s.n_nodes, COALESCE(i.n_intra, 0) AS n_intra
+      |FROM sizes s LEFT JOIN intra i ON i.scc = s.scc
+      |ORDER BY s.scc""".stripMargin
+
+  // ---------------------------------------------------------------
   // q195: DEGREE ASSORTATIVITY — the one scalar the graph-stats
   // family (q135 degree profile, q180 modularity, q193 clustering)
   // still lacked: do high-degree nodes attach to high-degree nodes
@@ -1865,6 +2104,7 @@ object Mining {
       |FROM base""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_scc" -> q199Scc _,
     "q195_assortativity" -> q195Assortativity _,
     "q193_clustering_coeff" -> q193ClusteringCoeff _,
     "q192_sketch_overlap" -> q192SketchOverlap _,
@@ -1887,6 +2127,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q199_scc" -> q199Sql,
     "q195_assortativity" -> q195Sql,
     "q193_clustering_coeff" -> q193Sql,
     "q192_sketch_overlap" -> q192Sql,

@@ -730,4 +730,20 @@ class ApiSpec extends SparkSpec {
     val rc = ops.assortativity(cyc, "u", "v").collect().head
     assert(rc.isNullAt(6), s"regular graph must report NULL: $rc")
   }
+
+  test("scc separates one-way bridged cycles that undirected CC merges") {
+    val s = spark
+    import s.implicits._
+    // two cycles + a one-way bridge + a dangling tail: SCC must
+    // yield {0,1,2}, {4,5,6}, {7}; undirected CC sees ONE component
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L)).toDF("s", "d")
+    val got = ops.scc(g, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L), got.toString)
+    val cc = ops.connectedComponents(g, "s", "d")._1.collect()
+      .map(_.getLong(1)).distinct
+    assert(cc.length == 1, "the undirected view must merge everything")
+  }
 }

@@ -104,6 +104,51 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("sccAssign matches brute-force SCC on adversarial graphs") {
+    val s = spark
+    import s.implicits._
+    def brute(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val reach = Array.fill(n, n)(false)
+      edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map { v =>
+        v -> (nodes.filter(u => u == v ||
+          (reach(u.toInt)(v.toInt) && reach(v.toInt)(u.toInt)))).min
+      }.toMap
+    }
+    def check(label: String, n: Int, edges: Seq[(Long, Long)]): Unit = {
+      val df = edges.toDF("src", "dst")
+      val (lbl, rounds) = queries.Mining.sccAssign(df)
+      val got = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Ck.release(lbl)
+      assert(got == brute(n, edges), s"$label diverged (rounds=$rounds)")
+    }
+    // two 3-cycles joined by a one-way bridge (two SCCs, not one)
+    check("bridged cycles", 8,
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 4L),
+        (4L, 5L), (5L, 6L), (6L, 4L)))
+    // pure DAG: every node its own SCC — trim alone must dissolve it
+    check("dag", 8,
+      Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L)))
+    // id-DECREASING cycle chain — the coloring worst case shape:
+    // cycles where the max id sits at the "wrong" end of the bridges
+    check("decreasing chain of cycles", 10,
+      Seq((9L, 8L), (8L, 9L), (8L, 5L), (5L, 4L), (4L, 5L), (4L, 1L),
+        (1L, 0L), (0L, 1L)))
+    // random sparse digraphs vs Floyd-Warshall
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 25 + trial * 10
+      val edges = (for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.055
+      } yield (i.toLong, j.toLong)).distinct
+      check(s"random n=$n", n, edges)
+    }
+  }
+
   test("q196 HITS matches an exact integer replay of the fixed-point iteration") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q196_hits")(spark, dir).collect()
