@@ -639,7 +639,108 @@ object Events {
       |  MAX(gap_us) AS max_gap_us
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q200: MERGEABLE QUANTILE SKETCH with a side-by-side accuracy
+  // audit — the sketch algebra's missing member: HLL counts distinct
+  // (q191), Count-Min counts frequency (q170), Misra-Gries holds
+  // top-k (q102), MinHash measures similarity (q23); none answers
+  // "what is p99?". The sketch here is the DETERMINISTIC-HASH
+  // bottom-sample: keep rows whose md5-derived 28-bit key falls
+  // under 1/10 of the space (q47's sampling discipline), estimate
+  // p50/p90/p99 by exact rank-cut over the sample (q190's
+  // nearest-rank convention), and report the FULL-data rank-cut
+  // next to each estimate with the absolute error — the q143/q191
+  // audit-before-trusting rule. Why hash-sample instead of KLL/
+  // t-digest: the sample is MERGEABLE BY UNION (shards/epochs merge
+  // with zero logic, re-deliveries are idempotent because membership
+  // is a pure function of the row id) and the estimate is
+  // reproducible bit-for-bit in any engine — the floats-and-buffers
+  // sketches are neither. Expected error at 10%: O(1/√(n/10))
+  // quantile displacement — audited, not assumed.
+  //
+  // Scale shape: TWO event_type exchanges (full ranks, sample
+  // ranks — the sample one carries 10% of rows); the audit join is
+  // type-cardinality. At 100 TB only the SAMPLE branch runs per
+  // shard (the full-data branch is the audit you run once to size
+  // the rate); the sample unions across shards and re-ranks in one
+  // key-bounded pass.
+  // ---------------------------------------------------------------
+  def q200QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def rankCuts(df: DataFrame, nName: String, suffix: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      df.withColumn("r", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("cnt")).as(nName),
+          min(when(col("r") * 2 >= col("cnt"), col("cents")))
+            .as(s"p50_$suffix"),
+          min(when(col("r") * 10 >= col("cnt") * 9, col("cents")))
+            .as(s"p90_$suffix"),
+          min(when(col("r") * 100 >= col("cnt") * 99, col("cents")))
+            .as(s"p99_$suffix"))
+    }
+    val full = rankCuts(base, "n_events", "exact")
+    val samp = rankCuts(
+      base.filter(Hashing.hash28(col("event_id").cast("string"))
+        < (1L << 28) / 10),
+      "n_sample", "est")
+    full.join(samp, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"), col("n_sample"),
+        expr("""stack(3, 50L, p50_est, p50_exact,
+                        90L, p90_est, p90_exact,
+                        99L, p99_est, p99_exact)
+                AS (pct, est_cents, exact_cents)"""))
+      .withColumn("err_cents", abs(col("est_cents") - col("exact_cents")))
+      .orderBy("event_type", "pct")
+  }
+
+  val q200Sql: String = {
+    val inS =
+      s"CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7) AS BIGINT)" +
+        s" < ${(1L << 28) / 10}"
+    def cuts(src: String, nName: String, sfx: String): String =
+      s"""SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS $nName,
+         |  MIN(CASE WHEN r * 2 >= cnt THEN cents END) AS p50_$sfx,
+         |  MIN(CASE WHEN r * 10 >= cnt * 9 THEN cents END) AS p90_$sfx,
+         |  MIN(CASE WHEN r * 100 >= cnt * 99 THEN cents END) AS p99_$sfx
+         |FROM (
+         |  SELECT event_type, cents,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM $src
+         |) GROUP BY event_type""".stripMargin
+    s"""WITH c AS (
+       |  SELECT event_type, event_id,
+       |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events
+       |), f AS (
+       |${cuts("c", "n_events", "exact")}
+       |), sm AS (
+       |${cuts(s"(SELECT * FROM c WHERE $inS)", "n_sample", "est")}
+       |)
+       |SELECT f.event_type, f.n_events, sm.n_sample,
+       |  CAST(p.pct AS BIGINT) AS pct,
+       |  CASE p.pct WHEN 50 THEN sm.p50_est WHEN 90 THEN sm.p90_est
+       |    ELSE sm.p99_est END AS est_cents,
+       |  CASE p.pct WHEN 50 THEN f.p50_exact WHEN 90 THEN f.p90_exact
+       |    ELSE f.p99_exact END AS exact_cents,
+       |  abs(CASE p.pct WHEN 50 THEN sm.p50_est WHEN 90 THEN sm.p90_est
+       |        ELSE sm.p99_est END
+       |    - CASE p.pct WHEN 50 THEN f.p50_exact WHEN 90 THEN f.p90_exact
+       |        ELSE f.p99_exact END) AS err_cents
+       |FROM f LEFT JOIN sm USING (event_type),
+       |  (VALUES (50), (90), (99)) p(pct)
+       |ORDER BY event_type, pct""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_quantile_sketch" -> q200QuantileSketch _,
     "q190_arrival_profile" -> q190ArrivalProfile _,
     "q184_mad_anomaly" -> q184MadAnomaly _,
     "q123_session_window" -> q123SessionWindowBatch _,
@@ -657,6 +758,7 @@ object Events {
     "q21_moving_avg" -> q21MovingAvg _)
 
   val oracles: Map[String, String] = Map(
+    "q200_quantile_sketch" -> q200Sql,
     "q190_arrival_profile" -> q190Sql,
     "q184_mad_anomaly" -> q184Sql,
     "q123_session_window" -> q123Sql,

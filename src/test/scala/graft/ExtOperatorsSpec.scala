@@ -340,4 +340,28 @@ class ExtOperatorsSpec extends SparkSpec {
     val Some((_, _, n2, d2)) = out.find(_._1 == "n")
     assert(d2 == 64L && n2 == Tables.embeddings(spark, dir).count())
   }
+
+  test("q200 quantile sketch: estimates are ordered, audited, and sample-consistent") {
+    val rows = SparkEntry.queries("q200_quantile_sketch")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val s3 = g.sortBy(_._4)
+      assert(s3.map(_._4).toSeq == Seq(50L, 90L, 99L))
+      // quantiles are monotone in p, for the sketch AND the truth
+      assert(s3(0)._5 <= s3(1)._5 && s3(1)._5 <= s3(2)._5, s"$et est order")
+      assert(s3(0)._6 <= s3(1)._6 && s3(1)._6 <= s3(2)._6, s"$et exact order")
+      // the audit column IS |est - exact|
+      s3.foreach(r => assert(r._7 == math.abs(r._5 - r._6)))
+      // the deterministic sample is a genuine ~10% cut (binomial
+      // 5-sigma envelope), never empty at testdata scale
+      val (n, ns) = (g.head._2, g.head._3)
+      assert(ns > 0 && math.abs(ns - n / 10.0) < 5 * math.sqrt(n * 0.1 * 0.9),
+        s"$et sample rate off: $ns of $n")
+      // and the p50 estimate lands within a generous displacement
+      // band of the truth (value range is ~0..50000 cents)
+      assert(s3(0)._7 < 5000, s"$et p50 err ${s3(0)._7}")
+    }
+  }
 }
