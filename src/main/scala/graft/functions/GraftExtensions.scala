@@ -188,6 +188,24 @@ object GraftFunctions {
         }
         WavStats(args(0))
       }),
+    (FunctionIdentifier("avi_synth"),
+      new ExpressionInfo(classOf[AviSynth].getName, "avi_synth"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"avi_synth requires exactly 1 argument, got ${args.length}")
+        }
+        AviSynth(args(0))
+      }),
+    (FunctionIdentifier("avi_stats"),
+      new ExpressionInfo(classOf[AviStats].getName, "avi_stats"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"avi_stats requires exactly 1 argument, got ${args.length}")
+        }
+        AviStats(args(0))
+      }),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => {

@@ -364,7 +364,71 @@ object Multimodal {
       |FROM t JOIN agg ON t.doc_id = agg.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q201: VIDEO CONTAINER probe — the third media modality: q177
+  // decodes an image raster, q179 a PCM audio stream; this walks a
+  // RIFF/AVI container (`functions/VideoExpressions.scala`) — header
+  // grammar, LIST recursion (hdrl/movi), frame-chunk census with the
+  // odd-size pad rule, idx1 entry count — all inside whole-stage
+  // codegen, with the per-frame payloads treated as opaque bytes
+  // (checksummed, not decoded: codec bitstreams are out of scope by
+  // design, the container walk is what a frame-sampling or
+  // quality-gating corpus job runs). Self-describing audit columns:
+  // declared_frames (header) NEXT TO n_frames (counted) and n_idx
+  // (index entries) — at corpus scale the disagreements ARE the
+  // signal. Payloads synthesize from doc_id (no binary video column
+  // in testdata) by a closed form the oracle replays; ids % 4 == 0
+  // carry a JUNK chunk so the skip path runs on canonical data.
+  // Malformed bytes probe to NULL (poison-row contract, fuzzed in
+  // CodecFuzzSpec).
+  // ---------------------------------------------------------------
+  def q201VideoProbe(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.video
+      .aviStats(graft.functions.video.aviSynth(col("doc_id")))
+    documents(s, dir)
+      .select(col("doc_id"), st.as("v"))
+      .select(col("doc_id"),
+        col("v.width").as("width"), col("v.height").as("height"),
+        col("v.us_per_frame").as("us_per_frame"),
+        col("v.declared_frames").as("declared_frames"),
+        col("v.n_frames").as("n_frames"), col("v.n_idx").as("n_idx"),
+        col("v.frame_bytes").as("frame_bytes"),
+        col("v.byte_sum").as("byte_sum"), col("v.dur_ms").as("dur_ms"))
+      .orderBy("doc_id")
+  }
+
+  val q201Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 7 AS INT) AS width,
+      |    CAST(9 + doc_id % 5 AS INT) AS height,
+      |    CAST(33333 + (doc_id % 3) * 8334 AS INT) AS us_per_frame,
+      |    5 + doc_id % 6 AS frames
+      |  FROM documents
+      |), fb AS (
+      |  SELECT doc_id, r.k, 3 + (doc_id + r.k) % 4 AS fl
+      |  FROM t, unnest(range(frames)) r(k)
+      |), bs AS (
+      |  SELECT f.doc_id,
+      |    CAST(SUM((f.doc_id*31 + f.k*17 + j.j*7) % 251) AS BIGINT) AS byte_sum
+      |  FROM fb f, unnest(range(f.fl)) j(j)
+      |  GROUP BY f.doc_id
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(fl) AS BIGINT) AS frame_bytes
+      |  FROM fb GROUP BY doc_id
+      |)
+      |SELECT t.doc_id AS doc_id, width, height, us_per_frame,
+      |  CAST(frames AS BIGINT) AS declared_frames,
+      |  CAST(frames AS BIGINT) AS n_frames,
+      |  CAST(frames AS BIGINT) AS n_idx,
+      |  agg.frame_bytes, bs.byte_sum,
+      |  CAST(frames AS BIGINT) * us_per_frame // 1000 AS dur_ms
+      |FROM t JOIN agg ON agg.doc_id = t.doc_id
+      |JOIN bs ON bs.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_video_probe" -> q201VideoProbe _,
     "q179_audio_decode" -> q179AudioDecode _,
     "q177_image_decode" -> q177ImageDecode _,
     "q131_payload_blocks" -> q131PayloadBlocks _,
@@ -374,6 +438,7 @@ object Multimodal {
     "q104_resize" -> q104Resize _)
 
   val oracles: Map[String, String] = Map(
+    "q201_video_probe" -> q201Sql,
     "q179_audio_decode" -> q179Sql,
     "q177_image_decode" -> q177Sql,
     "q131_payload_blocks" -> q131Sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MediaCodec, WavCodec}
+import graft.functions.{AviCodec, MediaCodec, WavCodec}
 
 /** Seeded mutation fuzzing of the binary media decoders — the
   * "poisoned payload must not kill the stage" claim as a property,
@@ -93,6 +93,7 @@ class CodecFuzzSpec extends SparkSpec {
       mutations(ppm, seed, 40).map(_._2).map(p => (p, WavCodec.wavSynth(seed))) ++
         mutations(wav, seed + 1, 40).map(_._2).map(p => (MediaCodec.ppmSynth(seed), p))
     }
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val df = rows.toDF("img", "au")
       .selectExpr("ppm_decode(img) AS d", "wav_stats(au) AS w")
     // count() executes every decode; a throw anywhere fails the test
@@ -101,5 +102,22 @@ class CodecFuzzSpec extends SparkSpec {
     // and the valid halves actually decoded (the fuzz did not trip a
     // decoder so defensive it rejects good payloads)
     assert(df.filter(col("d").isNotNull || col("w").isNotNull).count() > 0)
+  }
+
+  test("avi probe survives 300 seeded mutations: null or struct, never a throw") {
+    val valids = Seq(0L, 3L, 17L).map(AviCodec.aviSynth)
+    Seeds.zip(valids).foreach { case (seed, valid) =>
+      mutations(valid, seed, PerSeed).foreach { case (i, payload) =>
+        try AviCodec.aviStats(payload)
+        catch {
+          case e: Throwable =>
+            fail(s"aviStats threw on seed=$seed mutation#$i " +
+              s"(${payload.length} bytes): $e")
+        }
+      }
+    }
+    // untouched payloads still probe to a struct (the fuzz did not
+    // trip a prober so defensive it rejects good containers)
+    valids.foreach(v => assert(AviCodec.aviStats(v) != null))
   }
 }
