@@ -1940,6 +1940,138 @@ object Mining {
     (assigned, outer)
   }
 
+  // ---------------------------------------------------------------
+  // q202: CONDENSATION DAG layering — the canonical SCC consumer:
+  // contracting each strongly connected component to one node turns
+  // any digraph into a DAG, and the DAG's longest-path-from-source
+  // layering is the processing-order skeleton (crawl scheduling,
+  // dependency waves, citation strata). Composition: q199's
+  // sccAssign labels -> label both edge endpoints -> distinct
+  // cross-component pairs = the condensed edge list -> iterative
+  // longest-path relaxation lvl(v) = max(lvl(v), lvl(pred)+1) to a
+  // fixpoint (guaranteed: the condensation is acyclic, so depth ≤
+  // #SCCs; the loud guard catches a cycle that would mean sccAssign
+  // itself broke — a cross-algorithm consistency check for free).
+  // Output: one row per LAYER (level, n_sccs, n_nodes, n_out_edges)
+  // — layer-cardinality at any scale. Oracle: recursive-CTE longest
+  // path over the closure-derived labels.
+  //
+  // Scale shape: the label join is the q180 broadcast treatment
+  // (node-sized labels onto the edge list once); the relaxation
+  // loop exchanges only the SCC-sized level table per round.
+  // ---------------------------------------------------------------
+  /** The layering core (MiningSpec feeds adversarial DAGs): takes
+    * condensed DISTINCT (csrc, cdst) edges plus the full component
+    * census (scc, n_nodes), returns (level, n_sccs, n_nodes,
+    * n_out_edges).
+    */
+  private[graft] def dagLayers(cond: DataFrame, census: DataFrame,
+      maxDepth: Int = 60): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ce = cond.persist(MEMORY_AND_DISK)
+    touch(ce)
+    var lvl = census.select(col("scc"), lit(0L).as("lvl"))
+      .localCheckpoint(true)
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < maxDepth) {
+      rounds += 1
+      val relax = ce
+        .join(lvl.select(col("scc").as("csrc"), col("lvl").as("plvl")), "csrc")
+        .groupBy(col("cdst").as("scc")).agg(max(col("plvl") + 1L).as("rlvl"))
+      val next = lvl
+        .join(relax, Seq("scc"), "left")
+        .select(col("scc"), col("lvl").as("old"),
+          greatest(col("lvl"), coalesce(col("rlvl"), col("lvl"))).as("lvl"))
+        .localCheckpoint(true)
+      stable = next.filter(col("lvl") =!= col("old")).isEmpty
+      graft.Ck.release(lvl)
+      lvl = next.select(col("scc"), col("lvl"))
+    }
+    ce.unpersist(blocking = false)
+    require(stable,
+      s"condensation layering did not settle in $maxDepth rounds — " +
+        "a cycle in the condensed graph means SCC labels are wrong")
+    val outdeg = cond.groupBy(col("csrc").as("scc"))
+      .agg(count(lit(1)).as("outd"))
+    val out = census.join(lvl, Seq("scc"))
+      .join(outdeg, Seq("scc"), "left")
+      .groupBy(col("lvl").as("level"))
+      .agg(count(lit(1)).as("n_sccs"), sum(col("n_nodes")).as("n_nodes"),
+        sum(coalesce(col("outd"), lit(0L))).as("n_out_edges"))
+      .orderBy("level")
+    val ck = out.localCheckpoint(true)
+    graft.Ck.release(lvl)
+    ck
+  }
+
+  def q202CondensationDag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = dirEdges(s, dir).persist(MEMORY_AND_DISK)
+    touch(edges)
+    val (labels, _) = sccAssign(edges)
+    val lbl = labels.persist(MEMORY_AND_DISK)
+    touch(lbl)
+    val cond = edges
+      .join(broadcast(lbl.select(col("id").as("src"), col("scc").as("csrc"))),
+        "src")
+      .join(broadcast(lbl.select(col("id").as("dst"), col("scc").as("cdst"))),
+        "dst")
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc"), col("cdst")).distinct()
+    val census = lbl.groupBy(col("scc")).agg(count(lit(1)).as("n_nodes"))
+    val out = dagLayers(cond, census)
+    graft.Ck.release(labels)
+    lbl.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  val q202Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT user_id AS src,
+      |    (user_id*31 + k) % (SELECT n FROM nn) AS dst
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), nodes AS MATERIALIZED (
+      |  SELECT DISTINCT id FROM (
+      |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      |  )
+      |), reach(s, d) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.d
+      |), lbl AS MATERIALIZED (
+      |  SELECT v, MIN(u) AS scc FROM (
+      |    SELECT id AS v, id AS u FROM nodes
+      |    UNION ALL
+      |    SELECT a.d AS v, a.s AS u FROM reach a
+      |    JOIN reach b ON b.s = a.d AND b.d = a.s
+      |  ) GROUP BY v
+      |), cond AS MATERIALIZED (
+      |  SELECT DISTINCT ls.scc AS csrc, ld.scc AS cdst
+      |  FROM edges e JOIN lbl ls ON ls.v = e.src JOIN lbl ld ON ld.v = e.dst
+      |  WHERE ls.scc <> ld.scc
+      |), sccs AS MATERIALIZED (
+      |  SELECT scc, COUNT(*) AS n_nodes FROM lbl GROUP BY scc
+      |), paths(c, l) AS (
+      |  SELECT scc, 0 FROM sccs
+      |  UNION
+      |  SELECT cd.cdst, p.l + 1 FROM paths p JOIN cond cd ON cd.csrc = p.c
+      |), lvl AS MATERIALIZED (
+      |  SELECT c AS scc, CAST(MAX(l) AS BIGINT) AS level FROM paths GROUP BY c
+      |), outdeg AS (
+      |  SELECT csrc AS scc, COUNT(*) AS outd FROM cond GROUP BY csrc
+      |)
+      |SELECT level, COUNT(*) AS n_sccs,
+      |  CAST(SUM(s.n_nodes) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(COALESCE(o.outd, 0)) AS BIGINT) AS n_out_edges
+      |FROM sccs s JOIN lvl USING (scc) LEFT JOIN outdeg o USING (scc)
+      |GROUP BY level ORDER BY level""".stripMargin
+
   def q199Scc(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = dirEdges(s, dir).persist(MEMORY_AND_DISK)
@@ -2104,6 +2236,7 @@ object Mining {
       |FROM base""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_condensation_dag" -> q202CondensationDag _,
     "q199_scc" -> q199Scc _,
     "q195_assortativity" -> q195Assortativity _,
     "q193_clustering_coeff" -> q193ClusteringCoeff _,
@@ -2127,6 +2260,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q202_condensation_dag" -> q202Sql,
     "q199_scc" -> q199Sql,
     "q195_assortativity" -> q195Sql,
     "q193_clustering_coeff" -> q193Sql,

@@ -149,6 +149,32 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("dagLayers stratifies a hand-built condensation by longest path") {
+    val s = spark
+    import s.implicits._
+    // DAG: A(0)->B(1)->D(3), A->C(2)->D, D->E(4); plus isolated F(5)
+    // longest-path levels: A=0 F=0, B=1 C=1, D=2, E=3
+    val cond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("csrc", "cdst")
+    val census = Seq((0L, 3L), (1L, 1L), (2L, 2L), (3L, 5L), (4L, 1L),
+      (5L, 7L)).toDF("scc", "n_nodes")
+    val got = queries.Mining.dagLayers(cond, census).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 10L, 2L),  // A (2 out) + F (0 out)
+      (1L, 2L, 3L, 2L),   // B, C (1 out each)
+      (2L, 1L, 5L, 1L),   // D
+      (3L, 1L, 1L, 0L)),  // E
+      got.mkString(", "))
+    // end-to-end: scc labels + layering on a two-SCC chain digraph
+    val g = Seq((0L, 1L), (1L, 0L), (1L, 5L), (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    val (labels, _) = queries.Mining.sccAssign(g)
+    val lbl = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Ck.release(labels)
+    assert(lbl == Map(0L -> 0L, 1L -> 0L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("q196 HITS matches an exact integer replay of the fixed-point iteration") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q196_hits")(spark, dir).collect()
