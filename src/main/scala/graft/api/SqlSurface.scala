@@ -212,6 +212,42 @@ object SqlSurface {
        |ORDER BY q_id, fused_rank""".stripMargin
   }
 
+  // ----- q194: temporal/window family (CUSUM changepoint) ----------
+
+  val q194Sql: String = {
+    def r4s(num: String, den: String): String =
+      s"(CASE WHEN $num < 0 THEN -1L ELSE 1L END" +
+        s" * ((20000 * abs($num) + $den) div (2 * $den))) / 10000.0D"
+    s"""SELECT event_type, n AS n_events, k AS cp_idx, __oid AS cp_event_id,
+       |  ${r4s("cu_n", "cu_d")} AS cusum_c4,
+       |  ${r4s("pfx", "mb_d")} AS mean_before_c4,
+       |  CASE WHEN n > k THEN ${r4s("ma_n", "ma_d")}
+       |    ELSE CAST(NULL AS DOUBLE) END AS mean_after_c4
+       |FROM (
+       |  SELECT *, abs(d) AS cu_n, n * 100L * n AS cu_d, k * 100L AS mb_d,
+       |    tot - pfx AS ma_n, (n - k) * 100L AS ma_d
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY abs(d) DESC, k) AS rk
+       |    FROM (
+       |      SELECT *, n * pfx - k * tot AS d FROM (
+       |      SELECT *, SUM(cents) OVER (PARTITION BY event_type) AS tot FROM (
+       |      SELECT *, COUNT(1) OVER (PARTITION BY event_type) AS n FROM (
+       |      SELECT *, SUM(cents) OVER (PARTITION BY event_type
+       |        ORDER BY ts, __oid
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx FROM (
+       |      SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+       |        ORDER BY ts, __oid) AS BIGINT) AS k FROM (
+       |        SELECT event_type, ts, event_id AS __oid,
+       |          CAST(round(value * 100) AS BIGINT) AS cents
+       |        FROM events
+       |      )))))
+       |    )
+       |  ) WHERE rk = 1
+       |)
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** SQL texts keyed by their SparkEntry query name — the surface a
     * SQL-only user runs after [[registerViews]].
     */
@@ -219,7 +255,8 @@ object SqlSurface {
     "q01_pricing_summary" -> q01Sql,
     "q23_minhash_lsh" -> q23Sql,
     "q88_bm25" -> q88Sql,
-    "q185_rrf_fusion" -> q185Sql)
+    "q185_rrf_fusion" -> q185Sql,
+    "q194_cusum_changepoint" -> q194Sql)
 
   // ----- q161: the connected-components loop, SQL-driven -----------
 
