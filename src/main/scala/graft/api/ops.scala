@@ -1632,6 +1632,32 @@ object ops {
       key, orderCols)
   }
 
+  /** HITS hubs & authorities (q196's parameterized form) over an
+    * arbitrary directed edge list (normalized: distinct, self-loops
+    * dropped): 4 integer power iterations of a = Eᵀh, h = Ea with
+    * max-renormalization to 10000 after every half-step — pure
+    * int64, reproducible across engines (see q196). Returns the full
+    * (id, auth, hub) table. Scale: the score vectors are node-sized
+    * broadcasts onto the edge list (co-partitioned joins past a
+    * broadcast); per-round frames checkpoint eagerly and release.
+    */
+  def hits(edges: DataFrame, src: String, dst: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val canon = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val (a, h) = graft.queries.Curation.hitsScores(canon)
+    val out = a.select(col("id"), col("score").as("auth"))
+      .join(h.select(col("id"), col("score").as("hub")), "id")
+      .localCheckpoint(true)
+    graft.Ck.release(a)
+    graft.Ck.release(h)
+    canon.unpersist(blocking = false)
+    out
+  }
+
   /** Newman degree assortativity (q195's parameterized form) over an
     * arbitrary directed/undirected edge list: edges are canonicalized
     * (a<b, distinct, self-loops dropped) and the Pearson correlation

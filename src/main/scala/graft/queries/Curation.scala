@@ -1402,17 +1402,15 @@ object Curation {
   // ---------------------------------------------------------------
   private val HitsRounds = 4
 
-  def q196Hits(s: SparkSession, dir: String): DataFrame = {
+  /** The HITS iteration core (ops.hits and the MiningSpec replay
+    * call it): takes a caller-persisted distinct (src, dst) edge
+    * frame without self-loops; returns the CHECKPOINTED final
+    * (authority, hub) score frames — caller releases both via
+    * graft.Ck.release.
+    */
+  private[graft] def hitsScores(edges: DataFrame,
+      rounds: Int = HitsRounds): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ev = Mining.graphEv(s, dir)
-    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
-    val edges = ev.crossJoin(broadcast(n))
-      .select(col("user_id").as("src"),
-        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
-    touch(edges)
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
       .distinct().persist(MEMORY_AND_DISK)
@@ -1432,7 +1430,7 @@ object Curation {
     }
     var h = nodes.withColumn("score", lit(10000L)).localCheckpoint(true)
     var a: DataFrame = null
-    for (_ <- 1 to HitsRounds) {
+    for (_ <- 1 to rounds) {
       val aNext = halfStep(h, "src", "dst")  // authorities ← hubs
       if (a != null) graft.Ck.release(a)
       a = aNext
@@ -1440,6 +1438,22 @@ object Curation {
       graft.Ck.release(h)
       h = hNext
     }
+    nodes.unpersist(blocking = false)
+    (a, h)
+  }
+
+  def q196Hits(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = Mining.graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    val edges = ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    touch(edges)
+    val (a, h) = hitsScores(edges)
     def top(part: String, v: DataFrame): DataFrame =
       v.orderBy(col("score").desc, col("id")).limit(10)
         .withColumn("k", row_number().over(
@@ -1449,7 +1463,6 @@ object Curation {
     val out = top("auth", a).unionByName(top("hub", h)).orderBy("part", "k")
     val ck = out.localCheckpoint(true) // 20 rows — release everything
     edges.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
     graft.Ck.release(a)
     graft.Ck.release(h)
     ck

@@ -731,6 +731,22 @@ class ApiSpec extends SparkSpec {
     assert(rc.isNullAt(6), s"regular graph must report NULL: $rc")
   }
 
+  test("hits scores a hub-and-spoke graph with the roles separated") {
+    val s = spark
+    import s.implicits._
+    // star out-edges: 0 -> {1..5}: node 0 is the pure hub (it links
+    // everything), 1..5 are pure authorities
+    val star = (1L to 5L).map(i => (0L, i)).toDF("s", "d")
+    val got = ops.hits(star, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val hub = got.find(_._1 == 0L).get
+    assert(hub._2 == 0L && hub._3 == 10000L, s"hub role: $hub")
+    (1L to 5L).foreach { i =>
+      val n = got.find(_._1 == i).get
+      assert(n._2 == 10000L && n._3 == 0L, s"authority role: $n")
+    }
+  }
+
   test("scc separates one-way bridged cycles that undirected CC merges") {
     val s = spark
     import s.implicits._
