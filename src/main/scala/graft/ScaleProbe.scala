@@ -132,14 +132,33 @@ object ScaleProbe {
       // chain replication leaves flat (the evidence: rounds stay ~
       // constant while per-round cost tracks edges)
       val kc = timeLoop(p => ops.kcore(edges, "a", "b", 2, probe = p)._2)
+      // SCC: orient every canonical edge a->b and close a back-edge
+      // for the (a+b) % 3 == 0 subset, so each replica carries local
+      // cycles while the one-way bridges chain the condensation —
+      // outer rounds track the non-trivial SCC layering, trim eats
+      // the DAG part; per-round cost tracks edges
+      val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.filter((col("a") + col("b")) % 3 === 0L)
+          .select(col("b").as("src"), col("a").as("dst")))
+        .distinct().localCheckpoint(true)
+      graft.LoopStats.drain()
+      val sccT0 = System.nanoTime()
+      val sccLabels = ops.scc(dirE, "src", "dst")
+      val nScc = sccLabels.select(col("scc")).distinct().count()
+      val sccS = (System.nanoTime() - sccT0) / 1e9
+      graft.Ck.release(sccLabels)
+      val sccRounds = graft.LoopStats.drain().getOrElse("scc", -1L)
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
         s""""cc":${loopJson(cc)},"bfs":${loopJson(bfs)},""" +
-        s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)}}"""
+        s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
+        s""""scc":{"outer_rounds":$sccRounds,"total_s":${fmt(sccS)},""" +
+        s""""n_sccs":$nScc}}"""
       // one human-readable summary per scale as the run progresses
       println(s"[scale-probe] m=$m edges=$nEdges cc=${cc.rounds}r/" +
         s"${fmt(cc.totalS)}s bfs=${bfs.rounds}r/${fmt(bfs.totalS)}s " +
         s"pr=${pr.rounds}r/${fmt(pr.totalS)}s kcore=${kc.rounds}r/" +
-        s"${fmt(kc.totalS)}s")
+        s"${fmt(kc.totalS)}s scc=${sccRounds}r/${fmt(sccS)}s/" +
+        s"${nScc}sccs")
       line
     }
     val json = s"""{"sf_dir":"$sfDir","cpus":$cpus,"stride":$n,"anchor_mod":$mod,""" +

@@ -1865,6 +1865,13 @@ object Mining {
           .persist(MEMORY_AND_DISK)
         touch(ce)
         // ---- (2) forward MAX-color propagation to fixpoint --------
+        // neighbor-max + POINTER JUMP (the ccRound trick, sound here
+        // because a color value is always an ancestor-or-self id:
+        // clr(v) = u means u ->* v, and clr(u) = w means w ->* u, so
+        // w ->* v — jumping squares the propagation depth per round,
+        // making rounds O(log diameter) instead of O(diameter); the
+        // m=100 scale probe's bridged chain has diameter > 100 and
+        // drove the plain propagation into its guard)
         var color = cur.select(col("id"), col("id").as("clr"))
           .localCheckpoint(true)
         var stable = false
@@ -1874,10 +1881,15 @@ object Mining {
           val inMax = ce
             .join(color.select(col("id").as("src"), col("clr").as("sclr")), "src")
             .groupBy(col("dst")).agg(max(col("sclr")).as("mc"))
-          val next = color
+          val c1 = color
             .join(inMax, col("id") === col("dst"), "left")
             .select(col("id"), col("clr").as("old"),
-              greatest(col("clr"), coalesce(col("mc"), col("clr"))).as("clr"))
+              greatest(col("clr"), coalesce(col("mc"), col("clr"))).as("c1"))
+          val next = c1
+            .join(c1.select(col("id").as("t"), col("c1").as("tl")),
+              col("c1") === col("t"))
+            .select(col("id"), col("old"),
+              greatest(col("c1"), col("tl")).as("clr"))
             .localCheckpoint(true)
           stable = next.filter(col("clr") =!= col("old")).isEmpty
           graft.Ck.release(color)
