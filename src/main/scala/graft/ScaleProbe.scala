@@ -133,12 +133,16 @@ object ScaleProbe {
       // constant while per-round cost tracks edges)
       val kc = timeLoop(p => ops.kcore(edges, "a", "b", 2, probe = p)._2)
       // SCC: orient every canonical edge a->b and close a back-edge
-      // for the (a+b) % 3 == 0 subset, so each replica carries local
-      // cycles while the one-way bridges chain the condensation —
-      // outer rounds track the non-trivial SCC layering, trim eats
-      // the DAG part; per-round cost tracks edges
+      // for the (a+b) % 3 == 0 subset of WITHIN-REPLICA edges only
+      // (b - a < n; a back-closed bridge would snake one SCC across
+      // every replica and the backward collect's depth would track m
+      // instead of the local structure): each replica carries local
+      // cycles, the one-way bridges chain the CONDENSATION — outer
+      // rounds track SCC layering, trim eats the DAG part, per-round
+      // cost tracks edges, component structure stays scale-invariant
       val dirE = edges.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(edges.filter((col("a") + col("b")) % 3 === 0L)
+        .unionByName(edges.filter((col("a") + col("b")) % 3 === 0L &&
+            col("b") - col("a") < n)
           .select(col("b").as("src"), col("a").as("dst")))
         .distinct().localCheckpoint(true)
       graft.LoopStats.drain()

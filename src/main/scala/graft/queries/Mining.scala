@@ -1901,7 +1901,12 @@ object Mining {
           .localCheckpoint(true)
         var growing = true
         var bwGuard = 0
-        while (growing && bwGuard < 100) {
+        // the collect frontier advances one backward edge-step per
+        // iteration, so the guard bounds the longest in-SCC backward
+        // path to a root — 500 covers any component the node-sized
+        // frames could hold; a graph that trips it has an SCC of
+        // backward diameter > 500 and wants the doubling variant
+        while (growing && bwGuard < 500) {
           bwGuard += 1
           val grow = ce
             .join(members.select(col("id").as("dst"), col("clr").as("mclr")), "dst")
