@@ -1768,7 +1768,175 @@ object Vectors {
        |) ORDER BY part, k""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q203: PRODUCT-QUANTIZATION ADC retrieval + recall audit — the
+  // memory-bound ANN design point the family still lacked: q63
+  // shrinks SCALARS (int8 grid, 4x), PQ shrinks VECTORS — split d=64
+  // into M=8 subspaces of 8 dims, give each subspace a K=16-entry
+  // codebook, and a vector becomes 8 nibble codes (4 bytes vs 256 —
+  // 64x): the layout that lets a 100-TB embedding corpus live ADC
+  // tables in memory. Codebooks here are HASH-SELECTED EXEMPLARS
+  // (the q96 discipline: md5-ranked sub-vectors — deterministic,
+  // zero-iteration, SQL-replicable; k-means codebooks (q163's loop)
+  // would cut distortion further but cost an unrolled-oracle an
+  // order bigger for the same pipeline shape). Scoring is classic
+  // asymmetric distance computation: the query precomputes its
+  // distance to every codebook entry (M·K = 128 ints), a corpus
+  // vector's approx distance is the sum of 8 table lookups — here
+  // the lookup table is BROADCAST and the "lookup" an (m, code)
+  // equi-join, so the scan never touches the raw vectors. All
+  // distances are exact int64 on the q63 grid via the dot-product
+  // identity |a-b|² = a·a - 2a·b + b·b (values ≤ 8·127²·4 — exact
+  // in the codegen'd double dot), so both engines agree bit-for-bit.
+  // Output: the q117-shaped recall@10 histogram of ADC vs exact —
+  // the audit that tells you whether 64x compression kept enough
+  // geometry (PQ recall trails raw scans by construction; the
+  // HISTOGRAM is the deliverable, not a perfect score).
+  //
+  // Scale shape: one corpus pass builds codes (16-way broadcast
+  // fanout per subspace, partial argmin); the ADC scan joins codes
+  // against a |Q|·M·K broadcast and partial-aggregates the per-pair
+  // sum — no raw-vector join anywhere in the approx path; the exact
+  // side is the same broadcast-query scan q27/q117 run.
+  // ---------------------------------------------------------------
+  private val PqM = 8  // subspaces
+  private val PqD = 8  // dims per subspace
+  private val PqK = 16 // codebook entries per subspace
+
+  def q203PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dot = graft.functions.vec.arrayDot _
+    def d2(a: Column, b: Column): Column =
+      (dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)).cast("long")
+    val base = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(emb(col("embedding")), x => round(x * 127)).as("qv"))
+      .persist(MEMORY_AND_DISK)
+    val sub = base
+      .withColumn("m", explode(sequence(lit(0L), lit(PqM - 1L))))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(qv, CAST(m * $PqD + 1 AS INT), $PqD)").as("sv"))
+      .persist(MEMORY_AND_DISK)
+    touch(sub)
+    // hash-selected exemplar codebook, K entries per subspace
+    val book = sub
+      .withColumn("hr", Hashing.hash28(
+        concat(col("m").cast("string"), lit(":"), col("vec_id").cast("string"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("m")).orderBy(col("hr"), col("vec_id"))).cast("long"))
+      .filter(col("crank") <= PqK)
+      .select(col("m"), col("crank"), col("sv").as("cv"))
+    // encode: nearest exemplar per (vector, subspace), ties to the
+    // smallest codebook rank
+    val codes = sub.join(broadcast(book), "m")
+      .withColumn("d2", d2(col("sv"), col("cv")))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d2"), col("crank"))))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("m"), col("crank").as("code"))
+    // ADC lookup table: query-to-codebook distances, |Q| x M x K rows
+    val qdist = sub.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(book), "m")
+      .withColumn("qd", d2(col("qsv"), col("cv")))
+      .select(col("q_id"), col("m"), col("crank").as("code"), col("qd"))
+    val wApx = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val approx = codes.join(broadcast(qdist), Seq("m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id")).agg(sum(col("qd")).as("adc"))
+      .withColumn("rank", row_number().over(wApx))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    // exact reference: full int-grid L2, same query set
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2f"), col("vec_id"))
+    val exact = broadcast(
+        base.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("qv").as("qq")))
+      .join(base, col("q_id") =!= col("vec_id"))
+      .withColumn("d2f", d2(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    val out = exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
+      .orderBy("n_hits")
+    val ck = out.localCheckpoint(true)
+    sub.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    ck
+  }
+
+  val q203Sql: String = {
+    def d2sql(a: String, b: String): String =
+      s"CAST(list_inner_product($a, $a) - 2*list_inner_product($a, $b)" +
+        s" + list_inner_product($b, $b) AS BIGINT)"
+    s"""WITH g AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> round(x*127)) AS qv
+       |  FROM embeddings
+       |), sub AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.m AS BIGINT) AS m,
+       |    list_slice(qv, CAST(t.m*$PqD + 1 AS INT),
+       |               CAST(t.m*$PqD + $PqD AS INT)) AS sv
+       |  FROM g, unnest(range($PqM)) t(m)
+       |), book AS MATERIALIZED (
+       |  SELECT m, crank, cv FROM (
+       |    SELECT m, sv AS cv,
+       |      CAST(row_number() OVER (PARTITION BY m ORDER BY
+       |        CAST('0x' || substr(md5(CAST(m AS VARCHAR) || ':' ||
+       |          CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT),
+       |        vec_id) AS BIGINT) AS crank
+       |    FROM sub
+       |  ) WHERE crank <= $PqK
+       |), codes AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, b.crank AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${d2sql("s.sv", "b.cv")}, b.crank) AS arank
+       |    FROM sub s JOIN book b ON b.m = s.m
+       |  ) WHERE arank = 1
+       |), qdist AS MATERIALIZED (
+       |  SELECT s.vec_id AS q_id, s.m, b.crank AS code,
+       |    ${d2sql("s.sv", "b.cv")} AS qd
+       |  FROM sub s JOIN book b ON b.m = s.m
+       |  WHERE s.vec_id % 100 = 0
+       |), approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY SUM(qd), vec_id) AS rank
+       |    FROM codes c JOIN qdist q ON q.m = c.m AND q.code = c.code
+       |    WHERE q.q_id <> c.vec_id
+       |    GROUP BY q_id, vec_id
+       |  ) WHERE rank <= 10
+       |), ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2sql("q.qv", "e.qv")}, e.vec_id) AS rank
+       |    FROM g q JOIN g e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 100 = 0
+       |  ) WHERE rank <= 10
+       |), hits AS (
+       |  SELECT ex.q_id, COUNT(*) AS h
+       |  FROM ex JOIN approx a ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+       |  GROUP BY ex.q_id
+       |)
+       |SELECT n_hits, COUNT(*) AS n_queries FROM (
+       |  SELECT q.q_id, COALESCE(h.h, 0) AS n_hits
+       |  FROM (SELECT DISTINCT q_id FROM ex) q
+       |  LEFT JOIN hits h ON h.q_id = q.q_id
+       |)
+       |GROUP BY n_hits ORDER BY n_hits""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_pq_adc" -> q203PqAdc _,
     "q198_pca_power" -> q198PcaPower _,
     "q182_mmr_rerank" -> q182MmrRerank _,
     "q171_matryoshka_recall" -> q171MatryoshkaRecall _,
@@ -1793,6 +1961,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q203_pq_adc" -> q203Sql,
     "q198_pca_power" -> q198Sql,
     "q182_mmr_rerank" -> q182Sql,
     "q171_matryoshka_recall" -> q171Sql,

@@ -341,6 +341,50 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(d2 == 64L && n2 == Tables.embeddings(spark, dir).count())
   }
 
+  test("q203 PQ-ADC recall histogram matches an exact in-JVM replay") {
+    val got = SparkEntry.queries("q203_pq_adc")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the whole pipeline: grid, subspaces, md5 codebook,
+    // argmin encode, ADC top-10 vs exact top-10
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+        x => round(x * 127).cast("long")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def md5h28(s0: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString.take(7), 16)
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.keys.toSeq.sorted
+    val book: Map[Int, Seq[(Long, Array[Long])]] = (0 until 8).map { m =>
+      val ranked = ids.map(id => (md5h28(s"$m:$id"), id)).sorted.take(16)
+      m -> ranked.zipWithIndex.map { case ((_, id), i) =>
+        (i + 1L, vecs(id).slice(m * 8, m * 8 + 8)) }
+    }.toMap
+    val codes = ids.map { id =>
+      id -> (0 until 8).map { m =>
+        book(m).minBy { case (cr, cv) => (d2(vecs(id).slice(m * 8, m * 8 + 8), cv), cr) }._1
+      }.toArray
+    }.toMap
+    val qids = ids.filter(_ % 100 == 0)
+    val hist = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    qids.foreach { q =>
+      val qsub = (0 until 8).map(m => vecs(q).slice(m * 8, m * 8 + 8))
+      val qd = (0 until 8).map(m =>
+        book(m).map { case (cr, cv) => cr -> d2(qsub(m), cv) }.toMap)
+      def adc(v: Long): Long =
+        (0 until 8).map(m => qd(m)(codes(v)(m))).sum
+      val others = ids.filter(_ != q)
+      val approx = others.sortBy(v => (adc(v), v)).take(10).toSet
+      val exact = others.sortBy(v => (d2(vecs(q), vecs(v)), v)).take(10).toSet
+      hist(exact.intersect(approx).size.toLong) += 1L
+    }
+    assert(got == hist.toMap, s"got=$got expected=${hist.toMap}")
+    assert(got.values.sum == qids.length.toLong)
+  }
+
   test("q200 quantile sketch: estimates are ordered, audited, and sample-consistent") {
     val rows = SparkEntry.queries("q200_quantile_sketch")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
