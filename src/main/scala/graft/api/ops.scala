@@ -1632,6 +1632,84 @@ object ops {
       key, orderCols)
   }
 
+  /** Vocabulary-growth (Heaps-law) curve (q197's parameterized
+    * form): per `group`, cumulative token count, cumulative
+    * distinct-type count, and type-token ratio at each decile of the
+    * stream ordered by `orderCol` — the corpus-saturation signal
+    * that demotes self-repeating sources before pairwise dedup can
+    * prove it. Tokenization is the engine-standard whitespace split.
+    * Output: (group, decile, n_docs, cum_tokens, cum_vocab, ttr_4).
+    * Scale: one exchange on `group` carries every window; the
+    * first-occurrence table is one (group, type) partial-agg min.
+    */
+  def vocabGrowth(df: DataFrame, group: String, orderCol: Column,
+      text: Column): DataFrame = {
+    val wPos = Window.partitionBy(col(group)).orderBy(col("__ord"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = df
+      .select(col(group), orderCol.as("__ord"), split(text, " ").as("__ws"))
+      .withColumn("__pos", row_number().over(wPos).cast("long"))
+      .withColumn("__tok", size(col("__ws")).cast("long"))
+    val newTypes = docs
+      .select(col(group), col("__pos"), explode(col("__ws")).as("__w"))
+      .groupBy(col(group), col("__w")).agg(min(col("__pos")).as("__fpos"))
+      .groupBy(col(group), col("__fpos")).agg(count(lit(1)).as("__nt"))
+      .withColumnRenamed("__fpos", "__pos")
+    docs.select(col(group), col("__pos"), col("__tok"))
+      .join(newTypes, Seq(group, "__pos"), "left")
+      .withColumn("cum_tokens", sum(col("__tok")).over(wCum))
+      .withColumn("cum_vocab", sum(coalesce(col("__nt"), lit(0L))).over(wCum))
+      .withColumn("__d", count(lit(1)).over(Window.partitionBy(col(group))))
+      .withColumn("decile", explode(sequence(lit(1L), lit(10L))))
+      .filter(col("__pos") === expr("(decile * __d) div 10"))
+      .select(col(group), col("decile"), col("__pos").as("n_docs"),
+        col("cum_tokens"), col("cum_vocab"),
+        // ratio4's half-up 4dp (positive operands: div == ldiv here)
+        (expr("(20000 * cum_vocab + cum_tokens) div (2 * cum_tokens)")
+          / 10000.0).as("ttr_4"))
+      .orderBy(group, "decile")
+  }
+
+  /** Mergeable hash-sample quantile sketch with its accuracy audit
+    * (q200's parameterized form): per `key`, p50/p90/p99 of
+    * `valueCents` estimated from the deterministic md5 bottom-sample
+    * (rate 1/`denom`) next to the exact rank-cut and the absolute
+    * error. `orderId` must totally order rows in a key (ties would
+    * make the rank-cut engine-dependent) and is also the sampling
+    * identity — membership is a pure function of it, so shards merge
+    * by union and redeliveries are idempotent. Output: (key,
+    * n_events, n_sample, pct, est_cents, exact_cents, err_cents).
+    */
+  def quantileSketch(df: DataFrame, key: String, orderId: Column,
+      valueCents: Column, denom: Int = 10): DataFrame = {
+    require(denom >= 2, s"quantileSketch needs denom >= 2, got $denom")
+    val base = df.select(col(key), orderId.as("__oid"),
+      valueCents.cast("long").as("__c"))
+    def cuts(d: DataFrame, nName: String, sfx: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col("__c"), col("__oid"))
+      d.withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
+        .groupBy(col(key))
+        .agg(max(col("__n")).as(nName),
+          min(when(col("__r") * 2 >= col("__n"), col("__c"))).as(s"p50_$sfx"),
+          min(when(col("__r") * 10 >= col("__n") * 9, col("__c"))).as(s"p90_$sfx"),
+          min(when(col("__r") * 100 >= col("__n") * 99, col("__c"))).as(s"p99_$sfx"))
+    }
+    val full = cuts(base, "n_events", "exact")
+    val samp = cuts(base.filter(
+      Hashing.hash28(col("__oid").cast("string")) < (1L << 28) / denom),
+      "n_sample", "est")
+    full.join(samp, Seq(key), "left")
+      .select(col(key), col("n_events"), col("n_sample"),
+        expr("""stack(3, 50L, p50_est, p50_exact,
+                        90L, p90_est, p90_exact,
+                        99L, p99_est, p99_exact)
+                AS (pct, est_cents, exact_cents)"""))
+      .withColumn("err_cents", abs(col("est_cents") - col("exact_cents")))
+      .orderBy(key, "pct")
+  }
+
   /** HITS hubs & authorities (q196's parameterized form) over an
     * arbitrary directed edge list (normalized: distinct, self-loops
     * dropped): 4 integer power iterations of a = Eᵀh, h = Ea with

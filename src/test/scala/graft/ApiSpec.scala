@@ -731,6 +731,21 @@ class ApiSpec extends SparkSpec {
     assert(rc.isNullAt(6), s"regular graph must report NULL: $rc")
   }
 
+  test("vocabGrowth agrees with q197; quantileSketch agrees with q200") {
+    val docs = Tables.documents(spark, dir)
+    val gotV = ops.vocabGrowth(docs, "source", col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSeq
+    val expV = SparkEntry.queries("q197_vocab_growth")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(gotV === expV)
+    val ev = Tables.events(spark, dir)
+    val gotQ = ops.quantileSketch(ev, "event_type", col("event_id"),
+        round(col("value") * 100)).collect().map(_.toSeq).toSeq
+    val expQ = SparkEntry.queries("q200_quantile_sketch")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(gotQ === expQ)
+  }
+
   test("hits scores a hub-and-spoke graph with the roles separated") {
     val s = spark
     import s.implicits._
