@@ -92,4 +92,20 @@ class CkReleaseSpec extends SparkSpec {
     assert(hops == 1)
     assert(dist.filter(col("dist") === 0L).count() == 6)
   }
+
+  test("scc loop: nested trim/color/collect rounds all release their blocks") {
+    spark.catalog.clearCache()
+    val before = persisted
+    val (labels, _) = graft.queries.Mining.sccAssign(
+      graft.queries.Mining.dirEdges(spark, dir))
+    labels.count()
+    spark.catalog.clearCache() // graphEv's catalog-managed cache
+    val leftover = persisted -- before
+    // three nested inner loops per outer round — only the returned
+    // assignment frame may survive
+    assert(leftover.size <= 1,
+      s"scc loop leaked ${leftover.size} persisted RDDs (want <= 1)")
+    Ck.release(labels)
+    assert(persisted == before, "releasing the returned frame must zero the loop")
+  }
 }
