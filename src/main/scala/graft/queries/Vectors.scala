@@ -1803,11 +1803,22 @@ object Vectors {
   private val PqD = 8  // dims per subspace
   private val PqK = 16 // codebook entries per subspace
 
-  def q203PqAdc(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  /** Exact int64 squared L2 on the int grid via the dot identity —
+    * values ≤ 64·127²·4, exact in the codegen'd double dot.
+    */
+  private def pqD2(a: Column, b: Column): Column = {
     val dot = graft.functions.vec.arrayDot _
-    def d2(a: Column, b: Column): Column =
-      (dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)).cast("long")
+    (dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)).cast("long")
+  }
+
+  /** The shared PQ pipeline stages (q203 scan, q204 two-stage):
+    * int-grid corpus, per-subspace slices, md5-exemplar codebook,
+    * per-vector codes, and the query ADC lookup table. `base` and
+    * `sub` come back PERSISTED — the caller unpersists both.
+    */
+  private def pqParts(s: SparkSession, dir: String)
+    : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val base = embeddings(s, dir)
       .select(col("vec_id"),
         transform(emb(col("embedding")), x => round(x * 127)).as("qv"))
@@ -1829,7 +1840,7 @@ object Vectors {
     // encode: nearest exemplar per (vector, subspace), ties to the
     // smallest codebook rank
     val codes = sub.join(broadcast(book), "m")
-      .withColumn("d2", d2(col("sv"), col("cv")))
+      .withColumn("d2", pqD2(col("sv"), col("cv")))
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("vec_id"), col("m"))
           .orderBy(col("d2"), col("crank"))))
@@ -1839,8 +1850,39 @@ object Vectors {
     val qdist = sub.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv"))
       .join(broadcast(book), "m")
-      .withColumn("qd", d2(col("qsv"), col("cv")))
+      .withColumn("qd", pqD2(col("qsv"), col("cv")))
       .select(col("q_id"), col("m"), col("crank").as("code"), col("qd"))
+    (base, sub, codes, qdist)
+  }
+
+  /** Exact full int-grid L2 top-10 per query — the recall reference
+    * shared by q203 (full ADC scan) and q204 (two-stage).
+    */
+  private def pqExactTop10(base: DataFrame): DataFrame = {
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2f"), col("vec_id"))
+    broadcast(
+        base.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("qv").as("qq")))
+      .join(base, col("q_id") =!= col("vec_id"))
+      .withColumn("d2f", pqD2(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** The q117-shaped recall histogram: approx top-10 vs exact top-10. */
+  private def pqRecallHist(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.join(approx, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
+      .orderBy("n_hits")
+  }
+
+  def q203PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (base, sub, codes, qdist) = pqParts(s, dir)
     val wApx = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     val approx = codes.join(broadcast(qdist), Seq("m", "code"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -1848,23 +1890,7 @@ object Vectors {
       .withColumn("rank", row_number().over(wApx))
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("vec_id"))
-    // exact reference: full int-grid L2, same query set
-    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2f"), col("vec_id"))
-    val exact = broadcast(
-        base.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("qv").as("qq")))
-      .join(base, col("q_id") =!= col("vec_id"))
-      .withColumn("d2f", d2(col("qq"), col("qv")))
-      .withColumn("rank", row_number().over(wEx))
-      .filter(col("rank") <= 10)
-      .select(col("q_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("q_id", "vec_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-    val out = exact.select(col("q_id")).distinct()
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
-      .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
-      .orderBy("n_hits")
+    val out = pqRecallHist(pqExactTop10(base), approx)
     val ck = out.localCheckpoint(true)
     sub.unpersist(blocking = false)
     base.unpersist(blocking = false)
@@ -1935,7 +1961,146 @@ object Vectors {
        |GROUP BY n_hits ORDER BY n_hits""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q204: IVF-PQ TWO-STAGE retrieval — the composed modern ANN stack
+  // (the FAISS IndexIVFPQ architecture): stage 1 = the q42 coarse
+  // quantizer (label-mean centroid cells, zero-shuffle aggregate()
+  // assignment) prunes the corpus to the query's cell; stage 2 = the
+  // q203 PQ-ADC scorer re-ranks the SHORTLIST from 4-byte codes —
+  // the raw vectors are touched by NEITHER stage's scan, which is
+  // the whole memory story at 100 TB (cells prune I/O, codes shrink
+  // what is read 64x). The recall@10 histogram vs the exact
+  // int-grid L2 reference audits BOTH approximations at once
+  // (cell pruning loses cross-cell neighbors, ADC loses in-cell
+  // precision) — the number an index tuner actually cares about,
+  // next to q42 (cells only) and q203 (codes only) which isolate
+  // each loss. Exact int64 arithmetic end to end; deterministic
+  // cell and code tie-breaks — both engines agree bit-for-bit.
+  //
+  // Scale shape: cell assignment is a pure map stage; the shortlist
+  // is a cell-keyed equi-join of the query cells against the
+  // assignment (never all-pairs); ADC re-rank joins the shortlist's
+  // codes against the broadcast |Q|·M·K lookup table and
+  // partial-aggregates the 8-term sums.
+  // ---------------------------------------------------------------
+  def q204IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (base, sub, codes, qdist) = pqParts(s, dir)
+    // stage 1: coarse cells over the double embeddings (q42 path)
+    val e = embeddings(s, dir).select(col("vec_id"), emb(col("embedding")).as("e"))
+    val cells1 = cellsRow(s, dir)
+    val assigned = e.crossJoin(broadcast(cells1))
+      .select(col("vec_id"), nearestCell(col("e")).as("cell"))
+    val qcell = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val short = broadcast(qcell).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    // stage 2: ADC re-rank of the shortlist from codes alone
+    val wApx = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val approx = short.join(codes, "vec_id")
+      .join(broadcast(qdist), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id")).agg(sum(col("qd")).as("adc"))
+      .withColumn("rank", row_number().over(wApx))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    val out = pqRecallHist(pqExactTop10(base), approx)
+    val ck = out.localCheckpoint(true)
+    sub.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    ck
+  }
+
+  val q204Sql: String = {
+    def d2sql(a: String, b: String): String =
+      s"CAST(list_inner_product($a, $a) - 2*list_inner_product($a, $b)" +
+        s" + list_inner_product($b, $b) AS BIGINT)"
+    val dIdx = "CAST(i+1 AS INT)"
+    s"""WITH g AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> round(x*127)) AS qv
+       |  FROM embeddings
+       |), sub AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.m AS BIGINT) AS m,
+       |    list_slice(qv, CAST(t.m*$PqD + 1 AS INT),
+       |               CAST(t.m*$PqD + $PqD AS INT)) AS sv
+       |  FROM g, unnest(range($PqM)) t(m)
+       |), book AS MATERIALIZED (
+       |  SELECT m, crank, cv FROM (
+       |    SELECT m, sv AS cv,
+       |      CAST(row_number() OVER (PARTITION BY m ORDER BY
+       |        CAST('0x' || substr(md5(CAST(m AS VARCHAR) || ':' ||
+       |          CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT),
+       |        vec_id) AS BIGINT) AS crank
+       |    FROM sub
+       |  ) WHERE crank <= $PqK
+       |), codes AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, b.crank AS code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${d2sql("s.sv", "b.cv")}, b.crank) AS arank
+       |    FROM sub s JOIN book b ON b.m = s.m
+       |  ) WHERE arank = 1
+       |), qdist AS MATERIALIZED (
+       |  SELECT s.vec_id AS q_id, s.m, b.crank AS code,
+       |    ${d2sql("s.sv", "b.cv")} AS qd
+       |  FROM sub s JOIN book b ON b.m = s.m
+       |  WHERE s.vec_id % 100 = 0
+       |), ex0 AS (
+       |  SELECT label, CAST(t.i AS INT) AS d,
+       |    CAST(embedding[CAST(t.i+1 AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings, range(64) t(i)
+       |), cm AS (
+       |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex0 GROUP BY label, d
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
+       |), dists AS (
+       |  SELECT e.vec_id, cent.label,
+       |    ROUND(list_sum(list_transform(range(64),
+       |      i -> (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx])
+       |         * (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx]))), 6) AS d2
+       |  FROM embeddings e CROSS JOIN cent
+       |), assigned AS MATERIALIZED (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT vec_id, label,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), short AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id
+       |  FROM assigned q JOIN assigned e ON q.cell = e.cell
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> e.vec_id
+       |), approx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT sh.q_id, sh.vec_id,
+       |      row_number() OVER (PARTITION BY sh.q_id
+       |        ORDER BY SUM(qd.qd), sh.vec_id) AS rank
+       |    FROM short sh
+       |    JOIN codes c ON c.vec_id = sh.vec_id
+       |    JOIN qdist qd ON qd.q_id = sh.q_id AND qd.m = c.m AND qd.code = c.code
+       |    GROUP BY sh.q_id, sh.vec_id
+       |  ) WHERE rank <= 10
+       |), ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2sql("q.qv", "e.qv")}, e.vec_id) AS rank
+       |    FROM g q JOIN g e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 100 = 0
+       |  ) WHERE rank <= 10
+       |), hits AS (
+       |  SELECT ex.q_id, COUNT(*) AS h
+       |  FROM ex JOIN approx a ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+       |  GROUP BY ex.q_id
+       |)
+       |SELECT n_hits, COUNT(*) AS n_queries FROM (
+       |  SELECT q.q_id, COALESCE(h.h, 0) AS n_hits
+       |  FROM (SELECT DISTINCT q_id FROM ex) q
+       |  LEFT JOIN hits h ON h.q_id = q.q_id
+       |)
+       |GROUP BY n_hits ORDER BY n_hits""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_ivf_pq" -> q204IvfPq _,
     "q203_pq_adc" -> q203PqAdc _,
     "q198_pca_power" -> q198PcaPower _,
     "q182_mmr_rerank" -> q182MmrRerank _,
@@ -1961,6 +2126,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q204_ivf_pq" -> q204Sql,
     "q203_pq_adc" -> q203Sql,
     "q198_pca_power" -> q198Sql,
     "q182_mmr_rerank" -> q182Sql,

@@ -385,6 +385,24 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got.values.sum == qids.length.toLong)
   }
 
+  test("q204 two-stage IVF-PQ: histogram well-formed, deterministic, query-complete") {
+    val nQ = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 100 === 0).count()
+    val a = SparkEntry.queries("q204_ivf_pq")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.map(_._2).sum == nQ, "every query must land in one bucket")
+    a.foreach { case (h, n) => assert(h >= 0L && h <= 10L && n > 0L) }
+    // the pipeline is a pure function of the corpus: a second run is
+    // bit-identical (hash codebooks, deterministic tie-breaks)
+    val b = SparkEntry.queries("q204_ivf_pq")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.toSeq == b.toSeq)
+    // and the q203 full-ADC audit shares the same query population
+    val full = SparkEntry.queries("q203_pq_adc")(spark, dir).collect()
+      .map(r => r.getLong(1)).sum
+    assert(full == nQ)
+  }
+
   test("q200 quantile sketch: estimates are ordered, audited, and sample-consistent") {
     val rows = SparkEntry.queries("q200_quantile_sketch")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
