@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
 import Hashing._
@@ -225,6 +226,192 @@ object Dedup {
        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
        |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q205: EXACT similarity self-join via PPJOIN-style PREFIX
+  // filtering — the no-false-negatives sibling of q23: banded LSH is
+  // probabilistic (a pair at exactly the 0.5 threshold is caught
+  // with probability 1-(1-0.5³)⁴ ≈ 0.41 — q206 measures it), and
+  // when the pipeline contract is "EVERY pair ≥ τ", the classic
+  // answer is prefix filtering (Chaudhuri et al. 2006 / Xiao et
+  // al.'s PPJoin): order all shingles by a GLOBAL total order
+  // (document frequency asc, then hash — rare shingles first, which
+  // is what keeps the candidate join small), and explode only each
+  // document's first |x| − ⌈τ·|x|⌉ + 1 shingles. The prefix lemma
+  // guarantees any pair with J ≥ τ shares at least one element in
+  // BOTH prefixes, so the prefix equi-join is a LOSSLESS candidate
+  // generator; candidates are verified with the exact intersection
+  // (native ArrayIntersectSize codegen — no intermediate array) and
+  // integer cross-multiplied Jaccard (10⁴·c vs τ·(|A|+|B|−c)).
+  // Brute-force equality on the full sf0.001 all-pairs space pinned
+  // in ExtOperatorsSpec; oracle = brute-force all-pairs.
+  //
+  // Scale shape: ONE corpus pass builds (df-ranked) shingle
+  // prefixes (two partial-agg shuffles: doc-frequency, then rank);
+  // the candidate join is a shingle-keyed equi-join whose fan-out is
+  // bounded by PREFIX shingle frequency — the global rare-first
+  // order makes hot shingles land in suffixes, exactly why PPJoin
+  // scales where a naive shared-shingle join explodes; the verify
+  // join is candidate-bounded. No all-pairs stage anywhere.
+  // ---------------------------------------------------------------
+  private val SsjTauE4 = 5000L // tau = 0.5 in e4 fixed point
+
+  def q205PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .persist(MEMORY_AND_DISK)
+    touch(d)
+    val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    // global rare-first total order: (document frequency, shingle)
+    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // rank each doc's shingles by the global order; keep the prefix
+    // p = sz - ceil(tau*sz) + 1   (ceil via (sz*tau + 9999) div 10000)
+    val pfx = ex.join(df, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))).cast("long"))
+      .withColumn("p",
+        col("sz") - expr(s"(sz * $SsjTauE4 + 9999) div 10000") + 1L)
+      .filter(col("rk") <= col("p"))
+      .select(col("doc_id"), col("g"))
+    val cand = pfx.alias("a").join(pfx.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val out = cand
+      .join(d.select(col("doc_id").as("i"), col("sh").as("sha"),
+        col("sz").as("sza")), "i")
+      .join(d.select(col("doc_id").as("j"), col("sh").as("shb"),
+        col("sz").as("szb")), "j")
+      .withColumn("c", graft.functions.setcard
+        .intersectSize(col("sha"), col("shb")).cast("long"))
+      .withColumn("uni", col("sza") + col("szb") - col("c"))
+      // J >= tau without division: 10^4 * c >= tau_e4 * union
+      .filter(lit(10000L) * col("c") >= lit(SsjTauE4) * col("uni"))
+      .withColumn("jac_e4", expr("(10000 * c) div uni"))
+      .select(col("i"), col("j"), col("c").as("n_inter"),
+        col("uni").as("n_union"), col("jac_e4"))
+      .orderBy("i", "j")
+    val ck = out.localCheckpoint(true)
+    d.unpersist(blocking = false)
+    ck
+  }
+
+  val q205Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz
+       |  FROM (SELECT doc_id, ${Hashing.sqlShingles(3)} AS sh FROM documents)
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       |  a.sz + b.sz - len(list_intersect(a.sh, b.sh)) AS n_union,
+       |  (10000 * CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT))
+       |    // (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) AS jac_e4
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE 10000 * len(list_intersect(a.sh, b.sh))
+       |  >= $SsjTauE4 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q206: LSH RECALL audit — the question q143 (estimator accuracy
+  // ON candidates) structurally cannot ask: what did the banding
+  // MISS? Ground truth = q205's exact prefix-join pair set (lossless
+  // by the prefix lemma); candidates = q23's banded pairs BEFORE
+  // verification; the report buckets true pairs by exact Jaccard
+  // (e4 integer div — engine-identical bucketing) and counts how
+  // many each bucket the bands surfaced. The theoretical capture at
+  // J = s is 1 − (1 − s³)⁴ (r = 3 rows × b = 4 bands): ≈ 0.41 at
+  // the 0.5 threshold and ≈ 1 at 0.9+ — the measured column is the
+  // empirical side of that curve, and a bucket whose recall falls
+  // under it flags a banding bug (correlated permutations, broken
+  // keys) that NO candidate-side audit can see. Buckets with zero
+  // true pairs stay present (0, 0, NULL) so the report shape is
+  // stable while the corpus evolves.
+  //
+  // Scale shape: the truth side is q205's pipeline (prefix-bounded),
+  // the candidate side q23's (band-keyed) — both linear-ish corpus
+  // passes with key-bounded joins; the audit join is
+  // true-pair-bounded.
+  // ---------------------------------------------------------------
+  def q206LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = q205PrefixJoin(s, dir) // checkpointed (i, j, .., jac_e4)
+    val sig = documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.texthash.minhashSig(col("text")).as("msig"))
+    val bands = sig.select(col("doc_id"),
+      explode(bandStructsOf(col("msig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val agg = truth
+      .join(cand.withColumn("caught", lit(1L)), Seq("i", "j"), "left")
+      .withColumn("jbkt", expr("jac_e4 div 1000"))
+      .groupBy(col("jbkt"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+    val out = s.range(5, 11).select(col("id").as("jbkt"))
+      .join(agg, Seq("jbkt"), "left")
+      .select(col("jbkt"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+      .withColumn("recall_4",
+        when(col("n_true") > 0L, Relational.ratio4(col("n_caught"), col("n_true")))
+          .otherwise(lit(null).cast("double")))
+      .orderBy("jbkt")
+    val ck = out.localCheckpoint(true)
+    graft.Ck.release(truth)
+    ck
+  }
+
+  val q206Sql: String = {
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    val bandKeys = sqlBandSelects("sig")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
+       |), d AS (
+       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz FROM sh
+       |), truth AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    (10000 * CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT))
+       |      // (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) AS jac_e4
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |  WHERE 10000 * len(list_intersect(a.sh, b.sh))
+       |    >= $SsjTauE4 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+       |), ex AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM sh, unnest(sh.sh) s(s)
+       |), sig AS (
+       |  SELECT doc_id, $minAggs FROM ex GROUP BY doc_id
+       |), bands AS (
+       |  $bandKeys
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), agg AS (
+       |  SELECT t.jac_e4 // 1000 AS jbkt, COUNT(*) AS n_true,
+       |    CAST(SUM(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_caught
+       |  FROM truth t LEFT JOIN cand c ON c.i = t.i AND c.j = t.j
+       |  GROUP BY t.jac_e4 // 1000
+       |)
+       |SELECT CAST(b.b AS BIGINT) AS jbkt,
+       |  COALESCE(n_true, 0) AS n_true,
+       |  COALESCE(n_caught, 0) AS n_caught,
+       |  CASE WHEN COALESCE(n_true, 0) > 0
+       |    THEN ((20000*COALESCE(n_caught, 0) + n_true) // (2*n_true)) / 10000.0
+       |    ELSE NULL END AS recall_4
+       |FROM (SELECT unnest(range(5, 11)) AS b) b
+       |LEFT JOIN agg ON agg.jbkt = b.b
+       |ORDER BY jbkt""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q48: near-dup CLUSTERS — the step after pair detection: the
@@ -1381,6 +1568,8 @@ object Dedup {
        |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_lsh_recall" -> q206LshRecall _,
+    "q205_prefix_join" -> q205PrefixJoin _,
     "q189_survivorship_audit" -> q189SurvivorshipAudit _,
     "q176_winnowing" -> q176Winnowing _,
     "q158_source_neardup_matrix" -> q158SourceNeardupMatrix _,
@@ -1400,6 +1589,8 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q206_lsh_recall" -> q206Sql,
+    "q205_prefix_join" -> q205Sql,
     "q189_survivorship_audit" -> q189Sql,
     "q176_winnowing" -> q176Sql,
     "q158_source_neardup_matrix" -> q158Sql,

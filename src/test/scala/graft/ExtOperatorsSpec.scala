@@ -403,6 +403,38 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(full == nQ)
   }
 
+  test("q205 prefix join is LOSSLESS: equals brute-force all-pairs at tau=0.5") {
+    val got = SparkEntry.queries("q205_prefix_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // brute force over the SAME shingle sets (collected, all pairs)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), queries.Hashing.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .sortBy(_._1)
+    val exp = (for {
+      ai <- sets.indices; bi <- (ai + 1) until sets.length
+      (i, sa) = sets(ai); (j, sb) = sets(bi)
+      c = sa.intersect(sb).size.toLong
+      uni = sa.size + sb.size - c
+      if 10000L * c >= 5000L * uni
+    } yield (i, j, c, uni, 10000L * c / uni)).toSet
+    assert(got == exp,
+      s"missed=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    assert(exp.nonEmpty || got.isEmpty)
+  }
+
+  test("q206 LSH recall: buckets stable, counts consistent, capture bounded") {
+    val rows = SparkEntry.queries("q206_lsh_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (5L to 10L))
+    rows.foreach { case (_, t, c) => assert(c >= 0L && c <= t) }
+    // every caught pair really is a banded candidate and a true pair
+    val total = rows.map(_._2).sum
+    val truth = SparkEntry.queries("q205_prefix_join")(spark, dir).count()
+    assert(total == truth, s"bucketed $total of $truth true pairs")
+  }
+
   test("q200 quantile sketch: estimates are ordered, audited, and sample-consistent") {
     val rows = SparkEntry.queries("q200_quantile_sketch")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
