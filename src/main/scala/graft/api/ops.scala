@@ -1710,6 +1710,34 @@ object ops {
       .orderBy(key, "pct")
   }
 
+  /** EXACT similarity self-join (q205's parameterized form): every
+    * pair with word-3-gram-shingle Jaccard >= tauE4/10^4 — LOSSLESS
+    * by the PPJoin prefix lemma (rare-first global shingle order,
+    * prefix-only candidate explode), unlike nearDupCandidates'
+    * banded LSH which misses threshold-grazing pairs with
+    * probability 1-(1-s^3)^4 (audited in q206). Use this when the
+    * pipeline contract is "EVERY pair", and the banded form when
+    * approximate recall at lower cost is acceptable. Returns
+    * (i, j, n_inter, n_union, jac_e4) under the caller's id column
+    * names. Scale: candidate fan-out is bounded by PREFIX shingle
+    * frequency (hot shingles land in suffixes); no all-pairs stage.
+    */
+  def prefixJoinPairs(df: DataFrame, id: String, text: Column,
+      tauE4: Long = 5000L): DataFrame = {
+    require(tauE4 > 0L && tauE4 <= 10000L,
+      s"prefixJoinPairs needs 0 < tauE4 <= 10000, got $tauE4")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = df
+      .select(col(id).as("doc_id"), Hashing.shingles(text, 3).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .persist(MEMORY_AND_DISK)
+    val out = graft.queries.Dedup.ssjPairs(d, tauE4)
+    val ck = out.withColumnsRenamed(Map("i" -> s"${id}_a", "j" -> s"${id}_b"))
+      .localCheckpoint(true)
+    d.unpersist(blocking = false)
+    ck
+  }
+
   /** HITS hubs & authorities (q196's parameterized form) over an
     * arbitrary directed edge list (normalized: distinct, self-loops
     * dropped): 4 integer power iterations of a = Eᵀh, h = Ea with

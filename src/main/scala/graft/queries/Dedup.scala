@@ -263,6 +263,15 @@ object Dedup {
       .withColumn("sz", size(col("sh")).cast("long"))
       .persist(MEMORY_AND_DISK)
     touch(d)
+    val out = ssjPairs(d, SsjTauE4)
+    val ck = out.localCheckpoint(true)
+    d.unpersist(blocking = false)
+    ck
+  }
+
+  /** q205's core over a caller-persisted (doc_id, sh, sz) frame
+    * (ops.prefixJoinPairs and the PlanQualitySpec pin call it). */
+  private[graft] def ssjPairs(d: DataFrame, tauE4: Long): DataFrame = {
     val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     // global rare-first total order: (document frequency, shingle)
     val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -272,14 +281,14 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))).cast("long"))
       .withColumn("p",
-        col("sz") - expr(s"(sz * $SsjTauE4 + 9999) div 10000") + 1L)
+        col("sz") - expr(s"(sz * $tauE4 + 9999) div 10000") + 1L)
       .filter(col("rk") <= col("p"))
       .select(col("doc_id"), col("g"))
     val cand = pfx.alias("a").join(pfx.alias("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val out = cand
+    cand
       .join(d.select(col("doc_id").as("i"), col("sh").as("sha"),
         col("sz").as("sza")), "i")
       .join(d.select(col("doc_id").as("j"), col("sh").as("shb"),
@@ -288,14 +297,11 @@ object Dedup {
         .intersectSize(col("sha"), col("shb")).cast("long"))
       .withColumn("uni", col("sza") + col("szb") - col("c"))
       // J >= tau without division: 10^4 * c >= tau_e4 * union
-      .filter(lit(10000L) * col("c") >= lit(SsjTauE4) * col("uni"))
+      .filter(lit(10000L) * col("c") >= lit(tauE4) * col("uni"))
       .withColumn("jac_e4", expr("(10000 * c) div uni"))
       .select(col("i"), col("j"), col("c").as("n_inter"),
         col("uni").as("n_union"), col("jac_e4"))
       .orderBy("i", "j")
-    val ck = out.localCheckpoint(true)
-    d.unpersist(blocking = false)
-    ck
   }
 
   val q205Sql: String =

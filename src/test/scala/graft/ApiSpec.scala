@@ -746,6 +746,21 @@ class ApiSpec extends SparkSpec {
     assert(gotQ === expQ)
   }
 
+  test("prefixJoinPairs agrees with q205 and respects a raised threshold") {
+    val docs = Tables.documents(spark, dir)
+    val got = ops.prefixJoinPairs(docs, "doc_id", col("text"))
+      .collect().map(_.toSeq).toSeq
+    val exp = SparkEntry.queries("q205_prefix_join")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === exp)
+    // a stricter tau returns exactly the subset above it
+    val strict = ops.prefixJoinPairs(docs, "doc_id", col("text"), 9000L)
+      .collect().map(_.toSeq).toSet
+    assert(strict.subsetOf(got.toSet))
+    assert(got.toSet.filter(r =>
+      r(4).asInstanceOf[Long] >= 9000L) == strict)
+  }
+
   test("hits scores a hub-and-spoke graph with the roles separated") {
     val s = spark
     import s.implicits._

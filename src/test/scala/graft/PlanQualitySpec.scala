@@ -785,6 +785,45 @@ class PlanQualitySpec extends SparkSpec {
       readSchema) // prunes to (source, doc_id, text)
   }
 
+  test("q200: both quantile branches partition by event_type; scan prunes") {
+    val p = plan("q200_quantile_sketch")
+    // full ranks + sample ranks: two event_type window exchanges,
+    // nothing keyed otherwise; the audit join is type-cardinality
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      readSchema) // prunes to (event_type, event_id, value)
+  }
+
+  test("q201: video probe is a joinless codegen scan pruned to doc_id") {
+    val p = plan("q201_video_probe")
+    assert(p.contains("avi_stats") && p.contains("avi_synth"), p)
+    assert(!p.contains("Join"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text") && !readSchema.contains("n_chars"),
+      readSchema) // payloads synthesize from doc_id alone
+  }
+
+  test("q205: prefix join plans with NO all-pairs stage and native set sizes") {
+    // the public query checkpoints; pin the inner ssjPairs plan
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), queries.Hashing.shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", asize(col("sh")).cast("long"))
+    val p = queries.Dedup.ssjPairs(d, 5000L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // losslessness must NOT come from a quadratic scan: no cartesian
+    // or nested-loop join anywhere — candidates ride the shingle
+    // equi-join of the PREFIXES
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // verification uses the codegen set-cardinality expression, not
+    // a materialized intersection array
+    assert(p.contains("array_intersect_size"), p)
+  }
+
   test("q198: the Gram pass is one scan with no shuffle of row-scaled data") {
     val dirL = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q198_pca_power")(spark, dirL)
