@@ -1418,15 +1418,22 @@ object Curation {
     // one half-step: raw = Σ over `key`-incident edges of the other
     // role's score, then integer max-renormalize to 10000
     def halfStep(scores: DataFrame, key: String, out: String): DataFrame = {
+      // raw is referenced TWICE (its own max + the renormalize) — one
+      // eager checkpoint materializes the join+agg once; without it
+      // the broadcast max re-executes the whole half-step lineage
       val raw = nodes.join(
         edges.join(broadcast(scores.select(col("id").as(key),
             col("score").as("os"))), key)
           .groupBy(col(out)).agg(sum(col("os")).as("raw")),
         col("id") === col(out), "left")
         .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
-      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
+        .localCheckpoint(true)
+      val normed = raw
+        .crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
         .select(col("id"), expr("(raw * 10000) div mx").as("score"))
         .localCheckpoint(true)
+      graft.Ck.release(raw)
+      normed
     }
     var h = nodes.withColumn("score", lit(10000L)).localCheckpoint(true)
     var a: DataFrame = null

@@ -1835,9 +1835,17 @@ object Mining {
         val curE = edges
           .join(cur.select(col("id").as("src")), "src")
           .join(cur.select(col("id").as("dst")), "dst")
-        val keep = cur
-          .join(curE.select(col("src").as("id")).distinct(), Seq("id"), "semi")
-          .join(curE.select(col("dst").as("id")).distinct(), Seq("id"), "semi")
+        // one pass over the induced edges: a node survives iff it
+        // appears as SOME src and SOME dst (two semi-joins would
+        // re-execute the curE derivation twice per round)
+        val keep = curE
+          .select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+          .unionByName(curE
+            .select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+          .groupBy(col("id"))
+          .agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
+          .filter(col("ho") === 1L && col("hi") === 1L)
+          .select(col("id"))
           .localCheckpoint(true)
         val removed = cur.join(keep, Seq("id"), "left_anti")
           .select(col("id"), col("id").as("scc"))
