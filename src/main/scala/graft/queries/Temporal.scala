@@ -955,7 +955,82 @@ object Temporal {
        |FROM d WHERE rk = 1 ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q207: BURSTINESS (Fano factor) per event type — the COUNTING
+  // view of temporal irregularity, complementing q190's inter-
+  // arrival view: a Poisson-ish steady stream has Var(counts)/
+  // Mean(counts) ≈ 1 over fixed windows; bursty traffic (crawl
+  // storms, incident retries, batch backfills) pushes the ratio far
+  // above 1, and over-regular (rate-limited) traffic below. The
+  // audit that tells a capacity planner whether q190's p99 comes
+  // from heavy tails or from synchronized bursts. Counts are taken
+  // over a ZERO-FILLED hourly spine (q101's engine-side sequence()
+  // — silent empty hours are exactly what burstiness must see; a
+  // dense-bucket-only variance understates it). Statistics are
+  // exact int64 sufficient sums (n, Σc, Σc²): n²·Var = n·Σc² −
+  // (Σc)², so fano_c4 = (n·Σc² − (Σc)²) / (n·Σc) and mean_c4 =
+  // Σc/n round half-up at 4 dp via the full-range div (counts are
+  // nonneg — no sign handling needed). Int64 envelope: n·Σc² ≤
+  // n²·max_c² — safe while hours·max-hourly-count < ~3e9.
+  //
+  // Scale shape: one (type, hour) partial-aggregated count, one
+  // broadcast spine join (spine is |types|·|hours| — key-bounded),
+  // one per-type reduce. Output is type-cardinality.
+  // ---------------------------------------------------------------
+  def q207Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val obs = ev.groupBy(col("event_type"),
+        date_trunc("HOUR", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(
+      date_trunc("HOUR", min(col("ts"))).as("lo"),
+      date_trunc("HOUR", max(col("ts"))).as("hi"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    spine.join(obs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("vn2", col("n_hours") * col("s2") - col("s1") * col("s1"))
+      .withColumn("md", lit(2L) * col("n_hours"))
+      .withColumn("fd", lit(2L) * col("n_hours") * col("s1"))
+      .select(col("event_type"), col("n_hours"),
+        col("s1").as("n_events"),
+        (expr("(20000 * s1 + n_hours) div md") / 10000.0).as("mean_c4"),
+        (expr("(20000 * vn2 + n_hours * s1) div fd") / 10000.0).as("fano_c4"))
+      .orderBy("event_type")
+  }
+
+  val q207Sql: String =
+    """WITH obs AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+      |), b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |         date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events
+      |), spine AS (
+      |  SELECT t.event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM events) t, b
+      |), agg AS (
+      |  SELECT s.event_type, COUNT(*) AS n_hours,
+      |    CAST(SUM(COALESCE(o.c, 0)) AS BIGINT) AS s1,
+      |    CAST(SUM(COALESCE(o.c, 0) * COALESCE(o.c, 0)) AS BIGINT) AS s2
+      |  FROM spine s LEFT JOIN obs o
+      |    ON o.event_type = s.event_type AND o.h = s.h
+      |  GROUP BY s.event_type
+      |)
+      |SELECT event_type, n_hours, s1 AS n_events,
+      |  ((20000 * s1 + n_hours) // (2 * n_hours)) / 10000.0 AS mean_c4,
+      |  ((20000 * (n_hours * s2 - s1 * s1) + n_hours * s1)
+      |    // (2 * n_hours * s1)) / 10000.0 AS fano_c4
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_burstiness" -> q207Burstiness _,
     "q194_cusum_changepoint" -> q194CusumChangepoint _,
     "q183_holt_trend" -> q183HoltTrend _,
     "q153_ewma_decay" -> q153EwmaDecay _,
@@ -972,6 +1047,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q207_burstiness" -> q207Sql,
     "q194_cusum_changepoint" -> q194Sql,
     "q183_holt_trend" -> q183Sql,
     "q153_ewma_decay" -> q153Sql,

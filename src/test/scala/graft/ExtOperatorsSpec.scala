@@ -403,6 +403,33 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(full == nQ)
   }
 
+  test("q207 burstiness matches an exact replay over the zero-filled spine") {
+    val got = SparkEntry.queries("q207_burstiness")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.nonEmpty)
+    // one global spine: every type sees the same hour count
+    assert(got.map(_._2).distinct.length == 1)
+    // replay: hourly counts from the raw events, zero-filled
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val hours = {
+      val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+      (lo to hi by 3600000L)
+    }
+    got.foreach { case (et, nH, nE, mean, fano) =>
+      val byH = ev.filter(_._1 == et).groupBy(_._2)
+        .map { case (h, xs) => h -> xs.length.toLong }
+      val cs = hours.map(h => byH.getOrElse(h, 0L))
+      assert(nH == cs.length.toLong && nE == cs.sum, s"$et spine")
+      val n = cs.length.toLong; val s1 = cs.sum; val s2 = cs.map(c => c * c).sum
+      def r4(num: Long, den: Long) = ((20000L * num + den) / (2L * den)) / 10000.0
+      assert(mean == r4(s1, n), s"$et mean")
+      assert(fano == r4(n * s2 - s1 * s1, n * s1), s"$et fano")
+    }
+  }
+
   test("q205 prefix join is LOSSLESS: equals brute-force all-pairs at tau=0.5") {
     val got = SparkEntry.queries("q205_prefix_join")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
