@@ -146,6 +146,12 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
         detailLine.getBytes("UTF-8"))
+      // regenerate the drift gate against the artifact THAT SHIPS:
+      // round 7 shipped a BENCH_DIFF generated from a superseded
+      // mid-round bench, which silently asserted n_unadjudicated=0
+      // against the wrong snapshot — invoking BenchDiff here makes
+      // that staleness structurally impossible
+      BenchDiff.main(Array("bench_detail.json"))
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()

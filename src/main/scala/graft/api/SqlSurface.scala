@@ -307,8 +307,10 @@ object SqlSurface {
       while (!converged && rounds < maxRounds) {
         rounds += 1
         labels.createOrReplaceTempView("cc_labels")
-        val stepped = s.sql(ccRoundSql).localCheckpoint(true)
-        converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
+        // stop check rides the checkpoint job, as in Mining.ccLoop
+        val (stepped, mv) = graft.Loop.ckCount(s.sql(ccRoundSql),
+          col("old_lbl") =!= col("lbl"))
+        converged = mv == 0L
         graft.Ck.release(labels) // superseded round, fully consumed
         labels = stepped.select(col("node"), col("lbl"))
         probe(rounds, labels)
@@ -463,6 +465,109 @@ object SqlSurface {
       s.catalog.dropTempView("kc_nbrs")
       s.catalog.dropTempView("kc_alive")
     }
+  }
+
+  // ----- q196: the HITS loop, SQL-driven ---------------------------
+  // (the directed-graph family's entry on the SQL surface — round-7
+  // verdict item 5; round bodies plan-equal-pinned in SqlSurfaceSpec)
+
+  /** The raw half of one HITS half-step over the `hits_nodes` /
+    * `hits_edges` / `hits_scores` views — plan-equal to
+    * Curation.hitsRawFrame.
+    */
+  def hitsRawSql(key: String, out: String): String =
+    s"""SELECT id, coalesce(raw, 0L) AS raw
+       |FROM hits_nodes
+       |LEFT JOIN (
+       |  SELECT /*+ BROADCAST(sc) */ $out, SUM(os) AS raw
+       |  FROM hits_edges
+       |  JOIN (SELECT id AS $key, score AS os FROM hits_scores) sc
+       |    USING ($key)
+       |  GROUP BY $out
+       |) ON id = $out""".stripMargin
+
+  /** The max-renormalize half over the `hits_raw` view — plan-equal
+    * to Curation.hitsNormFrame.
+    */
+  val hitsNormSql: String =
+    """SELECT /*+ BROADCAST(m) */ id, (raw * 10000) div mx AS score
+      |FROM hits_raw
+      |CROSS JOIN (SELECT MAX(raw) AS mx FROM hits_raw) m""".stripMargin
+
+  /** q196's 4-round mutual power iteration driven through
+    * `spark.sql` — same half-step checkpoints, Ck-release hygiene,
+    * and integer renormalize as Curation.hitsScores. Returns the
+    * final (authority, hub) score frames, both checkpointed (caller
+    * releases).
+    */
+  /** RESERVED VIEW NAMES: owns `hits_edges` / `hits_nodes` /
+    * `hits_scores` / `hits_raw` for the loop's duration, dropped on
+    * exit — see [[ccLoopSql]]'s contract.
+    */
+  def hitsLoopSql(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = Curation.hitsEdges(s, dir).persist(MEMORY_AND_DISK)
+    graft.Tables.touch(edges)
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().persist(MEMORY_AND_DISK)
+    graft.Tables.touch(nodes)
+    try {
+      edges.createOrReplaceTempView("hits_edges")
+      nodes.createOrReplaceTempView("hits_nodes")
+      def halfStep(scores: DataFrame, key: String, out: String): DataFrame = {
+        scores.createOrReplaceTempView("hits_scores")
+        val raw = s.sql(hitsRawSql(key, out)).localCheckpoint(true)
+        raw.createOrReplaceTempView("hits_raw")
+        val normed = s.sql(hitsNormSql).localCheckpoint(true)
+        graft.Ck.release(raw)
+        normed
+      }
+      var h = nodes.withColumn("score", lit(10000L)).localCheckpoint(true)
+      var a: DataFrame = null
+      for (_ <- 1 to Curation.HitsRounds) {
+        val aNext = halfStep(h, "src", "dst") // authorities ← hubs
+        if (a != null) graft.Ck.release(a)
+        a = aNext
+        val hNext = halfStep(a, "dst", "src") // hubs ← authorities
+        graft.Ck.release(h)
+        h = hNext
+      }
+      (a, h)
+    } finally {
+      edges.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      Seq("hits_edges", "hits_nodes", "hits_scores", "hits_raw")
+        .foreach(s.catalog.dropTempView)
+    }
+  }
+
+  /** q196's 20-row output shape over the SQL-driven loop. */
+  def q196HitsSql(s: SparkSession, dir: String): DataFrame = {
+    val (a, h) = hitsLoopSql(s, dir)
+    a.createOrReplaceTempView("hits_a_final")
+    h.createOrReplaceTempView("hits_h_final")
+    val out =
+      try s.sql(
+        """SELECT part, k, node, score FROM (
+          |  SELECT 'auth' AS part,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT) AS k,
+          |    id AS node, score
+          |  FROM hits_a_final
+          |  UNION ALL
+          |  SELECT 'hub',
+          |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT),
+          |    id, score
+          |  FROM hits_h_final
+          |) WHERE k <= 10 ORDER BY part, k""".stripMargin)
+        .localCheckpoint(true) // materialize before the views drop
+      finally {
+        s.catalog.dropTempView("hits_a_final")
+        s.catalog.dropTempView("hits_h_final")
+      }
+    graft.Ck.release(a)
+    graft.Ck.release(h)
+    out
   }
 
   /** q181's output shape over the SQL-driven loop. */

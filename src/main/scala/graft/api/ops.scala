@@ -941,12 +941,15 @@ object ops {
       val l1 = labels.join(nbrMin, Seq("__node"), "left")
         .select(col("__node"), col("__lbl"),
           least(col("__lbl"), coalesce(col("__nmin"), col("__lbl"))).as("__l1"))
-      val stepped = l1
-        .join(l1.select(col("__node").as("__t"), col("__l1").as("__tl")),
-          col("__l1") === col("__t"))
-        .select(col("__node"), col("__lbl").as("__old"), col("__tl").as("__lbl"))
-        .localCheckpoint(true)
-      converged = stepped.filter(col("__old") =!= col("__lbl")).isEmpty
+      // stop check rides the checkpoint job (graft.Loop): one job per
+      // round answers both "materialize" and "did any label move?"
+      val (stepped, mv) = graft.Loop.ckCount(
+        l1.join(l1.select(col("__node").as("__t"), col("__l1").as("__tl")),
+            col("__l1") === col("__t"))
+          .select(col("__node"), col("__lbl").as("__old"),
+            col("__tl").as("__lbl")),
+        col("__old") =!= col("__lbl"))
+      converged = mv == 0L
       graft.Ck.release(labels) // superseded round, fully consumed
       labels = stepped.select(col("__node"), col("__lbl"))
       probe(rounds, labels)
@@ -1090,12 +1093,13 @@ object ops {
     var expanded = false // has frontier ever been re-pointed off visited?
     while (!exhausted && hop < maxHops) {
       hop += 1
-      val fresh = nbrs.join(frontier, "__node")
-        .select(col("__nbr").as("__node")).distinct()
-        .join(visited, Seq("__node"), "left_anti")
-        .select(col("__node"), lit(hop.toLong).as("__dist"))
-        .localCheckpoint(true)
-      exhausted = fresh.isEmpty
+      // frontier-empty check rides the checkpoint job (graft.Loop)
+      val (fresh, fEmpty) = graft.Loop.ckIsEmpty(
+        nbrs.join(frontier, "__node")
+          .select(col("__nbr").as("__node")).distinct()
+          .join(visited, Seq("__node"), "left_anti")
+          .select(col("__node"), lit(hop.toLong).as("__dist")))
+      exhausted = fEmpty
       if (!exhausted) {
         val nv = visited.unionByName(fresh).localCheckpoint(true)
         // hop h-1's accumulator and frontier are fully consumed
@@ -1176,10 +1180,11 @@ object ops {
     var stable = false
     while (!stable && rounds < maxRounds) {
       rounds += 1
-      val kept = induced(alive)
-        .filter(col("__deg") >= k).select(col("__node"))
-        .localCheckpoint(true)
-      val keptCnt = kept.count()
+      // survivor count rides the checkpoint job (graft.Loop)
+      val (kept, keptCnt) = graft.Loop.ckCount(
+        induced(alive)
+          .filter(col("__deg") >= k).select(col("__node")),
+        lit(true))
       stable = keptCnt == aliveCnt
       graft.Ck.release(alive) // both endpoint joins materialized into kept
       alive = kept
@@ -1738,6 +1743,37 @@ object ops {
     ck
   }
 
+  /** Asymmetric containment join (q211's parameterized form): every
+    * DIRECTED pair where the fraction of the first document's 3-word
+    * shingles found in the second reaches tauE4/10^4 — the
+    * quote/subset detector Jaccard cannot express (a short document
+    * embedded in a long one has low Jaccard but containment ~1).
+    * Lossless by the asymmetric prefix lemma: the probe side
+    * explodes only rare-first prefixes, the index side all shingles.
+    * Documents with no shingles (< 3 words) are outside the domain —
+    * containment of an empty set is vacuous. Returns (<id>_a, <id>_b,
+    * n_inter, sz_a, sz_b, cont_e4) where <id>_a is the contained
+    * side. Scale: probe fan-out prefix-bounded; no all-pairs stage.
+    */
+  def containmentJoinPairs(df: DataFrame, id: String, text: Column,
+      tauE4: Long = 8000L): DataFrame = {
+    require(tauE4 > 0L && tauE4 <= 10000L,
+      s"containmentJoinPairs needs 0 < tauE4 <= 10000, got $tauE4")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = df
+      .select(col(id).as("doc_id"), Hashing.shingles(text, 3).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .filter(col("sz") > 0L)
+      .persist(MEMORY_AND_DISK)
+    val out = graft.queries.Dedup.containmentPairs(d, tauE4)
+    val ck = out.withColumnsRenamed(Map(
+        "i" -> s"${id}_a", "j" -> s"${id}_b",
+        "sz_i" -> "sz_a", "sz_j" -> "sz_b"))
+      .localCheckpoint(true)
+    d.unpersist(blocking = false)
+    ck
+  }
+
   /** HITS hubs & authorities (q196's parameterized form) over an
     * arbitrary directed edge list (normalized: distinct, self-loops
     * dropped): 4 integer power iterations of a = Eᵀh, h = Ea with
@@ -1764,15 +1800,6 @@ object ops {
     out
   }
 
-  /** Newman degree assortativity (q195's parameterized form) over an
-    * arbitrary directed/undirected edge list: edges are canonicalized
-    * (a<b, distinct, self-loops dropped) and the Pearson correlation
-    * of endpoint degrees is computed from one pass of exact int64
-    * sufficient statistics, reported at 4 dp (DECIMAL-exact — see
-    * q195). Output: one row (m, n_nodes, max_deg, sx, sxx, sxy,
-    * assort_4); assort_4 is NULL for a regular graph (zero degree
-    * variance). Int64-safe while m·maxdeg < ~1.5e9.
-    */
   /** Strongly connected components (q199's parameterized form): the
     * trim + forward-max-coloring + backward-collect loop over an
     * arbitrary directed edge list (duplicates and self-loops are
@@ -1794,6 +1821,51 @@ object ops {
     labels // (id, scc) — connectedComponents' (id, component) shape
   }
 
+  /** Condensation-DAG longest-path layering (q202's parameterized
+    * form — the processing-order skeleton of any digraph): SCC
+    * labels via [[scc]]'s loop, contraction to the condensation
+    * (distinct cross-component pairs under a node-sized broadcast
+    * label join), then iterative longest-path relaxation whose loud
+    * guard doubles as an acyclicity cross-check on the SCC labels.
+    * Returns one row per layer: (level, n_sccs, n_nodes,
+    * n_out_edges). Scale: the relaxation exchanges only the
+    * SCC-sized level table per round; nothing is edge-quadratic.
+    */
+  def dagLayers(edges: DataFrame, src: String, dst: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val canon = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(canon)
+    val (labels, _) = graft.queries.Mining.sccAssign(canon)
+    val lbl = labels.persist(MEMORY_AND_DISK)
+    graft.Tables.touch(lbl)
+    val cond = canon
+      .join(broadcast(lbl.select(col("id").as("src"), col("scc").as("csrc"))),
+        "src")
+      .join(broadcast(lbl.select(col("id").as("dst"), col("scc").as("cdst"))),
+        "dst")
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc"), col("cdst")).distinct()
+    val census = lbl.groupBy(col("scc")).agg(count(lit(1)).as("n_nodes"))
+    val out = graft.queries.Mining.dagLayers(cond, census)
+    graft.Ck.release(labels)
+    lbl.unpersist(blocking = false)
+    canon.unpersist(blocking = false)
+    out
+  }
+
+  /** Newman degree assortativity (q195's parameterized form) over an
+    * arbitrary directed/undirected edge list: edges are canonicalized
+    * (a<b, distinct, self-loops dropped) and the Pearson correlation
+    * of endpoint degrees is computed from one pass of exact int64
+    * sufficient statistics, reported at 4 dp (DECIMAL-exact — see
+    * q195). Output: one row (m, n_nodes, max_deg, sx, sxx, sxy,
+    * assort_4); assort_4 is NULL for a regular graph (zero degree
+    * variance). Int64-safe while m·maxdeg < ~1.5e9.
+    */
   def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = edges

@@ -1400,7 +1400,18 @@ object Curation {
   // renormalize multiplies by 10⁴ — safe while maxdeg < 9e13.
   // Output is 20 rows at any graph scale.
   // ---------------------------------------------------------------
-  private val HitsRounds = 4
+  private[graft] val HitsRounds = 4
+
+  /** q196's edge derivation (also the SQL-driven twin's input). */
+  private[graft] def hitsEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = Mining.graphEv(s, dir)
+    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
+    ev.crossJoin(broadcast(n))
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
 
   /** The HITS iteration core (ops.hits and the MiningSpec replay
     * call it): takes a caller-persisted distinct (src, dst) edge
@@ -1408,6 +1419,25 @@ object Curation {
     * (authority, hub) score frames — caller releases both via
     * graft.Ck.release.
     */
+  /** The raw half of one HITS half-step — factored so the SQL-driven
+    * twin (SqlSurface.hitsRawSql) can be pinned plan-equal to it.
+    */
+  private[graft] def hitsRawFrame(nodes: DataFrame, edges: DataFrame,
+      scores: DataFrame, key: String, out: String): DataFrame =
+    nodes.join(
+      edges.join(broadcast(scores.select(col("id").as(key),
+          col("score").as("os"))), key)
+        .groupBy(col(out)).agg(sum(col("os")).as("raw")),
+      col("id") === col(out), "left")
+      .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+
+  /** The renormalize half of one HITS half-step (SQL twin:
+    * SqlSurface.hitsNormSql).
+    */
+  private[graft] def hitsNormFrame(raw: DataFrame): DataFrame =
+    raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
+      .select(col("id"), expr("(raw * 10000) div mx").as("score"))
+
   private[graft] def hitsScores(edges: DataFrame,
       rounds: Int = HitsRounds): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1421,17 +1451,9 @@ object Curation {
       // raw is referenced TWICE (its own max + the renormalize) — one
       // eager checkpoint materializes the join+agg once; without it
       // the broadcast max re-executes the whole half-step lineage
-      val raw = nodes.join(
-        edges.join(broadcast(scores.select(col("id").as(key),
-            col("score").as("os"))), key)
-          .groupBy(col(out)).agg(sum(col("os")).as("raw")),
-        col("id") === col(out), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val raw = hitsRawFrame(nodes, edges, scores, key, out)
         .localCheckpoint(true)
-      val normed = raw
-        .crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
-        .select(col("id"), expr("(raw * 10000) div mx").as("score"))
-        .localCheckpoint(true)
+      val normed = hitsNormFrame(raw).localCheckpoint(true)
       graft.Ck.release(raw)
       normed
     }
@@ -1451,14 +1473,7 @@ object Curation {
 
   def q196Hits(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ev = Mining.graphEv(s, dir)
-    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
-    val edges = ev.crossJoin(broadcast(n))
-      .select(col("user_id").as("src"),
-        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
+    val edges = hitsEdges(s, dir).persist(MEMORY_AND_DISK)
     touch(edges)
     val (a, h) = hitsScores(edges)
     def top(part: String, v: DataFrame): DataFrame =
@@ -1526,7 +1541,117 @@ object Curation {
        |) WHERE k <= 10 ORDER BY part, k""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q209: SOURCE-DIVERSITY index — the one corpus-composition scalar
+  // the curation family (q75 source stats, q150 mixture allocate,
+  // q76 mixture sample) still lacked: per language, HOW CONCENTRATED
+  // is the source distribution? Gini–Simpson diversity
+  // 1 − Σ(cₛ/S)² (the probability two random docs come from
+  // DIFFERENT sources) plus the inverse-Simpson "effective source
+  // count" S²/Σcₛ² (Hill number of order 2) — the number a mixture
+  // rebalancer actually wants: 40 sources with effective count 3
+  // means three sources own the language. Both in exact integer
+  // arithmetic (ratio4 half-up / e4 integer div — no floats).
+  //
+  // Scale shape: one partial-aggregated (lang, source) count pass,
+  // then a language-sized aggregate — nothing row-scaled leaves the
+  // first exchange. Int64 envelope: 20000·S² needs S < ~2e7 docs
+  // per language; past that widen to decimal as q195 does.
+  // ---------------------------------------------------------------
+  def q209DiversityIndex(s: SparkSession, dir: String): DataFrame = {
+    val counts = documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        Relational.ratio4(col("n_docs") * col("n_docs") - col("s2"),
+          col("n_docs") * col("n_docs")).as("simpson_4"),
+        expr("(10000 * n_docs * n_docs) div s2").as("inv_simpson_e4"))
+      .orderBy("lang")
+  }
+
+  val q209Sql: String =
+    """WITH c AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY lang, source
+      |), a AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(c*c) AS BIGINT) AS s2
+      |  FROM c GROUP BY lang
+      |)
+      |SELECT lang, n_docs, n_sources,
+      |  ((20000 * (n_docs*n_docs - s2) + n_docs*n_docs)
+      |    // (2 * n_docs*n_docs)) / 10000.0 AS simpson_4,
+      |  (10000 * n_docs * n_docs) // s2 AS inv_simpson_e4
+      |FROM a ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q212: source-volume GINI — q209's diversity says how many
+  // effective sources a language has; this says how UNEQUAL the
+  // token volume is across them (the rebalancing trigger: gini → 0
+  // is uniform contribution, → 1 is one source owning the corpus).
+  // Exact integer form of the classic sorted-rank formula over
+  // per-source token counts x₍₁₎ ≤ … ≤ x₍ₙ₎:
+  //   G = (2·Σ i·x₍ᵢ₎ − (n+1)·S) / (n·S)
+  // with the rank assigned by a deterministic (tokens, source) sort
+  // and the division as the half-up cross-multiplied ratio4. Tokens
+  // are the engine-standard whitespace split count.
+  //
+  // Scale shape: one (lang, source) partial-agg pass; the ranking
+  // window runs over SOURCE-sized rows (dozens per language), not
+  // documents. Int64 envelope: 20000·2·n·S needs n·S < ~2.3e14
+  // source-tokens per language.
+  // ---------------------------------------------------------------
+  def q212SourceGini(s: SparkSession, dir: String): DataFrame = {
+    val perSource = documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("toks"), col("source"))
+    perSource
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("rk") * col("toks")).as("rw"))
+      .select(col("lang"), col("n_sources"), col("total_tokens"),
+        when(col("total_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(Relational.ratio4(
+            lit(2L) * col("rw") - (col("n_sources") + 1L) * col("total_tokens"),
+            col("n_sources") * col("total_tokens")))
+          .as("gini_4"))
+      .orderBy("lang")
+  }
+
+  val q212Sql: String =
+    """WITH ps AS (
+      |  SELECT lang, source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY lang, source
+      |), rk AS (
+      |  SELECT lang, toks,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY lang ORDER BY toks, source) AS BIGINT) AS rk
+      |  FROM ps
+      |), a AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(rk * toks) AS BIGINT) AS rw
+      |  FROM rk GROUP BY lang
+      |)
+      |SELECT lang, n_sources, total_tokens,
+      |  CASE WHEN total_tokens = 0 THEN NULL ELSE
+      |    ((20000 * (2*rw - (n_sources+1)*total_tokens)
+      |       + n_sources*total_tokens)
+      |      // (2 * n_sources * total_tokens)) / 10000.0
+      |  END AS gini_4
+      |FROM a ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_source_gini" -> q212SourceGini _,
+    "q209_diversity_index" -> q209DiversityIndex _,
     "q196_hits" -> q196Hits _,
     "q186_personalized_pr" -> q186PersonalizedPr _,
     "q175_pagerank_converge" -> q175PagerankConverge _,
@@ -1546,6 +1671,8 @@ object Curation {
     "q81_histogram" -> q81Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q212_source_gini" -> q212Sql,
+    "q209_diversity_index" -> q209Sql,
     "q196_hits" -> q196Sql,
     "q186_personalized_pr" -> q186Sql,
     "q175_pagerank_converge" -> q175Sql,

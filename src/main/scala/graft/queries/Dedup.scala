@@ -263,15 +263,44 @@ object Dedup {
       .withColumn("sz", size(col("sh")).cast("long"))
       .persist(MEMORY_AND_DISK)
     touch(d)
-    val out = ssjPairs(d, SsjTauE4)
+    // candidate pairs are checkpointed with their count ridden on
+    // the materialization job (graft.Loop) and surfaced through
+    // LoopStats into bench_detail's "rounds" field: the number that
+    // tells a reader whether the PPJoin filters are doing their job
+    var candCk: DataFrame = null
+    val out = ssjPairs(d, SsjTauE4, c => {
+      val (ck, n) = graft.Loop.ckCount(c, lit(true))
+      graft.LoopStats.record("ssj_cand", n)
+      candCk = ck
+      ck
+    })
     val ck = out.localCheckpoint(true)
+    if (candCk != null) graft.Ck.release(candCk)
     d.unpersist(blocking = false)
     ck
   }
 
   /** q205's core over a caller-persisted (doc_id, sh, sz) frame
-    * (ops.prefixJoinPairs and the PlanQualitySpec pin call it). */
-  private[graft] def ssjPairs(d: DataFrame, tauE4: Long): DataFrame = {
+    * (ops.prefixJoinPairs and the PlanQualitySpec pin call it).
+    * `candHook` wraps the distinct candidate-pair frame before
+    * verification — q205PrefixJoin injects an observe() there so the
+    * candidate count rides the job that runs anyway (no second pass).
+    *
+    * Candidate pruning = full PPJoin's three filters, all lossless:
+    * - prefix filter: only the first sz − ⌈τ·sz⌉ + 1 shingles (in
+    *   the global rare-first order) generate join keys;
+    * - length filter: J ≤ min/max, so J ≥ τ needs 10⁴·min(sza,szb)
+    *   ≥ τ·max(sza,szb) — a free predicate on the candidate join;
+    * - positional filter: for the FIRST shared prefix shingle (ranks
+    *   i in a, j in b) every other common shingle ranks after it in
+    *   BOTH docs (ranks are order-consistent with the one global
+    *   order), so c ≤ 1 + min(sza−i, szb−j) =: ub, and J ≥ τ ⟺
+    *   c·(10⁴+τ) ≥ τ·(sza+szb) needs ub·(10⁴+τ) ≥ τ·(sza+szb). A
+    *   true pair always survives via its first-shared-shingle row,
+    *   so filtering per-row BEFORE the distinct loses nothing.
+    */
+  private[graft] def ssjPairs(d: DataFrame, tauE4: Long,
+      candHook: DataFrame => DataFrame = identity): DataFrame = {
     val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
     // global rare-first total order: (document frequency, shingle)
     val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -283,12 +312,19 @@ object Dedup {
       .withColumn("p",
         col("sz") - expr(s"(sz * $tauE4 + 9999) div 10000") + 1L)
       .filter(col("rk") <= col("p"))
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("g"), col("rk"), col("sz"))
     val cand = pfx.alias("a").join(pfx.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: 10^4 * min(sz) >= tau * max(sz)
+          lit(10000L) * col("b.sz") >= lit(tauE4) * col("a.sz") &&
+          lit(10000L) * col("a.sz") >= lit(tauE4) * col("b.sz") &&
+          // positional filter: ub * (10^4 + tau) >= tau * (sza + szb)
+          (lit(1L) + least(col("a.sz") - col("a.rk"),
+            col("b.sz") - col("b.rk"))) * lit(10000L + tauE4) >=
+            lit(tauE4) * (col("a.sz") + col("b.sz")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    cand
+    candHook(cand)
       .join(d.select(col("doc_id").as("i"), col("sh").as("sha"),
         col("sz").as("sza")), "i")
       .join(d.select(col("doc_id").as("j"), col("sh").as("shb"),
@@ -317,6 +353,90 @@ object Dedup {
        |FROM d a JOIN d b ON a.doc_id < b.doc_id
        |WHERE 10000 * len(list_intersect(a.sh, b.sh))
        |  >= $SsjTauE4 * (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+       |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q211: asymmetric CONTAINMENT join — the quote/subset detector
+  // Jaccard structurally CANNOT be (q205/q23 score |A∩B|/|A∪B|, so
+  // a short document fully embedded in a long one scores LOW —
+  // exactly the pairs a quote-extraction or nested-boilerplate pass
+  // needs): directed containment C(i→j) = |Aᵢ∩Aⱼ| / |Aᵢ| ≥ τ over
+  // 3-word shingles. Candidates are lossless by the ASYMMETRIC
+  // prefix lemma: order shingles by the q205 global rare-first
+  // order; if none of i's first |Aᵢ| − ⌈τ|Aᵢ|⌉ + 1 shingles appears
+  // ANYWHERE in j, the common count is at most ⌈τ|Aᵢ|⌉ − 1 < τ|Aᵢ|.
+  // So the probe side explodes only prefixes while the INDEX side
+  // carries all shingles (the standard containment-join schema), and
+  // the size filter 10⁴·|Aⱼ| ≥ τ·|Aᵢ| rides the candidate join
+  // (c ≤ |Aⱼ| forces it). Verification reuses the codegen
+  // ArrayIntersectSize. Oracle: brute-force directed all-pairs.
+  //
+  // Scale shape: probe fan-out is prefix-bounded exactly as q205;
+  // the index side is the corpus's shingle explode — one pass, no
+  // all-pairs stage; the verify join is candidate-bounded.
+  // ---------------------------------------------------------------
+  private val CntTauE4 = 8000L // tau = 0.8 containment
+
+  def q211ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .filter(col("sz") > 0L) // containment of an empty set is vacuous
+      .persist(MEMORY_AND_DISK)
+    touch(d)
+    val out = containmentPairs(d, CntTauE4)
+    val ck = out.localCheckpoint(true)
+    d.unpersist(blocking = false)
+    ck
+  }
+
+  /** q211's core over a caller-persisted (doc_id, sh, sz > 0) frame. */
+  private[graft] def containmentPairs(d: DataFrame, tauE4: Long): DataFrame = {
+    val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // probe side: i's rare-first prefix, p = sz - ceil(tau*sz) + 1
+    val pfx = ex.join(df, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))).cast("long"))
+      .withColumn("p",
+        col("sz") - expr(s"(sz * $tauE4 + 9999) div 10000") + 1L)
+      .filter(col("rk") <= col("p"))
+      .select(col("doc_id").as("i"), col("g"), col("sz").as("szi"))
+    // index side: ALL of j's shingles; size filter rides the join
+    val cand = pfx.join(
+        ex.select(col("doc_id").as("j"), col("g"), col("sz").as("szj")),
+        Seq("g"))
+      .filter(col("i") =!= col("j") &&
+        lit(10000L) * col("szj") >= lit(tauE4) * col("szi"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(d.select(col("doc_id").as("i"), col("sh").as("sha"),
+        col("sz").as("sz_i")), "i")
+      .join(d.select(col("doc_id").as("j"), col("sh").as("shb"),
+        col("sz").as("sz_j")), "j")
+      .withColumn("n_inter", graft.functions.setcard
+        .intersectSize(col("sha"), col("shb")).cast("long"))
+      .filter(lit(10000L) * col("n_inter") >= lit(tauE4) * col("sz_i"))
+      .withColumn("cont_e4", expr("(10000 * n_inter) div sz_i"))
+      .select(col("i"), col("j"), col("n_inter"), col("sz_i"),
+        col("sz_j"), col("cont_e4"))
+      .orderBy("i", "j")
+  }
+
+  val q211Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz
+       |  FROM (SELECT doc_id, ${Hashing.sqlShingles(3)} AS sh FROM documents)
+       |  WHERE len(sh) > 0
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       |  a.sz AS sz_i, b.sz AS sz_j,
+       |  (10000 * CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT))
+       |    // a.sz AS cont_e4
+       |FROM d a JOIN d b ON a.doc_id <> b.doc_id
+       |WHERE 10000 * len(list_intersect(a.sh, b.sh)) >= $CntTauE4 * a.sz
        |ORDER BY i, j""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1574,6 +1694,7 @@ object Dedup {
        |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_containment_join" -> q211ContainmentJoin _,
     "q206_lsh_recall" -> q206LshRecall _,
     "q205_prefix_join" -> q205PrefixJoin _,
     "q189_survivorship_audit" -> q189SurvivorshipAudit _,
@@ -1595,6 +1716,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q211_containment_join" -> q211Sql,
     "q206_lsh_recall" -> q206Sql,
     "q205_prefix_join" -> q205Sql,
     "q189_survivorship_audit" -> q189Sql,

@@ -779,9 +779,11 @@ object Mining {
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val stepped = ccRound(nbrs, labels)
-        .localCheckpoint(true) // one materialization serves both uses below
-      converged = stepped.filter(col("old_lbl") =!= col("lbl")).isEmpty
+      // one materialization serves the stop check (ridden via
+      // graft.Loop's observe) and the next round
+      val (stepped, mv) = graft.Loop.ckCount(ccRound(nbrs, labels),
+        col("old_lbl") =!= col("lbl"))
+      converged = mv == 0L
       // round r-1's label checkpoint is fully consumed (propagation
       // join + pointer jump materialized into `stepped`): release it
       graft.Ck.release(labels)
@@ -1066,12 +1068,13 @@ object Mining {
     var expanded = false // has frontier ever been re-pointed off visited?
     while (!exhausted && hop < maxHops) {
       hop += 1
-      val fresh = nbrs.join(frontier, "node")
-        .select(col("nbr").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .select(col("node"), lit(hop.toLong).as("dist"))
-        .localCheckpoint(true) // one materialization: probe + union + next hop
-      exhausted = fresh.isEmpty
+      // one materialization: empty-probe (ridden) + union + next hop
+      val (fresh, fEmpty) = graft.Loop.ckIsEmpty(
+        nbrs.join(frontier, "node")
+          .select(col("nbr").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop.toLong).as("dist")))
+      exhausted = fEmpty
       if (!exhausted) {
         val nv = visited.unionByName(fresh).localCheckpoint(true)
         // hop h-1's accumulator and frontier are fully consumed
@@ -1820,14 +1823,25 @@ object Mining {
     var active = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
+    // the hash-scrambled propagation order ord(v) = h28(v)·2³⁵ + v
+    // (see phase 2) needs ids in [0, 2³⁵) to stay injective and
+    // order-safe in int64 — fail loudly outside the envelope
+    val idBounds = active.agg(min(col("id")), max(col("id"))).head()
+    if (!idBounds.isNullAt(0)) {
+      require(idBounds.getLong(0) >= 0L && idBounds.getLong(1) < (1L << 35),
+        s"SCC needs node ids in [0, 2^35), got [${idBounds.getLong(0)}, " +
+          s"${idBounds.getLong(1)}] — relabel (e.g. zipWithIndex) first")
+    }
     var assigned = active.select(col("id"), col("id").as("scc"))
       .filter(lit(false)).localCheckpoint(true)
     var outer = 0
+    var maxBw = 0L // deepest backward-collect round count (probe stat)
     var done = active.isEmpty
     while (!done && outer < maxOuter) {
       outer += 1
       // ---- (1) trim to fixpoint: peel no-in / no-out nodes --------
       var cur = active
+      var curCnt = -1L // survivor count as of the LAST trim pass
       var trimming = true
       var trimGuard = 0
       while (trimming && trimGuard < 200) {
@@ -1838,19 +1852,23 @@ object Mining {
         // one pass over the induced edges: a node survives iff it
         // appears as SOME src and SOME dst (two semi-joins would
         // re-execute the curE derivation twice per round)
-        val keep = curE
-          .select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
-          .unionByName(curE
-            .select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
-          .groupBy(col("id"))
-          .agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
-          .filter(col("ho") === 1L && col("hi") === 1L)
-          .select(col("id"))
-          .localCheckpoint(true)
-        val removed = cur.join(keep, Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("scc"))
-          .localCheckpoint(true)
-        trimming = !removed.isEmpty
+        // survivor count rides the checkpoint job (graft.Loop) — it
+        // doubles as the post-trim emptiness check
+        val (keep, keepCnt) = graft.Loop.ckCount(
+          curE
+            .select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+            .unionByName(curE
+              .select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+            .groupBy(col("id"))
+            .agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
+            .filter(col("ho") === 1L && col("hi") === 1L)
+            .select(col("id")),
+          lit(true))
+        curCnt = keepCnt
+        val (removed, rEmpty) = graft.Loop.ckIsEmpty(
+          cur.join(keep, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc")))
+        trimming = !rEmpty
         if (trimming) {
           val na = assigned.unionByName(removed).localCheckpoint(true)
           graft.Ck.release(assigned)
@@ -1864,7 +1882,7 @@ object Mining {
         }
       }
       require(!trimming, "SCC trim did not reach a fixpoint")
-      done = cur.isEmpty
+      done = curCnt == 0L // counted on the final trim pass's job
       if (!done) {
         // live subgraph edges for this round, exchanged once
         val ce = edges
@@ -1874,13 +1892,25 @@ object Mining {
         touch(ce)
         // ---- (2) forward MAX-color propagation to fixpoint --------
         // neighbor-max + POINTER JUMP (the ccRound trick, sound here
-        // because a color value is always an ancestor-or-self id:
-        // clr(v) = u means u ->* v, and clr(u) = w means w ->* u, so
-        // w ->* v — jumping squares the propagation depth per round,
-        // making rounds O(log diameter) instead of O(diameter); the
-        // m=100 scale probe's bridged chain has diameter > 100 and
-        // drove the plain propagation into its guard)
-        var color = cur.select(col("id"), col("id").as("clr"))
+        // because a color value is always an ancestor-or-self ORDER
+        // KEY: clr(v) = ord(u) means u ->* v, and clr(u) = ord(w)
+        // means w ->* u, so w ->* v — jumping composes ancestor
+        // chains, making rounds ~O(log diameter). CRITICAL caveat
+        // the 600-ring test exposed: the doubling only bites when
+        // untouched nodes' values form CHAINS — propagate raw node
+        // ids over an id-INCREASING cycle and every unreached node
+        // points at itself, so the max crawls one edge per round,
+        // O(diameter), and the forward phase (not just the old
+        // collect) trips its guard. Fix by construction: propagate
+        // over a HASH-SCRAMBLED total order ord(v) = h28(v)·2³⁵ + v
+        // (injective, pseudo-random), so edge direction cannot align
+        // with the propagation order except by vanishing chance —
+        // the expected-O(log) behavior of randomized shortcutting,
+        // independent of how the graph labeled its nodes.
+        val ordCol = (Hashing.hash28(col("id").cast("string")) *
+          lit(1L << 35) + col("id")).as("ord")
+        var color = cur.select(col("id"), ordCol)
+          .select(col("id"), col("ord"), col("ord").as("clr"))
           .localCheckpoint(true)
         var stable = false
         var colGuard = 0
@@ -1891,49 +1921,76 @@ object Mining {
             .groupBy(col("dst")).agg(max(col("sclr")).as("mc"))
           val c1 = color
             .join(inMax, col("id") === col("dst"), "left")
-            .select(col("id"), col("clr").as("old"),
+            .select(col("id"), col("ord"), col("clr").as("old"),
               greatest(col("clr"), coalesce(col("mc"), col("clr"))).as("c1"))
-          val next = c1
-            .join(c1.select(col("id").as("t"), col("c1").as("tl")),
-              col("c1") === col("t"))
-            .select(col("id"), col("old"),
-              greatest(col("c1"), col("tl")).as("clr"))
-            .localCheckpoint(true)
-          stable = next.filter(col("clr") =!= col("old")).isEmpty
+          // stop check rides the checkpoint job (graft.Loop)
+          val (next, mvC) = graft.Loop.ckCount(
+            c1.join(c1.select(col("ord").as("t"), col("c1").as("tl")),
+                col("c1") === col("t"))
+              .select(col("id"), col("ord"), col("old"),
+                greatest(col("c1"), col("tl")).as("clr")),
+            col("clr") =!= col("old"))
+          stable = mvC == 0L
           graft.Ck.release(color)
-          color = next.select(col("id"), col("clr"))
+          color = next.select(col("id"), col("ord"), col("clr"))
         }
         require(stable, "SCC coloring did not reach a fixpoint")
-        // ---- (3) collect: roots + backward growth within color ----
-        var members = color.filter(col("clr") === col("id"))
+        // ---- (3) collect: backward reach to the root, DOUBLED -----
+        // v ∈ SCC(root r) iff clr(v) = ord(r) (r is a forward
+        // ancestor) AND v reaches r. Within a color class r is
+        // provably the MAXIMUM-ord member (clr(v) = max ancestor-OR-
+        // SELF ord, so clr(v) ≥ ord(v) for every member), and any
+        // v→r path stays inside the class (each path node w has
+        // v →* w →* r, making w's ancestor set a subset of r's and
+        // a superset of v's, pinning clr(w) = ord(r)). So "v reaches
+        // r" ≡ "max forward-descendant ord of v within the class =
+        // clr(v)" — which is phase (2)'s max-propagation run on the
+        // class-internal edges REVERSED, same hash-scrambled order,
+        // same pointer jump (sound for the same reason: a b-value is
+        // a descendant-or-self ord, and descendants of descendants
+        // are descendants). Rounds are expected-O(log backward-
+        // diameter) — the round-7 variant grew a frontier ONE
+        // backward edge-step per round, O(diameter), and a web-scale
+        // giant SCC would have tripped its 500-round guard (verdict
+        // item 2; the giant-ring MiningSpec test and scale-probe leg
+        // pin the log behavior).
+        val sameE = ce
+          .join(color.select(col("id").as("src"), col("clr").as("sc")), "src")
+          .join(color.select(col("id").as("dst"), col("clr").as("dc")), "dst")
+          .filter(col("sc") === col("dc"))
+          .select(col("src"), col("dst"))
           .localCheckpoint(true)
-        var growing = true
+        var back = color.select(col("id"), col("ord"), col("ord").as("b"))
+          .localCheckpoint(true)
+        var bstable = false
         var bwGuard = 0
-        // the collect frontier advances one backward edge-step per
-        // iteration, so the guard bounds the longest in-SCC backward
-        // path to a root — 500 covers any component the node-sized
-        // frames could hold; a graph that trips it has an SCC of
-        // backward diameter > 500 and wants the doubling variant
-        while (growing && bwGuard < 500) {
+        while (!bstable && bwGuard < 100) {
           bwGuard += 1
-          val grow = ce
-            .join(members.select(col("id").as("dst"), col("clr").as("mclr")), "dst")
-            .select(col("src").as("id"), col("mclr"))
-            .distinct()
-            .join(color, Seq("id"))
-            .filter(col("clr") === col("mclr"))
-            .select(col("id"), col("clr"))
-            .join(members, Seq("id"), "left_anti")
-            .localCheckpoint(true)
-          growing = !grow.isEmpty
-          if (growing) {
-            val nm = members.unionByName(grow).localCheckpoint(true)
-            graft.Ck.release(members)
-            graft.Ck.release(grow)
-            members = nm
-          } else graft.Ck.release(grow)
+          val outMax = sameE
+            .join(back.select(col("id").as("dst"), col("b").as("db")), "dst")
+            .groupBy(col("src")).agg(max(col("db")).as("mb"))
+          val b1 = back
+            .join(outMax, col("id") === col("src"), "left")
+            .select(col("id"), col("ord"), col("b").as("old"),
+              greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
+          val (next, mvB) = graft.Loop.ckCount(
+            b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
+                col("b1") === col("t"))
+              .select(col("id"), col("ord"), col("old"),
+                greatest(col("b1"), col("tb")).as("b")),
+            col("b") =!= col("old"))
+          bstable = mvB == 0L
+          graft.Ck.release(back)
+          back = next.select(col("id"), col("ord"), col("b"))
         }
-        require(!growing, "SCC backward collect did not converge")
+        require(bstable, "SCC backward collect did not converge")
+        maxBw = math.max(maxBw, bwGuard.toLong)
+        val members = color.join(back.select(col("id"), col("b")), Seq("id"))
+          .filter(col("b") === col("clr"))
+          .select(col("id"), col("clr"))
+          .localCheckpoint(true)
+        graft.Ck.release(back)
+        graft.Ck.release(sameE)
         // assign this round's SCCs by their MINIMUM member id (the
         // canonical label — the root's max-id is propagation-internal)
         val minId = members.groupBy(col("clr")).agg(min(col("id")).as("scc"))
@@ -1944,15 +2001,16 @@ object Mining {
         graft.Ck.release(assigned)
         graft.Ck.release(roundA)
         assigned = na
-        val nextActive = cur.join(members, Seq("id"), "left_anti")
-          .localCheckpoint(true)
+        // emptiness check rides the checkpoint job (graft.Loop)
+        val (nextActive, naEmpty) = graft.Loop.ckIsEmpty(
+          cur.join(members, Seq("id"), "left_anti"))
         graft.Ck.release(members)
         graft.Ck.release(color)
         if (cur ne active) graft.Ck.release(cur)
         ce.unpersist(blocking = false)
         graft.Ck.release(active)
         active = nextActive
-        done = active.isEmpty
+        done = naEmpty
       } else {
         // the live subgraph dissolved entirely inside the trim
         if (cur ne active) { graft.Ck.release(active); active = cur }
@@ -1962,6 +2020,7 @@ object Mining {
     graft.Ck.release(active) // empty (or superseded) on every exit path
     require(done, s"SCC did not converge in $maxOuter outer rounds")
     graft.LoopStats.record("scc", outer.toLong)
+    graft.LoopStats.record("scc_bw", maxBw) // deepest collect depth
     (assigned, outer)
   }
 
@@ -2004,12 +2063,13 @@ object Mining {
       val relax = ce
         .join(lvl.select(col("scc").as("csrc"), col("lvl").as("plvl")), "csrc")
         .groupBy(col("cdst").as("scc")).agg(max(col("plvl") + 1L).as("rlvl"))
-      val next = lvl
-        .join(relax, Seq("scc"), "left")
-        .select(col("scc"), col("lvl").as("old"),
-          greatest(col("lvl"), coalesce(col("rlvl"), col("lvl"))).as("lvl"))
-        .localCheckpoint(true)
-      stable = next.filter(col("lvl") =!= col("old")).isEmpty
+      // stop check rides the checkpoint job (graft.Loop)
+      val (next, mvL) = graft.Loop.ckCount(
+        lvl.join(relax, Seq("scc"), "left")
+          .select(col("scc"), col("lvl").as("old"),
+            greatest(col("lvl"), coalesce(col("rlvl"), col("lvl"))).as("lvl")),
+        col("lvl") =!= col("old"))
+      stable = mvL == 0L
       graft.Ck.release(lvl)
       lvl = next.select(col("scc"), col("lvl"))
     }
@@ -2260,7 +2320,89 @@ object Mining {
       |  END AS assort_4
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q208: LINK PREDICTION scores — the inference the graph family
+  // computes structure FOR (q161 components, q193 clustering, q195
+  // assortativity describe a graph; this one predicts its next
+  // edge): for every NON-adjacent pair sharing at least one
+  // neighbor, the common-neighbor count and neighborhood Jaccard
+  // |N(u)∩N(v)| / |N(u)∪N(v)| (Liben-Nowell & Kleinberg 2003's two
+  // strongest unweighted predictors), reported as the top-20 by
+  // (jaccard, cn) with a full deterministic tie order. Jaccard in
+  // e4 integer fixed point — engine-identical, no floats.
+  //
+  // Scale shape: candidate pairs ride the WEDGE join (two
+  // neighbor-list copies joined on the shared center, u < v), so
+  // cost is Σ deg(c)² — q115's wedge envelope, NOT all-pairs; the
+  // existing-edge removal is one anti-join against the canonical
+  // edge list, and degrees are a node-sized broadcast. On a
+  // power-law graph at 100 TB the same Σdeg² concern as q115
+  // applies: cap per-center fan-out (drop centers above a degree
+  // ceiling — their wedges predict weakly anyway) or reuse q115's
+  // degree-oriented split before the self-join.
+  // ---------------------------------------------------------------
+  def q208LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = sparseUnd(s, dir).persist(MEMORY_AND_DISK)
+    touch(und)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = nbrs.alias("x").join(nbrs.alias("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("u"), col("y.nbr").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val cand = wedges.join(und.select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_anti")
+    val out = cand
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("deg_u"))),
+        "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("deg_v"))),
+        "v")
+      .withColumn("jac_e4", expr("(10000 * cn) div (deg_u + deg_v - cn)"))
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        col("jac_e4"))
+      .orderBy(col("jac_e4").desc, col("cn").desc, col("u"), col("v"))
+      .limit(20)
+    val ck = out.localCheckpoint(true) // 20 rows — release the edges
+    und.unpersist(blocking = false)
+    ck
+  }
+
+  val q208Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und0 AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), und AS MATERIALIZED (
+      |  SELECT a, b FROM und0 WHERE (a*131 + b*17) % 32 = 0
+      |), nbrs AS MATERIALIZED (
+      |  SELECT a AS node, b AS nbr FROM und
+      |  UNION ALL SELECT b AS node, a AS nbr FROM und
+      |), deg AS MATERIALIZED (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY node
+      |), wedges AS MATERIALIZED (
+      |  SELECT x.nbr AS u, y.nbr AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      |  FROM nbrs x JOIN nbrs y ON x.node = y.node AND x.nbr < y.nbr
+      |  GROUP BY x.nbr, y.nbr
+      |), cand AS (
+      |  SELECT w.u, w.v, w.cn FROM wedges w
+      |  LEFT JOIN und e ON e.a = w.u AND e.b = w.v
+      |  WHERE e.a IS NULL
+      |)
+      |SELECT c.u, c.v, c.cn, du.deg AS deg_u, dv.deg AS deg_v,
+      |  (10000 * c.cn) // (du.deg + dv.deg - c.cn) AS jac_e4
+      |FROM cand c
+      |JOIN deg du ON du.node = c.u
+      |JOIN deg dv ON dv.node = c.v
+      |ORDER BY jac_e4 DESC, cn DESC, u, v LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_link_predict" -> q208LinkPredict _,
     "q202_condensation_dag" -> q202CondensationDag _,
     "q199_scc" -> q199Scc _,
     "q195_assortativity" -> q195Assortativity _,
@@ -2285,6 +2427,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q208_link_predict" -> q208Sql,
     "q202_condensation_dag" -> q202Sql,
     "q199_scc" -> q199Sql,
     "q195_assortativity" -> q195Sql,

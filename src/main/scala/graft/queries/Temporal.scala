@@ -1029,7 +1029,97 @@ object Temporal {
       |    // (2 * n_hours * s1)) / 10000.0 AS fano_c4
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q210: SEASONAL-NAIVE forecast error (MASE, Hyndman & Koehler
+  // 2006) — the question the descriptive temporal family (q134
+  // seasonal baseline, q183 Holt trend, q207 burstiness) never
+  // answers: is the DAILY CYCLE actually predictive? Per event
+  // type, over the q207 zero-filled hourly spine, the seasonal-naive
+  // forecast x̂ₜ = xₜ₋₂₄ is scored against the naive forecast
+  // x̂ₜ = xₜ₋₁: MASE = MAE_seasonal / MAE_naive < 1 means the cycle
+  // beats persistence (schedule ingestion by it); ≥ 1 means the
+  // "seasonality" is noise. Both MAEs are exact integer sums of
+  // absolute count differences; the ratio is the cross-multiplied
+  // half-up ratio4 (NULL when the naive MAE is zero — a constant
+  // series has nothing to beat).
+  //
+  // Scale shape: one (type, hour) partial-agg pass, a broadcast
+  // spine explode, one window pass for both lags (same sort), and a
+  // type-sized aggregate. Int64 envelope: 20000·sae·n < 2⁶³ holds
+  // to ~4e14 event-hours.
+  // ---------------------------------------------------------------
+  def q210ForecastMase(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val obs = ev.groupBy(col("event_type"),
+        date_trunc("HOUR", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(
+      date_trunc("HOUR", min(col("ts"))).as("lo"),
+      date_trunc("HOUR", max(col("ts"))).as("hi"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    spine.join(obs, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("p1", lag(col("c"), 1).over(w))
+      .withColumn("p24", lag(col("c"), 24).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        coalesce(sum(abs(col("c") - col("p1"))), lit(0L)).as("sae_naive"),
+        count(col("p1")).as("n_naive"),
+        coalesce(sum(abs(col("c") - col("p24"))), lit(0L)).as("sae_seasonal"),
+        count(col("p24")).as("n_seasonal"))
+      .select(col("event_type"), col("n_hours"), col("sae_naive"),
+        col("n_naive"), col("sae_seasonal"), col("n_seasonal"),
+        when(col("sae_naive") === 0L || col("n_seasonal") === 0L,
+          lit(null).cast("double"))
+          .otherwise(expr(
+            """(20000 * sae_seasonal * n_naive + sae_naive * n_seasonal)
+               div (2 * sae_naive * n_seasonal)""") / 10000.0)
+          .as("mase_4"))
+      .orderBy("event_type")
+  }
+
+  val q210Sql: String =
+    """WITH obs AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+      |), b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |         date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events
+      |), spine AS (
+      |  SELECT t.event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM events) t, b
+      |), filled AS (
+      |  SELECT s.event_type, s.h, CAST(COALESCE(o.c, 0) AS BIGINT) AS c
+      |  FROM spine s LEFT JOIN obs o
+      |    ON o.event_type = s.event_type AND o.h = s.h
+      |), lagged AS (
+      |  SELECT event_type, c,
+      |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS p1,
+      |    lag(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS p24
+      |  FROM filled
+      |), agg AS (
+      |  SELECT event_type, COUNT(*) AS n_hours,
+      |    CAST(COALESCE(SUM(abs(c - p1)), 0) AS BIGINT) AS sae_naive,
+      |    COUNT(p1) AS n_naive,
+      |    CAST(COALESCE(SUM(abs(c - p24)), 0) AS BIGINT) AS sae_seasonal,
+      |    COUNT(p24) AS n_seasonal
+      |  FROM lagged GROUP BY event_type
+      |)
+      |SELECT event_type, n_hours, sae_naive, n_naive, sae_seasonal,
+      |  n_seasonal,
+      |  CASE WHEN sae_naive = 0 OR n_seasonal = 0 THEN NULL ELSE
+      |    ((20000 * sae_seasonal * n_naive + sae_naive * n_seasonal)
+      |      // (2 * sae_naive * n_seasonal)) / 10000.0
+      |  END AS mase_4
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_forecast_mase" -> q210ForecastMase _,
     "q207_burstiness" -> q207Burstiness _,
     "q194_cusum_changepoint" -> q194CusumChangepoint _,
     "q183_holt_trend" -> q183HoltTrend _,
@@ -1047,6 +1137,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q210_forecast_mase" -> q210Sql,
     "q207_burstiness" -> q207Sql,
     "q194_cusum_changepoint" -> q194Sql,
     "q183_holt_trend" -> q183Sql,

@@ -1614,7 +1614,53 @@ object TextAnalysis {
       |WHERE pos = (dec * d_total) // 10
       |ORDER BY source, decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q213: source n-gram NOVELTY — the cross-source complement of
+  // q197's within-source saturation curve: what fraction of a
+  // source's distinct 3-word shingles appears in NO other source?
+  // A low unique-share flags a mirror/boilerplate feed whose
+  // "contribution" is re-serialized common text (demote before
+  // pairwise dedup spends candidates on it); a high share marks
+  // genuinely novel material. Exact arithmetic: distinct (source,
+  // shingle) pairs, a shingle's source-count, ratio4 half-up.
+  //
+  // Scale shape: one explode → distinct partial-agg (the same
+  // two-exchange shape as q205's document-frequency pass), then a
+  // shingle-keyed join back and a source-sized aggregate. Nothing
+  // is pairwise — this is the linear-cost screen that runs BEFORE
+  // quadratic-candidate machinery.
+  // ---------------------------------------------------------------
+  def q213SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sg = documents(s, dir)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val spread = sg.groupBy(col("g")).agg(count(lit(1)).as("ns"))
+    sg.join(spread, "g")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("ns") === 1L, 1)).as("n_unique"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        Relational.ratio4(col("n_unique"), col("n_grams")).as("unique_4"))
+      .orderBy("source")
+  }
+
+  val q213Sql: String =
+    s"""WITH sg AS (
+       |  SELECT DISTINCT source, g
+       |  FROM (SELECT source, unnest(${sqlShingles(3)}) AS g FROM documents)
+       |), spread AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ns FROM sg GROUP BY g
+       |), a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(COUNT(CASE WHEN ns = 1 THEN 1 END) AS BIGINT) AS n_unique
+       |  FROM sg JOIN spread USING (g) GROUP BY source
+       |)
+       |SELECT source, n_grams, n_unique,
+       |  ((20000 * n_unique + n_grams) // (2 * n_grams)) / 10000.0 AS unique_4
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_source_novelty" -> q213SourceNovelty _,
     "q197_vocab_growth" -> q197VocabGrowth _,
     "q188_calibration_audit" -> q188CalibrationAudit _,
     "q173_blocklist_scan" -> q173BlocklistScan _,
@@ -1644,6 +1690,7 @@ object TextAnalysis {
     "q32_fingerprint" -> q32Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q213_source_novelty" -> q213Sql,
     "q197_vocab_growth" -> q197Sql,
     "q188_calibration_audit" -> q188Sql,
     "q173_blocklist_scan" -> q173Sql,

@@ -1610,10 +1610,15 @@ object Vectors {
   // zero (Scala Long `/`), because DuckDB's `//` truncates on
   // negatives (-7//2 = -3, NOT floor) — measured, not assumed. λ is
   // the Rayleigh quotient ⌊vᵀG'v / vᵀv⌋ in prescaled units; the
-  // explained share divides by trace(G'). Int64 envelope (post-
-  // prescale): g ≤ n³·127²·4 ÷ 2²⁴, w ≤ 64·g·10³, vᵀG'v ≤
-  // 64²·g·10⁶ — safe to n ~ 3e5 rows; larger corpora raise the
-  // prescale shift (the direction is shift-invariant).
+  // explained share divides by trace(G'). Int64 envelope: gEntry's
+  // PRE-shift product n²·R(j,k) − n·S(j)·S(k) is bounded by
+  // ~2·n³·127², which wraps past n ≈ 5e4 rows — the binding
+  // constraint (the post-prescale g, w, vᵀG'v terms are all smaller).
+  // A loud require(n ≤ 5e4) guards it: DuckDB raises on int64
+  // overflow but Spark Long wraps SILENTLY, so past the envelope the
+  // two engines would diverge without an error. Larger corpora:
+  // prescale R and S before the product (symmetric truncation in
+  // both engines), or widen to DECIMAL(38,0) as q195 does.
   // ---------------------------------------------------------------
   private val PcaDims = 64
   private val PcaIters = 8
@@ -1667,8 +1672,14 @@ object Vectors {
     * `//` truncates on negatives too.
     */
   private[graft] def gEntry(r: Array[Long], sS: Array[Long], n: Long,
-      j: Int, k: Int): Long =
+      j: Int, k: Int): Long = {
+    // pre-shift product wraps int64 past n ~ 5e4 (see the envelope
+    // note above) — fail loudly where Spark would silently wrap
+    require(n <= 50000L,
+      s"q198 int64 envelope: n = $n > 5e4 rows — prescale R/S before " +
+        "the centered product (or widen to DECIMAL) past this size")
     (n * n * r(j * PcaDims + k) - n * sS(j) * sS(k)) / (1L << PcaShift)
+  }
 
   /** The driver-side half of q198, factored out so VectorsSpec can
     * pin the ALGORITHM on a constructed anisotropic corpus (the

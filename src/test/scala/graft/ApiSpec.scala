@@ -761,6 +761,29 @@ class ApiSpec extends SparkSpec {
       r(4).asInstanceOf[Long] >= 9000L) == strict)
   }
 
+  test("containmentJoinPairs agrees with q211 and finds a planted quote") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, dir)
+    val got = ops.containmentJoinPairs(docs, "doc_id", col("text"))
+      .collect().map(_.toSeq).toSeq
+    val exp = SparkEntry.queries("q211_containment_join")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === exp)
+    // a short doc planted inside a long one: containment finds the
+    // directed pair Jaccard would score at ~0.2
+    val quote = "alpha beta gamma delta epsilon zeta eta"
+    val host = s"one two three four $quote five six seven eight nine " +
+      "ten eleven twelve thirteen fourteen fifteen sixteen"
+    val tiny = Seq((1L, quote), (2L, host)).toDF("doc_id", "text")
+    val pairs = ops.containmentJoinPairs(tiny, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 10000L),
+      s"planted quote not found: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 1L),
+      "the host cannot be contained in the quote")
+  }
+
   test("hits scores a hub-and-spoke graph with the roles separated") {
     val s = spark
     import s.implicits._
@@ -791,5 +814,30 @@ class ApiSpec extends SparkSpec {
     val cc = ops.connectedComponents(g, "s", "d")._1.collect()
       .map(_.getLong(1)).distinct
     assert(cc.length == 1, "the undirected view must merge everything")
+  }
+
+  test("dagLayers stratifies a hand-built digraph and matches q202 on testdata") {
+    val s = spark
+    import s.implicits._
+    // cycle {0,1,2} -> 3 -> cycle {4,5} -> 6; plus isolated edge 7->8
+    // condensation chain: [012] -> [3] -> [45] -> [6], [7] -> [8]
+    // levels: [012]=0,[7]=0; [3]=1,[8]=1; [45]=2; [6]=3
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (5L, 6L), (7L, 8L)).toDF("s", "d")
+    val got = ops.dagLayers(g, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 4L, 2L), // [012] (1 out) + [7] (1 out)
+      (1L, 2L, 2L, 1L), // [3] (1 out) + [8] (0 out)
+      (2L, 1L, 2L, 1L), // [45]
+      (3L, 1L, 1L, 0L)), // [6]
+      got.mkString(", "))
+    // and the parameterized form reproduces q202 on its own edges
+    val dir = "/root/testdata/sf0.001"
+    val viaOps = ops.dagLayers(
+      queries.Mining.dirEdges(spark, dir), "src", "dst").collect().toSeq
+    val viaQuery = SparkEntry.queries("q202_condensation_dag")(spark, dir)
+      .collect().toSeq
+    assert(viaOps == viaQuery, s"ops=$viaOps q202=$viaQuery")
   }
 }

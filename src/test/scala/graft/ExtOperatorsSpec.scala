@@ -451,6 +451,37 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(exp.nonEmpty || got.isEmpty)
   }
 
+  test("q205 length+positional filters prune candidates below prefix-only") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), queries.Hashing.shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .persist()
+    // the round-7 candidate generator (prefix filter ALONE), inline:
+    // the baseline the full-PPJoin filters must beat
+    val ex = d.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+    val dfq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val pfx = ex.join(dfq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))).cast("long"))
+      .withColumn("p", col("sz") - expr("(sz * 5000 + 9999) div 10000") + 1L)
+      .filter(col("rk") <= col("p"))
+      .select(col("doc_id"), col("g"), col("rk"), col("sz"))
+    val prefixOnly = pfx.alias("a").join(pfx.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    var candCount = -1L
+    val pairs = queries.Dedup.ssjPairs(d, 5000L,
+      c => { candCount = c.count(); c }).count()
+    d.unpersist()
+    assert(candCount >= 0L)
+    assert(candCount < prefixOnly,
+      s"filters pruned nothing: $candCount vs prefix-only $prefixOnly")
+    // candidates still superset the verified pairs (losslessness is
+    // pinned exactly by the brute-force test above)
+    assert(candCount >= pairs, s"$candCount candidates < $pairs pairs")
+  }
+
   test("q206 LSH recall: buckets stable, counts consistent, capture bounded") {
     val rows = SparkEntry.queries("q206_lsh_recall")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

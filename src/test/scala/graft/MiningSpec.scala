@@ -149,6 +149,32 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("sccAssign giant-diameter SCC converges in O(log d) collect rounds") {
+    // a single directed 600-cycle: ONE SCC whose backward diameter
+    // (599) exceeds the old one-step-per-round collect's 500-round
+    // guard — only the doubled (pointer-jumped) collect finishes.
+    // Every web-scale graph has a giant SCC; this is its miniature.
+    val s = spark
+    import s.implicits._
+    val n = 600
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    graft.LoopStats.drain()
+    val (lbl, outer) = queries.Mining.sccAssign(ring)
+    val got = lbl.collect()
+    graft.Ck.release(lbl)
+    assert(got.length == n && got.forall(_.getLong(1) == 0L),
+      s"ring must be one SCC labeled 0")
+    assert(outer == 1, s"one trim-free outer round, got $outer")
+    val bw = graft.LoopStats.drain().getOrElse("scc_bw", -1L)
+    // log2(600) ~ 9.2; hash-order jump-doubling reaches a fixpoint
+    // in ~2-3x log2 expected rounds — and nowhere near the linear
+    // 599 the old one-step collect needed. (An id-ordered max walk
+    // WOULD be linear here: this ring is exactly the adversarial
+    // monotone case the hash-scrambled propagation order defuses.)
+    assert(bw >= 1L && bw <= 30L, s"collect rounds not logarithmic: $bw")
+  }
+
   test("dagLayers stratifies a hand-built condensation by longest path") {
     val s = spark
     import s.implicits._

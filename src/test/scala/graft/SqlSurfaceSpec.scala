@@ -117,4 +117,34 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(dfOut) == rows(sqOut),
       s"k-core census diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
   }
+
+  test("SQL-driven HITS half-steps are plan-equal to Curation's; outputs agree") {
+    ready
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = Curation.hitsEdges(spark, dir).persist(MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().persist(MEMORY_AND_DISK)
+    edges.createOrReplaceTempView("hits_edges")
+    nodes.createOrReplaceTempView("hits_nodes")
+    val h0 = nodes.withColumn("score", lit(10000L)).localCheckpoint(true)
+    h0.createOrReplaceTempView("hits_scores")
+    pinPlanEqual("hits_raw",
+      Curation.hitsRawFrame(nodes, edges, h0, "src", "dst"),
+      spark.sql(SqlSurface.hitsRawSql("src", "dst")))
+    val raw = spark.sql(SqlSurface.hitsRawSql("src", "dst"))
+      .localCheckpoint(true)
+    raw.createOrReplaceTempView("hits_raw")
+    pinPlanEqual("hits_norm",
+      Curation.hitsNormFrame(raw), spark.sql(SqlSurface.hitsNormSql))
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    Ck.release(h0)
+    Ck.release(raw)
+
+    val dfOut = SparkEntry.queries("q196_hits")(spark, dir)
+    val sqOut = SqlSurface.q196HitsSql(spark, dir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"HITS top-k diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+  }
 }
