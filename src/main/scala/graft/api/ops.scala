@@ -1821,6 +1821,63 @@ object ops {
     labels // (id, scc) — connectedComponents' (id, component) shape
   }
 
+  /** Link-prediction scores (q208's parameterized form): the top-k
+    * NON-adjacent pairs by neighborhood Jaccard then common-neighbor
+    * count over an arbitrary edge list (canonicalized undirected:
+    * a<b, distinct, self-loops dropped) — Liben-Nowell & Kleinberg's
+    * two strongest unweighted predictors, e4 integer fixed point,
+    * fully deterministic tie order. Returns (u, v, cn, deg_u, deg_v,
+    * jac_e4). Scale: candidates ride the wedge join (Σ deg² — q115's
+    * envelope, never all-pairs); on a power-law graph cap per-center
+    * fan-out or reuse q115's degree-oriented split first.
+    */
+  def linkPredict(edges: DataFrame, src: String, dst: String,
+      k: Int = 20): DataFrame = {
+    require(k > 0, s"linkPredict needs k > 0, got $k")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(und)
+    val ck = graft.queries.Mining.linkPredictPairs(und, k)
+      .localCheckpoint(true)
+    und.unpersist(blocking = false)
+    ck
+  }
+
+  /** Stationary distribution of an empirical Markov chain (q215's
+    * parameterized form): per `key`, consecutive `state` transitions
+    * in `orderCols` order build the e6 row-stochastic matrix
+    * (terminal states self-loop), and eight exact-int64 power
+    * iterations from the uniform start return (state, pi_e6,
+    * pi_prev_e6, delta_e6) — the last two iterates ship so
+    * convergence is visible, not asserted. The transition counting
+    * is one distributed window pass; the k²-sized matrix iterates on
+    * the driver (the q163 driver-held-model discipline — k is the
+    * STATE-ALPHABET size, never the row count).
+    */
+  def stationaryDistribution(df: DataFrame, key: String,
+      orderCols: Seq[Column], state: Column): DataFrame = {
+    require(orderCols.nonEmpty, "stationaryDistribution needs order columns")
+    val s = df.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val counts = df
+      .select(col(key) +: state.as("__st") +: orderCols: _*)
+      .withColumn("__prev", lag(col("__st"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("__st"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    graft.queries.Temporal.stationaryCore(counts)
+      .toDF("state", "pi_e6", "pi_prev_e6", "delta_e6")
+      .orderBy("state")
+  }
+
   /** Condensation-DAG longest-path layering (q202's parameterized
     * form — the processing-order skeleton of any digraph): SCC
     * labels via [[scc]]'s loop, contraction to the condensation

@@ -206,6 +206,24 @@ object GraftFunctions {
         }
         AviStats(args(0))
       }),
+    (FunctionIdentifier("png_synth"),
+      new ExpressionInfo(classOf[PngSynth].getName, "png_synth"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"png_synth requires exactly 1 argument, got ${args.length}")
+        }
+        PngSynth(args(0))
+      }),
+    (FunctionIdentifier("png_stats"),
+      new ExpressionInfo(classOf[PngStats].getName, "png_stats"),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) {
+          throw new IllegalArgumentException(
+            s"png_stats requires exactly 1 argument, got ${args.length}")
+        }
+        PngStats(args(0))
+      }),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (args: Seq[Expression]) => {

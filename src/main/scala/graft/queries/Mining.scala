@@ -1935,62 +1935,112 @@ object Mining {
           color = next.select(col("id"), col("ord"), col("clr"))
         }
         require(stable, "SCC coloring did not reach a fixpoint")
-        // ---- (3) collect: backward reach to the root, DOUBLED -----
+        // ---- (3) collect: backward reach to the root, HYBRID ------
         // v ∈ SCC(root r) iff clr(v) = ord(r) (r is a forward
         // ancestor) AND v reaches r. Within a color class r is
         // provably the MAXIMUM-ord member (clr(v) = max ancestor-OR-
         // SELF ord, so clr(v) ≥ ord(v) for every member), and any
         // v→r path stays inside the class (each path node w has
         // v →* w →* r, making w's ancestor set a subset of r's and
-        // a superset of v's, pinning clr(w) = ord(r)). So "v reaches
-        // r" ≡ "max forward-descendant ord of v within the class =
-        // clr(v)" — which is phase (2)'s max-propagation run on the
-        // class-internal edges REVERSED, same hash-scrambled order,
-        // same pointer jump (sound for the same reason: a b-value is
-        // a descendant-or-self ord, and descendants of descendants
-        // are descendants). Rounds are expected-O(log backward-
-        // diameter) — the round-7 variant grew a frontier ONE
-        // backward edge-step per round, O(diameter), and a web-scale
-        // giant SCC would have tripped its 500-round guard (verdict
-        // item 2; the giant-ring MiningSpec test and scale-probe leg
-        // pin the log behavior).
-        val sameE = ce
-          .join(color.select(col("id").as("src"), col("clr").as("sc")), "src")
-          .join(color.select(col("id").as("dst"), col("clr").as("dc")), "dst")
-          .filter(col("sc") === col("dc"))
-          .select(col("src"), col("dst"))
-          .localCheckpoint(true)
-        var back = color.select(col("id"), col("ord"), col("ord").as("b"))
-          .localCheckpoint(true)
-        var bstable = false
-        var bwGuard = 0
-        while (!bstable && bwGuard < 100) {
-          bwGuard += 1
-          val outMax = sameE
-            .join(back.select(col("id").as("dst"), col("b").as("db")), "dst")
-            .groupBy(col("src")).agg(max(col("db")).as("mb"))
-          val b1 = back
-            .join(outMax, col("id") === col("src"), "left")
-            .select(col("id"), col("ord"), col("b").as("old"),
-              greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
-          val (next, mvB) = graft.Loop.ckCount(
-            b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
-                col("b1") === col("t"))
-              .select(col("id"), col("ord"), col("old"),
-                greatest(col("b1"), col("tb")).as("b")),
-            col("b") =!= col("old"))
-          bstable = mvB == 0L
-          graft.Ck.release(back)
-          back = next.select(col("id"), col("ord"), col("b"))
-        }
-        require(bstable, "SCC backward collect did not converge")
-        maxBw = math.max(maxBw, bwGuard.toLong)
-        val members = color.join(back.select(col("id"), col("b")), Seq("id"))
-          .filter(col("b") === col("clr"))
+        // a superset of v's, pinning clr(w) = ord(r)).
+        //
+        // (3a) FRONTIER growth from the roots, one backward edge-step
+        // per round — work proportional to the collected SCCs, rounds
+        // = max in-SCC backward distance to a root + 1. After the
+        // trim, real corpora leave mostly SMALL components, so this
+        // almost always converges within the trial budget and is the
+        // cheap common case (the round-7 shipped behavior). If it
+        // does NOT converge — an SCC with backward diameter past the
+        // budget, i.e. the giant-SCC shape every web graph has —
+        // fall through to:
+        //
+        // (3b) the DOUBLED fixpoint: "v reaches r" ≡ "max forward-
+        // descendant ord of v within the class = clr(v)", phase
+        // (2)'s max-propagation on the class-internal edges
+        // REVERSED, same hash-scrambled order, same pointer jump
+        // (sound identically: a b-value is a descendant-or-self
+        // ord). Expected-O(log backward-diameter) rounds, immune to
+        // the O(diameter) wall that tripped the round-7 500-round
+        // guard (verdict item 2) — but it stabilizes the WHOLE color
+        // class, so it costs more than (3a) on many-small-SCC
+        // rounds; measured on the m=10 probe chain, fixpoint-always
+        // was 2.3x the hybrid. MiningSpec's 600-ring and the probe's
+        // giant-ring leg pin the (3b) path; everything else
+        // exercises (3a).
+        // budget 64: the probe graphs carry SCCs of backward
+        // diameter up to the many-tens (the replica back-closing
+        // filter (a+b)%3 shifts per replica, so higher replicas
+        // merge larger cycles — budgets of 8 and 24 both fell
+        // through to the class-wide fixpoint and paid 2-3x for
+        // nothing) while a genuine giant SCC exceeds ANY constant —
+        // one-step rounds are frontier-cheap (~work of the SCCs
+        // being collected), so a generous trial costs little even
+        // when it loses
+        val oneStepBudget = 64
+        var members = color.filter(col("clr") === col("ord"))
           .select(col("id"), col("clr"))
           .localCheckpoint(true)
-        graft.Ck.release(back)
-        graft.Ck.release(sameE)
+        var growing = true
+        var bwGuard = 0
+        while (growing && bwGuard < oneStepBudget) {
+          bwGuard += 1
+          val (grow, gEmpty) = graft.Loop.ckIsEmpty(
+            ce.join(members.select(col("id").as("dst"), col("clr").as("mclr")),
+                "dst")
+              .select(col("src").as("id"), col("mclr"))
+              .distinct()
+              .join(color.select(col("id"), col("clr")), Seq("id"))
+              .filter(col("clr") === col("mclr"))
+              .select(col("id"), col("clr"))
+              .join(members, Seq("id"), "left_anti"))
+          growing = !gEmpty
+          if (growing) {
+            val nm = members.unionByName(grow).localCheckpoint(true)
+            graft.Ck.release(members)
+            graft.Ck.release(grow)
+            members = nm
+          } else graft.Ck.release(grow)
+        }
+        if (growing) {
+          // (3b) giant-SCC path: doubled fixpoint over the class
+          graft.Ck.release(members)
+          val sameE = ce
+            .join(color.select(col("id").as("src"), col("clr").as("sc")), "src")
+            .join(color.select(col("id").as("dst"), col("clr").as("dc")), "dst")
+            .filter(col("sc") === col("dc"))
+            .select(col("src"), col("dst"))
+            .localCheckpoint(true)
+          var back = color.select(col("id"), col("ord"), col("ord").as("b"))
+            .localCheckpoint(true)
+          var bstable = false
+          while (!bstable && bwGuard < oneStepBudget + 100) {
+            bwGuard += 1
+            val outMax = sameE
+              .join(back.select(col("id").as("dst"), col("b").as("db")), "dst")
+              .groupBy(col("src")).agg(max(col("db")).as("mb"))
+            val b1 = back
+              .join(outMax, col("id") === col("src"), "left")
+              .select(col("id"), col("ord"), col("b").as("old"),
+                greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
+            val (next, mvB) = graft.Loop.ckCount(
+              b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
+                  col("b1") === col("t"))
+                .select(col("id"), col("ord"), col("old"),
+                  greatest(col("b1"), col("tb")).as("b")),
+              col("b") =!= col("old"))
+            bstable = mvB == 0L
+            graft.Ck.release(back)
+            back = next.select(col("id"), col("ord"), col("b"))
+          }
+          require(bstable, "SCC backward collect did not converge")
+          members = color.join(back.select(col("id"), col("b")), Seq("id"))
+            .filter(col("b") === col("clr"))
+            .select(col("id"), col("clr"))
+            .localCheckpoint(true)
+          graft.Ck.release(back)
+          graft.Ck.release(sameE)
+        }
+        maxBw = math.max(maxBw, bwGuard.toLong)
         // assign this round's SCCs by their MINIMUM member id (the
         // canonical label — the root's max-id is propagation-internal)
         val minId = members.groupBy(col("clr")).agg(min(col("id")).as("scc"))
@@ -2345,6 +2395,14 @@ object Mining {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = sparseUnd(s, dir).persist(MEMORY_AND_DISK)
     touch(und)
+    val ck = linkPredictPairs(und, 20).localCheckpoint(true)
+    und.unpersist(blocking = false) // k rows survived — release edges
+    ck
+  }
+
+  /** q208's core over a caller-persisted canonical (a, b) frame
+    * (ops.linkPredict and the ApiSpec hand graph call it). */
+  private[graft] def linkPredictPairs(und: DataFrame, k: Int): DataFrame = {
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -2354,7 +2412,7 @@ object Mining {
       .agg(count(lit(1)).as("cn"))
     val cand = wedges.join(und.select(col("a").as("u"), col("b").as("v")),
       Seq("u", "v"), "left_anti")
-    val out = cand
+    cand
       .join(broadcast(deg.select(col("node").as("u"), col("deg").as("deg_u"))),
         "u")
       .join(broadcast(deg.select(col("node").as("v"), col("deg").as("deg_v"))),
@@ -2363,10 +2421,7 @@ object Mining {
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
         col("jac_e4"))
       .orderBy(col("jac_e4").desc, col("cn").desc, col("u"), col("v"))
-      .limit(20)
-    val ck = out.localCheckpoint(true) // 20 rows — release the edges
-    und.unpersist(blocking = false)
-    ck
+      .limit(k)
   }
 
   val q208Sql: String =

@@ -427,7 +427,72 @@ object Multimodal {
       |JOIN bs ON bs.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q214: PNG probe with CRC-32 BITROT audit — the media family's
+  // integrity leg (q177 netpbm decodes, q179 WAV decodes, q201 AVI
+  // walks structure; none can SEE silent corruption): every PNG
+  // chunk carries a CRC-32 over type+data, so the probe recomputes
+  // it per chunk and counts mismatches per row — three separable
+  // failure classes at corpus scale: structurally broken (NULL,
+  // poison-row contract), valid-but-bitrotten (n_bad_crc > 0, the
+  // storage-sweep signal), clean. Big-endian chunk walk, IHDR-first
+  // / IEND-last ordering, ancillary-chunk skip, IDAT checksummed
+  // not inflated — all inside whole-stage codegen
+  // (functions/PngExpressions.scala). Payloads are synthesized
+  // deterministically from doc_id (q201's fixture discipline) and
+  // the oracle replays the closed form arithmetically; the prober
+  // must recover everything from the BYTES, CRCs included.
+  // CodecFuzzSpec's mutation property leans on CRC-32 detecting
+  // every single-bit flip.
+  // ---------------------------------------------------------------
+  def q214PngProbe(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.png
+      .pngStats(graft.functions.png.pngSynth(col("doc_id")))
+    documents(s, dir)
+      .select(col("doc_id"), st.as("p"))
+      .select(col("doc_id"),
+        col("p.width").as("width"), col("p.height").as("height"),
+        col("p.bit_depth").as("bit_depth"),
+        col("p.color_type").as("color_type"),
+        col("p.n_chunks").as("n_chunks"), col("p.n_idat").as("n_idat"),
+        col("p.idat_bytes").as("idat_bytes"),
+        col("p.byte_sum").as("byte_sum"),
+        col("p.n_bad_crc").as("n_bad_crc"))
+      .orderBy("doc_id")
+  }
+
+  val q214Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(6 + doc_id % 7 AS INT) AS height,
+      |    CAST((doc_id % 2) * 2 AS INT) AS color_type,
+      |    1 + doc_id % 3 AS nd,
+      |    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS has_text
+      |  FROM documents
+      |), ik AS (
+      |  SELECT doc_id, r.k, 4 + (doc_id + r.k) % 5 AS len
+      |  FROM t, unnest(range(nd)) r(k)
+      |), bs AS (
+      |  SELECT i.doc_id,
+      |    CAST(SUM((i.doc_id*37 + i.k*13 + j.j*5) % 241) AS BIGINT) AS byte_sum
+      |  FROM ik i, unnest(range(i.len)) j(j)
+      |  GROUP BY i.doc_id
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_idat,
+      |    CAST(SUM(len) AS BIGINT) AS idat_bytes
+      |  FROM ik GROUP BY doc_id
+      |)
+      |SELECT t.doc_id AS doc_id, width, height,
+      |  CAST(8 AS INT) AS bit_depth, color_type,
+      |  CAST(2 + agg.n_idat + has_text AS BIGINT) AS n_chunks,
+      |  agg.n_idat, agg.idat_bytes, bs.byte_sum,
+      |  CAST(0 AS BIGINT) AS n_bad_crc
+      |FROM t JOIN agg USING (doc_id) JOIN bs USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_png_probe" -> q214PngProbe _,
     "q201_video_probe" -> q201VideoProbe _,
     "q179_audio_decode" -> q179AudioDecode _,
     "q177_image_decode" -> q177ImageDecode _,
@@ -438,6 +503,7 @@ object Multimodal {
     "q104_resize" -> q104Resize _)
 
   val oracles: Map[String, String] = Map(
+    "q214_png_probe" -> q214Sql,
     "q201_video_probe" -> q201Sql,
     "q179_audio_decode" -> q179Sql,
     "q177_image_decode" -> q177Sql,

@@ -1118,7 +1118,115 @@ object Temporal {
       |  END AS mase_4
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q215: STATIONARY DISTRIBUTION of the q86 Markov chain — the
+  // question the transition matrix itself doesn't answer: where does
+  // the session process SPEND its time in the long run? (The
+  // capacity-planning / sampling-prior number: a stationary mass of
+  // 0.4 on `click` means 40% of steady-state traffic, whatever the
+  // start state.) Eight power iterations π' = ⌊πP ÷ 10⁶⌋ in pure
+  // int64 over the e6 row-stochastic matrix (truncating div in both
+  // engines; a row with no outgoing transitions self-loops — the
+  // standard stochasticity patch), started from the uniform
+  // ⌊10⁶/k⌋. The last two iterates ship side by side with their
+  // delta, so convergence is visible in the output, not asserted.
+  //
+  // Scale shape: the heavy part — pair counting — is q86's one
+  // window pass + partial agg; the matrix is event-type²-sized
+  // (k² ≤ dozens), collected and iterated on the driver, the q163
+  // driver-held-model discipline. Oracle: the same eight iterations
+  // unrolled as dense k×k CTEs.
+  // ---------------------------------------------------------------
+  private val StatIters = 8
+
+  /** The driver-side half of q215 (ops.stationaryDistribution and
+    * ApiSpec's hand chains call it): exact-int64 power iteration
+    * over the e6 row-stochastic matrix built from (prev, cur, n)
+    * transition counts. Returns (state, pi_e6, pi_prev_e6,
+    * delta_e6) in state order.
+    */
+  private[graft] def stationaryCore(counts: Seq[(String, String, Long)],
+      iters: Int = StatIters): Seq[(String, Long, Long, Long)] = {
+    val states = (counts.map(_._1) ++ counts.map(_._2)).distinct.sorted
+    val k = states.length
+    val idx = states.zipWithIndex.toMap
+    val c = Array.ofDim[Long](k, k)
+    counts.foreach { case (a, b, n) => c(idx(a))(idx(b)) = n }
+    val rowSum = c.map(_.sum)
+    val p = Array.tabulate(k, k) { (i, j) =>
+      if (rowSum(i) == 0L) { if (i == j) 1000000L else 0L }
+      else 1000000L * c(i)(j) / rowSum(i)
+    }
+    var pi = Array.fill(k)(1000000L / k)
+    var prev = pi
+    for (_ <- 1 to iters) {
+      prev = pi
+      pi = Array.tabulate(k)(j =>
+        (0 until k).map(i => prev(i) * p(i)(j)).sum / 1000000L)
+    }
+    states.indices.map(i =>
+      (states(i), pi(i), prev(i), math.abs(pi(i) - prev(i))))
+  }
+
+  def q215StationaryDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events(s, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // k^2 rows, k = |event types| — driver-scale always
+      .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    stationaryCore(counts)
+      .toDF("event_type", "pi_e6", "pi_prev_e6", "delta_e6")
+      .orderBy("event_type")
+  }
+
+  val q215Sql: String = {
+    def iter(t: Int): String = {
+      val prev = if (t == 1) "pi0" else s"pi${t - 1}"
+      s"""pi$t AS MATERIALIZED (
+         |  SELECT p.j AS st, CAST(SUM(q.v * p.p) // 1000000 AS BIGINT) AS v
+         |  FROM p JOIN $prev q ON q.st = p.i GROUP BY p.j
+         |)""".stripMargin
+    }
+    s"""WITH pairs AS (
+       |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS prev,
+       |         event_type AS cur
+       |  FROM events
+       |), counts AS (
+       |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+       |  WHERE prev IS NOT NULL GROUP BY prev, cur
+       |), states AS MATERIALIZED (
+       |  SELECT DISTINCT et AS st FROM (
+       |    SELECT prev AS et FROM counts UNION ALL SELECT cur FROM counts
+       |  )
+       |), rs AS (
+       |  SELECT prev, CAST(SUM(n) AS BIGINT) AS rn FROM counts GROUP BY prev
+       |), p AS MATERIALIZED (
+       |  SELECT a.st AS i, b.st AS j,
+       |    CASE WHEN COALESCE(rs.rn, 0) = 0 THEN
+       |      CASE WHEN a.st = b.st THEN 1000000 ELSE 0 END
+       |    ELSE (1000000 * COALESCE(c.n, 0)) // rs.rn END AS p
+       |  FROM states a CROSS JOIN states b
+       |  LEFT JOIN counts c ON c.prev = a.st AND c.cur = b.st
+       |  LEFT JOIN rs ON rs.prev = a.st
+       |), pi0 AS (
+       |  SELECT st, 1000000 // (SELECT COUNT(*) FROM states) AS v FROM states
+       |),
+       |${(1 to StatIters).map(iter).mkString(",\n")}
+       |SELECT s.st AS event_type, a.v AS pi_e6, b.v AS pi_prev_e6,
+       |  abs(a.v - b.v) AS delta_e6
+       |FROM states s
+       |JOIN pi$StatIters a ON a.st = s.st
+       |JOIN pi${StatIters - 1} b ON b.st = s.st
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_stationary_dist" -> q215StationaryDist _,
     "q210_forecast_mase" -> q210ForecastMase _,
     "q207_burstiness" -> q207Burstiness _,
     "q194_cusum_changepoint" -> q194CusumChangepoint _,
@@ -1137,6 +1245,7 @@ object Temporal {
     "q89_windowed_dedup" -> q89WindowedDedup _)
 
   val oracles: Map[String, String] = Map(
+    "q215_stationary_dist" -> q215Sql,
     "q210_forecast_mase" -> q210Sql,
     "q207_burstiness" -> q207Sql,
     "q194_cusum_changepoint" -> q194Sql,

@@ -784,6 +784,45 @@ class ApiSpec extends SparkSpec {
       "the host cannot be contained in the quote")
   }
 
+  test("linkPredict scores the square's diagonals and matches q208") {
+    val s = spark
+    import s.implicits._
+    // 4-cycle 0-1-2-3-0: both diagonals are non-edges with two
+    // common neighbors and degree 2 everywhere — Jaccard exactly 1
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("s", "d")
+    val got = ops.linkPredict(square, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSet == Set((0L, 2L, 2L, 10000L), (1L, 3L, 2L, 10000L)),
+      got.mkString(","))
+    // and the parameterized form reproduces q208 on its own graph
+    val dir = "/root/testdata/sf0.001"
+    val viaOps = ops.linkPredict(
+      queries.Mining.sparseUnd(spark, dir), "a", "b").collect().toSeq
+    val viaQuery = SparkEntry.queries("q208_link_predict")(spark, dir)
+      .collect().toSeq
+    assert(viaOps == viaQuery)
+  }
+
+  test("stationaryDistribution solves a hand chain and matches q215") {
+    val s = spark
+    import s.implicits._
+    // a->b always; b->a 1/3, b->b 2/3: exact stationary (1/4, 3/4)
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"), (2L, 4L, "b"))
+      .toDF("k", "t", "st")
+    val got = ops.stationaryDistribution(ev, "k", Seq(col("t")), col("st"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") >= 240000L && got("a") <= 260000L, got.toString)
+    assert(got("b") >= 740000L && got("b") <= 760000L, got.toString)
+    val dir = "/root/testdata/sf0.001"
+    val viaOps = ops.stationaryDistribution(Tables.events(spark, dir),
+        "user_id", Seq(col("ts"), col("event_id")), col("event_type"))
+      .collect().map(_.toSeq.drop(0)).toSeq
+    val viaQuery = SparkEntry.queries("q215_stationary_dist")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaOps == viaQuery)
+  }
+
   test("hits scores a hub-and-spoke graph with the roles separated") {
     val s = spark
     import s.implicits._

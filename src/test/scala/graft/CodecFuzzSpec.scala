@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{AviCodec, MediaCodec, WavCodec}
+import graft.functions.{AviCodec, MediaCodec, PngCodec, WavCodec}
 
 /** Seeded mutation fuzzing of the binary media decoders — the
   * "poisoned payload must not kill the stage" claim as a property,
@@ -119,5 +119,41 @@ class CodecFuzzSpec extends SparkSpec {
     // untouched payloads still probe to a struct (the fuzz did not
     // trip a prober so defensive it rejects good containers)
     valids.foreach(v => assert(AviCodec.aviStats(v) != null))
+  }
+
+  test("png probe survives 300 seeded mutations: null or struct, never a throw") {
+    val valids = Seq(0L, 3L, 17L).map(PngCodec.pngSynth)
+    Seeds.zip(valids).foreach { case (seed, valid) =>
+      mutations(valid, seed, PerSeed).foreach { case (i, payload) =>
+        try PngCodec.pngStats(payload)
+        catch {
+          case e: Throwable =>
+            fail(s"pngStats threw on seed=$seed mutation#$i " +
+              s"(${payload.length} bytes): $e")
+        }
+      }
+    }
+    valids.foreach(v => assert(PngCodec.pngStats(v) != null))
+  }
+
+  test("png CRC-32 detects EVERY single-bit flip in chunk data or crc") {
+    // the integrity property the other probers cannot state: flip any
+    // ONE bit anywhere after the signature and the probe must either
+    // reject the structure (null) or count at least one bad CRC —
+    // CRC-32 detects all single-bit errors, so a clean parse with
+    // n_bad_crc == 0 on a flipped payload would be a prober bug
+    Seq(1L, 4L, 9L).foreach { id =>
+      val valid = PngCodec.pngSynth(id)
+      assert(PngCodec.pngStats(valid).getLong(8) == 0L, "clean baseline")
+      (8 until valid.length).foreach { byteIdx =>
+        (0 until 8).foreach { bit =>
+          val b = valid.clone()
+          b(byteIdx) = (b(byteIdx) ^ (1 << bit)).toByte
+          val probed = PngCodec.pngStats(b)
+          assert(probed == null || probed.getLong(8) >= 1L,
+            s"id=$id: flipped bit $bit of byte $byteIdx parsed clean")
+        }
+      }
+    }
   }
 }

@@ -167,12 +167,13 @@ class MiningSpec extends SparkSpec {
       s"ring must be one SCC labeled 0")
     assert(outer == 1, s"one trim-free outer round, got $outer")
     val bw = graft.LoopStats.drain().getOrElse("scc_bw", -1L)
-    // log2(600) ~ 9.2; hash-order jump-doubling reaches a fixpoint
-    // in ~2-3x log2 expected rounds — and nowhere near the linear
-    // 599 the old one-step collect needed. (An id-ordered max walk
-    // WOULD be linear here: this ring is exactly the adversarial
-    // monotone case the hash-scrambled propagation order defuses.)
-    assert(bw >= 1L && bw <= 30L, s"collect rounds not logarithmic: $bw")
+    // the one-step trial budget (64) must fail here, then the
+    // doubled fixpoint finishes in ~2-3x log2(600) expected rounds —
+    // nowhere near the linear 599 the round-7 one-step-only collect
+    // needed. (An id-ordered max walk WOULD be linear even when
+    // doubled: this ring is exactly the adversarial monotone case
+    // the hash-scrambled propagation order defuses.)
+    assert(bw > 64L && bw <= 110L, s"collect rounds not logarithmic: $bw")
   }
 
   test("dagLayers stratifies a hand-built condensation by longest path") {

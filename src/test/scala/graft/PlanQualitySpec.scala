@@ -824,6 +824,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("array_intersect_size"), p)
   }
 
+  test("q208: link prediction rides the wedge join — no cartesian, degrees broadcast") {
+    // the public query checkpoints; pin the inner linkPredictPairs plan
+    import org.apache.spark.sql.functions.col
+    val und = queries.Mining.sparseUnd(spark, dir)
+    val p = queries.Mining.linkPredictPairs(und, 20)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // candidates come from the shared-center equi-join, never a
+    // node-pair cross product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // node-sized degree table broadcasts into both endpoint joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q211: containment join is prefix-probed — no all-pairs, native set sizes") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), queries.Hashing.shingles(col("text"), 3).as("sh"))
+      .withColumn("sz", asize(col("sh")).cast("long"))
+      .filter(col("sz") > 0L)
+    val p = queries.Dedup.containmentPairs(d, 8000L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("array_intersect_size"), p)
+  }
+
   test("q198: the Gram pass is one scan with no shuffle of row-scaled data") {
     val dirL = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q198_pca_power")(spark, dirL)
