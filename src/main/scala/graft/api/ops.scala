@@ -1848,6 +1848,48 @@ object ops {
     ck
   }
 
+  /** 2-sweep diameter estimate (q216's parameterized form): largest
+    * component by size (tie: min label), BFS from its canonical
+    * min-id node, BFS again from the farthest node found
+    * (deterministic tie: min id) — ecc of the second sweep is the
+    * diameter lower bound, exact on trees (Magnien-Latapy-Habib
+    * 2009). Returns one row (component, n_nodes, seed_node,
+    * ecc_seed, far_node, diameter_lb). Scale: two frontier-
+    * proportional BFS runs + the cc fixpoint; three O(1) driver
+    * scalars.
+    */
+  def diameterSweep(edges: DataFrame, src: String, dst: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val s = edges.sparkSession
+    import s.implicits._
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(und)
+    val (cc, _) = connectedComponents(und, "a", "b")
+    val top = cc.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("component")).limit(1).head()
+    graft.Ck.release(cc)
+    val comp = top.getLong(0) // component label = min member id
+    val nComp = top.getLong(1)
+    def farthest(seed: Long): (Long, Long) = {
+      val (dist, _) = bfsDistances(und, "a", "b", c => c === lit(seed))
+      val far = dist.filter(col("dist") >= 0L)
+        .orderBy(col("dist").desc, col("id")).limit(1).head()
+      graft.Ck.release(dist)
+      (far.getLong(0), far.getLong(1))
+    }
+    val (u, eccSeed) = farthest(comp)
+    val (_, diameterLb) = farthest(u)
+    und.unpersist(blocking = false)
+    Seq((comp, nComp, comp, eccSeed, u, diameterLb))
+      .toDF("component", "n_nodes", "seed_node", "ecc_seed",
+        "far_node", "diameter_lb")
+  }
+
   /** Stationary distribution of an empirical Markov chain (q215's
     * parameterized form): per `key`, consecutive `state` transitions
     * in `orderCols` order build the e6 row-stochastic matrix

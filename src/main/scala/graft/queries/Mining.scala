@@ -2456,7 +2456,94 @@ object Mining {
       |JOIN deg dv ON dv.node = c.v
       |ORDER BY jac_e4 DESC, cn DESC, u, v LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q216: DIAMETER estimate by the 2-SWEEP (double BFS) — the one
+  // whole-graph scalar the loop family computes everything around
+  // but never reports: how many hops ACROSS is the big component?
+  // (The number that sizes every frontier loop's round budget, and
+  // the classic small-world health check for a crawl graph.) The
+  // standard 2-sweep: BFS from the largest component's canonical
+  // node, take the farthest node u (deterministic tie: min id), BFS
+  // again from u — ecc(u) is the diameter lower bound, exact on
+  // trees and within a small factor in practice (Magnien-Latapy-
+  // Habib 2009). Composition: ccLoop labels → largest component →
+  // two ops.bfsDistances runs; three driver-side scalars total, all
+  // O(1)-sized (the q163 discipline).
+  //
+  // Scale shape: inherits ccLoop's pointer-jump fixpoint and BFS's
+  // frontier-proportional rounds — nothing new materializes beyond
+  // two dist tables, both released after their scalar is read.
+  // Oracle: the q161 closure + two recursive-CTE BFS replays with
+  // the same deterministic tie order.
+  // ---------------------------------------------------------------
+  def q216DiameterSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = sparseUnd(s, dir).persist(MEMORY_AND_DISK)
+    touch(und)
+    val (labels, _) = ccLoop(s, dir)
+    val top = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lbl")).limit(1).head()
+    graft.Ck.release(labels)
+    val comp = top.getLong(0) // = the component's MIN member id
+    val nComp = top.getLong(1)
+    def farthest(seed: Long): (Long, Long) = {
+      val (dist, _) = graft.api.ops.bfsDistances(und, "a", "b",
+        c => c === lit(seed))
+      val far = dist.filter(col("dist") >= 0L)
+        .orderBy(col("dist").desc, col("id")).limit(1).head()
+      graft.Ck.release(dist)
+      (far.getLong(0), far.getLong(1))
+    }
+    val (u, eccSeed) = farthest(comp)
+    val (_, diameterLb) = farthest(u)
+    und.unpersist(blocking = false)
+    Seq((comp, nComp, comp, eccSeed, u, diameterLb))
+      .toDF("component", "n_nodes", "seed_node", "ecc_seed",
+        "far_node", "diameter_lb")
+  }
+
+  val q216Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), sp AS (SELECT a, b FROM und WHERE (a*131 + b*17) % 32 = 0),
+      |bi AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+      |reach(v, l) AS (
+      |  SELECT a, a FROM bi
+      |  UNION
+      |  SELECT bi.b, r.l FROM reach r JOIN bi ON r.v = bi.a
+      |), lab AS (SELECT v, MIN(l) AS cluster FROM reach GROUP BY v),
+      |big AS (
+      |  SELECT cluster AS comp, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lab GROUP BY cluster ORDER BY n DESC, comp LIMIT 1
+      |),
+      |b1(v, d) AS (
+      |  SELECT (SELECT comp FROM big), 0
+      |  UNION
+      |  SELECT bi.b, r.d + 1 FROM b1 r JOIN bi ON r.v = bi.a WHERE r.d < 60
+      |), d1 AS (SELECT v, MIN(d) AS d FROM b1 GROUP BY v),
+      |u1 AS (SELECT v, d FROM d1 ORDER BY d DESC, v LIMIT 1),
+      |b2(v, d) AS (
+      |  SELECT (SELECT v FROM u1), 0
+      |  UNION
+      |  SELECT bi.b, r.d + 1 FROM b2 r JOIN bi ON r.v = bi.a WHERE r.d < 60
+      |), d2 AS (SELECT v, MIN(d) AS d FROM b2 GROUP BY v),
+      |u2 AS (SELECT v, d FROM d2 ORDER BY d DESC, v LIMIT 1)
+      |SELECT (SELECT comp FROM big) AS component,
+      |  (SELECT n FROM big) AS n_nodes,
+      |  (SELECT comp FROM big) AS seed_node,
+      |  CAST((SELECT d FROM u1) AS BIGINT) AS ecc_seed,
+      |  (SELECT v FROM u1) AS far_node,
+      |  CAST((SELECT d FROM u2) AS BIGINT) AS diameter_lb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_diameter_sweep" -> q216DiameterSweep _,
     "q208_link_predict" -> q208LinkPredict _,
     "q202_condensation_dag" -> q202CondensationDag _,
     "q199_scc" -> q199Scc _,
@@ -2482,6 +2569,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q216_diameter_sweep" -> q216Sql,
     "q208_link_predict" -> q208Sql,
     "q202_condensation_dag" -> q202Sql,
     "q199_scc" -> q199Sql,

@@ -823,6 +823,27 @@ class ApiSpec extends SparkSpec {
     assert(viaOps == viaQuery)
   }
 
+  test("diameterSweep is exact on a path and picks the largest component") {
+    val s = spark
+    import s.implicits._
+    // a 5-node path (diameter 4) plus a disjoint triangle: the sweep
+    // must pick the path (larger), seed at its min id, and be exact
+    // (2-sweep is exact on trees)
+    val g = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 10L))).toDF("s", "d")
+    val row = ops.diameterSweep(g, "s", "d").collect().head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 5L) // component, n
+    assert(row.getLong(2) == 0L && row.getLong(3) == 4L) // seed, ecc
+    assert(row.getLong(4) == 4L && row.getLong(5) == 4L) // far, diameter
+    // and the parameterized form reproduces q216 on its own graph
+    val dir = "/root/testdata/sf0.001"
+    val viaOps = ops.diameterSweep(
+      queries.Mining.sparseUnd(spark, dir), "a", "b").collect().toSeq
+    val viaQuery = SparkEntry.queries("q216_diameter_sweep")(spark, dir)
+      .collect().toSeq
+    assert(viaOps == viaQuery, s"ops=$viaOps q216=$viaQuery")
+  }
+
   test("hits scores a hub-and-spoke graph with the roles separated") {
     val s = spark
     import s.implicits._

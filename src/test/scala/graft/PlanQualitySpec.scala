@@ -825,9 +825,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q208: link prediction rides the wedge join — no cartesian, degrees broadcast") {
-    // the public query checkpoints; pin the inner linkPredictPairs plan
-    import org.apache.spark.sql.functions.col
-    val und = queries.Mining.sparseUnd(spark, dir)
+    // pin the inner linkPredictPairs plan over a CHECKPOINTED edge
+    // frame: sparseUnd's own derivation carries the broadcast-scalar
+    // crossJoin idiom (ev x broadcast(n)), which is fine but would
+    // false-positive the no-BNLJ assertion about the wedge machinery
+    val und = queries.Mining.sparseUnd(spark, dir).localCheckpoint(true)
     val p = queries.Mining.linkPredictPairs(und, 20)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -837,6 +839,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // node-sized degree table broadcasts into both endpoint joins
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    Ck.release(und)
   }
 
   test("q211: containment join is prefix-probed — no all-pairs, native set sizes") {
