@@ -2476,32 +2476,12 @@ object Mining {
   // Oracle: the q161 closure + two recursive-CTE BFS replays with
   // the same deterministic tie order.
   // ---------------------------------------------------------------
-  def q216DiameterSweep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = sparseUnd(s, dir).persist(MEMORY_AND_DISK)
-    touch(und)
-    val (labels, _) = ccLoop(s, dir)
-    val top = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("lbl")).limit(1).head()
-    graft.Ck.release(labels)
-    val comp = top.getLong(0) // = the component's MIN member id
-    val nComp = top.getLong(1)
-    def farthest(seed: Long): (Long, Long) = {
-      val (dist, _) = graft.api.ops.bfsDistances(und, "a", "b",
-        c => c === lit(seed))
-      val far = dist.filter(col("dist") >= 0L)
-        .orderBy(col("dist").desc, col("id")).limit(1).head()
-      graft.Ck.release(dist)
-      (far.getLong(0), far.getLong(1))
-    }
-    val (u, eccSeed) = farthest(comp)
-    val (_, diameterLb) = farthest(u)
-    und.unpersist(blocking = false)
-    Seq((comp, nComp, comp, eccSeed, u, diameterLb))
-      .toDF("component", "n_nodes", "seed_node", "ecc_seed",
-        "far_node", "diameter_lb")
-  }
+  def q216DiameterSweep(s: SparkSession, dir: String): DataFrame =
+    // delegates to the parameterized core (the q199 -> sccAssign
+    // pattern): one edge derivation serves the cc fixpoint and both
+    // sweeps — running ccLoop separately re-derived the graph from
+    // the parquet scan and cost an extra ~40% at sf0.1
+    graft.api.ops.diameterSweep(sparseUnd(s, dir), "a", "b")
 
   val q216Sql: String =
     """WITH RECURSIVE ev AS (
