@@ -1869,21 +1869,23 @@ object ops {
       .distinct()
       .persist(MEMORY_AND_DISK)
     graft.Tables.touch(und)
-    val (cc, _) = connectedComponents(und, "a", "b")
+    val (cc, ccRounds) = connectedComponents(und, "a", "b")
+    graft.LoopStats.record("cc", ccRounds.toLong)
     val top = cc.groupBy(col("component")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("component")).limit(1).head()
     graft.Ck.release(cc)
     val comp = top.getLong(0) // component label = min member id
     val nComp = top.getLong(1)
-    def farthest(seed: Long): (Long, Long) = {
-      val (dist, _) = bfsDistances(und, "a", "b", c => c === lit(seed))
+    def farthest(seed: Long, sweep: String): (Long, Long) = {
+      val (dist, hops) = bfsDistances(und, "a", "b", c => c === lit(seed))
+      graft.LoopStats.record(sweep, hops.toLong)
       val far = dist.filter(col("dist") >= 0L)
         .orderBy(col("dist").desc, col("id")).limit(1).head()
       graft.Ck.release(dist)
       (far.getLong(0), far.getLong(1))
     }
-    val (u, eccSeed) = farthest(comp)
-    val (_, diameterLb) = farthest(u)
+    val (u, eccSeed) = farthest(comp, "bfs_sweep1")
+    val (_, diameterLb) = farthest(u, "bfs_sweep2")
     und.unpersist(blocking = false)
     Seq((comp, nComp, comp, eccSeed, u, diameterLb))
       .toDF("component", "n_nodes", "seed_node", "ecc_seed",
