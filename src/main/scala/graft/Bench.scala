@@ -142,17 +142,36 @@ object Bench {
     }
     val detailLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail$failedField,"sf":"$sfDir","runs":$runsDetail,"meta":$meta}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_detail.json"),
-        detailLine.getBytes("UTF-8"))
-      // regenerate the drift gate against the artifact THAT SHIPS:
-      // round 7 shipped a BENCH_DIFF generated from a superseded
-      // mid-round bench, which silently asserted n_unadjudicated=0
-      // against the wrong snapshot — invoking BenchDiff here makes
-      // that staleness structurally impossible
-      BenchDiff.main(Array("bench_detail.json"))
-    } catch { case _: Throwable => () }
+    val detailWritten =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_detail.json"),
+          detailLine.getBytes("UTF-8"))
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] bench_detail.json write FAILED: $e")
+          false
+      }
+    // regenerate the drift gate against the artifact THAT SHIPS:
+    // round 7 shipped a BENCH_DIFF generated from a superseded
+    // mid-round bench, which silently asserted n_unadjudicated=0
+    // against the wrong snapshot — invoking BenchDiff here makes
+    // that staleness structurally impossible. A BenchDiff failure is
+    // REPORTED, never swallowed (a silently stale BENCH_DIFF is the
+    // exact failure this call exists to prevent), and only runs when
+    // the detail artifact really was written (BenchDiff sys.exits on
+    // a missing input, which no try here could catch).
+    if (detailWritten) {
+      try BenchDiff.main(Array("bench_detail.json"))
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[benchdiff] FAILED — BENCH_DIFF.json may be STALE: $e")
+      }
+    } else {
+      System.err.println("[benchdiff] SKIPPED — BENCH_DIFF.json is STALE")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }

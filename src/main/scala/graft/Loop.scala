@@ -54,7 +54,16 @@ object Loop {
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
-          if (name.startsWith("graft_loop_")) metrics.put(name, row)
+          if (name.startsWith("graft_loop_")) {
+            // a row landing AFTER its reader's deadline (the reader
+            // already took the fallback) would otherwise sit in the
+            // JVM-global map forever — names are unique, nothing
+            // reads them twice. Bound the map instead of tracking
+            // per-entry age: clearing drops only metrics whose
+            // readers are in-flight (they fall back) or long gone.
+            if (metrics.size > 1024) metrics.clear()
+            metrics.put(name, row)
+          }
         }
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = ()

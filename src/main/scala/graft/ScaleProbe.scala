@@ -113,8 +113,13 @@ object ScaleProbe {
     val scales = Seq(1, 10, 100).map { m =>
       val edges = replicate(spark, base, m, n, mod).localCheckpoint(true)
       val nEdges = edges.count()
-      val nNodes = edges.select(col("a").as("x"))
-        .unionByName(edges.select(col("b").as("x"))).distinct().count()
+      // ONE distinct node derivation serves the census AND the
+      // giant-ring build below (at m=100 this union+distinct scans
+      // the ~100x edge frame — doing it twice was a review finding)
+      val nodeSet = edges.select(col("a").as("x"))
+        .unionByName(edges.select(col("b").as("x"))).distinct()
+        .localCheckpoint(true)
+      val nNodes = nodeSet.count()
       val cc = timeLoop(p =>
         ops.connectedComponents(edges, "a", "b", probe = p)._2)
       // seeds only in replica 0, so the frontier must walk the
@@ -161,8 +166,7 @@ object ScaleProbe {
       // must finish in O(log n) rounds; the old one-step-per-round
       // frontier needed n rounds and would trip its loud guard at
       // ANY web-graph scale (every web graph has a giant SCC).
-      val ringNodes = edges.select(col("a").as("x"))
-        .unionByName(edges.select(col("b").as("x"))).distinct()
+      val ringNodes = nodeSet
       val mn = ringNodes.agg(min(col("x")).as("mn"))
       // global-window lead: probe-only single-task ordering, fine at
       // probe sizes (production rings don't exist; the LOOP under
@@ -201,6 +205,7 @@ object ScaleProbe {
       // the m=100 edge frame is ~100x the base — release its blocks
       // before the next scale builds its own (base stays: it serves
       // every scale)
+      graft.Ck.release(nodeSet)
       graft.Ck.release(edges)
       line
     }

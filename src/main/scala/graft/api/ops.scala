@@ -1858,7 +1858,8 @@ object ops {
     * proportional BFS runs + the cc fixpoint; three O(1) driver
     * scalars.
     */
-  def diameterSweep(edges: DataFrame, src: String, dst: String): DataFrame = {
+  def diameterSweep(edges: DataFrame, src: String, dst: String,
+      maxHops: Int = 40): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = edges.sparkSession
     import s.implicits._
@@ -1877,7 +1878,12 @@ object ops {
     val comp = top.getLong(0) // component label = min member id
     val nComp = top.getLong(1)
     def farthest(seed: Long, sweep: String): (Long, Long) = {
-      val (dist, hops) = bfsDistances(und, "a", "b", c => c === lit(seed))
+      // maxHops is surfaced to the caller: a high-diameter graph (a
+      // long path — the very shape the 2-sweep is exact on) needs
+      // the BFS failure bound raised past its eccentricity, exactly
+      // as ScaleProbe scales its own BFS bound with the chain length
+      val (dist, hops) = bfsDistances(und, "a", "b", c => c === lit(seed),
+        maxHops = maxHops)
       graft.LoopStats.record(sweep, hops.toLong)
       val far = dist.filter(col("dist") >= 0L)
         .orderBy(col("dist").desc, col("id")).limit(1).head()

@@ -43,6 +43,11 @@ object PngCodec {
     * production, not just in the spec.
     */
   def pngSynth(id: Long): Array[Byte] = {
+    // Scala % is sign-preserving: a negative id would silently yield
+    // zero-width / IDAT-free payloads that probe to NULL for the
+    // wrong reason — fail loudly instead (the fixture contract is
+    // "valid payload in, struct out")
+    require(id >= 0L, s"png_synth needs a non-negative id, got $id")
     val w = 8 + (id % 9).toInt
     val h = 6 + (id % 7).toInt
     val colorType = ((id % 2) * 2).toInt // 0 grayscale, 2 truecolor

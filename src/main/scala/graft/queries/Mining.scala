@@ -2140,27 +2140,11 @@ object Mining {
     ck
   }
 
-  def q202CondensationDag(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = dirEdges(s, dir).persist(MEMORY_AND_DISK)
-    touch(edges)
-    val (labels, _) = sccAssign(edges)
-    val lbl = labels.persist(MEMORY_AND_DISK)
-    touch(lbl)
-    val cond = edges
-      .join(broadcast(lbl.select(col("id").as("src"), col("scc").as("csrc"))),
-        "src")
-      .join(broadcast(lbl.select(col("id").as("dst"), col("scc").as("cdst"))),
-        "dst")
-      .filter(col("csrc") =!= col("cdst"))
-      .select(col("csrc"), col("cdst")).distinct()
-    val census = lbl.groupBy(col("scc")).agg(count(lit(1)).as("n_nodes"))
-    val out = dagLayers(cond, census)
-    graft.Ck.release(labels)
-    lbl.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    out
-  }
+  def q202CondensationDag(s: SparkSession, dir: String): DataFrame =
+    // delegates to the parameterized core (the q199/q216 pattern —
+    // one copy of the persist / broadcast-label / release
+    // choreography, shared with every external caller)
+    graft.api.ops.dagLayers(dirEdges(s, dir), "src", "dst")
 
   val q202Sql: String =
     """WITH RECURSIVE ev AS (
