@@ -37,8 +37,59 @@ object Loop {
   // the listener really does deliver for localCheckpoint actions)
   private[graft] val rides = new AtomicLong()
   private[graft] val fallbacks = new AtomicLong()
+  // Adaptive degrade: on a Spark build where the checkpoint path
+  // never emits SQL-execution events (the fallback comment's own
+  // contingency), every round would otherwise block the full 500 ms
+  // deadline before taking the second job — a 30-round loop loses
+  // 15 s to waiting for a bus that never delivers. After
+  // `SkipAfter` CONSECUTIVE fallbacks the wait collapses to a short
+  // grace (the bus, when it works at all, delivers within
+  // single-digit ms of the action returning), and one successful
+  // ride restores the full deadline.
+  private val SkipAfter = 3
+  private val consecFallbacks = new AtomicLong()
   private val seq = new AtomicLong()
   private val metrics = new ConcurrentHashMap[String, Row]()
+  // per-loop cost split (bench_detail "rounds" side channel): wall ns
+  // spent inside ckCount's checkpoint action vs executor task ms
+  // burned during it. Thread-local because loops are driver-side
+  // sequential per query; the SparkListener total is session-global
+  // and its bus is ASYNC, so the task split is approximate (a stage
+  // completing around a round boundary may land in the neighbor's
+  // window) — right at loop totals, indicative per round.
+  private val ckWallNs = ThreadLocal.withInitial[AtomicLong](() => new AtomicLong())
+  private val ckTaskMs = ThreadLocal.withInitial[AtomicLong](() => new AtomicLong())
+  private val taskMsTotal = new AtomicLong()
+  private val taskHooked =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def ensureTaskListener(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    val needs = taskHooked.synchronized {
+      if (taskHooked.containsKey(sc)) false
+      else { taskHooked.put(sc, java.lang.Boolean.TRUE); true }
+    }
+    if (needs) sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) taskMsTotal.addAndGet(m.executorRunTime)
+      }
+    })
+  }
+
+  /** Snapshot-and-reset the calling thread's accumulated checkpoint
+    * cost: (wall ms inside ckCount actions, executor task ms during
+    * them). LoopStats.recordLoop drains this per named loop so
+    * bench_detail can split a loop query's fixed per-round floor
+    * (wall >> task/cores) from its data cost (task-dominated).
+    */
+  def drainTimes(): (Long, Long) = {
+    val w = ckWallNs.get().getAndSet(0L) / 1000000L
+    val t = ckTaskMs.get().getAndSet(0L)
+    (w, t)
+  }
   // sessions with our listener installed (weak: a stopped session
   // must not be pinned by the side channel)
   private val hooked =
@@ -88,7 +139,10 @@ object Loop {
     */
   def ckCount(frame: DataFrame, moved: Column): (DataFrame, Long) = {
     ensureListener(frame.sparkSession)
+    ensureTaskListener(frame.sparkSession)
     val name = s"graft_loop_${seq.incrementAndGet()}"
+    val t0 = System.nanoTime()
+    val task0 = taskMsTotal.get()
     // withMeasuredStats: swap the checkpoint's inherited size
     // estimate (a product over the round's joins — compounds ~x8
     // per round into astronomically large BigInts that hang the
@@ -96,11 +150,18 @@ object Loop {
     val ck = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
       frame.observe(name, count(when(moved, lit(1))).as("mv"))
         .localCheckpoint(true))
-    val n = awaitMetric(name) match {
-      case Some(row) => rides.incrementAndGet(); row.getLong(0)
+    // degraded mode (no ride in SkipAfter tries): don't pay the full
+    // deadline every round for a bus that isn't delivering
+    val deadlineMs = if (consecFallbacks.get() >= SkipAfter) 25L else 500L
+    val n = awaitMetric(name, deadlineMs) match {
+      case Some(row) =>
+        rides.incrementAndGet(); consecFallbacks.set(0L); row.getLong(0)
       case None => // listener raced or never fired: old second-job path
-        fallbacks.incrementAndGet(); ck.filter(moved).count()
+        fallbacks.incrementAndGet(); consecFallbacks.incrementAndGet()
+        ck.filter(moved).count()
     }
+    ckWallNs.get().addAndGet(System.nanoTime() - t0)
+    ckTaskMs.get().addAndGet(math.max(0L, taskMsTotal.get() - task0))
     (ck, n)
   }
 
@@ -110,5 +171,24 @@ object Loop {
   def ckIsEmpty(frame: DataFrame): (DataFrame, Boolean) = {
     val (ck, n) = ckCount(frame, lit(true))
     (ck, n == 0L)
+  }
+
+  /** Attach a counting observe() rider to a LAZY frame and return it
+    * with a deferred reader. Unlike [[ckCount]] nothing materializes
+    * here: the metric surfaces when some LATER action executes the
+    * plan built on the returned frame, and `read()` then polls the
+    * listener side channel without running any job. A rider that
+    * never fired reads None and the caller records nothing — there
+    * is deliberately NO second-job fallback, because re-deriving an
+    * intermediate frame for a diagnostic count costs more than the
+    * count is worth (q205's candidate table is the query's largest
+    * intermediate; eagerly checkpointing it just to count it stored
+    * the whole thing in the BlockManager).
+    */
+  def riderCount(frame: DataFrame): (DataFrame, () => Option[Long]) = {
+    ensureListener(frame.sparkSession)
+    val name = s"graft_loop_${seq.incrementAndGet()}"
+    val obs = frame.observe(name, count(lit(1)).as("n"))
+    (obs, () => awaitMetric(name).map(_.getLong(0)))
   }
 }

@@ -922,14 +922,91 @@ object ops {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxRounds: Int = 50,
       probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    val (labels, curve) =
+      connectedComponentsCurve(edges, src, dst, maxRounds, probe)
+    (labels, curve.length)
+  }
+
+  /** [[connectedComponents]] returning the full per-round movement
+    * curve (round, labels moved) instead of just the round count —
+    * the warm-start consumers (q217, [[incrementalConnectedComponents]])
+    * ship both curves so an early/late stop is oracle-visible.
+    */
+  def connectedComponentsCurve(edges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50,
+      probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nbrs = edges.select(col(src).as("__node"), col(dst).as("__nbr"))
+    val nbrs = ccNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
+    val init = nbrs.select(col("__node")).distinct()
+      .select(col("__node"), col("__node").as("__lbl"))
+    ccCore(nbrs, init, maxRounds, probe)
+  }
+
+  /** WARM-START / INCREMENTAL connected components (q217's
+    * parameterized form — q178's CDC discipline applied to cc, the
+    * growing-dedup-graph case): given the PREVIOUS fixpoint's
+    * (id, component) labels, the new edge set, and the edges the
+    * changelog DELETED, converge on the new graph starting from an
+    * init that keeps every still-valid label:
+    *
+    *  - inserts alone never invalidate a label (an old component is
+    *    a connected subgraph of its new, possibly merged component,
+    *    so min-propagation from the old labels reaches the true
+    *    minimum — the new component's min node id m is its own old
+    *    component's min, hence init(m) = m);
+    *  - deletes can SPLIT, so every component touching a deleted
+    *    edge is re-seeded to identity labels (re-verified from
+    *    scratch), while untouched components keep their labels;
+    *  - nodes unseen by `prevLabels` (fresh insert endpoints) seed
+    *    as themselves.
+    *
+    * The warm loop's round-1 movement then reflects only the
+    * delta's disturbance: an insert-dominated changelog (today's
+    * shard onto yesterday's corpus) converges in far fewer rounds
+    * than a cold start — CcLoopSpec asserts the advantage on the
+    * same delta graph. Returns (labels, movement curve). Scale
+    * shape per round is exactly [[connectedComponents]]'s; the init
+    * costs one node-keyed left join + one broadcast of the DISTINCT
+    * affected-component list (changelog-sized, not corpus-sized).
+    */
+  def incrementalConnectedComponents(prevLabels: DataFrame,
+      edges: DataFrame, deletedEdges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50,
+      probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Seq[(Long, Long)]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val affected = prevLabels
+      .join(deletedEdges.select(col(src).as("id"))
+        .unionByName(deletedEdges.select(col(dst).as("id"))).distinct(), "id")
+      .select(col("component")).distinct()
+    val nbrs = ccNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
+    val init = nbrs.select(col("__node")).distinct()
+      .join(prevLabels.select(col("id").as("__node"), col("component")),
+        Seq("__node"), "left")
+      .join(broadcast(affected.withColumn("__aff", lit(1L))),
+        Seq("component"), "left")
+      .select(col("__node"),
+        when(col("component").isNull || col("__aff").isNotNull, col("__node"))
+          .otherwise(col("component")).as("__lbl"))
+    ccCore(nbrs, init, maxRounds, probe)
+  }
+
+  /** Both-direction neighbor list shared by the cc entry points. */
+  private def ccNbrs(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(col(src).as("__node"), col(dst).as("__nbr"))
       .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
       .filter(col("__node") =!= col("__nbr"))
-      .persist(MEMORY_AND_DISK)
-    var labels = nbrs.select(col("__node")).distinct()
-      .select(col("__node"), col("__node").as("__lbl"))
-      .localCheckpoint(true)
+
+  /** The min-label fixpoint over a caller-persisted neighbor list
+    * from an arbitrary initial labeling (identity for the cold
+    * start, the previous fixpoint for warm starts). Unpersists
+    * `nbrs` on every exit path.
+    */
+  private def ccCore(nbrs: DataFrame, init: DataFrame, maxRounds: Int,
+      probe: (Int, DataFrame) => Unit): (DataFrame, Seq[(Long, Long)]) = {
+    var labels = init.localCheckpoint(true)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -950,6 +1027,7 @@ object ops {
             col("__tl").as("__lbl")),
         col("__old") =!= col("__lbl"))
       converged = mv == 0L
+      curve += ((rounds.toLong, mv))
       graft.Ck.release(labels) // superseded round, fully consumed
       labels = stepped.select(col("__node"), col("__lbl"))
       probe(rounds, labels)
@@ -957,7 +1035,8 @@ object ops {
     nbrs.unpersist(blocking = false)
     if (!converged) graft.Ck.release(labels)
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    (labels.select(col("__node").as("id"), col("__lbl").as("component")), rounds)
+    (labels.select(col("__node").as("id"), col("__lbl").as("component")),
+      curve.toSeq)
   }
 
   /** Register-sketch distinct-count estimate per group (q191's
@@ -1828,11 +1907,17 @@ object ops {
     * two strongest unweighted predictors, e4 integer fixed point,
     * fully deterministic tie order. Returns (u, v, cn, deg_u, deg_v,
     * jac_e4). Scale: candidates ride the wedge join (Σ deg² — q115's
-    * envelope, never all-pairs); on a power-law graph cap per-center
-    * fan-out or reuse q115's degree-oriented split first.
+    * envelope, never all-pairs), and `maxCenterDeg` bounds every
+    * center's fan-out: hub centers above the cap leave wedge
+    * enumeration via a tiny broadcast anti-join, so a power-law
+    * graph's worst center contributes at most cap² candidates. With
+    * the cap above the graph's max degree the result is exact;
+    * below it, hub-mediated pairs are dropped — the Adamic-Adar
+    * rationale (a huge-degree common neighbor carries ~no signal).
+    * Jaccard denominators always use TRUE degrees.
     */
   def linkPredict(edges: DataFrame, src: String, dst: String,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, maxCenterDeg: Long = 4096L): DataFrame = {
     require(k > 0, s"linkPredict needs k > 0, got $k")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = edges
@@ -1842,7 +1927,7 @@ object ops {
       .distinct()
       .persist(MEMORY_AND_DISK)
     graft.Tables.touch(und)
-    val ck = graft.queries.Mining.linkPredictPairs(und, k)
+    val ck = graft.queries.Mining.linkPredictPairs(und, k, maxCenterDeg)
       .localCheckpoint(true)
     und.unpersist(blocking = false)
     ck
@@ -1856,10 +1941,21 @@ object ops {
     * 2009). Returns one row (component, n_nodes, seed_node,
     * ecc_seed, far_node, diameter_lb). Scale: two frontier-
     * proportional BFS runs + the cc fixpoint; three O(1) driver
-    * scalars.
+    * scalars. Both sweeps run over the WINNING COMPONENT's edges
+    * only — the cc labels are already in hand, and one semi-join
+    * stops every BFS hop from re-scanning the other components'
+    * edges (on a many-component graph the per-hop saving is the
+    * whole non-giant remainder).
+    *
+    * `maxHops = 60` is the BFS failure bound, kept IN SYNC with the
+    * q216 oracle's 60-hop recursion cap (`Mining.q216Sql`) — with
+    * diverged bounds a graph of eccentricity in between would fail
+    * on one side and succeed on the other. A high-diameter graph (a
+    * long path — the very shape the 2-sweep is exact on) needs both
+    * raised past its eccentricity.
     */
   def diameterSweep(edges: DataFrame, src: String, dst: String,
-      maxHops: Int = 40): DataFrame = {
+      maxHops: Int = 60): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = edges.sparkSession
     import s.implicits._
@@ -1871,20 +1967,32 @@ object ops {
       .persist(MEMORY_AND_DISK)
     graft.Tables.touch(und)
     val (cc, ccRounds) = connectedComponents(und, "a", "b")
-    graft.LoopStats.record("cc", ccRounds.toLong)
-    val top = cc.groupBy(col("component")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("component")).limit(1).head()
-    graft.Ck.release(cc)
+    graft.LoopStats.recordLoop("cc", ccRounds.toLong)
+    val topRows = cc.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("component")).limit(1).collect()
+    // loud empty-graph guard: an edge frame of only self-loops (or
+    // nothing) has no component to sweep — fail with the cause, not
+    // a NoSuchElementException out of head()
+    if (topRows.isEmpty) und.unpersist(blocking = false)
+    require(topRows.nonEmpty,
+      "diameterSweep: empty graph (no non-self-loop edges) — nothing to sweep")
+    val top = topRows.head
     val comp = top.getLong(0) // component label = min member id
     val nComp = top.getLong(1)
+    // restrict to the winning component BEFORE the sweeps: both
+    // endpoints of an undirected edge share a component, so one
+    // endpoint semi-join restricts the edge set exactly
+    val big = und
+      .join(cc.filter(col("component") === comp).select(col("id").as("a")),
+        Seq("a"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(big)
+    graft.Ck.release(cc)
+    und.unpersist(blocking = false) // the sweeps only read `big`
     def farthest(seed: Long, sweep: String): (Long, Long) = {
-      // maxHops is surfaced to the caller: a high-diameter graph (a
-      // long path — the very shape the 2-sweep is exact on) needs
-      // the BFS failure bound raised past its eccentricity, exactly
-      // as ScaleProbe scales its own BFS bound with the chain length
-      val (dist, hops) = bfsDistances(und, "a", "b", c => c === lit(seed),
+      val (dist, hops) = bfsDistances(big, "a", "b", c => c === lit(seed),
         maxHops = maxHops)
-      graft.LoopStats.record(sweep, hops.toLong)
+      graft.LoopStats.recordLoop(sweep, hops.toLong)
       val far = dist.filter(col("dist") >= 0L)
         .orderBy(col("dist").desc, col("id")).limit(1).head()
       graft.Ck.release(dist)
@@ -1892,7 +2000,7 @@ object ops {
     }
     val (u, eccSeed) = farthest(comp, "bfs_sweep1")
     val (_, diameterLb) = farthest(u, "bfs_sweep2")
-    und.unpersist(blocking = false)
+    big.unpersist(blocking = false)
     Seq((comp, nComp, comp, eccSeed, u, diameterLb))
       .toDF("component", "n_nodes", "seed_node", "ecc_seed",
         "far_node", "diameter_lb")

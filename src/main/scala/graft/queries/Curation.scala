@@ -296,7 +296,7 @@ object Curation {
     nodes.unpersist(blocking = false)
     if (!converged) graft.Ck.release(pr) // nothing consumes it past the guard
     require(converged, s"pagerank did not converge in $MaxPrRounds rounds")
-    graft.LoopStats.record("pr", curve.length.toLong)
+    graft.LoopStats.recordLoop("pr", curve.length.toLong)
     (pr, curve)
   }
 
@@ -507,7 +507,7 @@ object Curation {
     nodes.unpersist(blocking = false)
     if (!converged) graft.Ck.release(pr)
     require(converged, s"personalized pagerank did not converge in $MaxPrRounds rounds")
-    graft.LoopStats.record("ppr", curve.length.toLong)
+    graft.LoopStats.recordLoop("ppr", curve.length.toLong)
     (pr, curve)
   }
 
@@ -632,6 +632,9 @@ object Curation {
     // the guard only on the success path, for the warm phase)
     if (!conv0) { nodes.unpersist(blocking = false); graft.Ck.release(pr0) }
     require(conv0, s"base pagerank did not converge in $MaxPrRounds rounds")
+    // recorded here (not with pr_warm below) so each phase's
+    // recordLoop drains ITS OWN checkpoint-cost window
+    graft.LoopStats.recordLoop("pr_base", curve0.length.toLong)
     // CDC changelog, q77's (op, key...) row shape: deterministic
     // deletes (a ~0.1% residue class of the base edges) +
     // deterministic inserts (a second derived edge family from a
@@ -670,8 +673,7 @@ object Curation {
     graft.Ck.release(pr0)
     if (!conv1) graft.Ck.release(pr1)
     require(conv1, s"warm pagerank did not converge in $MaxWarmRounds rounds")
-    graft.LoopStats.record("pr_base", curve0.length.toLong)
-    graft.LoopStats.record("pr_warm", curve1.length.toLong)
+    graft.LoopStats.recordLoop("pr_warm", curve1.length.toLong)
     (pr1, curve0, curve1, edges1, nodes, eps)
   }
 

@@ -263,19 +263,22 @@ object Dedup {
       .withColumn("sz", size(col("sh")).cast("long"))
       .persist(MEMORY_AND_DISK)
     touch(d)
-    // candidate pairs are checkpointed with their count ridden on
-    // the materialization job (graft.Loop) and surfaced through
-    // LoopStats into bench_detail's "rounds" field: the number that
-    // tells a reader whether the PPJoin filters are doing their job
-    var candCk: DataFrame = null
+    // the candidate-pair count rides the query's OWN materialization
+    // as a lazy observe() (graft.Loop.riderCount) and lands in
+    // bench_detail's "rounds" field: the number that tells a reader
+    // whether the PPJoin filters are doing their job. Lazy on
+    // purpose — eagerly checkpointing the candidate table just to
+    // count it stored the query's largest intermediate in the
+    // BlockManager, where it previously stayed fused into the verify
+    // join's single execution.
+    var readCand: () => Option[Long] = () => None
     val out = ssjPairs(d, SsjTauE4, c => {
-      val (ck, n) = graft.Loop.ckCount(c, lit(true))
-      graft.LoopStats.record("ssj_cand", n)
-      candCk = ck
-      ck
+      val (obs, rd) = graft.Loop.riderCount(c)
+      readCand = rd
+      obs
     })
     val ck = out.localCheckpoint(true)
-    if (candCk != null) graft.Ck.release(candCk)
+    readCand().foreach(n => graft.LoopStats.recordLoop("ssj_cand", n))
     d.unpersist(blocking = false)
     ck
   }

@@ -727,17 +727,27 @@ object Mining {
     * edge derivation with a deterministic hash cut. NOT persisted —
     * callers own caching.
     */
-  private[graft] def sparseUnd(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sparseUnd(s: SparkSession, dir: String): DataFrame =
+    undFamily(s, dir, 31L, 32L)
+
+  /** The sparseUnd derivation parameterized by the partner
+    * multiplier and the keep-residue modulus — family 31 is the
+    * q161/q165/q216 base graph; family 37 (keep 1/512) is q217's
+    * deterministic insert changelog, closed-form so the DuckDB twin
+    * rebuilds it exactly.
+    */
+  private def undFamily(s: SparkSession, dir: String, mult: Long,
+      keepMod: Long): DataFrame = {
     val ev = graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))
     ev.crossJoin(broadcast(n))
       .select(col("user_id").as("s"),
-        ((col("user_id") * 31L + col("k")) % col("n")).as("d"))
+        ((col("user_id") * mult + col("k")) % col("n")).as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
-      .filter((col("a") * 131L + col("b") * 17L) % 32L === 0L)
+      .filter((col("a") * 131L + col("b") * 17L) % keepMod === 0L)
   }
 
   /** One connected-components round over (node, nbr) edges and a
@@ -793,7 +803,7 @@ object Mining {
     nbrs.unpersist(blocking = false) // release before the loud guard
     if (!converged) graft.Ck.release(labels)
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    graft.LoopStats.record("cc", rounds.toLong)
+    graft.LoopStats.recordLoop("cc", rounds.toLong)
     (labels, rounds)
   }
 
@@ -1095,7 +1105,7 @@ object Mining {
     // checkpoint the dist join below reads: don't release that one
     if (expanded) graft.Ck.release(frontier)
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
-    graft.LoopStats.record("bfs", hop.toLong)
+    graft.LoopStats.recordLoop("bfs", hop.toLong)
     val dist = nodes.join(visited, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
     (dist, hop)
@@ -1210,7 +1220,7 @@ object Mining {
     graft.Ck.release(alive) // coreDeg (if any) is materialized off it
     nbrs.unpersist(blocking = false)
     require(stable, s"k-core peel did not stabilize in $maxRounds rounds")
-    graft.LoopStats.record("kcore", rounds.toLong)
+    graft.LoopStats.recordLoop("kcore", rounds.toLong)
     (coreDeg.get, rounds)
   }
 
@@ -1815,6 +1825,80 @@ object Mining {
     * the (id, scc) table — scc = the component's MINIMUM member id,
     * q161's canonical-label convention — and the outer round count.
     */
+  /** One SCC trim pass over the full edge list and the live node
+    * set: the survivors (nodes with BOTH an in- and an out-edge in
+    * the induced subgraph). Factored out of [[sccAssign]] (pure
+    * extraction, identical plan) so SqlSurfaceSpec can pin the
+    * SQL-driven round body plan-equal to this exact production code
+    * — the ccRound discipline applied to the SCC loop.
+    */
+  private[graft] def sccTrimKeep(edges: DataFrame, cur: DataFrame): DataFrame = {
+    val curE = edges
+      .join(cur.select(col("id").as("src")), "src")
+      .join(cur.select(col("id").as("dst")), "dst")
+    curE
+      .select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionByName(curE
+        .select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy(col("id"))
+      .agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
+      .filter(col("ho") === 1L && col("hi") === 1L)
+      .select(col("id"))
+  }
+
+  /** One forward max-color round (neighbor-max + pointer jump) over
+    * the live induced edges and the (id, ord, clr) color table.
+    * Returns (id, ord, old, clr) — caller checkpoints and counts
+    * movement. See [[sccTrimKeep]] for why this is factored.
+    */
+  private[graft] def sccColorRound(ce: DataFrame, color: DataFrame): DataFrame = {
+    val inMax = ce
+      .join(color.select(col("id").as("src"), col("clr").as("sclr")), "src")
+      .groupBy(col("dst")).agg(max(col("sclr")).as("mc"))
+    val c1 = color
+      .join(inMax, col("id") === col("dst"), "left")
+      .select(col("id"), col("ord"), col("clr").as("old"),
+        greatest(col("clr"), coalesce(col("mc"), col("clr"))).as("c1"))
+    c1.join(c1.select(col("ord").as("t"), col("c1").as("tl")),
+        col("c1") === col("t"))
+      .select(col("id"), col("ord"), col("old"),
+        greatest(col("c1"), col("tl")).as("clr"))
+  }
+
+  /** One backward-collect frontier step: the not-yet-member nodes
+    * one edge behind the current members WITHIN their color class.
+    * See [[sccTrimKeep]] for why this is factored.
+    */
+  private[graft] def sccCollectGrow(ce: DataFrame, color: DataFrame,
+      members: DataFrame): DataFrame =
+    ce.join(members.select(col("id").as("dst"), col("clr").as("mclr")),
+        "dst")
+      .select(col("src").as("id"), col("mclr"))
+      .distinct()
+      .join(color.select(col("id"), col("clr")), Seq("id"))
+      .filter(col("clr") === col("mclr"))
+      .select(col("id"), col("clr"))
+      .join(members, Seq("id"), "left_anti")
+
+  /** One doubled-fixpoint round of the giant-SCC backward collect
+    * (max-descendant propagation over the class-internal edges
+    * REVERSED, same pointer jump). Returns (id, ord, old, b). See
+    * [[sccTrimKeep]] for why this is factored.
+    */
+  private[graft] def sccBackRound(sameE: DataFrame, back: DataFrame): DataFrame = {
+    val outMax = sameE
+      .join(back.select(col("id").as("dst"), col("b").as("db")), "dst")
+      .groupBy(col("src")).agg(max(col("db")).as("mb"))
+    val b1 = back
+      .join(outMax, col("id") === col("src"), "left")
+      .select(col("id"), col("ord"), col("b").as("old"),
+        greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
+    b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
+        col("b1") === col("t"))
+      .select(col("id"), col("ord"), col("old"),
+        greatest(col("b1"), col("tb")).as("b"))
+  }
+
   private[graft] def sccAssign(edges0: DataFrame,
       maxOuter: Int = 30): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1846,24 +1930,13 @@ object Mining {
       var trimGuard = 0
       while (trimming && trimGuard < 200) {
         trimGuard += 1
-        val curE = edges
-          .join(cur.select(col("id").as("src")), "src")
-          .join(cur.select(col("id").as("dst")), "dst")
         // one pass over the induced edges: a node survives iff it
         // appears as SOME src and SOME dst (two semi-joins would
         // re-execute the curE derivation twice per round)
         // survivor count rides the checkpoint job (graft.Loop) — it
         // doubles as the post-trim emptiness check
         val (keep, keepCnt) = graft.Loop.ckCount(
-          curE
-            .select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
-            .unionByName(curE
-              .select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
-            .groupBy(col("id"))
-            .agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
-            .filter(col("ho") === 1L && col("hi") === 1L)
-            .select(col("id")),
-          lit(true))
+          sccTrimKeep(edges, cur), lit(true))
         curCnt = keepCnt
         val (removed, rEmpty) = graft.Loop.ckIsEmpty(
           cur.join(keep, Seq("id"), "left_anti")
@@ -1916,20 +1989,9 @@ object Mining {
         var colGuard = 0
         while (!stable && colGuard < 100) {
           colGuard += 1
-          val inMax = ce
-            .join(color.select(col("id").as("src"), col("clr").as("sclr")), "src")
-            .groupBy(col("dst")).agg(max(col("sclr")).as("mc"))
-          val c1 = color
-            .join(inMax, col("id") === col("dst"), "left")
-            .select(col("id"), col("ord"), col("clr").as("old"),
-              greatest(col("clr"), coalesce(col("mc"), col("clr"))).as("c1"))
           // stop check rides the checkpoint job (graft.Loop)
           val (next, mvC) = graft.Loop.ckCount(
-            c1.join(c1.select(col("ord").as("t"), col("c1").as("tl")),
-                col("c1") === col("t"))
-              .select(col("id"), col("ord"), col("old"),
-                greatest(col("c1"), col("tl")).as("clr")),
-            col("clr") =!= col("old"))
+            sccColorRound(ce, color), col("clr") =!= col("old"))
           stable = mvC == 0L
           graft.Ck.release(color)
           color = next.select(col("id"), col("ord"), col("clr"))
@@ -1985,14 +2047,7 @@ object Mining {
         while (growing && bwGuard < oneStepBudget) {
           bwGuard += 1
           val (grow, gEmpty) = graft.Loop.ckIsEmpty(
-            ce.join(members.select(col("id").as("dst"), col("clr").as("mclr")),
-                "dst")
-              .select(col("src").as("id"), col("mclr"))
-              .distinct()
-              .join(color.select(col("id"), col("clr")), Seq("id"))
-              .filter(col("clr") === col("mclr"))
-              .select(col("id"), col("clr"))
-              .join(members, Seq("id"), "left_anti"))
+            sccCollectGrow(ce, color, members))
           growing = !gEmpty
           if (growing) {
             val nm = members.unionByName(grow).localCheckpoint(true)
@@ -2015,19 +2070,8 @@ object Mining {
           var bstable = false
           while (!bstable && bwGuard < oneStepBudget + 100) {
             bwGuard += 1
-            val outMax = sameE
-              .join(back.select(col("id").as("dst"), col("b").as("db")), "dst")
-              .groupBy(col("src")).agg(max(col("db")).as("mb"))
-            val b1 = back
-              .join(outMax, col("id") === col("src"), "left")
-              .select(col("id"), col("ord"), col("b").as("old"),
-                greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
             val (next, mvB) = graft.Loop.ckCount(
-              b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
-                  col("b1") === col("t"))
-                .select(col("id"), col("ord"), col("old"),
-                  greatest(col("b1"), col("tb")).as("b")),
-              col("b") =!= col("old"))
+              sccBackRound(sameE, back), col("b") =!= col("old"))
             bstable = mvB == 0L
             graft.Ck.release(back)
             back = next.select(col("id"), col("ord"), col("b"))
@@ -2069,7 +2113,7 @@ object Mining {
     edges.unpersist(blocking = false) // release before the loud guard
     graft.Ck.release(active) // empty (or superseded) on every exit path
     require(done, s"SCC did not converge in $maxOuter outer rounds")
-    graft.LoopStats.record("scc", outer.toLong)
+    graft.LoopStats.recordLoop("scc", outer.toLong)
     graft.LoopStats.record("scc_bw", maxBw) // deepest collect depth
     (assigned, outer)
   }
@@ -2369,33 +2413,61 @@ object Mining {
   // neighbor-list copies joined on the shared center, u < v), so
   // cost is Σ deg(c)² — q115's wedge envelope, NOT all-pairs; the
   // existing-edge removal is one anti-join against the canonical
-  // edge list, and degrees are a node-sized broadcast. On a
-  // power-law graph at 100 TB the same Σdeg² concern as q115
-  // applies: cap per-center fan-out (drop centers above a degree
-  // ceiling — their wedges predict weakly anyway) or reuse q115's
-  // degree-oriented split before the self-join.
+  // edge list, and degrees are a node-sized broadcast. The Σdeg²
+  // envelope is BOUNDED by the per-center fan-out cap: centers
+  // above `maxCenterDeg` are dropped from wedge enumeration before
+  // the self-join (a tiny broadcast anti-join against the hub
+  // list — the hub list, not its complement, is the small side on
+  // a power-law graph), capping any single center's contribution at
+  // cap². Dropping hub centers is the standard approximation (a
+  // common neighbor of degree 10⁶ carries ~no signal — the same
+  // rationale as Adamic-Adar's 1/log(deg) downweight); with the cap
+  // above the graph's max degree (testdata: 85 << 4096) the result
+  // is EXACT, which is what keeps q208 oracle-gated. The candidate
+  // count rides the query's own materialization as a lazy observe()
+  // (`lp_cand` in bench_detail) so the cap's effect is measurable
+  // without a second pass.
   // ---------------------------------------------------------------
   def q208LinkPredict(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = sparseUnd(s, dir).persist(MEMORY_AND_DISK)
     touch(und)
-    val ck = linkPredictPairs(und, 20).localCheckpoint(true)
+    var readCand: () => Option[Long] = () => None
+    val out = linkPredictPairs(und, 20, candHook = c => {
+      val (obs, rd) = graft.Loop.riderCount(c)
+      readCand = rd
+      obs
+    })
+    val ck = out.localCheckpoint(true)
+    readCand().foreach(n => graft.LoopStats.recordLoop("lp_cand", n))
     und.unpersist(blocking = false) // k rows survived — release edges
     ck
   }
 
   /** q208's core over a caller-persisted canonical (a, b) frame
-    * (ops.linkPredict and the ApiSpec hand graph call it). */
-  private[graft] def linkPredictPairs(und: DataFrame, k: Int): DataFrame = {
+    * (ops.linkPredict and the ApiSpec hand graph call it).
+    * `maxCenterDeg` bounds every center's wedge fan-out (see the
+    * q208 header); `candHook` wraps the non-adjacent candidate
+    * frame before scoring — q208LinkPredict injects the lazy
+    * observe() counter there.
+    */
+  private[graft] def linkPredictPairs(und: DataFrame, k: Int,
+      maxCenterDeg: Long = 4096L,
+      candHook: DataFrame => DataFrame = identity): DataFrame = {
+    require(maxCenterDeg > 0L, s"maxCenterDeg must be positive: $maxCenterDeg")
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
     val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val wedges = nbrs.alias("x").join(nbrs.alias("y"),
+    // per-center fan-out cap: hub centers out of the wedge join
+    val hubs = deg.filter(col("deg") > lit(maxCenterDeg)).select(col("node"))
+    val wnbrs = nbrs.join(broadcast(hubs), Seq("node"), "left_anti")
+    val wedges = wnbrs.alias("x").join(wnbrs.alias("y"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
       .groupBy(col("x.nbr").as("u"), col("y.nbr").as("v"))
       .agg(count(lit(1)).as("cn"))
-    val cand = wedges.join(und.select(col("a").as("u"), col("b").as("v")),
-      Seq("u", "v"), "left_anti")
+    val cand = candHook(
+      wedges.join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti"))
     cand
       .join(broadcast(deg.select(col("node").as("u"), col("deg").as("deg_u"))),
         "u")
@@ -2506,7 +2578,152 @@ object Mining {
       |  (SELECT v FROM u1) AS far_node,
       |  CAST((SELECT d FROM u2) AS BIGINT) AS diameter_lb""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q217: INCREMENTAL connected components — q178's CDC discipline
+  // applied to the dedup-graph fixpoint, the growing-corpus reality
+  // every production dedup pipeline hits (yesterday's clusters +
+  // today's shard; recomputing cc from scratch each day throws the
+  // previous fixpoint away). Phase 0 = q161's cold loop on the base
+  // graph; a deterministic changelog (deletes: a ~1.6% residue of
+  // the base edges; inserts: the family-37 edge derivation, both
+  // closed-form so the DuckDB twin rebuilds them) produces the new
+  // edge set; the WARM loop re-seeds only components touched by a
+  // delete (splits must re-verify) and keeps every other label —
+  // inserts alone never invalidate a min-label (proof sketch in
+  // ops.incrementalConnectedComponents). BOTH movement curves and
+  // the final component census are oracle-gated, so an early/late
+  // stop in either phase hash-mismatches; the warm round-count
+  // advantage on a controlled delta is asserted in CcLoopSpec.
+  //
+  // Scale shape per round is exactly q161's (node-keyed min-agg +
+  // node-sized pointer-jump self-join, flat checkpoint lineage);
+  // the init adds one node-keyed left join + a changelog-sized
+  // broadcast. Oracle: the engine round replay unrolled (the q178
+  // pattern), stop = first zero-movement round.
+  // ---------------------------------------------------------------
+  def q217IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = s
+    import sess.implicits._
+    val und0 = sparseUnd(s, dir).persist(MEMORY_AND_DISK)
+    touch(und0)
+    val (lab0, curve0) =
+      graft.api.ops.connectedComponentsCurve(und0, "a", "b")
+    graft.LoopStats.recordLoop("cc_base", curve0.length.toLong)
+    val dels = und0.filter((col("a") * 7L + col("b") * 11L) % 61L === 0L)
+    val ins = undFamily(s, dir, 37L, 512L)
+    val und1 = und0.join(dels, Seq("a", "b"), "left_anti")
+      .unionByName(ins)
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    touch(und1)
+    val (lab1, curve1) = graft.api.ops.incrementalConnectedComponents(
+      lab0, und1, dels, "a", "b")
+    graft.LoopStats.recordLoop("cc_warm", curve1.length.toLong)
+    graft.Ck.release(lab0) // warm init checkpointed; base labels consumed
+    und0.unpersist(blocking = false)
+    val census = lab1.groupBy(col("component"))
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+      .select(lit("comp").as("part"), col("component").as("k"),
+        col("n").as("v1"), col("mx").as("v2"))
+    val c0 = curve0.toDF("k", "v1")
+      .select(lit("round0").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    val c1 = curve1.toDF("k", "v1")
+      .select(lit("round1").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    val out = census.unionByName(c0).unionByName(c1).orderBy("part", "k")
+    val ck = out.localCheckpoint(true)
+    graft.Ck.release(lab1)
+    und1.unpersist(blocking = false)
+    ck
+  }
+
+  val q217Sql: String = {
+    // 16-round unroll bound for the replay: the engine stops
+    // data-driven (11 cold / 6 warm at sf0.01, 9/9 at sf0.1) and a
+    // stop past the unroll would leave `stop` NULL — loud mismatch
+    val R = 16
+    def roundCtes(p: String, bi: String, r: Int): String =
+      s"""${p}l1_$r AS MATERIALIZED (
+         |  SELECT l.node, l.lbl, least(l.lbl, coalesce(nm.nmin, l.lbl)) AS l1
+         |  FROM ${p}lab${r - 1} l LEFT JOIN (
+         |    SELECT n.node, MIN(l.lbl) AS nmin
+         |    FROM $bi n JOIN ${p}lab${r - 1} l ON l.node = n.nbr GROUP BY n.node
+         |  ) nm ON nm.node = l.node),
+         |${p}lab$r AS MATERIALIZED (
+         |  SELECT a.node, a.lbl AS old, b.l1 AS lbl
+         |  FROM ${p}l1_$r a JOIN (SELECT node, l1 FROM ${p}l1_$r) b ON a.l1 = b.node)""".stripMargin
+    def phase(p: String, bi: String, init: String): String = {
+      val rounds = (1 to R).map(roundCtes(p, bi, _)).mkString(",\n")
+      val curve = (1 to R).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}lab$r WHERE old <> lbl) AS mv")
+        .mkString("\nUNION ALL\n")
+      val labs = (1 to R).map(r => s"SELECT $r AS round, node, lbl FROM ${p}lab$r")
+        .mkString("\nUNION ALL\n")
+      s"""${p}lab0 AS MATERIALIZED ($init),
+         |$rounds,
+         |${p}curve AS MATERIALIZED (
+         |$curve
+         |), ${p}stop AS (SELECT MIN(round) AS r FROM ${p}curve WHERE mv = 0),
+         |${p}final AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |$labs
+         |  ) WHERE round = (SELECT r FROM ${p}stop))""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+       |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+       |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+       |base0 AS (
+       |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+       |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+       |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+       |), und AS MATERIALIZED (
+       |  SELECT a, b FROM base0 WHERE (a*131 + b*17) % 32 = 0
+       |), dels AS MATERIALIZED (
+       |  SELECT a, b FROM und WHERE (a*7 + b*11) % 61 = 0
+       |), ins0 AS (
+       |  SELECT DISTINCT least(user_id, (user_id*37 + k) % (SELECT n FROM nn)) AS a,
+       |    greatest(user_id, (user_id*37 + k) % (SELECT n FROM nn)) AS b
+       |  FROM ev WHERE user_id <> (user_id*37 + k) % (SELECT n FROM nn)
+       |), ins AS MATERIALIZED (
+       |  SELECT a, b FROM ins0 WHERE (a*131 + b*17) % 512 = 0
+       |), und1 AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT u.a, u.b FROM und u
+       |    LEFT JOIN dels d ON d.a = u.a AND d.b = u.b WHERE d.a IS NULL
+       |    UNION ALL SELECT a, b FROM ins)
+       |), bi0 AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+       |),
+       |${phase("p0_", "bi0",
+           "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM bi0)")},
+       |bi1 AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und1 UNION ALL SELECT b, a FROM und1
+       |), aff AS MATERIALIZED (
+       |  SELECT DISTINCT l.lbl FROM p0_final l
+       |  JOIN (SELECT a AS id FROM dels UNION ALL SELECT b FROM dels) e
+       |    ON e.id = l.node
+       |),
+       |${phase("p1_", "bi1",
+           """SELECT n.node,
+             |    CASE WHEN l.lbl IS NULL OR a.lbl IS NOT NULL THEN n.node
+             |         ELSE l.lbl END AS lbl
+             |  FROM (SELECT DISTINCT node FROM bi1) n
+             |  LEFT JOIN p0_final l ON l.node = n.node
+             |  LEFT JOIN aff a ON a.lbl = l.lbl""".stripMargin)}
+       |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
+       |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
+       |UNION ALL
+       |SELECT 'round0', round, mv, CAST(0 AS BIGINT) FROM p0_curve
+       |WHERE round <= (SELECT r FROM p0_stop)
+       |UNION ALL
+       |SELECT 'round1', round, mv, CAST(0 AS BIGINT) FROM p1_curve
+       |WHERE round <= (SELECT r FROM p1_stop)
+       |ORDER BY part, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_incremental_cc" -> q217IncrementalCc _,
     "q216_diameter_sweep" -> q216DiameterSweep _,
     "q208_link_predict" -> q208LinkPredict _,
     "q202_condensation_dag" -> q202CondensationDag _,
@@ -2533,6 +2750,7 @@ object Mining {
     "q75_source_stats" -> q75SourceStats _)
 
   val oracles: Map[String, String] = Map(
+    "q217_incremental_cc" -> q217Sql,
     "q216_diameter_sweep" -> q216Sql,
     "q208_link_predict" -> q208Sql,
     "q202_condensation_dag" -> q202Sql,

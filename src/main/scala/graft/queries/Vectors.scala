@@ -1288,7 +1288,7 @@ object Vectors {
       stopped = reass * 50L <= n // <= 2% reassigned
     }
     require(stopped, s"k-means did not reach the movement threshold in $KmCap rounds")
-    graft.LoopStats.record("kmeans", rounds.toLong)
+    graft.LoopStats.recordLoop("kmeans", rounds.toLong)
     val census = prevAssign.groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("mn"))
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))

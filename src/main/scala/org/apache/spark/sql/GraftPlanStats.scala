@@ -42,10 +42,17 @@ object GraftPlanStats {
           .map(info => math.max(info.memSize + info.diskSize, 1L))
         measured match {
           case Some(bytes) =>
+            // constraints: thread the checkpoint's own set through
+            // rather than dropping it — `lr.constraints` is the
+            // already-rewritten (this-output-attributed) form of the
+            // origin plan's constraint set, so downstream optimizer
+            // constraint propagation (IsNotNull inference, filter
+            // pruning) keeps working on the stats-swapped copy
             val clean = new LogicalRDD(lr.output, lr.rdd,
               lr.outputPartitioning, lr.outputOrdering, lr.isStreaming,
               lr.stream)(session,
-              Some(Statistics(sizeInBytes = BigInt(bytes))), None)
+              Some(Statistics(sizeInBytes = BigInt(bytes))),
+              Some(lr.constraints))
             CDataset.ofRows(session, clean)
           case None => df
         }

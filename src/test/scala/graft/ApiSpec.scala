@@ -803,6 +803,35 @@ class ApiSpec extends SparkSpec {
     assert(viaOps == viaQuery)
   }
 
+  test("linkPredict caps hub-center wedge fan-out (planted hub)") {
+    val s = spark
+    import s.implicits._
+    // planted hub 100 wired to leaves 0..39, plus a 4-cycle among
+    // leaves 0-3 so the capped graph still has wedges of its own
+    val edges = ((0L until 40L).map(i => (i, 100L)) ++
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))).toDF("a", "b")
+    def candCount(cap: Long): Long = {
+      var n = -1L
+      queries.Mining.linkPredictPairs(edges, 1000, cap,
+        candHook = c => { n = c.count(); c }).count()
+      n
+    }
+    // uncapped: EVERY non-adjacent leaf pair is a candidate through
+    // the hub — C(40,2) minus the 4 ring edges = 776. The quadratic
+    // blow-up the cap exists to stop, reproduced in miniature.
+    assert(candCount(4096L) == 776L)
+    // cap 16 drops the hub (deg 40) from wedge enumeration; only the
+    // ring's two diagonals remain — bounded by Σ_{deg<=cap} deg²
+    assert(candCount(16L) == 2L)
+    val capped = ops.linkPredict(edges, "a", "b", k = 10, maxCenterDeg = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // Jaccard denominators still use TRUE degrees (ring nodes: 3 =
+    // hub + two ring neighbors) even though the hub left enumeration
+    assert(capped.toSet == Set((0L, 2L, 2L, 3L, 3L), (1L, 3L, 2L, 3L, 3L)),
+      capped.mkString(","))
+  }
+
   test("stationaryDistribution solves a hand chain and matches q215") {
     val s = spark
     import s.implicits._

@@ -204,4 +204,46 @@ class CcLoopSpec extends SparkSpec {
       .filter(col("lbl") =!= col("nlbl"))
     assert(crossEdges.isEmpty, "an edge crosses two label classes")
   }
+
+  test("incremental cc: warm start beats cold on the same delta, labels equal") {
+    val s = spark
+    import s.implicits._
+    import graft.api.ops
+    def labelSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // base: a 30-node path (deep min-label propagation) + a triangle
+    val path = (0L until 29L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val base = (path ++ tri).toDF("s", "d")
+    val (lab0, curve0) = ops.connectedComponentsCurve(base, "s", "d")
+    // delta: EXTEND the path by two nodes (inserts) and drop one
+    // redundant triangle edge (a delete that does NOT split)
+    val dels = Seq((100L, 101L)).toDF("s", "d")
+    val delta = (path ++ Seq((29L, 30L), (30L, 31L)) ++ tri.drop(1))
+      .toDF("s", "d")
+    val (warmLab, warmCurve) =
+      ops.incrementalConnectedComponents(lab0, delta, dels, "s", "d")
+    val (coldLab, coldCurve) = ops.connectedComponentsCurve(delta, "s", "d")
+    // identical labeling either way...
+    assert(labelSet(warmLab) == labelSet(coldLab))
+    // ...but the warm start's movement reflects only the delta's
+    // disturbance (two fresh nodes + the re-seeded 3-node triangle),
+    // not the 30-node path's propagation depth
+    assert(warmCurve.length < coldCurve.length,
+      s"warm=$warmCurve cold=$coldCurve")
+    Ck.release(lab0); Ck.release(warmLab); Ck.release(coldLab)
+
+    // delete that SPLITS: cut the path in the middle — the affected
+    // component re-seeds and re-verifies, labels match a cold run
+    val cutDel = Seq((14L, 15L)).toDF("s", "d")
+    val cut = (path.filterNot(_ == (14L, 15L)) ++ tri).toDF("s", "d")
+    val (lab0b, _) = ops.connectedComponentsCurve(base, "s", "d")
+    val (warmCut, _) =
+      ops.incrementalConnectedComponents(lab0b, cut, cutDel, "s", "d")
+    val (coldCut, _) = ops.connectedComponentsCurve(cut, "s", "d")
+    assert(labelSet(warmCut) == labelSet(coldCut))
+    // the split is real: node 15 now leads its own component
+    assert(labelSet(warmCut).contains((15L, 15L)))
+    Ck.release(lab0b); Ck.release(warmCut); Ck.release(coldCut)
+  }
 }

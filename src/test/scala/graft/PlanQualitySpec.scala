@@ -839,6 +839,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // node-sized degree table broadcasts into both endpoint joins
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the per-center fan-out cap is IN the plan: hub removal (and
+    // existing-edge removal) ride anti-joins, never a post-filter
+    // over an uncapped wedge product
+    assert("LeftAnti".r.findAllIn(p).size >= 2, p)
     Ck.release(und)
   }
 
