@@ -120,8 +120,44 @@ object ScaleProbe {
         .unionByName(edges.select(col("b").as("x"))).distinct()
         .localCheckpoint(true)
       val nNodes = nodeSet.count()
-      val cc = timeLoop(p =>
-        ops.connectedComponents(edges, "a", "b", probe = p)._2)
+      var ccLabels: DataFrame = null
+      val cc = timeLoop { p =>
+        val (l, curve) = ops.connectedComponentsCurve(edges, "a", "b", probe = p)
+        ccLabels = l
+        curve.length
+      }
+      // warm-start cc leg (round-9, q217's scale evidence): a sparse
+      // deterministic changelog on the replicated graph — ~0.1% edge
+      // deletes plus anchor-adjacent inserts — then the incremental
+      // loop from the cold fixpoint vs a cold rerun on the SAME
+      // delta graph. The robust signal is the MOVEMENT VOLUME (warm
+      // round-1 movement tracks the delta, cold tracks the corpus);
+      // rounds shrink too whenever the deletes miss the giant
+      // component. Both labelings must agree — checked here, loudly.
+      val ccDels = edges.filter((col("a") * 7L + col("b") * 11L) % 997L === 0L)
+      val ccIns = nodeSet.filter(col("x") % 101L === 0L)
+        .select(col("x").as("a"), (col("x") + 1L).as("b"))
+      val ccDelta = edges.join(ccDels, Seq("a", "b"), "left_anti")
+        .unionByName(ccIns).distinct().localCheckpoint(true)
+      val warmT0 = System.nanoTime()
+      val (warmLab, warmCurve) =
+        ops.incrementalConnectedComponents(ccLabels, ccDelta, ccDels, "a", "b")
+      val warmS = (System.nanoTime() - warmT0) / 1e9
+      val coldT0 = System.nanoTime()
+      val (coldLab, coldCurve) =
+        ops.connectedComponentsCurve(ccDelta, "a", "b")
+      val coldS = (System.nanoTime() - coldT0) / 1e9
+      val agree = warmLab.join(coldLab, Seq("id"))
+        .filter(warmLab("component") =!= coldLab("component")).isEmpty
+      require(agree, "warm-start cc labels diverge from the cold rerun")
+      graft.Ck.release(ccLabels)
+      graft.Ck.release(warmLab)
+      graft.Ck.release(coldLab)
+      graft.Ck.release(ccDelta)
+      val ccWarmJson =
+        s"""{"warm_rounds":${warmCurve.length},"cold_rounds":${coldCurve.length},""" +
+          s""""warm_mv":${warmCurve.map(_._2).sum},"cold_mv":${coldCurve.map(_._2).sum},""" +
+          s""""warm_s":${fmt(warmS)},"cold_s":${fmt(coldS)}}"""
       // seeds only in replica 0, so the frontier must walk the
       // bridge chain — hop count grows with m by construction
       val seed: Column => Column = c => c < lit(n) && c % mod === 0L
@@ -189,7 +225,7 @@ object ScaleProbe {
       val ringBw = ringStats.getOrElse("scc_bw", -1L)
       require(nRingScc == 1L, s"ring must be ONE scc, got $nRingScc")
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
-        s""""cc":${loopJson(cc)},"bfs":${loopJson(bfs)},""" +
+        s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +
         s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
         s""""scc":{"outer_rounds":$sccRounds,"bw_rounds":$sccBw,""" +
         s""""total_s":${fmt(sccS)},"n_sccs":$nScc},""" +
@@ -198,7 +234,9 @@ object ScaleProbe {
         s""""total_s":${fmt(ringS)},"n_sccs":$nRingScc}}"""
       // one human-readable summary per scale as the run progresses
       println(s"[scale-probe] m=$m edges=$nEdges cc=${cc.rounds}r/" +
-        s"${fmt(cc.totalS)}s bfs=${bfs.rounds}r/${fmt(bfs.totalS)}s " +
+        s"${fmt(cc.totalS)}s ccwarm=${warmCurve.length}r/" +
+        s"mv${warmCurve.map(_._2).sum}(cold ${coldCurve.length}r/" +
+        s"mv${coldCurve.map(_._2).sum}) bfs=${bfs.rounds}r/${fmt(bfs.totalS)}s " +
         s"pr=${pr.rounds}r/${fmt(pr.totalS)}s kcore=${kc.rounds}r/" +
         s"${fmt(kc.totalS)}s scc=${sccRounds}r(bw$sccBw)/${fmt(sccS)}s/" +
         s"${nScc}sccs giant=${nRing}n/bw${ringBw}r/${fmt(ringS)}s")

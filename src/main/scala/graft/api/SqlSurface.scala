@@ -570,6 +570,288 @@ object SqlSurface {
     out
   }
 
+  // ----- q199: the SCC loop, SQL-driven ----------------------------
+  // (the directed family's second loop on the SQL surface — round-8
+  // verdict item 5. Round bodies are plan-equal-pinned in
+  // SqlSurfaceSpec against the factored production bodies
+  // Mining.sccTrimKeep / sccColorRound / sccCollectGrow /
+  // sccBackRound; the driver below mirrors Mining.sccAssign's
+  // control flow — trim fixpoint, hash-scrambled forward coloring,
+  // hybrid backward collect — with the same Loop riders, checkpoint
+  // hygiene, and loud guards.)
+
+  /** Live induced-subgraph edges over `scc_edges` / `scc_cur` —
+    * interpolated per use site (twice in the trim body), the
+    * no-CTE rule.
+    */
+  val sccCurESql: String =
+    """SELECT * FROM scc_edges
+      |JOIN (SELECT id AS src FROM scc_cur) USING (src)
+      |JOIN (SELECT id AS dst FROM scc_cur) USING (dst)""".stripMargin
+
+  /** One trim pass — plan-equal to Mining.sccTrimKeep. */
+  val sccTrimKeepSql: String =
+    s"""SELECT id FROM (
+       |  SELECT id, MAX(o) AS ho, MAX(i) AS hi FROM (
+       |    SELECT src AS id, 1L AS o, 0L AS i FROM ($sccCurESql)
+       |    UNION ALL
+       |    SELECT dst AS id, 0L AS o, 1L AS i FROM ($sccCurESql)
+       |  ) GROUP BY id
+       |) WHERE ho = 1L AND hi = 1L""".stripMargin
+
+  /** The hash-scrambled color init over `scc_cur` — plan-equal to
+    * `cur.select(id, Mining.sccOrd)` + the clr copy.
+    */
+  val sccColorInitSql: String =
+    """SELECT id, ord, ord AS clr FROM (
+      |  SELECT id,
+      |    CAST(conv(substring(md5(CAST(id AS STRING)), 1, 7), 16, 10) AS BIGINT)
+      |      * 34359738368L + id AS ord
+      |  FROM scc_cur)""".stripMargin
+
+  private val sccC1Sub: String =
+    """SELECT id, ord, clr AS old, greatest(clr, coalesce(mc, clr)) AS c1
+      |FROM scc_color LEFT JOIN (
+      |  SELECT dst, MAX(sclr) AS mc
+      |  FROM scc_ce JOIN (SELECT id AS src, clr AS sclr FROM scc_color)
+      |    USING (src)
+      |  GROUP BY dst
+      |) ON id = dst""".stripMargin
+
+  /** One forward max-color round (neighbor-max + pointer jump) over
+    * `scc_ce` / `scc_color` — plan-equal to Mining.sccColorRound.
+    */
+  val sccColorRoundSql: String =
+    s"""SELECT a.id, a.ord, a.old, greatest(a.c1, b.tl) AS clr
+       |FROM ($sccC1Sub) a
+       |JOIN (SELECT ord AS t, c1 AS tl FROM ($sccC1Sub)) b ON a.c1 = b.t""".stripMargin
+
+  /** One backward-collect frontier step over `scc_ce` / `scc_color`
+    * / `scc_members` — plan-equal to Mining.sccCollectGrow.
+    */
+  val sccCollectGrowSql: String =
+    """SELECT id, clr FROM (
+      |  SELECT id, clr, mclr FROM (
+      |    SELECT DISTINCT src AS id, mclr
+      |    FROM scc_ce JOIN (SELECT id AS dst, clr AS mclr FROM scc_members)
+      |      USING (dst)
+      |  ) JOIN (SELECT id, clr FROM scc_color) USING (id)
+      |  WHERE clr = mclr
+      |) LEFT ANTI JOIN scc_members USING (id)""".stripMargin
+
+  /** The color-class-internal edge set for the doubled fixpoint. */
+  val sccSameESql: String =
+    """SELECT src, dst FROM (
+      |  SELECT * FROM scc_ce
+      |  JOIN (SELECT id AS src, clr AS sc FROM scc_color) USING (src)
+      |  JOIN (SELECT id AS dst, clr AS dc FROM scc_color) USING (dst)
+      |) WHERE sc = dc""".stripMargin
+
+  private val sccB1Sub: String =
+    """SELECT id, ord, b AS old, greatest(b, coalesce(mb, b)) AS b1
+      |FROM scc_back LEFT JOIN (
+      |  SELECT src, MAX(db) AS mb
+      |  FROM scc_same JOIN (SELECT id AS dst, b AS db FROM scc_back)
+      |    USING (dst)
+      |  GROUP BY src
+      |) ON id = src""".stripMargin
+
+  /** One doubled-fixpoint round of the giant-SCC backward collect —
+    * plan-equal to Mining.sccBackRound.
+    */
+  val sccBackRoundSql: String =
+    s"""SELECT a.id, a.ord, a.old, greatest(a.b1, b.tb) AS b
+       |FROM ($sccB1Sub) a
+       |JOIN (SELECT ord AS t, b1 AS tb FROM ($sccB1Sub)) b ON a.b1 = b.t""".stripMargin
+
+  /** q199's SCC loop driven entirely through `spark.sql` over a
+    * caller-persisted canonical directed edge frame: the EXACT
+    * control flow of Mining.sccAssign (trim-to-fixpoint peel,
+    * forward max-coloring, hybrid one-step/doubled backward collect,
+    * min-member-id assignment), with the same graft.Loop riders and
+    * Ck hygiene. Returns the (id, scc) labels and the outer round
+    * count.
+    */
+  /** RESERVED VIEW NAMES: owns `scc_edges` / `scc_cur` / `scc_keep`
+    * / `scc_ce` / `scc_color` / `scc_members` / `scc_same` /
+    * `scc_back` for the loop's duration, dropped on exit — see
+    * [[ccLoopSql]]'s contract.
+    */
+  def sccLoopSqlOn(s: SparkSession, edges: DataFrame,
+      maxOuter: Int = 30): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    try {
+      edges.createOrReplaceTempView("scc_edges")
+      var active = s.sql(
+        """SELECT DISTINCT id FROM (
+          |  SELECT src AS id FROM scc_edges
+          |  UNION ALL SELECT dst FROM scc_edges)""".stripMargin)
+        .localCheckpoint(true)
+      val idBounds = active.agg(min(col("id")), max(col("id"))).head()
+      if (!idBounds.isNullAt(0)) {
+        require(idBounds.getLong(0) >= 0L && idBounds.getLong(1) < (1L << 35),
+          s"SCC needs node ids in [0, 2^35), got [${idBounds.getLong(0)}, " +
+            s"${idBounds.getLong(1)}] — relabel (e.g. zipWithIndex) first")
+      }
+      var assigned = active.select(col("id"), col("id").as("scc"))
+        .filter(lit(false)).localCheckpoint(true)
+      var outer = 0
+      var done = active.isEmpty
+      while (!done && outer < maxOuter) {
+        outer += 1
+        var cur = active
+        var curCnt = -1L
+        var trimming = true
+        var trimGuard = 0
+        while (trimming && trimGuard < 200) {
+          trimGuard += 1
+          cur.createOrReplaceTempView("scc_cur")
+          val (keep, keepCnt) =
+            graft.Loop.ckCount(s.sql(sccTrimKeepSql), lit(true))
+          curCnt = keepCnt
+          keep.createOrReplaceTempView("scc_keep")
+          val (removed, rEmpty) = graft.Loop.ckIsEmpty(s.sql(
+            "SELECT id, id AS scc FROM scc_cur LEFT ANTI JOIN scc_keep USING (id)"))
+          trimming = !rEmpty
+          if (trimming) {
+            val na = assigned.unionByName(removed).localCheckpoint(true)
+            graft.Ck.release(assigned)
+            assigned = na
+          } else graft.Ck.release(removed)
+          if (cur ne active) graft.Ck.release(cur)
+          cur = keep
+        }
+        require(!trimming, "SCC trim did not reach a fixpoint")
+        done = curCnt == 0L
+        if (!done) {
+          cur.createOrReplaceTempView("scc_cur")
+          val ce = s.sql(sccCurESql).persist(MEMORY_AND_DISK)
+          graft.Tables.touch(ce)
+          ce.createOrReplaceTempView("scc_ce")
+          var color = s.sql(sccColorInitSql).localCheckpoint(true)
+          var stable = false
+          var colGuard = 0
+          while (!stable && colGuard < 100) {
+            colGuard += 1
+            color.createOrReplaceTempView("scc_color")
+            val (next, mvC) = graft.Loop.ckCount(s.sql(sccColorRoundSql),
+              col("clr") =!= col("old"))
+            stable = mvC == 0L
+            graft.Ck.release(color)
+            color = next.select(col("id"), col("ord"), col("clr"))
+          }
+          require(stable, "SCC coloring did not reach a fixpoint")
+          color.createOrReplaceTempView("scc_color")
+          val oneStepBudget = 64
+          var members = s.sql("SELECT id, clr FROM scc_color WHERE clr = ord")
+            .localCheckpoint(true)
+          var growing = true
+          var bwGuard = 0
+          while (growing && bwGuard < oneStepBudget) {
+            bwGuard += 1
+            members.createOrReplaceTempView("scc_members")
+            val (grow, gEmpty) =
+              graft.Loop.ckIsEmpty(s.sql(sccCollectGrowSql))
+            growing = !gEmpty
+            if (growing) {
+              val nm = members.unionByName(grow).localCheckpoint(true)
+              graft.Ck.release(members)
+              graft.Ck.release(grow)
+              members = nm
+            } else graft.Ck.release(grow)
+          }
+          if (growing) {
+            // giant-SCC path: the doubled fixpoint over the class
+            graft.Ck.release(members)
+            val sameE = s.sql(sccSameESql).localCheckpoint(true)
+            sameE.createOrReplaceTempView("scc_same")
+            var back = s.sql("SELECT id, ord, ord AS b FROM scc_color")
+              .localCheckpoint(true)
+            var bstable = false
+            while (!bstable && bwGuard < oneStepBudget + 100) {
+              bwGuard += 1
+              back.createOrReplaceTempView("scc_back")
+              val (next, mvB) = graft.Loop.ckCount(s.sql(sccBackRoundSql),
+                col("b") =!= col("old"))
+              bstable = mvB == 0L
+              graft.Ck.release(back)
+              back = next.select(col("id"), col("ord"), col("b"))
+            }
+            require(bstable, "SCC backward collect did not converge")
+            back.createOrReplaceTempView("scc_back")
+            members = s.sql(
+              """SELECT id, clr FROM (
+                |  SELECT c.id, c.clr, k.b FROM scc_color c
+                |  JOIN (SELECT id, b FROM scc_back) k USING (id)
+                |) WHERE b = clr""".stripMargin).localCheckpoint(true)
+            graft.Ck.release(back)
+            graft.Ck.release(sameE)
+          }
+          members.createOrReplaceTempView("scc_members")
+          val roundA = s.sql(
+            """SELECT m.id, x.scc FROM scc_members m
+              |JOIN (SELECT clr, MIN(id) AS scc FROM scc_members GROUP BY clr) x
+              |  USING (clr)""".stripMargin).localCheckpoint(true)
+          val na = assigned.unionByName(roundA).localCheckpoint(true)
+          graft.Ck.release(assigned)
+          graft.Ck.release(roundA)
+          assigned = na
+          val (nextActive, naEmpty) = graft.Loop.ckIsEmpty(s.sql(
+            "SELECT id FROM scc_cur LEFT ANTI JOIN scc_members USING (id)"))
+          graft.Ck.release(members)
+          graft.Ck.release(color)
+          if (cur ne active) graft.Ck.release(cur)
+          ce.unpersist(blocking = false)
+          graft.Ck.release(active)
+          active = nextActive
+          done = naEmpty
+        } else {
+          if (cur ne active) { graft.Ck.release(active); active = cur }
+        }
+      }
+      graft.Ck.release(active)
+      require(done, s"SCC did not converge in $maxOuter outer rounds")
+      (assigned, outer)
+    } finally {
+      Seq("scc_edges", "scc_cur", "scc_keep", "scc_ce", "scc_color",
+        "scc_members", "scc_same", "scc_back")
+        .foreach(s.catalog.dropTempView)
+    }
+  }
+
+  /** q199's output shape over the SQL-driven loop (one dirEdges
+    * derivation serves the loop and the intra-edge census, the
+    * q199Scc discipline).
+    */
+  def q199SccSql(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = Mining.dirEdges(s, dir).persist(MEMORY_AND_DISK)
+    graft.Tables.touch(edges)
+    val (labels, _) = sccLoopSqlOn(s, edges)
+    labels.createOrReplaceTempView("scc_final")
+    edges.createOrReplaceTempView("scc_eout")
+    val out =
+      try s.sql(
+        """SELECT scc, n_nodes, coalesce(n_intra, 0L) AS n_intra FROM (
+          |  SELECT scc, COUNT(1) AS n_nodes FROM scc_final GROUP BY scc
+          |) LEFT JOIN (
+          |  SELECT ssc AS scc, COUNT(1) AS n_intra FROM (
+          |    SELECT * FROM scc_eout
+          |    JOIN (SELECT id AS src, scc AS ssc FROM scc_final) USING (src)
+          |    JOIN (SELECT id AS dst, scc AS dsc FROM scc_final) USING (dst)
+          |  ) WHERE ssc = dsc GROUP BY ssc
+          |) USING (scc)
+          |ORDER BY scc""".stripMargin)
+        .localCheckpoint(true) // materialize before the views drop
+      finally {
+        s.catalog.dropTempView("scc_final")
+        s.catalog.dropTempView("scc_eout")
+      }
+    graft.Ck.release(labels)
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** q181's output shape over the SQL-driven loop. */
   def q181KcoreSql(s: SparkSession, dir: String): DataFrame = {
     val (coreDeg, rounds) = kcoreLoopSql(s, dir)

@@ -1825,6 +1825,15 @@ object Mining {
     * the (id, scc) table — scc = the component's MINIMUM member id,
     * q161's canonical-label convention — and the outer round count.
     */
+  /** The hash-scrambled propagation total order ord(v) = h28(v)·2³⁵
+    * + v (injective for ids in [0, 2³⁵), pseudo-random — see the
+    * phase-2 comment in [[sccAssign]]). Factored so the SQL surface
+    * pins the EXACT production expression.
+    */
+  private[graft] def sccOrd: Column =
+    (Hashing.hash28(col("id").cast("string")) *
+      lit(1L << 35) + col("id")).as("ord")
+
   /** One SCC trim pass over the full edge list and the live node
     * set: the survivors (nodes with BOTH an in- and an out-edge in
     * the induced subgraph). Factored out of [[sccAssign]] (pure
@@ -1980,9 +1989,7 @@ object Mining {
         // with the propagation order except by vanishing chance —
         // the expected-O(log) behavior of randomized shortcutting,
         // independent of how the graph labeled its nodes.
-        val ordCol = (Hashing.hash28(col("id").cast("string")) *
-          lit(1L << 35) + col("id")).as("ord")
-        var color = cur.select(col("id"), ordCol)
+        var color = cur.select(col("id"), sccOrd)
           .select(col("id"), col("ord"), col("ord").as("clr"))
           .localCheckpoint(true)
         var stable = false

@@ -147,4 +147,50 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(dfOut) == rows(sqOut),
       s"HITS top-k diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
   }
+
+  test("SQL-driven SCC round bodies are plan-equal to Mining's; output equals q199") {
+    ready
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = Mining.dirEdges(spark, dir).persist(MEMORY_AND_DISK)
+    edges.createOrReplaceTempView("scc_edges")
+    val cur = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    cur.createOrReplaceTempView("scc_cur")
+    pinPlanEqual("scc_trim_keep",
+      Mining.sccTrimKeep(edges, cur), spark.sql(SqlSurface.sccTrimKeepSql))
+    pinPlanEqual("scc_color_init",
+      cur.select(col("id"), Mining.sccOrd)
+        .select(col("id"), col("ord"), col("ord").as("clr")),
+      spark.sql(SqlSurface.sccColorInitSql))
+    val ce = spark.sql(SqlSurface.sccCurESql).localCheckpoint(true)
+    ce.createOrReplaceTempView("scc_ce")
+    val color = spark.sql(SqlSurface.sccColorInitSql).localCheckpoint(true)
+    color.createOrReplaceTempView("scc_color")
+    pinPlanEqual("scc_color_round",
+      Mining.sccColorRound(ce, color), spark.sql(SqlSurface.sccColorRoundSql))
+    val members = spark.sql("SELECT id, clr FROM scc_color WHERE clr = ord")
+      .localCheckpoint(true)
+    members.createOrReplaceTempView("scc_members")
+    pinPlanEqual("scc_collect_grow",
+      Mining.sccCollectGrow(ce, color, members),
+      spark.sql(SqlSurface.sccCollectGrowSql))
+    val sameE = spark.sql(SqlSurface.sccSameESql).localCheckpoint(true)
+    sameE.createOrReplaceTempView("scc_same")
+    val back = spark.sql("SELECT id, ord, ord AS b FROM scc_color")
+      .localCheckpoint(true)
+    back.createOrReplaceTempView("scc_back")
+    pinPlanEqual("scc_back_round",
+      Mining.sccBackRound(sameE, back), spark.sql(SqlSurface.sccBackRoundSql))
+    edges.unpersist(blocking = false)
+    Seq(cur, ce, color, members, sameE, back).foreach(Ck.release)
+    Seq("scc_edges", "scc_cur", "scc_ce", "scc_color", "scc_members",
+      "scc_same", "scc_back").foreach(spark.catalog.dropTempView)
+
+    // loop agreement: the SQL-driven loop's labels census equals q199
+    val dfOut = SparkEntry.queries("q199_scc")(spark, dir)
+    val sqOut = SqlSurface.q199SccSql(spark, dir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"SCC census diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+  }
 }
