@@ -151,8 +151,16 @@ object Loop {
       frame.observe(name, count(when(moved, lit(1))).as("mv"))
         .localCheckpoint(true))
     // degraded mode (no ride in SkipAfter tries): don't pay the full
-    // deadline every round for a bus that isn't delivering
-    val deadlineMs = if (consecFallbacks.get() >= SkipAfter) 25L else 500L
+    // deadline every round for a bus that isn't delivering. The
+    // counter is JVM-global, so a transient GC/load streak anywhere
+    // would otherwise collapse the deadline for every later loop in
+    // the process with no way back (under load, deliveries beat
+    // 500 ms but not 25 ms) — every 32nd consecutive fallback
+    // re-probes at the full deadline so a recovered bus restores
+    // normal mode within a bounded number of rounds.
+    val fb = consecFallbacks.get()
+    val deadlineMs =
+      if (fb >= SkipAfter && fb % 32L != 0L) 25L else 500L
     val n = awaitMetric(name, deadlineMs) match {
       case Some(row) =>
         rides.incrementAndGet(); consecFallbacks.set(0L); row.getLong(0)

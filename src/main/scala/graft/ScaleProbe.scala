@@ -126,14 +126,15 @@ object ScaleProbe {
         ccLabels = l
         curve.length
       }
-      // warm-start cc leg (round-9, q217's scale evidence): a sparse
-      // deterministic changelog on the replicated graph — ~0.1% edge
-      // deletes plus anchor-adjacent inserts — then the incremental
-      // loop from the cold fixpoint vs a cold rerun on the SAME
-      // delta graph. The robust signal is the MOVEMENT VOLUME (warm
-      // round-1 movement tracks the delta, cold tracks the corpus);
-      // rounds shrink too whenever the deletes miss the giant
-      // component. Both labelings must agree — checked here, loudly.
+      // warm-start cc legs (round-9, q217's scale evidence), two
+      // changelogs: (1) MIXED — ~0.1% edge deletes plus
+      // anchor-adjacent inserts; every component a delete touches
+      // re-seeds, so when a delete hits the giant component the warm
+      // run honestly degrades toward cold; (2) INSERTS-ONLY (below)
+      // — the growing-corpus case where nothing re-seeds and warm
+      // movement tracks the DELTA. The robust signal is the MOVEMENT
+      // VOLUME, not the wall time. Both labelings must agree with a
+      // cold rerun on the same delta graph — checked loudly.
       val ccDels = edges.filter((col("a") * 7L + col("b") * 11L) % 997L === 0L)
       val ccIns = nodeSet.filter(col("x") % 101L === 0L)
         .select(col("x").as("a"), (col("x") + 1L).as("b"))
@@ -150,14 +151,39 @@ object ScaleProbe {
       val agree = warmLab.join(coldLab, Seq("id"))
         .filter(warmLab("component") =!= coldLab("component")).isEmpty
       require(agree, "warm-start cc labels diverge from the cold rerun")
-      graft.Ck.release(ccLabels)
       graft.Ck.release(warmLab)
       graft.Ck.release(coldLab)
       graft.Ck.release(ccDelta)
+      // INSERTS-ONLY warm leg — the headline growing-corpus case
+      // (yesterday's clusters + today's shard, no deletes): nothing
+      // re-seeds, so warm movement must track the DELTA while the
+      // cold rerun re-derives the corpus. The mixed leg above shows
+      // the honest degradation when deletes touch the giant
+      // component; this leg shows the advantage the warm start
+      // exists for.
+      val insDelta = edges.unionByName(ccIns).distinct().localCheckpoint(true)
+      val insT0 = System.nanoTime()
+      val (insLab, insCurve) = ops.incrementalConnectedComponents(
+        ccLabels, insDelta, edges.filter(lit(false)), "a", "b")
+      val insS = (System.nanoTime() - insT0) / 1e9
+      val coldInsT0 = System.nanoTime()
+      val (coldInsLab, coldInsCurve) =
+        ops.connectedComponentsCurve(insDelta, "a", "b")
+      val coldInsS = (System.nanoTime() - coldInsT0) / 1e9
+      val agreeIns = insLab.join(coldInsLab, Seq("id"))
+        .filter(insLab("component") =!= coldInsLab("component")).isEmpty
+      require(agreeIns, "inserts-only warm cc labels diverge from the cold rerun")
+      graft.Ck.release(ccLabels)
+      graft.Ck.release(insLab)
+      graft.Ck.release(coldInsLab)
+      graft.Ck.release(insDelta)
       val ccWarmJson =
         s"""{"warm_rounds":${warmCurve.length},"cold_rounds":${coldCurve.length},""" +
           s""""warm_mv":${warmCurve.map(_._2).sum},"cold_mv":${coldCurve.map(_._2).sum},""" +
-          s""""warm_s":${fmt(warmS)},"cold_s":${fmt(coldS)}}"""
+          s""""warm_s":${fmt(warmS)},"cold_s":${fmt(coldS)},""" +
+          s""""ins_rounds":${insCurve.length},"ins_cold_rounds":${coldInsCurve.length},""" +
+          s""""ins_mv":${insCurve.map(_._2).sum},"ins_cold_mv":${coldInsCurve.map(_._2).sum},""" +
+          s""""ins_s":${fmt(insS)},"ins_cold_s":${fmt(coldInsS)}}"""
       // seeds only in replica 0, so the frontier must walk the
       // bridge chain — hop count grows with m by construction
       val seed: Column => Column = c => c < lit(n) && c % mod === 0L

@@ -968,7 +968,16 @@ object ops {
     * same delta graph. Returns (labels, movement curve). Scale
     * shape per round is exactly [[connectedComponents]]'s; the init
     * costs one node-keyed left join + one broadcast of the DISTINCT
-    * affected-component list (changelog-sized, not corpus-sized).
+    * affected-component list (changelog-sized, not corpus-sized),
+    * plus one node-sized guard job (below).
+    *
+    * CONTRACT: `deletedEdges` must cover every edge present in the
+    * previous graph but absent from `edges` — an under-reported
+    * delete can leave a kept label whose holder node no longer
+    * exists, and the fixpoint's pointer jump would then silently
+    * DROP that whole component from the output. The detectable
+    * subset (label holder absent from the new node set) is guarded
+    * loudly here before the loop runs.
     */
   def incrementalConnectedComponents(prevLabels: DataFrame,
       edges: DataFrame, deletedEdges: DataFrame, src: String, dst: String,
@@ -989,6 +998,20 @@ object ops {
       .select(col("__node"),
         when(col("component").isNull || col("__aff").isNotNull, col("__node"))
           .otherwise(col("component")).as("__lbl"))
+    // loud stale-label guard (see CONTRACT above): every kept
+    // non-identity label must name a node of the NEW graph, else the
+    // pointer jump's inner join would silently drop its component.
+    // One node-sized anti-join over the persisted neighbor list —
+    // cheap next to a single fixpoint round, and it catches caller
+    // under-reporting of deletes instead of returning a truncated
+    // labeling.
+    val stale = init.filter(col("__lbl") =!= col("__node"))
+      .join(nbrs.select(col("__node").as("__lbl")).distinct(),
+        Seq("__lbl"), "left_anti")
+    require(stale.isEmpty,
+      "incrementalConnectedComponents: a kept previous label names a node " +
+        "absent from the new edge set — deletedEdges under-reports the " +
+        "changelog (every edge removed since prevLabels' graph must be listed)")
     ccCore(nbrs, init, maxRounds, probe)
   }
 
@@ -1005,7 +1028,14 @@ object ops {
     */
   private def ccCore(nbrs: DataFrame, init: DataFrame, maxRounds: Int,
       probe: (Int, DataFrame) => Unit): (DataFrame, Seq[(Long, Long)]) = {
-    var labels = init.localCheckpoint(true)
+    // measured stats on the INIT checkpoint too: the warm-start init
+    // is a multi-join plan (nodes x prevLabels x broadcast affected)
+    // whose inherited size estimate is the joins' product — round 1
+    // must plan its label-side broadcast from the real node count,
+    // not that product (the GraftPlanStats rule the per-round
+    // ckCount already follows)
+    var labels = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      init.localCheckpoint(true))
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var rounds = 0
     var converged = false
@@ -1947,12 +1977,18 @@ object ops {
     * edges (on a many-component graph the per-hop saving is the
     * whole non-giant remainder).
     *
-    * `maxHops = 60` is the BFS failure bound, kept IN SYNC with the
-    * q216 oracle's 60-hop recursion cap (`Mining.q216Sql`) — with
-    * diverged bounds a graph of eccentricity in between would fail
-    * on one side and succeed on the other. A high-diameter graph (a
-    * long path — the very shape the 2-sweep is exact on) needs both
-    * raised past its eccentricity.
+    * `maxHops = 60` is the supported-ECCENTRICITY bound, kept IN
+    * SYNC with the q216 oracle's 60-hop recursion cap
+    * (`Mining.q216Sql`) — with diverged bounds a graph of
+    * eccentricity in between would fail on one side and succeed on
+    * the other. The engine BFS proves exhaustion with one EMPTY
+    * round, so each sweep gets a `maxHops + 1` hop budget: ecc <=
+    * maxHops sweeps exactly (both sides), ecc = maxHops + 1 fails
+    * LOUDLY here while the oracle's truncated recursion would
+    * silently under-report — loud beats silent on the divergence
+    * side. A high-diameter graph (a long path — the very shape the
+    * 2-sweep is exact on) needs the bound raised past its
+    * eccentricity.
     */
   def diameterSweep(edges: DataFrame, src: String, dst: String,
       maxHops: Int = 60): DataFrame = {
@@ -1972,8 +2008,9 @@ object ops {
       .orderBy(col("n").desc, col("component")).limit(1).collect()
     // loud empty-graph guard: an edge frame of only self-loops (or
     // nothing) has no component to sweep — fail with the cause, not
-    // a NoSuchElementException out of head()
-    if (topRows.isEmpty) und.unpersist(blocking = false)
+    // a NoSuchElementException out of head(). Release BOTH held
+    // frames on this path (cc's checkpoint as well as und's persist)
+    if (topRows.isEmpty) { graft.Ck.release(cc); und.unpersist(blocking = false) }
     require(topRows.nonEmpty,
       "diameterSweep: empty graph (no non-self-loop edges) — nothing to sweep")
     val top = topRows.head
@@ -1990,8 +2027,10 @@ object ops {
     graft.Ck.release(cc)
     und.unpersist(blocking = false) // the sweeps only read `big`
     def farthest(seed: Long, sweep: String): (Long, Long) = {
+      // +1: the exhaustion proof is an empty round PAST the last
+      // distance, so supporting ecc <= maxHops needs maxHops+1 hops
       val (dist, hops) = bfsDistances(big, "a", "b", c => c === lit(seed),
-        maxHops = maxHops)
+        maxHops = maxHops + 1)
       graft.LoopStats.recordLoop(sweep, hops.toLong)
       val far = dist.filter(col("dist") >= 0L)
         .orderBy(col("dist").desc, col("id")).limit(1).head()

@@ -278,7 +278,9 @@ object Dedup {
       obs
     })
     val ck = out.localCheckpoint(true)
-    readCand().foreach(n => graft.LoopStats.recordLoop("ssj_cand", n))
+    // plain record: ssj_cand is a rider-read candidate COUNT, not a
+    // loop (see lp_cand in Mining) — no _wms/_tms keys
+    readCand().foreach(n => graft.LoopStats.record("ssj_cand", n))
     d.unpersist(blocking = false)
     ck
   }

@@ -1072,7 +1072,13 @@ object Mining {
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = visited.select(col("node"))
-    val maxHops = 40 // guard: fail loudly, never spin
+    // Guard: fail loudly, never spin. 41 = the oracle's 40-hop
+    // recursion cap + 1: the engine proves exhaustion with an EMPTY
+    // round past the last distance, so supporting eccentricity <= 40
+    // (exactly the distances q172Sql's `r.d < 40` recursion reaches)
+    // needs a 41-hop budget — at 40 an ecc-40 graph would fail here
+    // while the oracle still answers.
+    val maxHops = 41
     var hop = 0
     var exhausted = false
     var expanded = false // has frontier ever been re-pointed off visited?
@@ -2446,7 +2452,10 @@ object Mining {
       obs
     })
     val ck = out.localCheckpoint(true)
-    readCand().foreach(n => graft.LoopStats.recordLoop("lp_cand", n))
+    // plain record: lp_cand is a rider-read candidate COUNT, not a
+    // loop — recordLoop would emit meaningless _wms/_tms keys and
+    // mislabel any stray checkpoint cost left on the thread
+    readCand().foreach(n => graft.LoopStats.record("lp_cand", n))
     und.unpersist(blocking = false) // k rows survived — release edges
     ck
   }

@@ -873,6 +873,23 @@ class ApiSpec extends SparkSpec {
     assert(viaOps == viaQuery, s"ops=$viaOps q216=$viaQuery")
   }
 
+  test("diameterSweep is exact AT the maxHops bound and loud past it") {
+    val s = spark
+    import s.implicits._
+    // diameter-4 path with maxHops = 4: the engine budgets one extra
+    // hop for the empty exhaustion round, so ecc == maxHops sweeps
+    // exactly (the oracle-cap sync — its recursion reaches d <= cap)
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val row = ops.diameterSweep(g, "s", "d", maxHops = 4).collect().head
+    assert(row.getLong(3) == 4L && row.getLong(5) == 4L, row.toString)
+    // one short of the eccentricity: loud failure, never a silent
+    // under-report (the oracle side would truncate silently)
+    val err = intercept[IllegalArgumentException] {
+      ops.diameterSweep(g, "s", "d", maxHops = 3).collect()
+    }
+    assert(err.getMessage.contains("not exhausted"), err.getMessage)
+  }
+
   test("hits scores a hub-and-spoke graph with the roles separated") {
     val s = spark
     import s.implicits._

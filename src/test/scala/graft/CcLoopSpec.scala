@@ -246,4 +246,30 @@ class CcLoopSpec extends SparkSpec {
     assert(labelSet(warmCut).contains((15L, 15L)))
     Ck.release(lab0b); Ck.release(warmCut); Ck.release(coldCut)
   }
+
+  test("incremental cc: under-reported delete fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    import graft.api.ops
+    // base: a path whose min node 0 holds the component label
+    val base = (0L until 10L).map(i => (i, i + 1)).toDF("s", "d")
+    val (lab0, _) = ops.connectedComponentsCurve(base, "s", "d")
+    // the changelog REMOVES edge (0,1) — node 0 leaves the graph —
+    // but the caller reports NO deletes: every kept label still
+    // names node 0, which the pointer jump would silently drop.
+    // The stale-label guard must refuse before the loop runs.
+    val delta = (1L until 10L).map(i => (i, i + 1)).toDF("s", "d")
+    val noDels = base.filter(org.apache.spark.sql.functions.lit(false))
+    val err = intercept[IllegalArgumentException] {
+      ops.incrementalConnectedComponents(lab0, delta, noDels, "s", "d")
+    }
+    assert(err.getMessage.contains("under-reports"), err.getMessage)
+    // same delta with the delete REPORTED converges and matches cold
+    val dels = Seq((0L, 1L)).toDF("s", "d")
+    val (warm, _) = ops.incrementalConnectedComponents(lab0, delta, dels, "s", "d")
+    val (cold, _) = ops.connectedComponentsCurve(delta, "s", "d")
+    assert(warm.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      cold.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    Ck.release(lab0); Ck.release(warm); Ck.release(cold)
+  }
 }
