@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.functions.{count, lit, when}
+import org.apache.spark.sql.functions.{coalesce, count, lit, when}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Stop-check riders for the convergence loops (cc / scc / bfs /
@@ -137,7 +137,28 @@ object Loop {
   /** Eagerly checkpoint `frame` and report how many rows satisfy
     * `moved`, measured on the checkpoint job itself.
     */
-  def ckCount(frame: DataFrame, moved: Column): (DataFrame, Long) = {
+  def ckCount(frame: DataFrame, moved: Column): (DataFrame, Long) =
+    ckAgg(frame, count(when(moved, lit(1))),
+      ck => ck.filter(moved).count())
+
+  /** Eagerly checkpoint `frame` and report the int64 SUM of `c`
+    * over it, measured on the checkpoint job itself — the movement
+    * form the PageRank family needs (its stop scalar is Σ|Δpr|,
+    * not a moved-row count). Same rider/fallback/measured-stats
+    * contract as [[ckCount]].
+    */
+  def ckSum(frame: DataFrame, c: Column): (DataFrame, Long) =
+    ckAgg(frame, coalesce(org.apache.spark.sql.functions.sum(c), lit(0L)),
+      ck => ck.agg(coalesce(org.apache.spark.sql.functions.sum(c), lit(0L))
+        .as("mv")).head().getLong(0))
+
+  /** The shared checkpoint-with-rider core: one aggregate `metric`
+    * rides the eager localCheckpoint job via observe(); `fallback`
+    * recomputes it with a second job over the checkpointed rows
+    * when the listener bus does not deliver.
+    */
+  private def ckAgg(frame: DataFrame, metric: Column,
+      fallback: DataFrame => Long): (DataFrame, Long) = {
     ensureListener(frame.sparkSession)
     ensureTaskListener(frame.sparkSession)
     val name = s"graft_loop_${seq.incrementAndGet()}"
@@ -148,7 +169,7 @@ object Loop {
     // per round into astronomically large BigInts that hang the
     // planner past ~12 rounds) for the BlockManager's measured size
     val ck = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
-      frame.observe(name, count(when(moved, lit(1))).as("mv"))
+      frame.observe(name, metric.as("mv"))
         .localCheckpoint(true))
     // degraded mode (no ride in SkipAfter tries): don't pay the full
     // deadline every round for a bus that isn't delivering. The
@@ -166,7 +187,7 @@ object Loop {
         rides.incrementAndGet(); consecFallbacks.set(0L); row.getLong(0)
       case None => // listener raced or never fired: old second-job path
         fallbacks.incrementAndGet(); consecFallbacks.incrementAndGet()
-        ck.filter(moved).count()
+        fallback(ck)
     }
     ckWallNs.get().addAndGet(System.nanoTime() - t0)
     ckTaskMs.get().addAndGet(math.max(0L, taskMsTotal.get() - task0))

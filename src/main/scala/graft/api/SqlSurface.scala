@@ -384,8 +384,9 @@ object SqlSurface {
       while (!converged && round < Curation.MaxPrRounds) {
         round += 1
         pr.createOrReplaceTempView("pr_ranks")
-        val next = s.sql(prRoundSql).localCheckpoint(true)
-        val mv = next.agg(sum(col("mv"))).head().getLong(0)
+        // movement rides the checkpoint job (graft.Loop.ckSum) —
+        // same one-job-per-round discipline as prIterate
+        val (next, mv) = graft.Loop.ckSum(s.sql(prRoundSql), col("mv"))
         graft.Ck.release(pr) // superseded round, fully consumed
         curve += ((round.toLong, mv))
         converged = mv <= eps

@@ -1957,8 +1957,8 @@ object ops {
       .distinct()
       .persist(MEMORY_AND_DISK)
     graft.Tables.touch(und)
+    // linkPredictPairs materializes internally (k-row checkpoint)
     val ck = graft.queries.Mining.linkPredictPairs(und, k, maxCenterDeg)
-      .localCheckpoint(true)
     und.unpersist(blocking = false)
     ck
   }

@@ -357,9 +357,12 @@ object Curation {
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      val next = roundFn(edeg, pr)
-        .localCheckpoint(true) // one materialization: movement + next round
-      val mv = next.agg(sum(col("mv"))).head().getLong(0)
+      // the movement scalar Σ|Δpr| rides the round's checkpoint job
+      // (graft.Loop.ckSum — one job per round, not two) and the
+      // checkpoint carries MEASURED size statistics like every other
+      // loop's (the pr frame appears twice in the round body, so
+      // inherited product stats would compound across rounds)
+      val (next, mv) = graft.Loop.ckSum(roundFn(edeg, pr), col("mv"))
       // round r-1's checkpoint is fully consumed (contribution join +
       // movement both materialized into `next`): release its blocks
       // now — Ck.scala's leak rationale

@@ -2446,12 +2446,13 @@ object Mining {
     val und = sparseUnd(s, dir).persist(MEMORY_AND_DISK)
     touch(und)
     var readCand: () => Option[Long] = () => None
-    val out = linkPredictPairs(und, 20, candHook = c => {
+    // linkPredictPairs materializes internally (k-row checkpoint),
+    // so the rider has fired by the time it returns
+    val ck = linkPredictPairs(und, 20, candHook = c => {
       val (obs, rd) = graft.Loop.riderCount(c)
       readCand = rd
       obs
     })
-    val ck = out.localCheckpoint(true)
     // plain record: lp_cand is a rider-read candidate COUNT, not a
     // loop — recordLoop would emit meaningless _wms/_tms keys and
     // mislabel any stray checkpoint cost left on the thread
@@ -2470,13 +2471,52 @@ object Mining {
   private[graft] def linkPredictPairs(und: DataFrame, k: Int,
       maxCenterDeg: Long = 4096L,
       candHook: DataFrame => DataFrame = identity): DataFrame = {
+    val (out, degCk) = linkPredictPlan(und, k, maxCenterDeg, candHook)
+    // materialize HERE so the degree checkpoint can be released
+    // before returning (callers previously checkpointed; the k-row
+    // result is checkpoint-cheap)
+    val ck = out.localCheckpoint(true)
+    graft.Ck.release(degCk)
+    ck
+  }
+
+  /** The LAZY q208 plan plus the eager node-sized degree checkpoint
+    * it reads (returned so the caller can release it after
+    * materializing — [[linkPredictPairs]] does both; PlanQualitySpec
+    * uses this form to pin the un-checkpointed plan shape).
+    */
+  private[graft] def linkPredictPlan(und: DataFrame, k: Int,
+      maxCenterDeg: Long = 4096L,
+      candHook: DataFrame => DataFrame = identity)
+    : (DataFrame, DataFrame) = {
     require(maxCenterDeg > 0L, s"maxCenterDeg must be positive: $maxCenterDeg")
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-    val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // per-center fan-out cap: hub centers out of the wedge join
-    val hubs = deg.filter(col("deg") > lit(maxCenterDeg)).select(col("node"))
-    val wnbrs = nbrs.join(broadcast(hubs), Seq("node"), "left_anti")
+    // the node-sized degree table serves the hub decision AND both
+    // endpoint broadcasts: checkpoint it ONCE instead of re-deriving
+    // the aggregation inside three broadcast builds (the unconditional
+    // re-derivation + hub anti-joins doubled q208's bench cost on a
+    // hub-free graph — caught by the round-9 bench diff)
+    val degCk = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true))
+    val maxDeg = degCk.agg(max(col("deg"))).head() match {
+      case r if r.isNullAt(0) => 0L // edgeless graph
+      case r => r.getLong(0)
+    }
+    // per-center fan-out cap: hub centers out of the wedge join —
+    // ADAPTIVE: when the measured max degree fits the cap (the
+    // common case; testdata max 85 << 4096) the anti-join would
+    // remove nothing, so it stays OUT of the plan entirely and the
+    // wedge join runs exactly the uncapped shape; with a real hub
+    // the tiny hub list broadcasts into one anti-join per side. One
+    // O(1) driver scalar (q163 discipline) buys the branch.
+    val wnbrs =
+      if (maxDeg <= maxCenterDeg) nbrs
+      else nbrs.join(
+        broadcast(degCk.filter(col("deg") > lit(maxCenterDeg))
+          .select(col("node"))),
+        Seq("node"), "left_anti")
     val wedges = wnbrs.alias("x").join(wnbrs.alias("y"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
       .groupBy(col("x.nbr").as("u"), col("y.nbr").as("v"))
@@ -2484,16 +2524,17 @@ object Mining {
     val cand = candHook(
       wedges.join(und.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti"))
-    cand
-      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("deg_u"))),
+    val out = cand
+      .join(broadcast(degCk.select(col("node").as("u"), col("deg").as("deg_u"))),
         "u")
-      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("deg_v"))),
+      .join(broadcast(degCk.select(col("node").as("v"), col("deg").as("deg_v"))),
         "v")
       .withColumn("jac_e4", expr("(10000 * cn) div (deg_u + deg_v - cn)"))
       .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
         col("jac_e4"))
       .orderBy(col("jac_e4").desc, col("cn").desc, col("u"), col("v"))
       .limit(k)
+    (out, degCk)
   }
 
   val q208Sql: String =

@@ -830,19 +830,41 @@ class PlanQualitySpec extends SparkSpec {
     // crossJoin idiom (ev x broadcast(n)), which is fine but would
     // false-positive the no-BNLJ assertion about the wedge machinery
     val und = queries.Mining.sparseUnd(spark, dir).localCheckpoint(true)
-    val p = queries.Mining.linkPredictPairs(und, 20)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+    // the LAZY plan form (linkPredictPairs materializes internally);
+    // default cap: no hub on this graph, so the cap's anti-join must
+    // be ABSENT — the adaptive branch keeps the uncapped wedge shape
+    val (out, degCk) = queries.Mining.linkPredictPlan(und, 20)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     // candidates come from the shared-center equi-join, never a
     // node-pair cross product
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // node-sized degree table broadcasts into both endpoint joins
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
-    // the per-center fan-out cap is IN the plan: hub removal (and
-    // existing-edge removal) ride anti-joins, never a post-filter
-    // over an uncapped wedge product
-    assert("LeftAnti".r.findAllIn(p).size >= 2, p)
+    // existing-edge removal rides an anti-join; the hub anti-join is
+    // NOT in the no-hub plan (one driver scalar buys the branch —
+    // its unconditional form doubled q208's bench cost). One anti
+    // node = 2 text hits in FormattedMode (tree line + details).
+    assert("LeftAnti".r.findAllIn(p).size == 2, p)
+    Ck.release(degCk)
+    // with a cap BELOW the graph's max degree the hub removal must
+    // ride anti-joins in the plan, never a post-filter over an
+    // uncapped wedge product — planted star so the hub branch
+    // engages deterministically regardless of the testdata graph
+    val s2 = spark
+    import s2.implicits._
+    val star = ((0L until 8L).map(i => (i, 100L)) ++ Seq((0L, 1L)))
+      .toDF("a", "b").localCheckpoint(true)
+    val (outHub, degCk2) = queries.Mining.linkPredictPlan(star, 20, 4L)
+    val ph = outHub.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // >= 2 anti NODES (hub removal per wedge side may dedup to one
+    // reused subtree, plus the edge removal) = >= 4 text hits
+    assert("LeftAnti".r.findAllIn(ph).size >= 4, ph)
+    assert(!ph.contains("CartesianProduct"), ph)
+    Ck.release(degCk2)
+    Ck.release(star)
     Ck.release(und)
   }
 
