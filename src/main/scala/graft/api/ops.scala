@@ -766,6 +766,100 @@ object ops {
       Seq(id), "left_anti")
   }
 
+  /** Cold near-dup LABELING run — the state-producing half of the
+    * incremental dedup contract: LSH pairs at `minJaccard`, then the
+    * min-label cc fixpoint. Returns ((id, component) over the dup
+    * subset, movement curve). Docs absent from the labels are
+    * singletons. Feed the labels into [[nearDupDedupIncremental]]
+    * tomorrow.
+    */
+  def nearDupLabels(df: DataFrame, id: String, text: String,
+      minJaccard: Double = 0.5): (DataFrame, Seq[(Long, Long)]) =
+    connectedComponentsCurve(
+      nearDupPairs(df, id, text, minJaccard).select(col("i"), col("j")),
+      "i", "j")
+
+  /** The DELTA near-dup pairs an insert-only changelog introduces:
+    * every verified pair touching at least one NEW doc. Band
+    * membership is a pure per-doc function, so joining only the
+    * new-side band rows against the union's band rows finds exactly
+    * the pairs the full candidate join would emit minus yesterday's
+    * old x old pairs (whose verdicts are embodied in the previous
+    * labels). The verify join then carries delta-pair candidates
+    * only — never the whole corpus's.
+    */
+  private[graft] def incrementalNearDupPairs(oldDf: DataFrame,
+      newDf: DataFrame, id: String, text: String,
+      minJaccard: Double): DataFrame = {
+    val bNew = bandsOf(newDf, id, text)
+    val bAll = bandsOf(oldDf, id, text).unionByName(bNew)
+    val cand = bNew.alias("a").join(bAll.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("i"),
+        greatest(col("a.__id"), col("b.__id")).as("j"))
+      .distinct()
+    val sh = oldDf.unionByName(newDf).select(col(id).as("__id"),
+      Hashing.shingles(col(text), 3).as("__sh"))
+    cand
+      .join(sh.select(col("__id").as("i"), col("__sh").as("__sha")), "i")
+      .join(sh.select(col("__id").as("j"), col("__sh").as("__shb")), "j")
+      .filter(Hashing.jaccard(col("__sha"), col("__shb")) >= minJaccard)
+      .select(col("i"), col("j"))
+  }
+
+  /** INCREMENTAL near-dup dedup (q218's parameterized form) — the
+    * growing-corpus case [[nearDupDedup]] recomputes from scratch:
+    * yesterday's corpus `oldDf` with its dup labels `prevLabels`
+    * (from [[nearDupLabels]] or a previous call of this), today's
+    * shard `newDf` (INSERTS-only changelog — deletions are the
+    * re-seed path [[incrementalConnectedComponents]] owns). Three
+    * incremental savings vs the cold run:
+    *  - candidate generation: only band buckets touched by a NEW
+    *    doc join ([[incrementalNearDupPairs]]) — old x old buckets
+    *    never re-verify;
+    *  - clustering: the old pair graph is replaced by its STAR
+    *    compression (component -> member edges from prevLabels —
+    *    connectivity-equivalent and min-label-equivalent because it
+    *    preserves each component's node set, and dup-subset-sized)
+    *    unioned with the delta pairs, and the fixpoint warm-starts
+    *    from prevLabels via [[incrementalConnectedComponents]]
+    *    (inserts never invalidate a min-label) — movement reflects
+    *    only the delta's disturbance;
+    *  - survivors: min-id policy makes the survivor the component
+    *    label itself, so no per-cluster re-ranking pass exists.
+    * Returns (kept union corpus, new labels, warm movement curve) —
+    * kept is provably row-equal to nearDupDedup(old ∪ new, min_id)
+    * (IncrementalDedupSpec pins it); thread the labels into the
+    * next day's call.
+    * Scale shape: one linear band scan per side (production keeps
+    * the band table materialized and bucketed by band_key — then
+    * the old-side scan drops out too), a bucket-bounded candidate
+    * join, a delta-pair-sized verify join, star+delta-sized cc
+    * rounds, one drop anti-join against the union corpus.
+    */
+  def nearDupDedupIncremental(oldDf: DataFrame, newDf: DataFrame,
+      id: String, text: String, prevLabels: DataFrame,
+      minJaccard: Double = 0.5, broadcastDrops: Boolean = true)
+    : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
+    val pd = incrementalNearDupPairs(oldDf, newDf, id, text, minJaccard)
+    val star = prevLabels.filter(col("id") =!= col("component"))
+      .select(col("component").as("i"), col("id").as("j"))
+    val edges1 = star.unionByName(pd).distinct()
+    // inserts-only changelog: the deleted-edge set is empty by
+    // contract, so no component re-seeds — every previous label is
+    // a valid warm-start seed (see incrementalConnectedComponents)
+    val (labels, curve) = incrementalConnectedComponents(
+      prevLabels, edges1, edges1.limit(0), "i", "j")
+    val drops = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as(id))
+    val kept = oldDf.unionByName(newDf).join(
+      if (broadcastDrops) broadcast(drops) else drops,
+      Seq(id), "left_anti")
+    (kept, labels, curve)
+  }
+
   /** Cross-group near-dup contamination matrix (q158's parameterized
     * form): LSH-banded candidates verified at 3-shingle Jaccard >=
     * `minJaccard`, attributed to the canonicalized (group_a, group_b)

@@ -1698,7 +1698,116 @@ object Dedup {
        |  FROM sel GROUP BY fp HAVING COUNT(*) >= 2
        |) WHERE rnk <= 15 ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q218: WARM-START near-dup dedup — the growing-corpus production
+  // loop q66 only screens for: yesterday's corpus (doc_id % 8 <> 0)
+  // is cold-labeled once (phase 0 = the q23 -> q48 pipeline), then
+  // today's shard (doc_id % 8 = 0) arrives as an inserts-only
+  // changelog. The incremental pass (ops.nearDupDedupIncremental)
+  // generates candidates only from band buckets a NEW doc touches,
+  // replaces the old pair graph with its star compression, and
+  // warm-starts the cc fixpoint from the previous labels — so the
+  // warm movement curve reflects only the delta's disturbance, while
+  // the final (kept, labels) are provably equal to the cold run on
+  // the union corpus (IncrementalDedupSpec pins the equality; the
+  // oracle replays BOTH loops round by round, so an early/late stop
+  // in either phase hash-mismatches).
+  //
+  // Scale shape: delta-sized candidate join (old x old buckets never
+  // re-verify), star+delta-sized cc rounds with q161's per-round
+  // shape, one broadcast drop anti-join against the union corpus.
+  // ---------------------------------------------------------------
+  def q218WarmDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = s
+    import sess.implicits._
+    val docs = documents(s, dir).persist(MEMORY_AND_DISK)
+    touch(docs)
+    val base = docs.filter(col("doc_id") % 8 =!= 0)
+    val delta = docs.filter(col("doc_id") % 8 === 0)
+    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text")
+    graft.LoopStats.recordLoop("ndd_base", curve0.length.toLong)
+    val (kept, lab1, curve1) = graft.api.ops.nearDupDedupIncremental(
+      base, delta, "doc_id", "text", lab0)
+    graft.LoopStats.recordLoop("ndd_warm", curve1.length.toLong)
+    val census = lab1.groupBy(col("component"))
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+      .select(lit("comp").as("part"), col("component").as("k"),
+        col("n").as("v1"), col("mx").as("v2"))
+    val keptRow = kept.agg(count(lit(1)).as("v1"),
+        sum(col("doc_id")).as("v2"))
+      .select(lit("kept").as("part"), lit(0L).as("k"),
+        col("v1"), col("v2"))
+    val c0 = curve0.toDF("k", "v1")
+      .select(lit("round0").as("part"), col("k"), col("v1"),
+        lit(0L).as("v2"))
+    val c1 = curve1.toDF("k", "v1")
+      .select(lit("round1").as("part"), col("k"), col("v1"),
+        lit(0L).as("v2"))
+    val out = census.unionByName(keptRow).unionByName(c0).unionByName(c1)
+      .orderBy("part", "k")
+    val ck = out.localCheckpoint(true)
+    // lab0 consumed (warm init + star edges materialized into the
+    // loop's checkpoints); lab1 consumed into census + drops
+    graft.Ck.release(lab0)
+    graft.Ck.release(lab1)
+    docs.unpersist(blocking = false)
+    ck
+  }
+
+  val q218Sql: String = {
+    // 16-round unroll for both replayed loops (the engine stops
+    // data-driven; dup-cluster graphs are shallow — star edges keep
+    // old components at depth 1, so the warm phase is delta-deep)
+    val R = 16
+    // q23's full pair pipeline, re-scoped as a nested WITH: the
+    // engine's delta-restricted candidate generation is provably
+    // equal to "all verified pairs touching >= 1 new doc" (band
+    // membership is a pure per-doc function), so the oracle derives
+    // both edge sets from the one allpairs CTE
+    val pairs = q23Sql.linesIterator.map("  " + _).mkString("\n")
+      .replaceAll("ORDER BY i, j$", "")
+    s"""WITH allpairs AS (
+       |$pairs
+       |), und0 AS MATERIALIZED (
+       |  SELECT i AS a, j AS b FROM allpairs WHERE i % 8 <> 0 AND j % 8 <> 0
+       |), pd AS MATERIALIZED (
+       |  SELECT i AS a, j AS b FROM allpairs WHERE i % 8 = 0 OR j % 8 = 0
+       |), bi0 AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und0 UNION ALL SELECT b, a FROM und0
+       |),
+       |${Mining.CcReplaySql.phase("p0_", "bi0",
+           "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM bi0)",
+           R)},
+       |star AS (SELECT lbl AS a, node AS b FROM p0_final WHERE node <> lbl),
+       |und1 AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM star UNION ALL SELECT a, b FROM pd)
+       |), bi1 AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und1 UNION ALL SELECT b, a FROM und1
+       |),
+       |${Mining.CcReplaySql.phase("p1_", "bi1",
+           """SELECT n.node, coalesce(l.lbl, n.node) AS lbl
+             |  FROM (SELECT DISTINCT node FROM bi1) n
+             |  LEFT JOIN p0_final l ON l.node = n.node""".stripMargin,
+           R)}
+       |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
+       |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
+       |UNION ALL
+       |SELECT 'kept', CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(doc_id) AS BIGINT) FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM p1_final WHERE node <> lbl)
+       |UNION ALL
+       |SELECT 'round0', round, mv, CAST(0 AS BIGINT) FROM p0_curve
+       |WHERE round <= (SELECT r FROM p0_stop)
+       |UNION ALL
+       |SELECT 'round1', round, mv, CAST(0 AS BIGINT) FROM p1_curve
+       |WHERE round <= (SELECT r FROM p1_stop)
+       |ORDER BY part, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_warm_dedup" -> q218WarmDedup _,
     "q211_containment_join" -> q211ContainmentJoin _,
     "q206_lsh_recall" -> q206LshRecall _,
     "q205_prefix_join" -> q205PrefixJoin _,
@@ -1721,6 +1830,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q218_warm_dedup" -> q218Sql,
     "q211_containment_join" -> q211Sql,
     "q206_lsh_recall" -> q206Sql,
     "q205_prefix_join" -> q205Sql,

@@ -2694,11 +2694,15 @@ object Mining {
     ck
   }
 
-  val q217Sql: String = {
-    // 16-round unroll bound for the replay: the engine stops
-    // data-driven (11 cold / 6 warm at sf0.01, 9/9 at sf0.1) and a
-    // stop past the unroll would leave `stop` NULL — loud mismatch
-    val R = 16
+  /** DuckDB replay of ccCore's round body (min-neighbor step +
+    * pointer jump + movement count), shared by the q217 and q218
+    * oracles. `phase` unrolls `R` rounds of the fixpoint over the
+    * bidirectional neighbor CTE `bi`, starting from `init`; the
+    * engine stops data-driven and a stop past the unroll leaves the
+    * phase's `stop` CTE NULL — a loud hash mismatch, never a silent
+    * truncation.
+    */
+  private[queries] object CcReplaySql {
     def roundCtes(p: String, bi: String, r: Int): String =
       s"""${p}l1_$r AS MATERIALIZED (
          |  SELECT l.node, l.lbl, least(l.lbl, coalesce(nm.nmin, l.lbl)) AS l1
@@ -2709,7 +2713,7 @@ object Mining {
          |${p}lab$r AS MATERIALIZED (
          |  SELECT a.node, a.lbl AS old, b.l1 AS lbl
          |  FROM ${p}l1_$r a JOIN (SELECT node, l1 FROM ${p}l1_$r) b ON a.l1 = b.node)""".stripMargin
-    def phase(p: String, bi: String, init: String): String = {
+    def phase(p: String, bi: String, init: String, R: Int): String = {
       val rounds = (1 to R).map(roundCtes(p, bi, _)).mkString(",\n")
       val curve = (1 to R).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}lab$r WHERE old <> lbl) AS mv")
@@ -2726,6 +2730,15 @@ object Mining {
          |$labs
          |  ) WHERE round = (SELECT r FROM ${p}stop))""".stripMargin
     }
+  }
+
+  val q217Sql: String = {
+    // 16-round unroll bound for the replay: the engine stops
+    // data-driven (11 cold / 6 warm at sf0.01, 9/9 at sf0.1) and a
+    // stop past the unroll would leave `stop` NULL — loud mismatch
+    val R = 16
+    def phase(p: String, bi: String, init: String): String =
+      CcReplaySql.phase(p, bi, init, R)
     s"""WITH ev AS (
        |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
        |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL

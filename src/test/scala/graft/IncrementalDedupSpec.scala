@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.ops
+
+/** The incremental near-dup dedup contract (q218 /
+  * ops.nearDupDedupIncremental): a warm pass over (yesterday's
+  * corpus + today's inserts-only shard) must produce EXACTLY the
+  * cold run's survivors and labels — the incremental machinery
+  * (delta-restricted candidates, star-compressed old graph,
+  * warm-started fixpoint) is a pure optimization, never a semantic
+  * change — while doing provably less clustering work (movement
+  * reflects only the delta's disturbance).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  // sf0.01, like CcLoopSpec: enough docs (~600) that the dup graph
+  // has real clusters on both sides of the split and the loops
+  // genuinely iterate
+  private val dir = "/root/testdata/sf0.01"
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental dedup equals the cold run on the union corpus") {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val (lab0, curve0) = ops.nearDupLabels(base, "doc_id", "text")
+    // the split is non-degenerate: the base has dup clusters to
+    // carry forward, else the warm start proves nothing
+    assert(lab0.count() > 0L, "base corpus has no dup clusters")
+    val (kept, lab1, curve1) = ops.nearDupDedupIncremental(
+      base, delta, "doc_id", "text", lab0)
+    // survivors: row-for-row the cold pipeline's (min_id policy)
+    val cold = ops.nearDupDedup(docs, "doc_id", "text")
+    assert(ids(kept) == ids(cold))
+    // labels: the cold fixpoint over the full union pair graph
+    val (coldLab, coldCurve) = ops.nearDupLabels(docs, "doc_id", "text")
+    assert(labelSet(lab1) == labelSet(coldLab))
+    // the warm pass did strictly less label movement than the cold
+    // run: untouched old components start AT the fixpoint and never
+    // move, so warm total movement < cold total movement whenever
+    // the delta leaves any old cluster alone
+    val warmMv = curve1.map(_._2).sum
+    val coldMv = coldCurve.map(_._2).sum
+    assert(warmMv < coldMv, s"warm=$curve1 cold=$coldCurve")
+    // and the delta genuinely disturbed something (else the warm
+    // "loop" is a no-op and the equality above is vacuous)
+    assert(warmMv > 0L, s"degenerate delta: $curve1")
+    assert(curve0.nonEmpty)
+    Ck.release(lab0); Ck.release(lab1); Ck.release(coldLab)
+  }
+
+  test("incremental dedup chains: two shards applied in sequence equal the cold run") {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val shard1 = docs.filter(col("doc_id") % 8 === 0)
+    val shard2 = docs.filter(col("doc_id") % 8 === 4)
+    val (lab0, _) = ops.nearDupLabels(base, "doc_id", "text")
+    val (_, lab1, _) = ops.nearDupDedupIncremental(
+      base, shard1, "doc_id", "text", lab0)
+    // day 2: yesterday's corpus is base+shard1, labels are lab1
+    val (kept2, lab2, _) = ops.nearDupDedupIncremental(
+      base.unionByName(shard1), shard2, "doc_id", "text", lab1)
+    val cold = ops.nearDupDedup(docs, "doc_id", "text")
+    assert(ids(kept2) == ids(cold))
+    val (coldLab, _) = ops.nearDupLabels(docs, "doc_id", "text")
+    assert(labelSet(lab2) == labelSet(coldLab))
+    Ck.release(lab0); Ck.release(lab1); Ck.release(lab2); Ck.release(coldLab)
+  }
+
+  test("delta pair generation finds exactly the pairs touching a new doc") {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val pd = ops.incrementalNearDupPairs(base, delta, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = ops.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(p => p._1 % 4 == 0 || p._2 % 4 == 0)
+    assert(pd == expected,
+      s"missing=${expected -- pd} extra=${pd -- expected}")
+    assert(expected.nonEmpty, "no delta-touching pairs at this SF")
+  }
+}

@@ -106,6 +106,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(p23.contains("minhash_sig"), p23)
   }
 
+  test("q218: delta candidates stay a band-key equi-join; drop anti-join broadcasts") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    // the LAZY delta-pair plan: candidates come from the banded
+    // bucket equi-join (new-side bands x union bands) with native
+    // signatures — never a cross product, never a token explode
+    val pd = graft.api.ops.incrementalNearDupPairs(
+      base, delta, "doc_id", "text", 0.5)
+    val p = pd.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band_key"), p)
+    assert(p.contains("minhash_sig"), p)
+    // the survivor removal: one broadcast anti-join of the (tiny)
+    // drop list against the union corpus — pinned on a synthetic
+    // corpus so the embedded warm loop converges in one round
+    val s2 = spark
+    import s2.implicits._
+    val baseT = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text")
+    val deltaT = Seq((8L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val (lab0, _) = graft.api.ops.nearDupLabels(baseT, "doc_id", "text")
+    val (kept, lab1, _) = graft.api.ops.nearDupDedupIncremental(
+      baseT, deltaT, "doc_id", "text", lab0)
+    val pk = kept.queryExecution.explainString(FormattedMode)
+    assert(pk.contains("LeftAnti"), pk)
+    assert(pk.contains("BroadcastHashJoin"), pk)
+    Ck.release(lab0); Ck.release(lab1)
+  }
+
   test("q60: native as-of join — no window, no union, co-partitioned exchanges") {
     val p = plan("q60_asof_native")
     assert(p.contains("AsOfJoin"), p)
