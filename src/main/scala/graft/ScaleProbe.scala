@@ -67,6 +67,30 @@ object ScaleProbe {
     shifted.unionByName(bridges)
   }
 
+  /** Replicate the (doc_id, text) corpus `m` times with
+    * REPLICA-SALTED text: in replica r > 0 every token after the
+    * first is prefixed with a replica tag, so within-replica dup
+    * structure is preserved exactly (token boundaries unchanged)
+    * while cross-replica shingle overlap collapses to ~zero — the
+    * dup-cluster structure stays scale-invariant and pair counts
+    * grow LINEARLY with m. Plain identical copies would be wrong
+    * twice over: every doc would near-dup its own replicas
+    * (clusters artificially deepen with m) and bucket pair counts
+    * would grow quadratically in m. m = 1 returns the corpus
+    * unchanged.
+    */
+  def replicateDocs(s: SparkSession, docs: DataFrame, m: Int,
+      n: Long): DataFrame = {
+    require(m >= 1, s"replica count must be >= 1, got $m")
+    val reps = s.range(m).select(col("id").as("r"))
+    docs.select(col("doc_id"), col("text")).crossJoin(reps)
+      .select((col("doc_id") + col("r") * n).as("doc_id"),
+        when(col("r") === 0L, col("text"))
+          .otherwise(regexp_replace(col("text"), lit(" "),
+            concat(lit(" z"), col("r").cast("string"), lit("_"))))
+          .as("text"))
+  }
+
   final case class LoopRun(rounds: Int, totalS: Double, roundS: Seq[Double])
 
   /** Run a probe-accepting loop, timing round boundaries: the loops
@@ -107,6 +131,12 @@ object ScaleProbe {
       .localCheckpoint(true) // one derivation serves every scale
     val n = stride(base)
     val mod = anchorMod(base)
+    // the incremental-dedup legs replicate the documents corpus —
+    // one base derivation serves every scale, like the edge frame
+    val docsBase = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val dn = docsBase.agg((max(col("doc_id")) + 1L).as("n"))
+      .head().getLong(0)
     // two decades: m=10 shows round-count growth; m=100 makes the
     // per-round cost's ~linear edge dependence visible above the
     // fixed per-job overhead that dominates at the sf0.1 base size
@@ -250,7 +280,56 @@ object ScaleProbe {
       val ringStats = graft.LoopStats.drain()
       val ringBw = ringStats.getOrElse("scc_bw", -1L)
       require(nRingScc == 1L, s"ring must be ONE scc, got $nRingScc")
+      // INCREMENTAL-DEDUP leg (round-9, q218's scale evidence): the
+      // salted-replica corpus (see replicateDocs) keeps dup-cluster
+      // structure scale-invariant, so the claims under test are
+      // measurable in isolation: (1) the delta-restricted candidate
+      // pass stays DELTA-PROPORTIONAL — delta_pairs / full_pairs
+      // tracks the delta share at every scale; (2) warm-start
+      // clustering moves only the delta's disturbance — warm_mv <<
+      // cold_mv with a flat ratio across scales; (3) the labels
+      // agree with a cold rerun (checked loudly, like the cc legs).
+      val docsRep = replicateDocs(spark, docsBase, m, dn)
+        .localCheckpoint(true)
+      val nDocs = docsRep.count()
+      val dBase = docsRep.filter(col("doc_id") % 8L =!= 0L)
+      val dDelta = docsRep.filter(col("doc_id") % 8L === 0L)
+      val lb0T0 = System.nanoTime()
+      val (ndLab0, ndCurve0) = ops.nearDupLabels(dBase, "doc_id", "text")
+      val lb0S = (System.nanoTime() - lb0T0) / 1e9
+      val pdT0 = System.nanoTime()
+      val pdCount = ops.incrementalNearDupPairs(
+        dBase, dDelta, "doc_id", "text", 0.5).count()
+      val pdS = (System.nanoTime() - pdT0) / 1e9
+      val fpT0 = System.nanoTime()
+      val fullPairs = ops.nearDupPairs(docsRep, "doc_id", "text", 0.5).count()
+      val fpS = (System.nanoTime() - fpT0) / 1e9
+      val ndWarmT0 = System.nanoTime()
+      val (ndKept, ndLab1, ndCurve1) = ops.nearDupDedupIncremental(
+        dBase, dDelta, "doc_id", "text", ndLab0)
+      val ndKeptN = ndKept.count()
+      val ndWarmS = (System.nanoTime() - ndWarmT0) / 1e9
+      val ndColdT0 = System.nanoTime()
+      val (ndColdLab, ndColdCurve) =
+        ops.nearDupLabels(docsRep, "doc_id", "text")
+      val ndColdS = (System.nanoTime() - ndColdT0) / 1e9
+      val ndAgree = ndLab1.count() == ndColdLab.count() &&
+        ndLab1.join(ndColdLab, Seq("id"))
+          .filter(ndLab1("component") =!= ndColdLab("component")).isEmpty
+      require(ndAgree, "incremental dedup labels diverge from the cold rerun")
+      graft.Ck.release(ndLab0)
+      graft.Ck.release(ndLab1)
+      graft.Ck.release(ndColdLab)
+      graft.Ck.release(docsRep)
+      val dedupJson =
+        s"""{"docs":$nDocs,"full_pairs":$fullPairs,"delta_pairs":$pdCount,""" +
+          s""""full_pairs_s":${fmt(fpS)},"delta_pairs_s":${fmt(pdS)},""" +
+          s""""base_rounds":${ndCurve0.length},"base_s":${fmt(lb0S)},""" +
+          s""""warm_rounds":${ndCurve1.length},"cold_rounds":${ndColdCurve.length},""" +
+          s""""warm_mv":${ndCurve1.map(_._2).sum},"cold_mv":${ndColdCurve.map(_._2).sum},""" +
+          s""""warm_s":${fmt(ndWarmS)},"cold_s":${fmt(ndColdS)},"kept":$ndKeptN}"""
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
+        s""""dedup":$dedupJson,""" +
         s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +
         s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
         s""""scc":{"outer_rounds":$sccRounds,"bw_rounds":$sccBw,""" +
@@ -265,7 +344,9 @@ object ScaleProbe {
         s"mv${coldCurve.map(_._2).sum}) bfs=${bfs.rounds}r/${fmt(bfs.totalS)}s " +
         s"pr=${pr.rounds}r/${fmt(pr.totalS)}s kcore=${kc.rounds}r/" +
         s"${fmt(kc.totalS)}s scc=${sccRounds}r(bw$sccBw)/${fmt(sccS)}s/" +
-        s"${nScc}sccs giant=${nRing}n/bw${ringBw}r/${fmt(ringS)}s")
+        s"${nScc}sccs giant=${nRing}n/bw${ringBw}r/${fmt(ringS)}s " +
+        s"dedup=${pdCount}dp/${fullPairs}fp warm_mv=${ndCurve1.map(_._2).sum}" +
+        s"/cold_mv=${ndColdCurve.map(_._2).sum}")
       // the m=100 edge frame is ~100x the base — release its blocks
       // before the next scale builds its own (base stays: it serves
       // every scale)
@@ -273,6 +354,7 @@ object ScaleProbe {
       graft.Ck.release(edges)
       line
     }
+    graft.Ck.release(docsBase)
     val json = s"""{"sf_dir":"$sfDir","cpus":$cpus,"stride":$n,"anchor_mod":$mod,""" +
       s""""scales":[${scales.mkString(",")}]}"""
     java.nio.file.Files.write(

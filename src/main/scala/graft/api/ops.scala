@@ -779,6 +779,17 @@ object ops {
       nearDupPairs(df, id, text, minJaccard).select(col("i"), col("j")),
       "i", "j")
 
+  /** The banded-LSH blocking rows for `df` — (__id, band_idx,
+    * band_key), the per-doc pure function every near-dup consumer
+    * here shares. PUBLIC so a production pipeline can materialize
+    * yesterday's band table once (write it bucketed by band_key)
+    * and hand it to [[nearDupDedupIncremental]] as `oldBands` on
+    * day N — the old corpus's signature scan then drops out of the
+    * incremental pass entirely.
+    */
+  def nearDupBands(df: DataFrame, id: String, text: String): DataFrame =
+    bandsOf(df, id, text)
+
   /** The DELTA near-dup pairs an insert-only changelog introduces:
     * every verified pair touching at least one NEW doc. Band
     * membership is a pure per-doc function, so joining only the
@@ -786,13 +797,17 @@ object ops {
     * the pairs the full candidate join would emit minus yesterday's
     * old x old pairs (whose verdicts are embodied in the previous
     * labels). The verify join then carries delta-pair candidates
-    * only — never the whole corpus's.
+    * only — never the whole corpus's. `oldBands` (from
+    * [[nearDupBands]], usually a materialized table) replaces the
+    * old side's signature recomputation when provided.
     */
   private[graft] def incrementalNearDupPairs(oldDf: DataFrame,
       newDf: DataFrame, id: String, text: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      oldBands: Option[DataFrame] = None): DataFrame = {
     val bNew = bandsOf(newDf, id, text)
-    val bAll = bandsOf(oldDf, id, text).unionByName(bNew)
+    val bAll = oldBands.getOrElse(bandsOf(oldDf, id, text))
+      .unionByName(bNew)
     val cand = bNew.alias("a").join(bAll.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -833,17 +848,20 @@ object ops {
     * kept is provably row-equal to nearDupDedup(old ∪ new, min_id)
     * (IncrementalDedupSpec pins it); thread the labels into the
     * next day's call.
-    * Scale shape: one linear band scan per side (production keeps
-    * the band table materialized and bucketed by band_key — then
-    * the old-side scan drops out too), a bucket-bounded candidate
-    * join, a delta-pair-sized verify join, star+delta-sized cc
-    * rounds, one drop anti-join against the union corpus.
+    * Scale shape: one linear band scan per side — pass `oldBands`
+    * (yesterday's [[nearDupBands]] table, materialized and bucketed
+    * by band_key) and the OLD side's signature scan drops out too —
+    * a bucket-bounded candidate join, a delta-pair-sized verify
+    * join, star+delta-sized cc rounds, one drop anti-join against
+    * the union corpus.
     */
   def nearDupDedupIncremental(oldDf: DataFrame, newDf: DataFrame,
       id: String, text: String, prevLabels: DataFrame,
-      minJaccard: Double = 0.5, broadcastDrops: Boolean = true)
+      minJaccard: Double = 0.5, broadcastDrops: Boolean = true,
+      oldBands: Option[DataFrame] = None)
     : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
-    val pd = incrementalNearDupPairs(oldDf, newDf, id, text, minJaccard)
+    val pd = incrementalNearDupPairs(oldDf, newDf, id, text, minJaccard,
+      oldBands)
     val star = prevLabels.filter(col("id") =!= col("component"))
       .select(col("component").as("i"), col("id").as("j"))
     val edges1 = star.unionByName(pd).distinct()

@@ -75,6 +75,43 @@ class IncrementalDedupSpec extends SparkSpec {
     Ck.release(lab0); Ck.release(lab1); Ck.release(lab2); Ck.release(coldLab)
   }
 
+  test("materialized old-band table: identical results, old signature scan gone") {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    // day-0 production artifact: yesterday's band table, materialized
+    val oldBands = ops.nearDupBands(base, "doc_id", "text")
+      .localCheckpoint(true)
+    val recompute = ops.incrementalNearDupPairs(
+      base, delta, "doc_id", "text", 0.5)
+    val reuse = ops.incrementalNearDupPairs(
+      base, delta, "doc_id", "text", 0.5, Some(oldBands))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(reuse) == pairSet(recompute))
+    // the point of the knob: the old corpus's signature computation
+    // is OUT of the plan — the reuse plan reads the checkpointed
+    // band table (a scanned RDD) where the recompute plan carries a
+    // second full signature pipeline, so its minhash_sig footprint
+    // (the expression repeats per band field in FormattedMode) must
+    // strictly shrink
+    val p = reuse.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val p2 = recompute.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val (nReuse, nRecompute) =
+      ("minhash_sig".r.findAllIn(p).size, "minhash_sig".r.findAllIn(p2).size)
+    assert(nReuse > 0 && nReuse < nRecompute, s"reuse=$nReuse recompute=$nRecompute")
+    assert(p.contains("ExistingRDD"), p)
+    // and the full incremental call accepts the same knob
+    val (lab0, _) = ops.nearDupLabels(base, "doc_id", "text")
+    val (kept, lab1, _) = ops.nearDupDedupIncremental(
+      base, delta, "doc_id", "text", lab0, oldBands = Some(oldBands))
+    val cold = ops.nearDupDedup(docs, "doc_id", "text")
+    assert(ids(kept) == ids(cold))
+    Ck.release(lab0); Ck.release(lab1); Ck.release(oldBands)
+  }
+
   test("delta pair generation finds exactly the pairs touching a new doc") {
     val docs = Tables.documents(spark, dir)
     val base = docs.filter(col("doc_id") % 4 =!= 0)

@@ -40,6 +40,32 @@ class ScaleProbeSpec extends SparkSpec {
     assert(unmatched.isEmpty, "bridged replicas must merge components")
   }
 
+  test("replicateDocs: within-replica dup structure preserved, zero cross-replica pairs") {
+    val s = spark
+    import s.implicits._
+    // three identical docs: one 3-clique of near-dup pairs per replica
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff gg"),
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff gg")).toDF("doc_id", "text")
+    val m1 = ScaleProbe.replicateDocs(spark, docs, 1, 3L)
+    assert(m1.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+      "m=1 must be the identity")
+    val m2 = ScaleProbe.replicateDocs(spark, docs, 2, 3L)
+      .localCheckpoint(true)
+    assert(m2.count() == 6)
+    val pairs = ops.nearDupPairs(m2, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both replica cliques intact (pair counts scale LINEARLY)...
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L)), pairs.toString)
+    // ...and in particular no pair spans replicas, though the
+    // original texts are byte-identical — the salt did its job
+    assert(!pairs.exists(p => p._1 < 3L && p._2 >= 3L))
+    Ck.release(m2)
+  }
+
   test("BFS hop count grows with the replica chain (seeds in replica 0 only)") {
     val base = graft.queries.Mining.sparseUnd(spark, dir)
       .localCheckpoint(true)
