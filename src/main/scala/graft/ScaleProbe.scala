@@ -317,6 +317,35 @@ object ScaleProbe {
         ndLab1.join(ndColdLab, Seq("id"))
           .filter(ndLab1("component") =!= ndColdLab("component")).isEmpty
       require(ndAgree, "incremental dedup labels diverge from the cold rerun")
+      // TAKEDOWN leg (q219's scale evidence): a full-CDC day — the
+      // same insert shard PLUS takedowns drawn from the labeled dup
+      // subset (id % 3, q219's split: every deletion disturbs a
+      // cluster). The claims: warm movement tracks the disturbed
+      // subset, not the corpus, and labels agree with a cold rerun
+      // on the surviving corpus at every scale.
+      val ndDel = ndLab0.filter(col("id") % 3L === 0L)
+        .select(col("id").as("doc_id")).localCheckpoint(true)
+      val ndDelN = ndDel.count()
+      val ndDelAff = ndLab0
+        .join(ndDel.withColumnRenamed("doc_id", "id"), "id")
+        .select(col("component")).distinct().count()
+      val delWarmT0 = System.nanoTime()
+      val (delKept, delLab, delCurve) = ops.nearDupDedupDelta(
+        dBase, dDelta, ndDel, "doc_id", "text", ndLab0)
+      val delKeptN = delKept.count()
+      val delWarmS = (System.nanoTime() - delWarmT0) / 1e9
+      val surv = docsRep.join(ndDel, Seq("doc_id"), "left_anti")
+      val delColdT0 = System.nanoTime()
+      val (delColdLab, delColdCurve) =
+        ops.nearDupLabels(surv, "doc_id", "text")
+      val delColdS = (System.nanoTime() - delColdT0) / 1e9
+      val delAgree = delLab.count() == delColdLab.count() &&
+        delLab.join(delColdLab, Seq("id"))
+          .filter(delLab("component") =!= delColdLab("component")).isEmpty
+      require(delAgree, "takedown dedup labels diverge from the cold rerun")
+      graft.Ck.release(ndDel)
+      graft.Ck.release(delLab)
+      graft.Ck.release(delColdLab)
       graft.Ck.release(ndLab0)
       graft.Ck.release(ndLab1)
       graft.Ck.release(ndColdLab)
@@ -327,7 +356,11 @@ object ScaleProbe {
           s""""base_rounds":${ndCurve0.length},"base_s":${fmt(lb0S)},""" +
           s""""warm_rounds":${ndCurve1.length},"cold_rounds":${ndColdCurve.length},""" +
           s""""warm_mv":${ndCurve1.map(_._2).sum},"cold_mv":${ndColdCurve.map(_._2).sum},""" +
-          s""""warm_s":${fmt(ndWarmS)},"cold_s":${fmt(ndColdS)},"kept":$ndKeptN}"""
+          s""""warm_s":${fmt(ndWarmS)},"cold_s":${fmt(ndColdS)},"kept":$ndKeptN,""" +
+          s""""del_n":$ndDelN,"del_aff":$ndDelAff,""" +
+          s""""del_warm_rounds":${delCurve.length},"del_cold_rounds":${delColdCurve.length},""" +
+          s""""del_warm_mv":${delCurve.map(_._2).sum},"del_cold_mv":${delColdCurve.map(_._2).sum},""" +
+          s""""del_warm_s":${fmt(delWarmS)},"del_cold_s":${fmt(delColdS)},"del_kept":$delKeptN}"""
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
         s""""dedup":$dedupJson,""" +
         s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +

@@ -878,6 +878,127 @@ object ops {
     (kept, labels, curve)
   }
 
+  /** FULL-CDC near-dup dedup (q219's parameterized form) —
+    * [[nearDupDedupIncremental]] extended with TAKEDOWNS, the other
+    * half of a production changelog (DMCA removals, opt-outs,
+    * retention expiry): `deletedIds` lists docs removed from
+    * yesterday's corpus `oldDf`, `newDf` is today's inserts. A
+    * takedown only ever REMOVES pairs, so the incremental contract
+    * splits the previous clustering three ways:
+    *
+    *  - components untouched by any deletion carry forward as their
+    *    star compression, labels kept (exactly the inserts-only
+    *    path);
+    *  - components containing a deleted doc are DISTURBED — a
+    *    removed bridge doc can split one — so their surviving
+    *    members' true pair structure is re-derived from the band
+    *    table (every still-valid old pair with a disturbed endpoint
+    *    has BOTH endpoints in the disturbed survivor set, because a
+    *    pair implies same old component), and the warm fixpoint
+    *    re-seeds exactly those components to identity
+    *    ([[incrementalConnectedComponents]]'s delete path);
+    *  - insert pairs come from band buckets a NEW doc touches,
+    *    against the SURVIVING corpus only — a deleted doc never
+    *    re-enters through its old bucket.
+    *
+    * Every per-day input is changelog- or disturbed-subset-sized:
+    * the delete list and disturbed-component list broadcast, the
+    * re-verify self-join runs on disturbed-survivor band rows only,
+    * and with `oldBands` (yesterday's materialized [[nearDupBands]]
+    * table) the surviving old corpus is never re-scanned for
+    * signatures — one anti-join filters the band table instead.
+    * Returns (kept survivors of (old minus deleted) union new, new
+    * labels, warm movement curve); kept is provably row-equal to
+    * nearDupDedup on the surviving union (IncrementalDedupSpec pins
+    * it, including a planted bridge-takedown split). The inserts-only
+    * case is [[nearDupDedupIncremental]]'s zero-overhead
+    * specialization of this.
+    */
+  def nearDupDedupDelta(oldDf: DataFrame, newDf: DataFrame,
+      deletedIds: DataFrame, id: String, text: String,
+      prevLabels: DataFrame, minJaccard: Double = 0.5,
+      broadcastDrops: Boolean = true, oldBands: Option[DataFrame] = None)
+    : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
+    val del = deletedIds.select(col(id).as("id")).distinct()
+    // components a takedown disturbs — changelog-sized, broadcast
+    val aff = prevLabels.join(del, "id").select(col("component")).distinct()
+    val survOld = oldDf.join(broadcast(del.select(col("id").as(id))),
+      Seq(id), "left_anti")
+    val pairs = takedownNearDupPairs(oldDf, newDf, deletedIds, prevLabels,
+      id, text, minJaccard, oldBands)
+    // star edges carry only the UNDISTURBED components forward
+    val star = prevLabels.filter(col("id") =!= col("component"))
+      .join(broadcast(aff), Seq("component"), "left_anti")
+      .select(col("component").as("i"), col("id").as("j"))
+    val edges1 = star.unionByName(pairs).distinct()
+    // marking each deleted doc as a self-edge deletion makes the
+    // warm fixpoint's affected set exactly `aff` — disturbed
+    // components re-seed to identity, everything else keeps labels
+    val delEdges = del.select(col("id").as("i"), col("id").as("j"))
+    val (labels, curve) = incrementalConnectedComponents(
+      prevLabels, edges1, delEdges, "i", "j")
+    val drops = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as(id))
+    val kept = survOld.unionByName(newDf).join(
+      if (broadcastDrops) broadcast(drops) else drops,
+      Seq(id), "left_anti")
+    (kept, labels, curve)
+  }
+
+  /** The lazy pair frame behind [[nearDupDedupDelta]] — re-derived
+    * pairs within disturbed components plus insert pairs against the
+    * surviving corpus, verified in one join. Exposed separately so
+    * PlanQualitySpec can pin the plan shape: band-key equi-joins
+    * only, the re-verify side restricted to disturbed-survivor band
+    * rows via a broadcast, never a cross product.
+    */
+  private[graft] def takedownNearDupPairs(oldDf: DataFrame,
+      newDf: DataFrame, deletedIds: DataFrame, prevLabels: DataFrame,
+      id: String, text: String, minJaccard: Double,
+      oldBands: Option[DataFrame] = None): DataFrame = {
+    val del = deletedIds.select(col(id).as("id")).distinct()
+    val aff = prevLabels.join(del, "id").select(col("component")).distinct()
+    val survOld = oldDf.join(broadcast(del.select(col("id").as(id))),
+      Seq(id), "left_anti")
+    // surviving old band rows: the materialized table minus deleted
+    // docs, or one linear scan of the surviving old corpus
+    val survBands = oldBands
+      .map(_.join(broadcast(del.select(col("id").as("__id"))),
+        Seq("__id"), "left_anti"))
+      .getOrElse(bandsOf(survOld, id, text))
+    // (1) re-derive pairs WITHIN disturbed components: the self-join
+    // runs on disturbed-survivor band rows only (see
+    // [[nearDupDedupDelta]] for why no valid pair escapes this set)
+    val affSurv = prevLabels.join(broadcast(aff), "component")
+      .join(del, Seq("id"), "left_anti")
+      .select(col("id").as("__id"))
+    val affBands = survBands.join(broadcast(affSurv), "__id")
+    val candRe = affBands.alias("a").join(affBands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("i"), col("b.__id").as("j"))
+    // (2) insert pairs: buckets touched by a NEW doc, against the
+    // surviving corpus
+    val bNew = bandsOf(newDf, id, text)
+    val candNew = bNew.alias("a")
+      .join(survBands.unionByName(bNew).alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("i"),
+        greatest(col("a.__id"), col("b.__id")).as("j"))
+    // one verify join serves both candidate families
+    val cand = candRe.unionByName(candNew).distinct()
+    val sh = survOld.unionByName(newDf).select(col(id).as("__id"),
+      Hashing.shingles(col(text), 3).as("__sh"))
+    cand
+      .join(sh.select(col("__id").as("i"), col("__sh").as("__sha")), "i")
+      .join(sh.select(col("__id").as("j"), col("__sh").as("__shb")), "j")
+      .filter(Hashing.jaccard(col("__sha"), col("__shb")) >= minJaccard)
+      .select(col("i"), col("j"))
+  }
+
   /** Cross-group near-dup contamination matrix (q158's parameterized
     * form): LSH-banded candidates verified at 3-shingle Jaccard >=
     * `minJaccard`, attributed to the canonicalized (group_a, group_b)

@@ -1806,7 +1806,157 @@ object Dedup {
        |ORDER BY part, k""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q219: TAKEDOWN dedup — the full-CDC production loop: yesterday's
+  // corpus (doc_id % 8 <> 0) is cold-labeled once, then today's
+  // changelog arrives with BOTH inserts (doc_id % 8 = 0) and
+  // takedowns (DMCA removals, opt-outs — drawn from the labeled dup
+  // subset, id % 3 = 0, so the removals actually disturb clusters:
+  // 9 of 19 components at sf0.01, 105 of 184 at sf0.1, leaving the
+  // rest to exercise the star-carry path). The delta
+  // pass (ops.nearDupDedupDelta) carries undisturbed components
+  // forward as star edges, re-derives pair structure only inside the
+  // components a takedown disturbed (a removed bridge doc can split
+  // one), generates insert candidates only from buckets a new doc
+  // touches, and warm-starts the cc fixpoint with exactly the
+  // disturbed components re-seeded. Final (kept, labels) are
+  // provably equal to the cold run on the surviving union
+  // (IncrementalDedupSpec pins it, including a planted bridge
+  // split); the oracle replays both loops round by round AND the
+  // disturbed-component census, so a wrong affected set, an
+  // early/late stop, or a mis-seeded warm init all hash-mismatch.
+  //
+  // Scale shape: delete list and disturbed-component list broadcast,
+  // disturbed-survivor-sized re-verify self-join, delta-sized insert
+  // candidates, star+delta-sized cc rounds, one broadcast drop
+  // anti-join against the surviving union.
+  // ---------------------------------------------------------------
+  def q219TakedownDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = documents(s, dir).persist(MEMORY_AND_DISK)
+    touch(docs)
+    val base = docs.filter(col("doc_id") % 8 =!= 0)
+    val delta = docs.filter(col("doc_id") % 8 === 0)
+    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text")
+    graft.LoopStats.recordLoop("tdd_base", curve0.length.toLong)
+    val deleted = lab0.filter(col("id") % 3 === 0)
+      .select(col("id").as("doc_id"))
+    val (kept, lab1, curve1) = graft.api.ops.nearDupDedupDelta(
+      base, delta, deleted, "doc_id", "text", lab0)
+    graft.LoopStats.recordLoop("tdd_warm", curve1.length.toLong)
+    // disturbed-component census: how many clusters the takedowns
+    // touched and how many surviving members needed re-verification
+    // — the quantities the delta pass's cost is proportional to
+    val affC = lab0.join(deleted.withColumnRenamed("doc_id", "id"), "id")
+      .select(col("component")).distinct()
+    val affRow = affC.agg(count(lit(1)).as("v1"))
+      .crossJoin(lab0.join(broadcast(affC), "component")
+        .join(deleted.withColumnRenamed("doc_id", "id"), Seq("id"),
+          "left_anti")
+        .agg(count(lit(1)).as("v2")))
+      .select(lit("aff").as("part"), lit(0L).as("k"), col("v1"), col("v2"))
+    val census = lab1.groupBy(col("component"))
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+      .select(lit("comp").as("part"), col("component").as("k"),
+        col("n").as("v1"), col("mx").as("v2"))
+    val keptRow = kept.agg(count(lit(1)).as("v1"),
+        sum(col("doc_id")).as("v2"))
+      .select(lit("kept").as("part"), lit(0L).as("k"),
+        col("v1"), col("v2"))
+    val sess = s
+    import sess.implicits._
+    val c0 = curve0.toDF("k", "v1")
+      .select(lit("round0").as("part"), col("k"), col("v1"),
+        lit(0L).as("v2"))
+    val c1 = curve1.toDF("k", "v1")
+      .select(lit("round1").as("part"), col("k"), col("v1"),
+        lit(0L).as("v2"))
+    val out = affRow.unionByName(census).unionByName(keptRow)
+      .unionByName(c0).unionByName(c1)
+      .orderBy("part", "k")
+    val ck = out.localCheckpoint(true)
+    graft.Ck.release(lab0)
+    graft.Ck.release(lab1)
+    docs.unpersist(blocking = false)
+    ck
+  }
+
+  val q219Sql: String = {
+    // 16-round unroll for both replayed loops (q218's bound: the
+    // engine stops data-driven; star edges keep undisturbed
+    // components at depth 1, re-seeded ones re-converge at
+    // dup-cluster depth)
+    val R = 16
+    val pairs = q23Sql.linesIterator.map("  " + _).mkString("\n")
+      .replaceAll("ORDER BY i, j$", "")
+    s"""WITH allpairs AS (
+       |$pairs
+       |), und0 AS MATERIALIZED (
+       |  SELECT i AS a, j AS b FROM allpairs WHERE i % 8 <> 0 AND j % 8 <> 0
+       |), bi0 AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und0 UNION ALL SELECT b, a FROM und0
+       |),
+       |${Mining.CcReplaySql.phase("p0_", "bi0",
+           "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM bi0)",
+           R)},
+       |dels AS MATERIALIZED (
+       |  SELECT node FROM p0_final WHERE node % 3 = 0
+       |), aff AS MATERIALIZED (
+       |  SELECT DISTINCT lbl FROM p0_final WHERE node % 3 = 0
+       |), affsurv AS MATERIALIZED (
+       |  SELECT node FROM p0_final
+       |  WHERE lbl IN (SELECT lbl FROM aff) AND node % 3 <> 0
+       |), star AS (
+       |  SELECT lbl AS a, node AS b FROM p0_final
+       |  WHERE node <> lbl AND lbl NOT IN (SELECT lbl FROM aff)
+       |), re AS (
+       |  SELECT p.i AS a, p.j AS b FROM allpairs p
+       |  JOIN p0_final li ON li.node = p.i
+       |  WHERE p.i % 8 <> 0 AND p.j % 8 <> 0
+       |    AND p.i % 3 <> 0 AND p.j % 3 <> 0
+       |    AND li.lbl IN (SELECT lbl FROM aff)
+       |), pd AS (
+       |  SELECT i AS a, j AS b FROM allpairs
+       |  WHERE (i % 8 = 0 OR j % 8 = 0)
+       |    AND i NOT IN (SELECT node FROM dels)
+       |    AND j NOT IN (SELECT node FROM dels)
+       |), und1 AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM star UNION ALL SELECT a, b FROM re
+       |    UNION ALL SELECT a, b FROM pd)
+       |), bi1 AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM und1 UNION ALL SELECT b, a FROM und1
+       |),
+       |${Mining.CcReplaySql.phase("p1_", "bi1",
+           """SELECT n.node,
+             |    CASE WHEN l.lbl IS NULL OR a.lbl IS NOT NULL THEN n.node
+             |         ELSE l.lbl END AS lbl
+             |  FROM (SELECT DISTINCT node FROM bi1) n
+             |  LEFT JOIN p0_final l ON l.node = n.node
+             |  LEFT JOIN aff a ON a.lbl = l.lbl""".stripMargin,
+           R)}
+       |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
+       |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
+       |UNION ALL
+       |SELECT 'aff', CAST(0 AS BIGINT),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM aff),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM affsurv)
+       |UNION ALL
+       |SELECT 'kept', CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(doc_id) AS BIGINT) FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM dels)
+       |  AND doc_id NOT IN (SELECT node FROM p1_final WHERE node <> lbl)
+       |UNION ALL
+       |SELECT 'round0', round, mv, CAST(0 AS BIGINT) FROM p0_curve
+       |WHERE round <= (SELECT r FROM p0_stop)
+       |UNION ALL
+       |SELECT 'round1', round, mv, CAST(0 AS BIGINT) FROM p1_curve
+       |WHERE round <= (SELECT r FROM p1_stop)
+       |ORDER BY part, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_takedown_dedup" -> q219TakedownDedup _,
     "q218_warm_dedup" -> q218WarmDedup _,
     "q211_containment_join" -> q211ContainmentJoin _,
     "q206_lsh_recall" -> q206LshRecall _,
@@ -1830,6 +1980,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q219_takedown_dedup" -> q219Sql,
     "q218_warm_dedup" -> q218Sql,
     "q211_containment_join" -> q211Sql,
     "q206_lsh_recall" -> q206Sql,

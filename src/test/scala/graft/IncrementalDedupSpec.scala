@@ -112,6 +112,89 @@ class IncrementalDedupSpec extends SparkSpec {
     Ck.release(lab0); Ck.release(lab1); Ck.release(oldBands)
   }
 
+  test("takedown dedup equals the cold run on the surviving corpus") {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 8 =!= 0)
+    val delta = docs.filter(col("doc_id") % 8 === 0)
+    val (lab0, _) = ops.nearDupLabels(base, "doc_id", "text")
+    // takedowns drawn from the labeled dup subset (q219's split), so
+    // they actually disturb clusters at this SF
+    val deleted = lab0.filter(col("id") % 3 === 0)
+      .select(col("id").as("doc_id")).localCheckpoint(true)
+    assert(deleted.count() > 0L, "no takedown hits a dup cluster")
+    val (kept, lab1, _) = ops.nearDupDedupDelta(
+      base, delta, deleted, "doc_id", "text", lab0)
+    val surviving = docs.join(deleted, Seq("doc_id"), "left_anti")
+    val cold = ops.nearDupDedup(surviving, "doc_id", "text")
+    assert(ids(kept) == ids(cold))
+    val (coldLab, _) = ops.nearDupLabels(surviving, "doc_id", "text")
+    assert(labelSet(lab1) == labelSet(coldLab))
+    // the materialized-band knob commutes with deletion: the band
+    // table is per-doc pure, so filtering yesterday's table equals
+    // recomputing on the surviving corpus
+    val oldBands = ops.nearDupBands(base, "doc_id", "text")
+      .localCheckpoint(true)
+    val (kept2, lab2, _) = ops.nearDupDedupDelta(
+      base, delta, deleted, "doc_id", "text", lab0,
+      oldBands = Some(oldBands))
+    assert(ids(kept2) == ids(cold))
+    assert(labelSet(lab2) == labelSet(coldLab))
+    Ck.release(lab0); Ck.release(lab1); Ck.release(lab2)
+    Ck.release(coldLab); Ck.release(oldBands); Ck.release(deleted)
+  }
+
+  test("planted takedowns: bridge split, min-survivor relabel, vanish, untouched") {
+    val s = spark
+    import s.implicits._
+    // salt-verified corpus (banded-LSH buckets catch every planted
+    // pair at this exact token set): one 5-doc cluster where doc 12
+    // BRIDGES {10,11} and {13,14} (J(10,13-side) = 0.2, below
+    // threshold), one 3-doc cluster whose MIN doc 20 is taken down,
+    // one pair {30,31} whose non-min is taken down, one untouched
+    // pair {40,41}
+    val w = (1 to 14).map(i => s"w32_$i")
+    val x = (1 to 4).map(i => s"x32_$i")
+    val y = (1 to 4).map(i => s"y32_$i")
+    def tri(tok: String): Seq[String] = {
+      val p = (1 to 10).map(i => s"$tok${32}_$i")
+      Seq(p.mkString(" "),
+        (p.take(9) :+ s"$tok${32}_21").mkString(" "),
+        (p.take(9) :+ s"$tok${32}_22").mkString(" "))
+    }
+    val cText = (w.drop(4) ++ y).mkString(" ")
+    val docs = Seq(
+      10L -> (w.take(10) ++ x).mkString(" "),
+      11L -> (w.take(10) ++ x.take(3) :+ "x32_9").mkString(" "),
+      12L -> w.mkString(" "),
+      13L -> cText,
+      14L -> (w.drop(4) ++ y.take(3) :+ "y32_9").mkString(" "),
+      20L -> tri("p")(0), 21L -> tri("p")(1), 22L -> tri("p")(2),
+      30L -> tri("q")(0), 31L -> tri("q")(1),
+      40L -> tri("r")(0), 41L -> tri("r")(1)).toDF("doc_id", "text")
+    val (lab0, _) = ops.nearDupLabels(docs, "doc_id", "text")
+    assert(labelSet(lab0) == Set(
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L), (14L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L),
+      (30L, 30L), (31L, 30L), (40L, 40L), (41L, 40L)),
+      s"planted base clusters off: ${labelSet(lab0)}")
+    // changelog: take down the bridge (12), a cluster min (20), a
+    // pair's non-min (31); insert 50 = exact copy of 13 (joins the
+    // disturbed component's right half through the insert path)
+    val deleted = Seq(12L, 20L, 31L).toDF("doc_id")
+    val inserts = Seq(50L -> cText).toDF("doc_id", "text")
+    val (kept, lab1, _) = ops.nearDupDedupDelta(
+      docs, inserts, deleted, "doc_id", "text", lab0)
+    assert(labelSet(lab1) == Set(
+      (10L, 10L), (11L, 10L),           // bridge removed: left half
+      (13L, 13L), (14L, 13L), (50L, 13L), // right half + insert
+      (21L, 21L), (22L, 21L),           // min taken down: relabel
+      (40L, 40L), (41L, 40L)),          // untouched: label kept
+      s"post-takedown labels off: ${labelSet(lab1)}")
+    // 30 became a singleton (vanished from labels) and survives
+    assert(ids(kept) == Set(10L, 13L, 21L, 30L, 40L))
+    Ck.release(lab0); Ck.release(lab1)
+  }
+
   test("delta pair generation finds exactly the pairs touching a new doc") {
     val docs = Tables.documents(spark, dir)
     val base = docs.filter(col("doc_id") % 4 =!= 0)

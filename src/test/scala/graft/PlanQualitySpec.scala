@@ -139,6 +139,31 @@ class PlanQualitySpec extends SparkSpec {
     Ck.release(lab0); Ck.release(lab1)
   }
 
+  test("q219: takedown pairs stay band-key equi-joins; disturbed side broadcast-restricted") {
+    import org.apache.spark.sql.execution.FormattedMode
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val (lab0, _) = graft.api.ops.nearDupLabels(base, "doc_id", "text")
+    val deleted = lab0.filter(col("id") % 3 === 0)
+      .select(col("id").as("doc_id"))
+    // the LAZY takedown-pair plan: both candidate families are band
+    // bucket equi-joins; the re-verify self-join's inputs are
+    // restricted to disturbed-survivor band rows through BROADCAST
+    // joins (the disturbed set is changelog-sized) — never a cross
+    // product, never an unrestricted old x old self-join
+    val pd = graft.api.ops.takedownNearDupPairs(
+      base, delta, deleted, lab0, "doc_id", "text", 0.5)
+    val p = pd.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band_key"), p)
+    assert(p.contains("minhash_sig"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    Ck.release(lab0)
+  }
+
   test("q60: native as-of join — no window, no union, co-partitioned exchanges") {
     val p = plan("q60_asof_native")
     assert(p.contains("AsOfJoin"), p)
