@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, KeyValueGroupedDataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig}
+
+/** One banded blocking row on the stream: the namespaced LSH band
+  * key (band_idx#band_key — q23's index schema, DedupStream's key
+  * namespace) and the document that produced it.
+  */
+final case class BandObs(key: String, docId: Long)
+
+/** One emitted near-dup CANDIDATE pair (i < j), tagged with the
+  * bucket that produced it (a pair sharing several buckets emits
+  * once per bucket — dedup is one `distinct` downstream, exactly as
+  * in the batch candidate join).
+  */
+final case class CandPair(i: Long, j: Long, key: String)
+
+/** STREAMING near-dup candidate-pair generation — the live form of
+  * q218's delta candidate stage (`ops.incrementalNearDupPairs`'s
+  * bucket join): where [[DedupStream]] answers "was this fingerprint
+  * seen" (a membership bit per key), this monitor answers the
+  * question the incremental dedup pipeline actually joins for —
+  * WHICH prior documents share a bucket with the arrival. Every
+  * arriving document pairs against (a) the indexed corpus and (b)
+  * every earlier stream arrival in the same band bucket, without
+  * re-reading the corpus: bucket membership lives as one ListState
+  * per band key, seeded from yesterday's band table (the
+  * materialized [[graft.api.ops.nearDupBands]] artifact) as initial
+  * state.
+  *
+  * The live contract, pinned in PairMonitorSpec at every micro-batch
+  * boundary: the DISTINCT emitted pairs over a stream prefix equal
+  * the batch candidate join's pairs touching at least one streamed
+  * doc — i.e. the stream IS the insert-only incremental candidate
+  * pass, micro-batch by micro-batch. Verification (shingle Jaccard)
+  * joins the emitted pairs against the document store downstream —
+  * kept outside this operator so the candidate stream can also feed
+  * an audit sink (q206's recall bookkeeping), exactly as the batch
+  * pipeline separates candidates from the verify join.
+  *
+  * Redelivery is idempotent: a docId already present in the bucket's
+  * member list is dropped before pairing, so at-least-once upstreams
+  * cannot duplicate pairs or self-pair.
+  *
+  * At scale: state per band key is the bucket's member list —
+  * near-dup buckets are small by construction (the same boundedness
+  * the batch candidate join relies on), RocksDB-backed and
+  * key-hash-partitioned across executors; a pathological hot bucket
+  * is the SAME pathology the batch join would hit and wants the same
+  * fix (coarser bands), not a different sketch. Emission is
+  * Append-mode pairs only — no per-batch state dump.
+  */
+object PairMonitor {
+
+  /** Band explode for arriving documents: BandCount blocking rows
+    * per doc via the zero-shuffle native MinHashSig kernel — the
+    * per-doc pure function shared with the batch `bandsOf`.
+    */
+  def bandObs(docs: Dataset[DocEvent]): Dataset[BandObs] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("docId"),
+        explode(graft.queries.Hashing.bandStructs(
+          graft.functions.texthash.minhashSig(col("text")))).as("b"))
+      .select(concat_ws("#", col("b.band_idx"), col("b.band_key")).as("key"),
+        col("docId"))
+      .as[BandObs]
+  }
+
+  /** Corpus band table -> initial state: one sorted member array per
+    * band key (one initial-state row per key, as the API requires).
+    */
+  def seedState(index: Dataset[BandObs])
+    : KeyValueGroupedDataset[String, Array[Long]] = {
+    val s = index.sparkSession
+    import s.implicits._
+    index.groupByKey(_.key)
+      .mapGroups((k, it) => (k, it.map(_.docId).toArray.distinct.sorted))
+      .groupByKey(_._1).mapValues(_._2)
+  }
+
+  /** ListState bucket membership; arrivals pair against every prior
+    * member, then join the list themselves.
+    */
+  class BucketPairProcessor
+      extends StatefulProcessorWithInitialState[String, BandObs, CandPair, Array[Long]] {
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: Array[Long],
+        timerValues: TimerValues): Unit =
+      members.put(initial)
+
+    override def handleInputRows(key: String, rows: Iterator[BandObs],
+        timerValues: TimerValues): Iterator[CandPair] = {
+      val prior: Vector[Long] =
+        if (members.exists()) members.get().toVector else Vector.empty
+      val known = prior.toSet
+      // within-batch determinism: docId order (the batch join's
+      // canonical i < j comes out the same either way — min/max
+      // below — but the emission order is now reproducible)
+      val fresh = rows.map(_.docId).toVector.distinct.sorted
+        .filterNot(known)
+      var all = prior
+      val out = Vector.newBuilder[CandPair]
+      for (d <- fresh) {
+        all.foreach { p =>
+          if (p != d) out += CandPair(math.min(p, d), math.max(p, d), key)
+        }
+        all = all :+ d
+      }
+      if (fresh.nonEmpty) members.put(all.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** The running query body: arriving band rows -> candidate pairs,
+    * bucket state seeded from the corpus band table.
+    */
+  def pairs(obs: Dataset[BandObs],
+      index: Dataset[BandObs]): Dataset[CandPair] = {
+    val s = obs.sparkSession
+    import s.implicits._
+    obs.groupByKey(_.key)
+      .transformWithState(new BucketPairProcessor,
+        TimeMode.None(), OutputMode.Append(), seedState(index))
+  }
+}
