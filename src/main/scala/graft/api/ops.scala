@@ -913,19 +913,30 @@ object ops {
     * it, including a planted bridge-takedown split). The inserts-only
     * case is [[nearDupDedupIncremental]]'s zero-overhead
     * specialization of this.
+    *
+    * `broadcastAffected` hints the disturbed-survivor restriction
+    * joins' build side — right while the disturbed clusters'
+    * membership fits an executor (a changelog-sized disturbance on
+    * ordinary clusters). One takedown inside a GIANT cluster
+    * (boilerplate/template dup classes run to millions of members)
+    * makes the disturbed-survivor set cluster-sized, not
+    * changelog-sized — pass false there and the restriction runs as
+    * a shuffled join, with AQE still free to pick a broadcast from
+    * runtime stats (the same escape hatch as `broadcastDrops`).
     */
   def nearDupDedupDelta(oldDf: DataFrame, newDf: DataFrame,
       deletedIds: DataFrame, id: String, text: String,
       prevLabels: DataFrame, minJaccard: Double = 0.5,
-      broadcastDrops: Boolean = true, oldBands: Option[DataFrame] = None)
+      broadcastDrops: Boolean = true, oldBands: Option[DataFrame] = None,
+      broadcastAffected: Boolean = true)
     : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
     val del = deletedIds.select(col(id).as("id")).distinct()
     // components a takedown disturbs — changelog-sized, broadcast
     val aff = prevLabels.join(del, "id").select(col("component")).distinct()
     val survOld = oldDf.join(broadcast(del.select(col("id").as(id))),
       Seq(id), "left_anti")
-    val pairs = takedownNearDupPairs(oldDf, newDf, deletedIds, prevLabels,
-      id, text, minJaccard, oldBands)
+    val pairs = takedownPairsCore(del, aff, survOld, newDf, prevLabels,
+      id, text, minJaccard, oldBands, broadcastAffected)
     // star edges carry only the UNDISTURBED components forward
     val star = prevLabels.filter(col("id") =!= col("component"))
       .join(broadcast(aff), Seq("component"), "left_anti")
@@ -950,16 +961,29 @@ object ops {
     * surviving corpus, verified in one join. Exposed separately so
     * PlanQualitySpec can pin the plan shape: band-key equi-joins
     * only, the re-verify side restricted to disturbed-survivor band
-    * rows via a broadcast, never a cross product.
+    * rows via a broadcast, never a cross product. (Thin wrapper
+    * deriving the changelog frames; [[nearDupDedupDelta]] calls the
+    * core directly so each derivation exists once in its plan.)
     */
   private[graft] def takedownNearDupPairs(oldDf: DataFrame,
       newDf: DataFrame, deletedIds: DataFrame, prevLabels: DataFrame,
       id: String, text: String, minJaccard: Double,
-      oldBands: Option[DataFrame] = None): DataFrame = {
+      oldBands: Option[DataFrame] = None,
+      broadcastAffected: Boolean = true): DataFrame = {
     val del = deletedIds.select(col(id).as("id")).distinct()
     val aff = prevLabels.join(del, "id").select(col("component")).distinct()
     val survOld = oldDf.join(broadcast(del.select(col("id").as(id))),
       Seq(id), "left_anti")
+    takedownPairsCore(del, aff, survOld, newDf, prevLabels, id, text,
+      minJaccard, oldBands, broadcastAffected)
+  }
+
+  private def takedownPairsCore(del: DataFrame, aff: DataFrame,
+      survOld: DataFrame, newDf: DataFrame, prevLabels: DataFrame,
+      id: String, text: String, minJaccard: Double,
+      oldBands: Option[DataFrame], broadcastAffected: Boolean): DataFrame = {
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastAffected) broadcast(df) else df
     // surviving old band rows: the materialized table minus deleted
     // docs, or one linear scan of the surviving old corpus
     val survBands = oldBands
@@ -969,10 +993,10 @@ object ops {
     // (1) re-derive pairs WITHIN disturbed components: the self-join
     // runs on disturbed-survivor band rows only (see
     // [[nearDupDedupDelta]] for why no valid pair escapes this set)
-    val affSurv = prevLabels.join(broadcast(aff), "component")
+    val affSurv = prevLabels.join(hinted(aff), "component")
       .join(del, Seq("id"), "left_anti")
       .select(col("id").as("__id"))
-    val affBands = survBands.join(broadcast(affSurv), "__id")
+    val affBands = survBands.join(hinted(affSurv), "__id")
     val candRe = affBands.alias("a").join(affBands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&

@@ -72,6 +72,16 @@ object Hashing {
     }: _*)
   }
 
+  /** The streaming operators' NAMESPACED band-key strings for a text
+    * column: "band_idx#band_key" per band, one array element each —
+    * the single definition of the key space DedupStream's membership
+    * index and PairMonitor's bucket state share (a seeded initial
+    * state built by one must resolve the keys the other emits).
+    */
+  def bandKeyStrings(text: Column): Column =
+    transform(bandStructs(graft.functions.texthash.minhashSig(text)),
+      b => concat_ws("#", b.getField("band_idx"), b.getField("band_key")))
+
   // ----- universal-hash MinHash family (one md5 per shingle) -------
 
   /** Mersenne prime 2^31 - 1: (a*h + b) % P with 28-bit h and a,b < P

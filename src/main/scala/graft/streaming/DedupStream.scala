@@ -63,11 +63,8 @@ object DedupStream {
     docs.select(col("docId"),
         concat(
           array(struct(lit("ex").as("kind"), md5(col("text")).as("key"))),
-          transform(graft.queries.Hashing.bandStructs(
-              graft.functions.texthash.minhashSig(col("text"))),
-            b => struct(lit("band").as("kind"),
-              concat_ws("#", b.getField("band_idx"), b.getField("band_key"))
-                .as("key")))).as("ks"))
+          transform(graft.queries.Hashing.bandKeyStrings(col("text")),
+            k => struct(lit("band").as("kind"), k.as("key")))).as("ks"))
       .select(explode(col("ks")).as("k"), col("docId"))
       .select(col("k.key").as("key"), col("k.kind").as("kind"), col("docId"))
       .as[KeyObs]

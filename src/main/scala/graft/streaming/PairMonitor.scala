@@ -62,10 +62,8 @@ object PairMonitor {
     val s = docs.sparkSession
     import s.implicits._
     docs.select(col("docId"),
-        explode(graft.queries.Hashing.bandStructs(
-          graft.functions.texthash.minhashSig(col("text")))).as("b"))
-      .select(concat_ws("#", col("b.band_idx"), col("b.band_key")).as("key"),
-        col("docId"))
+        explode(graft.queries.Hashing.bandKeyStrings(col("text"))).as("key"))
+      .select(col("key"), col("docId"))
       .as[BandObs]
   }
 
@@ -114,7 +112,10 @@ object PairMonitor {
         }
         all = all :+ d
       }
-      if (fresh.nonEmpty) members.put(all.toArray)
+      // append only the arrivals: prior members are immutable here,
+      // and RocksDB merge operands make this O(new) instead of the
+      // O(bucket) full-list rewrite put() would pay on a hot bucket
+      if (fresh.nonEmpty) members.appendList(fresh.toArray)
       out.result().iterator
     }
   }
