@@ -192,7 +192,15 @@ class IncrementalDedupSpec extends SparkSpec {
       s"post-takedown labels off: ${labelSet(lab1)}")
     // 30 became a singleton (vanished from labels) and survives
     assert(ids(kept) == Set(10L, 13L, 21L, 30L, 40L))
-    Ck.release(lab0); Ck.release(lab1)
+    // the giant-disturbed-cluster escape hatch is semantics-free:
+    // broadcastAffected = false routes the disturbed-survivor
+    // restriction through shuffled joins with identical results
+    val (kept2, lab2, _) = ops.nearDupDedupDelta(
+      docs, inserts, deleted, "doc_id", "text", lab0,
+      broadcastAffected = false)
+    assert(labelSet(lab2) == labelSet(lab1))
+    assert(ids(kept2) == ids(kept))
+    Ck.release(lab0); Ck.release(lab1); Ck.release(lab2)
   }
 
   test("delta pair generation finds exactly the pairs touching a new doc") {
