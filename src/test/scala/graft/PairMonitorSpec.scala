@@ -82,6 +82,65 @@ class PairMonitorSpec extends SparkSpec {
     }
   }
 
+  test("live verified pairs equal ops.incrementalNearDupPairs over every prefix") {
+    // the full live incremental-dedup stage: candidate pairs from
+    // the monitor, verified by a STREAM-STATIC join against the doc
+    // store's shingle frame (the same separation the batch pipeline
+    // uses) — distinct verified emissions over any prefix must equal
+    // the batch delta-pair op on (corpus, prefix)
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val indexDocs = docs.filter(col("doc_id") % 4 =!= 0)
+    val streamDocs = docs.filter(col("doc_id") % 4 === 0)
+      .collect().map(r => DocEvent(r.getLong(0), r.getString(1)))
+      .sortBy(_.docId)
+    val index = PairMonitor.bandObs(
+      indexDocs.select(col("doc_id").as("docId"), col("text")).as[DocEvent])
+    // static verify side: every doc the pairs can reference
+    val sh = docs.select(col("doc_id"),
+      queries.Hashing.shingles(col("text"), 3).as("__sh"))
+      .localCheckpoint(true)
+    val in = MemoryStream[DocEvent]
+    val sink = s"pmv_${System.nanoTime()}"
+    val verified = PairMonitor.pairs(PairMonitor.bandObs(in.toDS()), index)
+      .join(sh.select(col("doc_id").as("i"), col("__sh").as("__sha")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("__sh").as("__shb")), "j")
+      .filter(queries.Hashing.jaccard(col("__sha"), col("__shb")) >= 0.5)
+      .select(col("i"), col("j"))
+    val q = verified
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    try {
+      val n = streamDocs.length
+      val cuts = Seq(streamDocs.take(n / 2), streamDocs.drop(n / 2))
+      var prefix: Seq[DocEvent] = Seq.empty
+      cuts.foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+        prefix = prefix ++ chunk
+        val live = s.table(sink).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = ops.incrementalNearDupPairs(
+            indexDocs,
+            prefix.map(e => (e.docId, e.text)).toDF("doc_id", "text"),
+            "doc_id", "text", 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(live == expected,
+          s"missing=${expected -- live} extra=${live -- expected}")
+      }
+      assert(s.table(sink).count() > 0L, "no verified pairs — vacuous")
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      Ck.release(sh)
+    }
+  }
+
   test("bucket membership survives a checkpoint restart") {
     val s = spark
     import s.implicits._
