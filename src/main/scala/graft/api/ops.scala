@@ -1652,6 +1652,41 @@ object ops {
     * returned curve shows reassignments flat-lining) — fix the
     * threshold rather than raising the bound blindly.
     */
+  /** IVF cell assignment against a FROZEN centroid table (q220's
+    * parameterized form) — the vector side's daily delta-indexing
+    * job: yesterday's index centroids are immutable, today's new
+    * embeddings each get their nearest cell. `centroids` is
+    * (label int, c array<double>) — index-sized, collected to ONE
+    * row and broadcast, so assignment is a pure map stage over `df`
+    * (zero shuffle of the vectors at any scale; the argmin is an
+    * aggregate() fold per row, q42's assignment discipline). Ties
+    * break by (round(d2, 6), label) — the same total order the
+    * oracles replay. Returns (id, cell, d2) with d2 on the 6dp grid.
+    */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, id: String,
+      vec: String): DataFrame = {
+    val cellsR = centroids.agg(
+      array_sort(collect_list(struct(col("label"), col("c")))).as("cells"))
+    df.select(col(id), col(vec).cast("array<double>").as("__e"))
+      .crossJoin(broadcast(cellsR))
+      .select(col(id), aggregate(
+          col("cells"),
+          struct(lit(Double.MaxValue).as("d2"),
+            lit(null).cast("int").as("lbl")),
+          (acc, cell) => {
+            val diff = zip_with(col("__e"), cell.getField("c"),
+              (x, y) => x - y)
+            val d2 = round(graft.functions.vec.arrayDot(diff, diff), 6)
+            val lbl = cell.getField("label")
+            val better = acc.getField("lbl").isNull
+              .or(d2 < acc.getField("d2"))
+              .or(d2 === acc.getField("d2") && lbl < acc.getField("lbl"))
+            when(better, struct(d2.as("d2"), lbl.as("lbl"))).otherwise(acc)
+          }).as("__a"))
+      .select(col(id), col("__a").getField("lbl").as("cell"),
+        col("__a").getField("d2").as("d2"))
+  }
+
   def kmeansToConvergence(points: DataFrame, id: String, vec: Column,
       initCell: Column, stopReassignPct: Long = 2L, maxRounds: Int = 16)
     : (DataFrame, Seq[(Long, Long, Long)]) = {

@@ -284,8 +284,14 @@ object Vectors {
     * (label, c: array<double>).
     */
   private def labelCentroids(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir)
-      .select(col("label"), posexplode(emb(col("embedding"))).as(Seq("d", "x")))
+    labelCentroidsOf(embeddings(s, dir))
+
+  /** Per-label mean centroids (label, c array<double> on the 4dp
+    * grid) for any (label, embedding) frame — the index-build half
+    * shared by q42 (whole corpus) and q220 (base corpus only).
+    */
+  private def labelCentroidsOf(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(emb(col("embedding"))).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
       .agg(avg(col("x")).as("m"))
       .groupBy(col("label"))
@@ -2110,7 +2116,95 @@ object Vectors {
        |GROUP BY n_hits ORDER BY n_hits""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q220: DELTA IVF indexing — the vector side's daily CDC job, the
+  // q218/q219 discipline applied to the ANN index: yesterday's
+  // corpus (vec_id % 10 <> 0) built the index (per-label mean
+  // centroids, q42's build), today's new embeddings (vec_id % 10 =
+  // 0) are assigned to the FROZEN centroids without touching the
+  // base vectors — ops.ivfAssign broadcasts the one-row centroid
+  // array and the assignment is a pure map stage over the delta
+  // (zero shuffle of any corpus at any scale). Output is the
+  // index-sized maintenance report a vector store actually applies:
+  // per cell, base count, new count, new total, the exact-int64
+  // e6-quantized residual mass of the new assignments (the
+  // drift-the-centroids-later signal), and the new id range. The
+  // base census replays day-0 (production reads it from the stored
+  // index); the oracle recomputes both assignments from scratch.
+  // ---------------------------------------------------------------
+  def q220IvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(s, dir)
+    val base = all.filter(col("vec_id") % 10 =!= 0)
+    val delta = all.filter(col("vec_id") % 10 === 0)
+    // yesterday's index: centroids from the BASE corpus only, frozen
+    // (tiny: k x 64 doubles — checkpointed once, serves both assigns)
+    val cents = labelCentroidsOf(base).localCheckpoint(true)
+    val aBase = graft.api.ops.ivfAssign(base, cents, "vec_id", "embedding")
+    val aNew = graft.api.ops.ivfAssign(delta, cents, "vec_id", "embedding")
+      .withColumn("d2e6", round(col("d2") * 1e6, 0).cast("long"))
+    val cb = aBase.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val cn = aNew.groupBy(col("cell")).agg(count(lit(1)).as("n_new"),
+      sum(col("d2e6")).as("d2e6_sum"),
+      min(col("vec_id")).as("min_new"), max(col("vec_id")).as("max_new"))
+    val out = cents.select(col("label").as("cell"))
+      .join(cb, Seq("cell"), "left").join(cn, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) +
+          coalesce(col("n_new"), lit(0L))).as("n_total"),
+        coalesce(col("d2e6_sum"), lit(0L)).as("d2e6_sum"),
+        col("min_new"), col("max_new"))
+      .orderBy("cell")
+    val ck = out.localCheckpoint(true)
+    graft.Ck.release(cents)
+    ck
+  }
+
+  val q220Sql: String = {
+    val dIdx = "CAST(i+1 AS INT)"
+    s"""WITH ex AS (
+       |  SELECT label, CAST(t.i AS INT) AS d,
+       |    CAST(embedding[CAST(t.i+1 AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings, range(64) t(i) WHERE vec_id % 10 <> 0
+       |), cm AS (
+       |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, d
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
+       |), dists AS (
+       |  SELECT e.vec_id, cent.label,
+       |    ROUND(list_sum(list_transform(range(64),
+       |      i -> (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx])
+       |         * (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx]))), 6) AS d2
+       |  FROM embeddings e CROSS JOIN cent
+       |), assigned AS (
+       |  SELECT vec_id, label AS cell, d2 FROM (
+       |    SELECT vec_id, label, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), cb AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base FROM assigned
+       |  WHERE vec_id % 10 <> 0 GROUP BY cell
+       |), cn AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+       |    CAST(SUM(CAST(ROUND(d2 * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |      AS d2e6_sum,
+       |    MIN(vec_id) AS min_new, MAX(vec_id) AS max_new FROM assigned
+       |  WHERE vec_id % 10 = 0 GROUP BY cell
+       |)
+       |SELECT cent.label AS cell,
+       |  coalesce(cb.n_base, 0) AS n_base,
+       |  coalesce(cn.n_new, 0) AS n_new,
+       |  coalesce(cb.n_base, 0) + coalesce(cn.n_new, 0) AS n_total,
+       |  coalesce(cn.d2e6_sum, 0) AS d2e6_sum,
+       |  cn.min_new AS min_new, cn.max_new AS max_new
+       |FROM cent LEFT JOIN cb ON cb.cell = cent.label
+       |LEFT JOIN cn ON cn.cell = cent.label
+       |ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_ivf_delta" -> q220IvfDelta _,
     "q204_ivf_pq" -> q204IvfPq _,
     "q203_pq_adc" -> q203PqAdc _,
     "q198_pca_power" -> q198PcaPower _,
@@ -2137,6 +2231,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q220_ivf_delta" -> q220Sql,
     "q204_ivf_pq" -> q204Sql,
     "q203_pq_adc" -> q203Sql,
     "q198_pca_power" -> q198Sql,

@@ -946,4 +946,20 @@ class ApiSpec extends SparkSpec {
       .collect().toSeq
     assert(viaOps == viaQuery, s"ops=$viaOps q202=$viaQuery")
   }
+
+  test("ivfAssign picks the nearest frozen centroid with (d2, label) tiebreak") {
+    val s = spark
+    import s.implicits._
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)))
+      .toDF("label", "c")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(9.0, 0.0)),
+      (3L, Seq(5.0, 0.0))).toDF("vec_id", "embedding")
+    val got = ops.ivfAssign(vecs, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    // hand arithmetic: |(1,0)-(0,0)|^2 = 1 -> cell 0; |(9,0)-(10,0)|^2
+    // = 1 -> cell 1; (5,0) is d2 = 25 from BOTH -> label tiebreak 0
+    assert(got == Map(1L -> (0, 1.0), 2L -> (1, 1.0), 3L -> (0, 25.0)),
+      got.toString)
+  }
 }

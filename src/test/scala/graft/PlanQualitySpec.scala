@@ -164,6 +164,34 @@ class PlanQualitySpec extends SparkSpec {
     Ck.release(lab0)
   }
 
+  test("q220: delta IVF assignment is a pure map stage — vectors never hash-exchange") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("label"), col("embedding"))
+      .groupBy(col("label"))
+      .agg(org.apache.spark.sql.functions.first(col("embedding"))
+        .cast("array<double>").as("c"))
+    val a = graft.api.ops.ivfAssign(
+      e.filter(col("vec_id") % 10 === 0), cents, "vec_id", "embedding")
+    // the one-row cells array arrives as the BROADCAST build side of
+    // a cross join whose LEFT (vector) side never hash-shuffles: its
+    // only exchange is the loader's round-robin spread (Tables.spread)
+    val p = a.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the left (vector) subtree's lines carry ':' bars in the simple
+    // tree — that's what distinguishes the sides here (the AQE
+    // wrapper hides children from plan.collect, and FormattedMode
+    // splits "Exchange" from its partitioning argument)
+    val vectorSideHash = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.trim.startsWith(":"))
+      .toSeq
+    assert(vectorSideHash.isEmpty, vectorSideHash.mkString("\n"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange RoundRobinPartitioning") && l.trim.startsWith(":")),
+      p) // non-vacuity: the left side is really the ':'-barred subtree
+  }
+
   test("q60: native as-of join — no window, no union, co-partitioned exchanges") {
     val p = plan("q60_asof_native")
     assert(p.contains("AsOfJoin"), p)
