@@ -804,24 +804,77 @@ object ops {
   private[graft] def incrementalNearDupPairs(oldDf: DataFrame,
       newDf: DataFrame, id: String, text: String,
       minJaccard: Double,
-      oldBands: Option[DataFrame] = None): DataFrame = {
+      oldBands: Option[DataFrame] = None,
+      pinCandidates: Boolean = false): DataFrame =
+    incrementalNearDupPairsEx(oldDf, newDf, id, text, minJaccard,
+      oldBands, pinCandidates)._1
+
+  /** [[incrementalNearDupPairs]] plus the pinned-candidate handle
+    * (see [[verifyPairs]]) for precise release by the dedup wrappers.
+    */
+  private def incrementalNearDupPairsEx(oldDf: DataFrame,
+      newDf: DataFrame, id: String, text: String,
+      minJaccard: Double,
+      oldBands: Option[DataFrame],
+      pinCandidates: Boolean): (DataFrame, Option[DataFrame]) = {
     val bNew = bandsOf(newDf, id, text)
     val bAll = oldBands.getOrElse(bandsOf(oldDf, id, text))
       .unionByName(bNew)
-    val cand = bNew.alias("a").join(bAll.alias("b"),
+    val cand0 = bNew.alias("a").join(bAll.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.__id") =!= col("b.__id"))
       .select(least(col("a.__id"), col("b.__id")).as("i"),
         greatest(col("a.__id"), col("b.__id")).as("j"))
       .distinct()
-    val sh = oldDf.unionByName(newDf).select(col(id).as("__id"),
+    verifyPairs(cand0, oldDf.unionByName(newDf), id, text, minJaccard,
+      pinCandidates)
+  }
+
+  /** Shared verify stage of the delta-pair paths: exact 3-shingle
+    * Jaccard over the candidate endpoints. Default shape joins the
+    * candidates against the full `corpus` shingle frame — the same
+    * two corpus-sized exchanges the cold path pays, fine when the
+    * candidates touch most of the corpus. With `pinCandidates` the
+    * (delta-pair-sized) candidate frame is materialized ONCE
+    * (measured stats — a multi-join plan's inherited estimate is the
+    * joins' product) and its endpoint id set broadcast-semi-filters
+    * the shingle scan MAP-SIDE, so the verify exchanges carry only
+    * candidate-adjacent docs — delta-proportional bytes instead of
+    * corpus-proportional, the difference between a 1% changelog day
+    * and a full re-verify at 100 TB. Opt-in: the id set must fit a
+    * broadcast (one long per candidate-adjacent doc — true for
+    * changelog-sized deltas, not for a backfill that touches the
+    * whole corpus), and the caller owns the pinned blocks. Returns
+    * the pair frame plus the pinned candidate frame (None when not
+    * pinning) — release THAT handle, not the pair frame: the pair
+    * frame's plan also reaches caller-provided checkpoints (band
+    * tables, label/delete lists feeding the verify corpus), and
+    * Ck.release on it would release those too while they still have
+    * consumers.
+    */
+  private def verifyPairs(cand0: DataFrame, corpus: DataFrame,
+      id: String, text: String, minJaccard: Double,
+      pinCandidates: Boolean): (DataFrame, Option[DataFrame]) = {
+    val pinned =
+      if (!pinCandidates) None
+      else Some(org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+        cand0.localCheckpoint(true)))
+    val cand = pinned.getOrElse(cand0)
+    val shAll = corpus.select(col(id).as("__id"),
       Hashing.shingles(col(text), 3).as("__sh"))
-    cand
+    val sh =
+      if (!pinCandidates) shAll
+      else shAll.join(
+        broadcast(cand.select(explode(array(col("i"), col("j")))
+          .as("__id")).distinct()),
+        Seq("__id"), "left_semi")
+    val out = cand
       .join(sh.select(col("__id").as("i"), col("__sh").as("__sha")), "i")
       .join(sh.select(col("__id").as("j"), col("__sh").as("__shb")), "j")
       .filter(Hashing.jaccard(col("__sha"), col("__shb")) >= minJaccard)
       .select(col("i"), col("j"))
+    (out, pinned)
   }
 
   /** INCREMENTAL near-dup dedup (q218's parameterized form) — the
@@ -858,10 +911,11 @@ object ops {
   def nearDupDedupIncremental(oldDf: DataFrame, newDf: DataFrame,
       id: String, text: String, prevLabels: DataFrame,
       minJaccard: Double = 0.5, broadcastDrops: Boolean = true,
-      oldBands: Option[DataFrame] = None)
+      oldBands: Option[DataFrame] = None,
+      pinCandidates: Boolean = false)
     : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
-    val pd = incrementalNearDupPairs(oldDf, newDf, id, text, minJaccard,
-      oldBands)
+    val (pd, pinnedCand) = incrementalNearDupPairsEx(oldDf, newDf, id,
+      text, minJaccard, oldBands, pinCandidates)
     val star = prevLabels.filter(col("id") =!= col("component"))
       .select(col("component").as("i"), col("id").as("j"))
     val edges1 = star.unionByName(pd).distinct()
@@ -870,6 +924,12 @@ object ops {
     // a valid warm-start seed (see incrementalConnectedComponents)
     val (labels, curve) = incrementalConnectedComponents(
       prevLabels, edges1, edges1.limit(0), "i", "j")
+    // the loop's persisted neighbor list was pd's only consumer and
+    // the returned labels are a fresh checkpoint — the pinned
+    // candidate blocks (if any) are superseded; release exactly that
+    // handle (pd's plan also reaches caller checkpoints like a
+    // passed band table)
+    pinnedCand.foreach(graft.Ck.release)
     val drops = labels.filter(col("id") =!= col("component"))
       .select(col("id").as(id))
     val kept = oldDf.unionByName(newDf).join(
@@ -928,15 +988,16 @@ object ops {
       deletedIds: DataFrame, id: String, text: String,
       prevLabels: DataFrame, minJaccard: Double = 0.5,
       broadcastDrops: Boolean = true, oldBands: Option[DataFrame] = None,
-      broadcastAffected: Boolean = true)
+      broadcastAffected: Boolean = true, pinCandidates: Boolean = false)
     : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
     val del = deletedIds.select(col(id).as("id")).distinct()
     // components a takedown disturbs — changelog-sized, broadcast
     val aff = prevLabels.join(del, "id").select(col("component")).distinct()
     val survOld = oldDf.join(broadcast(del.select(col("id").as(id))),
       Seq(id), "left_anti")
-    val pairs = takedownPairsCore(del, aff, survOld, newDf, prevLabels,
-      id, text, minJaccard, oldBands, broadcastAffected)
+    val (pairs, pinnedCand) = takedownPairsCore(del, aff, survOld, newDf,
+      prevLabels, id, text, minJaccard, oldBands, broadcastAffected,
+      pinCandidates)
     // star edges carry only the UNDISTURBED components forward
     val star = prevLabels.filter(col("id") =!= col("component"))
       .join(broadcast(aff), Seq("component"), "left_anti")
@@ -948,6 +1009,11 @@ object ops {
     val delEdges = del.select(col("id").as("i"), col("id").as("j"))
     val (labels, curve) = incrementalConnectedComponents(
       prevLabels, edges1, delEdges, "i", "j")
+    // labels are a fresh checkpoint; the pinned candidate blocks
+    // (if any) have no remaining consumer — release exactly that
+    // handle (the pair frame also reaches the caller's checkpointed
+    // inputs, which `kept` still reads)
+    pinnedCand.foreach(graft.Ck.release)
     val drops = labels.filter(col("id") =!= col("component"))
       .select(col("id").as(id))
     val kept = survOld.unionByName(newDf).join(
@@ -969,19 +1035,21 @@ object ops {
       newDf: DataFrame, deletedIds: DataFrame, prevLabels: DataFrame,
       id: String, text: String, minJaccard: Double,
       oldBands: Option[DataFrame] = None,
-      broadcastAffected: Boolean = true): DataFrame = {
+      broadcastAffected: Boolean = true,
+      pinCandidates: Boolean = false): DataFrame = {
     val del = deletedIds.select(col(id).as("id")).distinct()
     val aff = prevLabels.join(del, "id").select(col("component")).distinct()
     val survOld = oldDf.join(broadcast(del.select(col("id").as(id))),
       Seq(id), "left_anti")
     takedownPairsCore(del, aff, survOld, newDf, prevLabels, id, text,
-      minJaccard, oldBands, broadcastAffected)
+      minJaccard, oldBands, broadcastAffected, pinCandidates)._1
   }
 
   private def takedownPairsCore(del: DataFrame, aff: DataFrame,
       survOld: DataFrame, newDf: DataFrame, prevLabels: DataFrame,
       id: String, text: String, minJaccard: Double,
-      oldBands: Option[DataFrame], broadcastAffected: Boolean): DataFrame = {
+      oldBands: Option[DataFrame], broadcastAffected: Boolean,
+      pinCandidates: Boolean = false): (DataFrame, Option[DataFrame]) = {
     def hinted(df: DataFrame): DataFrame =
       if (broadcastAffected) broadcast(df) else df
     // surviving old band rows: the materialized table minus deleted
@@ -1014,13 +1082,8 @@ object ops {
         greatest(col("a.__id"), col("b.__id")).as("j"))
     // one verify join serves both candidate families
     val cand = candRe.unionByName(candNew).distinct()
-    val sh = survOld.unionByName(newDf).select(col(id).as("__id"),
-      Hashing.shingles(col(text), 3).as("__sh"))
-    cand
-      .join(sh.select(col("__id").as("i"), col("__sh").as("__sha")), "i")
-      .join(sh.select(col("__id").as("j"), col("__sh").as("__shb")), "j")
-      .filter(Hashing.jaccard(col("__sha"), col("__shb")) >= minJaccard)
-      .select(col("i"), col("j"))
+    verifyPairs(cand, survOld.unionByName(newDf), id, text, minJaccard,
+      pinCandidates)
   }
 
   /** Cross-group near-dup contamination matrix (q158's parameterized

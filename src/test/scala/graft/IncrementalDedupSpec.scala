@@ -217,4 +217,57 @@ class IncrementalDedupSpec extends SparkSpec {
       s"missing=${expected -- pd} extra=${pd -- expected}")
     assert(expected.nonEmpty, "no delta-touching pairs at this SF")
   }
+
+  test("pinCandidates: delta-proportional verify equals the default path") {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // inserts-only path: identical pairs, and the verify shingle
+    // scan is broadcast-semi-filtered to candidate endpoints — the
+    // corpus-sized verify exchanges are gone from the plan
+    val pinned = ops.incrementalNearDupPairs(
+      base, delta, "doc_id", "text", 0.5, pinCandidates = true)
+    val default = ops.incrementalNearDupPairs(
+      base, delta, "doc_id", "text", 0.5)
+    assert(pairSet(pinned) == pairSet(default))
+    val p = pinned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("ExistingRDD"), p) // the pinned candidate scan
+    assert(!p.contains("CartesianProduct"), p)
+    Ck.release(pinned)
+    // takedown path: same contract through the full-CDC entry point
+    val (lab0, _) = ops.nearDupLabels(base, "doc_id", "text")
+    val deleted = lab0.filter(col("id") % 3 === 0)
+      .select(col("id").as("doc_id")).localCheckpoint(true)
+    val pinnedT = ops.takedownNearDupPairs(
+      base, delta, deleted, lab0, "doc_id", "text", 0.5,
+      pinCandidates = true)
+    val defaultT = ops.takedownNearDupPairs(
+      base, delta, deleted, lab0, "doc_id", "text", 0.5)
+    assert(pairSet(pinnedT) == pairSet(defaultT))
+    // NOT released yet: pinnedT's plan reaches the lab0/deleted
+    // checkpoints still consumed below — Ck.release walks the whole
+    // plan (the wrappers release precisely via the internal handle)
+    // and the dedup wrappers thread the knob: (kept, labels) equal
+    // the default path, pinned blocks released internally
+    val (kept, lab1, _) = ops.nearDupDedupIncremental(
+      base, delta, "doc_id", "text", lab0, pinCandidates = true)
+    val (keptD, labD, _) = ops.nearDupDedupIncremental(
+      base, delta, "doc_id", "text", lab0)
+    assert(ids(kept) == ids(keptD))
+    assert(labelSet(lab1) == labelSet(labD))
+    val (kept2, lab2, _) = ops.nearDupDedupDelta(
+      base, delta, deleted, "doc_id", "text", lab0, pinCandidates = true)
+    val (kept2D, lab2D, _) = ops.nearDupDedupDelta(
+      base, delta, deleted, "doc_id", "text", lab0)
+    assert(ids(kept2) == ids(kept2D))
+    assert(labelSet(lab2) == labelSet(lab2D))
+    Ck.release(pinnedT)
+    Ck.release(lab0); Ck.release(lab1); Ck.release(labD)
+    Ck.release(lab2); Ck.release(lab2D); Ck.release(deleted)
+  }
 }
