@@ -306,6 +306,23 @@ object ScaleProbe {
       val pdCount = ops.incrementalNearDupPairs(
         dBase, dDelta, "doc_id", "text", 0.5).count()
       val pdS = (System.nanoTime() - pdT0) / 1e9
+      // same pass with the delta-proportional verify (pinCandidates):
+      // the candidate endpoint ids broadcast-semi-filter the shingle
+      // scan map-side, so the verify exchanges carry candidate-
+      // adjacent docs instead of the corpus. Runs after the default
+      // pass in the same JVM (warmer), so read the ratio as an upper
+      // bound on the win.
+      val pdPinT0 = System.nanoTime()
+      val pdPin = ops.incrementalNearDupPairs(
+        dBase, dDelta, "doc_id", "text", 0.5, None, pinCandidates = true)
+      val pdPinCount = pdPin.count()
+      val pdPinS = (System.nanoTime() - pdPinT0) / 1e9
+      require(pdPinCount == pdCount,
+        s"pinned delta pairs $pdPinCount != default $pdCount")
+      // NOT released here: pdPin's plan reaches docsRep's checkpoint
+      // (the shingle side reads the replicated corpus), and
+      // Ck.release walks the whole plan — released with docsRep in
+      // the end-of-scale cleanup, after every corpus consumer
       val fpT0 = System.nanoTime()
       val fullPairs = ops.nearDupPairs(docsRep, "doc_id", "text", 0.5).count()
       val fpS = (System.nanoTime() - fpT0) / 1e9
@@ -327,6 +344,16 @@ object ScaleProbe {
           b.join(a, Seq("id", "component"), "left_anti").isEmpty
       require(sameLabels(ndLab1, ndColdLab),
         "incremental dedup labels diverge from the cold rerun")
+      // warm insert day again with the delta-proportional verify
+      val ndPinT0 = System.nanoTime()
+      val (ndKeptP, ndLabP, _) = ops.nearDupDedupIncremental(
+        dBase, dDelta, "doc_id", "text", ndLab0, pinCandidates = true)
+      val ndKeptPN = ndKeptP.count()
+      val ndPinS = (System.nanoTime() - ndPinT0) / 1e9
+      require(ndKeptPN == ndKeptN, s"pinned kept $ndKeptPN != $ndKeptN")
+      require(sameLabels(ndLabP, ndColdLab),
+        "pinned incremental dedup labels diverge from the cold rerun")
+      graft.Ck.release(ndLabP)
       // TAKEDOWN leg (q219's scale evidence): a full-CDC day — the
       // same insert shard PLUS takedowns drawn from the labeled dup
       // subset (id % 3, q219's split: every deletion disturbs a
@@ -351,16 +378,30 @@ object ScaleProbe {
       val delColdS = (System.nanoTime() - delColdT0) / 1e9
       require(sameLabels(delLab, delColdLab),
         "takedown dedup labels diverge from the cold rerun")
+      // full-CDC day again with the delta-proportional verify
+      val delPinT0 = System.nanoTime()
+      val (delKeptP, delLabP, _) = ops.nearDupDedupDelta(
+        dBase, dDelta, ndDel, "doc_id", "text", ndLab0,
+        pinCandidates = true)
+      val delKeptPN = delKeptP.count()
+      val delPinS = (System.nanoTime() - delPinT0) / 1e9
+      require(delKeptPN == delKeptN, s"pinned del kept $delKeptPN != $delKeptN")
+      require(sameLabels(delLabP, delColdLab),
+        "pinned takedown dedup labels diverge from the cold rerun")
+      graft.Ck.release(delLabP)
       graft.Ck.release(ndDel)
       graft.Ck.release(delLab)
       graft.Ck.release(delColdLab)
       graft.Ck.release(ndLab0)
       graft.Ck.release(ndLab1)
       graft.Ck.release(ndColdLab)
+      graft.Ck.release(pdPin)
       graft.Ck.release(docsRep)
       val dedupJson =
         s"""{"docs":$nDocs,"full_pairs":$fullPairs,"delta_pairs":$pdCount,""" +
           s""""full_pairs_s":${fmt(fpS)},"delta_pairs_s":${fmt(pdS)},""" +
+          s""""delta_pairs_pin_s":${fmt(pdPinS)},""" +
+          s""""warm_pin_s":${fmt(ndPinS)},"del_warm_pin_s":${fmt(delPinS)},""" +
           s""""base_rounds":${ndCurve0.length},"base_s":${fmt(lb0S)},""" +
           s""""warm_rounds":${ndCurve1.length},"cold_rounds":${ndColdCurve.length},""" +
           s""""warm_mv":${ndCurve1.map(_._2).sum},"cold_mv":${ndColdCurve.map(_._2).sum},""" +
