@@ -35,6 +35,17 @@ object Ck {
     * (the checkpointed frame itself, or a projection of it) throws
     * on its next action — release only frames whose every consumer
     * has already materialized.
+    *
+    * The walk covers the WHOLE plan, not just the newest checkpoint:
+    * releasing a DERIVED frame (a join/filter built on top of
+    * checkpoints) also releases every checkpointed INPUT reachable
+    * from it — including frames the caller passed in and still needs
+    * (a band table, a label or delete list). Releasing a frame that
+    * IS a checkpoint is precise (its plan is the one LogicalRDD);
+    * for derived frames, either release them after every sibling
+    * consumer of their inputs, or hold the specific checkpoint
+    * handle and release that (what ops.nearDupDedupIncremental/
+    * nearDupDedupDelta do internally for their pinned candidates).
     */
   def release(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.collect {
