@@ -313,16 +313,16 @@ object ScaleProbe {
       // pass in the same JVM (warmer), so read the ratio as an upper
       // bound on the win.
       val pdPinT0 = System.nanoTime()
-      val pdPin = ops.incrementalNearDupPairs(
+      val (pdPin, pdPinned) = ops.incrementalNearDupPairsEx(
         dBase, dDelta, "doc_id", "text", 0.5, None, pinCandidates = true)
       val pdPinCount = pdPin.count()
       val pdPinS = (System.nanoTime() - pdPinT0) / 1e9
       require(pdPinCount == pdCount,
         s"pinned delta pairs $pdPinCount != default $pdCount")
-      // NOT released here: pdPin's plan reaches docsRep's checkpoint
-      // (the shingle side reads the replicated corpus), and
-      // Ck.release walks the whole plan — released with docsRep in
-      // the end-of-scale cleanup, after every corpus consumer
+      // release the precise handle — Ck.release(pdPin) would walk the
+      // whole plan into docsRep's checkpoint (the shingle side reads
+      // the replicated corpus), killing every later leg
+      pdPinned.foreach(graft.Ck.release)
       val fpT0 = System.nanoTime()
       val fullPairs = ops.nearDupPairs(docsRep, "doc_id", "text", 0.5).count()
       val fpS = (System.nanoTime() - fpT0) / 1e9
@@ -395,7 +395,6 @@ object ScaleProbe {
       graft.Ck.release(ndLab0)
       graft.Ck.release(ndLab1)
       graft.Ck.release(ndColdLab)
-      graft.Ck.release(pdPin)
       graft.Ck.release(docsRep)
       val dedupJson =
         s"""{"docs":$nDocs,"full_pairs":$fullPairs,"delta_pairs":$pdCount,""" +

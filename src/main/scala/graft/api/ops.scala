@@ -810,9 +810,12 @@ object ops {
       oldBands, pinCandidates)._1
 
   /** [[incrementalNearDupPairs]] plus the pinned-candidate handle
-    * (see [[verifyPairs]]) for precise release by the dedup wrappers.
+    * (see [[verifyPairs]]) for precise release — use this form
+    * whenever pinning standalone (probe, specs): release the handle
+    * after the pair frame's last action, never the pair frame
+    * itself.
     */
-  private def incrementalNearDupPairsEx(oldDf: DataFrame,
+  private[graft] def incrementalNearDupPairsEx(oldDf: DataFrame,
       newDf: DataFrame, id: String, text: String,
       minJaccard: Double,
       oldBands: Option[DataFrame],
@@ -847,11 +850,12 @@ object ops {
     * changelog-sized deltas, not for a backfill that touches the
     * whole corpus), and the caller owns the pinned blocks. Returns
     * the pair frame plus the pinned candidate frame (None when not
-    * pinning) — release THAT handle, not the pair frame: the pair
-    * frame's plan also reaches caller-provided checkpoints (band
-    * tables, label/delete lists feeding the verify corpus), and
-    * Ck.release on it would release those too while they still have
-    * consumers.
+    * pinning) — release THAT handle, not the pair frame: the pin
+    * cuts lineage through the band/label side, but the pair frame's
+    * SHINGLE side still reaches any checkpointed corpus inputs
+    * (a checkpointed corpus, the delete list behind a surviving-old
+    * anti-join), and Ck.release on the pair frame would release
+    * those too while they still have consumers.
     */
   private def verifyPairs(cand0: DataFrame, corpus: DataFrame,
       id: String, text: String, minJaccard: Double,
@@ -922,13 +926,16 @@ object ops {
     // inserts-only changelog: the deleted-edge set is empty by
     // contract, so no component re-seeds — every previous label is
     // a valid warm-start seed (see incrementalConnectedComponents)
-    val (labels, curve) = incrementalConnectedComponents(
-      prevLabels, edges1, edges1.limit(0), "i", "j")
+    val (labels, curve) =
+      try incrementalConnectedComponents(
+        prevLabels, edges1, edges1.limit(0), "i", "j")
+      catch { // the eager pin must not outlive a failed day run
+        case t: Throwable => pinnedCand.foreach(graft.Ck.release); throw t
+      }
     // the loop's persisted neighbor list was pd's only consumer and
-    // the returned labels are a fresh checkpoint — the pinned
-    // candidate blocks (if any) are superseded; release exactly that
-    // handle (pd's plan also reaches caller checkpoints like a
-    // passed band table)
+    // the returned labels are a fresh checkpoint — release exactly
+    // the pinned handle (releasing pd itself would also walk into
+    // any checkpointed CORPUS inputs still feeding `kept`)
     pinnedCand.foreach(graft.Ck.release)
     val drops = labels.filter(col("id") =!= col("component"))
       .select(col("id").as(id))
@@ -1007,12 +1014,17 @@ object ops {
     // warm fixpoint's affected set exactly `aff` — disturbed
     // components re-seed to identity, everything else keeps labels
     val delEdges = del.select(col("id").as("i"), col("id").as("j"))
-    val (labels, curve) = incrementalConnectedComponents(
-      prevLabels, edges1, delEdges, "i", "j")
+    val (labels, curve) =
+      try incrementalConnectedComponents(
+        prevLabels, edges1, delEdges, "i", "j")
+      catch { // the eager pin must not outlive a failed day run
+        case t: Throwable => pinnedCand.foreach(graft.Ck.release); throw t
+      }
     // labels are a fresh checkpoint; the pinned candidate blocks
     // (if any) have no remaining consumer — release exactly that
-    // handle (the pair frame also reaches the caller's checkpointed
-    // inputs, which `kept` still reads)
+    // handle (releasing the pair frame itself would also walk into
+    // checkpointed CORPUS-side inputs like `deletedIds`, which
+    // `kept` still reads through survOld)
     pinnedCand.foreach(graft.Ck.release)
     val drops = labels.filter(col("id") =!= col("component"))
       .select(col("id").as(id))
@@ -1036,20 +1048,32 @@ object ops {
       id: String, text: String, minJaccard: Double,
       oldBands: Option[DataFrame] = None,
       broadcastAffected: Boolean = true,
-      pinCandidates: Boolean = false): DataFrame = {
+      pinCandidates: Boolean = false): DataFrame =
+    takedownNearDupPairsEx(oldDf, newDf, deletedIds, prevLabels, id,
+      text, minJaccard, oldBands, broadcastAffected, pinCandidates)._1
+
+  /** [[takedownNearDupPairs]] plus the pinned-candidate handle (see
+    * [[verifyPairs]]) for precise release when pinning standalone.
+    */
+  private[graft] def takedownNearDupPairsEx(oldDf: DataFrame,
+      newDf: DataFrame, deletedIds: DataFrame, prevLabels: DataFrame,
+      id: String, text: String, minJaccard: Double,
+      oldBands: Option[DataFrame] = None,
+      broadcastAffected: Boolean = true,
+      pinCandidates: Boolean = false): (DataFrame, Option[DataFrame]) = {
     val del = deletedIds.select(col(id).as("id")).distinct()
     val aff = prevLabels.join(del, "id").select(col("component")).distinct()
     val survOld = oldDf.join(broadcast(del.select(col("id").as(id))),
       Seq(id), "left_anti")
     takedownPairsCore(del, aff, survOld, newDf, prevLabels, id, text,
-      minJaccard, oldBands, broadcastAffected, pinCandidates)._1
+      minJaccard, oldBands, broadcastAffected, pinCandidates)
   }
 
   private def takedownPairsCore(del: DataFrame, aff: DataFrame,
       survOld: DataFrame, newDf: DataFrame, prevLabels: DataFrame,
       id: String, text: String, minJaccard: Double,
       oldBands: Option[DataFrame], broadcastAffected: Boolean,
-      pinCandidates: Boolean = false): (DataFrame, Option[DataFrame]) = {
+      pinCandidates: Boolean): (DataFrame, Option[DataFrame]) = {
     def hinted(df: DataFrame): DataFrame =
       if (broadcastAffected) broadcast(df) else df
     // surviving old band rows: the materialized table minus deleted

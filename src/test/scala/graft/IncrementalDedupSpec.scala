@@ -239,19 +239,65 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p) // the pinned candidate scan
     assert(!p.contains("CartesianProduct"), p)
     Ck.release(pinned)
-    // takedown path: same contract through the full-CDC entry point
+    // structural pin (AQE off so plan.collect descends, see
+    // PlanQualitySpec's q220 note): the broadcast semi filter must
+    // sit BELOW the verify exchanges — the corpus scan filtered
+    // MAP-SIDE, no shuffle between the scan and the semi join, so
+    // the shuffled verify bytes are delta-proportional (presence of
+    // LeftSemi alone would stay green even if a corpus-sized
+    // exchange crept back under it)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pinned2 = ops.incrementalNearDupPairs(
+        base, delta, "doc_id", "text", 0.5, pinCandidates = true)
+      val plan = pinned2.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val semis = plan.collect {
+        case b: BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi =>
+          b
+      }
+      assert(semis.nonEmpty, plan.toString)
+      semis.foreach { s =>
+        val streamed = s.left // build side is the broadcast id set
+        // the loader's round-robin spread is allowed (it exists in
+        // every documents read); what must NOT appear between the
+        // scan and the semi filter is a HASH exchange — that would
+        // be a corpus-sized verify shuffle ahead of the filter
+        assert(streamed.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical
+                  .HashPartitioning] =>
+            e
+        }.isEmpty, s.toString)
+        // non-vacuity: the streamed side bottoms out in the corpus
+        // read — a direct parquet scan or its reused loader exchange
+        assert(streamed.collect {
+          case f: FileSourceScanExec => f
+          case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => r
+        }.nonEmpty, s.toString)
+      }
+      Ck.release(pinned2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // takedown path: same contract through the full-CDC entry point;
+    // the Ex form hands back the pinned-candidate handle for precise
+    // release (pinnedT's shingle side reaches the `deleted`
+    // checkpoint through the surviving-old anti-join — releasing the
+    // pair frame itself would free it while consumers remain)
     val (lab0, _) = ops.nearDupLabels(base, "doc_id", "text")
     val deleted = lab0.filter(col("id") % 3 === 0)
       .select(col("id").as("doc_id")).localCheckpoint(true)
-    val pinnedT = ops.takedownNearDupPairs(
+    val (pinnedT, pinnedTHandle) = ops.takedownNearDupPairsEx(
       base, delta, deleted, lab0, "doc_id", "text", 0.5,
       pinCandidates = true)
     val defaultT = ops.takedownNearDupPairs(
       base, delta, deleted, lab0, "doc_id", "text", 0.5)
     assert(pairSet(pinnedT) == pairSet(defaultT))
-    // NOT released yet: pinnedT's plan reaches the lab0/deleted
-    // checkpoints still consumed below — Ck.release walks the whole
-    // plan (the wrappers release precisely via the internal handle)
+    pinnedTHandle.foreach(Ck.release)
     // and the dedup wrappers thread the knob: (kept, labels) equal
     // the default path, pinned blocks released internally
     val (kept, lab1, _) = ops.nearDupDedupIncremental(
@@ -266,7 +312,6 @@ class IncrementalDedupSpec extends SparkSpec {
       base, delta, deleted, "doc_id", "text", lab0)
     assert(ids(kept2) == ids(kept2D))
     assert(labelSet(lab2) == labelSet(lab2D))
-    Ck.release(pinnedT)
     Ck.release(lab0); Ck.release(lab1); Ck.release(labD)
     Ck.release(lab2); Ck.release(lab2D); Ck.release(deleted)
   }
