@@ -910,7 +910,10 @@ object ops {
     * by band_key) and the OLD side's signature scan drops out too —
     * a bucket-bounded candidate join, a delta-pair-sized verify
     * join, star+delta-sized cc rounds, one drop anti-join against
-    * the union corpus.
+    * the union corpus. `pinCandidates` additionally makes the verify
+    * EXCHANGES delta-proportional (see [[verifyPairs]]): right when
+    * the candidate-adjacent id set fits a broadcast — the
+    * changelog-day case, not a whole-corpus backfill.
     */
   def nearDupDedupIncremental(oldDf: DataFrame, newDf: DataFrame,
       id: String, text: String, prevLabels: DataFrame,
@@ -990,6 +993,8 @@ object ops {
     * changelog-sized — pass false there and the restriction runs as
     * a shuffled join, with AQE still free to pick a broadcast from
     * runtime stats (the same escape hatch as `broadcastDrops`).
+    * `pinCandidates` makes the verify exchanges delta-proportional
+    * (see [[verifyPairs]]), under the same fits-a-broadcast proviso.
     */
   def nearDupDedupDelta(oldDf: DataFrame, newDf: DataFrame,
       deletedIds: DataFrame, id: String, text: String,
