@@ -294,6 +294,17 @@ object SqlSurface {
     */
   def ccLoopSql(s: SparkSession, dir: String, maxRounds: Int = 50,
       probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+    val (labels, curve) = ccLoopSqlCurve(s, dir, maxRounds, probe)
+    (labels, curve.length)
+  }
+
+  /** [[ccLoopSql]] returning the full (round, labels moved) movement
+    * curve — what the warm-start consumers ship (the
+    * ops.connectedComponentsCurve analog on the SQL surface).
+    */
+  def ccLoopSqlCurve(s: SparkSession, dir: String, maxRounds: Int = 50,
+      probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = Mining.sparseUnd(s, dir)
     val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
@@ -301,26 +312,133 @@ object SqlSurface {
       .persist(MEMORY_AND_DISK)
     try {
       nbrs.createOrReplaceTempView("cc_nbrs")
-      var labels = s.sql(ccInitSql).localCheckpoint(true)
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < maxRounds) {
-        rounds += 1
-        labels.createOrReplaceTempView("cc_labels")
-        // stop check rides the checkpoint job, as in Mining.ccLoop
-        val (stepped, mv) = graft.Loop.ckCount(s.sql(ccRoundSql),
-          col("old_lbl") =!= col("lbl"))
-        converged = mv == 0L
-        graft.Ck.release(labels) // superseded round, fully consumed
-        labels = stepped.select(col("node"), col("lbl"))
-        probe(rounds, labels)
-      }
-      require(converged, s"connected components did not converge in $maxRounds rounds")
-      (labels, rounds)
+      val init = s.sql(ccInitSql).localCheckpoint(true)
+      ccCoreSql(s, init, maxRounds, probe)
     } finally {
       nbrs.unpersist(blocking = false)
       s.catalog.dropTempView("cc_nbrs")
       s.catalog.dropTempView("cc_labels")
+    }
+  }
+
+  /** The shared SQL-driven min-label fixpoint: rounds of
+    * [[ccRoundSql]] over the caller-registered `cc_nbrs` view from a
+    * caller-CHECKPOINTED (node, lbl) init (round 1 releases it when
+    * superseded) — same round hygiene as Mining.ccLoop (per-round
+    * localCheckpoint flat lineage, stop check riding the checkpoint
+    * job, loud bounded-round guard). The caller owns the `cc_nbrs`
+    * view and the `cc_labels` drop.
+    */
+  private def ccCoreSql(s: SparkSession, init: DataFrame, maxRounds: Int,
+      probe: (Int, DataFrame) => Unit): (DataFrame, Seq[(Long, Long)]) = {
+    var labels = init
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      labels.createOrReplaceTempView("cc_labels")
+      // stop check rides the checkpoint job, as in Mining.ccLoop
+      val (stepped, mv) = graft.Loop.ckCount(s.sql(ccRoundSql),
+        col("old_lbl") =!= col("lbl"))
+      converged = mv == 0L
+      curve += ((rounds.toLong, mv))
+      graft.Ck.release(labels) // superseded round, fully consumed
+      labels = stepped.select(col("node"), col("lbl"))
+      probe(rounds, labels)
+    }
+    if (!converged) graft.Ck.release(labels)
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    (labels, curve.toSeq)
+  }
+
+  // ----- q217: the warm-start cc loop, SQL-driven -------------------
+  // (the incremental/CDC family's entry on the SQL surface — round-9
+  // verdict item 5: the SQL-only user had every cold loop but no
+  // warm form. Init body plan-equal-pinned in SqlSurfaceSpec against
+  // ops.ccWarmInit, the exact production init q217 runs; the round
+  // body is [[ccRoundSql]], already pinned against Mining.ccRound.)
+
+  /** The disturbed-component derivation over `cc_prev` / `cc_dels`
+    * (src, dst) — plan-equal to ops.ccAffected.
+    */
+  val ccAffectedSql: String =
+    """SELECT DISTINCT component FROM cc_prev
+      |JOIN (
+      |  SELECT DISTINCT id FROM (
+      |    SELECT src AS id FROM cc_dels UNION ALL SELECT dst FROM cc_dels)
+      |) USING (id)""".stripMargin
+
+  /** The warm-start init over `cc_nbrs` / `cc_prev` / `cc_aff`:
+    * keep undisturbed labels, re-seed disturbed components and fresh
+    * nodes to identity — plan-equal to ops.ccWarmInit (pinned in
+    * SqlSurfaceSpec).
+    */
+  val ccWarmInitSql: String =
+    """SELECT /*+ BROADCAST(af) */ __node,
+      |  CASE WHEN component IS NULL OR __aff IS NOT NULL THEN __node
+      |       ELSE component END AS __lbl
+      |FROM (SELECT DISTINCT node AS __node FROM cc_nbrs)
+      |LEFT JOIN (SELECT id AS __node, component FROM cc_prev) USING (__node)
+      |LEFT JOIN (SELECT component, 1L AS __aff FROM cc_aff) af USING (component)""".stripMargin
+
+  /** The detectable-staleness probe over `cc_init` / `cc_nbrs`: kept
+    * non-identity labels whose holder node left the new graph — must
+    * be empty (the incrementalConnectedComponents CONTRACT; an
+    * under-reported delete would otherwise silently drop a component
+    * in the pointer jump).
+    */
+  val ccStaleSql: String =
+    """SELECT lbl FROM (SELECT lbl FROM cc_init WHERE lbl <> node)
+      |LEFT ANTI JOIN (SELECT DISTINCT node AS lbl FROM cc_nbrs) USING (lbl)""".stripMargin
+
+  /** q217's warm-start loop driven through `spark.sql`: previous
+    * fixpoint labels + new edges + the changelog's deleted edges in,
+    * (labels, movement curve) out — the same warm-init contract,
+    * loud stale-label guard, and per-round hygiene as
+    * ops.incrementalConnectedComponents, with every body a SQL text.
+    */
+  /** RESERVED VIEW NAMES: owns `cc_nbrs` / `cc_prev` / `cc_dels` /
+    * `cc_aff` / `cc_init` / `cc_labels` for the loop's duration,
+    * dropped on exit — see [[ccLoopSql]]'s contract.
+    */
+  def ccWarmLoopSqlOn(s: SparkSession, prevLabels: DataFrame,
+      edges: DataFrame, deletedEdges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50): (DataFrame, Seq[(Long, Long)]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nbrs = edges.select(col(src).as("node"), col(dst).as("nbr"))
+      .unionByName(edges.select(col(dst).as("node"), col(src).as("nbr")))
+      .filter(col("node") =!= col("nbr"))
+      .persist(MEMORY_AND_DISK)
+    try {
+      nbrs.createOrReplaceTempView("cc_nbrs")
+      prevLabels.createOrReplaceTempView("cc_prev")
+      deletedEdges.select(col(src).as("src"), col(dst).as("dst"))
+        .createOrReplaceTempView("cc_dels")
+      s.sql(ccAffectedSql).createOrReplaceTempView("cc_aff")
+      // measured stats on the warm init checkpoint, as in ops.ccCore:
+      // the multi-join init plan's inherited size estimate is the
+      // joins' product — round 1 must plan from the real node count.
+      // (The init text carries ops.ccWarmInit's __node/__lbl naming
+      // for the plan pin; the loop's views speak node/lbl.)
+      val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+        s.sql(ccWarmInitSql)
+          .select(col("__node").as("node"), col("__lbl").as("lbl"))
+          .localCheckpoint(true))
+      init.createOrReplaceTempView("cc_init")
+      // loud stale-label guard, one node-sized anti-join (the
+      // production contract — see ops.incrementalConnectedComponents);
+      // the init checkpoint must not outlive a tripped guard
+      val staleEmpty = s.sql(ccStaleSql).isEmpty
+      if (!staleEmpty) graft.Ck.release(init)
+      require(staleEmpty,
+        "ccWarmLoopSqlOn: a kept previous label names a node absent " +
+          "from the new edge set — deletedEdges under-reports the changelog")
+      ccCoreSql(s, init, maxRounds, (_, _) => ())
+    } finally {
+      nbrs.unpersist(blocking = false)
+      Seq("cc_nbrs", "cc_prev", "cc_dels", "cc_aff", "cc_init", "cc_labels")
+        .foreach(s.catalog.dropTempView)
     }
   }
 
@@ -335,6 +453,49 @@ object SqlSurface {
         .localCheckpoint(true) // materialize before the view drops
       finally s.catalog.dropTempView("cc_final")
     graft.Ck.release(labels) // the census above was its last reader
+    out
+  }
+
+  /** q217's output shape over the SQL-driven loops: cold fixpoint
+    * ([[ccLoopSqlCurve]]), q217's deterministic changelog, warm
+    * fixpoint ([[ccWarmLoopSqlOn]]), census + both movement curves —
+    * row-equal to the DataFrame q217 (pinned in SqlSurfaceSpec).
+    */
+  def q217IncrementalCcSql(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = s
+    import sess.implicits._
+    val (lab0, curve0) = ccLoopSqlCurve(s, dir)
+    val und0 = Mining.sparseUnd(s, dir).persist(MEMORY_AND_DISK)
+    graft.Tables.touch(und0)
+    val dels = und0.filter((col("a") * 7L + col("b") * 11L) % 61L === 0L)
+    val ins = Mining.undFamily(s, dir, 37L, 512L)
+    val und1 = und0.join(dels, Seq("a", "b"), "left_anti")
+      .unionByName(ins)
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(und1)
+    val (lab1, curve1) = ccWarmLoopSqlOn(s,
+      lab0.select(col("node").as("id"), col("lbl").as("component")),
+      und1, dels, "a", "b")
+    graft.Ck.release(lab0) // warm init checkpointed; base labels consumed
+    und0.unpersist(blocking = false)
+    lab1.createOrReplaceTempView("cc_warm_final")
+    val census =
+      try s.sql(
+        """SELECT 'comp' AS part, lbl AS k, CAST(COUNT(1) AS BIGINT) AS v1,
+          |  MAX(node) AS v2 FROM cc_warm_final GROUP BY lbl""".stripMargin)
+        .localCheckpoint(true) // materialize before the view drops
+      finally s.catalog.dropTempView("cc_warm_final")
+    graft.Ck.release(lab1)
+    und1.unpersist(blocking = false)
+    val c0 = curve0.toDF("k", "v1")
+      .select(lit("round0").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    val c1 = curve1.toDF("k", "v1")
+      .select(lit("round1").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    val out = census.unionByName(c0).unionByName(c1).orderBy("part", "k")
+      .localCheckpoint(true)
+    graft.Ck.release(census)
     out
   }
 

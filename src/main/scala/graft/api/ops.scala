@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.Hashing
 
+/** The artifact bundle one [[ops.corpusDay]] run hands to the next:
+  * everything a day-N+1 run needs, plus today's training-ready
+  * outputs. `labels` and `bands` are MATERIALIZED (eager local
+  * checkpoints here; bucketed table writes in production — see
+  * [[ops.corpusDay]]) so tomorrow's run never re-derives them from
+  * today's inputs; release both via [[graft.Ck.release]] once the
+  * next day's artifacts supersede them. `corpus`, `kept`,
+  * `keptClean`, and `ivfDelta` are lazy plans over the inputs —
+  * write or consume them before releasing the inputs they read.
+  */
+final case class CorpusDayResult(
+    corpus: DataFrame,
+    kept: DataFrame,
+    labels: DataFrame,
+    bands: DataFrame,
+    warmCurve: Seq[(Long, Long)],
+    keptClean: Option[DataFrame],
+    ivfDelta: Option[DataFrame])
+
 /** The composable, user-facing operator library — the parameterized
   * forms of the pipeline shapes the qNN queries demonstrate, so a
   * user can run them on THEIR frames instead of the testdata tables.
@@ -856,6 +875,16 @@ object ops {
     * (a checkpointed corpus, the delete list behind a surviving-old
     * anti-join), and Ck.release on the pair frame would release
     * those too while they still have consumers.
+    *
+    * Fits-a-broadcast is MEASURED, not assumed (round-10): the pin's
+    * eager checkpoint makes the candidate count a block-local job, so
+    * past [[PinVerifyMaxPairs]] the semi-filter auto-falls-back to
+    * the full shingle scan — the cold shape, correct at any size —
+    * while the pin itself (measured stats on the multi-join candidate
+    * frame) is kept. That makes pinning a safe DEFAULT on the CDC
+    * entry points: a changelog-sized day gets the delta-proportional
+    * exchanges, a whole-corpus backfill degrades to exactly the cold
+    * plan instead of an oversized broadcast.
     */
   private def verifyPairs(cand0: DataFrame, corpus: DataFrame,
       id: String, text: String, minJaccard: Double,
@@ -867,8 +896,9 @@ object ops {
     val cand = pinned.getOrElse(cand0)
     val shAll = corpus.select(col(id).as("__id"),
       Hashing.shingles(col(text), 3).as("__sh"))
+    val semiFilter = pinned.isDefined && cand.count() <= PinVerifyMaxPairs
     val sh =
-      if (!pinCandidates) shAll
+      if (!semiFilter) shAll
       else shAll.join(
         broadcast(cand.select(explode(array(col("i"), col("j")))
           .as("__id")).distinct()),
@@ -880,6 +910,14 @@ object ops {
       .select(col("i"), col("j"))
     (out, pinned)
   }
+
+  /** [[verifyPairs]]'s broadcast envelope: the most candidate pairs
+    * whose endpoint id set the delta-proportional semi-filter will
+    * broadcast (≤ 2 longs per pair — ~2M pairs keeps the built hash
+    * relation in the tens of MB). Past it the verify keeps the pin
+    * but scans the full corpus shingles — the cold shape.
+    */
+  private val PinVerifyMaxPairs = 2L << 20
 
   /** INCREMENTAL near-dup dedup (q218's parameterized form) — the
     * growing-corpus case [[nearDupDedup]] recomputes from scratch:
@@ -911,15 +949,20 @@ object ops {
     * a bucket-bounded candidate join, a delta-pair-sized verify
     * join, star+delta-sized cc rounds, one drop anti-join against
     * the union corpus. `pinCandidates` additionally makes the verify
-    * EXCHANGES delta-proportional (see [[verifyPairs]]): right when
-    * the candidate-adjacent id set fits a broadcast — the
-    * changelog-day case, not a whole-corpus backfill.
+    * EXCHANGES delta-proportional (see [[verifyPairs]]) — ON by
+    * default since round 10: the fits-a-broadcast proviso is now
+    * measured inside the verify (a delta past the envelope
+    * auto-falls-back to the cold full-scan shape), and this entry
+    * point owns the pinned blocks' release, so the default is safe
+    * at any delta size. Pass false only to force the cold verify
+    * shape (e.g. when even one eager candidate materialization is
+    * unwanted).
     */
   def nearDupDedupIncremental(oldDf: DataFrame, newDf: DataFrame,
       id: String, text: String, prevLabels: DataFrame,
       minJaccard: Double = 0.5, broadcastDrops: Boolean = true,
       oldBands: Option[DataFrame] = None,
-      pinCandidates: Boolean = false)
+      pinCandidates: Boolean = true)
     : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
     val (pd, pinnedCand) = incrementalNearDupPairsEx(oldDf, newDf, id,
       text, minJaccard, oldBands, pinCandidates)
@@ -994,13 +1037,16 @@ object ops {
     * a shuffled join, with AQE still free to pick a broadcast from
     * runtime stats (the same escape hatch as `broadcastDrops`).
     * `pinCandidates` makes the verify exchanges delta-proportional
-    * (see [[verifyPairs]]), under the same fits-a-broadcast proviso.
+    * (see [[verifyPairs]]) — ON by default since round 10, with the
+    * fits-a-broadcast proviso measured inside the verify (an
+    * over-envelope delta auto-falls-back to the cold full-scan
+    * shape); this entry point owns the pinned blocks' release.
     */
   def nearDupDedupDelta(oldDf: DataFrame, newDf: DataFrame,
       deletedIds: DataFrame, id: String, text: String,
       prevLabels: DataFrame, minJaccard: Double = 0.5,
       broadcastDrops: Boolean = true, oldBands: Option[DataFrame] = None,
-      broadcastAffected: Boolean = true, pinCandidates: Boolean = false)
+      broadcastAffected: Boolean = true, pinCandidates: Boolean = true)
     : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
     val del = deletedIds.select(col(id).as("id")).distinct()
     // components a takedown disturbs — changelog-sized, broadcast
@@ -1037,6 +1083,83 @@ object ops {
       if (broadcastDrops) broadcast(drops) else drops,
       Seq(id), "left_anti")
     (kept, labels, curve)
+  }
+
+  /** ONE-CALL day-N corpus maintenance (round-10): the orchestrated
+    * form of the CDC family — every piece exists and is tested
+    * separately ([[nearDupBands]] reuse → [[nearDupDedupDelta]]'s
+    * delta pairs + warm cc + survivorship → [[ivfAssign]] →
+    * [[decontaminate]]), but a production pipeline runs them as one
+    * job with ARTIFACT HANDOFFS, which is exactly where the
+    * release-discipline trap lives (the `Ck.release` whole-plan-walk
+    * collateral found in round 9). This method owns that discipline:
+    * yesterday's artifacts in (corpus, labels, materialized band
+    * table), today's changelog in (inserts + takedowns), tomorrow's
+    * artifacts out.
+    *
+    * Steps, each changelog- or delta-proportional (never
+    * corpus-proportional beyond the one unavoidable linear pass the
+    * cold pieces already pay):
+    *  1. full-CDC dedup via [[nearDupDedupDelta]] (band-table reuse,
+    *     star-compressed carry, disturbed-only re-verify, warm
+    *     fixpoint, pinned delta-proportional verify by default);
+    *  2. tomorrow's BAND TABLE: yesterday's minus deleted docs plus
+    *     the new docs' bands — band membership is per-doc pure, so
+    *     the surviving old corpus is never re-scanned; materialized
+    *     (eager checkpoint; a bucketed-by-band_key table write in
+    *     production) with measured stats;
+    *  3. optionally, today's survivors exact-decontaminated against
+    *     an eval set ([[decontaminate]]; filter n_overlap = 0 for
+    *     the training shard);
+    *  4. optionally, the new docs' embeddings assigned to the frozen
+    *     IVF index ([[ivfAssign]] — a pure map stage).
+    *
+    * End-state equality with the cold composition (dedup on the
+    * surviving union, bands recomputed from scratch, decontaminate /
+    * ivfAssign direct) is pinned in CorpusDaySpec, including a
+    * two-day chain. Release discipline: this method releases every
+    * internal handle; the RETURNED `labels`/`bands` checkpoints are
+    * the caller's, released when day N+1's artifacts supersede them
+    * (CorpusDaySpec pins the leak count).
+    *
+    * When `oldBands` is None (a day-0 / bootstrap call) the old
+    * side's bands are derived from `oldDf` in one linear scan — pass
+    * yesterday's materialized table on every steady-state day.
+    */
+  def corpusDay(oldDf: DataFrame, newDf: DataFrame,
+      deletedIds: DataFrame, id: String, text: String,
+      prevLabels: DataFrame, oldBands: Option[DataFrame] = None,
+      minJaccard: Double = 0.5,
+      evalSet: Option[DataFrame] = None,
+      newVectors: Option[DataFrame] = None,
+      centroids: Option[DataFrame] = None,
+      vecId: String = "vec_id", vecCol: String = "embedding")
+    : CorpusDayResult = {
+    require(newVectors.isEmpty == centroids.isEmpty,
+      "corpusDay: newVectors and centroids come together (the delta " +
+        "IVF step needs both the day's embeddings and the frozen index)")
+    val del = deletedIds.select(col(id)).distinct()
+    val (kept, labels, curve) = nearDupDedupDelta(
+      oldDf, newDf, del, id, text, prevLabels,
+      minJaccard = minJaccard, oldBands = oldBands)
+    // tomorrow's corpus: the lazy surviving union (what `kept` was
+    // derived from); callers write it or thread it into day N+1
+    val survOld = oldDf.join(broadcast(del), Seq(id), "left_anti")
+    val corpus = survOld.unionByName(newDf)
+    // tomorrow's band table: per-doc purity makes it composable —
+    // filter yesterday's, append today's. Measured stats on the
+    // checkpoint: the anti-join + union plan's inherited estimate
+    // would mis-plan tomorrow's bucket joins.
+    val bands = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      oldBands.map(_.join(broadcast(del.select(col(id).as("__id"))),
+          Seq("__id"), "left_anti"))
+        .getOrElse(nearDupBands(survOld, id, text))
+        .unionByName(nearDupBands(newDf, id, text))
+        .localCheckpoint(true))
+    val keptClean = evalSet.map(ev => decontaminate(kept, ev, id, text))
+    val ivfDelta = for (v <- newVectors; c <- centroids)
+      yield ivfAssign(v, c, vecId, vecCol)
+    CorpusDayResult(corpus, kept, labels, bands, curve, keptClean, ivfDelta)
   }
 
   /** The lazy pair frame behind [[nearDupDedupDelta]] — re-derived
@@ -1334,19 +1457,10 @@ object ops {
       probe: (Int, DataFrame) => Unit = (_, _) => ())
     : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val affected = prevLabels
-      .join(deletedEdges.select(col(src).as("id"))
-        .unionByName(deletedEdges.select(col(dst).as("id"))).distinct(), "id")
-      .select(col("component")).distinct()
+    val affected = ccAffected(prevLabels, deletedEdges, src, dst)
     val nbrs = ccNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
-    val init = nbrs.select(col("__node")).distinct()
-      .join(prevLabels.select(col("id").as("__node"), col("component")),
-        Seq("__node"), "left")
-      .join(broadcast(affected.withColumn("__aff", lit(1L))),
-        Seq("component"), "left")
-      .select(col("__node"),
-        when(col("component").isNull || col("__aff").isNotNull, col("__node"))
-          .otherwise(col("component")).as("__lbl"))
+    val init = ccWarmInit(nbrs.select(col("__node")).distinct(),
+      prevLabels, affected)
     // loud stale-label guard (see CONTRACT above): every kept
     // non-identity label must name a node of the NEW graph, else the
     // pointer jump's inner join would silently drop its component.
@@ -1363,6 +1477,36 @@ object ops {
         "changelog (every edge removed since prevLabels' graph must be listed)")
     ccCore(nbrs, init, maxRounds, probe)
   }
+
+  /** The components a changelog's deleted edges disturb —
+    * changelog-sized, broadcast into the warm init. Factored out so
+    * the SQL-driven warm loop ([[SqlSurface.ccWarmLoopSqlOn]]) can be
+    * pinned plan-equal to this exact production body.
+    */
+  private[graft] def ccAffected(prevLabels: DataFrame,
+      deletedEdges: DataFrame, src: String, dst: String): DataFrame =
+    prevLabels
+      .join(deletedEdges.select(col(src).as("id"))
+        .unionByName(deletedEdges.select(col(dst).as("id"))).distinct(), "id")
+      .select(col("component")).distinct()
+
+  /** The warm-start initial labeling over a (__node)-shaped node set:
+    * keep every label of an undisturbed component, re-seed
+    * delete-disturbed components and fresh nodes to identity (the
+    * [[incrementalConnectedComponents]] contract). Factored out so
+    * the SQL-driven warm loop can be pinned plan-equal to this exact
+    * production body.
+    */
+  private[graft] def ccWarmInit(nodes: DataFrame, prevLabels: DataFrame,
+      affected: DataFrame): DataFrame =
+    nodes
+      .join(prevLabels.select(col("id").as("__node"), col("component")),
+        Seq("__node"), "left")
+      .join(broadcast(affected.withColumn("__aff", lit(1L))),
+        Seq("component"), "left")
+      .select(col("__node"),
+        when(col("component").isNull || col("__aff").isNotNull, col("__node"))
+          .otherwise(col("component")).as("__lbl"))
 
   /** Both-direction neighbor list shared by the cc entry points. */
   private def ccNbrs(edges: DataFrame, src: String, dst: String): DataFrame =
@@ -1521,10 +1665,29 @@ object ops {
     * graph is the one honest case that needs it raised. Hitting the
     * guard otherwise means the frontier never drained — fail loudly,
     * inspect the hop curve via `probe`, then raise deliberately.
+    *
+    * `hopsPerJob` (round-10, the q216 floor lever): chain this many
+    * frontier LEVELS lazily into each checkpoint job. Distances stay
+    * exact (level b+1 expands level b's nodes and anti-joins
+    * everything assigned before it) and the stop signal stays sound
+    * (emptiness cascades level-to-level, so the last level's count
+    * alone decides whether to continue); the returned hop count and
+    * dist frame are IDENTICAL at any setting — only the job count
+    * drops. The trade: an in-job level's subtree is re-evaluated by
+    * the levels chained after it (no materialization barrier between
+    * them), so task time rises roughly with the square of the batch
+    * while per-job scheduling/planning floor falls linearly. Right
+    * when the per-round floor dominates the frontier work — the
+    * many-round, modest-frontier regime (q216's sweeps: 16-17 rounds
+    * of sub-second tasks at sf0.1); keep the default 1 when
+    * frontiers carry real data volume (the 100-TB default). `probe`
+    * fires once per JOB with the last assigned logical hop.
     */
   def bfsDistances(edges: DataFrame, src: String, dst: String,
       isSeed: Column => Column, maxHops: Int = 40,
-      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
+      probe: (Int, DataFrame) => Unit = (_, _) => (),
+      hopsPerJob: Int = 1): (DataFrame, Int) = {
+    require(hopsPerJob >= 1, s"bfsDistances needs hopsPerJob >= 1, got $hopsPerJob")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ONE pass over the caller's edge frame (it may be an expensive
     // unpersisted derivation): the unfiltered endpoint union serves
@@ -1546,29 +1709,56 @@ object ops {
       .select(col("__node"), lit(0L).as("__dist"))
       .localCheckpoint(true)
     var frontier = visited.select(col("__node"))
-    var hop = 0
+    var hop = 0 // last ASSIGNED logical distance (+1 at the probe)
     var exhausted = false
     var expanded = false // has frontier ever been re-pointed off visited?
     while (!exhausted && hop < maxHops) {
-      hop += 1
-      // frontier-empty check rides the checkpoint job (graft.Loop)
-      val (fresh, fEmpty) = graft.Loop.ckIsEmpty(
-        nbrs.join(frontier, "__node")
+      val batch = math.min(hopsPerJob, maxHops - hop)
+      // chain `batch` levels lazily; ONE checkpoint job materializes
+      // them all, with the stop signal riding it (graft.Loop)
+      var lvlFrontier = frontier
+      var exclude = visited.select(col("__node"))
+      var freshAll: DataFrame = null
+      for (b <- 1 to batch) {
+        val lvl = nbrs.join(lvlFrontier, "__node")
           .select(col("__nbr").as("__node")).distinct()
-          .join(visited, Seq("__node"), "left_anti")
-          .select(col("__node"), lit(hop.toLong).as("__dist")))
-      exhausted = fEmpty
-      if (!exhausted) {
+          .join(exclude, Seq("__node"), "left_anti")
+          .select(col("__node"), lit((hop + b).toLong).as("__dist"))
+        freshAll = if (freshAll == null) lvl else freshAll.unionByName(lvl)
+        lvlFrontier = lvl.select(col("__node"))
+        exclude = exclude.unionByName(lvl.select(col("__node")))
+      }
+      val (fresh, lastCnt) = graft.Loop.ckCount(freshAll,
+        col("__dist") === lit((hop + batch).toLong))
+      exhausted = lastCnt == 0L
+      // the last level assigned by this job: a nonempty last level
+      // implies every earlier one is nonempty (cascade); on
+      // exhaustion, one tiny agg on the materialized checkpoint
+      // (once per sweep) finds where the batch drained
+      val lastAssigned =
+        if (!exhausted) hop + batch
+        else {
+          val mx = fresh.agg(max(col("__dist"))).head()
+          if (mx.isNullAt(0)) hop else mx.getLong(0).toInt
+        }
+      if (lastAssigned > hop) {
+        // every checkpointed row has dist <= lastAssigned (cascade:
+        // nothing can be assigned past the first empty level)
         val nv = visited.unionByName(fresh).localCheckpoint(true)
-        // hop h-1's accumulator and frontier are fully consumed
+        // the prior accumulator and frontier are fully consumed
         graft.Ck.release(visited)
-        graft.Ck.release(frontier)
+        if (expanded) graft.Ck.release(frontier)
         visited = nv
-        frontier = fresh.select(col("__node"))
+        // next batch expands the last assigned level (reads the
+        // fresh checkpoint; released as the superseded frontier)
+        frontier = fresh.filter(col("__dist") === lit(lastAssigned))
+          .select(col("__node"))
         expanded = true
+        hop = lastAssigned
       } else {
         graft.Ck.release(fresh) // empty probe frame
       }
+      if (exhausted) hop += 1 // the empty probe level
       probe(hop, visited)
     }
     nbrs.unpersist(blocking = false)
@@ -2412,9 +2602,14 @@ object ops {
     und.unpersist(blocking = false) // the sweeps only read `big`
     def farthest(seed: Long, sweep: String): (Long, Long) = {
       // +1: the exhaustion proof is an empty round PAST the last
-      // distance, so supporting ecc <= maxHops needs maxHops+1 hops
+      // distance, so supporting ecc <= maxHops needs maxHops+1 hops.
+      // hopsPerJob = 3: the sweeps are the many-round modest-frontier
+      // regime the knob exists for (16-17 levels of sub-second tasks
+      // at sf0.1 — the per-job floor, not the frontier, dominated the
+      // round-9 wall split), and the returned distances and hop
+      // counts are setting-invariant
       val (dist, hops) = bfsDistances(big, "a", "b", c => c === lit(seed),
-        maxHops = maxHops + 1)
+        maxHops = maxHops + 1, hopsPerJob = 3)
       graft.LoopStats.recordLoop(sweep, hops.toLong)
       val far = dist.filter(col("dist") >= 0L)
         .orderBy(col("dist").desc, col("id")).limit(1).head()
@@ -2441,23 +2636,48 @@ object ops {
     * STATE-ALPHABET size, never the row count).
     */
   def stationaryDistribution(df: DataFrame, key: String,
-      orderCols: Seq[Column], state: Column): DataFrame = {
+      orderCols: Seq[Column], state: Column,
+      maxCells: Long = MaxStationaryCells): DataFrame = {
     require(orderCols.nonEmpty, "stationaryDistribution needs order columns")
     val s = df.sparkSession
     import s.implicits._
     val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
-    val counts = df
+    val grouped = df
       .select(col(key) +: state.as("__st") +: orderCols: _*)
       .withColumn("__prev", lag(col("__st"), 1).over(w))
       .filter(col("__prev").isNotNull)
       .groupBy(col("__prev"), col("__st"))
       .agg(count(lit(1)).as("n"))
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // loud alphabet guard (the q198 gEntry-envelope discipline): the
+    // contract says k is the STATE-ALPHABET size, but nothing stops a
+    // caller passing a high-cardinality column — and the collect
+    // below would then pull an unbounded cell table onto the driver.
+    // The grouped frame is persisted so the guard count and the
+    // collect share one aggregation pass; the bound is on observed
+    // CELLS (<= k², the thing actually collected), so a sparse
+    // matrix over a large-but-legal alphabet still passes.
+    val nCells = grouped.count()
+    if (nCells > maxCells) grouped.unpersist(blocking = false)
+    require(nCells <= maxCells,
+      s"stationaryDistribution: $nCells distinct (prev, state) transition " +
+        s"cells > $maxCells — the transition matrix is driver-held " +
+        "(k = state-alphabet size, never the row count); a high-cardinality " +
+        "state column does not fit this operator (raise maxCells only with " +
+        "driver memory for the cell table in hand)")
+    val counts = grouped.collect()
       .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    grouped.unpersist(blocking = false)
     graft.queries.Temporal.stationaryCore(counts)
       .toDF("state", "pi_e6", "pi_prev_e6", "delta_e6")
       .orderBy("state")
   }
+
+  /** [[stationaryDistribution]]'s driver-collect envelope: the most
+    * (prev, state) transition cells the operator will pull to the
+    * driver (~1M cells ≈ a 1024-state alphabet's dense matrix).
+    */
+  private val MaxStationaryCells = 1L << 20
 
   /** Condensation-DAG longest-path layering (q202's parameterized
     * form — the processing-order skeleton of any digraph): SCC

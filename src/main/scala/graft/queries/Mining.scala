@@ -736,7 +736,7 @@ object Mining {
     * deterministic insert changelog, closed-form so the DuckDB twin
     * rebuilds it exactly.
     */
-  private def undFamily(s: SparkSession, dir: String, mult: Long,
+  private[graft] def undFamily(s: SparkSession, dir: String, mult: Long,
       keepMod: Long): DataFrame = {
     val ev = graphEv(s, dir)
     val n = ev.agg((max(col("user_id")) + 1L).as("n"))

@@ -10,6 +10,19 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessorW
   */
 final case class BandObs(key: String, docId: Long)
 
+/** One CDC document event on the stream: an arrival or — the other
+  * half of a production changelog (DMCA removals, opt-outs,
+  * retention expiry — q219's live form) — a TAKEDOWN of a previously
+  * indexed/streamed document. A takedown must carry the document's
+  * text (or the pipeline looks it up in the doc store first): band
+  * membership is a pure function of the text, and the monitor needs
+  * the band keys to know WHICH bucket lists to remove the id from.
+  */
+final case class DocCdc(docId: Long, text: String, delete: Boolean)
+
+/** One banded CDC row: [[BandObs]] plus the takedown flag. */
+final case class BandCdc(key: String, docId: Long, delete: Boolean)
+
 /** One emitted near-dup CANDIDATE pair (i < j), tagged with the
   * bucket that produced it (a pair sharing several buckets emits
   * once per bucket — dedup is one `distinct` downstream, exactly as
@@ -40,6 +53,22 @@ final case class CandPair(i: Long, j: Long, key: String)
   * an audit sink (q206's recall bookkeeping), exactly as the batch
   * pipeline separates candidates from the verify join.
   *
+  * TAKEDOWNS (round-10, q219's live form — [[pairsCdc]]): a delete
+  * event removes its id from every band-bucket member list it
+  * produced, so post-delete arrivals never pair with it; state after
+  * the removal equals the band table of the SURVIVING corpus, and
+  * post-takedown emissions equal the batch bucket join on that
+  * surviving union (PairMonitorSpec pins both, across a restart).
+  * Same-batch semantics mirror the batch op
+  * (`ops.takedownNearDupPairs`): takedowns apply to PRIOR state
+  * first, then the batch's arrivals pair against the survivors — a
+  * doc deleted and re-inserted in one batch ends present, exactly as
+  * the batch op deletes from the old corpus while its insert set
+  * still enters. Append-mode emissions are never retracted: a pair
+  * emitted BEFORE its endpoint's takedown stays in the sink, and the
+  * downstream verify join against the surviving doc store is where
+  * it drops — the same division of labor as the batch pipeline.
+  *
   * Redelivery is idempotent: a docId already present in the bucket's
   * member list is dropped before pairing, so at-least-once upstreams
   * cannot duplicate pairs or self-pair.
@@ -50,7 +79,10 @@ final case class CandPair(i: Long, j: Long, key: String)
   * key-hash-partitioned across executors; a pathological hot bucket
   * is the SAME pathology the batch join would hit and wants the same
   * fix (coarser bands), not a different sketch. Emission is
-  * Append-mode pairs only — no per-batch state dump.
+  * Append-mode pairs only — no per-batch state dump. A takedown pays
+  * one O(bucket) list rewrite per band key it touches (ListState has
+  * no point-remove) — takedowns are the rare event class, and the
+  * rewrite is bucket-bounded, never corpus-bounded.
   */
 object PairMonitor {
 
@@ -67,6 +99,18 @@ object PairMonitor {
       .as[BandObs]
   }
 
+  /** Band explode for CDC events: the same pure per-doc band keys,
+    * with the takedown flag carried to every produced band row.
+    */
+  def bandCdc(docs: Dataset[DocCdc]): Dataset[BandCdc] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("docId"), col("delete"),
+        explode(graft.queries.Hashing.bandKeyStrings(col("text"))).as("key"))
+      .select(col("key"), col("docId"), col("delete"))
+      .as[BandCdc]
+  }
+
   /** Corpus band table -> initial state: one sorted member array per
     * band key (one initial-state row per key, as the API requires).
     */
@@ -79,11 +123,13 @@ object PairMonitor {
       .groupByKey(_._1).mapValues(_._2)
   }
 
-  /** ListState bucket membership; arrivals pair against every prior
-    * member, then join the list themselves.
+  /** ListState bucket membership over the CDC stream: takedowns
+    * remove their id from the member list first; arrivals then pair
+    * against every surviving prior member and join the list
+    * themselves.
     */
   class BucketPairProcessor
-      extends StatefulProcessorWithInitialState[String, BandObs, CandPair, Array[Long]] {
+      extends StatefulProcessorWithInitialState[String, BandCdc, CandPair, Array[Long]] {
     @transient private var members: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -94,15 +140,30 @@ object PairMonitor {
         timerValues: TimerValues): Unit =
       members.put(initial)
 
-    override def handleInputRows(key: String, rows: Iterator[BandObs],
+    override def handleInputRows(key: String, rows: Iterator[BandCdc],
         timerValues: TimerValues): Iterator[CandPair] = {
-      val prior: Vector[Long] =
+      val rs = rows.toVector
+      val dels = rs.filter(_.delete).map(_.docId).toSet
+      var prior: Vector[Long] =
         if (members.exists()) members.get().toVector else Vector.empty
+      // takedowns FIRST, against prior state only (the batch op's
+      // contract: deletes hit the old corpus; this batch's inserts
+      // still enter). One bucket-bounded list rewrite when anything
+      // was actually removed; an idempotent re-delete rewrites
+      // nothing.
+      if (dels.nonEmpty) {
+        val survived = prior.filterNot(dels)
+        if (survived.size != prior.size) {
+          if (survived.isEmpty) members.clear()
+          else members.put(survived.toArray)
+          prior = survived
+        }
+      }
       val known = prior.toSet
       // within-batch determinism: docId order (the batch join's
       // canonical i < j comes out the same either way — min/max
       // below — but the emission order is now reproducible)
-      val fresh = rows.map(_.docId).toVector.distinct.sorted
+      val fresh = rs.filterNot(_.delete).map(_.docId).distinct.sorted
         .filterNot(known)
       var all = prior
       val out = Vector.newBuilder[CandPair]
@@ -112,23 +173,37 @@ object PairMonitor {
         }
         all = all :+ d
       }
-      // append only the arrivals: prior members are immutable here,
-      // and RocksDB merge operands make this O(new) instead of the
-      // O(bucket) full-list rewrite put() would pay on a hot bucket
+      // append only the arrivals: surviving members are immutable
+      // here, and RocksDB merge operands make this O(new) instead of
+      // the O(bucket) full-list rewrite put() would pay on a hot
+      // bucket
       if (fresh.nonEmpty) members.appendList(fresh.toArray)
       out.result().iterator
     }
   }
 
-  /** The running query body: arriving band rows -> candidate pairs,
-    * bucket state seeded from the corpus band table.
+  /** The running query body over a full CDC stream (arrivals +
+    * takedowns): band CDC rows -> candidate pairs, bucket state
+    * seeded from the corpus band table.
     */
-  def pairs(obs: Dataset[BandObs],
+  def pairsCdc(obs: Dataset[BandCdc],
       index: Dataset[BandObs]): Dataset[CandPair] = {
     val s = obs.sparkSession
     import s.implicits._
     obs.groupByKey(_.key)
       .transformWithState(new BucketPairProcessor,
         TimeMode.None(), OutputMode.Append(), seedState(index))
+  }
+
+  /** The insert-only query body (q218's live form): arriving band
+    * rows -> candidate pairs — [[pairsCdc]]'s zero-takedown
+    * specialization, exactly as `ops.nearDupDedupIncremental` is
+    * `ops.nearDupDedupDelta`'s.
+    */
+  def pairs(obs: Dataset[BandObs],
+      index: Dataset[BandObs]): Dataset[CandPair] = {
+    val s = obs.sparkSession
+    import s.implicits._
+    pairsCdc(obs.map(o => BandCdc(o.key, o.docId, delete = false)), index)
   }
 }

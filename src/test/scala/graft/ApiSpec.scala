@@ -329,6 +329,37 @@ class ApiSpec extends SparkSpec {
     assert(api.except(q172).count() === 0 && q172.except(api).count() === 0)
   }
 
+  test("bfsDistances is hopsPerJob-invariant: distances and hop counts match at any batch") {
+    val s = spark
+    import s.implicits._
+    def distSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 5-node path (ecc 4 from node 0) exercises a PARTIAL final
+    // batch at hopsPerJob = 3: levels 1-3 in job 1, level 4 + the
+    // empty probe level 5 drain inside job 2
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val (d1, h1) = ops.bfsDistances(path, "s", "d", _ === 0L)
+    val (d3, h3) = ops.bfsDistances(path, "s", "d", _ === 0L, hopsPerJob = 3)
+    assert(h1 == 5 && h3 == 5, s"h1=$h1 h3=$h3")
+    assert(distSet(d1) == distSet(d3))
+    assert(distSet(d3) == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    Ck.release(d1); Ck.release(d3)
+    // an EXACT final batch (ecc 3 at hopsPerJob = 3: job 2 is pure
+    // probe) and the testdata graph (q172's multi-seed shape)
+    val p3 = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val (e1, g1) = ops.bfsDistances(p3, "s", "d", _ === 0L)
+    val (e3, g3) = ops.bfsDistances(p3, "s", "d", _ === 0L, hopsPerJob = 3)
+    assert(g1 == g3 && distSet(e1) == distSet(e3))
+    Ck.release(e1); Ck.release(e3)
+    val und = graft.queries.Mining.sparseUnd(spark, dir)
+    val (t1, u1) = ops.bfsDistances(und, "a", "b", _ % 97L === 0L)
+    val (t3, u3) = ops.bfsDistances(und, "a", "b", _ % 97L === 0L,
+      hopsPerJob = 3)
+    assert(u1 == u3, s"hop counts diverge: $u1 vs $u3")
+    assert(distSet(t1) == distSet(t3))
+    Ck.release(t1); Ck.release(t3)
+  }
+
   test("pagerank reaches the closed-form fixpoint and ranks dst-only nodes") {
     val s = spark
     import s.implicits._
@@ -850,6 +881,17 @@ class ApiSpec extends SparkSpec {
     val viaQuery = SparkEntry.queries("q215_stationary_dist")(spark, dir)
       .collect().map(_.toSeq).toSeq
     assert(viaOps == viaQuery)
+    // the driver-collect envelope is LOUD: a state column whose
+    // observed (prev, state) cell count exceeds maxCells must refuse
+    // to collect a matrix onto the driver, not silently try (k is
+    // the state-ALPHABET size by contract, never the row count)
+    val wide = s.range(40L).select(col("id").as("t"),
+      lit(1L).as("k"), concat(lit("s"), col("id")).as("st"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.stationaryDistribution(wide, "k", Seq(col("t")), col("st"),
+        maxCells = 10L)
+    }
+    assert(ex.getMessage.contains("transition"), ex.getMessage)
   }
 
   test("diameterSweep is exact on a path and picks the largest component") {

@@ -298,18 +298,20 @@ class IncrementalDedupSpec extends SparkSpec {
       base, delta, deleted, lab0, "doc_id", "text", 0.5)
     assert(pairSet(pinnedT) == pairSet(defaultT))
     pinnedTHandle.foreach(Ck.release)
-    // and the dedup wrappers thread the knob: (kept, labels) equal
-    // the default path, pinned blocks released internally
+    // and the dedup wrappers thread the knob — pinning is their
+    // DEFAULT since round 10, so the equality pin forces the cold
+    // shape explicitly on one side: (kept, labels) equal, pinned
+    // blocks released internally
     val (kept, lab1, _) = ops.nearDupDedupIncremental(
-      base, delta, "doc_id", "text", lab0, pinCandidates = true)
-    val (keptD, labD, _) = ops.nearDupDedupIncremental(
       base, delta, "doc_id", "text", lab0)
+    val (keptD, labD, _) = ops.nearDupDedupIncremental(
+      base, delta, "doc_id", "text", lab0, pinCandidates = false)
     assert(ids(kept) == ids(keptD))
     assert(labelSet(lab1) == labelSet(labD))
     val (kept2, lab2, _) = ops.nearDupDedupDelta(
-      base, delta, deleted, "doc_id", "text", lab0, pinCandidates = true)
-    val (kept2D, lab2D, _) = ops.nearDupDedupDelta(
       base, delta, deleted, "doc_id", "text", lab0)
+    val (kept2D, lab2D, _) = ops.nearDupDedupDelta(
+      base, delta, deleted, "doc_id", "text", lab0, pinCandidates = false)
     assert(ids(kept2) == ids(kept2D))
     assert(labelSet(lab2) == labelSet(lab2D))
     Ck.release(lab0); Ck.release(lab1); Ck.release(labD)

@@ -6,10 +6,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.api.ops
-import graft.streaming.{CandPair, DocEvent, PairMonitor}
+import graft.streaming.{BandCdc, CandPair, DocCdc, DocEvent, PairMonitor}
 
 object PairMonitorSpec {
-  // cross-incarnation sink state for the restart test: foreachBatch
+  // cross-incarnation sink state for the restart tests: foreachBatch
   // is at-least-once on restart, so batch ids dedup replays
   val emitted = new java.util.concurrent.ConcurrentLinkedQueue[CandPair]()
   val seenBatches =
@@ -201,6 +201,147 @@ class PairMonitorSpec extends SparkSpec {
       s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       PairMonitorSpec.emitted.clear()
       PairMonitorSpec.seenBatches.clear()
+    }
+  }
+
+  test("takedowns remove bucket membership across a restart; re-pairs match the batch op") {
+    // q219's live form: phase A arrivals, a RESTART, takedowns, a
+    // second RESTART, phase B arrivals — post-takedown emissions must
+    // equal the batch bucket join on the SURVIVING union (the
+    // takedown's state edit persisted through the checkpoint), and a
+    // would-have-paired set proves the removal is load-bearing
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val indexDocs = docs.filter(col("doc_id") % 4 =!= 0)
+    val streamDocs = docs.filter(col("doc_id") % 4 === 0)
+      .collect().map(r => DocCdc(r.getLong(0), r.getString(1), delete = false))
+      .sortBy(_.docId)
+    val (phaseA, phaseB) = streamDocs.splitAt(streamDocs.length / 2)
+    val phaseAIds = phaseA.map(_.docId).toSet
+    val phaseBIds = phaseB.map(_.docId).toSet
+    def cands(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      ops.nearDupCandidates(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def docsOf(evs: Seq[DocCdc]): org.apache.spark.sql.DataFrame =
+      evs.map(e => (e.docId, e.text)).toDF("doc_id", "text")
+    // takedown targets: non-phase-B endpoints of pairs a phase-B
+    // arrival WOULD form — guaranteed load-bearing deletions
+    val unionAll = indexDocs.unionByName(docsOf(streamDocs))
+    val delIds = cands(unionAll)
+      .filter(p => phaseBIds(p._1) || phaseBIds(p._2))
+      .flatMap(p => Seq(p._1, p._2)).filterNot(phaseBIds)
+      .toSeq.sorted.take(5).toSet
+    assert(delIds.nonEmpty, "no deletable pair endpoint — vacuous split")
+    val delEvents = docs.filter(col("doc_id").isin(delIds.toSeq: _*))
+      .collect().map(r => DocCdc(r.getLong(0), r.getString(1), delete = true))
+    val stage = Files.createTempDirectory("pm_td_src")
+    val chk = Files.createTempDirectory("pm_td_chk").toString
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val index = PairMonitor.bandObs(
+      indexDocs.select(col("doc_id").as("docId"), col("text")).as[DocEvent])
+    def runPhase(): Unit = {
+      val in = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[DocCdc].schema)
+        .option("recursiveFileLookup", "true").parquet(stage.toString)
+        .as[DocCdc]
+      val q = PairMonitor.pairsCdc(PairMonitor.bandCdc(in), index)
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[CandPair], id: Long) =>
+          if (PairMonitorSpec.seenBatches.putIfAbsent(id, true) == null) {
+            ds.collect().foreach(PairMonitorSpec.emitted.add)
+          }
+        }
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    def live: Set[(Long, Long)] =
+      PairMonitorSpec.emitted.asScala.map(p => (p.i, p.j)).toSet
+    try {
+      phaseA.toSeq.toDF().coalesce(1).write.parquet(s"$stage/phase1")
+      runPhase()
+      val liveA = live
+      val expectedA = cands(indexDocs.unionByName(docsOf(phaseA)))
+        .filter(p => phaseAIds(p._1) || phaseAIds(p._2))
+      assert(liveA == expectedA,
+        s"missing=${expectedA -- liveA} extra=${liveA -- expectedA}")
+      // restart 1: the takedowns arrive in their own incarnation
+      delEvents.toSeq.toDF().coalesce(1).write.parquet(s"$stage/phase2")
+      runPhase()
+      assert(live == liveA, "takedown events must emit no pairs")
+      // restart 2: phase-B arrivals pair against POST-takedown state
+      phaseB.toSeq.toDF().coalesce(1).write.parquet(s"$stage/phase3")
+      runPhase()
+      val liveB = live -- liveA
+      // the batch analog on the surviving union: (index ∪ phaseA)
+      // minus the takedowns, plus phase B — the same insert-candidate
+      // family ops.takedownNearDupPairs derives (band bucket join
+      // against the surviving corpus)
+      val surviving = indexDocs.unionByName(docsOf(phaseA))
+        .filter(!col("doc_id").isin(delIds.toSeq: _*))
+        .unionByName(docsOf(phaseB))
+      val expectedB = cands(surviving)
+        .filter(p => phaseBIds(p._1) || phaseBIds(p._2))
+      assert(liveB == expectedB,
+        s"missing=${expectedB -- liveB} extra=${liveB -- expectedB}")
+      // non-vacuity + load-bearing: pairs that WOULD have formed
+      // against the deleted docs exist and none was emitted — the
+      // RocksDB list edit survived the restart
+      val wouldHave = cands(unionAll)
+        .filter(p => delIds(p._1) || delIds(p._2))
+        .filter(p => phaseBIds(p._1) || phaseBIds(p._2))
+      assert(wouldHave.nonEmpty, "no would-have pair — vacuous takedown")
+      assert(liveB.forall(p => !delIds(p._1) && !delIds(p._2)),
+        "a post-takedown arrival paired with a deleted doc")
+    } finally {
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      PairMonitorSpec.emitted.clear()
+      PairMonitorSpec.seenBatches.clear()
+    }
+  }
+
+  test("same-batch takedown applies before arrivals; a re-insert re-pairs") {
+    // the batch op's contract in one micro-batch: deletes hit PRIOR
+    // state only, then the batch's arrivals pair against survivors —
+    // and a later re-insert of the deleted id pairs again
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // planted corpus (IncrementalDedupSpec's salt discipline): docs 1
+    // and 5 share text T (same buckets); doc 2 is unrelated
+    val t = (1 to 10).map(i => s"pmz32_$i").mkString(" ")
+    val u = (1 to 10).map(i => s"pmq32_$i").mkString(" ")
+    val indexDocs = Seq((1L, t), (2L, u)).toDF("doc_id", "text")
+    val index = PairMonitor.bandObs(
+      indexDocs.select(col("doc_id").as("docId"), col("text")).as[DocEvent])
+    val in = MemoryStream[DocCdc]
+    val sink = s"pmtd_${System.nanoTime()}"
+    val q = PairMonitor.pairsCdc(PairMonitor.bandCdc(in.toDS()), index)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    def pairsNow: Set[(Long, Long)] =
+      s.table(sink).select(col("i"), col("j")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // ONE batch: delete doc 1 + arrival 5 with the same text — the
+      // takedown applies first, so 5 pairs with nothing
+      in.addData(DocCdc(1L, t, delete = true), DocCdc(5L, t, delete = false))
+      q.processAllAvailable()
+      assert(pairsNow == Set.empty, s"same-batch takedown leaked: $pairsNow")
+      // re-insert of the deleted id: pairs against the survivor 5
+      in.addData(DocCdc(1L, t, delete = false))
+      q.processAllAvailable()
+      assert(pairsNow == Set((1L, 5L)), s"re-insert did not re-pair: $pairsNow")
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 }

@@ -193,4 +193,48 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(dfOut) == rows(sqOut),
       s"SCC census diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
   }
+
+  test("SQL-driven warm cc init is plan-equal to ops.ccWarmInit; q217 agrees") {
+    ready
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import graft.api.ops
+    // the init bodies: the same nodes / prev-labels / affected frames
+    // on both sides, q217's deterministic changelog as the delta
+    val und = Mining.sparseUnd(spark, dir)
+    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .filter(col("node") =!= col("nbr"))
+      .persist(MEMORY_AND_DISK)
+    nbrs.createOrReplaceTempView("cc_nbrs")
+    val (lab0, _) = Mining.ccLoop(spark, dir)
+    val prev = lab0.select(col("node").as("id"), col("lbl").as("component"))
+    prev.createOrReplaceTempView("cc_prev")
+    val dels = und.filter((col("a") * 7L + col("b") * 11L) % 61L === 0L)
+      .select(col("a").as("src"), col("b").as("dst"))
+    dels.createOrReplaceTempView("cc_dels")
+    pinPlanEqual("cc_affected",
+      ops.ccAffected(prev, dels, "src", "dst"),
+      spark.sql(SqlSurface.ccAffectedSql))
+    val aff = spark.sql(SqlSurface.ccAffectedSql).localCheckpoint(true)
+    aff.createOrReplaceTempView("cc_aff")
+    pinPlanEqual("cc_warm_init",
+      ops.ccWarmInit(
+        spark.sql("SELECT DISTINCT node AS __node FROM cc_nbrs"),
+        prev, aff),
+      spark.sql(SqlSurface.ccWarmInitSql))
+    nbrs.unpersist(blocking = false)
+    Ck.release(lab0); Ck.release(aff)
+    Seq("cc_nbrs", "cc_prev", "cc_dels", "cc_aff")
+      .foreach(spark.catalog.dropTempView)
+
+    // full-surface agreement: the SQL-driven cold+warm composition
+    // reproduces q217's output (census + BOTH movement curves) row
+    // for row — an early/late stop or a mis-seeded warm init in the
+    // SQL loop diverges here
+    val dfOut = SparkEntry.queries("q217_incremental_cc")(spark, dir)
+    val sqOut = SqlSurface.q217IncrementalCcSql(spark, dir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"warm cc output diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+    Ck.release(sqOut)
+  }
 }
