@@ -1651,13 +1651,36 @@ object ops {
     * proportional to the FRONTIER, not the node set. Per hop: one
     * node-keyed edge join (the edge list is repartitioned by node
     * once before the persist, so hops reuse that co-location — the
-    * bucketing shape at 100 TB), one anti-join against the monotone
-    * visited accumulator, and a localCheckpoint(eager) whose single
-    * materialization serves the frontier-empty stop probe, the
-    * visited union, and the next hop (reliable checkpoint() on a
-    * cluster). Nodes in seedless components come back dist = -1.
-    * Returns the (id, dist) frame and the hop count (the final hop
-    * is the empty probe).
+    * bucketing shape at 100 TB), anti-joins against the LAST TWO
+    * levels only, and ONE localCheckpoint(eager) whose single
+    * materialization serves the frontier-empty stop probe and the
+    * next hop (reliable checkpoint() on a cluster). Nodes in
+    * seedless components come back dist = -1. Returns the (id, dist)
+    * frame and the hop count (the final hop is the empty probe).
+    *
+    * Round-10 shape (the scale-bytes lever, measured): the previous
+    * loop re-checkpointed the whole visited accumulator every hop —
+    * a SECOND job per round and O(n·hops) materialized bytes — and
+    * anti-joined the full node-sized accumulator. Now each level
+    * checkpoints once (every node materializes exactly once across
+    * the sweep) and the visited check uses only levels d and d−1,
+    * which is EXACT on an undirected graph: a neighbor of a dist-d
+    * node has dist ≥ d−1, so excluding those two levels from the
+    * frontier's neighbor set leaves precisely level d+1. One job per
+    * hop, frontier-proportional anti-joins at any scale. Honest
+    * local numbers (q216 BenchOne A/B at sf0.1): ~12.8 s vs the
+    * accumulator shape's ~11.7 s — the halved job count does NOT
+    * show locally (two per-level anti-join builds replace one
+    * accumulator scan, a wash against the per-job floor); the win
+    * is the O(n·hops) → O(n) materialized-bytes drop and the
+    * frontier-sized (never node-sized) anti-join inputs, which is
+    * what matters on a graph that doesn't fit one executor. (A
+    * chain-k-levels-into-one-job variant was also built and
+    * measured WORSE — 12→20 s — because each in-job level's
+    * distinct-shuffle subtree is re-evaluated by every level after
+    * it; rejected.) The returned dist frame unions the level
+    * checkpoints — release it (graft.Ck.release walks all levels)
+    * after its last consumer, as before.
     *
     * Guard tuning: `maxHops = 40` is a FAILURE bound — BFS runs
     * exactly ecc(seeds) hops (the seed set's eccentricity), and
@@ -1665,29 +1688,10 @@ object ops {
     * graph is the one honest case that needs it raised. Hitting the
     * guard otherwise means the frontier never drained — fail loudly,
     * inspect the hop curve via `probe`, then raise deliberately.
-    *
-    * `hopsPerJob` (round-10, the q216 floor lever): chain this many
-    * frontier LEVELS lazily into each checkpoint job. Distances stay
-    * exact (level b+1 expands level b's nodes and anti-joins
-    * everything assigned before it) and the stop signal stays sound
-    * (emptiness cascades level-to-level, so the last level's count
-    * alone decides whether to continue); the returned hop count and
-    * dist frame are IDENTICAL at any setting — only the job count
-    * drops. The trade: an in-job level's subtree is re-evaluated by
-    * the levels chained after it (no materialization barrier between
-    * them), so task time rises roughly with the square of the batch
-    * while per-job scheduling/planning floor falls linearly. Right
-    * when the per-round floor dominates the frontier work — the
-    * many-round, modest-frontier regime (q216's sweeps: 16-17 rounds
-    * of sub-second tasks at sf0.1); keep the default 1 when
-    * frontiers carry real data volume (the 100-TB default). `probe`
-    * fires once per JOB with the last assigned logical hop.
     */
   def bfsDistances(edges: DataFrame, src: String, dst: String,
       isSeed: Column => Column, maxHops: Int = 40,
-      probe: (Int, DataFrame) => Unit = (_, _) => (),
-      hopsPerJob: Int = 1): (DataFrame, Int) = {
-    require(hopsPerJob >= 1, s"bfsDistances needs hopsPerJob >= 1, got $hopsPerJob")
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ONE pass over the caller's edge frame (it may be an expensive
     // unpersisted derivation): the unfiltered endpoint union serves
@@ -1705,69 +1709,43 @@ object ops {
     // even though self-loops carry no traversal and are dropped above.
     val nodes = endpoints.select(col("__node"))
       .distinct().localCheckpoint(true)
-    var visited = nodes.filter(isSeed(col("__node")))
+    val seed = nodes.filter(isSeed(col("__node")))
       .select(col("__node"), lit(0L).as("__dist"))
       .localCheckpoint(true)
-    var frontier = visited.select(col("__node"))
-    var hop = 0 // last ASSIGNED logical distance (+1 at the probe)
+    // per-level checkpoints, newest first — together they ARE the
+    // visited set and the result; nothing is ever re-copied
+    var levels: List[DataFrame] = List(seed)
+    var frontier = seed.select(col("__node")) // level d
+    var prevNodes = seed.select(col("__node")).filter(lit(false)) // level d-1
+    def visitedAll = levels.reduceLeft(_ unionByName _)
+    var hop = 0
     var exhausted = false
-    var expanded = false // has frontier ever been re-pointed off visited?
     while (!exhausted && hop < maxHops) {
-      val batch = math.min(hopsPerJob, maxHops - hop)
-      // chain `batch` levels lazily; ONE checkpoint job materializes
-      // them all, with the stop signal riding it (graft.Loop)
-      var lvlFrontier = frontier
-      var exclude = visited.select(col("__node"))
-      var freshAll: DataFrame = null
-      for (b <- 1 to batch) {
-        val lvl = nbrs.join(lvlFrontier, "__node")
+      hop += 1
+      // frontier-empty check rides the checkpoint job (graft.Loop);
+      // the two-level visited check is exact (scaladoc proof)
+      val (fresh, fEmpty) = graft.Loop.ckIsEmpty(
+        nbrs.join(frontier, "__node")
           .select(col("__nbr").as("__node")).distinct()
-          .join(exclude, Seq("__node"), "left_anti")
-          .select(col("__node"), lit((hop + b).toLong).as("__dist"))
-        freshAll = if (freshAll == null) lvl else freshAll.unionByName(lvl)
-        lvlFrontier = lvl.select(col("__node"))
-        exclude = exclude.unionByName(lvl.select(col("__node")))
-      }
-      val (fresh, lastCnt) = graft.Loop.ckCount(freshAll,
-        col("__dist") === lit((hop + batch).toLong))
-      exhausted = lastCnt == 0L
-      // the last level assigned by this job: a nonempty last level
-      // implies every earlier one is nonempty (cascade); on
-      // exhaustion, one tiny agg on the materialized checkpoint
-      // (once per sweep) finds where the batch drained
-      val lastAssigned =
-        if (!exhausted) hop + batch
-        else {
-          val mx = fresh.agg(max(col("__dist"))).head()
-          if (mx.isNullAt(0)) hop else mx.getLong(0).toInt
-        }
-      if (lastAssigned > hop) {
-        // every checkpointed row has dist <= lastAssigned (cascade:
-        // nothing can be assigned past the first empty level)
-        val nv = visited.unionByName(fresh).localCheckpoint(true)
-        // the prior accumulator and frontier are fully consumed
-        graft.Ck.release(visited)
-        if (expanded) graft.Ck.release(frontier)
-        visited = nv
-        // next batch expands the last assigned level (reads the
-        // fresh checkpoint; released as the superseded frontier)
-        frontier = fresh.filter(col("__dist") === lit(lastAssigned))
-          .select(col("__node"))
-        expanded = true
-        hop = lastAssigned
+          .join(frontier, Seq("__node"), "left_anti")
+          .join(prevNodes, Seq("__node"), "left_anti")
+          .select(col("__node"), lit(hop.toLong).as("__dist")))
+      exhausted = fEmpty
+      if (!exhausted) {
+        levels ::= fresh
+        prevNodes = frontier
+        frontier = fresh.select(col("__node"))
       } else {
         graft.Ck.release(fresh) // empty probe frame
       }
-      if (exhausted) hop += 1 // the empty probe level
-      probe(hop, visited)
+      probe(hop, visitedAll)
     }
     nbrs.unpersist(blocking = false)
     endpoints.unpersist(blocking = false)
-    // when hop 1 exhausted immediately, frontier still shares the
-    // seed visited checkpoint the dist join below reads — keep it
-    if (expanded) graft.Ck.release(frontier)
+    // the level checkpoints must not outlive a tripped guard
+    if (!exhausted) { levels.foreach(graft.Ck.release); graft.Ck.release(nodes) }
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
-    val dist = nodes.join(visited, Seq("__node"), "left")
+    val dist = nodes.join(visitedAll, Seq("__node"), "left")
       .select(col("__node").as("id"),
         coalesce(col("__dist"), lit(-1L)).as("dist"))
     (dist, hop)
@@ -2602,14 +2580,9 @@ object ops {
     und.unpersist(blocking = false) // the sweeps only read `big`
     def farthest(seed: Long, sweep: String): (Long, Long) = {
       // +1: the exhaustion proof is an empty round PAST the last
-      // distance, so supporting ecc <= maxHops needs maxHops+1 hops.
-      // hopsPerJob = 3: the sweeps are the many-round modest-frontier
-      // regime the knob exists for (16-17 levels of sub-second tasks
-      // at sf0.1 — the per-job floor, not the frontier, dominated the
-      // round-9 wall split), and the returned distances and hop
-      // counts are setting-invariant
+      // distance, so supporting ecc <= maxHops needs maxHops+1 hops
       val (dist, hops) = bfsDistances(big, "a", "b", c => c === lit(seed),
-        maxHops = maxHops + 1, hopsPerJob = 3)
+        maxHops = maxHops + 1)
       graft.LoopStats.recordLoop(sweep, hops.toLong)
       val far = dist.filter(col("dist") >= 0L)
         .orderBy(col("dist").desc, col("id")).limit(1).head()

@@ -329,35 +329,36 @@ class ApiSpec extends SparkSpec {
     assert(api.except(q172).count() === 0 && q172.except(api).count() === 0)
   }
 
-  test("bfsDistances is hopsPerJob-invariant: distances and hop counts match at any batch") {
+  test("bfsDistances two-level visited check is exact on hand graphs") {
     val s = spark
     import s.implicits._
     def distSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // a 5-node path (ecc 4 from node 0) exercises a PARTIAL final
-    // batch at hopsPerJob = 3: levels 1-3 in job 1, level 4 + the
-    // empty probe level 5 drain inside job 2
+    // a path pins exact level assignment hop by hop; the odd CYCLE
+    // pins the level-d re-touch case the two-level check must absorb
+    // (both ends of the cycle meet at the far side: each final
+    // frontier node neighbors the OTHER dist-2 node — excluded by
+    // the level-d anti-join, not the d-1 one)
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
     val (d1, h1) = ops.bfsDistances(path, "s", "d", _ === 0L)
-    val (d3, h3) = ops.bfsDistances(path, "s", "d", _ === 0L, hopsPerJob = 3)
-    assert(h1 == 5 && h3 == 5, s"h1=$h1 h3=$h3")
-    assert(distSet(d1) == distSet(d3))
-    assert(distSet(d3) == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
-    Ck.release(d1); Ck.release(d3)
-    // an EXACT final batch (ecc 3 at hopsPerJob = 3: job 2 is pure
-    // probe) and the testdata graph (q172's multi-seed shape)
-    val p3 = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
-    val (e1, g1) = ops.bfsDistances(p3, "s", "d", _ === 0L)
-    val (e3, g3) = ops.bfsDistances(p3, "s", "d", _ === 0L, hopsPerJob = 3)
-    assert(g1 == g3 && distSet(e1) == distSet(e3))
-    Ck.release(e1); Ck.release(e3)
-    val und = graft.queries.Mining.sparseUnd(spark, dir)
-    val (t1, u1) = ops.bfsDistances(und, "a", "b", _ % 97L === 0L)
-    val (t3, u3) = ops.bfsDistances(und, "a", "b", _ % 97L === 0L,
-      hopsPerJob = 3)
-    assert(u1 == u3, s"hop counts diverge: $u1 vs $u3")
-    assert(distSet(t1) == distSet(t3))
-    Ck.release(t1); Ck.release(t3)
+    assert(h1 == 5, s"h1=$h1")
+    assert(distSet(d1) == Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    Ck.release(d1)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+      .toDF("s", "d")
+    val (dc, hc) = ops.bfsDistances(cyc, "s", "d", _ === 0L)
+    assert(hc == 3, s"hc=$hc")
+    assert(distSet(dc) == Set((0L, 0L), (1L, 1L), (4L, 1L), (2L, 2L), (3L, 2L)))
+    Ck.release(dc)
+    // an even cycle: the far node is reached from BOTH sides in the
+    // same round — the distinct must collapse it to one row
+    val cyc6 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L))
+      .toDF("s", "d")
+    val (d6, h6) = ops.bfsDistances(cyc6, "s", "d", _ === 0L)
+    assert(h6 == 4, s"h6=$h6")
+    assert(distSet(d6) == Set((0L, 0L), (1L, 1L), (5L, 1L), (2L, 2L),
+      (4L, 2L), (3L, 3L)))
+    Ck.release(d6)
   }
 
   test("pagerank reaches the closed-form fixpoint and ranks dst-only nodes") {
