@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Names of drifts a BENCH_DIFF artifact reports as
+    * "unadjudicated" — the structural gate's load-bearing parse
+    * (faster-direction rows carry status "improvement" and
+    * adjudicated rows their adjudication text, so only genuinely
+    * unexplained slower drifts come back). Missing or malformed
+    * files parse as clean: the gate's job is to catch REPORTED
+    * dirt, and BenchDiff failures are already reported loudly at
+    * the call site.
+    */
+  private[graft] def unadjudicatedIn(path: String): Seq[String] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        Option(n.get("drifts")).toSeq.flatMap(_.fields().asScala)
+          .filter(e => e.getValue.get("status").asText() == "unadjudicated")
+          .map(_.getKey).toSeq.sorted
+      }
+    } catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,20 +199,7 @@ object Bench {
       }
       detailWritten
     }
-    // names of slower-direction drifts the diff could not adjudicate
-    def unadjudicated(): Seq[String] =
-      try {
-        val p = java.nio.file.Paths.get("BENCH_DIFF.json")
-        if (!java.nio.file.Files.exists(p)) Seq.empty
-        else {
-          import scala.jdk.CollectionConverters._
-          val n = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readString(p))
-          Option(n.get("drifts")).toSeq.flatMap(_.fields().asScala)
-            .filter(e => e.getValue.get("status").asText() == "unadjudicated")
-            .map(_.getKey).toSeq.sorted
-        }
-      } catch { case _: Throwable => Seq.empty }
+    def unadjudicated(): Seq[String] = unadjudicatedIn("BENCH_DIFF.json")
     writeAndDiff()
     // STRUCTURAL drift gate (round-10): rounds 8 and 9 both shipped a
     // clean closing bench, then a post-close refresh re-opened

@@ -327,8 +327,10 @@ object ScaleProbe {
       val fullPairs = ops.nearDupPairs(docsRep, "doc_id", "text", 0.5).count()
       val fpS = (System.nanoTime() - fpT0) / 1e9
       val ndWarmT0 = System.nanoTime()
+      // pinCandidates = false: pinning is the wrapper DEFAULT since
+      // round 10, so the A/B baseline forces the cold verify shape
       val (ndKept, ndLab1, ndCurve1) = ops.nearDupDedupIncremental(
-        dBase, dDelta, "doc_id", "text", ndLab0)
+        dBase, dDelta, "doc_id", "text", ndLab0, pinCandidates = false)
       val ndKeptN = ndKept.count()
       val ndWarmS = (System.nanoTime() - ndWarmT0) / 1e9
       val ndColdT0 = System.nanoTime()
@@ -367,8 +369,10 @@ object ScaleProbe {
         .join(ndDel.withColumnRenamed("doc_id", "id"), "id")
         .select(col("component")).distinct().count()
       val delWarmT0 = System.nanoTime()
+      // cold verify shape forced (pinning is the default since r10)
       val (delKept, delLab, delCurve) = ops.nearDupDedupDelta(
-        dBase, dDelta, ndDel, "doc_id", "text", ndLab0)
+        dBase, dDelta, ndDel, "doc_id", "text", ndLab0,
+        pinCandidates = false)
       val delKeptN = delKept.count()
       val delWarmS = (System.nanoTime() - delWarmT0) / 1e9
       val surv = docsRep.join(ndDel, Seq("doc_id"), "left_anti")

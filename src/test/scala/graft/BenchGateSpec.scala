@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The structural bench-drift gate (round-10): BenchDiff's artifact
+  * and Bench's unadjudicated parse are the two halves of the
+  * refuse-to-ship-dirty loop — pin them against synthetic
+  * detail/baseline pairs so the gate itself is tested, not just
+  * exercised when a drift happens to occur.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private def detail(qs: (String, Double)*): String = {
+    val queries = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val runs = qs.map { case (k, v) =>
+      s""""$k":{"start_s":1.0,"runs":[$v,$v,$v]}"""
+    }.mkString(",")
+    s"""{"metric":"total","value":1,"unit":"sec","queries":{$queries},""" +
+      s""""sf":"x","runs":{$runs},"meta":{"data":{"hash":"h1","bytes":1}}}"""
+  }
+
+  test("slower drifts with no adjudication parse back as unadjudicated; improvements and noise do not") {
+    val dir = Files.createTempDirectory("benchgate")
+    val cur = dir.resolve("cur.json")
+    val base = dir.resolve("base.json")
+    val out = dir.resolve("diff.json")
+    // q_slow: 2x slower (0.5 -> 1.0, abs 0.5 > 0.15) -> unadjudicated
+    // q_fast: 2x faster -> status improvement, never retried
+    // q_tiny: 2x slower but 0.04 -> 0.08 sits under the 0.15 s noise
+    //         floor -> not a drift at all
+    // q_flat: unchanged -> not a drift
+    Files.writeString(cur, detail(
+      "q_slow" -> 1.0, "q_fast" -> 0.5, "q_tiny" -> 0.08, "q_flat" -> 1.0))
+    Files.writeString(base, detail(
+      "q_slow" -> 0.5, "q_fast" -> 1.0, "q_tiny" -> 0.04, "q_flat" -> 1.0))
+    BenchDiff.main(Array(cur.toString, base.toString, out.toString))
+    assert(Bench.unadjudicatedIn(out.toString) == Seq("q_slow"))
+    // the artifact itself counts the same way (the judge-facing field)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out))
+    assert(n.get("n_unadjudicated").asInt() == 1, n.toString)
+    assert(n.at("/drifts/q_fast/status").asText() == "improvement")
+    assert(n.at("/drifts/q_tiny").isMissingNode)
+    assert(n.at("/drifts/q_flat").isMissingNode)
+  }
+
+  test("an adjudication entry silences its drift; a missing diff parses clean") {
+    // BenchDiff reads the repo-root BENCH_ADJUDICATIONS.json, whose
+    // real entries include q115_triangle_count — reuse it as the
+    // adjudicated name so the test needs no fixture mutation
+    val dir = Files.createTempDirectory("benchgate2")
+    val cur = dir.resolve("cur.json")
+    val base = dir.resolve("base.json")
+    val out = dir.resolve("diff.json")
+    Files.writeString(cur, detail("q115_triangle_count" -> 1.0))
+    Files.writeString(base, detail("q115_triangle_count" -> 0.5))
+    BenchDiff.main(Array(cur.toString, base.toString, out.toString))
+    assert(Bench.unadjudicatedIn(out.toString).isEmpty)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out))
+    assert(n.get("n_drifts").asInt() == 1)
+    assert(n.get("n_unadjudicated").asInt() == 0)
+    assert(n.at("/drifts/q115_triangle_count/status").asText()
+      .startsWith("ADJUDICATED"))
+    // gate robustness: absent artifact = clean (BenchDiff failures
+    // are reported separately at the call site)
+    assert(Bench.unadjudicatedIn(dir.resolve("nope.json").toString).isEmpty)
+  }
+}
