@@ -393,6 +393,35 @@ object ScaleProbe {
       require(sameLabels(delLabP, delColdLab),
         "pinned takedown dedup labels diverge from the cold rerun")
       graft.Ck.release(delLabP)
+      // ONE-CALL day-N composition (ops.corpusDay, round-10): the
+      // same full-CDC day as the takedown leg, run through the
+      // orchestrated job WITH band-table reuse — yesterday's band
+      // table is materialized separately (bands_prep_s: the amortized
+      // day-N−1 artifact cost), so corpusday_s is what the steady-
+      // state daily job actually pays. Claims measured: the one-call
+      // form adds no hidden blowup over its pieces (compare to
+      // del_warm_pin_s + the band composition), its labels equal the
+      // cold rerun at every scale (loud), and its band artifact is
+      // exactly the surviving corpus's band count.
+      val bandsPrepT0 = System.nanoTime()
+      val bandsRep = ops.nearDupBands(dBase, "doc_id", "text")
+        .localCheckpoint(true)
+      val bandsPrepS = (System.nanoTime() - bandsPrepT0) / 1e9
+      val cdT0 = System.nanoTime()
+      val day = ops.corpusDay(dBase, dDelta, ndDel, "doc_id", "text",
+        ndLab0, oldBands = Some(bandsRep))
+      val cdKeptN = day.kept.count()
+      val cdS = (System.nanoTime() - cdT0) / 1e9
+      require(cdKeptN == delKeptN, s"corpusDay kept $cdKeptN != $delKeptN")
+      require(sameLabels(day.labels, delColdLab),
+        "corpusDay labels diverge from the cold rerun")
+      val cdBandsN = day.bands.count()
+      val survBandsN = ops.nearDupBands(surv, "doc_id", "text").count()
+      require(cdBandsN == survBandsN,
+        s"corpusDay band artifact $cdBandsN != surviving corpus bands $survBandsN")
+      graft.Ck.release(day.labels)
+      graft.Ck.release(day.bands)
+      graft.Ck.release(bandsRep)
       graft.Ck.release(ndDel)
       graft.Ck.release(delLab)
       graft.Ck.release(delColdLab)
@@ -412,7 +441,9 @@ object ScaleProbe {
           s""""del_n":$ndDelN,"del_aff":$ndDelAff,""" +
           s""""del_warm_rounds":${delCurve.length},"del_cold_rounds":${delColdCurve.length},""" +
           s""""del_warm_mv":${delCurve.map(_._2).sum},"del_cold_mv":${delColdCurve.map(_._2).sum},""" +
-          s""""del_warm_s":${fmt(delWarmS)},"del_cold_s":${fmt(delColdS)},"del_kept":$delKeptN}"""
+          s""""del_warm_s":${fmt(delWarmS)},"del_cold_s":${fmt(delColdS)},"del_kept":$delKeptN,""" +
+          s""""corpusday_s":${fmt(cdS)},"bands_prep_s":${fmt(bandsPrepS)},""" +
+          s""""corpusday_bands":$cdBandsN}"""
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
         s""""dedup":$dedupJson,""" +
         s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +

@@ -1410,8 +1410,10 @@ object ops {
     : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nbrs = ccNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
-    val init = nbrs.select(col("__node")).distinct()
-      .select(col("__node"), col("__node").as("__lbl"))
+    val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      nbrs.select(col("__node")).distinct()
+        .select(col("__node"), col("__node").as("__lbl"))
+        .localCheckpoint(true))
     ccCore(nbrs, init, maxRounds, probe)
   }
 
@@ -1459,19 +1461,31 @@ object ops {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val affected = ccAffected(prevLabels, deletedEdges, src, dst)
     val nbrs = ccNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
-    val init = ccWarmInit(nbrs.select(col("__node")).distinct(),
-      prevLabels, affected)
+    // the init checkpoints FIRST (measured stats — the multi-join
+    // plan's inherited estimate is the joins' product), so the guard
+    // below reads materialized blocks and the loop reuses the SAME
+    // checkpoint — the previous shape evaluated the init plan twice
+    // (once for the guard, once for the loop's checkpoint; ~0.5 s of
+    // q217's warm-leg wall at sf0.1)
+    val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      ccWarmInit(nbrs.select(col("__node")).distinct(),
+        prevLabels, affected).localCheckpoint(true))
     // loud stale-label guard (see CONTRACT above): every kept
     // non-identity label must name a node of the NEW graph, else the
     // pointer jump's inner join would silently drop its component.
     // One node-sized anti-join over the persisted neighbor list —
     // cheap next to a single fixpoint round, and it catches caller
     // under-reporting of deletes instead of returning a truncated
-    // labeling.
+    // labeling. Held frames must not outlive a tripped guard.
     val stale = init.filter(col("__lbl") =!= col("__node"))
       .join(nbrs.select(col("__node").as("__lbl")).distinct(),
         Seq("__lbl"), "left_anti")
-    require(stale.isEmpty,
+    val staleEmpty = stale.isEmpty
+    if (!staleEmpty) {
+      graft.Ck.release(init)
+      nbrs.unpersist(blocking = false)
+    }
+    require(staleEmpty,
       "incrementalConnectedComponents: a kept previous label names a node " +
         "absent from the new edge set — deletedEdges under-reports the " +
         "changelog (every edge removed since prevLabels' graph must be listed)")
@@ -1515,20 +1529,17 @@ object ops {
       .filter(col("__node") =!= col("__nbr"))
 
   /** The min-label fixpoint over a caller-persisted neighbor list
-    * from an arbitrary initial labeling (identity for the cold
-    * start, the previous fixpoint for warm starts). Unpersists
-    * `nbrs` on every exit path.
+    * from a caller-CHECKPOINTED initial labeling (identity for the
+    * cold start, the previous fixpoint for warm starts) — callers
+    * apply measured stats to that checkpoint (the warm init is a
+    * multi-join plan whose inherited size estimate is the joins'
+    * product; round 1 must plan its label-side broadcast from the
+    * real node count) and round 1 releases it when superseded.
+    * Unpersists `nbrs` on every exit path.
     */
   private def ccCore(nbrs: DataFrame, init: DataFrame, maxRounds: Int,
       probe: (Int, DataFrame) => Unit): (DataFrame, Seq[(Long, Long)]) = {
-    // measured stats on the INIT checkpoint too: the warm-start init
-    // is a multi-join plan (nodes x prevLabels x broadcast affected)
-    // whose inherited size estimate is the joins' product — round 1
-    // must plan its label-side broadcast from the real node count,
-    // not that product (the GraftPlanStats rule the per-round
-    // ckCount already follows)
-    var labels = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
-      init.localCheckpoint(true))
+    var labels = init
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var rounds = 0
     var converged = false
