@@ -68,4 +68,33 @@ class BenchGateSpec extends AnyFunSuite {
     // are reported separately at the call site)
     assert(Bench.unadjudicatedIn(dir.resolve("nope.json").toString).isEmpty)
   }
+
+  test("retry merge: min re-derives from merged runs; crashes and failed rows stay put") {
+    val loops = Map.empty[String, Long]
+    val results = Seq(
+      ("q_drift", 1.0, Seq(1.0, 1.2, 1.1), 5.0, loops),  // retried, dissolves
+      ("q_real", 1.0, Seq(1.0, 1.1, 1.0), 6.0, loops),   // retried, survives
+      ("q_crash", 1.0, Seq(1.0, 1.0, 1.0), 7.0, loops),  // retry crashes
+      ("q_failed", -1.0, Seq(-1.0, 2.0, 2.0), 8.0, loops), // main pass failed
+      ("q_other", 0.4, Seq(0.4, 0.5, 0.4), 9.0, loops))  // not named
+    val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val merged = Bench.mergeRetries(results,
+      Seq("q_drift", "q_real", "q_crash", "q_failed"),
+      {
+        case n @ "q_drift" => reruns += n; Seq(0.3, 0.35, 0.4) // transient: tail is fast
+        case n @ "q_real" => reruns += n; Seq(1.0, 1.1, 1.0)   // regression: floor holds
+        case n @ "q_crash" => reruns += n; Seq(0.2, -1.0, 0.2) // a crash mid-retry
+        case n => reruns += n; Seq(0.1, 0.1, 0.1)
+      }).map(r => r._1 -> r).toMap
+    // a failed main pass is NEVER retried (its -1 must survive as-is)
+    assert(reruns.toSet == Set("q_drift", "q_real", "q_crash"))
+    assert(merged("q_drift")._2 == 0.3 && merged("q_drift")._3.size == 6)
+    assert(merged("q_real")._2 == 1.0 && merged("q_real")._3.size == 6)
+    // the crash keeps the ORIGINAL row: timing, runs, everything
+    assert(merged("q_crash") == results(2))
+    assert(merged("q_failed") == results(3))
+    assert(merged("q_other") == results(4))
+    // start offsets and loop counts ride through untouched
+    assert(merged("q_drift")._4 == 5.0 && merged("q_drift")._5 == loops)
+  }
 }
