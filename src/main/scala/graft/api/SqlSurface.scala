@@ -499,6 +499,143 @@ object SqlSurface {
     out
   }
 
+  // ----- q218: the warm-start dedup day, SQL-driven -----------------
+  // (the CDC dedup family's entry on the SQL surface: every stage of
+  // the day — cold base labeling, delta-restricted candidates, star
+  // compression, the warm fixpoint, the survivor anti-join — is a
+  // Spark SQL text or the SQL-driven cc loop, composed row-equal to
+  // the DataFrame q218. The pair texts reuse q23Sql's band/shingle
+  // derivations (plan-equal-pinned there) parameterized by view.)
+
+  private def ndShSub(view: String): String =
+    s"SELECT doc_id, word_shingles(text, 3) AS sh FROM $view"
+
+  private def ndBandsSub(view: String): String =
+    s"""SELECT doc_id, bk.band_idx AS band_idx, bk.band_key AS band_key
+       |FROM (
+       |  SELECT doc_id, explode($bandArray) AS bk
+       |  FROM (SELECT doc_id, minhash_sig(text) AS msig FROM $view)
+       |)""".stripMargin
+
+  /** Verified near-dup pairs (i < j, 3-shingle Jaccard >= 0.5) over
+    * one doc view — q23's pipeline parameterized (the cold base pair
+    * graph of the warm dedup day).
+    */
+  def ndPairsSql(view: String): String =
+    s"""SELECT i, j FROM (
+       |  SELECT i, j,
+       |    CAST(array_intersect_size(sha, shb) AS DOUBLE) /
+       |    CAST(array_union_size(sha, shb) AS DOUBLE) AS jac
+       |  FROM (
+       |    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |    FROM (${ndBandsSub(view)}) a JOIN (${ndBandsSub(view)}) b
+       |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |     AND a.doc_id < b.doc_id
+       |  )
+       |  JOIN (SELECT doc_id AS i, sh AS sha FROM (${ndShSub(view)})) USING (i)
+       |  JOIN (SELECT doc_id AS j, sh AS shb FROM (${ndShSub(view)})) USING (j)
+       |) WHERE jac >= 0.5""".stripMargin
+
+  /** The DELTA pairs an inserts-only changelog introduces: candidates
+    * only from band buckets a NEW doc touches (new-side bands against
+    * old ∪ new bands), verified against the union corpus — the SQL
+    * text of ops.incrementalNearDupPairs' cold-verify shape
+    * (row-equality pinned in SqlSurfaceSpec).
+    */
+  def ndDeltaPairsSql(baseView: String, deltaView: String,
+      unionView: String): String =
+    s"""SELECT i, j FROM (
+       |  SELECT i, j,
+       |    CAST(array_intersect_size(sha, shb) AS DOUBLE) /
+       |    CAST(array_union_size(sha, shb) AS DOUBLE) AS jac
+       |  FROM (
+       |    SELECT DISTINCT least(a.doc_id, b.doc_id) AS i,
+       |      greatest(a.doc_id, b.doc_id) AS j
+       |    FROM (${ndBandsSub(deltaView)}) a
+       |    JOIN (SELECT * FROM (${ndBandsSub(baseView)})
+       |          UNION ALL SELECT * FROM (${ndBandsSub(deltaView)})) b
+       |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |     AND a.doc_id <> b.doc_id
+       |  )
+       |  JOIN (SELECT doc_id AS i, sh AS sha FROM (${ndShSub(unionView)})) USING (i)
+       |  JOIN (SELECT doc_id AS j, sh AS shb FROM (${ndShSub(unionView)})) USING (j)
+       |) WHERE jac >= 0.5""".stripMargin
+
+  /** q218's output shape with every stage SQL-driven: cold base
+    * labels via the identity-init warm loop (empty previous labels =
+    * the cold init, so one loop serves both phases), star-compressed
+    * carry + delta pairs as the warm edge set, the warm fixpoint via
+    * [[ccWarmLoopSqlOn]], survivors by one anti-join text. Row-equal
+    * to the DataFrame q218 (pinned in SqlSurfaceSpec) — census, kept
+    * accounting, and BOTH movement curves.
+    */
+  /** RESERVED VIEW NAMES: owns `nd_base` / `nd_delta` / `nd_union` /
+    * `nd_prev` / `nd_final` (plus [[ccWarmLoopSqlOn]]'s cc_* set) for
+    * the call's duration, dropped on exit — see [[ccLoopSql]]'s
+    * contract.
+    */
+  def q218WarmDedupSql(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = s
+    import sess.implicits._
+    val docs = graft.Tables.documents(s, dir).persist(MEMORY_AND_DISK)
+    graft.Tables.touch(docs)
+    try {
+      docs.filter(col("doc_id") % 8 =!= 0).createOrReplaceTempView("nd_base")
+      docs.filter(col("doc_id") % 8 === 0).createOrReplaceTempView("nd_delta")
+      docs.createOrReplaceTempView("nd_union")
+      val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "component")
+      val emptyDels = Seq.empty[(Long, Long)].toDF("i", "j")
+      // phase 0: the cold fixpoint = the warm loop from an empty
+      // previous labeling (every node seeds to identity)
+      val (lab0, curve0) = ccWarmLoopSqlOn(s, emptyLabels,
+        s.sql(ndPairsSql("nd_base")), emptyDels, "i", "j")
+      lab0.select(col("node").as("id"), col("lbl").as("component"))
+        .createOrReplaceTempView("nd_prev")
+      // warm edge set: yesterday's graph star-compressed + the delta
+      // pairs (inserts-only: no deleted edges, no re-seeds)
+      val edges1 = s.sql(
+        s"""SELECT DISTINCT i, j FROM (
+           |  SELECT component AS i, id AS j FROM nd_prev
+           |  WHERE id <> component
+           |  UNION ALL
+           |  ${ndDeltaPairsSql("nd_base", "nd_delta", "nd_union")}
+           |)""".stripMargin)
+      val (lab1, curve1) = ccWarmLoopSqlOn(s,
+        s.sql("SELECT id, component FROM nd_prev"), edges1, emptyDels,
+        "i", "j")
+      graft.Ck.release(lab0) // the warm loop's views are materialized
+      lab1.createOrReplaceTempView("nd_final")
+      val parts =
+        try s.sql(
+          """SELECT 'comp' AS part, lbl AS k, CAST(COUNT(1) AS BIGINT) AS v1,
+            |  MAX(node) AS v2 FROM nd_final GROUP BY lbl
+            |UNION ALL
+            |SELECT 'kept', CAST(0 AS BIGINT), CAST(COUNT(1) AS BIGINT),
+            |  CAST(SUM(doc_id) AS BIGINT)
+            |FROM nd_union LEFT ANTI JOIN
+            |  (SELECT node AS doc_id FROM nd_final WHERE node <> lbl)
+            |  USING (doc_id)""".stripMargin)
+          .localCheckpoint(true) // materialize before the views drop
+        finally s.catalog.dropTempView("nd_final")
+      graft.Ck.release(lab1)
+      val c0 = curve0.toDF("k", "v1")
+        .select(lit("round0").as("part"), col("k"), col("v1"),
+          lit(0L).as("v2"))
+      val c1 = curve1.toDF("k", "v1")
+        .select(lit("round1").as("part"), col("k"), col("v1"),
+          lit(0L).as("v2"))
+      val out = parts.unionByName(c0).unionByName(c1).orderBy("part", "k")
+        .localCheckpoint(true)
+      graft.Ck.release(parts)
+      out
+    } finally {
+      docs.unpersist(blocking = false)
+      Seq("nd_base", "nd_delta", "nd_union", "nd_prev")
+        .foreach(s.catalog.dropTempView)
+    }
+  }
+
   // ----- q175: the PageRank loop, SQL-driven -----------------------
 
   /** One Curation.prRound over the `pr_edeg` / `pr_ranks` views:

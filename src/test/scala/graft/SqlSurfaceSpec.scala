@@ -237,4 +237,37 @@ class SqlSurfaceSpec extends SparkSpec {
       s"warm cc output diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
     Ck.release(sqOut)
   }
+
+  test("SQL-driven warm dedup day equals q218; delta-pair text equals the batch op") {
+    ready
+    // sf0.01: the warm dedup day needs real dup clusters on both
+    // sides of the split (IncrementalDedupSpec's choice) — sf0.001's
+    // pair graph is too sparse to make the equality non-vacuous
+    val ddir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, ddir)
+    val base = docs.filter(col("doc_id") % 8 =!= 0)
+    val delta = docs.filter(col("doc_id") % 8 === 0)
+    base.createOrReplaceTempView("nd_base")
+    delta.createOrReplaceTempView("nd_delta")
+    docs.createOrReplaceTempView("nd_union")
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqPairs = pairSet(spark.sql(
+      SqlSurface.ndDeltaPairsSql("nd_base", "nd_delta", "nd_union")))
+    val dfPairs = pairSet(graft.api.ops.incrementalNearDupPairs(
+      base, delta, "doc_id", "text", 0.5))
+    assert(sqPairs == dfPairs,
+      s"missing=${dfPairs -- sqPairs} extra=${sqPairs -- dfPairs}")
+    assert(sqPairs.nonEmpty, "no delta pairs — vacuous")
+    Seq("nd_base", "nd_delta", "nd_union")
+      .foreach(spark.catalog.dropTempView)
+    // the full SQL-driven day: census + kept accounting + BOTH
+    // movement curves row-equal to the DataFrame q218
+    val dfOut = SparkEntry.queries("q218_warm_dedup")(spark, ddir)
+    val sqOut = SqlSurface.q218WarmDedupSql(spark, ddir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"warm dedup day diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+    assert(rows(sqOut).exists(_.contains("comp")), "no clusters — vacuous")
+    Ck.release(sqOut)
+  }
 }
