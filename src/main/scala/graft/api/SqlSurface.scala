@@ -561,6 +561,146 @@ object SqlSurface {
        |  JOIN (SELECT doc_id AS j, sh AS shb FROM (${ndShSub(unionView)})) USING (j)
        |) WHERE jac >= 0.5""".stripMargin
 
+  /** The disturbed-component list over `nd_prev` / `nd_dels` —
+    * interpolated per use site (the no-CTE rule).
+    */
+  private val ndAffSub: String =
+    """SELECT DISTINCT component FROM nd_prev
+      |JOIN (SELECT doc_id AS id FROM nd_dels) USING (id)""".stripMargin
+
+  /** Surviving members of disturbed components — the re-verify set
+    * (a still-valid old pair has BOTH endpoints here, because a pair
+    * implies same old component).
+    */
+  private val ndAffSurvSub: String =
+    s"""SELECT id AS doc_id FROM nd_prev
+       |WHERE component IN ($ndAffSub)
+       |  AND id NOT IN (SELECT doc_id FROM nd_dels)""".stripMargin
+
+  /** The TAKEDOWN-day pair set over the `nd_surv` (surviving old) /
+    * `nd_delta` (inserts) / `nd_survu` (surviving union) / `nd_prev`
+    * / `nd_dels` views: pairs re-derived WITHIN disturbed components
+    * (band self-join on disturbed-survivor rows) plus insert pairs
+    * from buckets a new doc touches against the surviving corpus,
+    * verified in one pass — the SQL text of
+    * ops.takedownNearDupPairs' cold-verify shape.
+    */
+  def ndTakedownPairsSql: String = {
+    val affBands =
+      s"""SELECT * FROM (${ndBandsSub("nd_surv")})
+         |WHERE doc_id IN ($ndAffSurvSub)""".stripMargin
+    s"""SELECT i, j FROM (
+       |  SELECT i, j,
+       |    CAST(array_intersect_size(sha, shb) AS DOUBLE) /
+       |    CAST(array_union_size(sha, shb) AS DOUBLE) AS jac
+       |  FROM (
+       |    SELECT DISTINCT i, j FROM (
+       |      SELECT a.doc_id AS i, b.doc_id AS j
+       |      FROM ($affBands) a JOIN ($affBands) b
+       |        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |       AND a.doc_id < b.doc_id
+       |      UNION ALL
+       |      SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+       |      FROM (${ndBandsSub("nd_delta")}) a
+       |      JOIN (SELECT * FROM (${ndBandsSub("nd_surv")})
+       |            UNION ALL SELECT * FROM (${ndBandsSub("nd_delta")})) b
+       |        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |       AND a.doc_id <> b.doc_id
+       |    )
+       |  )
+       |  JOIN (SELECT doc_id AS i, sh AS sha FROM (${ndShSub("nd_survu")})) USING (i)
+       |  JOIN (SELECT doc_id AS j, sh AS shb FROM (${ndShSub("nd_survu")})) USING (j)
+       |) WHERE jac >= 0.5""".stripMargin
+  }
+
+  /** q219's output shape with every stage SQL-driven — the takedown
+    * half of the CDC day: disturbed components re-derive their pairs
+    * and re-seed in the warm fixpoint (the deleted docs enter
+    * [[ccWarmLoopSqlOn]] as self-edge deletions, exactly the
+    * DataFrame path's contract), undisturbed components carry
+    * forward as star edges, inserts pair against the surviving
+    * corpus. Row-equal to the DataFrame q219 (pinned in
+    * SqlSurfaceSpec) — disturbed census, component census, kept
+    * accounting, and BOTH movement curves.
+    */
+  /** RESERVED VIEW NAMES: owns `nd_base` / `nd_delta` / `nd_union` /
+    * `nd_prev` / `nd_dels` / `nd_surv` / `nd_survu` / `nd_final`
+    * (plus [[ccWarmLoopSqlOn]]'s cc_* set) for the call's duration,
+    * dropped on exit — see [[ccLoopSql]]'s contract.
+    */
+  def q219TakedownDedupSql(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = s
+    import sess.implicits._
+    val docs = graft.Tables.documents(s, dir).persist(MEMORY_AND_DISK)
+    graft.Tables.touch(docs)
+    try {
+      docs.filter(col("doc_id") % 8 =!= 0).createOrReplaceTempView("nd_base")
+      docs.filter(col("doc_id") % 8 === 0).createOrReplaceTempView("nd_delta")
+      val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "component")
+      val emptyDels = Seq.empty[(Long, Long)].toDF("i", "j")
+      val (lab0, curve0) = ccWarmLoopSqlOn(s, emptyLabels,
+        s.sql(ndPairsSql("nd_base")), emptyDels, "i", "j")
+      lab0.select(col("node").as("id"), col("lbl").as("component"))
+        .createOrReplaceTempView("nd_prev")
+      // q219's changelog: takedowns drawn from the labeled dup subset
+      s.sql("SELECT id AS doc_id FROM nd_prev WHERE id % 3 = 0")
+        .createOrReplaceTempView("nd_dels")
+      s.sql("""SELECT * FROM nd_base
+              |WHERE doc_id NOT IN (SELECT doc_id FROM nd_dels)""".stripMargin)
+        .createOrReplaceTempView("nd_surv")
+      s.sql("SELECT * FROM nd_surv UNION ALL SELECT * FROM nd_delta")
+        .createOrReplaceTempView("nd_survu")
+      // warm edge set: undisturbed star carry + the takedown-day pairs
+      val edges1 = s.sql(
+        s"""SELECT DISTINCT i, j FROM (
+           |  SELECT component AS i, id AS j FROM nd_prev
+           |  WHERE id <> component AND component NOT IN ($ndAffSub)
+           |  UNION ALL
+           |  $ndTakedownPairsSql
+           |)""".stripMargin)
+      // deleted docs as self-edge deletions: the warm loop's affected
+      // set becomes exactly the disturbed components
+      val delEdges = s.sql("SELECT doc_id AS i, doc_id AS j FROM nd_dels")
+      val (lab1, curve1) = ccWarmLoopSqlOn(s,
+        s.sql("SELECT id, component FROM nd_prev"), edges1, delEdges,
+        "i", "j")
+      lab1.createOrReplaceTempView("nd_final")
+      val parts =
+        try s.sql(
+          s"""SELECT 'comp' AS part, lbl AS k, CAST(COUNT(1) AS BIGINT) AS v1,
+             |  MAX(node) AS v2 FROM nd_final GROUP BY lbl
+             |UNION ALL
+             |SELECT 'aff', CAST(0 AS BIGINT),
+             |  (SELECT CAST(COUNT(1) AS BIGINT) FROM ($ndAffSub)),
+             |  (SELECT CAST(COUNT(1) AS BIGINT) FROM ($ndAffSurvSub))
+             |UNION ALL
+             |SELECT 'kept', CAST(0 AS BIGINT), CAST(COUNT(1) AS BIGINT),
+             |  CAST(SUM(doc_id) AS BIGINT)
+             |FROM nd_survu LEFT ANTI JOIN
+             |  (SELECT node AS doc_id FROM nd_final WHERE node <> lbl)
+             |  USING (doc_id)""".stripMargin)
+          .localCheckpoint(true) // materialize before the views drop
+        finally s.catalog.dropTempView("nd_final")
+      graft.Ck.release(lab0)
+      graft.Ck.release(lab1)
+      val c0 = curve0.toDF("k", "v1")
+        .select(lit("round0").as("part"), col("k"), col("v1"),
+          lit(0L).as("v2"))
+      val c1 = curve1.toDF("k", "v1")
+        .select(lit("round1").as("part"), col("k"), col("v1"),
+          lit(0L).as("v2"))
+      val out = parts.unionByName(c0).unionByName(c1).orderBy("part", "k")
+        .localCheckpoint(true)
+      graft.Ck.release(parts)
+      out
+    } finally {
+      docs.unpersist(blocking = false)
+      Seq("nd_base", "nd_delta", "nd_prev", "nd_dels", "nd_surv", "nd_survu")
+        .foreach(s.catalog.dropTempView)
+    }
+  }
+
   /** q218's output shape with every stage SQL-driven: cold base
     * labels via the identity-init warm loop (empty previous labels =
     * the cold init, so one loop serves both phases), star-compressed

@@ -270,4 +270,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows(sqOut).exists(_.contains("comp")), "no clusters — vacuous")
     Ck.release(sqOut)
   }
+
+  test("SQL-driven takedown day equals q219") {
+    ready
+    // the full-CDC half: disturbed components re-derive + re-seed
+    // (deleted docs enter the SQL warm loop as self-edge deletions),
+    // undisturbed carry as star edges, inserts join the surviving
+    // corpus — disturbed census, component census, kept accounting,
+    // and BOTH movement curves must match the DataFrame q219
+    val ddir = "/root/testdata/sf0.01"
+    val dfOut = SparkEntry.queries("q219_takedown_dedup")(spark, ddir)
+    val sqOut = SqlSurface.q219TakedownDedupSql(spark, ddir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"takedown day diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+    // non-vacuity: takedowns genuinely disturbed clusters
+    val aff = sqOut.filter(col("part") === "aff").head()
+    assert(aff.getLong(2) > 0L, "no disturbed component — vacuous")
+    Ck.release(sqOut)
+  }
 }
