@@ -1,28 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Marker name [[unadjudicatedIn]] returns when BENCH_DIFF exists
+    * but cannot be parsed — present-but-malformed must read as DIRTY
+    * (round-11 advice: a truncated artifact silently reporting clean
+    * is the exact hole the structural gate exists to close), and the
+    * marker flows into the LOUD ship path while never reaching the
+    * retry pass (it names no query).
+    */
+  private[graft] val DiffUnparseable = "__bench_diff_unparseable__"
+
   /** Names of drifts a BENCH_DIFF artifact reports as
     * "unadjudicated" — the structural gate's load-bearing parse
     * (faster-direction rows carry status "improvement" and
     * adjudicated rows their adjudication text, so only genuinely
-    * unexplained slower drifts come back). Missing or malformed
-    * files parse as clean: the gate's job is to catch REPORTED
-    * dirt, and BenchDiff failures are already reported loudly at
-    * the call site.
+    * unexplained slower drifts come back). A MISSING file parses as
+    * clean (BenchDiff failures are already reported loudly at the
+    * call site); a PRESENT but unparseable file reads as dirty via
+    * [[DiffUnparseable]] plus a stderr banner.
     */
-  private[graft] def unadjudicatedIn(path: String): Seq[String] =
-    try {
-      val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) Seq.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        val n = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(p))
-        Option(n.get("drifts")).toSeq.flatMap(_.fields().asScala)
-          .filter(e => e.getValue.get("status").asText() == "unadjudicated")
-          .map(_.getKey).toSeq.sorted
-      }
-    } catch { case _: Throwable => Seq.empty }
+  private[graft] def unadjudicatedIn(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else try {
+      import scala.jdk.CollectionConverters._
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      Option(n.get("drifts")).toSeq.flatMap(_.fields().asScala)
+        .filter(e => e.getValue.get("status").asText() == "unadjudicated")
+        .map(_.getKey).toSeq.sorted
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"[bench] GATE DIRTY — $path exists but cannot be parsed ($t); " +
+            "a malformed drift artifact reads as DIRTY, never clean")
+        Seq(DiffUnparseable)
+    }
+  }
+
+  /** Names the BENCH_DIFF "spreads" section reports as unadjudicated
+    * — the intra-bench variance gate (round-11 verdict item 3: a
+    * 3-7x run spread inside one session was invisible to the
+    * cross-round ratio gate). Same missing-clean /
+    * malformed-dirty contract as [[unadjudicatedIn]].
+    */
+  private[graft] def spreadUnadjudicatedIn(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else try {
+      import scala.jdk.CollectionConverters._
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      Option(n.get("spreads")).toSeq.flatMap(_.fields().asScala)
+        .filter(e => e.getValue.get("status").asText() == "unadjudicated")
+        .map(_.getKey).toSeq.sorted
+    } catch { case _: Throwable => Seq(DiffUnparseable) }
+  }
 
   /** Merge isolation-retry samples into the result rows named by the
     * drift gate: min-of-runs is the stated aggregate, so appending
@@ -147,9 +180,15 @@ object Bench {
         else loops.toSeq.sorted
           .map { case (l, n) => "\"" + l + "\":" + n }
           .mkString(",\"rounds\":{", ",", "}")
+      // intra-bench spread (max/min of this query's runs): the
+      // within-session variance the cross-round ratio gate cannot
+      // see — BenchDiff flags > 3x on multi-second queries
+      val spreadField =
+        if (runs.exists(_ <= 0)) ""
+        else ",\"spread\":" + fmt(runs.max / runs.min)
       "\"" + k + "\":{\"start_s\":" + fmt(startS) +
         ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
-        roundsField + "}"
+        spreadField + roundsField + "}"
     }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
@@ -241,7 +280,7 @@ object Bench {
     // the stdout metric line the driver parses. Adjudication text in
     // BENCH_ADJUDICATIONS.json remains the only way to silence a real
     // regression — this pass only removes the environmental ones.
-    val retryNames = unadjudicated()
+    val retryNames = unadjudicated().filterNot(_ == DiffUnparseable)
     if (retryNames.nonEmpty) {
       System.err.println(
         s"[bench] retrying ${retryNames.size} unadjudicated drifts: ${retryNames.mkString(", ")}")
@@ -261,7 +300,20 @@ object Bench {
       System.err.println(
         s"[bench] GATE DIRTY — ${stillDirty.size} drifts survived isolation retries and have no " +
           s"adjudication: ${stillDirty.mkString(", ")}. Adjudicate in BENCH_ADJUDICATIONS.json before shipping.")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsLine$failedField$unadjField,"sf":"$sfDir"}""")
+    // spread gate (round-11): > 3x intra-session run spread on a
+    // multi-second query with no adjudication ships LOUD. No retry
+    // pass here — extra samples can never shrink an observed max/min
+    // spread, so the only honest exits are an adjudication entry
+    // (key "<query>:spread") or a fix that stabilizes the query.
+    val dirtySpread = spreadUnadjudicatedIn("BENCH_DIFF.json")
+    val spreadField =
+      if (dirtySpread.isEmpty) ""
+      else s""","spread_unadjudicated":${dirtySpread.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    if (dirtySpread.nonEmpty)
+      System.err.println(
+        s"[bench] SPREAD DIRTY — ${dirtySpread.size} queries ran with > 3x intra-session spread and no " +
+          s"adjudication: ${dirtySpread.mkString(", ")}. Adjudicate \"<query>:spread\" in BENCH_ADJUDICATIONS.json.")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsLine$failedField$unadjField$spreadField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

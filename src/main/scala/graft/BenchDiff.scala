@@ -31,6 +31,10 @@ object BenchDiff {
   // ignore sub-noise absolute moves: a 0.04 s -> 0.09 s "2.2x" is
   // scheduler jitter, not a plan regression
   private val MinAbsDelta = 0.15
+  // intra-bench spread gate: max/min of one query's runs within this
+  // session, flagged on multi-second queries only
+  private val SpreadThreshold = 3.0
+  private val SpreadMinSeconds = 1.0
 
   def main(args: Array[String]): Unit = {
     val curPath = if (args.length > 0) args(0) else "bench_detail.json"
@@ -90,9 +94,32 @@ object BenchDiff {
         case _ => None
       }
     }
+    // intra-bench SPREAD gate (round-11 verdict item 3): a query
+    // whose three runs inside ONE session spread more than 3x is
+    // variance the cross-round ratio gate cannot see (min-of-3 hides
+    // it). Flag multi-second queries only — a 0.1 s query tripling
+    // is scheduler jitter — with the same adjudication flow as
+    // drifts, keyed "<query>:spread" so a ratio adjudication never
+    // silently covers a variance finding.
+    val spreads = curQ.keys.toSeq.sorted.flatMap { q =>
+      val c = curQ(q)
+      runsOf(cur, q).map(_.get("runs")).map(_.elements().asScala
+          .map(_.asDouble()).toSeq).toSeq
+        .filter(rs => c >= SpreadMinSeconds && rs.nonEmpty && rs.forall(_ > 0))
+        .flatMap { rs =>
+          val spread = rs.max / rs.min
+          if (spread <= SpreadThreshold) None
+          else {
+            val status = adjud.getOrElse(s"$q:spread", "unadjudicated")
+            Some(s"""  "$q": {"current_s":${f3(c)},"spread":${f3(spread)},""" +
+              s""""runs":${rs.map(f3).mkString("[", ",", "]")},"status":"${esc(status)}"}""")
+          }
+        }
+    }
     val missing = baseQ.keySet -- curQ.keySet
     val added = curQ.keySet -- baseQ.keySet
     val unadjudicated = drifts.count(_.contains("\"unadjudicated\""))
+    val spreadUnadj = spreads.count(_.contains("\"unadjudicated\""))
     val out =
       s"""{
          |"baseline":"${esc(basePath)}",
@@ -104,14 +131,22 @@ object BenchDiff {
          |"n_compared":${curQ.keySet.intersect(baseQ.keySet).size},
          |"n_drifts":${drifts.size},
          |"n_unadjudicated":$unadjudicated,
+         |"spread_threshold":$SpreadThreshold,
+         |"spread_min_seconds":$SpreadMinSeconds,
+         |"n_spreads":${spreads.size},
+         |"n_spread_unadjudicated":$spreadUnadj,
          |"queries_added":${added.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries_removed":${missing.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"drifts":{
          |${drifts.mkString(",\n")}
+         |},
+         |"spreads":{
+         |${spreads.mkString(",\n")}
          |}
          |}""".stripMargin
     Files.writeString(Paths.get(outPath), out)
     println(s"[benchdiff] ${drifts.size} drifts (${unadjudicated} unadjudicated), " +
+      s"${spreads.size} spreads (${spreadUnadj} unadjudicated), " +
       s"data_changed=$dataChanged -> $outPath")
   }
 }

@@ -260,34 +260,68 @@ object SqlSurface {
 
   // ----- q161: the connected-components loop, SQL-driven -----------
 
-  /** Mining.ccLoop's initial label table over the `cc_nbrs` view. */
-  val ccInitSql: String =
-    "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM cc_nbrs)"
+  /** The canonical (min, max, self-loops dropped, deduplicated)
+    * edge set over the raw `cc_und` (src, dst) view — plan-equal to
+    * ops.ccCanon + the cold init's distinct (pinned in
+    * SqlSurfaceSpec).
+    */
+  val ccCanonSql: String =
+    """SELECT DISTINCT a, b FROM (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM cc_und
+      |) WHERE a <> b""".stripMargin
 
-  private val ccL1Sub: String =
-    """SELECT node, lbl, least(lbl, coalesce(nmin, lbl)) AS l1
-      |FROM cc_labels LEFT JOIN (
-      |  SELECT node, MIN(nlbl) AS nmin
-      |  FROM cc_nbrs JOIN (SELECT node AS nbr, lbl AS nlbl FROM cc_labels)
-      |    USING (nbr)
-      |  GROUP BY node
-      |) USING (node)""".stripMargin
+  private val ccNbrSub: String =
+    """SELECT a AS u, b AS v FROM cc_edges
+      |UNION ALL SELECT b AS u, a AS v FROM cc_edges""".stripMargin
 
-  /** One Mining.ccRound over the `cc_nbrs` / `cc_labels` views:
-    * neighbor-min propagation + pointer jump, plan-equal to the
-    * DataFrame round (pinned in SqlSurfaceSpec).
+  private val ccLargeSub: String =
+    s"""SELECT a, b, MAX(c) AS cl FROM (
+       |  SELECT m AS a, v AS b, (m <> u) AS c
+       |  FROM ($ccNbrSub)
+       |  JOIN (
+       |    SELECT u, least(mn, u) AS m FROM (
+       |      SELECT u, MIN(v) AS mn FROM ($ccNbrSub) GROUP BY u)
+       |  ) USING (u)
+       |  WHERE v > u
+       |) GROUP BY a, b""".stripMargin
+
+  private val ccGSub: String =
+    s"""SELECT b, m, (mc OR cnt > 1) AS gc FROM (
+       |  SELECT b, MIN(a) AS m, MAX(cl) AS mc, COUNT(1) AS cnt
+       |  FROM ($ccLargeSub) GROUP BY b
+       |)""".stripMargin
+
+  /** One ops.star2Round over the `cc_edges` view: a large-star +
+    * small-star alternation with its conservative changed-edge
+    * flags, plan-equal to the DataFrame round (pinned in
+    * SqlSurfaceSpec).
     */
   val ccRoundSql: String =
-    s"""SELECT a.node, a.lbl AS old_lbl, b.tl AS lbl
-       |FROM ($ccL1Sub) a
-       |JOIN (SELECT node AS t, l1 AS tl FROM ($ccL1Sub)) b ON a.l1 = b.t""".stripMargin
+    s"""SELECT sa AS a, sb AS b, chg FROM (
+       |  SELECT sa, sb, MAX(gc) AS chg FROM (
+       |    SELECT g.m AS sa, l.a AS sb, g.gc
+       |    FROM ($ccLargeSub) l JOIN ($ccGSub) g ON l.b = g.b
+       |    WHERE l.a <> g.m
+       |    UNION ALL
+       |    SELECT m AS sa, b AS sb, gc FROM ($ccGSub)
+       |  ) GROUP BY sa, sb
+       |)""".stripMargin
+
+  /** The final star forest read back as labels over the converged
+    * `cc_edges` view: leaves carry their center, centers themselves.
+    */
+  val ccFinalSql: String =
+    """SELECT b AS node, a AS lbl FROM cc_edges
+      |UNION ALL
+      |SELECT DISTINCT a AS node, a AS lbl FROM cc_edges""".stripMargin
 
   /** q161's loop driven entirely through `spark.sql`: same round
-    * hygiene as Mining.ccLoop (per-round localCheckpoint flat
-    * lineage, loud bounded-round guard), rounds data-driven. Returns
-    * the final (node, lbl) frame and the round count.
+    * hygiene as ops.connectedComponents (per-round localCheckpoint
+    * flat lineage, changed-edge stop check riding the checkpoint
+    * job, loud bounded-round guard), alternations data-driven.
+    * Returns the final (node, lbl) frame and the alternation count.
     */
-  /** RESERVED VIEW NAMES: the loop owns `cc_nbrs` / `cc_labels` for
+  /** RESERVED VIEW NAMES: the loop owns `cc_und` / `cc_edges` for
     * its duration and drops them on exit (success or failure) — a
     * session view of either name is replaced; two concurrent loops
     * must run in separate sessions (`SparkSession.newSession()`).
@@ -298,66 +332,64 @@ object SqlSurface {
     (labels, curve.length)
   }
 
-  /** [[ccLoopSql]] returning the full (round, labels moved) movement
-    * curve — what the warm-start consumers ship (the
+  /** [[ccLoopSql]] returning the full (round, edges changed)
+    * movement curve — what the warm-start consumers ship (the
     * ops.connectedComponentsCurve analog on the SQL surface).
     */
   def ccLoopSqlCurve(s: SparkSession, dir: String, maxRounds: Int = 50,
       probe: (Int, DataFrame) => Unit = (_, _) => ())
     : (DataFrame, Seq[(Long, Long)]) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = Mining.sparseUnd(s, dir)
-    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .persist(MEMORY_AND_DISK)
     try {
-      nbrs.createOrReplaceTempView("cc_nbrs")
-      val init = s.sql(ccInitSql).localCheckpoint(true)
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .createOrReplaceTempView("cc_und")
+      val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+        s.sql(ccCanonSql).localCheckpoint(true))
       ccCoreSql(s, init, maxRounds, probe)
     } finally {
-      nbrs.unpersist(blocking = false)
-      s.catalog.dropTempView("cc_nbrs")
-      s.catalog.dropTempView("cc_labels")
+      s.catalog.dropTempView("cc_und")
+      s.catalog.dropTempView("cc_edges")
     }
   }
 
-  /** The shared SQL-driven min-label fixpoint: rounds of
-    * [[ccRoundSql]] over the caller-registered `cc_nbrs` view from a
-    * caller-CHECKPOINTED (node, lbl) init (round 1 releases it when
-    * superseded) — same round hygiene as Mining.ccLoop (per-round
-    * localCheckpoint flat lineage, stop check riding the checkpoint
-    * job, loud bounded-round guard). The caller owns the `cc_nbrs`
-    * view and the `cc_labels` drop.
+  /** The shared SQL-driven two-phase fixpoint: alternations of
+    * [[ccRoundSql]] over the per-round `cc_edges` view from a
+    * caller-CHECKPOINTED canonical (a, b) init (round 1 releases it
+    * when superseded) — same round hygiene as
+    * ops.connectedComponents (per-round localCheckpoint flat
+    * lineage, stop check riding the checkpoint job, loud
+    * bounded-round guard), final labels read back with
+    * [[ccFinalSql]]. The caller owns the `cc_edges` drop.
     */
   private def ccCoreSql(s: SparkSession, init: DataFrame, maxRounds: Int,
       probe: (Int, DataFrame) => Unit): (DataFrame, Seq[(Long, Long)]) = {
-    var labels = init
+    var e = init
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      labels.createOrReplaceTempView("cc_labels")
-      // stop check rides the checkpoint job, as in Mining.ccLoop
-      val (stepped, mv) = graft.Loop.ckCount(s.sql(ccRoundSql),
-        col("old_lbl") =!= col("lbl"))
+      e.createOrReplaceTempView("cc_edges")
+      // stop check rides the checkpoint job, as in ops.star2Core
+      val (next, mv) = graft.Loop.ckCount(s.sql(ccRoundSql), col("chg"))
       converged = mv == 0L
       curve += ((rounds.toLong, mv))
-      graft.Ck.release(labels) // superseded round, fully consumed
-      labels = stepped.select(col("node"), col("lbl"))
-      probe(rounds, labels)
+      graft.Ck.release(e) // superseded alternation, fully consumed
+      e = next.select(col("a"), col("b"))
+      probe(rounds, e)
     }
-    if (!converged) graft.Ck.release(labels)
+    if (!converged) graft.Ck.release(e)
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    (labels, curve.toSeq)
+    e.createOrReplaceTempView("cc_edges")
+    (s.sql(ccFinalSql), curve.toSeq)
   }
 
   // ----- q217: the warm-start cc loop, SQL-driven -------------------
   // (the incremental/CDC family's entry on the SQL surface — round-9
   // verdict item 5: the SQL-only user had every cold loop but no
-  // warm form. Init body plan-equal-pinned in SqlSurfaceSpec against
-  // ops.ccWarmInit, the exact production init q217 runs; the round
-  // body is [[ccRoundSql]], already pinned against Mining.ccRound.)
+  // warm form. Shortcut-edge body plan-equal-pinned in SqlSurfaceSpec
+  // against ops.ccLabelEdges, the exact production init q217 runs;
+  // the round body is [[ccRoundSql]], pinned against ops.star2Round.)
 
   /** The disturbed-component derivation over `cc_prev` / `cc_dels`
     * (src, dst) — plan-equal to ops.ccAffected.
@@ -369,76 +401,82 @@ object SqlSurface {
       |    SELECT src AS id FROM cc_dels UNION ALL SELECT dst FROM cc_dels)
       |) USING (id)""".stripMargin
 
-  /** The warm-start init over `cc_nbrs` / `cc_prev` / `cc_aff`:
-    * keep undisturbed labels, re-seed disturbed components and fresh
-    * nodes to identity — plan-equal to ops.ccWarmInit (pinned in
+  private val ccNodesSub: String =
+    """SELECT DISTINCT id FROM (
+      |  SELECT a AS id FROM cc_canon UNION ALL SELECT b AS id FROM cc_canon)""".stripMargin
+
+  /** The warm-start SHORTCUT edges over `cc_canon` / `cc_prev` /
+    * `cc_aff`: one (component, id) edge per kept label of an
+    * undisturbed component, nothing for disturbed components or
+    * fresh nodes — plan-equal to ops.ccLabelEdges (pinned in
     * SqlSurfaceSpec).
     */
-  val ccWarmInitSql: String =
-    """SELECT /*+ BROADCAST(af) */ __node,
-      |  CASE WHEN component IS NULL OR __aff IS NOT NULL THEN __node
-      |       ELSE component END AS __lbl
-      |FROM (SELECT DISTINCT node AS __node FROM cc_nbrs)
-      |LEFT JOIN (SELECT id AS __node, component FROM cc_prev) USING (__node)
-      |LEFT JOIN (SELECT component, 1L AS __aff FROM cc_aff) af USING (component)""".stripMargin
+  val ccLabelEdgesSql: String =
+    s"""SELECT /*+ BROADCAST(af) */ component AS a, id AS b
+       |FROM ($ccNodesSub)
+       |JOIN cc_prev USING (id)
+       |LEFT JOIN (SELECT component, 1L AS __aff FROM cc_aff) af
+       |  USING (component)
+       |WHERE __aff IS NULL AND component <> id""".stripMargin
 
-  /** The detectable-staleness probe over `cc_init` / `cc_nbrs`: kept
-    * non-identity labels whose holder node left the new graph — must
+  /** The detectable-staleness probe over `cc_le` / `cc_canon`:
+    * shortcut edges whose component node left the new graph — must
     * be empty (the incrementalConnectedComponents CONTRACT; an
-    * under-reported delete would otherwise silently drop a component
-    * in the pointer jump).
+    * under-reported delete would otherwise graft a departed node id
+    * back into the labeling).
     */
   val ccStaleSql: String =
-    """SELECT lbl FROM (SELECT lbl FROM cc_init WHERE lbl <> node)
-      |LEFT ANTI JOIN (SELECT DISTINCT node AS lbl FROM cc_nbrs) USING (lbl)""".stripMargin
+    s"""SELECT id FROM (SELECT DISTINCT a AS id FROM cc_le)
+       |LEFT ANTI JOIN ($ccNodesSub) USING (id)""".stripMargin
+
+  /** The warm initial edge set: canonical new edges plus the kept
+    * shortcut edges, deduplicated — plan-equal to the production
+    * init ops.incrementalConnectedComponents builds.
+    */
+  val ccWarmInitSql: String =
+    """SELECT DISTINCT a, b FROM (
+      |  SELECT a, b FROM cc_canon UNION ALL SELECT a, b FROM cc_le)""".stripMargin
 
   /** q217's warm-start loop driven through `spark.sql`: previous
     * fixpoint labels + new edges + the changelog's deleted edges in,
-    * (labels, movement curve) out — the same warm-init contract,
+    * (labels, movement curve) out — the same shortcut-edge contract,
     * loud stale-label guard, and per-round hygiene as
     * ops.incrementalConnectedComponents, with every body a SQL text.
     */
-  /** RESERVED VIEW NAMES: owns `cc_nbrs` / `cc_prev` / `cc_dels` /
-    * `cc_aff` / `cc_init` / `cc_labels` for the loop's duration,
-    * dropped on exit — see [[ccLoopSql]]'s contract.
+  /** RESERVED VIEW NAMES: owns `cc_und` / `cc_prev` / `cc_dels` /
+    * `cc_aff` / `cc_canon` / `cc_le` / `cc_edges` for the loop's
+    * duration, dropped on exit — see [[ccLoopSql]]'s contract.
     */
   def ccWarmLoopSqlOn(s: SparkSession, prevLabels: DataFrame,
       edges: DataFrame, deletedEdges: DataFrame, src: String, dst: String,
       maxRounds: Int = 50): (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nbrs = edges.select(col(src).as("node"), col(dst).as("nbr"))
-      .unionByName(edges.select(col(dst).as("node"), col(src).as("nbr")))
-      .filter(col("node") =!= col("nbr"))
-      .persist(MEMORY_AND_DISK)
     try {
-      nbrs.createOrReplaceTempView("cc_nbrs")
+      edges.select(col(src).as("src"), col(dst).as("dst"))
+        .createOrReplaceTempView("cc_und")
       prevLabels.createOrReplaceTempView("cc_prev")
       deletedEdges.select(col(src).as("src"), col(dst).as("dst"))
         .createOrReplaceTempView("cc_dels")
       s.sql(ccAffectedSql).createOrReplaceTempView("cc_aff")
-      // measured stats on the warm init checkpoint, as in ops.ccCore:
-      // the multi-join init plan's inherited size estimate is the
-      // joins' product — round 1 must plan from the real node count.
-      // (The init text carries ops.ccWarmInit's __node/__lbl naming
-      // for the plan pin; the loop's views speak node/lbl.)
-      val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
-        s.sql(ccWarmInitSql)
-          .select(col("__node").as("node"), col("__lbl").as("lbl"))
-          .localCheckpoint(true))
-      init.createOrReplaceTempView("cc_init")
-      // loud stale-label guard, one node-sized anti-join (the
-      // production contract — see ops.incrementalConnectedComponents);
-      // the init checkpoint must not outlive a tripped guard
-      val staleEmpty = s.sql(ccStaleSql).isEmpty
-      if (!staleEmpty) graft.Ck.release(init)
-      require(staleEmpty,
-        "ccWarmLoopSqlOn: a kept previous label names a node absent " +
-          "from the new edge set — deletedEdges under-reports the changelog")
-      ccCoreSql(s, init, maxRounds, (_, _) => ())
+      // the canonical edges feed the node set (shortcut build +
+      // stale guard) and the init union — persist across those
+      // consumers, released before the loop runs on the checkpoint
+      val canon = s.sql(ccCanonSql).persist(MEMORY_AND_DISK)
+      try {
+        canon.createOrReplaceTempView("cc_canon")
+        s.sql(ccLabelEdgesSql).createOrReplaceTempView("cc_le")
+        // loud stale-label guard, one node-sized anti-join (the
+        // production contract — see ops.incrementalConnectedComponents)
+        require(s.sql(ccStaleSql).isEmpty,
+          "ccWarmLoopSqlOn: a kept previous label names a node absent " +
+            "from the new edge set — deletedEdges under-reports the changelog")
+        val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+          s.sql(ccWarmInitSql).localCheckpoint(true))
+        ccCoreSql(s, init, maxRounds, (_, _) => ())
+      } finally canon.unpersist(blocking = false)
     } finally {
-      nbrs.unpersist(blocking = false)
-      Seq("cc_nbrs", "cc_prev", "cc_dels", "cc_aff", "cc_init", "cc_labels")
-        .foreach(s.catalog.dropTempView)
+      Seq("cc_und", "cc_prev", "cc_dels", "cc_aff", "cc_canon", "cc_le",
+        "cc_edges").foreach(s.catalog.dropTempView)
     }
   }
 

@@ -1368,28 +1368,53 @@ object ops {
   }
 
   /** Connected components to a data-driven fixpoint (q161's
-    * parameterized form): min-label propagation over the undirected
-    * edge set with a pointer jump (l(u) <- l(l(u))) each round, so
-    * round count is O(log diameter), not O(diameter). Loop hygiene
-    * is the discipline CcLoopSpec pins on the query twin: every
-    * round's label table is localCheckpoint(eager)-ed — one
-    * materialization serves both the convergence count and the next
-    * round, and the plan a round builds on never grows with the
-    * round number (swap for reliable checkpoint() on a cluster so a
-    * lost executor never replays earlier rounds). Bounded-round
-    * guard fails loudly, never spins. Scale shape per round: one
-    * node-keyed join + min agg over the edge list (co-located when
-    * edges are bucketed by node) and one NODE-sized label self-join
-    * — never edges². Returns the (id, component) frame — component
-    * is the smallest member node id — and the round count.
+    * parameterized form): alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii — "Connected Components in MapReduce and Beyond",
+    * SoCC'14) over the canonical (min, max) edge set. The round-10
+    * engine was min-label propagation with a pointer jump
+    * (l(u) <- l(l(u))); the round-11 A/B (graft.CcAb) measured why
+    * that loses: a pointer jump only doubles reach along label
+    * CHAINS, which branchy graphs do not form, so the q161 graph at
+    * sf0.1 needs 9 label-prop rounds where star contraction needs 5
+    * — and at this scale wall = rounds x per-job floor (bench_detail
+    * r10: cc task-time is a third of loop wall across 32 cores), so
+    * wall followed the round count: cold 4.99 -> 2.32 s, warm
+    * 5.21 -> 2.77 s, labels bit-identical.
+    *
+    * One alternation = ONE checkpoint job running both phases:
+    *  - large-star: every larger neighbor v of u connects to
+    *    m(u) = min(N(u) ∪ {u});
+    *  - small-star: every smaller partner of u (and u itself)
+    *    connects to u's smallest partner.
+    * Both preserve connectivity; the set converges to a STAR FOREST
+    * (each component one star centered at its min node id) in
+    * O(log n) alternations, and the re-checkpointed state SHRINKS
+    * toward |nodes| star edges instead of carrying a static edge
+    * list plus a node-sized label table through every round — the
+    * property that matters at 100 TB, where later rounds touch a
+    * fraction of the input. Loop hygiene is unchanged (CcLoopSpec
+    * pins it): each alternation's edge set is
+    * localCheckpoint(eager)-ed with measured stats — one job serves
+    * the convergence count (ridden via graft.Loop) and the next
+    * round — and the plan a round builds on never grows (swap for
+    * reliable checkpoint() on a cluster so a lost executor never
+    * replays earlier rounds). Bounded-round guard fails loudly,
+    * never spins. Scale shape per alternation: two node-keyed
+    * aggregations + two co-keyed joins, every frame edge-bounded and
+    * shrinking; the per-node min table reuses the neighbor exchange
+    * (or broadcasts when it fits). Returns the (id, component) frame
+    * — component is the smallest member node id — and the
+    * alternation count.
     *
     * Guard tuning: `maxRounds = 50` is a FAILURE bound, not a stop
-    * rule — pointer jumping needs ~log2(diameter) rounds, so 50
-    * covers any graph whose diameter fits in an int; hitting it
-    * means the input is pathological (e.g. labels oscillating on a
-    * mutating edge frame), and the loud `require` should fire rather
-    * than ship a half-converged labeling. Raise it only with a
-    * measured round curve in hand (the `probe` hook exposes it).
+    * rule — star contraction needs O(log n) alternations (5-7
+    * measured on every graph in the suite), so 50 covers any
+    * realistic input; hitting it means the input is pathological
+    * (e.g. a mutating edge frame), and the loud `require` should
+    * fire rather than ship a half-converged labeling. Raise it only
+    * with a measured round curve in hand (the `probe` hook exposes
+    * it).
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxRounds: Int = 50,
@@ -1400,58 +1425,60 @@ object ops {
   }
 
   /** [[connectedComponents]] returning the full per-round movement
-    * curve (round, labels moved) instead of just the round count —
-    * the warm-start consumers (q217, [[incrementalConnectedComponents]])
-    * ship both curves so an early/late stop is oracle-visible.
+    * curve (round, edges the alternation CHANGED — zero means the
+    * set is a stable star forest) instead of just the round count —
+    * the warm-start consumers (q217,
+    * [[incrementalConnectedComponents]]) ship both curves so an
+    * early/late stop is oracle-visible. (Movement counts changed
+    * EDGES since the round-11 two-phase engine; the retired
+    * label-prop engine counted moved labels.)
     */
   def connectedComponentsCurve(edges: DataFrame, src: String, dst: String,
       maxRounds: Int = 50,
       probe: (Int, DataFrame) => Unit = (_, _) => ())
-    : (DataFrame, Seq[(Long, Long)]) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nbrs = ccNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
-    val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
-      nbrs.select(col("__node")).distinct()
-        .select(col("__node"), col("__node").as("__lbl"))
-        .localCheckpoint(true))
-    ccCore(nbrs, init, maxRounds, probe)
-  }
+    : (DataFrame, Seq[(Long, Long)]) =
+    star2Core(ccCanon(edges, src, dst).distinct(), maxRounds, probe)
 
   /** WARM-START / INCREMENTAL connected components (q217's
     * parameterized form — q178's CDC discipline applied to cc, the
     * growing-dedup-graph case): given the PREVIOUS fixpoint's
     * (id, component) labels, the new edge set, and the edges the
-    * changelog DELETED, converge on the new graph starting from an
-    * init that keeps every still-valid label:
+    * changelog DELETED, converge on the new graph starting from the
+    * new edges PLUS every still-valid label as a SHORTCUT EDGE
+    * (component, id) — connectivity-equivalent (both endpoints
+    * shared a previous component that survives intact), so the star
+    * contraction starts one hop from done on undisturbed structure:
     *
     *  - inserts alone never invalidate a label (an old component is
     *    a connected subgraph of its new, possibly merged component,
-    *    so min-propagation from the old labels reaches the true
-    *    minimum — the new component's min node id m is its own old
-    *    component's min, hence init(m) = m);
+    *    and its label edge already stars it onto its old min — the
+    *    new component's min node m is its own old component's min);
     *  - deletes can SPLIT, so every component touching a deleted
-    *    edge is re-seeded to identity labels (re-verified from
-    *    scratch), while untouched components keep their labels;
-    *  - nodes unseen by `prevLabels` (fresh insert endpoints) seed
-    *    as themselves.
+    *    edge contributes NO shortcut edges (its structure
+    *    re-verifies from the raw new edges), while untouched
+    *    components enter pre-contracted;
+    *  - nodes unseen by `prevLabels` (fresh insert endpoints) enter
+    *    with their raw edges only.
     *
-    * The warm loop's round-1 movement then reflects only the
-    * delta's disturbance: an insert-dominated changelog (today's
-    * shard onto yesterday's corpus) converges in far fewer rounds
-    * than a cold start — CcLoopSpec asserts the advantage on the
-    * same delta graph. Returns (labels, movement curve). Scale
-    * shape per round is exactly [[connectedComponents]]'s; the init
-    * costs one node-keyed left join + one broadcast of the DISTINCT
+    * The warm loop's movement then reflects only the delta's
+    * disturbance: an insert-dominated changelog (today's shard onto
+    * yesterday's corpus) converges in fewer, near-empty alternations
+    * — CcLoopSpec asserts the advantage on the same delta graph.
+    * Returns (labels, movement curve). Scale shape per alternation
+    * is exactly [[connectedComponents]]'s; the init costs one
+    * node-keyed join + one broadcast of the DISTINCT
     * affected-component list (changelog-sized, not corpus-sized),
-    * plus one node-sized guard job (below).
+    * plus one node-sized guard job (below). Shortcut edges are
+    * canonical by construction (a component label is the min member
+    * id, so component < id on every kept row).
     *
     * CONTRACT: `deletedEdges` must cover every edge present in the
     * previous graph but absent from `edges` — an under-reported
-    * delete can leave a kept label whose holder node no longer
-    * exists, and the fixpoint's pointer jump would then silently
-    * DROP that whole component from the output. The detectable
-    * subset (label holder absent from the new node set) is guarded
-    * loudly here before the loop runs.
+    * delete can keep a shortcut edge whose component node no longer
+    * exists, silently GRAFTING a departed node id back into the
+    * output labeling. The detectable subset (label holder absent
+    * from the new node set) is guarded loudly here before the loop
+    * runs.
     */
   def incrementalConnectedComponents(prevLabels: DataFrame,
       edges: DataFrame, deletedEdges: DataFrame, src: String, dst: String,
@@ -1460,42 +1487,32 @@ object ops {
     : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val affected = ccAffected(prevLabels, deletedEdges, src, dst)
-    val nbrs = ccNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
-    // the init checkpoints FIRST (measured stats — the multi-join
-    // plan's inherited estimate is the joins' product), so the guard
-    // below reads materialized blocks and the loop reuses the SAME
-    // checkpoint — the previous shape evaluated the init plan twice
-    // (once for the guard, once for the loop's checkpoint; ~0.5 s of
-    // q217's warm-leg wall at sf0.1)
-    val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
-      ccWarmInit(nbrs.select(col("__node")).distinct(),
-        prevLabels, affected).localCheckpoint(true))
-    // loud stale-label guard (see CONTRACT above): every kept
-    // non-identity label must name a node of the NEW graph, else the
-    // pointer jump's inner join would silently drop its component.
-    // One node-sized anti-join over the persisted neighbor list —
-    // cheap next to a single fixpoint round, and it catches caller
-    // under-reporting of deletes instead of returning a truncated
-    // labeling. Held frames must not outlive a tripped guard.
-    val stale = init.filter(col("__lbl") =!= col("__node"))
-      .join(nbrs.select(col("__node").as("__lbl")).distinct(),
-        Seq("__lbl"), "left_anti")
-    val staleEmpty = stale.isEmpty
-    if (!staleEmpty) {
-      graft.Ck.release(init)
-      nbrs.unpersist(blocking = false)
-    }
-    require(staleEmpty,
-      "incrementalConnectedComponents: a kept previous label names a node " +
-        "absent from the new edge set — deletedEdges under-reports the " +
-        "changelog (every edge removed since prevLabels' graph must be listed)")
-    ccCore(nbrs, init, maxRounds, probe)
+    val canon = ccCanon(edges, src, dst).persist(MEMORY_AND_DISK)
+    try {
+      val nodes = canon.select(col("a").as("id"))
+        .unionByName(canon.select(col("b").as("id"))).distinct()
+      val le = ccLabelEdges(nodes, prevLabels, affected)
+      // loud stale-label guard (see CONTRACT above): every shortcut
+      // edge's component must name a node of the NEW graph, else the
+      // contraction would graft a departed node id into the labeling.
+      // One node-sized anti-join over the persisted canonical edges —
+      // cheap next to a single alternation, and it catches caller
+      // under-reporting of deletes instead of returning a corrupt
+      // labeling.
+      require(le.select(col("a").as("id")).distinct()
+          .join(nodes, Seq("id"), "left_anti").isEmpty,
+        "incrementalConnectedComponents: a kept previous label names a node " +
+          "absent from the new edge set — deletedEdges under-reports the " +
+          "changelog (every edge removed since prevLabels' graph must be listed)")
+      star2Core(canon.unionByName(le).distinct(), maxRounds, probe)
+    } finally canon.unpersist(blocking = false)
   }
 
   /** The components a changelog's deleted edges disturb —
-    * changelog-sized, broadcast into the warm init. Factored out so
-    * the SQL-driven warm loop ([[SqlSurface.ccWarmLoopSqlOn]]) can be
-    * pinned plan-equal to this exact production body.
+    * changelog-sized, broadcast into the warm shortcut-edge build.
+    * Factored out so the SQL-driven warm loop
+    * ([[SqlSurface.ccWarmLoopSqlOn]]) can be pinned plan-equal to
+    * this exact production body.
     */
   private[graft] def ccAffected(prevLabels: DataFrame,
       deletedEdges: DataFrame, src: String, dst: String): DataFrame =
@@ -1504,74 +1521,106 @@ object ops {
         .unionByName(deletedEdges.select(col(dst).as("id"))).distinct(), "id")
       .select(col("component")).distinct()
 
-  /** The warm-start initial labeling over a (__node)-shaped node set:
-    * keep every label of an undisturbed component, re-seed
-    * delete-disturbed components and fresh nodes to identity (the
-    * [[incrementalConnectedComponents]] contract). Factored out so
-    * the SQL-driven warm loop can be pinned plan-equal to this exact
-    * production body.
+  /** The warm-start SHORTCUT edges over an (id)-shaped node set:
+    * one (component, id) edge per kept label of an undisturbed
+    * component — delete-disturbed components and fresh nodes
+    * contribute nothing (the [[incrementalConnectedComponents]]
+    * contract). Factored out so the SQL-driven warm loop can be
+    * pinned plan-equal to this exact production body.
     */
-  private[graft] def ccWarmInit(nodes: DataFrame, prevLabels: DataFrame,
+  private[graft] def ccLabelEdges(nodes: DataFrame, prevLabels: DataFrame,
       affected: DataFrame): DataFrame =
     nodes
-      .join(prevLabels.select(col("id").as("__node"), col("component")),
-        Seq("__node"), "left")
+      .join(prevLabels, Seq("id"), "inner")
       .join(broadcast(affected.withColumn("__aff", lit(1L))),
         Seq("component"), "left")
-      .select(col("__node"),
-        when(col("component").isNull || col("__aff").isNotNull, col("__node"))
-          .otherwise(col("component")).as("__lbl"))
+      .filter(col("__aff").isNull && col("component") =!= col("id"))
+      .select(col("component").as("a"), col("id").as("b"))
 
-  /** Both-direction neighbor list shared by the cc entry points. */
-  private def ccNbrs(edges: DataFrame, src: String, dst: String): DataFrame =
-    edges.select(col(src).as("__node"), col(dst).as("__nbr"))
-      .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
-      .filter(col("__node") =!= col("__nbr"))
-
-  /** The min-label fixpoint over a caller-persisted neighbor list
-    * from a caller-CHECKPOINTED initial labeling (identity for the
-    * cold start, the previous fixpoint for warm starts) — callers
-    * apply measured stats to that checkpoint (the warm init is a
-    * multi-join plan whose inherited size estimate is the joins'
-    * product; round 1 must plan its label-side broadcast from the
-    * real node count) and round 1 releases it when superseded.
-    * Unpersists `nbrs` on every exit path.
+  /** Canonical (a, b) = (min, max) edge projection shared by the cc
+    * entry points — self-loops dropped, NOT deduplicated (callers
+    * fold the distinct into their init union).
     */
-  private def ccCore(nbrs: DataFrame, init: DataFrame, maxRounds: Int,
+  private[graft] def ccCanon(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+
+  /** One large-star + small-star alternation over a canonical
+    * (a < b, distinct) edge frame — the production cc round body
+    * (SqlSurface.ccRoundSql is pinned plan-equal to it). Returns
+    * (a, b, chg): the next canonical edge set with a conservative
+    * per-group changed flag whose zero-count certifies convergence —
+    * no chg rows <=> the set is a stable star forest. Flags: a
+    * large-star group changed iff its min m(u) != u (the emitted
+    * (m, v) then differ from the consumed (u, v)); a small-star
+    * group changed iff it saw more than one distinct smaller
+    * partner, OR any consumed edge carried a large-phase flag (every
+    * edge lands in exactly one small-star group — its larger
+    * endpoint's — so a large rewrite is never lost to the
+    * regrouping). Canonicality is preserved by construction: a
+    * large-star emission pairs m <= u < v; a small-star emission
+    * pairs the group minimum against a strictly larger partner.
+    */
+  private[graft] def star2Round(e: DataFrame): DataFrame = {
+    val nbr = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val large = nbr.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("m").as("a"), col("v").as("b"),
+        (col("m") =!= col("u")).as("c"))
+      .groupBy(col("a"), col("b")).agg(max(col("c")).as("cl"))
+    val g = large.groupBy(col("b"))
+      .agg(min(col("a")).as("m"), max(col("cl")).as("mc"),
+        count(lit(1)).as("cnt"))
+      .select(col("b"), col("m"), (col("mc") || (col("cnt") > 1L)).as("gc"))
+    val rewired = large.join(g, "b")
+      .filter(col("a") =!= col("m"))
+      .select(col("m").as("sa"), col("a").as("sb"), col("gc"))
+    val selfE = g.select(col("m").as("sa"), col("b").as("sb"), col("gc"))
+    rewired.unionByName(selfE)
+      .groupBy(col("sa"), col("sb")).agg(max(col("gc")).as("chg"))
+      .select(col("sa").as("a"), col("sb").as("b"), col("chg"))
+  }
+
+  /** The two-phase fixpoint over a caller-built canonical edge plan
+    * (cold: the deduplicated canon projection; warm: canon unioned
+    * with the kept-label shortcut edges). Checkpoints the init with
+    * measured stats (the warm init is a multi-join plan whose
+    * inherited size estimate is the joins' product; round 1 must
+    * plan from the real edge count), re-checkpoints each
+    * alternation's output with the changed-edge count riding the
+    * same job, releases each superseded round, and reads the final
+    * star forest back as (id, component): leaves carry their center,
+    * centers carry themselves (distinct over the small center set).
+    */
+  private def star2Core(e0: DataFrame, maxRounds: Int,
       probe: (Int, DataFrame) => Unit): (DataFrame, Seq[(Long, Long)]) = {
-    var labels = init
+    var e = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      e0.localCheckpoint(true))
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val nbrMin = nbrs
-        .join(labels.select(col("__node").as("__nbr"), col("__lbl").as("__nlbl")),
-          "__nbr")
-        .groupBy(col("__node")).agg(min(col("__nlbl")).as("__nmin"))
-      val l1 = labels.join(nbrMin, Seq("__node"), "left")
-        .select(col("__node"), col("__lbl"),
-          least(col("__lbl"), coalesce(col("__nmin"), col("__lbl"))).as("__l1"))
       // stop check rides the checkpoint job (graft.Loop): one job per
-      // round answers both "materialize" and "did any label move?"
-      val (stepped, mv) = graft.Loop.ckCount(
-        l1.join(l1.select(col("__node").as("__t"), col("__l1").as("__tl")),
-            col("__l1") === col("__t"))
-          .select(col("__node"), col("__lbl").as("__old"),
-            col("__tl").as("__lbl")),
-        col("__old") =!= col("__lbl"))
+      // alternation answers both "materialize" and "did any edge change?"
+      val (next, mv) = graft.Loop.ckCount(star2Round(e), col("chg"))
       converged = mv == 0L
       curve += ((rounds.toLong, mv))
-      graft.Ck.release(labels) // superseded round, fully consumed
-      labels = stepped.select(col("__node"), col("__lbl"))
-      probe(rounds, labels)
+      graft.Ck.release(e) // superseded alternation, fully consumed
+      e = next.select(col("a"), col("b"))
+      probe(rounds, e)
     }
-    nbrs.unpersist(blocking = false)
-    if (!converged) graft.Ck.release(labels)
+    if (!converged) graft.Ck.release(e)
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    (labels.select(col("__node").as("id"), col("__lbl").as("component")),
+    (e.select(col("b").as("id"), col("a").as("component"))
+        .unionByName(
+          e.select(col("a").as("id"), col("a").as("component")).distinct()),
       curve.toSeq)
   }
+
 
   /** Register-sketch distinct-count estimate per group (q191's
     * parameterized form — the HyperLogLog shape): one 28-bit hash per

@@ -1756,10 +1756,13 @@ object Dedup {
   }
 
   val q218Sql: String = {
-    // 16-round unroll for both replayed loops (the engine stops
-    // data-driven; dup-cluster graphs are shallow — star edges keep
-    // old components at depth 1, so the warm phase is delta-deep)
-    val R = 16
+    // 12-alternation unroll for both replayed loops (the engine
+    // stops data-driven; dup-cluster graphs are shallow — star edges
+    // keep old components one alternation from stable, so the warm
+    // phase is delta-deep). The warm shortcut edges the engine adds
+    // (ops.ccLabelEdges) are a subset of the star-carry edges
+    // already in und1, so the replay inits are the plain edge sets.
+    val R = 12
     // q23's full pair pipeline, re-scoped as a nested WITH: the
     // engine's delta-restricted candidate generation is provably
     // equal to "all verified pairs touching >= 1 new doc" (band
@@ -1773,24 +1776,14 @@ object Dedup {
        |  SELECT i AS a, j AS b FROM allpairs WHERE i % 8 <> 0 AND j % 8 <> 0
        |), pd AS MATERIALIZED (
        |  SELECT i AS a, j AS b FROM allpairs WHERE i % 8 = 0 OR j % 8 = 0
-       |), bi0 AS MATERIALIZED (
-       |  SELECT a AS node, b AS nbr FROM und0 UNION ALL SELECT b, a FROM und0
        |),
-       |${Mining.CcReplaySql.phase("p0_", "bi0",
-           "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM bi0)",
-           R)},
+       |${Mining.CcReplaySql.phase("p0_", "SELECT a, b FROM und0", R)},
        |star AS (SELECT lbl AS a, node AS b FROM p0_final WHERE node <> lbl),
        |und1 AS MATERIALIZED (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT a, b FROM star UNION ALL SELECT a, b FROM pd)
-       |), bi1 AS MATERIALIZED (
-       |  SELECT a AS node, b AS nbr FROM und1 UNION ALL SELECT b, a FROM und1
        |),
-       |${Mining.CcReplaySql.phase("p1_", "bi1",
-           """SELECT n.node, coalesce(l.lbl, n.node) AS lbl
-             |  FROM (SELECT DISTINCT node FROM bi1) n
-             |  LEFT JOIN p0_final l ON l.node = n.node""".stripMargin,
-           R)}
+       |${Mining.CcReplaySql.phase("p1_", "SELECT a, b FROM und1", R)}
        |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
        |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
        |UNION ALL
@@ -1882,23 +1875,21 @@ object Dedup {
   }
 
   val q219Sql: String = {
-    // 16-round unroll for both replayed loops (q218's bound: the
-    // engine stops data-driven; star edges keep undisturbed
-    // components at depth 1, re-seeded ones re-converge at
-    // dup-cluster depth)
-    val R = 16
+    // 12-alternation unroll for both replayed loops (q218's bound:
+    // the engine stops data-driven; star edges keep undisturbed
+    // components one alternation from stable, re-seeded ones
+    // re-converge at dup-cluster depth). As in q218, the engine's
+    // warm shortcut edges are a subset of und1's star carry, so the
+    // replay inits are the plain edge sets.
+    val R = 12
     val pairs = q23Sql.linesIterator.map("  " + _).mkString("\n")
       .replaceAll("ORDER BY i, j$", "")
     s"""WITH allpairs AS (
        |$pairs
        |), und0 AS MATERIALIZED (
        |  SELECT i AS a, j AS b FROM allpairs WHERE i % 8 <> 0 AND j % 8 <> 0
-       |), bi0 AS MATERIALIZED (
-       |  SELECT a AS node, b AS nbr FROM und0 UNION ALL SELECT b, a FROM und0
        |),
-       |${Mining.CcReplaySql.phase("p0_", "bi0",
-           "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM bi0)",
-           R)},
+       |${Mining.CcReplaySql.phase("p0_", "SELECT a, b FROM und0", R)},
        |dels AS MATERIALIZED (
        |  SELECT node FROM p0_final WHERE node % 3 = 0
        |), aff AS MATERIALIZED (
@@ -1924,17 +1915,8 @@ object Dedup {
        |  SELECT DISTINCT a, b FROM (
        |    SELECT a, b FROM star UNION ALL SELECT a, b FROM re
        |    UNION ALL SELECT a, b FROM pd)
-       |), bi1 AS MATERIALIZED (
-       |  SELECT a AS node, b AS nbr FROM und1 UNION ALL SELECT b, a FROM und1
        |),
-       |${Mining.CcReplaySql.phase("p1_", "bi1",
-           """SELECT n.node,
-             |    CASE WHEN l.lbl IS NULL OR a.lbl IS NOT NULL THEN n.node
-             |         ELSE l.lbl END AS lbl
-             |  FROM (SELECT DISTINCT node FROM bi1) n
-             |  LEFT JOIN p0_final l ON l.node = n.node
-             |  LEFT JOIN aff a ON a.lbl = l.lbl""".stripMargin,
-           R)}
+       |${Mining.CcReplaySql.phase("p1_", "SELECT a, b FROM und1", R)}
        |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
        |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
        |UNION ALL

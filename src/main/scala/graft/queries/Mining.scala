@@ -699,27 +699,30 @@ object Mining {
   // fixpoint discipline every 100-TB graph/cluster job needs, run on
   // a sparsified cut of the q79/q115/q157 user graph (hash filter
   // keeps ~3% of edges so the component structure is non-trivial:
-  // 13 components, diameters up to ~16 hops at sf0.1). Per round:
-  //   (1) neighbor-min: each node takes the min label over itself
-  //       and its neighbors (one node-keyed shuffle — at scale the
-  //       edge list is bucketed by node so this is co-located);
-  //   (2) pointer jump: l(u) <- l(l(u)) (a label-table self-join,
-  //       node-sized, NOT edge-sized) — halves label-chain depth
-  //       per round, so rounds are O(log diameter), not O(diameter)
-  //       (11 rounds at sf0.01 vs 17 without the jump).
-  // The round count is DATA-DRIVEN: the loop stops when zero labels
-  // changed, with a bounded-round guard (a cycle in a buggy rewrite
-  // must fail loudly, not spin). Lineage hygiene: every round's
-  // label table is localCheckpoint(eager)-ed, which BOTH
-  // materializes it (one action serves the convergence count and the
-  // next round) AND truncates plan+RDD lineage so round N+1's plan
-  // is exactly round N's shape — pinned by CcLoopSpec via the
-  // per-round probe. On a cluster, swap localCheckpoint for
-  // reliable checkpoint() (setCheckpointDir) so a lost executor
-  // cannot have to recompute the whole loop; superseded round RDDs
-  // are reclaimed by the ContextCleaner (bounded by the round
-  // guard; label tables are node-sized, orders smaller than edges).
-  // Alternative for very-high-diameter graphs: q48's partition-local
+  // 13 components, diameters up to ~16 hops at sf0.1). Engine:
+  // alternating LARGE-STAR / SMALL-STAR contraction over the
+  // canonical (min, max) edge set (ops.connectedComponents — Kiveris
+  // et al., SoCC'14), converging to one star per component in
+  // O(log n) alternations: 5 at sf0.1 where the retired min-label-
+  // propagation + pointer-jump engine took 9 (a jump only doubles
+  // reach along label CHAINS, which branchy graphs don't form — the
+  // graft.CcAb A/B that motivated the round-11 swap: cold
+  // 4.99 -> 2.32 s, warm 5.21 -> 2.77 s, labels bit-identical).
+  // The alternation count is DATA-DRIVEN: the loop stops when zero
+  // edges changed (a conservative per-group flag rides the round's
+  // one checkpoint job; zero flags <=> stable star forest), with a
+  // bounded-round guard (a cycle in a buggy rewrite must fail
+  // loudly, not spin). Lineage hygiene: every alternation's edge set
+  // is localCheckpoint(eager)-ed, which BOTH materializes it (one
+  // action serves the convergence count and the next round) AND
+  // truncates plan+RDD lineage so round N+1's plan is exactly round
+  // N's shape — pinned by CcLoopSpec via the per-round probe. On a
+  // cluster, swap localCheckpoint for reliable checkpoint()
+  // (setCheckpointDir) so a lost executor cannot have to recompute
+  // the whole loop; superseded round RDDs are released the moment
+  // they are consumed (Ck.release), and the frame SHRINKS toward
+  // |nodes| star edges round-over-round. Alternative for graphs
+  // whose edges fit per-partition memory: q48's partition-local
   // union-find contraction (O(log P) rounds). Oracle: recursive-CTE
   // transitive min-label closure.
   // ---------------------------------------------------------------
@@ -750,61 +753,20 @@ object Mining {
       .filter((col("a") * 131L + col("b") * 17L) % keepMod === 0L)
   }
 
-  /** One connected-components round over (node, nbr) edges and a
-    * (node, lbl) label table: neighbor-min propagation + pointer
-    * jump. Factored out of [[ccLoop]] so SqlSurfaceSpec can pin the
-    * SQL-driven round body plan-equal to this exact production code.
-    * Returns the stepped (node, old_lbl, lbl) frame (caller
-    * checkpoints it).
-    */
-  private[graft] def ccRound(nbrs: DataFrame, labels: DataFrame): DataFrame = {
-    val nbrMin = nbrs
-      .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), "nbr")
-      .groupBy(col("node")).agg(min(col("nlbl")).as("nmin"))
-    val l1 = labels.join(nbrMin, Seq("node"), "left")
-      .select(col("node"), col("lbl"),
-        least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
-    // pointer jump via node-sized self-join on the label table
-    l1.join(l1.select(col("node").as("t"), col("l1").as("tl")),
-        col("l1") === col("t"))
-      .select(col("node"), col("lbl").as("old_lbl"), col("tl").as("lbl"))
-  }
-
   /** The convergence loop, factored out so CcLoopSpec can observe
-    * each round's label frame (plan-shape pin). Returns the final
-    * (node, lbl) table and the data-driven round count.
+    * each round's frame (plan-shape pin: the probe sees every
+    * alternation's checkpointed edge set). One thin wrapper over the
+    * production engine (ops.connectedComponents — the two-phase
+    * star contraction; SqlSurface.ccRoundSql is pinned plan-equal to
+    * its round body). Returns the final (node, lbl) table and the
+    * data-driven alternation count.
     */
   private[graft] def ccLoop(s: SparkSession, dir: String,
       probe: (Int, DataFrame) => Unit = (_, _) => ()): (DataFrame, Int) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = sparseUnd(s, dir)
-    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .persist(MEMORY_AND_DISK)
-    var labels = nbrs.select(col("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
-    val maxRounds = 50 // guard: fail loudly, never spin
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      rounds += 1
-      // one materialization serves the stop check (ridden via
-      // graft.Loop's observe) and the next round
-      val (stepped, mv) = graft.Loop.ckCount(ccRound(nbrs, labels),
-        col("old_lbl") =!= col("lbl"))
-      converged = mv == 0L
-      // round r-1's label checkpoint is fully consumed (propagation
-      // join + pointer jump materialized into `stepped`): release it
-      graft.Ck.release(labels)
-      labels = stepped.select(col("node"), col("lbl"))
-      probe(rounds, labels)
-    }
-    nbrs.unpersist(blocking = false) // release before the loud guard
-    if (!converged) graft.Ck.release(labels)
-    require(converged, s"connected components did not converge in $maxRounds rounds")
+    val (labels, rounds) = graft.api.ops.connectedComponents(
+      sparseUnd(s, dir), "a", "b", probe = probe)
     graft.LoopStats.recordLoop("cc", rounds.toLong)
-    (labels, rounds)
+    (labels.select(col("id").as("node"), col("component").as("lbl")), rounds)
   }
 
   // ---------------------------------------------------------------
@@ -2694,33 +2656,50 @@ object Mining {
     ck
   }
 
-  /** DuckDB replay of ccCore's round body (min-neighbor step +
-    * pointer jump + movement count), shared by the q217 and q218
-    * oracles. `phase` unrolls `R` rounds of the fixpoint over the
-    * bidirectional neighbor CTE `bi`, starting from `init`; the
-    * engine stops data-driven and a stop past the unroll leaves the
-    * phase's `stop` CTE NULL — a loud hash mismatch, never a silent
-    * truncation.
+  /** DuckDB replay of the production cc round body (one large-star
+    * + small-star alternation with its conservative changed-edge
+    * flags — ops.star2Round mirrored term for term), shared by the
+    * q217 / q218 / q219 oracles. `phase` unrolls `R` alternations
+    * from a canonical (a, b) initial edge CTE `init`; the engine
+    * stops data-driven and a stop past the unroll leaves the phase's
+    * `stop` CTE NULL — a loud hash mismatch, never a silent
+    * truncation. `final` reads the stop alternation's star forest
+    * back as (node, lbl): leaves carry their center, centers
+    * themselves.
     */
   private[queries] object CcReplaySql {
-    def roundCtes(p: String, bi: String, r: Int): String =
-      s"""${p}l1_$r AS MATERIALIZED (
-         |  SELECT l.node, l.lbl, least(l.lbl, coalesce(nm.nmin, l.lbl)) AS l1
-         |  FROM ${p}lab${r - 1} l LEFT JOIN (
-         |    SELECT n.node, MIN(l.lbl) AS nmin
-         |    FROM $bi n JOIN ${p}lab${r - 1} l ON l.node = n.nbr GROUP BY n.node
-         |  ) nm ON nm.node = l.node),
-         |${p}lab$r AS MATERIALIZED (
-         |  SELECT a.node, a.lbl AS old, b.l1 AS lbl
-         |  FROM ${p}l1_$r a JOIN (SELECT node, l1 FROM ${p}l1_$r) b ON a.l1 = b.node)""".stripMargin
-    def phase(p: String, bi: String, init: String, R: Int): String = {
-      val rounds = (1 to R).map(roundCtes(p, bi, _)).mkString(",\n")
+    def roundCtes(p: String, r: Int): String = {
+      val prev = s"${p}e${r - 1}"
+      s"""${p}nb_$r AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM $prev UNION ALL SELECT b, a FROM $prev),
+         |${p}lg_$r AS MATERIALIZED (
+         |  SELECT m AS a, v AS b, MAX(CASE WHEN m <> u THEN 1 ELSE 0 END) AS cl
+         |  FROM (
+         |    SELECT n.u, n.v, least(mn.mn, n.u) AS m
+         |    FROM ${p}nb_$r n JOIN (
+         |      SELECT u, MIN(v) AS mn FROM ${p}nb_$r GROUP BY u) mn ON mn.u = n.u
+         |  ) WHERE v > u GROUP BY m, v),
+         |${p}g_$r AS MATERIALIZED (
+         |  SELECT b, MIN(a) AS m,
+         |    CASE WHEN MAX(cl) = 1 OR COUNT(*) > 1 THEN 1 ELSE 0 END AS gc
+         |  FROM ${p}lg_$r GROUP BY b),
+         |${p}e$r AS MATERIALIZED (
+         |  SELECT a, b, MAX(c) AS chg FROM (
+         |    SELECT g.m AS a, l.a AS b, g.gc AS c
+         |    FROM ${p}lg_$r l JOIN ${p}g_$r g ON l.b = g.b WHERE l.a <> g.m
+         |    UNION ALL SELECT m, b, gc FROM ${p}g_$r
+         |  ) GROUP BY a, b)""".stripMargin
+    }
+    def phase(p: String, init: String, R: Int): String = {
+      val rounds = (1 to R).map(roundCtes(p, _)).mkString(",\n")
       val curve = (1 to R).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}lab$r WHERE old <> lbl) AS mv")
+        s"SELECT CAST($r AS BIGINT) AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM ${p}e$r WHERE chg = 1) AS mv")
         .mkString("\nUNION ALL\n")
-      val labs = (1 to R).map(r => s"SELECT $r AS round, node, lbl FROM ${p}lab$r")
+      val labs = (1 to R).map(r =>
+        s"""SELECT $r AS round, b AS node, a AS lbl FROM ${p}e$r
+           |  UNION ALL SELECT $r, a, a FROM (SELECT DISTINCT a FROM ${p}e$r)""".stripMargin)
         .mkString("\nUNION ALL\n")
-      s"""${p}lab0 AS MATERIALIZED ($init),
+      s"""${p}e0 AS MATERIALIZED ($init),
          |$rounds,
          |${p}curve AS MATERIALIZED (
          |$curve
@@ -2733,12 +2712,12 @@ object Mining {
   }
 
   val q217Sql: String = {
-    // 16-round unroll bound for the replay: the engine stops
-    // data-driven (11 cold / 6 warm at sf0.01, 9/9 at sf0.1) and a
+    // 12-alternation unroll bound for the replay: the engine stops
+    // data-driven (4 cold / 3 warm at sf0.01, 5/5 at sf0.1) and a
     // stop past the unroll would leave `stop` NULL — loud mismatch
-    val R = 16
-    def phase(p: String, bi: String, init: String): String =
-      CcReplaySql.phase(p, bi, init, R)
+    val R = 12
+    def phase(p: String, init: String): String =
+      CcReplaySql.phase(p, init, R)
     s"""WITH ev AS (
        |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS k
        |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
@@ -2762,25 +2741,23 @@ object Mining {
        |    SELECT u.a, u.b FROM und u
        |    LEFT JOIN dels d ON d.a = u.a AND d.b = u.b WHERE d.a IS NULL
        |    UNION ALL SELECT a, b FROM ins)
-       |), bi0 AS MATERIALIZED (
-       |  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
        |),
-       |${phase("p0_", "bi0",
-           "SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM bi0)")},
-       |bi1 AS MATERIALIZED (
-       |  SELECT a AS node, b AS nbr FROM und1 UNION ALL SELECT b, a FROM und1
+       |${phase("p0_", "SELECT a, b FROM und")},
+       |n1 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT a AS node FROM und1 UNION ALL SELECT b FROM und1)
        |), aff AS MATERIALIZED (
        |  SELECT DISTINCT l.lbl FROM p0_final l
        |  JOIN (SELECT a AS id FROM dels UNION ALL SELECT b FROM dels) e
        |    ON e.id = l.node
        |),
-       |${phase("p1_", "bi1",
-           """SELECT n.node,
-             |    CASE WHEN l.lbl IS NULL OR a.lbl IS NOT NULL THEN n.node
-             |         ELSE l.lbl END AS lbl
-             |  FROM (SELECT DISTINCT node FROM bi1) n
-             |  LEFT JOIN p0_final l ON l.node = n.node
-             |  LEFT JOIN aff a ON a.lbl = l.lbl""".stripMargin)}
+       |${phase("p1_",
+           """SELECT DISTINCT a, b FROM (
+             |    SELECT a, b FROM und1
+             |    UNION ALL
+             |    SELECT l.lbl AS a, n.node AS b FROM n1 n
+             |    JOIN p0_final l ON l.node = n.node
+             |    WHERE l.lbl <> n.node AND l.lbl NOT IN (SELECT lbl FROM aff))""".stripMargin)}
        |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
        |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
        |UNION ALL

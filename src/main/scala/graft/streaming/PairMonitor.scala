@@ -86,6 +86,22 @@ final case class CandPair(i: Long, j: Long, key: String)
   */
 object PairMonitor {
 
+  /** Takedown-audit counter (round-11 advice): CDC deletes that
+    * removed NOTHING from a bucket their text keyed to. Two causes,
+    * both worth seeing: an idempotent RE-delete (benign, expected
+    * under at-least-once delivery), or TEXT DRIFT — the delete
+    * event's text differs from the originally indexed text, so its
+    * band keys miss the buckets the old text produced and the id
+    * silently stays pairable there. The monitor cannot tell the two
+    * apart (both look like "id absent from this bucket"), so it
+    * counts and logs instead of guessing; an operator seeing misses
+    * without a redelivery burst should audit the doc store for
+    * drifted takedown texts. JVM-local (right for local[*] and for
+    * tests); on a cluster surface the same count per executor, or
+    * swap for a custom StatefulProcessor metric.
+    */
+  val takedownMisses = new java.util.concurrent.atomic.AtomicLong()
+
   /** Band explode for arriving documents: BandCount blocking rows
     * per doc via the zero-shuffle native MinHashSig kernel — the
     * per-doc pure function shared with the batch `bandsOf`.
@@ -152,6 +168,17 @@ object PairMonitor {
       // was actually removed; an idempotent re-delete rewrites
       // nothing.
       if (dels.nonEmpty) {
+        // takedown audit: a delete that removes nothing from this
+        // bucket is either a benign re-delete or a DRIFTED takedown
+        // text (see [[PairMonitor.takedownMisses]]) — count + log so
+        // a drifted takedown is observable rather than silent
+        val missed = dels -- prior
+        if (missed.nonEmpty) {
+          PairMonitor.takedownMisses.addAndGet(missed.size.toLong)
+          System.err.println(s"[pair-monitor] takedown removed nothing from " +
+            s"bucket $key for id(s) ${missed.mkString(",")} — re-delete or " +
+            "drifted takedown text")
+        }
         val survived = prior.filterNot(dels)
         if (survived.size != prior.size) {
           if (survived.isEmpty) members.clear()

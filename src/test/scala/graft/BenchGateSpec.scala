@@ -12,10 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchGateSpec extends AnyFunSuite {
 
-  private def detail(qs: (String, Double)*): String = {
-    val queries = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    val runs = qs.map { case (k, v) =>
-      s""""$k":{"start_s":1.0,"runs":[$v,$v,$v]}"""
+  private def detail(qs: (String, Double)*): String =
+    detailRuns(qs.map { case (k, v) => (k, v, Seq(v, v, v)) }: _*)
+
+  private def detailRuns(qs: (String, Double, Seq[Double])*): String = {
+    val queries = qs.map { case (k, v, _) => s""""$k":$v""" }.mkString(",")
+    val runs = qs.map { case (k, _, rs) =>
+      s""""$k":{"start_s":1.0,"runs":${rs.mkString("[", ",", "]")}}"""
     }.mkString(",")
     s"""{"metric":"total","value":1,"unit":"sec","queries":{$queries},""" +
       s""""sf":"x","runs":{$runs},"meta":{"data":{"hash":"h1","bytes":1}}}"""
@@ -67,6 +70,51 @@ class BenchGateSpec extends AnyFunSuite {
     // gate robustness: absent artifact = clean (BenchDiff failures
     // are reported separately at the call site)
     assert(Bench.unadjudicatedIn(dir.resolve("nope.json").toString).isEmpty)
+    // ...but PRESENT-and-unparseable = DIRTY (round-11 advice: a
+    // truncated BENCH_DIFF must never read as a clean gate). The
+    // marker names no query, so the retry pass skips it and only the
+    // loud ship path sees it.
+    val garbage = dir.resolve("garbage.json")
+    Files.writeString(garbage, """{"drifts": {"q_x": truncated""")
+    assert(Bench.unadjudicatedIn(garbage.toString) ==
+      Seq(Bench.DiffUnparseable))
+    assert(Bench.spreadUnadjudicatedIn(garbage.toString) ==
+      Seq(Bench.DiffUnparseable))
+  }
+
+  test("spread gate: >3x intra-session spread on multi-second queries flags; sub-second and adjudicated do not") {
+    val dir = Files.createTempDirectory("benchgate3")
+    val cur = dir.resolve("cur.json")
+    val base = dir.resolve("base.json")
+    val out = dir.resolve("diff.json")
+    // q_var: min 1.0 but one 5.0 run -> spread 5x on a multi-second
+    //        query -> unadjudicated spread
+    // q_small: same 5x spread but min 0.1 (sub-second) -> ignored
+    // q_tight: multi-second, 1.5x spread -> ignored
+    // q217_incremental_cc: a real adjudication key "<q>:spread" in
+    //        the repo BENCH_ADJUDICATIONS silences it (added round-11)
+    Files.writeString(cur, detailRuns(
+      ("q_var", 1.0, Seq(5.0, 1.0, 1.2)),
+      ("q_small", 0.1, Seq(0.5, 0.1, 0.1)),
+      ("q_tight", 2.0, Seq(2.0, 3.0, 2.5)),
+      ("q217_incremental_cc", 1.0, Seq(5.0, 1.0, 1.0))))
+    Files.writeString(base, detailRuns(
+      ("q_var", 1.0, Seq(1.0, 1.0, 1.0)),
+      ("q_small", 0.1, Seq(0.1, 0.1, 0.1)),
+      ("q_tight", 2.0, Seq(2.0, 2.0, 2.0)),
+      ("q217_incremental_cc", 1.0, Seq(1.0, 1.0, 1.0))))
+    BenchDiff.main(Array(cur.toString, base.toString, out.toString))
+    assert(Bench.spreadUnadjudicatedIn(out.toString) == Seq("q_var"))
+    // ratio gate unaffected: no min moved, so no drift rows at all
+    assert(Bench.unadjudicatedIn(out.toString).isEmpty)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out))
+    assert(n.get("n_spreads").asInt() == 2, n.toString)
+    assert(n.get("n_spread_unadjudicated").asInt() == 1, n.toString)
+    assert(n.at("/spreads/q_small").isMissingNode)
+    assert(n.at("/spreads/q_tight").isMissingNode)
+    assert(n.at("/spreads/q217_incremental_cc/status").asText()
+      .startsWith("ADJUDICATED"))
   }
 
   test("retry merge: min re-derives from merged runs; crashes and failed rows stay put") {

@@ -50,9 +50,12 @@ class IncrementalDedupSpec extends SparkSpec {
     val warmMv = curve1.map(_._2).sum
     val coldMv = coldCurve.map(_._2).sum
     assert(warmMv < coldMv, s"warm=$curve1 cold=$coldCurve")
-    // and the delta genuinely disturbed something (else the warm
-    // "loop" is a no-op and the equality above is vacuous)
-    assert(warmMv > 0L, s"degenerate delta: $curve1")
+    // and the delta genuinely extended the pair graph (else the
+    // equality above is vacuous). NOT a movement check: the two-phase
+    // engine legitimately converges with ZERO changed edges when
+    // every delta pair already lands on its component minimum — the
+    // warm start working perfectly, not a degenerate delta.
+    assert(lab1.count() > lab0.count(), s"no new doc entered the clustering")
     assert(curve0.nonEmpty)
     Ck.release(lab0); Ck.release(lab1); Ck.release(coldLab)
   }

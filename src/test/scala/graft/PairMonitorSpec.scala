@@ -344,4 +344,47 @@ class PairMonitorSpec extends SparkSpec {
       s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("drifted-text takedown is observable: miss counter fires, member stays pairable") {
+    // the documented failure mode (PairMonitor.takedownMisses): a
+    // takedown whose text differs from the indexed text keys to the
+    // WRONG buckets — it removes nothing, the counter says so, and
+    // the stale member still pairs (the silent-drift behavior the
+    // audit path exists to surface)
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t = (1 to 10).map(i => s"pmd41_$i").mkString(" ")
+    val u = (1 to 10).map(i => s"pmw41_$i").mkString(" ")
+    val indexDocs = Seq((1L, t)).toDF("doc_id", "text")
+    val index = PairMonitor.bandObs(
+      indexDocs.select(col("doc_id").as("docId"), col("text")).as[DocEvent])
+    val in = MemoryStream[DocCdc]
+    val sink = s"pmdrift_${System.nanoTime()}"
+    val q = PairMonitor.pairsCdc(PairMonitor.bandCdc(in.toDS()), index)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("chk").toString)
+      .start()
+    try {
+      val before = PairMonitor.takedownMisses.get()
+      // takedown of doc 1 carrying DRIFTED text u: its band keys
+      // miss every bucket the indexed text t produced
+      in.addData(DocCdc(1L, u, delete = true))
+      q.processAllAvailable()
+      assert(PairMonitor.takedownMisses.get() > before,
+        "drifted takedown removed nothing yet the miss counter never fired")
+      // and the stale member is indeed still pairable — the drift
+      // was NOT silently fixed, only made observable
+      in.addData(DocCdc(5L, t, delete = false))
+      q.processAllAvailable()
+      val pairs = s.table(sink).select(col("i"), col("j")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 5L)), s"expected the stale pair, got $pairs")
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -47,29 +47,30 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
-  test("SQL-driven cc round is plan-equal to Mining.ccRound; loops agree") {
+  test("SQL-driven cc round is plan-equal to ops.star2Round; loops agree") {
     ready
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import graft.api.ops
     val und = Mining.sparseUnd(spark, dir)
-    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .persist(MEMORY_AND_DISK)
-    nbrs.createOrReplaceTempView("cc_nbrs")
-    val dfInit = nbrs.select(col("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    val sqInit = spark.sql(SqlSurface.ccInitSql)
-    pinPlanEqual("cc_init", dfInit, sqInit)
-    val labels = sqInit.localCheckpoint(true)
-    labels.createOrReplaceTempView("cc_labels")
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .createOrReplaceTempView("cc_und")
+    val dfInit = ops.ccCanon(
+      und.select(col("a").as("src"), col("b").as("dst")), "src", "dst")
+      .distinct()
+    val sqInit = spark.sql(SqlSurface.ccCanonSql)
+    pinPlanEqual("cc_canon", dfInit, sqInit)
+    val e = sqInit.localCheckpoint(true)
+    e.createOrReplaceTempView("cc_edges")
     pinPlanEqual("cc_round",
-      Mining.ccRound(nbrs, labels), spark.sql(SqlSurface.ccRoundSql))
-    nbrs.unpersist(blocking = false)
+      ops.star2Round(e), spark.sql(SqlSurface.ccRoundSql))
+    Ck.release(e)
+    Seq("cc_und", "cc_edges").foreach(spark.catalog.dropTempView)
 
     val (dfLabels, dfRounds) = Mining.ccLoop(spark, dir)
     val (sqLabels, sqRounds) = SqlSurface.ccLoopSql(spark, dir)
     assert(dfRounds == sqRounds,
       s"round counts diverge: df=$dfRounds sql=$sqRounds")
     assert(rows(dfLabels.orderBy("node")) == rows(sqLabels.orderBy("node")))
+    Ck.release(dfLabels); Ck.release(sqLabels)
   }
 
   test("SQL-driven pr round is plan-equal to Curation.prRound; loops agree") {
@@ -194,18 +195,16 @@ class SqlSurfaceSpec extends SparkSpec {
       s"SCC census diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
   }
 
-  test("SQL-driven warm cc init is plan-equal to ops.ccWarmInit; q217 agrees") {
+  test("SQL-driven warm cc bodies are plan-equal to ops'; q217 agrees") {
     ready
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     import graft.api.ops
-    // the init bodies: the same nodes / prev-labels / affected frames
-    // on both sides, q217's deterministic changelog as the delta
+    // the warm bodies: the same canon / prev-labels / affected
+    // frames on both sides, q217's deterministic changelog as the
+    // delta
     val und = Mining.sparseUnd(spark, dir)
-    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
-      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
-      .filter(col("node") =!= col("nbr"))
-      .persist(MEMORY_AND_DISK)
-    nbrs.createOrReplaceTempView("cc_nbrs")
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .createOrReplaceTempView("cc_und")
     val (lab0, _) = Mining.ccLoop(spark, dir)
     val prev = lab0.select(col("node").as("id"), col("lbl").as("component"))
     prev.createOrReplaceTempView("cc_prev")
@@ -217,14 +216,16 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql(SqlSurface.ccAffectedSql))
     val aff = spark.sql(SqlSurface.ccAffectedSql).localCheckpoint(true)
     aff.createOrReplaceTempView("cc_aff")
-    pinPlanEqual("cc_warm_init",
-      ops.ccWarmInit(
-        spark.sql("SELECT DISTINCT node AS __node FROM cc_nbrs"),
-        prev, aff),
-      spark.sql(SqlSurface.ccWarmInitSql))
-    nbrs.unpersist(blocking = false)
+    val canon = spark.sql(SqlSurface.ccCanonSql).persist(MEMORY_AND_DISK)
+    canon.createOrReplaceTempView("cc_canon")
+    val nodes = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id"))).distinct()
+    pinPlanEqual("cc_label_edges",
+      ops.ccLabelEdges(nodes, prev, aff),
+      spark.sql(SqlSurface.ccLabelEdgesSql))
+    canon.unpersist(blocking = false)
     Ck.release(lab0); Ck.release(aff)
-    Seq("cc_nbrs", "cc_prev", "cc_dels", "cc_aff")
+    Seq("cc_und", "cc_prev", "cc_dels", "cc_aff", "cc_canon")
       .foreach(spark.catalog.dropTempView)
 
     // full-surface agreement: the SQL-driven cold+warm composition
