@@ -30,6 +30,30 @@ import graft.api.ops
   */
 object ScaleProbe {
 
+  /** Session-global executor task-ms meter for the floor-vs-work
+    * decomposition (round-11 verdict item 2): wall alone cannot say
+    * whether a leg lost to per-job FLOOR (scheduling/planning; wall
+    * >> task/cores) or to WORK (task-dominated). Listener totals are
+    * async, so per-leg splits are indicative, not exact — right at
+    * leg granularity, which is all the probe reports.
+    */
+  private val taskMs = new java.util.concurrent.atomic.AtomicLong()
+  private def hookTaskMeter(s: SparkSession): Unit =
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = ev.stageInfo.taskMetrics
+          if (m != null) taskMs.addAndGet(m.executorRunTime)
+        }
+      })
+  /** Run `f`, returning (result, wall seconds, ~executor task ms). */
+  private def timedLeg[T](f: => T): (T, Double, Long) = {
+    val t0 = System.nanoTime(); val m0 = taskMs.get()
+    val r = f
+    ((r, (System.nanoTime() - t0) / 1e9, taskMs.get() - m0))
+  }
+
   /** One past the max node id — the replica stride. */
   def stride(edges: DataFrame): Long =
     edges.agg((max(greatest(col("a"), col("b"))) + 1L).as("n"))
@@ -130,6 +154,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    hookTaskMeter(spark)
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
     val base = graft.queries.Mining.sparseUnd(spark, sfDir)
@@ -368,18 +393,25 @@ object ScaleProbe {
       val ndDelAff = ndLab0
         .join(ndDel.withColumnRenamed("doc_id", "id"), "id")
         .select(col("component")).distinct().count()
-      val delWarmT0 = System.nanoTime()
-      // cold verify shape forced (pinning is the default since r10)
-      val (delKept, delLab, delCurve) = ops.nearDupDedupDelta(
-        dBase, dDelta, ndDel, "doc_id", "text", ndLab0,
-        pinCandidates = false)
-      val delKeptN = delKept.count()
-      val delWarmS = (System.nanoTime() - delWarmT0) / 1e9
+      // bootstrap-day shape: NO band table handed in, so the warm
+      // pass re-derives corpus signatures (survivor bands for the
+      // disturbed re-verify + union shingles for the verify) — the
+      // cost a day-0 caller pays; the steady-state day is the
+      // `del_warm_bands` leg below. Cold verify shape forced
+      // (pinning is the default since r10).
+      val ((delRun, delKeptN), delWarmS, delWarmTms) = timedLeg {
+        val (delKept, delLab, delCurve) = ops.nearDupDedupDelta(
+          dBase, dDelta, ndDel, "doc_id", "text", ndLab0,
+          pinCandidates = false)
+        ((delLab, delCurve), delKept.count())
+      }
+      val (delLab, delCurve) = delRun
       val surv = docsRep.join(ndDel, Seq("doc_id"), "left_anti")
-      val delColdT0 = System.nanoTime()
-      val (delColdLab, delColdCurve) =
-        ops.nearDupLabels(surv, "doc_id", "text")
-      val delColdS = (System.nanoTime() - delColdT0) / 1e9
+      val ((delColdRun, _), delColdS, delColdTms) = timedLeg {
+        val (l, c) = ops.nearDupLabels(surv, "doc_id", "text")
+        ((l, c), l.count())
+      }
+      val (delColdLab, delColdCurve) = delColdRun
       require(sameLabels(delLab, delColdLab),
         "takedown dedup labels diverge from the cold rerun")
       // full-CDC day again with the delta-proportional verify
@@ -407,6 +439,24 @@ object ScaleProbe {
       val bandsRep = ops.nearDupBands(dBase, "doc_id", "text")
         .localCheckpoint(true)
       val bandsPrepS = (System.nanoTime() - bandsPrepT0) / 1e9
+      // STEADY-STATE takedown day (round-11 verdict item 2): the
+      // uncomposed nearDupDedupDelta call as a production day makes
+      // it — yesterday's materialized band table handed in (its
+      // amortized cost is bands_prep_s, reported separately). The
+      // bootstrap leg above quantifies what the handoff saves; the
+      // task-ms split attributes the gap to WORK (corpus signature
+      // re-derivation), not per-job floor.
+      val ((delBandsRun, delBandsKeptN), delBandsS, delBandsTms) = timedLeg {
+        val (k, l, _) = ops.nearDupDedupDelta(
+          dBase, dDelta, ndDel, "doc_id", "text", ndLab0,
+          oldBands = Some(bandsRep), pinCandidates = false)
+        (l, k.count())
+      }
+      require(delBandsKeptN == delKeptN,
+        s"steady-state del kept $delBandsKeptN != $delKeptN")
+      require(sameLabels(delBandsRun, delColdLab),
+        "steady-state takedown labels diverge from the cold rerun")
+      graft.Ck.release(delBandsRun)
       val cdT0 = System.nanoTime()
       val day = ops.corpusDay(dBase, dDelta, ndDel, "doc_id", "text",
         ndLab0, oldBands = Some(bandsRep))
@@ -442,6 +492,8 @@ object ScaleProbe {
           s""""del_warm_rounds":${delCurve.length},"del_cold_rounds":${delColdCurve.length},""" +
           s""""del_warm_mv":${delCurve.map(_._2).sum},"del_cold_mv":${delColdCurve.map(_._2).sum},""" +
           s""""del_warm_s":${fmt(delWarmS)},"del_cold_s":${fmt(delColdS)},"del_kept":$delKeptN,""" +
+          s""""del_warm_tms":$delWarmTms,"del_cold_tms":$delColdTms,""" +
+          s""""del_warm_bands_s":${fmt(delBandsS)},"del_warm_bands_tms":$delBandsTms,""" +
           s""""corpusday_s":${fmt(cdS)},"bands_prep_s":${fmt(bandsPrepS)},""" +
           s""""corpusday_bands":$cdBandsN}"""
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +

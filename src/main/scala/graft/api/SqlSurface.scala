@@ -503,38 +503,54 @@ object SqlSurface {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sess = s
     import sess.implicits._
+    // held frames must not outlive a failed stage (round-11 advice:
+    // the loops release internally on a tripped guard, so the
+    // composition must match that discipline on ITS exit paths) —
+    // releases are idempotent, so the success path's eager releases
+    // below coexist with the finally's sweep
     val (lab0, curve0) = ccLoopSqlCurve(s, dir)
+    var lab1Opt: Option[DataFrame] = None
     val und0 = Mining.sparseUnd(s, dir).persist(MEMORY_AND_DISK)
-    graft.Tables.touch(und0)
-    val dels = und0.filter((col("a") * 7L + col("b") * 11L) % 61L === 0L)
-    val ins = Mining.undFamily(s, dir, 37L, 512L)
-    val und1 = und0.join(dels, Seq("a", "b"), "left_anti")
-      .unionByName(ins)
-      .distinct()
-      .persist(MEMORY_AND_DISK)
-    graft.Tables.touch(und1)
-    val (lab1, curve1) = ccWarmLoopSqlOn(s,
-      lab0.select(col("node").as("id"), col("lbl").as("component")),
-      und1, dels, "a", "b")
-    graft.Ck.release(lab0) // warm init checkpointed; base labels consumed
-    und0.unpersist(blocking = false)
-    lab1.createOrReplaceTempView("cc_warm_final")
-    val census =
-      try s.sql(
-        """SELECT 'comp' AS part, lbl AS k, CAST(COUNT(1) AS BIGINT) AS v1,
-          |  MAX(node) AS v2 FROM cc_warm_final GROUP BY lbl""".stripMargin)
-        .localCheckpoint(true) // materialize before the view drops
-      finally s.catalog.dropTempView("cc_warm_final")
-    graft.Ck.release(lab1)
-    und1.unpersist(blocking = false)
-    val c0 = curve0.toDF("k", "v1")
-      .select(lit("round0").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
-    val c1 = curve1.toDF("k", "v1")
-      .select(lit("round1").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
-    val out = census.unionByName(c0).unionByName(c1).orderBy("part", "k")
-      .localCheckpoint(true)
-    graft.Ck.release(census)
-    out
+    val und1 = {
+      graft.Tables.touch(und0)
+      und0.join(und0.filter((col("a") * 7L + col("b") * 11L) % 61L === 0L),
+          Seq("a", "b"), "left_anti")
+        .unionByName(Mining.undFamily(s, dir, 37L, 512L))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+    }
+    try {
+      graft.Tables.touch(und1)
+      val dels = und0.filter((col("a") * 7L + col("b") * 11L) % 61L === 0L)
+      val (lab1, curve1) = ccWarmLoopSqlOn(s,
+        lab0.select(col("node").as("id"), col("lbl").as("component")),
+        und1, dels, "a", "b")
+      lab1Opt = Some(lab1)
+      graft.Ck.release(lab0) // warm init checkpointed; base labels consumed
+      und0.unpersist(blocking = false)
+      lab1.createOrReplaceTempView("cc_warm_final")
+      val census =
+        try s.sql(
+          """SELECT 'comp' AS part, lbl AS k, CAST(COUNT(1) AS BIGINT) AS v1,
+            |  MAX(node) AS v2 FROM cc_warm_final GROUP BY lbl""".stripMargin)
+          .localCheckpoint(true) // materialize before the view drops
+        finally s.catalog.dropTempView("cc_warm_final")
+      graft.Ck.release(lab1)
+      und1.unpersist(blocking = false)
+      val c0 = curve0.toDF("k", "v1")
+        .select(lit("round0").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+      val c1 = curve1.toDF("k", "v1")
+        .select(lit("round1").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+      val out = census.unionByName(c0).unionByName(c1).orderBy("part", "k")
+        .localCheckpoint(true)
+      graft.Ck.release(census)
+      out
+    } finally {
+      graft.Ck.release(lab0)
+      lab1Opt.foreach(graft.Ck.release)
+      und0.unpersist(blocking = false)
+      und1.unpersist(blocking = false)
+    }
   }
 
   // ----- q218: the warm-start dedup day, SQL-driven -----------------
@@ -666,6 +682,50 @@ object SqlSurface {
     * (plus [[ccWarmLoopSqlOn]]'s cc_* set) for the call's duration,
     * dropped on exit — see [[ccLoopSql]]'s contract.
     */
+  /** Drives the SQL takedown day over caller-registered `nd_base` /
+    * `nd_delta` views: cold labels via the identity-init warm loop,
+    * the deterministic changelog views (`nd_prev` / `nd_dels` /
+    * `nd_surv` / `nd_survu`), and the warm fixpoint. Returns
+    * (lab0, curve0, lab1, curve1); the registered views stay live
+    * for the caller's census stage (the caller owns the drops).
+    * Shared by [[q219TakedownDedupSql]] and [[corpusDaySql]] so the
+    * composed day drives the IDENTICAL dedup machinery.
+    */
+  private def takedownDaySqlCore(s: SparkSession)
+    : (DataFrame, Seq[(Long, Long)], DataFrame, Seq[(Long, Long)]) = {
+    val sess = s
+    import sess.implicits._
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "component")
+    val emptyDels = Seq.empty[(Long, Long)].toDF("i", "j")
+    val (lab0, curve0) = ccWarmLoopSqlOn(s, emptyLabels,
+      s.sql(ndPairsSql("nd_base")), emptyDels, "i", "j")
+    lab0.select(col("node").as("id"), col("lbl").as("component"))
+      .createOrReplaceTempView("nd_prev")
+    // the changelog: takedowns drawn from the labeled dup subset
+    s.sql("SELECT id AS doc_id FROM nd_prev WHERE id % 3 = 0")
+      .createOrReplaceTempView("nd_dels")
+    s.sql("""SELECT * FROM nd_base
+            |WHERE doc_id NOT IN (SELECT doc_id FROM nd_dels)""".stripMargin)
+      .createOrReplaceTempView("nd_surv")
+    s.sql("SELECT * FROM nd_surv UNION ALL SELECT * FROM nd_delta")
+      .createOrReplaceTempView("nd_survu")
+    // warm edge set: undisturbed star carry + the takedown-day pairs
+    val edges1 = s.sql(
+      s"""SELECT DISTINCT i, j FROM (
+         |  SELECT component AS i, id AS j FROM nd_prev
+         |  WHERE id <> component AND component NOT IN ($ndAffSub)
+         |  UNION ALL
+         |  $ndTakedownPairsSql
+         |)""".stripMargin)
+    // deleted docs as self-edge deletions: the warm loop's affected
+    // set becomes exactly the disturbed components
+    val delEdges = s.sql("SELECT doc_id AS i, doc_id AS j FROM nd_dels")
+    val (lab1, curve1) = ccWarmLoopSqlOn(s,
+      s.sql("SELECT id, component FROM nd_prev"), edges1, delEdges,
+      "i", "j")
+    (lab0, curve0, lab1, curve1)
+  }
+
   def q219TakedownDedupSql(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sess = s
@@ -675,34 +735,7 @@ object SqlSurface {
     try {
       docs.filter(col("doc_id") % 8 =!= 0).createOrReplaceTempView("nd_base")
       docs.filter(col("doc_id") % 8 === 0).createOrReplaceTempView("nd_delta")
-      val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "component")
-      val emptyDels = Seq.empty[(Long, Long)].toDF("i", "j")
-      val (lab0, curve0) = ccWarmLoopSqlOn(s, emptyLabels,
-        s.sql(ndPairsSql("nd_base")), emptyDels, "i", "j")
-      lab0.select(col("node").as("id"), col("lbl").as("component"))
-        .createOrReplaceTempView("nd_prev")
-      // q219's changelog: takedowns drawn from the labeled dup subset
-      s.sql("SELECT id AS doc_id FROM nd_prev WHERE id % 3 = 0")
-        .createOrReplaceTempView("nd_dels")
-      s.sql("""SELECT * FROM nd_base
-              |WHERE doc_id NOT IN (SELECT doc_id FROM nd_dels)""".stripMargin)
-        .createOrReplaceTempView("nd_surv")
-      s.sql("SELECT * FROM nd_surv UNION ALL SELECT * FROM nd_delta")
-        .createOrReplaceTempView("nd_survu")
-      // warm edge set: undisturbed star carry + the takedown-day pairs
-      val edges1 = s.sql(
-        s"""SELECT DISTINCT i, j FROM (
-           |  SELECT component AS i, id AS j FROM nd_prev
-           |  WHERE id <> component AND component NOT IN ($ndAffSub)
-           |  UNION ALL
-           |  $ndTakedownPairsSql
-           |)""".stripMargin)
-      // deleted docs as self-edge deletions: the warm loop's affected
-      // set becomes exactly the disturbed components
-      val delEdges = s.sql("SELECT doc_id AS i, doc_id AS j FROM nd_dels")
-      val (lab1, curve1) = ccWarmLoopSqlOn(s,
-        s.sql("SELECT id, component FROM nd_prev"), edges1, delEdges,
-        "i", "j")
+      val (lab0, curve0, lab1, curve1) = takedownDaySqlCore(s)
       lab1.createOrReplaceTempView("nd_final")
       val parts =
         try s.sql(
@@ -810,6 +843,130 @@ object SqlSurface {
     } finally {
       docs.unpersist(blocking = false)
       Seq("nd_base", "nd_delta", "nd_union", "nd_prev")
+        .foreach(s.catalog.dropTempView)
+    }
+  }
+
+  // ----- q221: the composed day, SQL-driven -------------------------
+
+  /** The COMPOSED day-N maintenance job on the SQL surface (round-11
+    * verdict item 7): q221's one-call job with every stage a Spark
+    * SQL text — the dedup day via [[takedownDaySqlCore]] (identical
+    * machinery to q219's SQL form), tomorrow's band-table census via
+    * the per-doc band text over the surviving union (per-doc purity:
+    * yesterday's-filtered + today's-appended equals
+    * recomputed-from-survivors as a SET, so the census is the same),
+    * exact decontamination via the registered `word_shingles`, and
+    * the frozen-index delta IVF assignment via builtin
+    * zip_with + the registered `array_dot`. Row-equal to
+    * SparkEntry's q221_corpus_day (pinned in SqlSurfaceSpec).
+    */
+  /** RESERVED VIEW NAMES: q219's nd_* set plus `nd_eval` / `nd_kept`
+    * / `nd_vb` / `nd_vd` / `nd_cent` (and [[ccWarmLoopSqlOn]]'s cc_*
+    * set), dropped on exit — see [[ccLoopSql]]'s contract.
+    */
+  def corpusDaySql(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = s
+    import sess.implicits._
+    val docs = graft.Tables.documents(s, dir).persist(MEMORY_AND_DISK)
+    graft.Tables.touch(docs)
+    try {
+      docs.filter(col("doc_id") % 8 =!= 0).createOrReplaceTempView("nd_base")
+      docs.filter(col("doc_id") % 8 === 0).createOrReplaceTempView("nd_delta")
+      val (lab0, curve0, lab1, curve1) = takedownDaySqlCore(s)
+      try {
+        lab1.createOrReplaceTempView("nd_final")
+        docs.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), col("text"))
+          .createOrReplaceTempView("nd_eval")
+        s.sql(
+          """SELECT doc_id, text FROM nd_survu
+            |LEFT ANTI JOIN (SELECT node AS doc_id FROM nd_final
+            |                WHERE node <> lbl) USING (doc_id)""".stripMargin)
+          .createOrReplaceTempView("nd_kept")
+        val embs = graft.Tables.embeddings(s, dir)
+        embs.filter(col("vec_id") % 10 =!= 0).createOrReplaceTempView("nd_vb")
+        embs.filter(col("vec_id") % 10 === 0).createOrReplaceTempView("nd_vd")
+        // q220's frozen index as a SQL text (ops' labelCentroidsOf
+        // twin: per-label 4dp mean centroids of the base vectors);
+        // tiny (k x 64 doubles) — checkpointed once, read per assign
+        val cent = s.sql(
+          """SELECT label,
+            |  transform(array_sort(collect_list(struct(d, m))),
+            |    p -> round(p.m, 4)) AS c
+            |FROM (
+            |  SELECT label, d, avg(x) AS m FROM (
+            |    SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (d, x)
+            |    FROM nd_vb
+            |  ) GROUP BY label, d
+            |) GROUP BY label""".stripMargin)
+          .localCheckpoint(true)
+        cent.createOrReplaceTempView("nd_cent")
+        val diff = "zip_with(CAST(v.embedding AS ARRAY<DOUBLE>), c.c, (x, y) -> x - y)"
+        val parts =
+          try s.sql(
+            s"""WITH kh AS (
+               |  SELECT k.doc_id, CAST(COUNT(1) AS BIGINT) AS n
+               |  FROM (SELECT doc_id, explode(word_shingles(text, 5)) AS sg
+               |        FROM nd_kept) k
+               |  JOIN (SELECT DISTINCT explode(word_shingles(text, 5)) AS sg
+               |        FROM nd_eval) e ON k.sg = e.sg
+               |  GROUP BY k.doc_id
+               |)
+               |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(1) AS BIGINT) AS v1,
+               |  MAX(node) AS v2 FROM nd_final GROUP BY lbl
+               |UNION ALL
+               |SELECT 'kept', CAST(0 AS BIGINT), CAST(COUNT(1) AS BIGINT),
+               |  CAST(SUM(doc_id) AS BIGINT) FROM nd_kept
+               |UNION ALL
+               |SELECT 'bands', CAST(0 AS BIGINT), CAST(COUNT(1) AS BIGINT),
+               |  CAST(COUNT(DISTINCT concat_ws('#', band_idx, band_key)) AS BIGINT)
+               |FROM (${ndBandsSub("nd_survu")})
+               |UNION ALL
+               |SELECT 'decon', CAST(0 AS BIGINT),
+               |  (SELECT CAST(COUNT(1) AS BIGINT) FROM nd_kept)
+               |    - (SELECT CAST(COUNT(1) AS BIGINT) FROM kh),
+               |  coalesce((SELECT CAST(SUM(n) AS BIGINT) FROM kh), CAST(0 AS BIGINT))
+               |UNION ALL
+               |SELECT 'ivf', CAST(cell AS BIGINT), CAST(COUNT(1) AS BIGINT),
+               |  CAST(SUM(CAST(round(d2 * 1e6, 0) AS BIGINT)) AS BIGINT)
+               |FROM (
+               |  SELECT vec_id, cell, d2 FROM (
+               |    SELECT vec_id, label AS cell, d2,
+               |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+               |    FROM (
+               |      SELECT v.vec_id, c.label,
+               |        round(array_dot($diff, $diff), 6) AS d2
+               |      FROM nd_vd v CROSS JOIN nd_cent c)
+               |  ) WHERE rn = 1
+               |) GROUP BY cell""".stripMargin)
+            .localCheckpoint(true) // materialize before the views drop
+          finally {
+            graft.Ck.release(cent)
+            Seq("nd_final", "nd_eval", "nd_kept", "nd_vb", "nd_vd", "nd_cent")
+              .foreach(s.catalog.dropTempView)
+          }
+        graft.Ck.release(lab0)
+        graft.Ck.release(lab1)
+        val c0 = curve0.toDF("k", "v1")
+          .select(lit("round0").as("part"), col("k"), col("v1"),
+            lit(0L).as("v2"))
+        val c1 = curve1.toDF("k", "v1")
+          .select(lit("round1").as("part"), col("k"), col("v1"),
+            lit(0L).as("v2"))
+        val out = parts.unionByName(c0).unionByName(c1).orderBy("part", "k")
+          .localCheckpoint(true)
+        graft.Ck.release(parts)
+        out
+      } finally {
+        // held frames must not outlive a failed census stage
+        graft.Ck.release(lab0)
+        graft.Ck.release(lab1)
+      }
+    } finally {
+      docs.unpersist(blocking = false)
+      Seq("nd_base", "nd_delta", "nd_prev", "nd_dels", "nd_surv", "nd_survu")
         .foreach(s.catalog.dropTempView)
     }
   }

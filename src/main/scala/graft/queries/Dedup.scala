@@ -1874,17 +1874,18 @@ object Dedup {
     ck
   }
 
-  val q219Sql: String = {
-    // 12-alternation unroll for both replayed loops (q218's bound:
-    // the engine stops data-driven; star edges keep undisturbed
-    // components one alternation from stable, re-seeded ones
-    // re-converge at dup-cluster depth). As in q218, the engine's
-    // warm shortcut edges are a subset of und1's star carry, so the
-    // replay inits are the plain edge sets.
-    val R = 12
+  /** The shared DuckDB replay of the takedown day's dedup machinery
+    * (q219's derivation): cold base labeling (p0), the deterministic
+    * changelog (dels / aff / affsurv), the warm edge set (star carry
+    * + disturbed re-derivation + insert pairs), and the warm
+    * fixpoint (p1). q219Sql appends its census; q221Sql (the
+    * composed day) appends the band-table / decontamination / IVF
+    * legs on top of the identical dedup replay.
+    */
+  private def takedownDayCtes(R: Int): String = {
     val pairs = q23Sql.linesIterator.map("  " + _).mkString("\n")
       .replaceAll("ORDER BY i, j$", "")
-    s"""WITH allpairs AS (
+    s"""allpairs AS (
        |$pairs
        |), und0 AS MATERIALIZED (
        |  SELECT i AS a, j AS b FROM allpairs WHERE i % 8 <> 0 AND j % 8 <> 0
@@ -1916,7 +1917,18 @@ object Dedup {
        |    SELECT a, b FROM star UNION ALL SELECT a, b FROM re
        |    UNION ALL SELECT a, b FROM pd)
        |),
-       |${Mining.CcReplaySql.phase("p1_", "SELECT a, b FROM und1", R)}
+       |${Mining.CcReplaySql.phase("p1_", "SELECT a, b FROM und1", R)}""".stripMargin
+  }
+
+  val q219Sql: String = {
+    // 12-alternation unroll for both replayed loops (q218's bound:
+    // the engine stops data-driven; star edges keep undisturbed
+    // components one alternation from stable, re-seeded ones
+    // re-converge at dup-cluster depth). As in q218, the engine's
+    // warm shortcut edges are a subset of und1's star carry, so the
+    // replay inits are the plain edge sets.
+    val R = 12
+    s"""WITH ${takedownDayCtes(R)}
        |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
        |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
        |UNION ALL
@@ -1937,7 +1949,161 @@ object Dedup {
        |ORDER BY part, k""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q221: the COMPOSED day-N corpus-maintenance job, oracle-gated —
+  // ops.corpusDay run on q219's exact deterministic day (base =
+  // doc_id % 8 <> 0 cold-labeled, inserts = % 8 = 0, takedowns =
+  // labeled dup subset id % 3 = 0, yesterday's band table handed in)
+  // PLUS the composed artifacts the one-call job exists for:
+  // tomorrow's band table (yesterday's filtered + today's appended —
+  // per-doc purity makes it composable), exact decontamination of
+  // the survivors against an eval split (doc_id % 17 = 0), and the
+  // day's embeddings (vec_id % 10 = 0) assigned to the FROZEN base
+  // IVF index (q220's centroids). CorpusDaySpec pins every artifact
+  // equal to its cold composition; this query makes the composition
+  // DRIVER-gated: census + kept accounting + both movement curves
+  // (q219's replay), band-table census, decontamination account, and
+  // the per-cell delta-IVF report, all hash-compared to a DuckDB
+  // replay built from the q219/q23/q61/q220 oracle pieces.
+  // ---------------------------------------------------------------
+  def q221CorpusDay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = s
+    import sess.implicits._
+    val docs = documents(s, dir).persist(MEMORY_AND_DISK)
+    touch(docs)
+    val base = docs.filter(col("doc_id") % 8 =!= 0)
+    val delta = docs.filter(col("doc_id") % 8 === 0)
+    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text")
+    graft.LoopStats.recordLoop("cd_base", curve0.length.toLong)
+    val deleted = lab0.filter(col("id") % 3 === 0)
+      .select(col("id").as("doc_id"))
+    // yesterday's materialized band table — the steady-state input
+    val oldBands = graft.api.ops.nearDupBands(base, "doc_id", "text")
+      .localCheckpoint(true)
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
+    val embs = embeddings(s, dir)
+    val newVecs = embs.filter(col("vec_id") % 10 === 0)
+    // q220's frozen index: per-label 4dp mean centroids of the base
+    val cents = Vectors.labelCentroidsOf(embs.filter(col("vec_id") % 10 =!= 0))
+      .localCheckpoint(true)
+    val day = graft.api.ops.corpusDay(base, delta, deleted, "doc_id", "text",
+      lab0, oldBands = Some(oldBands), evalSet = Some(evalSet),
+      newVectors = Some(newVecs), centroids = Some(cents))
+    graft.LoopStats.recordLoop("cd_warm", day.warmCurve.length.toLong)
+    val census = day.labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("v1"), max(col("id")).as("v2"))
+      .select(lit("comp").as("part"), col("component").as("k"),
+        col("v1"), col("v2"))
+    val keptRow = day.kept.agg(count(lit(1)).as("v1"),
+        sum(col("doc_id")).as("v2"))
+      .select(lit("kept").as("part"), lit(0L).as("k"), col("v1"), col("v2"))
+    val bandsRow = day.bands.agg(count(lit(1)).as("v1"),
+        countDistinct(concat_ws("#", col("band_idx"), col("band_key")))
+          .as("v2"))
+      .select(lit("bands").as("part"), lit(0L).as("k"), col("v1"), col("v2"))
+    val deconRow = day.keptClean.get
+      .agg(count(when(col("n_overlap") === 0L, 1)).as("v1"),
+        sum(col("n_overlap")).cast("long").as("v2"))
+      .select(lit("decon").as("part"), lit(0L).as("k"), col("v1"), col("v2"))
+    val ivfRows = day.ivfDelta.get
+      .withColumn("d2e6", round(col("d2") * 1e6, 0).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("v1"), sum(col("d2e6")).as("v2"))
+      .select(lit("ivf").as("part"), col("cell").cast("long").as("k"),
+        col("v1"), col("v2"))
+    val c0 = curve0.toDF("k", "v1")
+      .select(lit("round0").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    val c1 = day.warmCurve.toDF("k", "v1")
+      .select(lit("round1").as("part"), col("k"), col("v1"), lit(0L).as("v2"))
+    val out = census.unionByName(keptRow).unionByName(bandsRow)
+      .unionByName(deconRow).unionByName(ivfRows)
+      .unionByName(c0).unionByName(c1)
+      .orderBy("part", "k")
+    val ck = out.localCheckpoint(true)
+    graft.Ck.release(lab0)
+    graft.Ck.release(day.labels)
+    graft.Ck.release(day.bands)
+    graft.Ck.release(oldBands)
+    graft.Ck.release(cents)
+    docs.unpersist(blocking = false)
+    ck
+  }
+
+  val q221Sql: String = {
+    val R = 12
+    val minAggs = (0 until K).map(i => s"${sqlMinhashPerm("h", i)} AS m$i")
+      .mkString(",\n    ")
+    s"""WITH ${takedownDayCtes(R)},
+       |keptids AS MATERIALIZED (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id NOT IN (SELECT node FROM dels)
+       |    AND doc_id NOT IN (SELECT node FROM p1_final WHERE node <> lbl)
+       |),
+       |bsh AS (
+       |  SELECT doc_id, ${sqlHash28("s.s")} AS h
+       |  FROM (SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents
+       |        WHERE doc_id NOT IN (SELECT node FROM dels)) t, unnest(t.sh) s(s)
+       |), bsig AS (
+       |  SELECT doc_id, $minAggs FROM bsh GROUP BY doc_id
+       |), bb AS MATERIALIZED (
+       |  ${sqlBandSelects("bsig")}
+       |),
+       |evg AS (
+       |  SELECT DISTINCT s.sg AS sg FROM (
+       |    SELECT ${sqlShingles(5)} AS sh FROM documents WHERE doc_id % 17 = 0) t,
+       |    unnest(t.sh) s(sg)
+       |), kg AS (
+       |  SELECT d.doc_id, s.sg AS sg FROM (
+       |    SELECT doc_id, ${sqlShingles(5)} AS sh FROM documents
+       |    WHERE doc_id IN (SELECT doc_id FROM keptids)) d, unnest(d.sh) s(sg)
+       |), khits AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM kg JOIN evg USING (sg) GROUP BY doc_id
+       |),
+       |${graft.queries.Vectors.ivfCentCtes},
+       |ddists AS (
+       |  SELECT e.vec_id, cent.label,
+       |    ROUND(list_sum(list_transform(range(64),
+       |      i -> (CAST(e.embedding[CAST(i+1 AS INT)] AS DOUBLE) - cent.c[CAST(i+1 AS INT)])
+       |         * (CAST(e.embedding[CAST(i+1 AS INT)] AS DOUBLE) - cent.c[CAST(i+1 AS INT)]))), 6) AS d2
+       |  FROM embeddings e CROSS JOIN cent WHERE e.vec_id % 10 = 0
+       |), dassigned AS (
+       |  SELECT vec_id, cell, d2 FROM (
+       |    SELECT vec_id, label AS cell, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM ddists) WHERE rn = 1
+       |)
+       |SELECT 'comp' AS part, lbl AS k, CAST(COUNT(*) AS BIGINT) AS v1,
+       |  MAX(node) AS v2 FROM p1_final GROUP BY lbl
+       |UNION ALL
+       |SELECT 'kept', CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(doc_id) AS BIGINT) FROM keptids
+       |UNION ALL
+       |SELECT 'bands', CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(COUNT(DISTINCT CAST(band_idx AS VARCHAR) || '#' || band_key)
+       |    AS BIGINT) FROM bb
+       |UNION ALL
+       |SELECT 'decon', CAST(0 AS BIGINT),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM keptids)
+       |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM khits),
+       |  coalesce((SELECT CAST(SUM(n) AS BIGINT) FROM khits), 0)
+       |UNION ALL
+       |SELECT 'ivf', CAST(cell AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(CAST(ROUND(d2 * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |FROM dassigned GROUP BY cell
+       |UNION ALL
+       |SELECT 'round0', round, mv, CAST(0 AS BIGINT) FROM p0_curve
+       |WHERE round <= (SELECT r FROM p0_stop)
+       |UNION ALL
+       |SELECT 'round1', round, mv, CAST(0 AS BIGINT) FROM p1_curve
+       |WHERE round <= (SELECT r FROM p1_stop)
+       |ORDER BY part, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_corpus_day" -> q221CorpusDay _,
     "q219_takedown_dedup" -> q219TakedownDedup _,
     "q218_warm_dedup" -> q218WarmDedup _,
     "q211_containment_join" -> q211ContainmentJoin _,
@@ -1962,6 +2128,7 @@ object Dedup {
     "q25_ngram_jaccard" -> q25NgramJaccard _)
 
   val oracles: Map[String, String] = Map(
+    "q221_corpus_day" -> q221Sql,
     "q219_takedown_dedup" -> q219Sql,
     "q218_warm_dedup" -> q218Sql,
     "q211_containment_join" -> q211Sql,

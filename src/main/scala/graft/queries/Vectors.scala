@@ -290,7 +290,7 @@ object Vectors {
     * grid) for any (label, embedding) frame — the index-build half
     * shared by q42 (whole corpus) and q220 (base corpus only).
     */
-  private def labelCentroidsOf(e: DataFrame): DataFrame =
+  private[queries] def labelCentroidsOf(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(emb(col("embedding"))).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
       .agg(avg(col("x")).as("m"))
@@ -2161,17 +2161,25 @@ object Vectors {
     ck
   }
 
+  /** DuckDB CTE block replaying q220's frozen index build: per-label
+    * 4dp mean centroids from the BASE corpus (vec_id % 10 <> 0) as
+    * `cent(label, c)`. Shared by [[q220Sql]] and the composed-day
+    * oracle (Dedup.q221Sql) so both replay the identical index.
+    */
+  private[queries] val ivfCentCtes: String =
+    """ex AS (
+      |  SELECT label, CAST(t.i AS INT) AS d,
+      |    CAST(embedding[CAST(t.i+1 AS INT)] AS DOUBLE) AS x
+      |  FROM embeddings, range(64) t(i) WHERE vec_id % 10 <> 0
+      |), cm AS (
+      |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, d
+      |), cent AS (
+      |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
+      |)""".stripMargin
+
   val q220Sql: String = {
     val dIdx = "CAST(i+1 AS INT)"
-    s"""WITH ex AS (
-       |  SELECT label, CAST(t.i AS INT) AS d,
-       |    CAST(embedding[CAST(t.i+1 AS INT)] AS DOUBLE) AS x
-       |  FROM embeddings, range(64) t(i) WHERE vec_id % 10 <> 0
-       |), cm AS (
-       |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, d
-       |), cent AS (
-       |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
-       |), dists AS (
+    s"""WITH $ivfCentCtes, dists AS (
        |  SELECT e.vec_id, cent.label,
        |    ROUND(list_sum(list_transform(range(64),
        |      i -> (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx])

@@ -289,4 +289,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(aff.getLong(2) > 0L, "no disturbed component — vacuous")
     Ck.release(sqOut)
   }
+
+  test("SQL-driven composed day equals q221") {
+    ready
+    // the one-call day on the SQL surface: the q219 dedup machinery
+    // plus tomorrow's band census, exact decontamination, and the
+    // frozen-index delta IVF report — every stage a SQL text,
+    // row-equal to the DataFrame q221 (census, kept, bands, decon,
+    // ivf, and BOTH movement curves)
+    val ddir = "/root/testdata/sf0.01"
+    val dfOut = SparkEntry.queries("q221_corpus_day")(spark, ddir)
+    val sqOut = SqlSurface.corpusDaySql(spark, ddir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"composed day diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+    // non-vacuity: every composed leg produced a real account
+    def part(p: String) = sqOut.filter(col("part") === p)
+    assert(part("bands").head().getLong(2) > 0L, "empty band table")
+    assert(part("decon").head().getLong(3) > 0L,
+      "eval set never overlaps — vacuous decontamination")
+    assert(part("ivf").count() > 0L, "no delta IVF assignment")
+    Ck.release(dfOut); Ck.release(sqOut)
+  }
 }
