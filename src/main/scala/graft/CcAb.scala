@@ -4,81 +4,86 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev A/B harness (round-11 verdict item 1): label-propagation cc
-  * (the shipped ops.ccCore) vs two-phase large-star/small-star
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-  * on the real q161/q217 graphs. Measures wall + round counts and
-  * asserts identical labelings. runMain graft.CcAb <sfDir> [reps]
+  * (the RETIRED pre-r11 engine, carried here verbatim so the A/B
+  * stays re-runnable after ops switched to star contraction) vs
+  * two-phase large-star/small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") on the real q161/q217
+  * graphs. Measures wall + round counts and asserts identical
+  * labelings. runMain graft.CcAb <sfDir> [reps]
   */
 object CcAb {
 
-  /** One large-star + small-star alternation over a canonical
-    * (a < b, distinct) edge frame. Returns (a, b, chg) — the next
-    * canonical edge set with a conservative per-group changed flag:
-    * zero chg rows <=> the edge set is a stable star forest.
-    */
-  def star2Round(e: DataFrame): DataFrame = {
-    val nbr = e.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-    val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    // large-star: every larger neighbor v of u connects to
-    // m = min(N(u) + {u}); changed iff m != u
-    val large = nbr.join(mins, "u").filter(col("v") > col("u"))
-      .select(col("m").as("a"), col("v").as("b"),
-        (col("m") =!= col("u")).as("c"))
-      .groupBy(col("a"), col("b")).agg(max(col("c")).as("cl"))
-    // small-star: per larger endpoint b, all smaller partners (and b
-    // itself) connect to the smallest partner m; changed iff the
-    // group had >1 partner, OR any consumed edge carried a
-    // large-phase flag (so a large-star rewrite is never lost)
-    val g = large.groupBy(col("b"))
-      .agg(min(col("a")).as("m"), max(col("cl")).as("mc"),
-        count(lit(1)).as("cnt"))
-      .select(col("b"), col("m"), (col("mc") || (col("cnt") > 1L)).as("gc"))
-    val rewired = large.join(g, "b")
-      .filter(col("a") =!= col("m"))
-      .select(col("m").as("sa"), col("a").as("sb"), col("gc"))
-    val selfE = g.select(col("m").as("sa"), col("b").as("sb"), col("gc"))
-    rewired.unionByName(selfE)
-      .groupBy(col("sa"), col("sb")).agg(max(col("gc")).as("chg"))
-      .select(col("sa").as("a"), col("sb").as("b"), col("chg"))
-  }
+  // ---- the retired engine: min-label propagation + pointer jump ----
+  // (verbatim r10 ops.ccCore/ccNbrs/ccWarmInit, kept ONLY here as
+  // the A/B baseline — production is ops.star2Round)
 
-  /** Two-phase cc to fixpoint over raw (src, dst) edges. Returns
-    * ((id, component), movement curve).
-    */
-  def star2Cc(edges: DataFrame, src: String, dst: String,
-      labelEdges: Option[DataFrame] = None, maxRounds: Int = 50)
+  private def lpNbrs(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(col(src).as("__node"), col(dst).as("__nbr"))
+      .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
+      .filter(col("__node") =!= col("__nbr"))
+
+  private def lpCore(nbrs: DataFrame, init: DataFrame, maxRounds: Int = 50)
     : (DataFrame, Seq[(Long, Long)]) = {
-    val canon = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b"))
-    val nodes = canon.select(col("a").as("__node"))
-      .unionByName(canon.select(col("b").as("__node"))).distinct()
-      .localCheckpoint(true)
-    val e0 = labelEdges.fold(canon)(le => canon.unionByName(
-        le.select(col("a"), col("b")))).distinct()
-    var e = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
-      e0.localCheckpoint(true))
+    var labels = init
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val (next, mv) = graft.Loop.ckCount(star2Round(e), col("chg"))
+      val nbrMin = nbrs
+        .join(labels.select(col("__node").as("__nbr"), col("__lbl").as("__nlbl")),
+          "__nbr")
+        .groupBy(col("__node")).agg(min(col("__nlbl")).as("__nmin"))
+      val l1 = labels.join(nbrMin, Seq("__node"), "left")
+        .select(col("__node"), col("__lbl"),
+          least(col("__lbl"), coalesce(col("__nmin"), col("__lbl"))).as("__l1"))
+      val (stepped, mv) = graft.Loop.ckCount(
+        l1.join(l1.select(col("__node").as("__t"), col("__l1").as("__tl")),
+            col("__l1") === col("__t"))
+          .select(col("__node"), col("__lbl").as("__old"),
+            col("__tl").as("__lbl")),
+        col("__old") =!= col("__lbl"))
       converged = mv == 0L
       curve += ((rounds.toLong, mv))
-      graft.Ck.release(e)
-      e = next.select(col("a"), col("b"))
+      graft.Ck.release(labels)
+      labels = stepped.select(col("__node"), col("__lbl"))
     }
-    require(converged, s"star2Cc did not converge in $maxRounds rounds")
-    val labels = nodes
-      .join(e.select(col("b").as("__node"), col("a").as("__c")),
-        Seq("__node"), "left")
-      .select(col("__node").as("id"),
-        coalesce(col("__c"), col("__node")).as("component"))
-    (labels, curve.toSeq)
+    nbrs.unpersist(blocking = false)
+    if (!converged) graft.Ck.release(labels)
+    require(converged, s"label-prop cc did not converge in $maxRounds rounds")
+    (labels.select(col("__node").as("id"), col("__lbl").as("component")),
+      curve.toSeq)
+  }
+
+  /** Retired cold engine: (labels, movement curve). */
+  def labelPropCc(edges: DataFrame, src: String, dst: String)
+    : (DataFrame, Seq[(Long, Long)]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nbrs = lpNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
+    val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      nbrs.select(col("__node")).distinct()
+        .select(col("__node"), col("__node").as("__lbl"))
+        .localCheckpoint(true))
+    lpCore(nbrs, init)
+  }
+
+  /** Retired warm engine: kept-label init, affected re-seeded. */
+  def labelPropCcWarm(prevLabels: DataFrame, edges: DataFrame,
+      affected: DataFrame, src: String, dst: String)
+    : (DataFrame, Seq[(Long, Long)]) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nbrs = lpNbrs(edges, src, dst).persist(MEMORY_AND_DISK)
+    val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      nbrs.select(col("__node")).distinct()
+        .join(prevLabels.select(col("id").as("__node"), col("component")),
+          Seq("__node"), "left")
+        .join(broadcast(affected.withColumn("__aff", lit(1L))),
+          Seq("component"), "left")
+        .select(col("__node"),
+          when(col("component").isNull || col("__aff").isNotNull, col("__node"))
+            .otherwise(col("component")).as("__lbl"))
+        .localCheckpoint(true))
+    lpCore(nbrs, init)
   }
 
   private def labelSig(df: DataFrame): (Long, Long) = {
@@ -113,11 +118,11 @@ object CcAb {
         .persist(MEMORY_AND_DISK)
       und.count()
       val (l1, c1) = time("labelprop cold") {
-        val (l, c) = graft.api.ops.connectedComponentsCurve(und, "a", "b")
+        val (l, c) = labelPropCc(und, "a", "b")
         (l.localCheckpoint(true), c)
       }
       val (l2, c2) = time("star2     cold") {
-        val (l, c) = star2Cc(und, "a", "b")
+        val (l, c) = graft.api.ops.connectedComponentsCurve(und, "a", "b")
         (l.localCheckpoint(true), c)
       }
       println(s"[ab] rounds labelprop=${c1.length} star2=${c2.length}")
@@ -131,24 +136,17 @@ object CcAb {
       val und1 = und.join(dels, Seq("a", "b"), "left_anti")
         .unionByName(ins).distinct().persist(MEMORY_AND_DISK)
       und1.count()
-      // labelprop warm (shipped form)
+      // labelprop warm (the retired engine's warm form)
       val (lab0, _) = graft.api.ops.connectedComponentsCurve(und, "a", "b")
       val (w1, wc1) = time("labelprop warm") {
-        val (l, c) = graft.api.ops.incrementalConnectedComponents(
-          lab0, und1, dels, "a", "b")
+        val aff0 = graft.api.ops.ccAffected(lab0, dels, "a", "b")
+        val (l, c) = labelPropCcWarm(lab0, und1, aff0, "a", "b")
         (l.localCheckpoint(true), c)
       }
-      // star2 warm: kept labels as shortcut edges
+      // star2 warm: the shipped production path
       val (w2, wc2) = time("star2     warm") {
-        val aff = graft.api.ops.ccAffected(lab0, dels, "a", "b")
-        val nodes1 = und1.select(col("a").as("id"))
-          .unionByName(und1.select(col("b").as("id"))).distinct()
-        val le = nodes1.join(lab0, Seq("id"), "inner")
-          .join(broadcast(aff.withColumn("__aff", lit(1L))),
-            Seq("component"), "left")
-          .filter(col("__aff").isNull && col("component") =!= col("id"))
-          .select(col("component").as("a"), col("id").as("b"))
-        val (l, c) = star2Cc(und1, "a", "b", labelEdges = Some(le))
+        val (l, c) = graft.api.ops.incrementalConnectedComponents(
+          lab0, und1, dels, "a", "b")
         (l.localCheckpoint(true), c)
       }
       println(s"[ab] warm rounds labelprop=${wc1.length} star2=${wc2.length}")

@@ -979,4 +979,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("parquet"), p) // report is detached from the scan
   }
+  test("cc alternation (star2Round): broadcast min table, partial aggs, runtime exchange reuse") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (1L, 6L))
+      .toDF("a", "b").localCheckpoint(true)
+    val round = graft.api.ops.star2Round(e)
+    round.collect() // AQE finalizes the executed plan
+    val p = round.queryExecution.executedPlan.toString
+    // the per-node min table is node-sized: at this scale it must
+    // broadcast into the neighbor join (at 100 TB the same join
+    // co-partitions on the groupBy's exchange — AQE's call, not a
+    // hand-planned shuffle)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every aggregate is two-phase (map-side partial before the
+    // exchange) — the property that keeps the alternation's shuffles
+    // proportional to DISTINCT edges, not emitted rows
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // the lazy `large` frame feeds three consumers (rewired join,
+    // small-star stats, self-edges); runtime stage reuse must dedupe
+    // the identical exchanges instead of recomputing the phase per
+    // consumer
+    assert(p.contains("ReusedExchange"),
+      s"no runtime exchange reuse in the alternation body:\n$p")
+    Ck.release(e)
+  }
 }
