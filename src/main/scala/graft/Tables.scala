@@ -50,42 +50,51 @@ object Tables {
   /** The testdata parquet files are written as a single row group, so
     * byte-range file splitting cannot parallelize the scan: every
     * downstream map stage (tokenize / explode / signature) would run
-    * on ONE core regardless of cluster size. When the scan yields
-    * fewer splits than cores, spread the rows — a sub-MB shuffle that
-    * buys full parallelism on the corpus map stages. On a production
-    * layout (many files / row groups per table) the condition is
-    * false and this is a no-op: no extra exchange at 100 TB.
+    * on ONE core regardless of cluster size. The round-7 fix was an
+    * inline `repartition(target)` — correct, but it made EVERY
+    * consumer of the table pay a full-frame shuffle per query
+    * (~0.15-0.3 s x ~200 light queries per bench session). Since
+    * round 11 the layout is fixed ONCE per (path, mtime, target):
+    * the first consumer writes a multi-split parquet copy under the
+    * JVM's temp dir (what a production pipeline does to a
+    * badly-laid-out input — rewrite the layout, not re-shuffle per
+    * read), and every later read scans the copy with full split
+    * parallelism and ZERO extra exchange in its plan. On a
+    * production layout (many files / row groups per table) the
+    * condition is false and this is a no-op: no copy, no exchange,
+    * nothing at 100 TB. The copy also inherits any normalization the
+    * caller applied first (events' ts widening), so re-reads skip it.
+    *
+    * CONTRACT: keyed on (path, mtime, size, target) — a testdata
+    * regeneration under the same path gets a fresh copy; the copy
+    * directory lives for the JVM's lifetime (temp-dir hygiene is the
+    * OS's past that). Concurrent first consumers in one JVM
+    * serialize on the memo; separate JVMs write separate copies.
     */
   private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    // df.rdd.getNumPartitions plans the frame to RDDs — a driver-side
-    // analyze/optimize cycle. The answer is fixed per (session, path)
-    // (the testdata is read-only), and documents()/embeddings() are
-    // called hundreds of times per Verify/Bench run, so memoize it.
-    // CONTRACT: the memo assumes the dataset directory is never
-    // rewritten within a session's lifetime — a caller that
-    // regenerates a table under the same path would keep the stale
-    // partition-count decision (harmless: spread only toggles an
-    // extra repartition). If that contract ever breaks, key on a
-    // file-listing snapshot instead.
-    // Keyed by the SESSION OBJECT in a weak map — a hashCode string
-    // would leak entries and could alias a new session to a dead
-    // session's cached decision.
-    val perSession = spreadCache.synchronized {
-      var m = spreadCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-        spreadCache.put(s, m)
+    val src = new java.io.File(key + ".parquet")
+    val fp = s"${src.length}:${src.lastModified / 1000}:$target"
+    val memoKey = s"$key@$fp"
+    val copy = spreadCopies.computeIfAbsent(memoKey, { _ =>
+      // one driver-side plan cycle decides whether the scan already
+      // yields enough splits (production layout: yes -> no-op)
+      if (df.rdd.getNumPartitions >= target) ""
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_spread_").toString
+        df.repartition(target).write.mode("overwrite").parquet(dir)
+        dir
       }
-      m
-    }
-    val needs = perSession.computeIfAbsent(key,
-      _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target))
-    if (needs) df.repartition(target) else df
+    })
+    if (copy.isEmpty) df else s.read.parquet(copy)
   }
 
-  private val spreadCache = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+  // (memoKey -> copy dir, "" = layout already fine). JVM-global on
+  // purpose: the copy is keyed by file identity + target, not by
+  // session, so test suites and benches in one JVM share it.
+  private val spreadCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def documents(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "documents"), s"$d/documents")

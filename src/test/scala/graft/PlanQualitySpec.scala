@@ -175,20 +175,21 @@ class PlanQualitySpec extends SparkSpec {
     val a = graft.api.ops.ivfAssign(
       e.filter(col("vec_id") % 10 === 0), cents, "vec_id", "embedding")
     // the one-row cells array arrives as the BROADCAST build side of
-    // a cross join whose LEFT (vector) side never hash-shuffles: its
-    // only exchange is the loader's round-robin spread (Tables.spread)
+    // a cross join whose LEFT (vector) side carries NO exchange at
+    // all — since round 11 Tables.spread fixes the one-row-group
+    // layout with a write-once copy instead of a per-query
+    // round-robin shuffle, so the vector side is a bare parquet scan
     val p = a.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     // the left (vector) subtree's lines carry ':' bars in the simple
     // tree — that's what distinguishes the sides here (the AQE
     // wrapper hides children from plan.collect, and FormattedMode
     // splits "Exchange" from its partitioning argument)
-    val vectorSideHash = p.linesIterator.filter(l =>
-      l.contains("Exchange hashpartitioning") && l.trim.startsWith(":"))
-      .toSeq
-    assert(vectorSideHash.isEmpty, vectorSideHash.mkString("\n"))
+    val vectorSideExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && l.trim.startsWith(":")).toSeq
+    assert(vectorSideExchanges.isEmpty, vectorSideExchanges.mkString("\n"))
     assert(p.linesIterator.exists(l =>
-      l.contains("Exchange RoundRobinPartitioning") && l.trim.startsWith(":")),
+      l.contains("FileScan parquet") && l.trim.startsWith(":")),
       p) // non-vacuity: the left side is really the ':'-barred subtree
   }
 
