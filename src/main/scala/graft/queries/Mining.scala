@@ -1881,9 +1881,14 @@ object Mining {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = edges0.persist(MEMORY_AND_DISK)
     touch(edges)
-    var active = edges.select(col("src").as("id"))
-      .unionByName(edges.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+    // the node count rides the init checkpoint (round-11 job-floor
+    // pass: the trim loop below needs |active| anyway — survivors ==
+    // prior count IS the fixpoint test, replacing the old per-pass
+    // removed-emptiness job)
+    var (active, activeCnt) = graft.Loop.ckCount(
+      edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id")))
+        .distinct(), lit(true))
     // the hash-scrambled propagation order ord(v) = h28(v)·2³⁵ + v
     // (see phase 2) needs ids in [0, 2³⁵) to stay injective and
     // order-safe in int64 — fail loudly outside the envelope
@@ -1893,43 +1898,46 @@ object Mining {
         s"SCC needs node ids in [0, 2^35), got [${idBounds.getLong(0)}, " +
           s"${idBounds.getLong(1)}] — relabel (e.g. zipWithIndex) first")
     }
-    var assigned = active.select(col("id"), col("id").as("scc"))
-      .filter(lit(false)).localCheckpoint(true)
+    // assigned SCCs accumulate as CHECKPOINT PIECES, unioned lazily
+    // at the end — the old per-pass assigned ∪ piece re-checkpoint
+    // was one whole extra job per trim shrink and per outer round
+    // for data that nothing reads until the final assembly (pieces
+    // are LogicalRDD leaves, so the final union's plan depth is the
+    // piece count — bounded by outer x trim passes, ~tens)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     var maxBw = 0L // deepest backward-collect round count (probe stat)
-    var done = active.isEmpty
+    var done = activeCnt == 0L
     while (!done && outer < maxOuter) {
       outer += 1
       // ---- (1) trim to fixpoint: peel no-in / no-out nodes --------
       var cur = active
-      var curCnt = -1L // survivor count as of the LAST trim pass
+      var curCnt = activeCnt // survivor count entering each pass
       var trimming = true
       var trimGuard = 0
       while (trimming && trimGuard < 200) {
         trimGuard += 1
         // one pass over the induced edges: a node survives iff it
         // appears as SOME src and SOME dst (two semi-joins would
-        // re-execute the curE derivation twice per round)
-        // survivor count rides the checkpoint job (graft.Loop) — it
-        // doubles as the post-trim emptiness check
+        // re-execute the curE derivation twice per round).
+        // Survivor count rides the checkpoint job (graft.Loop) and
+        // IS the fixpoint test: survivors == prior live count means
+        // the pass removed nothing (the old shape paid a second
+        // removed-emptiness job per pass for the same answer)
         val (keep, keepCnt) = graft.Loop.ckCount(
           sccTrimKeep(edges, cur), lit(true))
-        curCnt = keepCnt
-        val (removed, rEmpty) = graft.Loop.ckIsEmpty(
-          cur.join(keep, Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("scc")))
-        trimming = !rEmpty
+        trimming = keepCnt != curCnt
         if (trimming) {
-          val na = assigned.unionByName(removed).localCheckpoint(true)
-          graft.Ck.release(assigned)
-          assigned = na
-          if (cur ne active) graft.Ck.release(cur)
-          cur = keep
-        } else {
-          graft.Ck.release(removed)
-          if (cur ne active) graft.Ck.release(cur)
-          cur = keep
+          // the peeled nodes are singleton SCCs — one checkpoint
+          // piece, consumed by the final assembly only
+          val (removed, _) = graft.Loop.ckCount(
+            cur.join(keep, Seq("id"), "left_anti")
+              .select(col("id"), col("id").as("scc")), lit(true))
+          pieces += removed
         }
+        curCnt = keepCnt
+        if (cur ne active) graft.Ck.release(cur)
+        cur = keep
       }
       require(!trimming, "SCC trim did not reach a fixpoint")
       done = curCnt == 0L // counted on the final trim pass's job
@@ -2021,15 +2029,21 @@ object Mining {
         var bwGuard = 0
         while (growing && bwGuard < oneStepBudget) {
           bwGuard += 1
-          val (grow, gEmpty) = graft.Loop.ckIsEmpty(
-            sccCollectGrow(ce, color, members))
-          growing = !gEmpty
-          if (growing) {
-            val nm = members.unionByName(grow).localCheckpoint(true)
-            graft.Ck.release(members)
-            graft.Ck.release(grow)
-            members = nm
-          } else graft.Ck.release(grow)
+          // ONE job per growth round (round-11 job-floor pass): the
+          // members ∪ frontier union is checkpointed with the
+          // new-row count riding it — the old shape paid a frontier
+          // emptiness job AND a union checkpoint job per round. The
+          // final (zero-growth) round re-materializes an unchanged
+          // member set; one redundant class-sized copy against one
+          // saved job every growing round.
+          val (nm, nNew) = graft.Loop.ckCount(
+            members.select(col("id"), col("clr"), lit(false).as("__new"))
+              .unionByName(sccCollectGrow(ce, color, members)
+                .select(col("id"), col("clr"), lit(true).as("__new"))),
+            col("__new"))
+          growing = nNew > 0L
+          graft.Ck.release(members)
+          members = nm.select(col("id"), col("clr"))
         }
         if (growing) {
           // (3b) giant-SCC path: doubled fixpoint over the class
@@ -2061,25 +2075,26 @@ object Mining {
         }
         maxBw = math.max(maxBw, bwGuard.toLong)
         // assign this round's SCCs by their MINIMUM member id (the
-        // canonical label — the root's max-id is propagation-internal)
+        // canonical label — the root's max-id is propagation-internal);
+        // one checkpoint PIECE for the final assembly, no running
+        // assigned re-checkpoint (round-11 job-floor pass)
         val minId = members.groupBy(col("clr")).agg(min(col("id")).as("scc"))
-        val roundA = members.join(minId, Seq("clr"))
-          .select(col("id"), col("scc"))
-          .localCheckpoint(true)
-        val na = assigned.unionByName(roundA).localCheckpoint(true)
-        graft.Ck.release(assigned)
-        graft.Ck.release(roundA)
-        assigned = na
-        // emptiness check rides the checkpoint job (graft.Loop)
-        val (nextActive, naEmpty) = graft.Loop.ckIsEmpty(
-          cur.join(members, Seq("id"), "left_anti"))
+        val (roundA, _) = graft.Loop.ckCount(
+          members.join(minId, Seq("clr")).select(col("id"), col("scc")),
+          lit(true))
+        pieces += roundA
+        // survivor count rides the checkpoint job (graft.Loop) —
+        // it seeds the next outer round's trim fixpoint test
+        val (nextActive, naCnt) = graft.Loop.ckCount(
+          cur.join(members, Seq("id"), "left_anti"), lit(true))
         graft.Ck.release(members)
         graft.Ck.release(color)
         if (cur ne active) graft.Ck.release(cur)
         ce.unpersist(blocking = false)
         graft.Ck.release(active)
         active = nextActive
-        done = naEmpty
+        activeCnt = naCnt
+        done = naCnt == 0L
       } else {
         // the live subgraph dissolved entirely inside the trim
         if (cur ne active) { graft.Ck.release(active); active = cur }
@@ -2087,10 +2102,15 @@ object Mining {
     }
     edges.unpersist(blocking = false) // release before the loud guard
     graft.Ck.release(active) // empty (or superseded) on every exit path
+    if (!done) pieces.foreach(graft.Ck.release) // nothing reads them past the guard
     require(done, s"SCC did not converge in $maxOuter outer rounds")
     graft.LoopStats.recordLoop("scc", outer.toLong)
     graft.LoopStats.record("scc_bw", maxBw) // deepest collect depth
-    (assigned, outer)
+    // lazy assembly: a flat union of checkpoint pieces (plan depth =
+    // piece count, bounded by outer rounds x trim passes)
+    val empty = edges0.sparkSession.range(0)
+      .select(col("id"), col("id").as("scc"))
+    (pieces.foldLeft(empty)(_ unionByName _), outer)
   }
 
   // ---------------------------------------------------------------
