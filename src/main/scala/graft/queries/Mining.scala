@@ -1043,35 +1043,36 @@ object Mining {
     val maxHops = 41
     var hop = 0
     var exhausted = false
-    var expanded = false // has frontier ever been re-pointed off visited?
     while (!exhausted && hop < maxHops) {
       hop += 1
-      // one materialization: empty-probe (ridden) + union + next hop
-      val (fresh, fEmpty) = graft.Loop.ckIsEmpty(
-        nbrs.join(frontier, "node")
-          .select(col("nbr").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .select(col("node"), lit(hop.toLong).as("dist")))
-      exhausted = fEmpty
-      if (!exhausted) {
-        val nv = visited.unionByName(fresh).localCheckpoint(true)
-        // hop h-1's accumulator and frontier are fully consumed
-        // (expansion, anti-join, and union all materialized): release
-        graft.Ck.release(visited)
-        graft.Ck.release(frontier)
-        visited = nv
-        frontier = fresh.select(col("node"))
-        expanded = true
-      } else {
-        graft.Ck.release(fresh) // empty probe frame
-      }
+      // ONE job per hop (round-11 job-floor pass): the accumulator ∪
+      // expansion union is checkpointed with the fresh-row count
+      // riding it — the old shape paid a frontier checkpoint job AND
+      // a union checkpoint job per hop. The final (empty-frontier)
+      // hop re-materializes an unchanged accumulator; one redundant
+      // node-sized copy against one saved job every expanding hop.
+      // (ops.bfsDistances keeps the per-level-checkpoint shape for
+      // O(n) total materialized bytes at scale; this twin keeps the
+      // flat single-accumulator shape CcLoopSpec pins.)
+      val (nv, nNew) = graft.Loop.ckCount(
+        visited.select(col("node"), col("dist"), lit(false).as("__new"))
+          .unionByName(nbrs.join(frontier, "node")
+            .select(col("nbr").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .select(col("node"), lit(hop.toLong).as("dist"),
+              lit(true).as("__new"))),
+        col("__new"))
+      exhausted = nNew == 0L
+      graft.Ck.release(visited)
+      visited = nv.select(col("node"), col("dist"))
+      if (!exhausted) frontier = nv.filter(col("__new")).select(col("node"))
       probe(hop, visited)
     }
     nbrs.unpersist(blocking = false) // release before the loud guard
-    // last non-empty frontier, already unioned — but when hop 1
-    // exhausted immediately, frontier still shares the seed visited
-    // checkpoint the dist join below reads: don't release that one
-    if (expanded) graft.Ck.release(frontier)
+    // frontier is a filter over the LIVE accumulator checkpoint now —
+    // no separate frontier checkpoint exists to release (the one-job
+    // ride above folded it into the accumulator)
+    if (!exhausted) graft.Ck.release(visited)
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
     graft.LoopStats.recordLoop("bfs", hop.toLong)
     val dist = nodes.join(visited, Seq("node"), "left")
