@@ -30,4 +30,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // executor threads in the one driver JVM — 8g caused cache-eviction
   // churn artifacts in the round-1 bench
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 1g code cache (JDK 17 default: 240 MB). A 221-query bench session
+  // generates thousands of unique whole-stage-codegen classes —
+  // convergence loops whose per-round plans embed changing literals
+  // compile fresh Janino classes EVERY round — and with zero old-gen
+  // collections (r11 meta: G1 Old count=0) classes never unload, so
+  // the code cache fills monotonically and the JIT sweeper starts
+  // flushing/deoptimizing near the session tail. r11's unexplained
+  // tail spikes (q217 run1 53 s, q219 run1 27 s, q216 runs growing
+  // 11.9→19.8 s with flat task counts) carry that signature; heap GC
+  // was ruled out (5.5 s young-gen across 1112 s). Bench records
+  // per-query code-cache occupancy ("ccache_mb") as the evidence
+  // trail.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

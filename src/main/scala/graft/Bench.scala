@@ -130,6 +130,19 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       if (ok) dt else -1.0
     }
+    // JIT code-cache occupancy (MB across the segmented CodeHeap
+    // pools): the r11 tail spikes (q217 run1 53 s, q219 run1 27 s)
+    // had flat task counts and near-zero GC — the remaining JVM-level
+    // suspect is code-cache pressure from per-round codegen churn.
+    // Recording occupancy per query turns the next such drift from a
+    // guess into a read.
+    def codeCacheMb(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed / 1048576.0).sum
+    }
+    var ccacheByQuery = Map.empty[String, Double]
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = timeOnce(fn)
       val startS = (System.nanoTime() - tStart) / 1e9
@@ -145,6 +158,7 @@ object Bench {
       LoopStats.drain() // discard any counts from warm-up/prior query
       val runs = Seq(once(), once(), once())
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
+      ccacheByQuery += (name -> codeCacheMb())
       // round counts are data-driven and identical across the runs,
       // so the post-runs snapshot is THE count for this query
       (name, agg, runs, startS, LoopStats.drain())
@@ -186,9 +200,11 @@ object Bench {
       val spreadField =
         if (runs.exists(_ <= 0)) ""
         else ",\"spread\":" + fmt(runs.max / runs.min)
+      val ccField = ccacheByQuery.get(k)
+        .map(v => ",\"ccache_mb\":" + fmt(v)).getOrElse("")
       "\"" + k + "\":{\"start_s\":" + fmt(startS) +
         ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
-        spreadField + roundsField + "}"
+        spreadField + ccField + roundsField + "}"
     }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
@@ -224,9 +240,13 @@ object Bench {
         Double.box(ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage))
       val wall = String.format(java.util.Locale.ROOT, "%.1f",
         Double.box((System.nanoTime() - tStart) / 1e9))
+      val ccMax = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getMax / 1048576.0).sum
       s"""{"jvm":"${System.getProperty("java.version")}","cpus":$cpus,""" +
         s""""runs_per_query":3,"warmup_runs":1,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
+        s""""ccache_used_mb":${fmt(codeCacheMb())},"ccache_max_mb":${fmt(ccMax)},""" +
         s""""gc":$gc,"wall_s":$wall,"data":$dataFp}"""
     }
     def detailLine =

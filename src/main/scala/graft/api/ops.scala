@@ -1770,14 +1770,27 @@ object ops {
     val nodes = endpoints.select(col("__node"))
       .distinct().localCheckpoint(true)
     val seed = nodes.filter(isSeed(col("__node")))
-      .select(col("__node"), lit(0L).as("__dist"))
+      .select(col("__node"))
       .localCheckpoint(true)
-    // per-level checkpoints, newest first — together they ARE the
-    // visited set and the result; nothing is ever re-copied
+    // per-level NODE-ONLY checkpoints, newest first — together they
+    // ARE the visited set; nothing is ever re-copied. Node-only is
+    // deliberate (round-12): the old shape projected
+    // `lit(hop).as("__dist")` inside the hop plan, and that changing
+    // literal made every hop's whole-stage-codegen source UNIQUE —
+    // one fresh Janino class per hop per run, which both recompiles
+    // on every hop (the 100-entry codegen cache can't hold a
+    // 60-hop sweep's worth of one-off sources) and fills the JIT
+    // code cache across a bench session (the r11 tail-spike class).
+    // With the literal gone every hop reuses ONE cached plan; the
+    // hop number is attached below in `withDist`, a plan-only union
+    // that executes once at assembly time, never per hop.
     var levels: List[DataFrame] = List(seed)
-    var frontier = seed.select(col("__node")) // level d
-    var prevNodes = seed.select(col("__node")).filter(lit(false)) // level d-1
-    def visitedAll = levels.reduceLeft(_ unionByName _)
+    var frontier = seed // level d
+    var prevNodes = seed.filter(lit(false)) // level d-1
+    // distances view, grown one union branch per hop (plan objects
+    // only — the per-branch literal projection is a trivial Project
+    // over a checkpoint scan, compiled once at the final assembly)
+    var withDist = seed.select(col("__node"), lit(0L).as("__dist"))
     var hop = 0
     var exhausted = false
     while (!exhausted && hop < maxHops) {
@@ -1788,24 +1801,25 @@ object ops {
         nbrs.join(frontier, "__node")
           .select(col("__nbr").as("__node")).distinct()
           .join(frontier, Seq("__node"), "left_anti")
-          .join(prevNodes, Seq("__node"), "left_anti")
-          .select(col("__node"), lit(hop.toLong).as("__dist")))
+          .join(prevNodes, Seq("__node"), "left_anti"))
       exhausted = fEmpty
       if (!exhausted) {
         levels ::= fresh
+        withDist = withDist.unionByName(
+          fresh.select(col("__node"), lit(hop.toLong).as("__dist")))
         prevNodes = frontier
-        frontier = fresh.select(col("__node"))
+        frontier = fresh
       } else {
         graft.Ck.release(fresh) // empty probe frame
       }
-      probe(hop, visitedAll)
+      probe(hop, withDist)
     }
     nbrs.unpersist(blocking = false)
     endpoints.unpersist(blocking = false)
     // the level checkpoints must not outlive a tripped guard
     if (!exhausted) { levels.foreach(graft.Ck.release); graft.Ck.release(nodes) }
     require(exhausted, s"BFS frontier not exhausted in $maxHops hops")
-    val dist = nodes.join(visitedAll, Seq("__node"), "left")
+    val dist = nodes.join(withDist, Seq("__node"), "left")
       .select(col("__node").as("id"),
         coalesce(col("__dist"), lit(-1L)).as("dist"))
     (dist, hop)

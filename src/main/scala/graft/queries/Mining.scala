@@ -1033,7 +1033,10 @@ object Mining {
     var visited = nodes.filter(col("node") % 97L === 0L)
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    var frontier = visited.select(col("node"))
+    // frontier carries dist so the expansion derives the next level's
+    // distance as dist + 1 (all members of one level share a dist;
+    // the groupBy-min below is that shared value, replacing distinct)
+    var frontier = visited.select(col("node"), col("dist"))
     // Guard: fail loudly, never spin. 41 = the oracle's 40-hop
     // recursion cap + 1: the engine proves exhaustion with an EMPTY
     // round past the last distance, so supporting eccentricity <= 40
@@ -1054,18 +1057,25 @@ object Mining {
       // (ops.bfsDistances keeps the per-level-checkpoint shape for
       // O(n) total materialized bytes at scale; this twin keeps the
       // flat single-accumulator shape CcLoopSpec pins.)
+      // the fresh level's dist comes from the FRONTIER's dist + 1
+      // (column arithmetic), not `lit(hop)` — a changing literal
+      // would make every hop's codegen source unique, recompiling a
+      // fresh Janino class per hop per run (the r12 code-cache
+      // finding; ops.bfsDistances carries the level-list variant of
+      // the same fix)
       val (nv, nNew) = graft.Loop.ckCount(
         visited.select(col("node"), col("dist"), lit(false).as("__new"))
           .unionByName(nbrs.join(frontier, "node")
-            .select(col("nbr").as("node")).distinct()
+            .groupBy(col("nbr")).agg(min(col("dist") + 1L).as("dist"))
+            .select(col("nbr").as("node"), col("dist"))
             .join(visited, Seq("node"), "left_anti")
-            .select(col("node"), lit(hop.toLong).as("dist"),
-              lit(true).as("__new"))),
+            .select(col("node"), col("dist"), lit(true).as("__new"))),
         col("__new"))
       exhausted = nNew == 0L
       graft.Ck.release(visited)
       visited = nv.select(col("node"), col("dist"))
-      if (!exhausted) frontier = nv.filter(col("__new")).select(col("node"))
+      if (!exhausted) frontier = nv.filter(col("__new"))
+        .select(col("node"), col("dist"))
       probe(hop, visited)
     }
     nbrs.unpersist(blocking = false) // release before the loud guard
