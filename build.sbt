@@ -43,4 +43,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // per-query code-cache occupancy ("ccache_mb") as the evidence
   // trail.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
+  // Codegen-class cache: Spark's default is 100 entries, and one run
+  // of the heavy CDC/dedup queries alone generates more unique
+  // whole-stage-codegen sources than that (q219: ~127 jobs/run), so
+  // EVERY run recompiled its full class set — the r11/r12 probe
+  // showed 72 s of JIT-compiler time in a cold q219 run and ~5-8 MB
+  // of fresh code-cache per run, with C2 threads stealing CPU from
+  // the 32 executor threads (the real cause of the r11 bench tail
+  // spikes; GC was ~100 ms). 4096 entries lets a whole bench session
+  // keep its codegen classes: measured q219 BenchOne steady-state
+  // spread drops from [12.7, 21.8, 16.2, 7.1] to [6.5, 5.9, 7.4,
+  // 7.1] s. Static SQL conf — must be set before the first
+  // SparkSession, which is why it rides javaOptions.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )

@@ -90,6 +90,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // belt-and-braces twin of the build.sbt -D (static conf): the
+      // 100-entry default thrashes on the CDC/dedup queries and the
+      // resulting per-run JIT recompilation is the adjudicated cause
+      // of the r11 tail spikes (q217/q219)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -143,8 +148,26 @@ object Bench {
         .map(_.getUsage.getUsed / 1048576.0).sum
     }
     var ccacheByQuery = Map.empty[String, Double]
+    // Hypervisor steal per query (seconds, whole-VM): this box is a
+    // guest on a shared host, and /proc/stat's steal column counts
+    // ticks the host withheld. The r12 q193/q195/q205 spread
+    // adjudication traced two ~55 s in-session windows of 3-8x
+    // inflated runs to exactly this class (flat ccache, 0 old-gen
+    // GC, tight tail retries, cumulative steal 264 s in 49 min of
+    // uptime) — recording the per-query delta makes the next such
+    // window a READ ("steal_s": 40) instead of an elimination
+    // argument. Linux-only; absent file -> field omitted.
+    def stealTicks(): Long = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = l.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+    val hz = 100.0 // USER_HZ; universal on stock Linux
+    var stealByQuery = Map.empty[String, Double]
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = timeOnce(fn)
+      val steal0 = stealTicks()
       val startS = (System.nanoTime() - tStart) / 1e9
       // ONE untimed warm-up run before the three timed runs: the
       // bench's stated target is the reproducible steady-state cost
@@ -159,6 +182,9 @@ object Bench {
       val runs = Seq(once(), once(), once())
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
       ccacheByQuery += (name -> codeCacheMb())
+      val steal1 = stealTicks()
+      if (steal0 >= 0 && steal1 >= 0)
+        stealByQuery += (name -> (steal1 - steal0) / hz)
       // round counts are data-driven and identical across the runs,
       // so the post-runs snapshot is THE count for this query
       (name, agg, runs, startS, LoopStats.drain())
@@ -202,9 +228,11 @@ object Bench {
         else ",\"spread\":" + fmt(runs.max / runs.min)
       val ccField = ccacheByQuery.get(k)
         .map(v => ",\"ccache_mb\":" + fmt(v)).getOrElse("")
+      val stealField = stealByQuery.get(k)
+        .map(v => ",\"steal_s\":" + fmt(v)).getOrElse("")
       "\"" + k + "\":{\"start_s\":" + fmt(startS) +
         ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
-        spreadField + ccField + roundsField + "}"
+        spreadField + ccField + stealField + roundsField + "}"
     }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
@@ -247,6 +275,7 @@ object Bench {
         s""""runs_per_query":3,"warmup_runs":1,"agg":"min","heap_max_mb":${Runtime.getRuntime.maxMemory() / 1048576},""" +
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
         s""""ccache_used_mb":${fmt(codeCacheMb())},"ccache_max_mb":${fmt(ccMax)},""" +
+        s""""steal_session_s":${fmt(stealByQuery.values.sum)},""" +
         s""""gc":$gc,"wall_s":$wall,"data":$dataFp}"""
     }
     def detailLine =
