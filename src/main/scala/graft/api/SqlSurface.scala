@@ -1290,13 +1290,19 @@ object SqlSurface {
       |  GROUP BY src
       |) ON id = src""".stripMargin
 
-  /** One doubled-fixpoint round of the giant-SCC backward collect —
-    * plan-equal to Mining.sccBackRound.
-    */
-  val sccBackRoundSql: String =
-    s"""SELECT a.id, a.ord, a.old, greatest(a.b1, b.tb) AS b
+  private val sccB2Sub: String =
+    s"""SELECT a.id, a.ord, a.old, greatest(a.b1, b.tb) AS b2
        |FROM ($sccB1Sub) a
        |JOIN (SELECT ord AS t, b1 AS tb FROM ($sccB1Sub)) b ON a.b1 = b.t""".stripMargin
+
+  /** One doubled-fixpoint round of the giant-SCC backward collect —
+    * plan-equal to Mining.sccBackRound (round-12: TWO pointer jumps
+    * per round, see that scaladoc).
+    */
+  val sccBackRoundSql: String =
+    s"""SELECT a.id, a.ord, a.old, greatest(a.b2, b.tb2) AS b
+       |FROM ($sccB2Sub) a
+       |JOIN (SELECT ord AS t2, b2 AS tb2 FROM ($sccB2Sub)) b ON a.b2 = b.t2""".stripMargin
 
   /** q199's SCC loop driven entirely through `spark.sql` over a
     * caller-persisted canonical directed edge frame: the EXACT
@@ -1381,12 +1387,21 @@ object SqlSurface {
             .localCheckpoint(true)
           var growing = true
           var bwGuard = 0
-          while (growing && bwGuard < oneStepBudget) {
+          // stagnation bail — mirrors Mining.sccAssign's round-12
+          // control flow (see the scaladoc there for the heuristic)
+          val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var collected = 0L
+          var bail = false
+          while (growing && !bail && bwGuard < oneStepBudget) {
             bwGuard += 1
             members.createOrReplaceTempView("scc_members")
-            val (grow, gEmpty) =
-              graft.Loop.ckIsEmpty(s.sql(sccCollectGrowSql))
-            growing = !gEmpty
+            val (grow, nNew) =
+              graft.Loop.ckCount(s.sql(sccCollectGrowSql), lit(true))
+            growing = nNew > 0L
+            collected += nNew
+            hist += nNew
+            bail = growing && bwGuard >= 8 && nNew <= hist(bwGuard - 7) &&
+              (curCnt - collected) > 16L * nNew
             if (growing) {
               val nm = members.unionByName(grow).localCheckpoint(true)
               graft.Ck.release(members)

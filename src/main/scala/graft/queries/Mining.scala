@@ -1872,6 +1872,18 @@ object Mining {
     * (max-descendant propagation over the class-internal edges
     * REVERSED, same pointer jump). Returns (id, ord, old, b). See
     * [[sccTrimKeep]] for why this is factored.
+    *
+    * Round-12: TWO pointer jumps per round instead of one. A jump
+    * composes descendant-or-self pointers (b(v) = ord(u) means
+    * v →* u in-class, and b(u) = ord(w) means u →* w, so v →* w) —
+    * composing twice per round is equally sound and cuts the
+    * sequential round count ~40% (the SCALE_PROBE giant rings:
+    * 17/25/30 single-jump fixpoint rounds at n = 1.4k/14k/144k).
+    * Cost: one extra self-join shuffle per round INSIDE the round's
+    * one job — and this path only executes on a giant SCC, where
+    * sequential rounds (job-launch floor × rounds) dominate, so
+    * trading an in-job shuffle for half the rounds wins at any
+    * scale. The common many-small-SCC case never reaches this code.
     */
   private[graft] def sccBackRound(sameE: DataFrame, back: DataFrame): DataFrame = {
     val outMax = sameE
@@ -1881,10 +1893,14 @@ object Mining {
       .join(outMax, col("id") === col("src"), "left")
       .select(col("id"), col("ord"), col("b").as("old"),
         greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
-    b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
+    val b2 = b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
         col("b1") === col("t"))
       .select(col("id"), col("ord"), col("old"),
-        greatest(col("b1"), col("tb")).as("b"))
+        greatest(col("b1"), col("tb")).as("b2"))
+    b2.join(b2.select(col("ord").as("t2"), col("b2").as("tb2")),
+        col("b2") === col("t2"))
+      .select(col("id"), col("ord"), col("old"),
+        greatest(col("b2"), col("tb2")).as("b"))
   }
 
   private[graft] def sccAssign(edges0: DataFrame,
@@ -2038,7 +2054,28 @@ object Mining {
           .localCheckpoint(true)
         var growing = true
         var bwGuard = 0
-        while (growing && bwGuard < oneStepBudget) {
+        // Round-12 STAGNATION BAIL: a giant SCC's backward frontier
+        // grows ADDITIVELY (a directed ring adds one predecessor per
+        // root per round), so burning the whole 64-round trial before
+        // falling through pays 64 sequential jobs for nothing — the
+        // r11 SCALE_PROBE giant rings spent 64 of their 81-94 collect
+        // rounds exactly there. The exact remaining-collectible count
+        // is UNKNOWABLE mid-phase (v is collectible iff v reaches its
+        // color root — reachability is the thing being computed), so
+        // the bail is a growth-rate heuristic: past round 8, if the
+        // frontier has not grown in 6 rounds (nNew ≤ nNew six rounds
+        // ago) AND the uncollected live mass exceeds 16 more rounds
+        // at the current rate, switch to the doubled fixpoint now.
+        // `curCnt - collected` OVERCOUNTS remaining (it includes
+        // next-outer-round nodes that were never collectible), so a
+        // late-phase misfire is possible — the cost is one exact
+        // class-wide fixpoint for that outer round, never
+        // correctness; the multiplicative-growth common case (real
+        // corpora post-trim) never trips either clause.
+        val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var collected = 0L
+        var bail = false
+        while (growing && !bail && bwGuard < oneStepBudget) {
           bwGuard += 1
           // ONE job per growth round (round-11 job-floor pass): the
           // members ∪ frontier union is checkpointed with the
@@ -2053,6 +2090,10 @@ object Mining {
                 .select(col("id"), col("clr"), lit(true).as("__new"))),
             col("__new"))
           growing = nNew > 0L
+          collected += nNew
+          hist += nNew
+          bail = growing && bwGuard >= 8 && nNew <= hist(bwGuard - 7) &&
+            (curCnt - collected) > 16L * nNew
           graft.Ck.release(members)
           members = nm.select(col("id"), col("clr"))
         }

@@ -167,13 +167,17 @@ class MiningSpec extends SparkSpec {
       s"ring must be one SCC labeled 0")
     assert(outer == 1, s"one trim-free outer round, got $outer")
     val bw = graft.LoopStats.drain().getOrElse("scc_bw", -1L)
-    // the one-step trial budget (64) must fail here, then the
-    // doubled fixpoint finishes in ~2-3x log2(600) expected rounds —
-    // nowhere near the linear 599 the round-7 one-step-only collect
-    // needed. (An id-ordered max walk WOULD be linear even when
+    // round-12 shape: the stagnation bail must abandon the one-step
+    // trial by round ~8 (the ring's frontier adds exactly one node
+    // per round — flat nNew, huge uncollected mass), then the
+    // DOUBLE-pointer-jump fixpoint finishes in ~log2(600) expected
+    // rounds — nowhere near the 64-round trial the r11 hybrid burned
+    // first, let alone the linear 599 of the round-7 one-step-only
+    // collect. (An id-ordered max walk WOULD be linear even when
     // doubled: this ring is exactly the adversarial monotone case
     // the hash-scrambled propagation order defuses.)
-    assert(bw > 64L && bw <= 110L, s"collect rounds not logarithmic: $bw")
+    assert(bw > 8L && bw <= 30L,
+      s"collect rounds not [bail-by-8 + O(log) fixpoint]: $bw")
   }
 
   test("dagLayers stratifies a hand-built condensation by longest path") {
