@@ -76,4 +76,85 @@ class DedupPropertySpec extends SparkSpec {
         s"labels diverge: docs=$docs delta=$delta dels=$dels")
     }
   }
+
+  // a two-day walk: docs assigned to base / day-1 insert / day-2
+  // insert, plus raw takedown draws for each day (resolved against
+  // the then-living corpus in the test body — a draw that hits a
+  // not-yet-inserted or already-deleted doc is simply dropped, so
+  // empty takedown days and empty delta days both occur naturally)
+  private val twoDayGen
+    : Gen[(Seq[(Long, Int)], Set[Long], Set[Long], Seq[Long], Seq[Long])] =
+    for {
+      n <- Gen.choose(8, 20)
+      nGroups <- Gen.choose(1, 5)
+      groups <- Gen.listOfN(n, Gen.choose(0, nGroups - 1))
+      dayBits <- Gen.listOfN(n, Gen.choose(0, 5)) // 0-3 base, 4 d1, 5 d2
+      docs = groups.zipWithIndex.map { case (g, i) => (i.toLong * 3 + 1, g) }
+      delta1 = docs.zip(dayBits).collect { case ((id, _), 4) => id }.toSet
+      delta2 = docs.zip(dayBits).collect { case ((id, _), 5) => id }.toSet
+      del1Idx <- Gen.listOfN(3, Gen.choose(0, n - 1))
+      del2Idx <- Gen.listOfN(4, Gen.choose(0, n - 1))
+    } yield (docs, delta1, delta2,
+      del1Idx.map(i => docs(i)._1), del2Idx.map(i => docs(i)._1))
+
+  test("two-day corpusDay chains equal cold recomputation on random CDC walks") {
+    // the r11 verdict's named gap: DedupPropertySpec walked ONE warm
+    // day; the composed artifact HANDOFF (day 2 consuming day 1's
+    // corpus/labels/bands) only had fixed shapes (CorpusDaySpec).
+    // This leg walks 20 random two-day chains through ops.corpusDay
+    // and pins every day-2 artifact — kept, labels, band table —
+    // equal to the cold recomputation on the final surviving union.
+    val s = spark
+    import s.implicits._
+    var nonVacuous = 0
+    forAllSamples(20, twoDayGen) {
+      case (docs, delta1, delta2, del1Raw, del2Raw) =>
+        val all = docs.map { case (id, g) => (id, groupText(g)) }
+          .toDF("doc_id", "text")
+        val baseIds = docs.map(_._1).toSet -- delta1 -- delta2
+        val dels1 = del1Raw.toSet & baseIds
+        val live1 = (baseIds ++ delta1) -- dels1
+        val dels2 = del2Raw.toSet & live1
+        val live2 = (live1 ++ delta2) -- dels2
+        def slice(idsW: Set[Long]): DataFrame =
+          if (idsW.isEmpty) all.filter(col("doc_id") < 0L)
+          else all.filter(col("doc_id").isin(idsW.toSeq: _*))
+        val base = slice(baseIds)
+        val (lab0, _) = ops.nearDupLabels(base, "doc_id", "text")
+        val bands0 = ops.nearDupBands(base, "doc_id", "text")
+          .localCheckpoint(true)
+        val day1 = ops.corpusDay(base, slice(delta1),
+          dels1.toSeq.toDF("doc_id"), "doc_id", "text", lab0,
+          oldBands = Some(bands0))
+        val day2 = ops.corpusDay(day1.corpus, slice(delta2),
+          dels2.toSeq.toDF("doc_id"), "doc_id", "text", day1.labels,
+          oldBands = Some(day1.bands))
+        // day-1 artifacts are superseded once day 2 returns — release
+        // them FIRST, proving day 2's outputs don't read them
+        Ck.release(day1.labels); Ck.release(day1.bands)
+        val surviving = slice(live2)
+        val cold = ops.nearDupDedup(surviving, "doc_id", "text")
+        val (coldLab, _) = ops.nearDupLabels(surviving, "doc_id", "text")
+        val coldBands = ops.nearDupBands(surviving, "doc_id", "text")
+        val ctx = s"docs=$docs d1=$delta1 d2=$delta2 dels1=$dels1 dels2=$dels2"
+        assert(idSet(day2.corpus) == live2, s"corpus diverges: $ctx")
+        assert(idSet(day2.kept) == idSet(cold), s"kept diverges: $ctx")
+        assert(labelSet(day2.labels) == labelSet(coldLab),
+          s"labels diverge: $ctx")
+        def bandSet(df: DataFrame): Set[(Long, Int, String)] =
+          df.select(col("__id"), col("band_idx"), col("band_key"))
+            .collect().map(r =>
+              (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+        assert(bandSet(day2.bands) == bandSet(coldBands),
+          s"band table diverges: $ctx")
+        if (delta2.nonEmpty && dels2.nonEmpty) nonVacuous += 1
+        Ck.release(day2.labels); Ck.release(day2.bands)
+        Ck.release(lab0); Ck.release(bands0); Ck.release(coldLab)
+    }
+    // aggregated vacuity guard: empty-delta/empty-takedown days are
+    // legitimate samples, but the run as a whole must have exercised
+    // real day-2 churn
+    assert(nonVacuous >= 5,
+      s"only $nonVacuous/20 chains had both day-2 inserts and takedowns")
+  }
 }
