@@ -1997,6 +1997,93 @@ object ops {
     * break by (round(d2, 6), label) — the same total order the
     * oracles replay. Returns (id, cell, d2) with d2 on the 6dp grid.
     */
+  /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas
+    * et al. 2023, arXiv:2303.09540): assign every vector to its
+    * nearest centroid (one map-only pass over a broadcast codebook,
+    * [[ivfAssign]]), find near-duplicate pairs ONLY within each cell
+    * (cosine ≥ `tau` on the 4-dp-rounded similarity — the cross-
+    * engine grid every cosine query here uses), connect them into
+    * components (the two-phase star cc engine), and keep one
+    * exemplar per component (min id — the reproducibility policy).
+    *
+    * Scale shape — the algorithm's entire point at 100 TB: the
+    * quadratic pair stage is blocked by the cell assignment, so its
+    * cost is Σ|cell|² not |corpus|²; the centroid codebook is
+    * driver/broadcast-scale model state (k × d doubles); the cc
+    * fixpoint runs on the dup-pair graph (orders smaller than the
+    * corpus); the final keep is one anti-join against the removed
+    * set. Nothing is ever all-pairs.
+    *
+    * Returns (kept, census, rounds): `kept` = surviving input rows
+    * (one exemplar per semantic component + every singleton),
+    * `census` = one row per cell (cell, n_vecs, n_pairs, n_dup_vecs,
+    * n_components, n_removed, kept_id_sum — the id-sum pins the
+    * exact survivor set without shipping it), `rounds` = cc round
+    * count. Both frames are eager local checkpoints with all
+    * internal state (assignment persist, pair persist, cc labels)
+    * released before returning — Ck.release them after their last
+    * consumer.
+    */
+  def semDedup(vectors: DataFrame, centroids: DataFrame, id: String,
+      vec: String, tau: Double): (DataFrame, DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // normalized copy projected BEFORE the pair join so each pair
+    // costs one dot product, joined back to the map-only cell
+    // assignment (id-keyed equi-join; the pair stage dominates)
+    val e = vectors.select(col(id).as("__id"), {
+      val v = col(vec).cast("array<double>")
+      val n = sqrt(graft.functions.vec.arrayDot(v, v))
+      transform(v, x => x / n).as("__e")
+    })
+    val asg = ivfAssign(vectors, centroids, id, vec)
+      .select(col(id).as("__id"), col("cell"))
+    val av = e.join(asg, "__id").persist(MEMORY_AND_DISK)
+    graft.Tables.touch(av)
+    val a = av.alias("a")
+    val b = av.alias("b")
+    val pairs = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.__id") < col("b.__id"))
+      .filter(round(graft.functions.vec.arrayDot(
+        col("a.__e"), col("b.__e")), 4) >= tau)
+      .select(col("a.__id").as("__i"), col("b.__id").as("__j"),
+        col("a.cell").as("cell"))
+      .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(pairs)
+    val (labels, rounds) = connectedComponents(pairs, "__i", "__j")
+    graft.LoopStats.recordLoop("semdedup_cc", rounds.toLong)
+    val dup = labels.join(av.select(col("__id").as("id"), col("cell")), "id")
+    val cellAll = av.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_vecs"), sum(col("__id")).as("__sid"))
+    val cellPairs = pairs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val cellDup = dup.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_dup_vecs"),
+      countDistinct(col("component")).as("n_components"),
+      count(when(col("id") =!= col("component"), 1)).as("n_removed"),
+      sum(when(col("id") =!= col("component"), col("id"))
+        .otherwise(0L)).as("__rsum"))
+    val census = cellAll
+      .join(cellPairs, Seq("cell"), "left")
+      .join(cellDup, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_vecs"), lit(0L)).as("n_dup_vecs"),
+        coalesce(col("n_components"), lit(0L)).as("n_components"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("__sid") - coalesce(col("__rsum"), lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy(col("cell"))
+      .localCheckpoint(true)
+    val removed = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as(id))
+    val kept = vectors.join(broadcast(removed), Seq(id), "left_anti")
+      .localCheckpoint(true)
+    graft.Ck.release(labels)
+    pairs.unpersist(blocking = false)
+    av.unpersist(blocking = false)
+    (kept, census, rounds)
+  }
+
   def ivfAssign(df: DataFrame, centroids: DataFrame, id: String,
       vec: String): DataFrame = {
     val cellsR = centroids.agg(

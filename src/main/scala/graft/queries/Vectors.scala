@@ -2211,7 +2211,94 @@ object Vectors {
        |ORDER BY cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q222: SemDeDup — semantic dedup by cluster-then-prune (Abbas et
+  // al. 2023): nearest-centroid assignment over the per-label mean
+  // codebook (the q42 index), cosine ≥ 0.35 pairs WITHIN each cell
+  // only, cc over the pair graph, keep min-id per component. Output
+  // is the per-cell census; kept_id_sum pins the exact survivor set
+  // (sum of surviving vec_ids) without shipping it. τ = 0.35 is the
+  // q26 threshold — on this corpus it yields real multi-member
+  // components (sf0.1: 989 pairs, 263 components, 970 removed).
+  // Oracle: same codebook/assignment replay as q42, pairwise
+  // list_cosine_similarity on the 4-dp grid, recursive-CTE closure
+  // (the q48 component treatment), identical census.
+  //
+  // Scale shape: see ops.semDedup — Σ|cell|² pair stage, broadcast
+  // codebook, dup-graph-sized cc, one anti-join. Never all-pairs.
+  // ---------------------------------------------------------------
+  def q222SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val (kept, census, _) = graft.api.ops.semDedup(
+      embeddings(s, dir), labelCentroids(s, dir),
+      "vec_id", "embedding", 0.35)
+    graft.Ck.release(kept) // census's kept_id_sum pins the survivor set
+    census
+  }
+
+  val q222Sql: String = {
+    val dIdx = "CAST(i+1 AS INT)"
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT label, CAST(t.i AS INT) AS d,
+       |    CAST(embedding[CAST(t.i+1 AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings, range(64) t(i)
+       |), cm AS (
+       |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, d
+       |), cent AS (
+       |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
+       |), dists AS (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, cent.label,
+       |    ROUND(list_sum(list_transform(range(64),
+       |      i -> (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx])
+       |         * (CAST(e.embedding[$dIdx] AS DOUBLE) - cent.c[$dIdx]))), 6) AS d2
+       |  FROM embeddings e CROSS JOIN cent
+       |), assigned AS (
+       |  SELECT vec_id, emb, label AS cell FROM (
+       |    SELECT vec_id, emb, label,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, a.cell
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
+       |), und AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION SELECT j, i FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+       |), lbl AS (
+       |  SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a
+       |), dup AS (
+       |  SELECT l.id, l.comp, s.cell FROM lbl l
+       |  JOIN assigned s ON s.vec_id = l.id
+       |), cellall AS (
+       |  SELECT cell, COUNT(*) AS n_vecs,
+       |    CAST(SUM(vec_id) AS BIGINT) AS sid
+       |  FROM assigned GROUP BY cell
+       |), cellpairs AS (
+       |  SELECT cell, COUNT(*) AS np FROM pairs GROUP BY cell
+       |), celldup AS (
+       |  SELECT cell, COUNT(*) AS ndv, COUNT(DISTINCT comp) AS nc,
+       |    CAST(SUM(CASE WHEN id <> comp THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |    CAST(SUM(CASE WHEN id <> comp THEN id ELSE 0 END) AS BIGINT) AS rsum
+       |  FROM dup GROUP BY cell
+       |)
+       |SELECT c.cell, c.n_vecs,
+       |  COALESCE(p.np, 0) AS n_pairs,
+       |  COALESCE(d.ndv, 0) AS n_dup_vecs,
+       |  COALESCE(d.nc, 0) AS n_components,
+       |  COALESCE(d.nr, 0) AS n_removed,
+       |  c.sid - COALESCE(d.rsum, 0) AS kept_id_sum
+       |FROM cellall c
+       |LEFT JOIN cellpairs p USING (cell)
+       |LEFT JOIN celldup d USING (cell)
+       |ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_semdedup" -> q222SemDedup _,
     "q220_ivf_delta" -> q220IvfDelta _,
     "q204_ivf_pq" -> q204IvfPq _,
     "q203_pq_adc" -> q203PqAdc _,
@@ -2239,6 +2326,7 @@ object Vectors {
     "q42_ann_ivf" -> q42AnnIvf _)
 
   val oracles: Map[String, String] = Map(
+    "q222_semdedup" -> q222Sql,
     "q220_ivf_delta" -> q220Sql,
     "q204_ivf_pq" -> q204Sql,
     "q203_pq_adc" -> q203Sql,
