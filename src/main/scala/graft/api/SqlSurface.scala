@@ -1290,19 +1290,22 @@ object SqlSurface {
       |  GROUP BY src
       |) ON id = src""".stripMargin
 
-  private val sccB2Sub: String =
-    s"""SELECT a.id, a.ord, a.old, greatest(a.b1, b.tb) AS b2
+  private val sccJ1Sub: String =
+    s"""SELECT a.id, a.ord, a.old,
+       |  greatest(a.b1, coalesce(b.tb, a.b1)) AS b2
        |FROM ($sccB1Sub) a
-       |JOIN (SELECT ord AS t, b1 AS tb FROM ($sccB1Sub)) b ON a.b1 = b.t""".stripMargin
+       |LEFT JOIN (SELECT ord AS t, b AS tb FROM scc_back) b ON a.b1 = b.t""".stripMargin
 
   /** One doubled-fixpoint round of the giant-SCC backward collect —
-    * plan-equal to Mining.sccBackRound (round-12: TWO pointer jumps
-    * per round, see that scaladoc).
+    * plan-equal to Mining.sccBackRound (round-12: two STALE-LOOKUP
+    * pointer jumps against the previous round's checkpoint, see that
+    * scaladoc).
     */
   val sccBackRoundSql: String =
-    s"""SELECT a.id, a.ord, a.old, greatest(a.b2, b.tb2) AS b
-       |FROM ($sccB2Sub) a
-       |JOIN (SELECT ord AS t2, b2 AS tb2 FROM ($sccB2Sub)) b ON a.b2 = b.t2""".stripMargin
+    s"""SELECT a.id, a.ord, a.old,
+       |  greatest(a.b2, coalesce(b.tb2, a.b2)) AS b
+       |FROM ($sccJ1Sub) a
+       |LEFT JOIN (SELECT ord AS t2, b AS tb2 FROM scc_back) b ON a.b2 = b.t2""".stripMargin
 
   /** q199's SCC loop driven entirely through `spark.sql` over a
     * caller-persisted canonical directed edge frame: the EXACT
@@ -1392,6 +1395,7 @@ object SqlSurface {
           val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
           var collected = 0L
           var bail = false
+          var lastGrow: DataFrame = null
           while (growing && !bail && bwGuard < oneStepBudget) {
             bwGuard += 1
             members.createOrReplaceTempView("scc_members")
@@ -1400,21 +1404,34 @@ object SqlSurface {
             growing = nNew > 0L
             collected += nNew
             hist += nNew
-            bail = growing && bwGuard >= 8 && nNew <= hist(bwGuard - 7) &&
+            bail = growing && bwGuard >= 6 && nNew <= hist(bwGuard - 6) &&
               (curCnt - collected) > 16L * nNew
             if (growing) {
               val nm = members.unionByName(grow).localCheckpoint(true)
               graft.Ck.release(members)
-              graft.Ck.release(grow)
+              if (lastGrow ne null) graft.Ck.release(lastGrow)
+              lastGrow = grow
               members = nm
             } else graft.Ck.release(grow)
           }
           if (growing) {
-            // giant-SCC path: the doubled fixpoint over the class
-            graft.Ck.release(members)
-            val sameE = s.sql(sccSameESql).localCheckpoint(true)
+            // restricted-class fixpoint — only the classes still
+            // growing when the trial stopped (Mining.sccAssign's
+            // round-12 shape; drained classes are complete)
+            lastGrow.createOrReplaceTempView("scc_lastgrow")
+            val activeClr = s.sql(
+              "SELECT DISTINCT clr FROM scc_lastgrow").localCheckpoint(true)
+            activeClr.createOrReplaceTempView("scc_active")
+            val colorA = s.sql(
+              """SELECT id, ord, clr FROM scc_color
+                |LEFT SEMI JOIN scc_active USING (clr)""".stripMargin)
+              .localCheckpoint(true)
+            colorA.createOrReplaceTempView("scc_color_a")
+            val sameE = s.sql(sccSameESql
+                .replace("scc_color", "scc_color_a"))
+              .localCheckpoint(true)
             sameE.createOrReplaceTempView("scc_same")
-            var back = s.sql("SELECT id, ord, ord AS b FROM scc_color")
+            var back = s.sql("SELECT id, ord, ord AS b FROM scc_color_a")
               .localCheckpoint(true)
             var bstable = false
             while (!bstable && bwGuard < oneStepBudget + 100) {
@@ -1428,14 +1445,25 @@ object SqlSurface {
             }
             require(bstable, "SCC backward collect did not converge")
             back.createOrReplaceTempView("scc_back")
-            members = s.sql(
-              """SELECT id, clr FROM (
-                |  SELECT c.id, c.clr, k.b FROM scc_color c
+            members.createOrReplaceTempView("scc_members")
+            val nm = s.sql(
+              """SELECT id, clr FROM scc_members
+                |LEFT ANTI JOIN scc_active USING (clr)
+                |UNION ALL
+                |SELECT id, clr FROM (
+                |  SELECT c.id, c.clr, k.b FROM scc_color_a c
                 |  JOIN (SELECT id, b FROM scc_back) k USING (id)
                 |) WHERE b = clr""".stripMargin).localCheckpoint(true)
+            graft.Ck.release(members)
+            members = nm
             graft.Ck.release(back)
             graft.Ck.release(sameE)
+            graft.Ck.release(colorA)
+            graft.Ck.release(activeClr)
+            Seq("scc_lastgrow", "scc_active", "scc_color_a")
+              .foreach(s.catalog.dropTempView)
           }
+          if (lastGrow ne null) graft.Ck.release(lastGrow)
           members.createOrReplaceTempView("scc_members")
           val roundA = s.sql(
             """SELECT m.id, x.scc FROM scc_members m

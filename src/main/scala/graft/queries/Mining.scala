@@ -1873,17 +1873,22 @@ object Mining {
     * REVERSED, same pointer jump). Returns (id, ord, old, b). See
     * [[sccTrimKeep]] for why this is factored.
     *
-    * Round-12: TWO pointer jumps per round instead of one. A jump
-    * composes descendant-or-self pointers (b(v) = ord(u) means
-    * v →* u in-class, and b(u) = ord(w) means u →* w, so v →* w) —
-    * composing twice per round is equally sound and cuts the
-    * sequential round count ~40% (the SCALE_PROBE giant rings:
-    * 17/25/30 single-jump fixpoint rounds at n = 1.4k/14k/144k).
-    * Cost: one extra self-join shuffle per round INSIDE the round's
-    * one job — and this path only executes on a giant SCC, where
-    * sequential rounds (job-launch floor × rounds) dominate, so
-    * trading an in-job shuffle for half the rounds wins at any
-    * scale. The common many-small-SCC case never reaches this code.
+    * Round-12: two STALE-LOOKUP pointer jumps per round. The r11
+    * shape self-joined the freshly-derived b1 frame as its own
+    * ord → value table, re-executing the whole neighbor-max subtree
+    * per jump (a fresh DOUBLE jump measured 5.7x the per-round wall
+    * on the probe ring — the b1 aggregation ran 4x per round). Here
+    * the lookup table is the PREVIOUS round's `back` — an eager
+    * checkpoint whose rescan is free — so the heavy subtree executes
+    * ONCE per round and each jump is one cheap join against a
+    * checkpoint scan. Soundness is unchanged: a stale b-value is
+    * still a descendant-or-self ord, so composing through it only
+    * follows real paths, values increase monotonically, and the
+    * fixpoint is the same max-descendant assignment. Covered reach
+    * grows ~1.8x per round (this round's step composed with last
+    * round's accumulated reach, twice) instead of the fresh jump's
+    * 2x — a few more rounds, each far cheaper, and this path only
+    * executes on classes whose one-step collect bailed.
     */
   private[graft] def sccBackRound(sameE: DataFrame, back: DataFrame): DataFrame = {
     val outMax = sameE
@@ -1893,14 +1898,15 @@ object Mining {
       .join(outMax, col("id") === col("src"), "left")
       .select(col("id"), col("ord"), col("b").as("old"),
         greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
-    val b2 = b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
-        col("b1") === col("t"))
+    val j1 = b1
+      .join(back.select(col("ord").as("t"), col("b").as("tb")),
+        col("b1") === col("t"), "left")
       .select(col("id"), col("ord"), col("old"),
-        greatest(col("b1"), col("tb")).as("b2"))
-    b2.join(b2.select(col("ord").as("t2"), col("b2").as("tb2")),
-        col("b2") === col("t2"))
+        greatest(col("b1"), coalesce(col("tb"), col("b1"))).as("b2"))
+    j1.join(back.select(col("ord").as("t2"), col("b").as("tb2")),
+        col("b2") === col("t2"), "left")
       .select(col("id"), col("ord"), col("old"),
-        greatest(col("b2"), col("tb2")).as("b"))
+        greatest(col("b2"), coalesce(col("tb2"), col("b2"))).as("b"))
   }
 
   private[graft] def sccAssign(edges0: DataFrame,
@@ -2075,6 +2081,7 @@ object Mining {
         val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
         var collected = 0L
         var bail = false
+        var lastFresh: DataFrame = null // last round's new members
         while (growing && !bail && bwGuard < oneStepBudget) {
           bwGuard += 1
           // ONE job per growth round (round-11 job-floor pass): the
@@ -2092,21 +2099,35 @@ object Mining {
           growing = nNew > 0L
           collected += nNew
           hist += nNew
-          bail = growing && bwGuard >= 8 && nNew <= hist(bwGuard - 7) &&
+          bail = growing && bwGuard >= 6 && nNew <= hist(bwGuard - 6) &&
             (curCnt - collected) > 16L * nNew
           graft.Ck.release(members)
           members = nm.select(col("id"), col("clr"))
+          lastFresh = nm.filter(col("__new"))
         }
         if (growing) {
-          // (3b) giant-SCC path: doubled fixpoint over the class
-          graft.Ck.release(members)
+          // (3b) RESTRICTED-CLASS fixpoint (round-12): a color class
+          // whose one-step frontier drained is COMPLETE — a frontier
+          // derives solely from its class's members, so once empty it
+          // never regrows and the one-step members are that class's
+          // full SCC. Only the classes still growing when the trial
+          // stopped (bail or budget) need the doubled fixpoint; the
+          // r11 shape re-stabilized EVERY live class and paid a
+          // class-wide fixpoint for a misfired bail (probe scc legs:
+          // +70% wall). Active classes = classes of the last round's
+          // fresh members (growth is per-class monotone).
+          val activeClr = lastFresh.select(col("clr")).distinct()
+            .localCheckpoint(true)
+          val colorA = color
+            .join(broadcast(activeClr), "clr")
+            .select(col("id"), col("ord"), col("clr"))
           val sameE = ce
-            .join(color.select(col("id").as("src"), col("clr").as("sc")), "src")
-            .join(color.select(col("id").as("dst"), col("clr").as("dc")), "dst")
+            .join(colorA.select(col("id").as("src"), col("clr").as("sc")), "src")
+            .join(colorA.select(col("id").as("dst"), col("clr").as("dc")), "dst")
             .filter(col("sc") === col("dc"))
             .select(col("src"), col("dst"))
             .localCheckpoint(true)
-          var back = color.select(col("id"), col("ord"), col("ord").as("b"))
+          var back = colorA.select(col("id"), col("ord"), col("ord").as("b"))
             .localCheckpoint(true)
           var bstable = false
           while (!bstable && bwGuard < oneStepBudget + 100) {
@@ -2118,12 +2139,22 @@ object Mining {
             back = next.select(col("id"), col("ord"), col("b"))
           }
           require(bstable, "SCC backward collect did not converge")
-          members = color.join(back.select(col("id"), col("b")), Seq("id"))
-            .filter(col("b") === col("clr"))
+          // drained classes keep their one-step members; active
+          // classes take the fixpoint's exact membership (their
+          // one-step partials are a subset, dropped here)
+          val oneStep = members
+          members = oneStep
+            .join(broadcast(activeClr), Seq("clr"), "left_anti")
             .select(col("id"), col("clr"))
+            .unionByName(colorA
+              .join(back.select(col("id"), col("b")), Seq("id"))
+              .filter(col("b") === col("clr"))
+              .select(col("id"), col("clr")))
             .localCheckpoint(true)
+          graft.Ck.release(oneStep)
           graft.Ck.release(back)
           graft.Ck.release(sameE)
+          graft.Ck.release(activeClr)
         }
         maxBw = math.max(maxBw, bwGuard.toLong)
         // assign this round's SCCs by their MINIMUM member id (the
