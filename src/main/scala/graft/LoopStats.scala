@@ -16,6 +16,11 @@ object LoopStats {
   /** Record the final round/hop count of a named loop. */
   def record(loop: String, rounds: Long): Unit = counts.put(loop, rounds)
 
+  /** Read a recorded count without draining (0 if absent) — lets a
+    * multi-invocation loop record a running max.
+    */
+  def peek(loop: String): Long = counts.getOrDefault(loop, 0L)
+
   /** Record a loop's round count PLUS its checkpoint cost split
     * ([[Loop.drainTimes]] accumulated since the previous drain):
     * `<loop>_wms` = wall ms inside the per-round checkpoint actions,

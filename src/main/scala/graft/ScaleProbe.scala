@@ -501,8 +501,10 @@ object ScaleProbe {
         s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +
         s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
         s""""scc":{"outer_rounds":$sccRounds,"bw_rounds":$sccBw,""" +
+        s""""bail_at":${sccStats.getOrElse("scc_bail_at", -1L)},""" +
         s""""total_s":${fmt(sccS)},"n_sccs":$nScc},""" +
         s""""giant_scc":{"ring_nodes":$nRing,"bw_rounds":$ringBw,""" +
+        s""""bail_at":${ringStats.getOrElse("scc_bail_at", -1L)},""" +
         s""""outer_rounds":${ringStats.getOrElse("scc", -1L)},""" +
         s""""total_s":${fmt(ringS)},"n_sccs":$nRingScc}}"""
       // one human-readable summary per scale as the run progresses

@@ -1291,21 +1291,19 @@ object SqlSurface {
       |) ON id = src""".stripMargin
 
   private val sccJ1Sub: String =
-    s"""SELECT a.id, a.ord, a.old,
-       |  greatest(a.b1, coalesce(b.tb, a.b1)) AS b2
+    s"""SELECT a.id, a.ord, a.old, greatest(a.b1, b.tb) AS b2
        |FROM ($sccB1Sub) a
-       |LEFT JOIN (SELECT ord AS t, b AS tb FROM scc_back) b ON a.b1 = b.t""".stripMargin
+       |JOIN (SELECT ord AS t, b1 AS tb FROM ($sccB1Sub)) b ON a.b1 = b.t""".stripMargin
 
   /** One doubled-fixpoint round of the giant-SCC backward collect —
-    * plan-equal to Mining.sccBackRound (round-12: two STALE-LOOKUP
-    * pointer jumps against the previous round's checkpoint, see that
-    * scaladoc).
+    * plan-equal to Mining.sccBackRound (round-12: the fresh pointer
+    * jump composed with one stale jump through the previous round's
+    * checkpoint, see that scaladoc).
     */
   val sccBackRoundSql: String =
-    s"""SELECT a.id, a.ord, a.old,
-       |  greatest(a.b2, coalesce(b.tb2, a.b2)) AS b
+    s"""SELECT a.id, a.ord, a.old, greatest(a.b2, b.tb2) AS b
        |FROM ($sccJ1Sub) a
-       |LEFT JOIN (SELECT ord AS t2, b AS tb2 FROM scc_back) b ON a.b2 = b.t2""".stripMargin
+       |JOIN (SELECT ord AS t2, b AS tb2 FROM scc_back) b ON a.b2 = b.t2""".stripMargin
 
   /** q199's SCC loop driven entirely through `spark.sql` over a
     * caller-persisted canonical directed edge frame: the EXACT
@@ -1393,8 +1391,8 @@ object SqlSurface {
           // stagnation bail — mirrors Mining.sccAssign's round-12
           // control flow (see the scaladoc there for the heuristic)
           val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
-          var collected = 0L
           var bail = false
+          var lastStagnant = false
           var lastGrow: DataFrame = null
           while (growing && !bail && bwGuard < oneStepBudget) {
             bwGuard += 1
@@ -1402,16 +1400,24 @@ object SqlSurface {
             val (grow, nNew) =
               graft.Loop.ckCount(s.sql(sccCollectGrowSql), lit(true))
             growing = nNew > 0L
-            collected += nNew
             hist += nNew
-            bail = growing && bwGuard >= 6 && nNew <= hist(bwGuard - 6) &&
-              (curCnt - collected) > 16L * nNew
             if (growing) {
               val nm = members.unionByName(grow).localCheckpoint(true)
               graft.Ck.release(members)
               if (lastGrow ne null) graft.Ck.release(lastGrow)
               lastGrow = grow
               members = nm
+              // probe-gated bail — mirrors Mining.sccAssign's
+              // round-12 shape (see the scaladoc there)
+              val stagnant = bwGuard >= 6 && nNew <= hist(bwGuard - 6)
+              if (stagnant && !lastStagnant) {
+                val remActive = color
+                  .join(grow.select(col("clr")).distinct(), "clr")
+                  .join(members.select(col("id")), Seq("id"), "left_anti")
+                  .count()
+                bail = remActive > (oneStepBudget - bwGuard).toLong * nNew
+              }
+              lastStagnant = stagnant
             } else graft.Ck.release(grow)
           }
           if (growing) {
@@ -1431,7 +1437,15 @@ object SqlSurface {
                 .replace("scc_color", "scc_color_a"))
               .localCheckpoint(true)
             sameE.createOrReplaceTempView("scc_same")
-            var back = s.sql("SELECT id, ord, ord AS b FROM scc_color_a")
+            // warm init — members seeded at their exact fixpoint
+            // value (Mining.sccAssign's round-12 shape)
+            members.createOrReplaceTempView("scc_members")
+            var back = s.sql(
+              """SELECT c.id, c.ord,
+                |  CASE WHEN m.id IS NOT NULL THEN c.clr ELSE c.ord END AS b
+                |FROM scc_color_a c
+                |LEFT JOIN (SELECT id FROM scc_members) m ON c.id = m.id"""
+                .stripMargin)
               .localCheckpoint(true)
             var bstable = false
             while (!bstable && bwGuard < oneStepBudget + 100) {

@@ -2024,12 +2024,14 @@ object ops {
     * released before returning — Ck.release them after their last
     * consumer.
     */
-  def semDedup(vectors: DataFrame, centroids: DataFrame, id: String,
-      vec: String, tau: Double): (DataFrame, DataFrame, Int) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // normalized copy projected BEFORE the pair join so each pair
-    // costs one dot product, joined back to the map-only cell
-    // assignment (id-keyed equi-join; the pair stage dominates)
+  /** The lazy (id, normalized vector, cell) frame behind
+    * [[semDedup]] — normalized copy projected BEFORE the pair join
+    * so each pair costs one dot product, joined back to the map-only
+    * cell assignment (id-keyed equi-join; the pair stage dominates).
+    * Exposed for PlanQualitySpec's shape pins.
+    */
+  private[graft] def semDedupAssigned(vectors: DataFrame,
+      centroids: DataFrame, id: String, vec: String): DataFrame = {
     val e = vectors.select(col(id).as("__id"), {
       val v = col(vec).cast("array<double>")
       val n = sqrt(graft.functions.vec.arrayDot(v, v))
@@ -2037,17 +2039,32 @@ object ops {
     })
     val asg = ivfAssign(vectors, centroids, id, vec)
       .select(col(id).as("__id"), col("cell"))
-    val av = e.join(asg, "__id").persist(MEMORY_AND_DISK)
-    graft.Tables.touch(av)
+    e.join(asg, "__id")
+  }
+
+  /** The lazy cell-blocked pair frame behind [[semDedup]]: an
+    * equi-join on the cell assignment (never a cross product), id
+    * ordering for the canonical direction, cosine gated on the
+    * shared 4-dp grid. Exposed for PlanQualitySpec's shape pins.
+    */
+  private[graft] def semDedupPairs(av: DataFrame, tau: Double): DataFrame = {
     val a = av.alias("a")
     val b = av.alias("b")
-    val pairs = a.join(b, col("a.cell") === col("b.cell") &&
+    a.join(b, col("a.cell") === col("b.cell") &&
         col("a.__id") < col("b.__id"))
       .filter(round(graft.functions.vec.arrayDot(
         col("a.__e"), col("b.__e")), 4) >= tau)
       .select(col("a.__id").as("__i"), col("b.__id").as("__j"),
         col("a.cell").as("cell"))
+  }
+
+  def semDedup(vectors: DataFrame, centroids: DataFrame, id: String,
+      vec: String, tau: Double): (DataFrame, DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val av = semDedupAssigned(vectors, centroids, id, vec)
       .persist(MEMORY_AND_DISK)
+    graft.Tables.touch(av)
+    val pairs = semDedupPairs(av, tau).persist(MEMORY_AND_DISK)
     graft.Tables.touch(pairs)
     val (labels, rounds) = connectedComponents(pairs, "__i", "__j")
     graft.LoopStats.recordLoop("semdedup_cc", rounds.toLong)

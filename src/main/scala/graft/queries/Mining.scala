@@ -1873,22 +1873,24 @@ object Mining {
     * REVERSED, same pointer jump). Returns (id, ord, old, b). See
     * [[sccTrimKeep]] for why this is factored.
     *
-    * Round-12: two STALE-LOOKUP pointer jumps per round. The r11
-    * shape self-joined the freshly-derived b1 frame as its own
-    * ord → value table, re-executing the whole neighbor-max subtree
-    * per jump (a fresh DOUBLE jump measured 5.7x the per-round wall
-    * on the probe ring — the b1 aggregation ran 4x per round). Here
-    * the lookup table is the PREVIOUS round's `back` — an eager
-    * checkpoint whose rescan is free — so the heavy subtree executes
-    * ONCE per round and each jump is one cheap join against a
-    * checkpoint scan. Soundness is unchanged: a stale b-value is
-    * still a descendant-or-self ord, so composing through it only
-    * follows real paths, values increase monotonically, and the
-    * fixpoint is the same max-descendant assignment. Covered reach
-    * grows ~1.8x per round (this round's step composed with last
-    * round's accumulated reach, twice) instead of the fresh jump's
-    * 2x — a few more rounds, each far cheaper, and this path only
-    * executes on classes whose one-step collect bailed.
+    * Round-12: the r11 FRESH pointer jump (self-join on the derived
+    * b1 — reach doubles per round, per-round cost measured fine at
+    * 0.18 s/round on the probe ring) composed with one extra STALE
+    * jump through the previous round's `back` checkpoint (free
+    * rescan — no subtree re-execution). The stale composition adds
+    * last round's accumulated reach on top of the doubled step, so
+    * covered distance roughly TRIPLES per round; measured variants:
+    * fresh-single (r11) 17 fixpoint rounds on the 1.4k ring,
+    * fresh-double 14 rounds but 5.7x the per-round wall (the b1
+    * aggregation ran 4x per round — rejected), stale-double cheap
+    * per round but 23 rounds (composing only through stale state
+    * converges slower than theory suggests under the hash-scrambled
+    * order — rejected). Soundness: every b-value (fresh or stale) is
+    * a descendant-or-self ord, so each composition follows real
+    * paths; values increase monotonically to the same max-descendant
+    * fixpoint. Inner joins are exact: every b-value is the ord of a
+    * same-class node, which both lookup tables cover by
+    * construction.
     */
   private[graft] def sccBackRound(sameE: DataFrame, back: DataFrame): DataFrame = {
     val outMax = sameE
@@ -1898,15 +1900,14 @@ object Mining {
       .join(outMax, col("id") === col("src"), "left")
       .select(col("id"), col("ord"), col("b").as("old"),
         greatest(col("b"), coalesce(col("mb"), col("b"))).as("b1"))
-    val j1 = b1
-      .join(back.select(col("ord").as("t"), col("b").as("tb")),
-        col("b1") === col("t"), "left")
+    val j1 = b1.join(b1.select(col("ord").as("t"), col("b1").as("tb")),
+        col("b1") === col("t"))
       .select(col("id"), col("ord"), col("old"),
-        greatest(col("b1"), coalesce(col("tb"), col("b1"))).as("b2"))
+        greatest(col("b1"), col("tb")).as("b2"))
     j1.join(back.select(col("ord").as("t2"), col("b").as("tb2")),
-        col("b2") === col("t2"), "left")
+        col("b2") === col("t2"))
       .select(col("id"), col("ord"), col("old"),
-        greatest(col("b2"), coalesce(col("tb2"), col("b2"))).as("b"))
+        greatest(col("b2"), col("tb2")).as("b"))
   }
 
   private[graft] def sccAssign(edges0: DataFrame,
@@ -2079,8 +2080,8 @@ object Mining {
         // correctness; the multiplicative-growth common case (real
         // corpora post-trim) never trips either clause.
         val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var collected = 0L
         var bail = false
+        var lastStagnant = false
         var lastFresh: DataFrame = null // last round's new members
         while (growing && !bail && bwGuard < oneStepBudget) {
           bwGuard += 1
@@ -2097,15 +2098,44 @@ object Mining {
                 .select(col("id"), col("clr"), lit(true).as("__new"))),
             col("__new"))
           growing = nNew > 0L
-          collected += nNew
           hist += nNew
-          bail = growing && bwGuard >= 6 && nNew <= hist(bwGuard - 6) &&
-            (curCnt - collected) > 16L * nNew
           graft.Ck.release(members)
           members = nm.select(col("id"), col("clr"))
           lastFresh = nm.filter(col("__new"))
+          // PROBE-GATED bail (round-12, third cut): flat growth for
+          // 6 rounds raises the giant-SCC suspicion, but the cheap
+          // running totals OVERCOUNT remaining work (they include
+          // non-collectible nodes and drained classes), and bailing
+          // on them alone re-fixpointed near-complete collects — the
+          // probe scc legs paid +77% wall. So stagnation only
+          // triggers ONE edge-triggered count job for a true upper
+          // bound — live nodes of still-ACTIVE classes not yet
+          // members (drained classes can never need more one-step
+          // work) — and the trial is abandoned only when even the
+          // WHOLE remaining trial budget at the current rate could
+          // not cover that bound (second cut's fixed 16x-rate
+          // threshold still fired on the probe's deep-but-finite
+          // m=10 classes, paying a fixpoint the one-step would have
+          // beaten). A ring probes ~n and bails by round ~7; a
+          // deep-but-finite class probes under the budget's reach
+          // and runs to completion exactly like r11.
+          val stagnant = growing && bwGuard >= 6 && nNew <= hist(bwGuard - 6)
+          if (stagnant && !lastStagnant) {
+            val remActive = color
+              .join(lastFresh.select(col("clr")).distinct(), "clr")
+              .join(nm.select(col("id")), Seq("id"), "left_anti")
+              .count()
+            bail = remActive > (oneStepBudget - bwGuard).toLong * nNew
+          }
+          lastStagnant = stagnant
         }
         if (growing) {
+          // probe split: how many one-step rounds ran before the
+          // trial stopped (bail or budget) vs fixpoint rounds after —
+          // bw alone can't distinguish a late bail from a slow
+          // fixpoint when reading SCALE_PROBE regressions
+          graft.LoopStats.record("scc_bail_at",
+            math.max(graft.LoopStats.peek("scc_bail_at"), bwGuard.toLong))
           // (3b) RESTRICTED-CLASS fixpoint (round-12): a color class
           // whose one-step frontier drained is COMPLETE — a frontier
           // derives solely from its class's members, so once empty it
@@ -2127,7 +2157,21 @@ object Mining {
             .filter(col("sc") === col("dc"))
             .select(col("src"), col("dst"))
             .localCheckpoint(true)
-          var back = colorA.select(col("id"), col("ord"), col("ord").as("b"))
+          // WARM init: a collected member's fixpoint value is already
+          // known — b(v) = max in-class descendant ord, and for a
+          // member (v reaches the root r) that is exactly clr(v):
+          // r is a descendant, and every class member w has
+          // ord(w) ≤ clr(w) = ord(r), so nothing beats it. Seeding
+          // members at clr bakes ALL one-step progress into round 0;
+          // the fixpoint then only extends reach from the member
+          // frontier, so a bail that fired near completion converges
+          // in a handful of rounds instead of replaying the class
+          // from scratch (the cold init re-derived everything).
+          var back = colorA
+            .join(members.select(col("id"), lit(true).as("__m")),
+              Seq("id"), "left")
+            .select(col("id"), col("ord"),
+              when(col("__m"), col("clr")).otherwise(col("ord")).as("b"))
             .localCheckpoint(true)
           var bstable = false
           while (!bstable && bwGuard < oneStepBudget + 100) {

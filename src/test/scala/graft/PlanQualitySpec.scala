@@ -193,6 +193,32 @@ class PlanQualitySpec extends SparkSpec {
       p) // non-vacuity: the left side is really the ':'-barred subtree
   }
 
+  test("q222: semantic pair stage is a cell equi-join — never a cross product") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.select(col("label"), col("embedding"))
+      .groupBy(col("label"))
+      .agg(org.apache.spark.sql.functions.first(col("embedding"))
+        .cast("array<double>").as("c"))
+    val av = graft.api.ops.semDedupAssigned(e, cents, "vec_id", "embedding")
+    val pairs = graft.api.ops.semDedupPairs(av, 0.35)
+    val p = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // SemDeDup's whole point at scale: the quadratic stage is blocked
+    // by the cell assignment — it must plan as an equi-join keyed on
+    // `cell` (the id ordering and the cosine gate ride as join/filter
+    // conditions), never as a cartesian / nested-loop over the corpus
+    assert(!p.contains("CartesianProduct"), p)
+    val joins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joins.nonEmpty, p)
+    // the codebook itself arrives broadcast (the ivfAssign shape,
+    // pinned structurally in the q220 test; presence re-checked here
+    // so a refactor of semDedupAssigned cannot silently shuffle it)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q60: native as-of join — no window, no union, co-partitioned exchanges") {
     val p = plan("q60_asof_native")
     assert(p.contains("AsOfJoin"), p)
