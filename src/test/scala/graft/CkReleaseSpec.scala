@@ -80,6 +80,24 @@ class CkReleaseSpec extends SparkSpec {
       s"q163 leaked ${(persisted -- before).size} persisted RDDs (want 0)")
   }
 
+  test("q222 semdedup: leaves only the returned census behind") {
+    spark.catalog.clearCache()
+    val before = persisted
+    // semDedup materializes kept + census checkpoints and releases
+    // everything internal (assignment/pair persists, cc labels);
+    // q222 releases kept immediately, so at most the census's one
+    // checkpoint survives the run
+    val out = graft.queries.Vectors.q222SemDedup(spark, dir)
+    out.count()
+    spark.catalog.clearCache()
+    val leftover = persisted -- before
+    assert(leftover.size <= 1,
+      s"q222 leaked ${leftover.size} persisted RDDs (want <= 1)")
+    Ck.release(out)
+    assert(persisted == before,
+      "releasing the census must zero the query")
+  }
+
   test("bfs loop: immediate-exhaustion path keeps the seed frame readable") {
     // ops.bfsDistances with seeds whose neighbors are all seeds too:
     // hop 1 finds nothing fresh, the loop exhausts immediately, and

@@ -167,17 +167,18 @@ class MiningSpec extends SparkSpec {
       s"ring must be one SCC labeled 0")
     assert(outer == 1, s"one trim-free outer round, got $outer")
     val bw = graft.LoopStats.drain().getOrElse("scc_bw", -1L)
-    // round-12 shape: the stagnation bail must abandon the one-step
-    // trial by round ~8 (the ring's frontier adds exactly one node
-    // per round — flat nNew, huge uncollected mass), then the
-    // DOUBLE-pointer-jump fixpoint finishes in ~log2(600) expected
+    // round-12 shape: the probe-gated bail must abandon the one-step
+    // trial by round ~7 (the ring's frontier adds exactly one node
+    // per round — flat nNew, and the stagnation probe counts ~n
+    // remaining against a budget that covers ~58), then the
+    // fresh+stale-jump fixpoint finishes in O(log 600) expected
     // rounds — nowhere near the 64-round trial the r11 hybrid burned
     // first, let alone the linear 599 of the round-7 one-step-only
     // collect. (An id-ordered max walk WOULD be linear even when
-    // doubled: this ring is exactly the adversarial monotone case
-    // the hash-scrambled propagation order defuses.)
-    assert(bw > 8L && bw <= 30L,
-      s"collect rounds not [bail-by-8 + O(log) fixpoint]: $bw")
+    // jump-accelerated: this ring is exactly the adversarial
+    // monotone case the hash-scrambled propagation order defuses.)
+    assert(bw > 6L && bw <= 30L,
+      s"collect rounds not [bail-by-7 + O(log) fixpoint]: $bw")
   }
 
   test("dagLayers stratifies a hand-built condensation by longest path") {
