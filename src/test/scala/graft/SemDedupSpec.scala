@@ -62,4 +62,72 @@ class SemDedupSpec extends SparkSpec {
       rows.mkString(", "))
     Ck.release(kept); Ck.release(census)
   }
+
+  test("semDedup matches a brute-force driver oracle on random vectors") {
+    // the q222 oracle covers the real corpus; this walks random
+    // geometry — including centroid-assignment ties and components
+    // that chain across the cosine threshold — against a full
+    // brute-force replay (assignment, in-cell pairs, union-find,
+    // min-id survivors) computed in driver code
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1234)
+    (1 to 5).foreach { trial =>
+      val dim = 4
+      val k = 2 + rnd.nextInt(3)
+      val cents = (0 until k).map(c =>
+        (c, Seq.tabulate(dim)(d => if (d == c % dim) 1.0 else 0.0)))
+      val n = 12 + rnd.nextInt(20)
+      // vectors clustered loosely around random centroid directions,
+      // quantized to a coarse grid so neither engine sits within an
+      // ulp of the assignment or cosine boundaries
+      val vecs = (1 to n).map { i =>
+        val c = rnd.nextInt(k)
+        val v = Seq.tabulate(dim) { d =>
+          val base = if (d == c % dim) 4.0 else 0.0
+          base + (rnd.nextInt(9) - 4) * 0.25
+        }
+        (i.toLong, v)
+      }
+      val tau = 0.90
+      // ---- brute force ----
+      def d2(a: Seq[Double], b: Seq[Double]) =
+        math.rint(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+          * 1e6) / 1e6
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        math.rint(dot / math.sqrt(a.map(x => x * x).sum)
+          / math.sqrt(b.map(x => x * x).sum) * 1e4) / 1e4
+      }
+      val cell = vecs.map { case (id, v) =>
+        id -> cents.minBy { case (c, cv) => (d2(v, cv), c) }._1
+      }.toMap
+      val bf = vecs.map { case (id, v) => (id, v) }.toMap
+      val pairs = for {
+        (i, vi) <- vecs; (j, vj) <- vecs
+        if i < j && cell(i) == cell(j) && cos(vi, vj) >= tau
+      } yield (i, j)
+      val parent = scala.collection.mutable.Map(
+        vecs.map(v => v._1 -> v._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (i, j) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      val removed = vecs.map(_._1).filter(id => find(id) != id).toSet
+      val wantKept = vecs.map(_._1).toSet -- removed
+      // ---- engine ----
+      val (kept, census, _) = ops.semDedup(
+        vecs.toDF("vid", "v"), cents.toDF("label", "c"), "vid", "v", tau)
+      val gotKept = kept.select(col("vid")).collect().map(_.getLong(0)).toSet
+      val gotRemoved = census.agg(sum(col("n_removed"))).head().getLong(0)
+      Ck.release(kept); Ck.release(census)
+      assert(gotKept == wantKept,
+        s"trial $trial: kept diverges; missing=${wantKept -- gotKept} " +
+          s"extra=${gotKept -- wantKept} vecs=$vecs")
+      assert(gotRemoved == removed.size.toLong,
+        s"trial $trial: census n_removed $gotRemoved != ${removed.size}")
+    }
+  }
 }
