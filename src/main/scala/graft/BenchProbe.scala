@@ -38,7 +38,24 @@ object BenchProbe {
         j.tasks += 1
       }
     }
-    def reset(): Unit = synchronized { jobs.clear(); stageToJob.clear() }
+    case class St(id: Int, name: String, var taskMs: Long = 0L,
+      var tasks: Int = 0)
+    val stages = scala.collection.mutable.LinkedHashMap.empty[Int, St]
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val si = e.stageInfo
+        val st = stages.getOrElseUpdate(si.stageId,
+          St(si.stageId, si.name.take(90)))
+        Option(si.taskMetrics).foreach(m => st.taskMs += m.executorRunTime)
+        st.tasks += si.numTasks
+      }
+    def stageReport(): String = synchronized {
+      stages.values.toSeq.sortBy(-_.taskMs).take(6).map(s =>
+        f"s${s.id} ${s.taskMs / 1e3}%.1fs/${s.tasks} ${s.name}").mkString(" || ")
+    }
+    def reset(): Unit = synchronized {
+      jobs.clear(); stageToJob.clear(); stages.clear()
+    }
     def report(): String = synchronized {
       val done = jobs.values.filter(_.t1 > 0).toSeq
       val top = done.sortBy(j => -(j.t1 - j.t0)).take(5).map { j =>
@@ -80,6 +97,7 @@ object BenchProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[probe] ${args(1)} run$i: $dt%.2f s rows=$c gc+${gcMs() - gc0}ms jit+${jitMs() - jit0}ms ccache=${ccacheMb()}%.0fmb")
       println(s"[probe]   ${clock.report()}")
+      println(s"[probe]   stages: ${clock.stageReport()}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
