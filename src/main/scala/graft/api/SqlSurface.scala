@@ -1252,6 +1252,86 @@ object SqlSurface {
       |  GROUP BY dst
       |) ON id = dst""".stripMargin
 
+  // ----- q222: SemDeDup on the SQL surface --------------------------
+  // (the vectors family's entry: the cell-blocked semantic pair
+  // stage as a SQL text over the production-assigned frame, the
+  // shared SQL cc fixpoint as the component solve, and a SQL census
+  // — plan-equal pair body, row-equal output vs the DataFrame q222.)
+
+  /** The cell-blocked semantic pair stage over `sem_av` (__id, __e
+    * normalized, cell) — plan-equal to ops.semDedupPairs at q222's
+    * τ = 0.35. `array_dot` is the registered native codegen
+    * expression, so the SQL user's quadratic stage runs the same
+    * compiled dot product as the Scala API's.
+    */
+  val semDedupPairsSql: String =
+    """SELECT a.__id AS __i, b.__id AS __j, a.cell
+      |FROM sem_av a JOIN sem_av b
+      |  ON a.cell = b.cell AND a.__id < b.__id
+      |WHERE round(array_dot(a.__e, b.__e), 4) >= 0.35""".stripMargin
+
+  /** q222's census through the SQL surface: the production
+    * assignment frame registered as `sem_av`, [[semDedupPairsSql]],
+    * the shared SQL cc fixpoint ([[ccRoundSql]] rounds via the
+    * q161 core), and a SQL census — row-equal to the DataFrame
+    * q222_semdedup. RESERVED VIEW NAMES: owns `sem_av` /
+    * `sem_pairs` / `sem_lbl` (plus the cc core's `cc_edges`) for
+    * the call's duration, dropped on exit.
+    */
+  def q222SemDedupSql(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val av = graft.api.ops.semDedupAssigned(
+      graft.Tables.embeddings(s, dir),
+      graft.queries.Vectors.labelCentroids(s, dir),
+      "vec_id", "embedding").persist(MEMORY_AND_DISK)
+    graft.Tables.touch(av)
+    try {
+      av.createOrReplaceTempView("sem_av")
+      val pairs = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+        s.sql(semDedupPairsSql).localCheckpoint(true))
+      pairs.createOrReplaceTempView("sem_pairs")
+      val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+        s.sql("SELECT __i AS a, __j AS b FROM sem_pairs")
+          .localCheckpoint(true))
+      val (lblRaw, _) = ccCoreSql(s, init, 50, (_, _) => ())
+      val lbl = lblRaw.select(col("node").as("id"), col("lbl").as("component"))
+      lbl.createOrReplaceTempView("sem_lbl")
+      val census = s.sql(
+        """WITH dup AS (
+          |  SELECT l.id, l.component, a.cell FROM sem_lbl l
+          |  JOIN (SELECT __id AS id, cell FROM sem_av) a USING (id)
+          |), cellall AS (
+          |  SELECT cell, count(*) AS n_vecs, sum(__id) AS __sid
+          |  FROM sem_av GROUP BY cell
+          |), cellpairs AS (
+          |  SELECT cell, count(*) AS n_pairs FROM sem_pairs GROUP BY cell
+          |), celldup AS (
+          |  SELECT cell, count(*) AS n_dup_vecs,
+          |    count(DISTINCT component) AS n_components,
+          |    count(CASE WHEN id <> component THEN 1 END) AS n_removed,
+          |    sum(CASE WHEN id <> component THEN id ELSE 0 END) AS __rsum
+          |  FROM dup GROUP BY cell
+          |)
+          |SELECT c.cell, c.n_vecs,
+          |  coalesce(p.n_pairs, 0) AS n_pairs,
+          |  coalesce(d.n_dup_vecs, 0) AS n_dup_vecs,
+          |  coalesce(d.n_components, 0) AS n_components,
+          |  coalesce(d.n_removed, 0) AS n_removed,
+          |  c.__sid - coalesce(d.__rsum, 0) AS kept_id_sum
+          |FROM cellall c
+          |LEFT JOIN cellpairs p USING (cell)
+          |LEFT JOIN celldup d USING (cell)
+          |ORDER BY cell""".stripMargin).localCheckpoint(true)
+      graft.Ck.release(lbl) // walks to the fixpoint's final checkpoint
+      graft.Ck.release(pairs)
+      census
+    } finally {
+      Seq("sem_av", "sem_pairs", "sem_lbl", "cc_edges")
+        .foreach(v => if (s.catalog.tableExists(v)) s.catalog.dropTempView(v))
+      av.unpersist(blocking = false)
+    }
+  }
+
   /** One forward max-color round (neighbor-max + pointer jump) over
     * `scc_ce` / `scc_color` — plan-equal to Mining.sccColorRound.
     */

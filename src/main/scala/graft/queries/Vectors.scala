@@ -283,7 +283,7 @@ object Vectors {
   /** Per-label mean centroids, rounded per-dim (cross-engine stable):
     * (label, c: array<double>).
     */
-  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+  private[graft] def labelCentroids(s: SparkSession, dir: String): DataFrame =
     labelCentroidsOf(embeddings(s, dir))
 
   /** Per-label mean centroids (label, c array<double> on the 4dp

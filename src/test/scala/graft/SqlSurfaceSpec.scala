@@ -290,6 +290,31 @@ class SqlSurfaceSpec extends SparkSpec {
     Ck.release(sqOut)
   }
 
+  test("SQL-driven SemDeDup: pair stage plan-equal; census equals q222") {
+    ready
+    import graft.api.ops
+    val ddir = "/root/testdata/sf0.01"
+    // pair-stage plan equality over the same registered assigned view
+    val av = ops.semDedupAssigned(
+      Tables.embeddings(spark, ddir),
+      graft.queries.Vectors.labelCentroids(spark, ddir),
+      "vec_id", "embedding").localCheckpoint(true)
+    av.createOrReplaceTempView("sem_av")
+    pinPlanEqual("semdedup_pairs",
+      ops.semDedupPairs(av, 0.35), spark.sql(SqlSurface.semDedupPairsSql))
+    spark.catalog.dropTempView("sem_av")
+    Ck.release(av)
+    // full census agreement through the SQL cc fixpoint
+    val dfOut = SparkEntry.queries("q222_semdedup")(spark, ddir)
+    val sqOut = SqlSurface.q222SemDedupSql(spark, ddir)
+    assert(rows(dfOut) == rows(sqOut),
+      s"semdedup census diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+    // non-vacuity: the threshold found real duplicates
+    assert(sqOut.agg(sum(col("n_removed"))).head().getLong(0) > 0L,
+      "no semantic duplicates at tau=0.35 — vacuous")
+    Ck.release(dfOut); Ck.release(sqOut)
+  }
+
   test("SQL-driven composed day equals q221") {
     ready
     // the one-call day on the SQL surface: the q219 dedup machinery
