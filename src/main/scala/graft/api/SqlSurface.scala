@@ -1489,7 +1489,7 @@ object SqlSurface {
               members = nm
               // probe-gated bail — mirrors Mining.sccAssign's
               // round-12 shape (see the scaladoc there)
-              val stagnant = bwGuard >= 6 && nNew <= hist(bwGuard - 6)
+              val stagnant = bwGuard >= 5 && nNew <= hist(bwGuard - 5)
               if (stagnant && !lastStagnant) {
                 val remActive = color
                   .join(grow.select(col("clr")).distinct(), "clr")

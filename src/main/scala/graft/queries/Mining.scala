@@ -2103,7 +2103,7 @@ object Mining {
           members = nm.select(col("id"), col("clr"))
           lastFresh = nm.filter(col("__new"))
           // PROBE-GATED bail (round-12, third cut): flat growth for
-          // 6 rounds raises the giant-SCC suspicion, but the cheap
+          // 5 rounds raises the giant-SCC suspicion, but the cheap
           // running totals OVERCOUNT remaining work (they include
           // non-collectible nodes and drained classes), and bailing
           // on them alone re-fixpointed near-complete collects — the
@@ -2119,7 +2119,7 @@ object Mining {
           // beaten). A ring probes ~n and bails by round ~7; a
           // deep-but-finite class probes under the budget's reach
           // and runs to completion exactly like r11.
-          val stagnant = growing && bwGuard >= 6 && nNew <= hist(bwGuard - 6)
+          val stagnant = growing && bwGuard >= 5 && nNew <= hist(bwGuard - 5)
           if (stagnant && !lastStagnant) {
             val remActive = color
               .join(lastFresh.select(col("clr")).distinct(), "clr")
