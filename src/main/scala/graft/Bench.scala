@@ -165,9 +165,24 @@ object Bench {
     } catch { case _: Throwable => -1L }
     val hz = 100.0 // USER_HZ; universal on stock Linux
     var stealByQuery = Map.empty[String, Double]
+    // STEAL DODGE (round-13, verdict item 5): the r12 telemetry made
+    // host-steal stripes readable after the fact; this pass makes the
+    // bench step OUT of them at the source. Each timed run samples
+    // steal around ITSELF (not around the whole query — round-12
+    // advice: steal0 before the warm-up billed warm-up-only bursts
+    // to the timed runs and misdirected spread adjudications); a
+    // successful run whose own window carries > StealRetryS of
+    // host-withheld CPU is DISCARDED and re-run, bounded per query.
+    // Kept runs therefore measure the plan, not the hypervisor; the
+    // discarded samples and their steal ship in bench_detail
+    // ("dodged_runs"/"dodged_steal_s") so the dodge is auditable,
+    // and steal_s becomes kept-timed-runs steal only. Failed runs
+    // (-1) are never dodged — a crash must surface, not retry.
+    val StealRetryS = 0.5
+    val MaxStealRetries = 3
+    var dodgeByQuery = Map.empty[String, Seq[(Double, Double)]]
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = timeOnce(fn)
-      val steal0 = stealTicks()
       val startS = (System.nanoTime() - tStart) / 1e9
       // ONE untimed warm-up run before the three timed runs: the
       // bench's stated target is the reproducible steady-state cost
@@ -179,12 +194,22 @@ object Bench {
       // against minutes-long stages; at sf0.1 it dominates.
       once()
       LoopStats.drain() // discard any counts from warm-up/prior query
-      val runs = Seq(once(), once(), once())
+      val stealOk = stealTicks() >= 0 // no /proc/stat -> no dodge, field omitted
+      var kept = Vector.empty[(Double, Double)]
+      var dodged = Vector.empty[(Double, Double)]
+      while (kept.size < 3) {
+        val s0 = stealTicks()
+        val t = once()
+        val st = if (stealOk) (stealTicks() - s0) / hz else 0.0
+        if (t >= 0 && st > StealRetryS && dodged.size < MaxStealRetries)
+          dodged :+= ((t, st))
+        else kept :+= ((t, st))
+      }
+      val runs: Seq[Double] = kept.map(_._1)
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
       ccacheByQuery += (name -> codeCacheMb())
-      val steal1 = stealTicks()
-      if (steal0 >= 0 && steal1 >= 0)
-        stealByQuery += (name -> (steal1 - steal0) / hz)
+      if (stealOk) stealByQuery += (name -> kept.map(_._2).sum)
+      if (dodged.nonEmpty) dodgeByQuery += (name -> dodged)
       // round counts are data-driven and identical across the runs,
       // so the post-runs snapshot is THE count for this query
       (name, agg, runs, startS, LoopStats.drain())
@@ -230,9 +255,16 @@ object Bench {
         .map(v => ",\"ccache_mb\":" + fmt(v)).getOrElse("")
       val stealField = stealByQuery.get(k)
         .map(v => ",\"steal_s\":" + fmt(v)).getOrElse("")
+      // steal-dodged samples: the runs the dodge discarded and the
+      // per-run steal that disqualified them — auditable evidence
+      // that a retry happened and why
+      val dodgeField = dodgeByQuery.get(k).map { d =>
+        ",\"dodged_runs\":" + d.map(x => fmt(x._1)).mkString("[", ",", "]") +
+          ",\"dodged_steal_s\":" + d.map(x => fmt(x._2)).mkString("[", ",", "]")
+      }.getOrElse("")
       "\"" + k + "\":{\"start_s\":" + fmt(startS) +
         ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
-        spreadField + ccField + stealField + roundsField + "}"
+        spreadField + ccField + stealField + dodgeField + roundsField + "}"
     }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
@@ -276,6 +308,8 @@ object Bench {
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
         s""""ccache_used_mb":${fmt(codeCacheMb())},"ccache_max_mb":${fmt(ccMax)},""" +
         s""""steal_session_s":${fmt(stealByQuery.values.sum)},""" +
+        s""""steal_dodge_threshold_s":${fmt(StealRetryS)},""" +
+        s""""steal_dodged_runs":${dodgeByQuery.values.map(_.size).sum},""" +
         s""""gc":$gc,"wall_s":$wall,"data":$dataFp}"""
     }
     def detailLine =

@@ -152,6 +152,17 @@ object Loop {
       ck => ck.agg(coalesce(org.apache.spark.sql.functions.sum(c), lit(0L))
         .as("mv")).head().getLong(0))
 
+  /** Eagerly checkpoint `frame` and report the int64 MAX of `c`
+    * over it (0 when empty), measured on the checkpoint job itself —
+    * the renormalize form the HITS family needs (its per-half-step
+    * scalar is max(raw), not a moved-row count). Same rider/
+    * fallback/measured-stats contract as [[ckCount]].
+    */
+  def ckMax(frame: DataFrame, c: Column): (DataFrame, Long) =
+    ckAgg(frame, coalesce(org.apache.spark.sql.functions.max(c), lit(0L)),
+      ck => ck.agg(coalesce(org.apache.spark.sql.functions.max(c), lit(0L))
+        .as("mv")).head().getLong(0))
+
   /** The shared checkpoint-with-rider core: one aggregate `metric`
     * rides the eager localCheckpoint job via observe(); `fallback`
     * recomputes it with a second job over the checkpointed rows

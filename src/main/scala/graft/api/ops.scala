@@ -2091,9 +2091,15 @@ object ops {
           .as("kept_id_sum"))
       .orderBy(col("cell"))
       .localCheckpoint(true)
+    // the removed set is O(corpus) by design (the cited paper prunes
+    // up to ~50% of the corpus), so the anti-join must NOT force a
+    // broadcast — the planner/AQE broadcasts it when the measured
+    // size fits and shuffles on id when it doesn't (round-12 advice:
+    // a forced broadcast OOMs the driver exactly at the scale the op
+    // claims to serve)
     val removed = labels.filter(col("id") =!= col("component"))
       .select(col("id").as(id))
-    val kept = vectors.join(broadcast(removed), Seq(id), "left_anti")
+    val kept = vectors.join(removed, Seq(id), "left_anti")
       .localCheckpoint(true)
     graft.Ck.release(labels)
     pairs.unpersist(blocking = false)

@@ -1436,8 +1436,14 @@ object Curation {
       col("id") === col(out), "left")
       .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
 
-  /** The renormalize half of one HITS half-step (SQL twin:
-    * SqlSurface.hitsNormSql).
+  /** The renormalize half of one HITS half-step as a standalone
+    * frame — the body the SQL twin (SqlSurface.hitsNormSql) is
+    * plan-equal-pinned against. The production loop ([[hitsScores]])
+    * fuses this step away: max(raw) rides the raw checkpoint job
+    * (Loop.ckMax) and the renormalize stays lazy over it, so this
+    * self-join shape survives as the SQL surface's (a SQL text has
+    * no accumulator rider) and the documentation of the arithmetic;
+    * q196HitsSql's row-equal output pin keeps the two honest.
     */
   private[graft] def hitsNormFrame(raw: DataFrame): DataFrame =
     raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
@@ -1450,22 +1456,33 @@ object Curation {
       .unionByName(edges.select(col("dst").as("id")))
       .distinct().persist(MEMORY_AND_DISK)
     touch(nodes)
-    // one half-step: raw = Σ over `key`-incident edges of the other
-    // role's score, then integer max-renormalize to 10000
+    // one half-step = ONE checkpoint job (the q172 accumulator-twin
+    // treatment, commit 99ab329): raw = Σ over `key`-incident edges
+    // of the other role's score is checkpointed with max(raw) riding
+    // the SAME job (Loop.ckMax), and the integer renormalize stays
+    // LAZY over that checkpoint — the next half-step's broadcast of
+    // the scores materializes it once. The old shape paid a raw
+    // checkpoint + a broadcast-max job + a normed checkpoint per
+    // half-step (~24 jobs/run); this one pays 8 checkpoints. The
+    // returned frames are the lazy renormalizes over the two final
+    // raw checkpoints — Ck.release walks to those, so the caller
+    // contract (release a and h after their last consumer) holds.
     def halfStep(scores: DataFrame, key: String, out: String): DataFrame = {
-      // raw is referenced TWICE (its own max + the renormalize) — one
-      // eager checkpoint materializes the join+agg once; without it
-      // the broadcast max re-executes the whole half-step lineage
-      val raw = hitsRawFrame(nodes, edges, scores, key, out)
-        .localCheckpoint(true)
-      val normed = hitsNormFrame(raw).localCheckpoint(true)
-      graft.Ck.release(raw)
-      normed
+      val (raw, mx) = graft.Loop.ckMax(
+        hitsRawFrame(nodes, edges, scores, key, out), col("raw"))
+      // structural (every dst has an in-edge, so some raw > 0) — and
+      // the exact-integer contract needs a literal divisor, so a
+      // zero here must fail loudly, never divide
+      require(mx > 0L, s"HITS renormalize: max(raw) = $mx must be positive")
+      raw.select(col("id"), expr(s"(raw * 10000) div ${mx}L").as("score"))
     }
     var h = nodes.withColumn("score", lit(10000L)).localCheckpoint(true)
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
       val aNext = halfStep(h, "src", "dst")  // authorities ← hubs
+      // aNext's checkpoint is materialized (ckMax is eager) and the
+      // superseded frames' last consumer has run: a was consumed by
+      // the previous hNext, h by this aNext
       if (a != null) graft.Ck.release(a)
       a = aNext
       val hNext = halfStep(a, "dst", "src")  // hubs ← authorities

@@ -2061,24 +2061,28 @@ object Mining {
           .localCheckpoint(true)
         var growing = true
         var bwGuard = 0
-        // Round-12 STAGNATION BAIL: a giant SCC's backward frontier
-        // grows ADDITIVELY (a directed ring adds one predecessor per
-        // root per round), so burning the whole 64-round trial before
-        // falling through pays 64 sequential jobs for nothing — the
-        // r11 SCALE_PROBE giant rings spent 64 of their 81-94 collect
-        // rounds exactly there. The exact remaining-collectible count
-        // is UNKNOWABLE mid-phase (v is collectible iff v reaches its
-        // color root — reachability is the thing being computed), so
-        // the bail is a growth-rate heuristic: past round 8, if the
-        // frontier has not grown in 6 rounds (nNew ≤ nNew six rounds
-        // ago) AND the uncollected live mass exceeds 16 more rounds
-        // at the current rate, switch to the doubled fixpoint now.
-        // `curCnt - collected` OVERCOUNTS remaining (it includes
-        // next-outer-round nodes that were never collectible), so a
-        // late-phase misfire is possible — the cost is one exact
-        // class-wide fixpoint for that outer round, never
-        // correctness; the multiplicative-growth common case (real
-        // corpora post-trim) never trips either clause.
+        // Round-12 STAGNATION BAIL (third cut, commit c96d875): a
+        // giant SCC's backward frontier grows ADDITIVELY (a directed
+        // ring adds one predecessor per root per round), so burning
+        // the whole 64-round trial before falling through pays 64
+        // sequential jobs for nothing — the r11 SCALE_PROBE giant
+        // rings spent 64 of their 81-94 collect rounds exactly
+        // there. The exact remaining-collectible count is UNKNOWABLE
+        // mid-phase (v is collectible iff v reaches its color root —
+        // reachability is the thing being computed), so the bail is
+        // two-staged: from round 5 on, a frontier that has not grown
+        // in the last 5 rounds (nNew ≤ hist(bwGuard-5)) raises the
+        // giant-SCC suspicion; the EDGE of that condition then pays
+        // ONE count job for a true remaining upper bound (live nodes
+        // of still-ACTIVE classes not yet collected), and the trial
+        // is abandoned only when even the whole remaining budget at
+        // the current rate could not cover it
+        // (remActive > (oneStepBudget - bwGuard) · nNew). The bound
+        // still OVERCOUNTS (it includes class nodes that were never
+        // collectible), so a late-phase misfire is possible — the
+        // cost is one warm-initialized restricted-class fixpoint,
+        // never correctness; the multiplicative-growth common case
+        // (real corpora post-trim) never reaches the probe.
         val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
         var bail = false
         var lastStagnant = false
