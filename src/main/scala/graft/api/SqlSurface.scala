@@ -1282,19 +1282,29 @@ object SqlSurface {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val av = graft.api.ops.semDedupAssigned(
       graft.Tables.embeddings(s, dir),
-      graft.queries.Vectors.labelCentroids(s, dir),
+      graft.queries.Vectors.semCodebook(s, dir),
       "vec_id", "embedding").persist(MEMORY_AND_DISK)
     graft.Tables.touch(av)
+    // tracked for the finally path: if the body throws after these
+    // eager checkpoints exist (e.g. the cc fixpoint's maxRounds
+    // require fires), they must not leak for the session (round-12
+    // advice). Ck.release is idempotent, so the success path's
+    // releases and the finally's overlap harmlessly. `init` itself
+    // is owned by ccCoreSql (consumed as round state and released
+    // there on both exits); `lbl` walks to the fixpoint's final
+    // checkpoint.
+    var pairs: org.apache.spark.sql.DataFrame = null
+    var lbl: org.apache.spark.sql.DataFrame = null
     try {
       av.createOrReplaceTempView("sem_av")
-      val pairs = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      pairs = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
         s.sql(semDedupPairsSql).localCheckpoint(true))
       pairs.createOrReplaceTempView("sem_pairs")
       val init = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
         s.sql("SELECT __i AS a, __j AS b FROM sem_pairs")
           .localCheckpoint(true))
       val (lblRaw, _) = ccCoreSql(s, init, 50, (_, _) => ())
-      val lbl = lblRaw.select(col("node").as("id"), col("lbl").as("component"))
+      lbl = lblRaw.select(col("node").as("id"), col("lbl").as("component"))
       lbl.createOrReplaceTempView("sem_lbl")
       val census = s.sql(
         """WITH dup AS (

