@@ -120,6 +120,52 @@ object ScaleProbe {
           .as("text"))
   }
 
+  /** Replicate the (vec_id, embedding) corpus `m` times, each
+    * replica r > 0 SALTED by a signed coordinate permutation: a
+    * cyclic dimension shift by md5("rot:r") % 64 followed by an
+    * md5("sg:r:d")-bit sign flip per dimension. Both endpoints of a
+    * within-replica pair transform identically and the transform is
+    * orthogonal, so every within-replica cosine (and norm) is
+    * EXACTLY preserved, while a cross-replica dot becomes a ±
+    * scramble of SHIFTED-index products — measured on this corpus:
+    * same-base-vector cross-replica cosine mean ~0, ≥ 0.35 in only
+    * ~0.2% of base vectors (a plain per-replica sign flip from a
+    * cheap linear hash was measured first and REJECTED: adjacent
+    * replicas' patterns correlated and 58% of same-base pairs kept
+    * cosine ≥ 0.35, fabricating quadratic pair growth). SemDeDup
+    * pair counts over this corpus therefore measure ~m independent
+    * copies of the base dup structure (~linear growth, ~0.2%
+    * cross-replica leakage), not the every-vector-dups-its-own-
+    * replicas blowup identical copies would fabricate. The salt
+    * table is m x 64 doubles — broadcast. m = 1 returns the corpus
+    * unchanged (cast to double, as the transform branch produces).
+    */
+  def replicateVecs(s: SparkSession, vecs: DataFrame, m: Int,
+      n: Long): DataFrame = {
+    require(m >= 1, s"replica count must be >= 1, got $m")
+    def h28(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    import s.implicits._
+    val salts = (0 until m).map { r =>
+      val sg = (0 until 64).map(d =>
+        if (r == 0 || h28(s"sg:$r:$d") % 2 == 0L) 1.0 else -1.0)
+      val sh = if (r == 0) 0L else h28(s"rot:$r") % 64L
+      (r.toLong, sg, sh)
+    }.toDF("r", "sg", "sh")
+    vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(salts))
+      .select((col("vec_id") + col("r") * n).as("vec_id"),
+        // out[d] = sg[d] * v[(d - sh) mod 64] — the numpy
+        // roll-then-flip order the rejection measurement used
+        transform(col("sg"), (sgi, i) =>
+          sgi * element_at(col("v"),
+            (((i.cast("long") - col("sh") + 64L) % 64L) + 1L).cast("int")))
+          .as("embedding"))
+  }
+
   final case class LoopRun(rounds: Int, totalS: Double, roundS: Seq[Double])
 
   /** Run a probe-accepting loop, timing round boundaries: the loops
@@ -310,6 +356,90 @@ object ScaleProbe {
       val ringStats = graft.LoopStats.drain()
       val ringBw = ringStats.getOrElse("scc_bw", -1L)
       require(nRingScc == 1L, s"ring must be ONE scc, got $nRingScc")
+      // SEMDEDUP leg (round-13, q222's scale evidence): replicate
+      // the embedding corpus with orthogonal per-replica salts (see
+      // replicateVecs) and PLANT one genuine near-dup twin (a fixed
+      // ±2% per-dim jitter; cosine ≈ 0.9998) for every 4th vector of
+      // every replica — the replicateDocs discipline transplanted to
+      // vectors. The leg runs at τ = 0.9, where the planted twins
+      // are the ONLY structure: measured on this corpus, ~0.2% of
+      // INDEPENDENT vector pairs exceed the production τ = 0.35 in
+      // 64 dims (a data property — two unrelated shards of this
+      // corpus genuinely weak-match at that rate), so at τ = 0.35
+      // total pair count grows ~quadratically in m NO MATTER how the
+      // operator blocks (a first cut measured it: 559 → 26,490 pairs
+      // at m=10, dominated by true cross-replica weak similarity) —
+      // the probe raises τ so pair growth measures the OPERATOR, not
+      // the corpus's weak-similarity base rate. Claims under test
+      // with the corpus-scaled k = ceil(sqrt(N)) codebook:
+      // (1) found-pair count tracks the planted (linear-in-m)
+      // structure; (2) cross-replica pairs stay ~0 at τ = 0.9;
+      // (3) cell balance holds (max cell a small multiple of the
+      // mean), so no cell re-creates the all-pairs blowup the
+      // blocking exists to avoid. Census-only consumption (the kept
+      // frame is released like q222 does).
+      val vecsBase = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val vn = vecsBase.agg((max(col("vec_id")) + 1L).as("n"))
+        .head().getLong(0)
+      val vecsRep = replicateVecs(spark, vecsBase, m, vn)
+      // planted twins: ids shift by totN, so replica of any id is
+      // ((id mod totN) div vn) and twin-ness is (id >= totN)
+      val totN = vn * m
+      val twinJ = (0 until 64).map(d =>
+        if (java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"tw:$d".getBytes("UTF-8")).map("%02x".format(_))
+            .mkString.substring(0, 7), 16) % 2 == 0L) 1.02 else 0.98)
+      val sdCorpus = vecsRep.unionByName(
+          vecsRep.filter(col("vec_id") % 4L === 0L)
+            .select((col("vec_id") + totN).as("vec_id"),
+              zip_with(col("embedding"),
+                lit(twinJ.toArray), (x, j) => x * j).as("embedding")))
+        .localCheckpoint(true)
+      val nVecs = sdCorpus.count()
+      graft.Ck.release(vecsBase)
+      val sdBook = graft.queries.Vectors.semCodebookOf(sdCorpus)
+      val sdTau = 0.9
+      val ((sdCensus, sdRounds), sdS, sdTms) = timedLeg {
+        val (sdKept, c, r) = ops.semDedup(
+          sdCorpus, sdBook, "vec_id", "embedding", sdTau)
+        graft.Ck.release(sdKept)
+        (c, r)
+      }
+      val sdRow = sdCensus.agg(
+        count(lit(1)).as("k"),
+        sum(col("n_pairs")).as("pairs"),
+        sum(col("n_components")).as("comps"),
+        sum(col("n_removed")).as("removed"),
+        max(col("n_vecs")).as("max_cell"),
+        avg(col("n_vecs")).as("mean_cell")).head()
+      graft.Ck.release(sdCensus)
+      // within/cross-replica pair split (one extra pair-stage pass,
+      // outside wall_s): within(m) ≈ planted twins is the linearity
+      // claim; cross ~0 is the τ = 0.9 independence claim —
+      // reporting both keeps the "~linear" read honest
+      val avP = graft.api.ops.semDedupAssigned(
+          sdCorpus, sdBook, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sdSplit = graft.api.ops.semDedupPairs(avP, sdTau)
+        .agg(count(lit(1)).as("tot"),
+          count(when(expr(s"(__i % ${totN}L) div ${vn}L") ===
+            expr(s"(__j % ${totN}L) div ${vn}L"), 1)).as("within")).head()
+      avP.unpersist(blocking = false)
+      graft.Ck.release(sdCorpus)
+      require(sdSplit.getLong(0) == sdRow.getLong(1),
+        s"semdedup split pass pairs ${sdSplit.getLong(0)} != census ${sdRow.getLong(1)}")
+      val semdedupJson =
+        s"""{"vecs":$nVecs,"planted":${nVecs - totN},"tau":$sdTau,""" +
+          s""""k":${sdRow.getLong(0)},""" +
+          s""""pairs":${sdRow.getLong(1)},""" +
+          s""""pairs_within":${sdSplit.getLong(1)},""" +
+          s""""pairs_cross":${sdSplit.getLong(0) - sdSplit.getLong(1)},""" +
+          s""""components":${sdRow.getLong(2)},""" +
+          s""""removed":${sdRow.getLong(3)},"max_cell":${sdRow.getLong(4)},""" +
+          s""""mean_cell":${fmt(sdRow.getDouble(5))},""" +
+          s""""cc_rounds":$sdRounds,"wall_s":${fmt(sdS)},"task_ms":$sdTms}"""
       // INCREMENTAL-DEDUP leg (round-9, q218's scale evidence): the
       // salted-replica corpus (see replicateDocs) keeps dup-cluster
       // structure scale-invariant, so the claims under test are
@@ -497,6 +627,7 @@ object ScaleProbe {
           s""""corpusday_s":${fmt(cdS)},"bands_prep_s":${fmt(bandsPrepS)},""" +
           s""""corpusday_bands":$cdBandsN}"""
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
+        s""""semdedup":$semdedupJson,""" +
         s""""dedup":$dedupJson,""" +
         s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +
         s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
@@ -516,7 +647,9 @@ object ScaleProbe {
         s"${fmt(kc.totalS)}s scc=${sccRounds}r(bw$sccBw)/${fmt(sccS)}s/" +
         s"${nScc}sccs giant=${nRing}n/bw${ringBw}r/${fmt(ringS)}s " +
         s"dedup=${pdCount}dp/${fullPairs}fp warm_mv=${ndCurve1.map(_._2).sum}" +
-        s"/cold_mv=${ndColdCurve.map(_._2).sum}")
+        s"/cold_mv=${ndColdCurve.map(_._2).sum} " +
+        s"semdedup=${sdRow.getLong(1)}p/k${sdRow.getLong(0)}/" +
+        s"${fmt(sdS)}s")
       // the m=100 edge frame is ~100x the base — release its blocks
       // before the next scale builds its own (base stays: it serves
       // every scale)

@@ -1478,17 +1478,24 @@ object SqlSurface {
             .localCheckpoint(true)
           var growing = true
           var bwGuard = 0
-          // stagnation bail — mirrors Mining.sccAssign's round-12
-          // control flow (see the scaladoc there for the heuristic)
+          // stagnation freeze — mirrors Mining.sccAssign's round-13
+          // control flow (see the scaladoc there): r12's GLOBAL
+          // budget test stays the trigger, and when it trips only
+          // the individually-hopeless classes freeze (their grow
+          // rows are filtered below); everyone else keeps
+          // one-stepping and drained classes complete as before
           val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
-          var bail = false
           var lastStagnant = false
           var lastGrow: DataFrame = null
-          while (growing && !bail && bwGuard < oneStepBudget) {
+          var bailedClr: DataFrame = null
+          while (growing && bwGuard < oneStepBudget) {
             bwGuard += 1
             members.createOrReplaceTempView("scc_members")
-            val (grow, nNew) =
-              graft.Loop.ckCount(s.sql(sccCollectGrowSql), lit(true))
+            val grown = s.sql(sccCollectGrowSql)
+            val (grow, nNew) = graft.Loop.ckCount(
+              if (bailedClr == null) grown
+              else grown.join(broadcast(bailedClr), Seq("clr"), "left_anti"),
+              lit(true))
             growing = nNew > 0L
             hist += nNew
             if (growing) {
@@ -1497,26 +1504,68 @@ object SqlSurface {
               if (lastGrow ne null) graft.Ck.release(lastGrow)
               lastGrow = grow
               members = nm
-              // probe-gated bail — mirrors Mining.sccAssign's
-              // round-12 shape (see the scaladoc there)
-              val stagnant = bwGuard >= 5 && nNew <= hist(bwGuard - 5)
+              // probe-gated, constant-rate freeze — mirrors
+              // Mining.sccAssign's round-13 shape (see the scaladoc
+              // there: only the exact additive signature — five
+              // consecutive identical nNew values — raises the
+              // suspicion; anything looser misfired on finite
+              // classes near completion)
+              val stagnant = bwGuard >= 5 &&
+                hist.slice(bwGuard - 5, bwGuard).distinct.size == 1
               if (stagnant && !lastStagnant) {
-                val remActive = color
+                val remC = color
                   .join(grow.select(col("clr")).distinct(), "clr")
                   .join(members.select(col("id")), Seq("id"), "left_anti")
-                  .count()
-                bail = remActive > (oneStepBudget - bwGuard).toLong * nNew
+                  .groupBy(col("clr")).agg(count(lit(1)).as("rem"))
+                val rateC = grow.groupBy(col("clr"))
+                  .agg(count(lit(1)).as("rate"))
+                val (cls, _) = graft.Loop.ckCount(
+                  remC.join(rateC, Seq("clr")), lit(true))
+                val tot = cls.agg(
+                  coalesce(sum(col("rem")), lit(0L)).as("r"),
+                  coalesce(sum(col("rate")), lit(0L)).as("g")).head()
+                val budget = (oneStepBudget - bwGuard).toLong
+                if (tot.getLong(0) > budget * tot.getLong(1)) {
+                  // 4x per-class margin — see Mining.sccAssign's
+                  // probe comment; the freeze set can be empty
+                  val (hopeless, nHopeless) = graft.Loop.ckCount(
+                    cls.filter(col("rem") > lit(4L * budget) * col("rate"))
+                      .select(col("clr")),
+                    lit(true))
+                  if (nHopeless > 0L) {
+                    val nb =
+                      if (bailedClr == null) hopeless
+                      else {
+                        val u = bailedClr.unionByName(hopeless)
+                          .localCheckpoint(true)
+                        graft.Ck.release(bailedClr)
+                        graft.Ck.release(hopeless)
+                        u
+                      }
+                    bailedClr = nb
+                  } else graft.Ck.release(hopeless)
+                }
+                graft.Ck.release(cls)
               }
               lastStagnant = stagnant
             } else graft.Ck.release(grow)
           }
-          if (growing) {
-            // restricted-class fixpoint — only the classes still
-            // growing when the trial stopped (Mining.sccAssign's
-            // round-12 shape; drained classes are complete)
-            lastGrow.createOrReplaceTempView("scc_lastgrow")
-            val activeClr = s.sql(
-              "SELECT DISTINCT clr FROM scc_lastgrow").localCheckpoint(true)
+          if (growing || bailedClr != null) {
+            // restricted-class fixpoint — the frozen classes plus
+            // any class still growing at budget exhaustion
+            // (Mining.sccAssign's round-13 shape; drained classes
+            // are complete)
+            val activeClr = {
+              val base =
+                if (!growing) bailedClr
+                else {
+                  lastGrow.createOrReplaceTempView("scc_lastgrow")
+                  val g = s.sql("SELECT DISTINCT clr FROM scc_lastgrow")
+                  if (bailedClr == null) g
+                  else g.unionByName(bailedClr).distinct()
+                }
+              base.localCheckpoint(true)
+            }
             activeClr.createOrReplaceTempView("scc_active")
             val colorA = s.sql(
               """SELECT id, ord, clr FROM scc_color
@@ -1564,6 +1613,7 @@ object SqlSurface {
             graft.Ck.release(sameE)
             graft.Ck.release(colorA)
             graft.Ck.release(activeClr)
+            if (bailedClr != null) graft.Ck.release(bailedClr)
             Seq("scc_lastgrow", "scc_active", "scc_color_a")
               .foreach(s.catalog.dropTempView)
           }

@@ -2084,10 +2084,28 @@ object Mining {
         // never correctness; the multiplicative-growth common case
         // (real corpora post-trim) never reaches the probe.
         val hist = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var bail = false
         var lastStagnant = false
         var lastFresh: DataFrame = null // last round's new members
-        while (growing && !bail && bwGuard < oneStepBudget) {
+        // round-13 PER-CLASS freeze (r12 verdict item 4): the r12
+        // bail was GLOBAL — one deep class whose (overcounted)
+        // remaining bound tripped the aggregate budget test abandoned
+        // the WHOLE trial, sending every still-active class to the
+        // fixpoint (m=100 probe: bw 53 vs 29 no-bail, +6% wall for a
+        // class the one-step would have finished). The TRIGGER stays
+        // r12's global test (a pure per-class trigger was measured
+        // and rejected — see the probe comment below), but the
+        // consequence is per color class: when the global test
+        // trips, only classes that could not finish within the
+        // remaining budget at their own rate freeze — frontier
+        // growth is per-class independent (a frontier derives solely
+        // from its own class's members), so freezing one class
+        // cannot starve another. Frozen classes stop one-stepping
+        // (their grow rows are filtered) and take the restricted
+        // fixpoint at trial end together with any class still
+        // growing at budget exhaustion; drained classes complete
+        // exactly as before.
+        var bailedClr: DataFrame = null // frozen classes (clr), ck'd
+        while (growing && bwGuard < oneStepBudget) {
           bwGuard += 1
           // ONE job per growth round (round-11 job-floor pass): the
           // members ∪ frontier union is checkpointed with the
@@ -2096,9 +2114,12 @@ object Mining {
           // final (zero-growth) round re-materializes an unchanged
           // member set; one redundant class-sized copy against one
           // saved job every growing round.
+          val grow0 = sccCollectGrow(ce, color, members)
+          val grow = if (bailedClr == null) grow0
+            else grow0.join(broadcast(bailedClr), Seq("clr"), "left_anti")
           val (nm, nNew) = graft.Loop.ckCount(
             members.select(col("id"), col("clr"), lit(false).as("__new"))
-              .unionByName(sccCollectGrow(ce, color, members)
+              .unionByName(grow
                 .select(col("id"), col("clr"), lit(true).as("__new"))),
             col("__new"))
           growing = nNew > 0L
@@ -2106,34 +2127,103 @@ object Mining {
           graft.Ck.release(members)
           members = nm.select(col("id"), col("clr"))
           lastFresh = nm.filter(col("__new"))
-          // PROBE-GATED bail (round-12, third cut): flat growth for
+          // PROBE-GATED freeze (round-12's third-cut gating; the
+          // freeze SET is per-class since round 13): flat growth for
           // 5 rounds raises the giant-SCC suspicion, but the cheap
           // running totals OVERCOUNT remaining work (they include
           // non-collectible nodes and drained classes), and bailing
           // on them alone re-fixpointed near-complete collects — the
           // probe scc legs paid +77% wall. So stagnation only
-          // triggers ONE edge-triggered count job for a true upper
-          // bound — live nodes of still-ACTIVE classes not yet
-          // members (drained classes can never need more one-step
-          // work) — and the trial is abandoned only when even the
-          // WHOLE remaining trial budget at the current rate could
-          // not cover that bound (second cut's fixed 16x-rate
-          // threshold still fired on the probe's deep-but-finite
-          // m=10 classes, paying a fixpoint the one-step would have
-          // beaten). A ring probes ~n and bails by round ~7; a
-          // deep-but-finite class probes under the budget's reach
-          // and runs to completion exactly like r11.
-          val stagnant = growing && bwGuard >= 5 && nNew <= hist(bwGuard - 5)
+          // triggers ONE edge-triggered probe round, and the TRIGGER
+          // stays r12's GLOBAL test (total bound > whole remaining
+          // budget at the total rate) — a first per-class-trigger
+          // cut froze m=10's deep-but-finite classes (their
+          // individual rates are small, so a per-class threshold is
+          // far more trigger-happy than the aggregate) and paid
+          // bw 29→63 / +55% wall, re-learning exactly the second
+          // cut's lesson. Only WHEN the global test trips does the
+          // per-class breakdown pick the frozen set: classes whose
+          // own bound exceeds the remaining budget at their own
+          // rate. Σrem > T·Σrate guarantees at least one such class
+          // (pigeonhole), and classes below their threshold keep
+          // one-stepping — the m=100 premium the global bail paid
+          // for freezing EVERYTHING over one deep class. A ring
+          // probes ~n and freezes its one class by round ~7; m=10's
+          // deep-but-finite classes never trip the global gate and
+          // run to completion exactly like r12.
+          // CONSTANT-RATE stagnation (round-13, third trigger cut —
+          // each measured on the m=100 probe): a giant's backward
+          // frontier grows ADDITIVELY — a directed ring adds exactly
+          // #roots predecessors per round, every round, forever — so
+          // its nNew sequence is EXACTLY constant. Anything looser
+          // misfires on finite classes: "nNew ≤ 5 rounds ago"
+          // (r12's trigger) and even decay-aware flat-within-2x both
+          // fired near finite classes' natural completion, where the
+          // rem bound's non-collectible overcount explodes against a
+          // drying rate (measured: freeze at rounds 5/27/29 on
+          // classes one-step finishes by 29, each paying a ~46-round
+          // class-wide fixpoint the no-freeze run never needs —
+          // bw 53-75 vs 29, wall +7-10%). The costs are asymmetric
+          // (a missed freeze wastes at most the bounded 64-round
+          // trial; a spurious freeze pays the fixpoint on a giant
+          // color class), so the trigger demands the exact additive
+          // signature: five consecutive IDENTICAL nNew values.
+          val stagnant = growing && bwGuard >= 5 &&
+            hist.slice(bwGuard - 5, bwGuard).distinct.size == 1
           if (stagnant && !lastStagnant) {
-            val remActive = color
+            val remC = color
               .join(lastFresh.select(col("clr")).distinct(), "clr")
               .join(nm.select(col("id")), Seq("id"), "left_anti")
-              .count()
-            bail = remActive > (oneStepBudget - bwGuard).toLong * nNew
+              .groupBy(col("clr")).agg(count(lit(1)).as("rem"))
+            val rateC = lastFresh.groupBy(col("clr"))
+              .agg(count(lit(1)).as("rate"))
+            val (cls, _) = graft.Loop.ckCount(
+              remC.join(rateC, Seq("clr")), lit(true))
+            val tot = cls.agg(
+              coalesce(sum(col("rem")), lit(0L)).as("r"),
+              coalesce(sum(col("rate")), lit(0L)).as("g")).head()
+            val budget = (oneStepBudget - bwGuard).toLong
+            if (tot.getLong(0) > budget * tot.getLong(1)) {
+              // per-class freeze carries a 4x MARGIN on top of the
+              // constant-rate trigger: rem overcounts collectible
+              // work by small factors for real classes (it includes
+              // class nodes that never reach the root), while a
+              // genuine giant is not marginal — a ring's rem/rate is
+              // ~n against a <64 budget (orders over any small
+              // alpha; measured m=1: 1443x). The margin is
+              // belt-and-braces under the exact-constant trigger
+              // (which alone keeps every finite probe class out —
+              // see the trigger comment); it exists so a finite
+              // class that happens to plateau at an exactly-constant
+              // rate for 5 rounds still needs a 4x-overcounted bound
+              // before it pays the class fixpoint. The freeze set
+              // CAN be empty (the 1x global trigger does not
+              // pigeonhole a 4x class) — an empty round leaves
+              // bailedClr untouched and the trial simply continues.
+              val (hopeless, nHopeless) = graft.Loop.ckCount(
+                cls.filter(col("rem") > lit(4L * budget) * col("rate"))
+                  .select(col("clr")),
+                lit(true))
+              if (nHopeless > 0L) {
+                graft.LoopStats.record("scc_bail_at",
+                  math.max(graft.LoopStats.peek("scc_bail_at"), bwGuard.toLong))
+                val nb =
+                  if (bailedClr == null) hopeless
+                  else {
+                    val u = bailedClr.unionByName(hopeless)
+                      .localCheckpoint(true)
+                    graft.Ck.release(bailedClr)
+                    graft.Ck.release(hopeless)
+                    u
+                  }
+                bailedClr = nb
+              } else graft.Ck.release(hopeless)
+            }
+            graft.Ck.release(cls)
           }
           lastStagnant = stagnant
         }
-        if (growing) {
+        if (growing || bailedClr != null) {
           // probe split: how many one-step rounds ran before the
           // trial stopped (bail or budget) vs fixpoint rounds after —
           // bw alone can't distinguish a late bail from a slow
@@ -2144,14 +2234,23 @@ object Mining {
           // whose one-step frontier drained is COMPLETE — a frontier
           // derives solely from its class's members, so once empty it
           // never regrows and the one-step members are that class's
-          // full SCC. Only the classes still growing when the trial
-          // stopped (bail or budget) need the doubled fixpoint; the
-          // r11 shape re-stabilized EVERY live class and paid a
-          // class-wide fixpoint for a misfired bail (probe scc legs:
-          // +70% wall). Active classes = classes of the last round's
-          // fresh members (growth is per-class monotone).
-          val activeClr = lastFresh.select(col("clr")).distinct()
-            .localCheckpoint(true)
+          // full SCC. Only the incomplete classes need the doubled
+          // fixpoint: the per-class FROZEN set plus any class still
+          // growing at budget exhaustion (round-13; the r11 shape
+          // re-stabilized EVERY live class and paid a class-wide
+          // fixpoint for a misfired bail — probe scc legs: +70%
+          // wall). Growth is per-class monotone, so lastFresh's
+          // classes are exactly the still-growing ones (frozen
+          // classes were filtered out of grow and never reappear).
+          val activeClr = {
+            val base =
+              if (!growing) bailedClr
+              else if (bailedClr == null)
+                lastFresh.select(col("clr")).distinct()
+              else lastFresh.select(col("clr")).distinct()
+                .unionByName(bailedClr).distinct()
+            base.localCheckpoint(true)
+          }
           val colorA = color
             .join(broadcast(activeClr), "clr")
             .select(col("id"), col("ord"), col("clr"))
@@ -2203,6 +2302,9 @@ object Mining {
           graft.Ck.release(back)
           graft.Ck.release(sameE)
           graft.Ck.release(activeClr)
+          // the frozen-class set fed activeClr's checkpoint and has
+          // no consumer past it
+          if (bailedClr != null) graft.Ck.release(bailedClr)
         }
         maxBw = math.max(maxBw, bwGuard.toLong)
         // assign this round's SCCs by their MINIMUM member id (the

@@ -315,8 +315,13 @@ object Vectors {
     * exemplar assigns to its own cell (d2 = 0, ties by label), so
     * all k cells are non-empty and the census row count is k.
     */
-  private[graft] def semCodebook(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+  private[graft] def semCodebook(s: SparkSession, dir: String): DataFrame =
+    semCodebookOf(embeddings(s, dir))
+
+  /** [[semCodebook]] over any (vec_id, embedding) frame — the form
+    * the scale probe feeds replicated corpora.
+    */
+  private[graft] def semCodebookOf(e: DataFrame): DataFrame = {
     // one metadata-cheap count job fixes k; both engines derive it
     // as ceil(sqrt(count)) in IEEE doubles
     val k = math.ceil(math.sqrt(e.count().toDouble)).toInt

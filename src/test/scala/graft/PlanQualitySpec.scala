@@ -219,6 +219,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q222 codebook: top-k-by-hash is a TakeOrdered, never a global corpus sort") {
+    // the corpus-scaled k = ceil(sqrt(N)) exemplar rank (round 13)
+    // must plan its orderBy(hr).limit(k) as a distributed
+    // TakeOrderedAndProject — per-partition top-k then a k-row merge
+    // — because a global Sort exchange of the corpus just to pick k
+    // exemplars is exactly the shuffle the hash discipline avoids;
+    // the k-row rank Window after it is driver-scale by construction
+    val p = graft.queries.Vectors.semCodebook(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q60: native as-of join — no window, no union, co-partitioned exchanges") {
     val p = plan("q60_asof_native")
     assert(p.contains("AsOfJoin"), p)
