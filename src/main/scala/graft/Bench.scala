@@ -57,6 +57,30 @@ object Bench {
     } catch { case _: Throwable => Seq(DiffUnparseable) }
   }
 
+  /** The steal-dodge sampling loop (round-13, pure and spec-pinned
+    * in BenchGateSpec): draw timed samples from `run` — which
+    * returns (wall seconds, steal seconds measured around that run)
+    * — until `n` are KEPT, discarding a successful sample whose own
+    * window carried more than `thresholdS` of host-withheld CPU,
+    * bounded by `maxRetries` discards per query. Returns (kept,
+    * discarded) in draw order. Failed runs (wall < 0) are never
+    * dodged — a crash must surface in the kept array, not retry
+    * until the box is quiet.
+    */
+  private[graft] def stealDodge(run: () => (Double, Double), n: Int,
+      thresholdS: Double, maxRetries: Int)
+    : (Seq[(Double, Double)], Seq[(Double, Double)]) = {
+    var kept = Vector.empty[(Double, Double)]
+    var dodged = Vector.empty[(Double, Double)]
+    while (kept.size < n) {
+      val s @ (t, st) = run()
+      if (t >= 0 && st > thresholdS && dodged.size < maxRetries)
+        dodged :+= s
+      else kept :+= s
+    }
+    (kept, dodged)
+  }
+
   /** Merge isolation-retry samples into the result rows named by the
     * drift gate: min-of-runs is the stated aggregate, so appending
     * the tail samples is honest — a transient drift dissolves, a
@@ -195,16 +219,11 @@ object Bench {
       once()
       LoopStats.drain() // discard any counts from warm-up/prior query
       val stealOk = stealTicks() >= 0 // no /proc/stat -> no dodge, field omitted
-      var kept = Vector.empty[(Double, Double)]
-      var dodged = Vector.empty[(Double, Double)]
-      while (kept.size < 3) {
+      val (kept, dodged) = stealDodge(() => {
         val s0 = stealTicks()
         val t = once()
-        val st = if (stealOk) (stealTicks() - s0) / hz else 0.0
-        if (t >= 0 && st > StealRetryS && dodged.size < MaxStealRetries)
-          dodged :+= ((t, st))
-        else kept :+= ((t, st))
-      }
+        (t, if (stealOk) (stealTicks() - s0) / hz else 0.0)
+      }, 3, StealRetryS, MaxStealRetries)
       val runs: Seq[Double] = kept.map(_._1)
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
       ccacheByQuery += (name -> codeCacheMb())

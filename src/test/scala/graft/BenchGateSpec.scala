@@ -145,4 +145,37 @@ class BenchGateSpec extends AnyFunSuite {
     // start offsets and loop counts ride through untouched
     assert(merged("q_drift")._4 == 5.0 && merged("q_drift")._5 == loops)
   }
+
+  test("steal dodge: stolen runs discard and re-draw; crashes and quiet runs keep") {
+    // scripted sample stream: (wall, steal) pairs drawn in order
+    def scripted(samples: (Double, Double)*): () => (Double, Double) = {
+      val it = samples.iterator
+      () => it.next()
+    }
+    // a stolen successful run is discarded and re-drawn; kept stays 3
+    val (k1, d1) = Bench.stealDodge(
+      scripted((1.0, 0.0), (9.0, 2.4), (1.1, 0.1), (1.0, 0.2)),
+      n = 3, thresholdS = 0.5, maxRetries = 3)
+    assert(k1 == Seq((1.0, 0.0), (1.1, 0.1), (1.0, 0.2)), k1)
+    assert(d1 == Seq((9.0, 2.4)), d1)
+    // a FAILED run is never dodged, however stolen its window — the
+    // crash must surface in the kept array
+    val (k2, d2) = Bench.stealDodge(
+      scripted((1.0, 0.0), (-1.0, 3.0), (1.0, 0.0)),
+      n = 3, thresholdS = 0.5, maxRetries = 3)
+    assert(k2 == Seq((1.0, 0.0), (-1.0, 3.0), (1.0, 0.0)), k2)
+    assert(d2.isEmpty, d2)
+    // the retry budget bounds a stormy box: past maxRetries, stolen
+    // runs are KEPT (the bench must terminate and report honestly)
+    val (k3, d3) = Bench.stealDodge(
+      scripted((5.0, 1.0), (5.1, 1.1), (5.2, 1.2), (5.3, 1.3), (5.4, 1.4)),
+      n = 3, thresholdS = 0.5, maxRetries = 2)
+    assert(d3 == Seq((5.0, 1.0), (5.1, 1.1)), d3)
+    assert(k3 == Seq((5.2, 1.2), (5.3, 1.3), (5.4, 1.4)), k3)
+    // a quiet session draws exactly n samples, zero discards
+    val (k4, d4) = Bench.stealDodge(
+      scripted((0.5, 0.0), (0.5, 0.0), (0.5, 0.0)),
+      n = 3, thresholdS = 0.5, maxRetries = 3)
+    assert(k4.size == 3 && d4.isEmpty)
+  }
 }
