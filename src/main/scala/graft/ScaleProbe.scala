@@ -143,11 +143,10 @@ object ScaleProbe {
   def replicateVecs(s: SparkSession, vecs: DataFrame, m: Int,
       n: Long): DataFrame = {
     require(m >= 1, s"replica count must be >= 1, got $m")
-    def h28(x: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 7), 16)
-    }
+    // ONE hash discipline for every probe salt (round-13 advice: this
+    // helper, the twin jitter, and queries.Hashing carried three
+    // copies of the md5-prefix hash that must stay bit-identical)
+    def h28(x: String): Long = graft.queries.Hashing.hash28Of(x)
     import s.implicits._
     val salts = (0 until m).map { r =>
       val sg = (0 until 64).map(d =>
@@ -387,10 +386,8 @@ object ScaleProbe {
       // ((id mod totN) div vn) and twin-ness is (id >= totN)
       val totN = vn * m
       val twinJ = (0 until 64).map(d =>
-        if (java.lang.Long.parseLong(
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(s"tw:$d".getBytes("UTF-8")).map("%02x".format(_))
-            .mkString.substring(0, 7), 16) % 2 == 0L) 1.02 else 0.98)
+        if (graft.queries.Hashing.hash28Of(s"tw:$d") % 2 == 0L) 1.02
+        else 0.98)
       val sdCorpus = vecsRep.unionByName(
           vecsRep.filter(col("vec_id") % 4L === 0L)
             .select((col("vec_id") + totN).as("vec_id"),
@@ -398,6 +395,11 @@ object ScaleProbe {
                 lit(twinJ.toArray), (x, j) => x * j).as("embedding")))
         .localCheckpoint(true)
       val nVecs = sdCorpus.count()
+      // planted-twin count measured from the corpus itself (twin-ness
+      // IS vec_id >= totN): nVecs - totN only equals it under dense
+      // 0..vn-1 base ids, which the testdata happens to satisfy but
+      // nothing enforces (round-13 advice)
+      val nPlanted = sdCorpus.filter(col("vec_id") >= totN).count()
       graft.Ck.release(vecsBase)
       val sdBook = graft.queries.Vectors.semCodebookOf(sdCorpus)
       val sdTau = 0.9
@@ -431,7 +433,7 @@ object ScaleProbe {
       require(sdSplit.getLong(0) == sdRow.getLong(1),
         s"semdedup split pass pairs ${sdSplit.getLong(0)} != census ${sdRow.getLong(1)}")
       val semdedupJson =
-        s"""{"vecs":$nVecs,"planted":${nVecs - totN},"tau":$sdTau,""" +
+        s"""{"vecs":$nVecs,"planted":$nPlanted,"tau":$sdTau,""" +
           s""""k":${sdRow.getLong(0)},""" +
           s""""pairs":${sdRow.getLong(1)},""" +
           s""""pairs_within":${sdSplit.getLong(1)},""" +

@@ -1339,6 +1339,13 @@ object SqlSurface {
       Seq("sem_av", "sem_pairs", "sem_lbl", "cc_edges")
         .foreach(v => if (s.catalog.tableExists(v)) s.catalog.dropTempView(v))
       av.unpersist(blocking = false)
+      // exception path: the eager pairs/lbl checkpoints exist once
+      // assigned above; without these releases a mid-body throw
+      // (e.g. the cc fixpoint's maxRounds require) leaks them for
+      // the session. Idempotent, so they overlap the success path's
+      // releases harmlessly (round-13 advice).
+      if (pairs != null) graft.Ck.release(pairs)
+      if (lbl != null) graft.Ck.release(lbl)
     }
   }
 
