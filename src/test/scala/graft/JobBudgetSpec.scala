@@ -55,21 +55,36 @@ class JobBudgetSpec extends SparkSpec {
     * job — see Tables.spread), then the counted run, with rider
     * fallbacks measured over the counted window.
     */
-  private def jobsOf(name: String): (Long, Long) = {
+  /** Run `body`, then unpersist only the RDDs it newly registered
+    * (id-diff against a before-snapshot). The previous cleanup
+    * (clearCache() + unpersist-ALL on the shared session) could evict
+    * another suite's cached tables mid-test under sbt's parallel
+    * execution (round-13 advice); scoping by id-diff leaves
+    * pre-existing frames alone. The queries' internal CacheManager
+    * registrations survive as unpersisted relation stubs — job counts
+    * are action/checkpoint/broadcast-driven, so the pins are
+    * unaffected (verified when the pins were re-measured). Residual
+    * race: an RDD another suite registers INSIDE this window is still
+    * swept — strictly narrower than the old sweep-everything.
+    */
+  private def scoped[T](body: => T): T = {
     val sc = spark.sparkContext
-    def cleanup(): Unit = {
-      spark.catalog.clearCache()
-      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val before = sc.getPersistentRDDs.keySet
+    try body
+    finally sc.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
+  private def jobsOf(name: String): (Long, Long) = {
+    scoped { SparkEntry.queries(name)(spark, dir).count() } // warm-up
+    scoped {
+      val fb0 = Loop.fallbacks.get()
+      val n = countJobs(s"jobbudget_$name${started.incrementAndGet()}") {
+        SparkEntry.queries(name)(spark, dir).count()
+      }
+      (n, Loop.fallbacks.get() - fb0)
     }
-    SparkEntry.queries(name)(spark, dir).count() // warm-up
-    cleanup()
-    val fb0 = Loop.fallbacks.get()
-    val n = countJobs(s"jobbudget_$name${started.incrementAndGet()}") {
-      SparkEntry.queries(name)(spark, dir).count()
-    }
-    val fb = Loop.fallbacks.get() - fb0
-    cleanup()
-    (n, fb)
   }
 
   /** Pin helper: jobs must sit in [expected, expected + riders] —
@@ -92,6 +107,33 @@ class JobBudgetSpec extends SparkSpec {
     pin("q196_hits", Q196Expected, riders = 8L)
   }
 
+  // round-14 (verdict item 4): the five most expensive bench queries
+  // get the same protection — the q196 lesson (a +16-job shape
+  // regression hid under the 1.5x drift gate until it cost 49%)
+  // applies with the most force to the heavy tail. Expected values
+  // measured twice at sf0.001 (identical runs, fb=0); riders = the
+  // run's Loop rider-call count (rides+fallbacks delta), each of
+  // which can legally add one fallback job.
+  test("q216 diameter sweep: one cc fixpoint + two BFS legs over one shared edge derivation") {
+    pin("q216_diameter_sweep", Q216Expected, riders = 5L)
+  }
+
+  test("q199 SCC: trim peel + color/collect fixpoint, no freeze-misfire job inflation") {
+    pin("q199_scc", Q199Expected, riders = 9L)
+  }
+
+  test("q202 condensation DAG: inherits q199's SCC + acyclic longest-path relaxation") {
+    pin("q202_condensation_dag", Q202Expected, riders = 10L)
+  }
+
+  test("q217 incremental cc: base fixpoint + delta-restricted warm-start, never a full recompute") {
+    pin("q217_incremental_cc", Q217Expected, riders = 2L)
+  }
+
+  test("q178 incremental pagerank: cold + warm data-driven rounds, one checkpoint job each") {
+    pin("q178_incremental_pagerank", Q178Expected, riders = 7L)
+  }
+
   test("q165 label propagation: 3 checkpointed rounds + setup, no per-round creep") {
     pin("q165_label_prop_rounds", Q165Expected, riders = 0L)
   }
@@ -105,4 +147,9 @@ class JobBudgetSpec extends SparkSpec {
   private val Q196Expected = 47L
   private val Q165Expected = 27L
   private val Q195Expected = 28L
+  private val Q216Expected = 58L
+  private val Q199Expected = 68L
+  private val Q202Expected = 80L
+  private val Q217Expected = 61L
+  private val Q178Expected = 71L
 }
