@@ -81,6 +81,70 @@ object Bench {
     (kept, dodged)
   }
 
+  /** First-TIMED-run tiered-compilation absorber (round-14, verdict
+    * item 2 — the q171/q175 false-positive class): the untimed
+    * warm-up does NOT absorb JIT for codegen-heavy queries, because
+    * tiered compilation promotes to C2 only after it, so the first
+    * timed run pays a measured C2 burst (q171 jit+48.8 s, q175
+    * jit+62.9 s in BenchProbe run1 at flat jobs/GC) and descends to
+    * steady by run 2-4. Min-of-runs already reports the true plan
+    * cost, but the descent inflates the intra-session spread past
+    * the 3x gate — a KNOWN false positive. This absorber removes
+    * exactly that signature and nothing else: it triggers only when
+    * the first sample is the maximum, the spread exceeds the gate's
+    * threshold, and the samples are multi-second (mirroring the
+    * gate's own floor); it then draws extra samples until a flat
+    * plateau (max/min <= flatRatio) of at least `minKept` samples
+    * forms at the TAIL, and reclassifies the strictly-above-plateau
+    * prefix as descent warm-up. Every discarded sample ships in
+    * bench_detail ("descent_runs") so the trim is auditable, and the
+    * plateau contains the global min, so the aggregate is unchanged.
+    * Shapes that are NOT a descent stay untouched and flag loudly:
+    * a tail spike (head != max, e.g. q211 r13 [2.13, 2.13, 10.91]),
+    * a fast outlier below the plateau, a plateau that never forms
+    * within `maxExtra` draws, or any crashed sample. Applied at
+    * measurement time AND after the drift-retry merge — r13's q175
+    * spread flag was CREATED by the merge (initial spread 2.53 was
+    * under the gate; appending three warmed tail retries pushed
+    * max/min to 3.92). Pure and spec-pinned (BenchGateSpec).
+    */
+  private[graft] def descentAbsorb(runs: Seq[Double], more: () => Double,
+      spreadThreshold: Double, flatRatio: Double, minSeconds: Double,
+      minKept: Int, maxExtra: Int): (Seq[Double], Seq[Double]) = {
+    // longest tail suffix whose max/min stays within flatRatio
+    def plateauLen(rs: Seq[Double]): Int = {
+      var i = rs.size - 1
+      var mx = rs.last; var mn = rs.last; var len = 1
+      var stop = false
+      while (i > 0 && !stop) {
+        val v = rs(i - 1)
+        val nmx = math.max(mx, v); val nmn = math.min(mn, v)
+        if (nmx / nmn <= flatRatio) { mx = nmx; mn = nmn; len += 1; i -= 1 }
+        else stop = true
+      }
+      len
+    }
+    if (runs.size < minKept || runs.exists(_ <= 0) ||
+        runs.max < minSeconds || runs.max / runs.min <= spreadThreshold ||
+        runs.head != runs.max)
+      (runs, Seq.empty)
+    else {
+      var all = runs.toVector
+      var extra = 0
+      while (extra < maxExtra && !all.exists(_ <= 0) &&
+          plateauLen(all) < minKept) {
+        all :+= more(); extra += 1
+      }
+      val pl = plateauLen(all)
+      val plat = all.takeRight(pl)
+      val prefix = all.dropRight(pl)
+      if (all.exists(_ <= 0) || pl < minKept ||
+          !prefix.forall(_ > plat.max))
+        (all, Seq.empty) // not the descent signature: ship it loud
+      else (plat, prefix)
+    }
+  }
+
   /** Merge isolation-retry samples into the result rows named by the
     * drift gate: min-of-runs is the stated aggregate, so appending
     * the tail samples is honest — a transient drift dissolves, a
@@ -187,8 +251,23 @@ object Bench {
       val f = l.trim.split("\\s+")
       if (f.length > 8) f(8).toLong else -1L
     } catch { case _: Throwable => -1L }
+    // I/O-wait per query (seconds, whole-VM, /proc/stat col 5): the
+    // r13 q211/q212 stall window (~18 s spanning a query boundary,
+    // run inflation 5-8x) carried only 0.1 s of steal — the steal
+    // column cannot see host-side I/O stalls or page-cache flushes,
+    // which park tasks in D-state and bill as iowait instead.
+    // Recording both makes the next zero-steal window a read. Summed
+    // over ALL timed draws of the query (kept + dodged + descent) —
+    // it is window telemetry, not a kept-run attribution.
+    def iowaitTicks(): Long = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = l.trim.split("\\s+")
+      if (f.length > 5) f(5).toLong else -1L
+    } catch { case _: Throwable => -1L }
     val hz = 100.0 // USER_HZ; universal on stock Linux
     var stealByQuery = Map.empty[String, Double]
+    var iowaitByQuery = Map.empty[String, Double]
     // STEAL DODGE (round-13, verdict item 5): the r12 telemetry made
     // host-steal stripes readable after the fact; this pass makes the
     // bench step OUT of them at the source. Each timed run samples
@@ -204,7 +283,17 @@ object Bench {
     // (-1) are never dodged — a crash must surface, not retry.
     val StealRetryS = 0.5
     val MaxStealRetries = 3
+    // descent-absorber knobs: the spread gate's own threshold and
+    // multi-second floor (BenchDiff: 3.0 / 1.0 s), a 1.5x plateau
+    // tolerance (steady-state runs of one plan sit well inside it;
+    // adjacent C2-descent steps measured on q171/q175 are 1.6-2.1x),
+    // and at most 3 extra draws
+    val SpreadThreshold = 3.0
+    val FlatRatio = 1.5
+    val SpreadMinS = 1.0
+    val MaxDescentExtra = 3
     var dodgeByQuery = Map.empty[String, Seq[(Double, Double)]]
+    var descentByQuery = Map.empty[String, Seq[Double]]
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = timeOnce(fn)
       val startS = (System.nanoTime() - tStart) / 1e9
@@ -219,16 +308,32 @@ object Bench {
       once()
       LoopStats.drain() // discard any counts from warm-up/prior query
       val stealOk = stealTicks() >= 0 // no /proc/stat -> no dodge, field omitted
-      val (kept, dodged) = stealDodge(() => {
-        val s0 = stealTicks()
+      var ioSum = 0.0
+      def draw(): (Double, Double) = {
+        val s0 = stealTicks(); val io0 = iowaitTicks()
         val t = once()
+        if (io0 >= 0) ioSum += (iowaitTicks() - io0) / hz
         (t, if (stealOk) (stealTicks() - s0) / hz else 0.0)
-      }, 3, StealRetryS, MaxStealRetries)
-      val runs: Seq[Double] = kept.map(_._1)
+      }
+      val (kept, dodged) = stealDodge(draw _, 3, StealRetryS, MaxStealRetries)
+      var keptSteal = kept.map(_._2).sum
+      var dodgedAll = dodged
+      // one extra dodge-screened draw for the descent absorber; its
+      // kept steal joins this query's steal_s like any kept run
+      def moreDraw(): Double = {
+        val (k1, d1) = stealDodge(draw _, 1, StealRetryS, MaxStealRetries)
+        dodgedAll ++= d1
+        keptSteal += k1.map(_._2).sum
+        k1.head._1
+      }
+      val (runs, descent) = descentAbsorb(kept.map(_._1), moreDraw _,
+        SpreadThreshold, FlatRatio, SpreadMinS, 3, MaxDescentExtra)
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
       ccacheByQuery += (name -> codeCacheMb())
-      if (stealOk) stealByQuery += (name -> kept.map(_._2).sum)
-      if (dodged.nonEmpty) dodgeByQuery += (name -> dodged)
+      if (stealOk) stealByQuery += (name -> keptSteal)
+      if (iowaitTicks() >= 0) iowaitByQuery += (name -> ioSum)
+      if (dodgedAll.nonEmpty) dodgeByQuery += (name -> dodgedAll)
+      if (descent.nonEmpty) descentByQuery += (name -> descent)
       // round counts are data-driven and identical across the runs,
       // so the post-runs snapshot is THE count for this query
       (name, agg, runs, startS, LoopStats.drain())
@@ -274,6 +379,8 @@ object Bench {
         .map(v => ",\"ccache_mb\":" + fmt(v)).getOrElse("")
       val stealField = stealByQuery.get(k)
         .map(v => ",\"steal_s\":" + fmt(v)).getOrElse("")
+      val iowaitField = iowaitByQuery.get(k)
+        .map(v => ",\"iowait_s\":" + fmt(v)).getOrElse("")
       // steal-dodged samples: the runs the dodge discarded and the
       // per-run steal that disqualified them — auditable evidence
       // that a retry happened and why
@@ -281,9 +388,16 @@ object Bench {
         ",\"dodged_runs\":" + d.map(x => fmt(x._1)).mkString("[", ",", "]") +
           ",\"dodged_steal_s\":" + d.map(x => fmt(x._2)).mkString("[", ",", "]")
       }.getOrElse("")
+      // descent-absorbed samples: the leading C2-warm-up descent the
+      // absorber reclassified after a flat plateau formed (see
+      // descentAbsorb) — every discarded sample ships for audit
+      val descentField = descentByQuery.get(k).map { d =>
+        ",\"descent_runs\":" + d.map(fmt).mkString("[", ",", "]")
+      }.getOrElse("")
       "\"" + k + "\":{\"start_s\":" + fmt(startS) +
         ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
-        spreadField + ccField + stealField + dodgeField + roundsField + "}"
+        spreadField + ccField + stealField + iowaitField + dodgeField +
+        descentField + roundsField + "}"
     }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
@@ -327,8 +441,10 @@ object Bench {
         s""""host_cores":${Runtime.getRuntime.availableProcessors()},"load_avg":$load,""" +
         s""""ccache_used_mb":${fmt(codeCacheMb())},"ccache_max_mb":${fmt(ccMax)},""" +
         s""""steal_session_s":${fmt(stealByQuery.values.sum)},""" +
+        s""""iowait_session_s":${fmt(iowaitByQuery.values.sum)},""" +
         s""""steal_dodge_threshold_s":${fmt(StealRetryS)},""" +
         s""""steal_dodged_runs":${dodgeByQuery.values.map(_.size).sum},""" +
+        s""""descent_absorbed_runs":${descentByQuery.values.map(_.size).sum},""" +
         s""""gc":$gc,"wall_s":$wall,"data":$dataFp}"""
     }
     def detailLine =
@@ -392,6 +508,28 @@ object Bench {
         LoopStats.drain() // retries must not bleed loop counts forward
         extra
       })
+      // absorb any descent the merge itself CREATED (the r13 q175
+      // lesson: its initial spread 2.53 sat under the gate; merging
+      // three fully-warmed tail retries pushed max/min to 3.92 and
+      // manufactured the spread flag). Same signature test, same
+      // audit trail; extra draws run at the session tail, the
+      // quietest measurement point.
+      results = results.map {
+        case r @ (name, agg, runs, startS, loops)
+            if retryNames.contains(name) && agg >= 0 =>
+          val (plat, descent) = descentAbsorb(runs, () => {
+            val t = timeOnce(SparkEntry.queries(name))
+            LoopStats.drain()
+            t
+          }, SpreadThreshold, FlatRatio, SpreadMinS, 3, MaxDescentExtra)
+          if (descent.isEmpty) r
+          else {
+            descentByQuery += (name ->
+              (descentByQuery.getOrElse(name, Seq.empty) ++ descent))
+            (name, plat.min, plat, startS, loops)
+          }
+        case r => r
+      }
       writeAndDiff()
     }
     val stillDirty = unadjudicated()
@@ -405,8 +543,10 @@ object Bench {
     // spread gate (round-11): > 3x intra-session run spread on a
     // multi-second query with no adjudication ships LOUD. No retry
     // pass here — extra samples can never shrink an observed max/min
-    // spread, so the only honest exits are an adjudication entry
-    // (key "<query>:spread") or a fix that stabilizes the query.
+    // spread, so the only honest exits are the descent absorber's
+    // audited trim (the ONE known-mechanism shape, see descentAbsorb),
+    // an adjudication entry (key "<query>:spread"), or a fix that
+    // stabilizes the query.
     val dirtySpread = spreadUnadjudicatedIn("BENCH_DIFF.json")
     val spreadField =
       if (dirtySpread.isEmpty) ""

@@ -146,6 +146,50 @@ class BenchGateSpec extends AnyFunSuite {
     assert(merged("q_drift")._4 == 5.0 && merged("q_drift")._5 == loops)
   }
 
+  test("descent absorber: C2-descent trims to the plateau; spikes, outliers, and crashes stay loud") {
+    def scripted(samples: Double*): () => Double = {
+      val it = samples.iterator
+      () => it.next()
+    }
+    def absorb(runs: Seq[Double], more: () => Double) =
+      Bench.descentAbsorb(runs, more, spreadThreshold = 3.0,
+        flatRatio = 1.5, minSeconds = 1.0, minKept = 3, maxExtra = 3)
+    val noDraw: () => Double =
+      () => fail("absorber drew a sample for a non-descent shape")
+    // the r13 q175 post-merge shape: six samples already hold a
+    // 3-run plateau — trimmed with zero extra draws
+    val (k1, d1) = absorb(
+      Seq(16.082, 11.438, 6.366, 4.729, 4.368, 4.098), noDraw)
+    assert(k1 == Seq(4.729, 4.368, 4.098) &&
+      d1 == Seq(16.082, 11.438, 6.366), (k1, d1))
+    // the q171 initial shape: plateau forms after two extra draws;
+    // the kept tail contains the global min, so min-of-runs holds
+    val (k2, d2) = absorb(Seq(7.35, 3.53, 1.12), scripted(1.10, 1.15))
+    assert(k2 == Seq(1.12, 1.10, 1.15) && d2 == Seq(7.35, 3.53), (k2, d2))
+    // a TAIL spike (the r13 q211 shape) is not a descent — head is
+    // not the max; untouched, and no samples are drawn
+    val (k3, d3) = absorb(Seq(2.131, 2.129, 10.912), noDraw)
+    assert(k3 == Seq(2.131, 2.129, 10.912) && d3.isEmpty)
+    // sub-second arrays sit under the gate's own floor — never drawn
+    val (k4, d4) = absorb(Seq(0.6, 0.15, 0.15), noDraw)
+    assert(k4 == Seq(0.6, 0.15, 0.15) && d4.isEmpty)
+    // a fast OUTLIER below the eventual plateau is not a descent:
+    // all samples ship and the gate flags
+    val (k5, d5) = absorb(Seq(5.0, 1.0, 4.9), scripted(5.1, 5.0))
+    assert(k5 == Seq(5.0, 1.0, 4.9, 5.1, 5.0) && d5.isEmpty, (k5, d5))
+    // a plateau that never forms within maxExtra draws: keep all,
+    // flag loudly
+    val (k6, d6) = absorb(Seq(9.0, 3.0, 1.0), scripted(0.5, 0.2, 0.09))
+    assert(k6 == Seq(9.0, 3.0, 1.0, 0.5, 0.2, 0.09) && d6.isEmpty)
+    // a crash mid-extras surfaces in the kept array (same contract
+    // as stealDodge: a crash is never absorbed away)
+    val (k7, d7) = absorb(Seq(9.0, 3.0, 1.0), scripted(-1.0))
+    assert(k7 == Seq(9.0, 3.0, 1.0, -1.0) && d7.isEmpty)
+    // an already-flat multi-second array is untouched
+    val (k8, d8) = absorb(Seq(2.0, 1.9, 2.1), noDraw)
+    assert(k8 == Seq(2.0, 1.9, 2.1) && d8.isEmpty)
+  }
+
   test("steal dodge: stolen runs discard and re-draw; crashes and quiet runs keep") {
     // scripted sample stream: (wall, steal) pairs drawn in order
     def scripted(samples: (Double, Double)*): () => (Double, Double) = {
