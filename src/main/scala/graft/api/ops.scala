@@ -160,7 +160,9 @@ object ops {
     * leaves slack — so it runs as per-partition imperative code
     * (repartition by shard, sort within, one greedy pass), the
     * documented last-resort pattern, applied where declarative ops
-    * cannot express the semantics.
+    * cannot express the semantics. Oracle-gated by q223 (round-14):
+    * the DuckDB twin replays this exact recurrence with a recursive
+    * CTE, and SequencePackSpec pins a driver-side replay.
     */
   def packSequences(df: DataFrame, orderCol: String, nTokens: String,
       budget: Long, shards: Int = 64): DataFrame = {

@@ -180,6 +180,87 @@ object Curation {
       |FROM g ORDER BY bucket_cap""".stripMargin
 
   // ---------------------------------------------------------------
+  // q223: SEQUENCE-PACKING census — the sample-packing step of an
+  // LLM training pipeline (q78 accounts for PADDING waste under
+  // length bucketing; this is the complementary discipline —
+  // documents greedily concatenated into fixed-budget training
+  // sequences, where packing efficiency decides how much of every
+  // paid context window carries real tokens). Runs
+  // [[graft.api.ops.packSequences]] — the library's one documented
+  // mapPartitions last-resort (strict greedy first-fit inside
+  // deterministic md5 shards: genuine sequential logic a prefix-sum
+  // window cannot express, because the accumulator RESETS whenever
+  // the next doc would overflow) — and reports the per-shard census:
+  // docs, packs, capped token mass, heaviest pack, fill ratio. The
+  // DuckDB oracle REPLAYS the greedy recurrence exactly with a
+  // recursive CTE (one row per shard per iteration), so the gate
+  // covers the imperative packing logic itself, not just the census
+  // arithmetic.
+  //
+  // Scale shape: tokenize + shard hash ride one scan; packSequences
+  // is a repartition on the shard key plus one sorted linear pass
+  // per partition (no global sort); the census is two partial
+  // aggregations. Shards are the packing parallelism unit — a
+  // production run sizes them to the corpus (the qNN pins 8 at
+  // testdata scale so each shard packs enough docs to need several
+  // sequences; budget 256 tokens against the corpus's ~54-token
+  // mean for the same reason).
+  // ---------------------------------------------------------------
+  private val PackBudget = 256L
+  private val PackShards = 8
+
+  def q223SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"),
+      size(Hashing.words(col("text"))).cast("long").as("n_tok"))
+    val packed = graft.api.ops.packSequences(
+      docs, "doc_id", "n_tok", budget = PackBudget, shards = PackShards)
+    packed
+      .withColumn("shard", shiftright(col("pack_id"), 40))
+      .withColumn("n_cap", least(col("n_tok"), lit(PackBudget)))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_cap")).as("pt"))
+      .groupBy(col("shard"))
+      .agg(sum(col("nd")).as("n_docs"), count(lit(1)).as("n_packs"),
+        sum(col("pt")).as("n_tokens"), max(col("pt")).as("max_pack_toks"))
+      .withColumn("fill_e4",
+        Relational.ratio4(col("n_tokens"), col("n_packs") * lit(PackBudget)))
+      .orderBy("shard")
+  }
+
+  val q223Sql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |    least(CAST(len(string_split(text, ' ')) AS BIGINT), $PackBudget) AS n,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |      % $PackShards AS shard
+       |  FROM documents
+       |), r AS (
+       |  SELECT shard, doc_id, n,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+       |  FROM d
+       |), w AS (
+       |  SELECT shard, rk, n, n AS acc, CAST(0 AS BIGINT) AS pack
+       |  FROM r WHERE rk = 1
+       |  UNION ALL
+       |  SELECT r.shard, r.rk, r.n,
+       |    CASE WHEN w.acc + r.n > $PackBudget THEN r.n
+       |         ELSE w.acc + r.n END AS acc,
+       |    CASE WHEN w.acc + r.n > $PackBudget THEN w.pack + 1
+       |         ELSE w.pack END AS pack
+       |  FROM w JOIN r ON r.shard = w.shard AND r.rk = w.rk + 1
+       |), packs AS (
+       |  SELECT shard, pack, COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS pt
+       |  FROM w GROUP BY shard, pack
+       |)
+       |SELECT shard, CAST(SUM(nd) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_packs,
+       |  CAST(SUM(pt) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(pt) AS BIGINT) AS max_pack_toks,
+       |  ((20000 * CAST(SUM(pt) AS BIGINT) + COUNT(*) * $PackBudget)
+       |    // (2 * COUNT(*) * $PackBudget)) / 10000.0 AS fill_e4
+       |FROM packs GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------
   // q79: integer PAGERANK, 3 unrolled iterations — graph-based
   // ranking (the web-graph quality prior used to weight pretraining
   // sources). The interaction graph is derived deterministically
@@ -1688,6 +1769,7 @@ object Curation {
     "q76_mixture_sample" -> q76MixtureSample _,
     "q77_cdc_apply" -> q77CdcApply _,
     "q78_length_buckets" -> q78LengthBuckets _,
+    "q223_sequence_pack" -> q223SequencePack _,
     "q79_pagerank" -> q79PageRank _,
     "q80_grouping_sets" -> q80GroupingSets _,
     "q81_histogram" -> q81Histogram _)
@@ -1709,6 +1791,7 @@ object Curation {
     "q76_mixture_sample" -> q76Sql,
     "q77_cdc_apply" -> q77Sql,
     "q78_length_buckets" -> q78Sql,
+    "q223_sequence_pack" -> q223Sql,
     "q79_pagerank" -> q79Sql,
     "q80_grouping_sets" -> q80Sql,
     "q81_histogram" -> q81Sql)
