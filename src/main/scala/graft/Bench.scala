@@ -245,12 +245,16 @@ object Bench {
     // uptime) — recording the per-query delta makes the next such
     // window a READ ("steal_s": 40) instead of an elimination
     // argument. Linux-only; absent file -> field omitted.
-    def stealTicks(): Long = try {
+    // ONE /proc/stat parse for both telemetry columns (the aggregate
+    // "cpu " line: field 8 = steal, field 5 = iowait, 0-indexed
+    // after the "cpu" tag... here raw split indices)
+    def procStatTick(idx: Int): Long = try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).getOrElse("")
       val f = l.trim.split("\\s+")
-      if (f.length > 8) f(8).toLong else -1L
+      if (f.length > idx) f(idx).toLong else -1L
     } catch { case _: Throwable => -1L }
+    def stealTicks(): Long = procStatTick(8)
     // I/O-wait per query (seconds, whole-VM, /proc/stat col 5): the
     // r13 q211/q212 stall window (~18 s spanning a query boundary,
     // run inflation 5-8x) carried only 0.1 s of steal — the steal
@@ -259,12 +263,7 @@ object Bench {
     // Recording both makes the next zero-steal window a read. Summed
     // over ALL timed draws of the query (kept + dodged + descent) —
     // it is window telemetry, not a kept-run attribution.
-    def iowaitTicks(): Long = try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).getOrElse("")
-      val f = l.trim.split("\\s+")
-      if (f.length > 5) f(5).toLong else -1L
-    } catch { case _: Throwable => -1L }
+    def iowaitTicks(): Long = procStatTick(5)
     val hz = 100.0 // USER_HZ; universal on stock Linux
     var stealByQuery = Map.empty[String, Double]
     var iowaitByQuery = Map.empty[String, Double]
