@@ -340,10 +340,13 @@ object Bench {
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON metric line out of that window (BENCH_r01/r02 both came back
     // parsed:null because the full-name 9-decimal line was ~3KB and its
-    // head fell outside the window). Keep the line compact: short keys
-    // ("q48" not "q48_dedup_clusters") and 3-decimal seconds — ~1.1KB for
-    // 85 queries, leaving room for sbt's trailing "[success]" line. The
-    // full-name full-precision detail goes to bench_detail.json instead.
+    // head fell outside the window). Short keys ("q48" not
+    // "q48_dedup_clusters") and 3-decimal seconds kept the full line
+    // inside the window up to ~150 queries; past that it outgrew the
+    // window again (every BENCH_rN from round 7 shipped parsed:null),
+    // so a truncation-declared SUMMARY line now prints LAST — see the
+    // final println. The full-name full-precision detail goes to
+    // bench_detail.json either way.
     // Locale.ROOT: the f-interpolator uses the default locale, which
     // renders "0,123" under comma-decimal locales — invalid JSON
     def fmt(v: Double): String =
@@ -555,6 +558,21 @@ object Bench {
         s"[bench] SPREAD DIRTY — ${dirtySpread.size} queries ran with > 3x intra-session spread and no " +
           s"adjudication: ${dirtySpread.mkString(", ")}. Adjudicate \"<query>:spread\" in BENCH_ADJUDICATIONS.json.")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsLine$failedField$unadjField$spreadField,"sf":"$sfDir"}""")
+    // LAST line: a summary that FITS the driver's parse window. The
+    // full line above stopped fitting when the surface passed ~150
+    // queries (at 223 it is ~2.9 KB against a last-2000-chars
+    // window), and every BENCH_rN since round 7 shipped
+    // "parsed": null with only a tail fragment — the graded numbers
+    // have been read from bench_detail.json instead. Printing a
+    // compact line LAST puts one complete, parseable JSON object
+    // inside the window whatever the query count: total + gate
+    // fields + the 20 slowest queries (the ones any reader grades),
+    // with the truncation declared. bench_detail.json remains the
+    // full-fidelity artifact.
+    val top20 = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$top20,"queries_truncated":true$failedField$unadjField$spreadField,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }
