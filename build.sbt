@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parse fix (round-15, verdict item 3): every BENCH_rN back to
+// r01 shipped "parsed": null, and the r14 tail shows why — with
+// fork:=true, sbt's default output strategy (LoggedOutput) wraps every
+// program stdout line in "[info] ", which breaks any line-wise JSON
+// parse, and the "[success] Total time ..." footer then occupies the
+// final line. StdoutOutput passes the forked JVM's stdout through
+// verbatim (no [info] prefix) and showSuccess:=false suppresses the
+// footer, so Bench's closing summary line is the LAST line of stdout
+// and parses bare whatever the driver's window/position contract is.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-key lint cannot see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,8 +26,12 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
+      // startsWith: a STALE adjudication (round-15 BenchDiff rule)
+      // reports "unadjudicated (stale adjudication: ...)" and must
+      // read as dirty — it flows through the retry pass like any
+      // unexplained drift until re-validated against the current pin
       Option(n.get("drifts")).toSeq.flatMap(_.fields().asScala)
-        .filter(e => e.getValue.get("status").asText() == "unadjudicated")
+        .filter(e => e.getValue.get("status").asText().startsWith("unadjudicated"))
         .map(_.getKey).toSeq.sorted
     } catch {
       case t: Throwable =>
@@ -52,7 +56,7 @@ object Bench {
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
       Option(n.get("spreads")).toSeq.flatMap(_.fields().asScala)
-        .filter(e => e.getValue.get("status").asText() == "unadjudicated")
+        .filter(e => e.getValue.get("status").asText().startsWith("unadjudicated"))
         .map(_.getKey).toSeq.sorted
     } catch { case _: Throwable => Seq(DiffUnparseable) }
   }
@@ -142,6 +146,41 @@ object Bench {
           !prefix.forall(_ > plat.max))
         (all, Seq.empty) // not the descent signature: ship it loud
       else (plat, prefix)
+    }
+  }
+
+  /** Floor-extension sampling (round-15, verdict item 2): nine r14
+    * rows (q57, q204, q203, q185, q184, q130, q110, q01, q173)
+    * shipped min-of-runs from a run sequence STRICTLY DESCENDING at
+    * its last sample — the floor was never reached, so the pinned
+    * minimum is luck-sensitive (the q186 lucky-pin class) and
+    * apparent drift is inflated (the q57 re-open). The descent
+    * absorber cannot help: it correctly requires spread > 3x, and
+    * these tails descend 1.2-1.5x. This rule is the cheap
+    * complement: when the kept runs are strictly monotone decreasing
+    * AND the head/tail ratio says the descent is real (not
+    * noise-level monotonicity, which ~1/6 of flat queries show by
+    * chance), draw bounded extra samples until the sequence turns
+    * non-monotone — the first draw that fails to improve marks the
+    * floor. Extras ship IN the runs array (they are ordinary kept
+    * samples; min-of-runs is the stated aggregate, so deeper
+    * sampling is honest). A crashed extra surfaces in the array —
+    * same contract as the absorber. Pure and spec-pinned
+    * (BenchGateSpec).
+    */
+  private[graft] def extendDescending(runs: Seq[Double], more: () => Double,
+      minRatio: Double, maxExtra: Int): Seq[Double] = {
+    def desc(rs: Seq[Double]) = rs.size >= 2 &&
+      rs.zip(rs.tail).forall { case (a, b) => b < a }
+    if (runs.size < 2 || runs.exists(_ <= 0) || !desc(runs) ||
+        runs.head / runs.last < minRatio) runs
+    else {
+      var all = runs.toVector
+      var extra = 0
+      while (extra < maxExtra && all.last > 0 && desc(all.takeRight(2))) {
+        all :+= more(); extra += 1
+      }
+      all
     }
   }
 
@@ -291,8 +330,44 @@ object Bench {
     val FlatRatio = 1.5
     val SpreadMinS = 1.0
     val MaxDescentExtra = 3
+    // floor-extension knobs (see extendDescending): trigger only when
+    // the strictly-descending tail spans >= 1.15x head-to-last (the
+    // judge's r14 scan used 1.3x; 1.15 catches the shoulder cases
+    // like q01 without drawing extras for noise-level monotonicity),
+    // at most 3 extra draws
+    val ExtendMinRatio = 1.15
+    val MaxExtendDraws = 3
     var dodgeByQuery = Map.empty[String, Seq[(Double, Double)]]
     var descentByQuery = Map.empty[String, Seq[Double]]
+    var descentIoByQuery = Map.empty[String, Double]
+    var extendByQuery = Map.empty[String, Int]
+    // Dodge-screened draw for the retry/merge passes (r14 advice: the
+    // merge-path extras ran through raw timeOnce with no steal
+    // screening and no telemetry, leaving their audit trail
+    // incomplete). Same discipline as the measurement loop: steal
+    // sampled around the run, stolen successes discarded and re-drawn
+    // (bounded), kept steal and iowait accrue to the query's
+    // steal_s / iowait_s, discards to dodged_runs.
+    def retryDraw(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def d(): (Double, Double) = {
+        val s0 = stealTicks(); val io0 = iowaitTicks()
+        val t = timeOnce(fn)
+        val io1 = iowaitTicks()
+        if (io0 >= 0 && io1 >= 0)
+          iowaitByQuery += (name ->
+            (iowaitByQuery.getOrElse(name, 0.0) + (io1 - io0) / hz))
+        val s1 = stealTicks()
+        (t, if (s0 >= 0 && s1 >= 0) (s1 - s0) / hz else 0.0)
+      }
+      val (k1, d1) = stealDodge(d _, 1, StealRetryS, MaxStealRetries)
+      if (d1.nonEmpty)
+        dodgeByQuery += (name -> (dodgeByQuery.getOrElse(name, Seq.empty) ++ d1))
+      if (stealTicks() >= 0)
+        stealByQuery += (name ->
+          (stealByQuery.getOrElse(name, 0.0) + k1.map(_._2).sum))
+      k1.head._1
+    }
     var results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = timeOnce(fn)
       val startS = (System.nanoTime() - tStart) / 1e9
@@ -308,31 +383,60 @@ object Bench {
       LoopStats.drain() // discard any counts from warm-up/prior query
       val stealOk = stealTicks() >= 0 // no /proc/stat -> no dodge, field omitted
       var ioSum = 0.0
+      // per-draw (wall, iowait) log: lets the absorber's trim be
+      // cross-checked against host-stall telemetry after the fact
+      // (r14 advice: the descent signature also matches an I/O-stall
+      // descent, which the absorber must not silently bless)
+      var drawIo = Vector.empty[(Double, Double)]
       def draw(): (Double, Double) = {
         val s0 = stealTicks(); val io0 = iowaitTicks()
         val t = once()
-        if (io0 >= 0) ioSum += (iowaitTicks() - io0) / hz
+        // guard BOTH reads (r14 advice): a transient -1 on the post
+        // read must not accrue a bogus negative delta into iowait_s
+        val io1 = iowaitTicks()
+        val ioD = if (io0 >= 0 && io1 >= 0) (io1 - io0) / hz else 0.0
+        ioSum += ioD
+        drawIo :+= (t, ioD)
         (t, if (stealOk) (stealTicks() - s0) / hz else 0.0)
       }
       val (kept, dodged) = stealDodge(draw _, 3, StealRetryS, MaxStealRetries)
       var keptSteal = kept.map(_._2).sum
       var dodgedAll = dodged
-      // one extra dodge-screened draw for the descent absorber; its
-      // kept steal joins this query's steal_s like any kept run
+      // one extra dodge-screened draw for the descent absorber /
+      // floor extension; its kept steal joins this query's steal_s
+      // like any kept run
       def moreDraw(): Double = {
         val (k1, d1) = stealDodge(draw _, 1, StealRetryS, MaxStealRetries)
         dodgedAll ++= d1
         keptSteal += k1.map(_._2).sum
         k1.head._1
       }
-      val (runs, descent) = descentAbsorb(kept.map(_._1), moreDraw _,
+      val (runs0, descent) = descentAbsorb(kept.map(_._1), moreDraw _,
         SpreadThreshold, FlatRatio, SpreadMinS, 3, MaxDescentExtra)
+      // floor extension AFTER the absorber: a trimmed plateau is flat
+      // by construction, so extension only fires on un-absorbed
+      // strictly-descending tails (the q57/q204 class)
+      val runs = extendDescending(runs0, moreDraw _, ExtendMinRatio, MaxExtendDraws)
+      if (runs.size > runs0.size)
+        extendByQuery += (name -> (runs.size - runs0.size))
       val agg = if (runs.exists(_ < 0)) -1.0 else runs.min
       ccacheByQuery += (name -> codeCacheMb())
       if (stealOk) stealByQuery += (name -> keptSteal)
       if (iowaitTicks() >= 0) iowaitByQuery += (name -> ioSum)
       if (dodgedAll.nonEmpty) dodgeByQuery += (name -> dodgedAll)
-      if (descent.nonEmpty) descentByQuery += (name -> descent)
+      if (descent.nonEmpty) {
+        descentByQuery += (name -> descent)
+        // cross-check the trim against stall telemetry: sum the
+        // iowait recorded around the trimmed draws (matched by wall
+        // value — annotation-only, so a rare duplicate wall is
+        // harmless) and ship it beside descent_runs; a nonzero value
+        // tells an auditor the "C2 descent" coincided with host I/O
+        // stalls and deserves a second look
+        val dIo = descent.map(t => drawIo.find(_._1 == t).map(_._2).getOrElse(0.0)).sum
+        if (dIo > 0) descentIoByQuery += (name -> dIo)
+        if (dIo > 0.5) System.err.println(
+          f"[bench] descent trim on $name coincides with $dIo%.2f s iowait — audit descent_iowait_s in bench_detail")
+      }
       // round counts are data-driven and identical across the runs,
       // so the post-runs snapshot is THE count for this query
       (name, agg, runs, startS, LoopStats.drain())
@@ -396,10 +500,19 @@ object Bench {
       val descentField = descentByQuery.get(k).map { d =>
         ",\"descent_runs\":" + d.map(fmt).mkString("[", ",", "]")
       }.getOrElse("")
+      // iowait observed around the trimmed descent draws: nonzero
+      // means the "C2 descent" coincided with host I/O stalls and the
+      // trim deserves auditor scrutiny (r14 advice)
+      val descentIoField = descentIoByQuery.get(k)
+        .map(v => ",\"descent_iowait_s\":" + fmt(v)).getOrElse("")
+      // count of floor-extension draws (extendDescending): the runs
+      // array holds them inline; the count marks WHY it exceeds 3
+      val extendField = extendByQuery.get(k)
+        .map(n => ",\"floor_extends\":" + n).getOrElse("")
       "\"" + k + "\":{\"start_s\":" + fmt(startS) +
         ",\"runs\":" + runs.map(fmt).mkString("[", ",", "]") +
         spreadField + ccField + stealField + iowaitField + dodgeField +
-        descentField + roundsField + "}"
+        descentField + descentIoField + extendField + roundsField + "}"
     }.mkString("{", ",", "}")
     // run metadata: separates plan changes from box noise when
     // comparing rounds (a loaded box shows up as GC time / load
@@ -447,6 +560,7 @@ object Bench {
         s""""steal_dodge_threshold_s":${fmt(StealRetryS)},""" +
         s""""steal_dodged_runs":${dodgeByQuery.values.map(_.size).sum},""" +
         s""""descent_absorbed_runs":${descentByQuery.values.map(_.size).sum},""" +
+        s""""floor_extend_draws":${extendByQuery.values.sum},""" +
         s""""gc":$gc,"wall_s":$wall,"data":$dataFp}"""
     }
     def detailLine =
@@ -505,8 +619,10 @@ object Bench {
       System.err.println(
         s"[bench] retrying ${retryNames.size} unadjudicated drifts: ${retryNames.mkString(", ")}")
       results = mergeRetries(results, retryNames, name => {
-        val fn = SparkEntry.queries(name)
-        val extra = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+        // dodge-screened with full steal/iowait accounting (r14
+        // advice) — a steal-inflated extra can only push toward
+        // ship-loud, but its audit trail must match the main pass
+        val extra = Seq(retryDraw(name), retryDraw(name), retryDraw(name))
         LoopStats.drain() // retries must not bleed loop counts forward
         extra
       })
@@ -519,17 +635,29 @@ object Bench {
       results = results.map {
         case r @ (name, agg, runs, startS, loops)
             if retryNames.contains(name) && agg >= 0 =>
-          val (plat, descent) = descentAbsorb(runs, () => {
-            val t = timeOnce(SparkEntry.queries(name))
+          def more(): Double = {
+            val t = retryDraw(name) // dodge-screened + telemetry (r14 advice)
             LoopStats.drain()
             t
-          }, SpreadThreshold, FlatRatio, SpreadMinS, 3, MaxDescentExtra)
-          if (descent.isEmpty) r
-          else {
+          }
+          val (plat, descent) = descentAbsorb(runs, more _,
+            SpreadThreshold, FlatRatio, SpreadMinS, 3, MaxDescentExtra)
+          if (descent.nonEmpty)
             descentByQuery += (name ->
               (descentByQuery.getOrElse(name, Seq.empty) ++ descent))
-            (name, plat.min, plat, startS, loops)
-          }
+          // the merge can also CREATE a strictly-descending tail
+          // (retries at the warmed session tail run below the main
+          // pass); extend it to the floor like the measurement path
+          val ext = extendDescending(plat, more _, ExtendMinRatio, MaxExtendDraws)
+          if (ext.size > plat.size)
+            extendByQuery += (name ->
+              (extendByQuery.getOrElse(name, 0) + ext.size - plat.size))
+          // a crashed extension draw discards only the extension (the
+          // absorbed plateau is still valid); same crash contract as
+          // mergeRetries — never let a crashed extra mask the row
+          val fin = if (ext.exists(_ < 0)) plat else ext
+          if (descent.isEmpty && fin.size == runs.size) r
+          else (name, fin.min, fin, startS, loops)
         case r => r
       }
       writeAndDiff()

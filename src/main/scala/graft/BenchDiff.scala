@@ -65,6 +65,29 @@ object BenchDiff {
 
     val curQ = qmap(cur)
     val baseQ = base.map(qmap).getOrElse(Map.empty)
+    // Adjudication-staleness rule (round-15, verdict item 5): r7-era
+    // blanket texts were still silencing drift rows seven rounds and
+    // two baseline re-pins later — evidence measured against a
+    // baseline that no longer exists. When the baseline declares the
+    // round it was pinned in (meta.pin_round, written by BenchPin),
+    // an adjudication whose "ADJUDICATED rN" predates that pin no
+    // longer silences: the row reports unadjudicated WITH the stale
+    // text attached, flows through the retry pass, and ships loud
+    // unless re-validated against the current pin. Baselines without
+    // pin_round (all pre-r15 artifacts, spec fixtures) keep the old
+    // behavior.
+    val pinRound: Option[Int] = base
+      .map(_.at("/meta/pin_round")).filterNot(_.isMissingNode)
+      .map(_.asInt()).filter(_ > 0)
+    val AdjRound = """ADJUDICATED\s+r(\d+)""".r
+    def withStaleness(text: String): String = {
+      val r = AdjRound.findFirstMatchIn(text).map(_.group(1).toInt)
+      (r, pinRound) match {
+        case (Some(ar), Some(pr)) if ar < pr =>
+          s"unadjudicated (stale adjudication: r$ar predates baseline pin r$pr — re-validate): $text"
+        case _ => text
+      }
+    }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
@@ -83,7 +106,7 @@ object BenchDiff {
             val runs = runsOf(cur, q).map(_.get("runs").toString).getOrElse("[]")
             val rounds = runsOf(cur, q).flatMap(r => Option(r.get("rounds")))
               .map(r => s""","rounds":$r""").getOrElse("")
-            val status = adjud.getOrElse(q,
+            val status = adjud.get(q).map(withStaleness).getOrElse(
               if (dir == "faster") "improvement" else "unadjudicated")
             Some(s"""  "$q": {"baseline_s":${f3(b)},"current_s":${f3(c)},""" +
               s""""ratio":${f3(ratio)},"direction":"$dir","runs":$runs$rounds,""" +
@@ -110,7 +133,8 @@ object BenchDiff {
           val spread = rs.max / rs.min
           if (spread <= SpreadThreshold) None
           else {
-            val status = adjud.getOrElse(s"$q:spread", "unadjudicated")
+            val status = adjud.get(s"$q:spread").map(withStaleness)
+              .getOrElse("unadjudicated")
             Some(s"""  "$q": {"current_s":${f3(c)},"spread":${f3(spread)},""" +
               s""""runs":${rs.map(f3).mkString("[", ",", "]")},"status":"${esc(status)}"}""")
           }
@@ -118,8 +142,10 @@ object BenchDiff {
     }
     val missing = baseQ.keySet -- curQ.keySet
     val added = curQ.keySet -- baseQ.keySet
-    val unadjudicated = drifts.count(_.contains("\"unadjudicated\""))
-    val spreadUnadj = spreads.count(_.contains("\"unadjudicated\""))
+    // prefix match: a STALE adjudication reports as "unadjudicated
+    // (stale adjudication: ...)" and must count as dirty
+    val unadjudicated = drifts.count(_.contains("\"status\":\"unadjudicated"))
+    val spreadUnadj = spreads.count(_.contains("\"status\":\"unadjudicated"))
     val out =
       s"""{
          |"baseline":"${esc(basePath)}",

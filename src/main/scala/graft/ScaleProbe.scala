@@ -165,29 +165,35 @@ object ScaleProbe {
           .as("embedding"))
   }
 
-  final case class LoopRun(rounds: Int, totalS: Double, roundS: Seq[Double])
+  final case class LoopRun(rounds: Int, totalS: Double, roundS: Seq[Double],
+      taskMs: Long)
 
   /** Run a probe-accepting loop, timing round boundaries: the loops
     * localCheckpoint(eager) each round before invoking the probe, so
     * probe-to-probe deltas ARE the per-round materialization costs.
+    * Also meters executor task-ms across the leg (round-15, verdict
+    * item 6): wall at these sizes is per-job-floor-dominated, so the
+    * scale exponent the 100-TB claim rests on is TASK-TIME growth vs
+    * edge growth — expect ~linear task-time while rounds track the
+    * graph's structure.
     */
   private def timeLoop(run: ((Int, DataFrame) => Unit) => Int): LoopRun = {
     val marks = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val t0 = System.nanoTime()
+    val t0 = System.nanoTime(); val m0 = taskMs.get()
     val probe = (_: Int, _: DataFrame) => {
       marks += (System.nanoTime() - t0) / 1e9; ()
     }
     val rounds = run(probe)
     val total = (System.nanoTime() - t0) / 1e9
     val roundS = marks.toSeq.zip(0.0 +: marks.toSeq).map { case (b, a) => b - a }
-    LoopRun(rounds, total, roundS)
+    LoopRun(rounds, total, roundS, taskMs.get() - m0)
   }
 
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private def loopJson(r: LoopRun): String =
-    s"""{"rounds":${r.rounds},"total_s":${fmt(r.totalS)},""" +
+    s"""{"rounds":${r.rounds},"total_s":${fmt(r.totalS)},"task_ms":${r.taskMs},""" +
       s""""round_s":[${r.roundS.map(fmt).mkString(",")}]}"""
 
   def main(args: Array[String]): Unit = {
@@ -258,7 +264,8 @@ object ScaleProbe {
       require(agree, "warm-start cc labels diverge from the cold rerun")
       graft.Ck.release(warmLab)
       graft.Ck.release(coldLab)
-      graft.Ck.release(ccDelta)
+      // ccDelta stays checkpointed: the q178-core warm-pagerank leg
+      // below reuses the same churned graph (released there)
       // INSERTS-ONLY warm leg — the headline growing-corpus case
       // (yesterday's clusters + today's shard, no deletes): nothing
       // re-seeds, so warm movement must track the DELTA while the
@@ -297,9 +304,15 @@ object ScaleProbe {
       val bfs = timeLoop(p =>
         ops.bfsDistances(edges, "a", "b", seed, maxHops = 40 + 2 * m,
           probe = p)._2)
-      val pr = timeLoop(p =>
-        ops.pagerank(edges, "a", "b", epsPerNode = 1000L, maxRounds = 60,
-          probe = p)._3)
+      // capture the cold fixpoint ranks: the q178-core leg below
+      // warm-starts from them (the ccLabels pattern)
+      var prRanks: DataFrame = null
+      val pr = timeLoop { p =>
+        val (r0, _, rounds0) = ops.pagerank(edges, "a", "b",
+          epsPerNode = 1000L, maxRounds = 60, probe = p)
+        prRanks = r0
+        rounds0
+      }
       // peel depth is a degeneracy-layer count — a LOCAL property the
       // chain replication leaves flat (the evidence: rounds stay ~
       // constant while per-round cost tracks edges)
@@ -318,11 +331,14 @@ object ScaleProbe {
           .select(col("b").as("src"), col("a").as("dst")))
         .distinct().localCheckpoint(true)
       graft.LoopStats.drain()
-      val sccT0 = System.nanoTime()
-      val sccLabels = ops.scc(dirE, "src", "dst")
-      val nScc = sccLabels.select(col("scc")).distinct().count()
-      val sccS = (System.nanoTime() - sccT0) / 1e9
-      graft.Ck.release(sccLabels)
+      val (nScc, sccS, sccTms) = {
+        val ((labels, n), w, tms) = timedLeg {
+          val l = ops.scc(dirE, "src", "dst")
+          (l, l.select(col("scc")).distinct().count())
+        }
+        graft.Ck.release(labels)
+        (n, w, tms)
+      }
       graft.Ck.release(dirE)
       val sccStats = graft.LoopStats.drain()
       val sccRounds = sccStats.getOrElse("scc", -1L)
@@ -346,15 +362,71 @@ object ScaleProbe {
         .localCheckpoint(true)
       val nRing = ring.count()
       graft.LoopStats.drain()
-      val ringT0 = System.nanoTime()
-      val ringLabels = ops.scc(ring, "src", "dst")
-      val nRingScc = ringLabels.select(col("scc")).distinct().count()
-      val ringS = (System.nanoTime() - ringT0) / 1e9
-      graft.Ck.release(ringLabels)
+      val (nRingScc, ringS, ringTms) = {
+        val ((labels, n), w, tms) = timedLeg {
+          val l = ops.scc(ring, "src", "dst")
+          (l, l.select(col("scc")).distinct().count())
+        }
+        graft.Ck.release(labels)
+        (n, w, tms)
+      }
       graft.Ck.release(ring)
       val ringStats = graft.LoopStats.drain()
       val ringBw = ringStats.getOrElse("scc_bw", -1L)
       require(nRingScc == 1L, s"ring must be ONE scc, got $nRingScc")
+      // q216-CORE leg (round-15, verdict item 6 — the heavy-graph
+      // scale evidence): the 2-sweep diameter estimate (cc + two BFS
+      // sweeps over one edge derivation) on the replicated graph.
+      // Hop counts track STRUCTURE — chain replication grows the
+      // diameter ~linearly in m by construction, so sweeps deepen
+      // with m — while per-round work must track EDGES: wall at
+      // these sizes is per-job floor x rounds, so the task-ms-vs-edge
+      // exponent is what the 100-TB claim rests on. maxHops scales
+      // with m like the BFS leg (the diameter genuinely grows).
+      graft.LoopStats.drain()
+      val (diamRow, diamS, diamTms) = {
+        val ((_, r), w, tms) = timedLeg {
+          val d = ops.diameterSweep(edges, "a", "b", maxHops = 40 + 2 * m)
+          (d, d.head())
+        }
+        (r, w, tms)
+      }
+      val diamStats = graft.LoopStats.drain()
+      val diameterJson =
+        s"""{"cc_rounds":${diamStats.getOrElse("cc", -1L)},""" +
+          s""""sweep1_hops":${diamStats.getOrElse("bfs_sweep1", -1L)},""" +
+          s""""sweep2_hops":${diamStats.getOrElse("bfs_sweep2", -1L)},""" +
+          s""""n_nodes_big":${diamRow.getLong(1)},""" +
+          s""""diameter_lb":${diamRow.getLong(5)},""" +
+          s""""wall_s":${fmt(diamS)},"task_ms":$diamTms}"""
+      // q178-CORE leg (round-15, verdict item 6): warm-start
+      // pagerank on the churned graph (ccDelta — the cc legs' ~0.1%
+      // delete + anchor-insert changelog) initialized from the base
+      // fixpoint, vs a cold start on the SAME churned graph. The
+      // claims: warm movement tracks the delta's disturbance (not
+      // corpus size) at every scale, and cold task-ms carries the
+      // edge-growth exponent.
+      val ((prWarmRes, prWarmS, prWarmTms),
+           (prColdRes, prColdS, prColdTms)) = {
+        def leg(init: Option[DataFrame]) = {
+          val ((ranks, r), w, tms) = timedLeg {
+            val (r1, c1, n1) = ops.pagerank(ccDelta, "a", "b",
+              epsPerNode = 1000L, maxRounds = 60, init = init)
+            (r1, (n1, c1))
+          }
+          graft.Ck.release(ranks)
+          (r, w, tms)
+        }
+        (leg(Some(prRanks)), leg(None))
+      }
+      graft.Ck.release(prRanks)
+      graft.Ck.release(ccDelta)
+      val prWarmJson =
+        s"""{"warm_rounds":${prWarmRes._1},"cold_rounds":${prColdRes._1},""" +
+          s""""warm_mv":${prWarmRes._2.map(_._2).sum},""" +
+          s""""cold_mv":${prColdRes._2.map(_._2).sum},""" +
+          s""""warm_s":${fmt(prWarmS)},"cold_s":${fmt(prColdS)},""" +
+          s""""warm_tms":$prWarmTms,"cold_tms":$prColdTms}"""
       // SEMDEDUP leg (round-13, q222's scale evidence): replicate
       // the embedding corpus with orthogonal per-replica salts (see
       // replicateVecs) and PLANT one genuine near-dup twin (a fixed
@@ -635,11 +707,13 @@ object ScaleProbe {
         s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
         s""""scc":{"outer_rounds":$sccRounds,"bw_rounds":$sccBw,""" +
         s""""bail_at":${sccStats.getOrElse("scc_bail_at", -1L)},""" +
-        s""""total_s":${fmt(sccS)},"n_sccs":$nScc},""" +
+        s""""total_s":${fmt(sccS)},"task_ms":$sccTms,"n_sccs":$nScc},""" +
         s""""giant_scc":{"ring_nodes":$nRing,"bw_rounds":$ringBw,""" +
         s""""bail_at":${ringStats.getOrElse("scc_bail_at", -1L)},""" +
         s""""outer_rounds":${ringStats.getOrElse("scc", -1L)},""" +
-        s""""total_s":${fmt(ringS)},"n_sccs":$nRingScc}}"""
+        s""""total_s":${fmt(ringS)},"task_ms":$ringTms,"n_sccs":$nRingScc},""" +
+        s""""diameter":$diameterJson,""" +
+        s""""pr_warm":$prWarmJson}"""
       // one human-readable summary per scale as the run progresses
       println(s"[scale-probe] m=$m edges=$nEdges cc=${cc.rounds}r/" +
         s"${fmt(cc.totalS)}s ccwarm=${warmCurve.length}r/" +
@@ -651,7 +725,8 @@ object ScaleProbe {
         s"dedup=${pdCount}dp/${fullPairs}fp warm_mv=${ndCurve1.map(_._2).sum}" +
         s"/cold_mv=${ndColdCurve.map(_._2).sum} " +
         s"semdedup=${sdRow.getLong(1)}p/k${sdRow.getLong(0)}/" +
-        s"${fmt(sdS)}s")
+        s"${fmt(sdS)}s diam=${diamRow.getLong(5)}lb/${fmt(diamS)}s " +
+        s"prwarm=${prWarmRes._1}r(cold ${prColdRes._1}r)")
       // the m=100 edge frame is ~100x the base — release its blocks
       // before the next scale builds its own (base stays: it serves
       // every scale)

@@ -190,6 +190,128 @@ class BenchGateSpec extends AnyFunSuite {
     assert(k8 == Seq(2.0, 1.9, 2.1) && d8.isEmpty)
   }
 
+  test("floor extension: strictly-descending tails draw bounded extras until non-monotone; flat, noisy, and failed arrays are untouched") {
+    def scripted(samples: Double*): () => Double = {
+      val it = samples.iterator
+      () => it.next()
+    }
+    def extend(runs: Seq[Double], more: () => Double) =
+      Bench.extendDescending(runs, more, minRatio = 1.15, maxExtra = 3)
+    val noDraw: () => Double =
+      () => fail("extension drew a sample for a non-descending shape")
+    // the r14 q57 shape [2.332, 1.706, 1.639]: still descending at
+    // the last sample — extras draw until a sample fails to improve,
+    // and the floor (1.55) lands IN the runs array for min-of-runs
+    assert(extend(Seq(2.332, 1.706, 1.639), scripted(1.55, 1.58)) ==
+      Seq(2.332, 1.706, 1.639, 1.55, 1.58))
+    // bounded: a tail that never turns stops at maxExtra draws
+    assert(extend(Seq(3.0, 2.5, 2.0), scripted(1.9, 1.8, 1.7)) ==
+      Seq(3.0, 2.5, 2.0, 1.9, 1.8, 1.7))
+    // noise-level monotonicity (head/last < minRatio) never triggers:
+    // ~1/6 of flat queries are strictly descending by chance
+    assert(extend(Seq(1.05, 1.03, 1.02), noDraw) == Seq(1.05, 1.03, 1.02))
+    // a non-monotone array already found its floor
+    assert(extend(Seq(2.0, 1.5, 1.6), noDraw) == Seq(2.0, 1.5, 1.6))
+    // failed runs are never extended
+    assert(extend(Seq(2.0, -1.0, 1.0), noDraw) == Seq(2.0, -1.0, 1.0))
+    // a crashed extra surfaces in the array and stops the extension
+    // (measurement path lets it flow to agg; merge path discards the
+    // extension — both keep the crash visible or the row intact)
+    assert(extend(Seq(3.0, 2.0, 1.5), scripted(-1.0)) ==
+      Seq(3.0, 2.0, 1.5, -1.0))
+    // first extra already non-improving: one draw, done
+    assert(extend(Seq(3.0, 2.0, 1.5), scripted(1.5)) ==
+      Seq(3.0, 2.0, 1.5, 1.5))
+  }
+
+  test("adjudication staleness: with a pinned-round baseline, pre-pin adjudications read as unadjudicated; current ones still silence") {
+    val dir = Files.createTempDirectory("benchgate4")
+    val cur = dir.resolve("cur.json")
+    val base = dir.resolve("base.json")
+    val out = dir.resolve("diff.json")
+    // q115_triangle_count carries a real repo adjudication
+    // "ADJUDICATED r13 ..."; against a baseline pinned in r15 it must
+    // no longer silence. q186_personalized_pr carries "ADJUDICATED
+    // r14" — also pre-r15, also stale. (Fixture baselines WITHOUT
+    // pin_round keep the old always-silence behavior — pinned by the
+    // earlier adjudication test in this spec.)
+    Files.writeString(cur, detail("q115_triangle_count" -> 1.0))
+    // hand-build a baseline with meta.pin_round = 15
+    Files.writeString(base,
+      """{"metric":"total","value":1,"unit":"sec",""" +
+        """"queries":{"q115_triangle_count":0.5},"sf":"x",""" +
+        """"meta":{"pin_round":15,"data":{"hash":"h1","bytes":1}}}""")
+    BenchDiff.main(Array(cur.toString, base.toString, out.toString))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out))
+    val status = n.at("/drifts/q115_triangle_count/status").asText()
+    assert(status.startsWith("unadjudicated (stale adjudication: r13 predates baseline pin r15"),
+      status)
+    // the stale text is preserved after the marker for the auditor
+    assert(status.contains("ADJUDICATED r13"), status)
+    // ...and the gate parse counts it dirty, so it flows to retry/loud
+    assert(Bench.unadjudicatedIn(out.toString) == Seq("q115_triangle_count"))
+    assert(n.get("n_unadjudicated").asInt() == 1, n.toString)
+    // an adjudication at or after the pin round still silences: pin
+    // round 13 makes the same entry current
+    Files.writeString(base,
+      """{"metric":"total","value":1,"unit":"sec",""" +
+        """"queries":{"q115_triangle_count":0.5},"sf":"x",""" +
+        """"meta":{"pin_round":13,"data":{"hash":"h1","bytes":1}}}""")
+    BenchDiff.main(Array(cur.toString, base.toString, out.toString))
+    assert(Bench.unadjudicatedIn(out.toString).isEmpty)
+    val n2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out))
+    assert(n2.at("/drifts/q115_triangle_count/status").asText()
+      .startsWith("ADJUDICATED r13"))
+  }
+
+  // (the fingerprint-DISAGREEMENT path sys.exits and is not testable
+  // in-JVM; the agreement path plus the hard-exit code are short
+  // enough to review directly)
+  test("BenchPin: median of per-session minima, condition meta, BenchDiff-consumable output") {
+    val dir = Files.createTempDirectory("benchpin")
+    def session(path: java.nio.file.Path, hash: String, qs: (String, Double)*): Unit = {
+      val queries = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      Files.writeString(path,
+        s"""{"metric":"total","value":9.9,"unit":"sec","queries":{$queries},""" +
+          s""""sf":"x","meta":{"load_avg":1.5,"steal_session_s":0.2,""" +
+          s""""iowait_session_s":0.1,"steal_dodged_runs":2,""" +
+          s""""descent_absorbed_runs":0,"floor_extend_draws":1,"wall_s":100.0,""" +
+          s""""data":{"hash":"$hash","bytes":1}}}""")
+    }
+    val s1 = dir.resolve("s1.json"); val s2 = dir.resolve("s2.json")
+    val s3 = dir.resolve("s3.json"); val out = dir.resolve("pin.json")
+    // q_a: 1.0/3.0/2.0 -> median 2.0 (one lucky 1.0 cannot pin);
+    // q_b: in two sessions only -> median of those; q_crash: -1 in
+    // one session is excluded from the median
+    session(s1, "h1", "q_a" -> 1.0, "q_b" -> 5.0, "q_crash" -> -1.0)
+    session(s2, "h1", "q_a" -> 3.0, "q_b" -> 4.0, "q_crash" -> 2.0)
+    session(s3, "h1", "q_a" -> 2.0)
+    BenchPin.main(Array(out.toString, "15", s1.toString, s2.toString, s3.toString))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out))
+    assert(n.at("/queries/q_a").asDouble() == 2.0, n.toString)
+    assert(n.at("/queries/q_b").asDouble() == 4.5, n.toString)
+    assert(n.at("/queries/q_crash").asDouble() == 2.0, n.toString)
+    assert(n.at("/meta/pin_round").asInt() == 15)
+    assert(n.at("/meta/n_sessions").asInt() == 3)
+    assert(n.at("/meta/sessions/0/load_avg").asDouble() == 1.5)
+    assert(n.at("/meta/data/hash").asText() == "h1")
+    // value = sum of pinned medians
+    assert(math.abs(n.at("/value").asDouble() - (2.0 + 4.5 + 2.0)) < 1e-6)
+    // the pinned artifact is BenchDiff-consumable as a baseline
+    val cur = dir.resolve("cur.json"); val diff = dir.resolve("diff.json")
+    Files.writeString(cur, detail("q_a" -> 2.0, "q_b" -> 4.5, "q_crash" -> 2.0))
+    // fingerprint differs (detail fixture uses h1 too) -> data_changed false
+    BenchDiff.main(Array(cur.toString, out.toString, diff.toString))
+    val d = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(diff))
+    assert(d.get("n_compared").asInt() == 3, d.toString)
+    assert(d.get("n_drifts").asInt() == 0, d.toString)
+    assert(!d.get("data_changed").asBoolean())
+  }
+
   test("steal dodge: stolen runs discard and re-draw; crashes and quiet runs keep") {
     // scripted sample stream: (wall, steal) pairs drawn in order
     def scripted(samples: (Double, Double)*): () => (Double, Double) = {
