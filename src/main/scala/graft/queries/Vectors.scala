@@ -2346,6 +2346,130 @@ object Vectors {
        |ORDER BY cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q224: MARGIN-BASED MUTUAL-NN PAIR MINING (CSLS / ratio-margin,
+  // the bitext-mining operator of Artetxe & Schwenk 2019 /
+  // CCMatrix): the standard way a training-data pipeline mines
+  // aligned pairs (translation pairs, near-duplicate captions,
+  // doc↔summary links) from two embedding spaces. Raw cosine
+  // over-selects hub vectors; the margin criterion normalizes each
+  // candidate cosine by the mean of BOTH endpoints' k-NN cosines —
+  // margin(x,y) = cos(x,y) / ((μk(x) + μk(y)) / 2) — and keeps
+  // MUTUAL best pairs above a threshold. Here the two "languages"
+  // are the vec_id parity split of the embeddings table.
+  //
+  // Scale shape: candidates are blocked on a 4-plane sign-LSH
+  // bucket (the q28 hyperplanes — deterministic md5 literals shared
+  // with the oracle), so the pair stage is a bucket equi-join, not
+  // an all-pairs product; k-NN means are per-bucket top-k windows
+  // (bounded by bucket population). At 100 TB the bucket count
+  // scales with the corpus (more planes + multi-probe, the q118
+  // path, or IVF cells, the q42 path) and the mutual-best windows
+  // partition by vector id — no driver state, no cartesian.
+  // Arithmetic is integer end-to-end after the one 4-dp cosine
+  // grid-snap (the q26/q133 treatment): c_e4 = round(cos*1e4),
+  // margin_e3 = (2000*c*nA*nB) div (sumA*nB + sumB*nA) — exact in
+  // both engines, so the hash gate covers the ranking, not a float
+  // ulp race.
+  // ---------------------------------------------------------------
+  private val MarginPlanes = 4
+  private val MarginK = 4
+  private val MarginTauE3 = 1200L // keep pairs with margin >= 1.2
+
+  private def marginBucket(v: Column): Column =
+    (0 until MarginPlanes).map { p =>
+      when(dot(v, planeArr(p)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def sqlMarginBucketTerms: String =
+    (0 until MarginPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlPlaneList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def q224MarginMining(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
+      .withColumn("bucket", marginBucket(col("e")))
+    val sideA = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("e").as("ae"), col("bucket"))
+    val sideB = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("e").as("be"), col("bucket"))
+    val cand = sideA.join(sideB, Seq("bucket"))
+      .withColumn("c_e4", round(dot(col("ae"), col("be")) * 10000, 0).cast("long"))
+      .filter(col("c_e4") > 0)
+      .select(col("a_id"), col("b_id"), col("c_e4"))
+    // per-endpoint k-NN mean numerators: top-k by (c_e4 desc, peer
+    // id) inside the candidate set; n_* < k where a bucket is thin
+    def knn(idCol: String, peerCol: String, sumName: String, nName: String) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_e4").desc, col(peerCol))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= MarginK)
+        .groupBy(col(idCol))
+        .agg(sum(col("c_e4")).as(sumName), count(lit(1)).as(nName))
+    }
+    val ka = knn("a_id", "b_id", "sum_a", "n_a")
+    val kb = knn("b_id", "a_id", "sum_b", "n_b")
+    val m = cand.join(ka, "a_id").join(kb, "b_id")
+      .withColumn("margin_e3",
+        expr("(2000 * c_e4 * n_a * n_b) div (sum_a * n_b + sum_b * n_a)"))
+      .filter(col("margin_e3") >= MarginTauE3)
+      .select(col("a_id"), col("b_id"), col("c_e4"), col("margin_e3"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_e3").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("margin_e3").desc, col("a_id"))
+    val bestA = m.withColumn("ra", row_number().over(wa)).filter(col("ra") === 1)
+    val bestB = m.withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
+      .select(col("a_id"), col("b_id"))
+    bestA.join(bestB, Seq("a_id", "b_id"))
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        col("c_e4"), col("margin_e3"))
+      .orderBy("src_id")
+  }
+
+  val q224Sql: String = {
+    val bucketTerms = sqlMarginBucketTerms
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
+       |), sa AS (SELECT vec_id AS a_id, embedding AS ae, bucket FROM b WHERE vec_id % 2 = 0),
+       |   sb AS (SELECT vec_id AS b_id, embedding AS be, bucket FROM b WHERE vec_id % 2 = 1),
+       |cand0 AS (
+       |  SELECT a_id, b_id,
+       |    CAST(ROUND(list_cosine_similarity(CAST(ae AS DOUBLE[]),
+       |                                      CAST(be AS DOUBLE[]))*10000, 0) AS BIGINT) AS c_e4
+       |  FROM sa JOIN sb USING (bucket)
+       |), cand AS (SELECT * FROM cand0 WHERE c_e4 > 0),
+       |ka AS (
+       |  SELECT a_id, SUM(c_e4) AS sum_a, COUNT(*) AS n_a FROM (
+       |    SELECT a_id, c_e4, b_id,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY c_e4 DESC, b_id) AS rk
+       |    FROM cand
+       |  ) WHERE rk <= $MarginK GROUP BY a_id
+       |), kb AS (
+       |  SELECT b_id, SUM(c_e4) AS sum_b, COUNT(*) AS n_b FROM (
+       |    SELECT b_id, c_e4, a_id,
+       |      row_number() OVER (PARTITION BY b_id ORDER BY c_e4 DESC, a_id) AS rk
+       |    FROM cand
+       |  ) WHERE rk <= $MarginK GROUP BY b_id
+       |), m AS (
+       |  SELECT c.a_id, c.b_id, c.c_e4,
+       |    CAST((2000 * c.c_e4 * ka.n_a * kb.n_b)
+       |         // (ka.sum_a * kb.n_b + kb.sum_b * ka.n_a) AS BIGINT) AS margin_e3
+       |  FROM cand c JOIN ka USING (a_id) JOIN kb USING (b_id)
+       |  WHERE CAST((2000 * c.c_e4 * ka.n_a * kb.n_b)
+       |        // (ka.sum_a * kb.n_b + kb.sum_b * ka.n_a) AS BIGINT) >= $MarginTauE3
+       |), ba AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY margin_e3 DESC, b_id) AS ra FROM m
+       |), bb2 AS (
+       |  SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id ORDER BY margin_e3 DESC, a_id) AS rb FROM m
+       |)
+       |SELECT ba.a_id AS src_id, ba.b_id AS dst_id, ba.c_e4 AS c_e4, ba.margin_e3 AS margin_e3
+       |FROM ba JOIN bb2 ON ba.a_id = bb2.a_id AND ba.b_id = bb2.b_id
+       |WHERE ba.ra = 1 AND bb2.rb = 1
+       |ORDER BY src_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_semdedup" -> q222SemDedup _,
     "q220_ivf_delta" -> q220IvfDelta _,
@@ -2372,7 +2496,8 @@ object Vectors {
     "q27_embed_topk" -> q27EmbedTopk _,
     "q28_ann_lsh" -> q28AnnLsh _,
     "q34_centroid_udaf" -> q34CentroidUdaf _,
-    "q42_ann_ivf" -> q42AnnIvf _)
+    "q42_ann_ivf" -> q42AnnIvf _,
+    "q224_margin_mining" -> q224MarginMining _)
 
   val oracles: Map[String, String] = Map(
     "q222_semdedup" -> q222Sql,
@@ -2400,5 +2525,6 @@ object Vectors {
     "q27_embed_topk" -> q27Sql,
     "q28_ann_lsh" -> q28Sql,
     "q34_centroid_udaf" -> q34Sql,
-    "q42_ann_ivf" -> q42IvfSql)
+    "q42_ann_ivf" -> q42IvfSql,
+    "q224_margin_mining" -> q224Sql)
 }

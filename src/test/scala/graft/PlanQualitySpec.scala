@@ -90,6 +90,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q224: margin-mining pair stage is a bucket equi-join — no cartesian, no nested loop") {
+    val p = plan("q224_margin_mining")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate stage joins the two sides on the LSH bucket key
+    assert(p.contains("bucket"), p)
+  }
+
   test("q23: no cartesian/nested-loop stage anywhere in the LSH plan") {
     val p = plan("q23_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
