@@ -1827,6 +1827,88 @@ object ops {
     (dist, hop)
   }
 
+  /** SAMPLED CLOSENESS CENTRALITY (Eppstein & Wang 2001): per-seed
+    * multi-source BFS over a deterministic seed sample, aggregated
+    * into the closeness estimator ĉ(v) = n_seed(v) / Σ_s d(s,v) —
+    * the standard way centrality is computed at graph scale, where
+    * exact all-pairs BFS is Θ(nm) and out of reach. Eppstein–Wang:
+    * Θ(log n / ε²) sampled sources estimate every closeness within
+    * ±ε·diameter w.h.p., so the seed predicate is the
+    * accuracy/memory knob. Returns (per-node frame `(node, n_seed,
+    * sum_d, cent_e6)`, hop count); nodes reaching no seed report
+    * (0, 0, 0). cent_e6 = (1e6·n_seed) div sum_d is integer-exact
+    * across engines.
+    *
+    * Loop shape (bfsLoop's one-job-per-hop accumulator, keyed by
+    * (node, seed)): the neighbor list is repartitioned by node ONCE
+    * and every hop joins on it co-partitioned; the accumulator
+    * checkpoint carries the fresh-pair count on the same job
+    * (graft.Loop.ckCount); per-hop distance derives from the
+    * frontier's dist + 1 column arithmetic — no changing literal, so
+    * every hop reuses one codegen class (the r12 finding). State is
+    * O(nodes × seeds) pairs — exactly the Eppstein–Wang space bound;
+    * at 100 TB the seed fraction shrinks as log n / n while the
+    * frame stays shuffle-partitioned on node, never driver-held.
+    */
+  def closenessSample(edges: DataFrame, src: String, dst: String,
+      isSeed: Column => Column, maxHops: Int = 41,
+      probe: (Int, DataFrame) => Unit = (_, _) => ())
+    : (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val endpoints = edges
+      .select(col(src).as("__node"), col(dst).as("__nbr"))
+      .unionByName(edges.select(col(dst).as("__node"), col(src).as("__nbr")))
+      .persist(MEMORY_AND_DISK)
+    val nbrs = endpoints
+      .filter(col("__node") =!= col("__nbr"))
+      .repartition(col("__node"))
+      .persist(MEMORY_AND_DISK)
+    val nodes = endpoints.select(col("__node"))
+      .distinct().localCheckpoint(true)
+    var visited = nodes.filter(isSeed(col("__node")))
+      .select(col("__node"), col("__node").as("__seed"), lit(0L).as("__dist"))
+      .localCheckpoint(true)
+    var frontier: DataFrame = visited
+    var hop = 0
+    var exhausted = false
+    while (!exhausted && hop < maxHops) {
+      hop += 1
+      val (nv, nNew) = graft.Loop.ckCount(
+        visited.select(col("__node"), col("__seed"), col("__dist"),
+            lit(false).as("__new"))
+          .unionByName(nbrs.join(frontier, "__node")
+            .groupBy(col("__nbr"), col("__seed"))
+            .agg(min(col("__dist") + 1L).as("__dist"))
+            .select(col("__nbr").as("__node"), col("__seed"), col("__dist"))
+            .join(visited, Seq("__node", "__seed"), "left_anti")
+            .select(col("__node"), col("__seed"), col("__dist"),
+              lit(true).as("__new"))),
+        col("__new"))
+      exhausted = nNew == 0L
+      graft.Ck.release(visited)
+      visited = nv.select(col("__node"), col("__seed"), col("__dist"))
+      if (!exhausted)
+        frontier = nv.filter(col("__new"))
+          .select(col("__node"), col("__seed"), col("__dist"))
+      probe(hop, visited)
+    }
+    nbrs.unpersist(blocking = false)
+    endpoints.unpersist(blocking = false)
+    if (!exhausted) { graft.Ck.release(visited); graft.Ck.release(nodes) }
+    require(exhausted, s"closeness BFS not exhausted in $maxHops hops")
+    graft.LoopStats.recordLoop("closeness", hop.toLong)
+    val perNode = visited.groupBy(col("__node"))
+      .agg(count(lit(1)).as("n_seed"), sum(col("__dist")).as("sum_d"))
+    val cent = nodes.join(perNode, Seq("__node"), "left")
+      .select(col("__node").as("node"),
+        coalesce(col("n_seed"), lit(0L)).as("n_seed"),
+        coalesce(col("sum_d"), lit(0L)).as("sum_d"))
+      .withColumn("cent_e6",
+        when(col("sum_d") > 0,
+          expr("(1000000 * n_seed) div sum_d")).otherwise(lit(0L)))
+    (cent, hop)
+  }
+
   /** Synchronous k-core peel to a data-driven fixpoint (q181's
     * parameterized form): each round removes every node whose degree
     * WITHIN the surviving induced subgraph is below k, and stops when
@@ -2107,6 +2189,78 @@ object ops {
     pairs.unpersist(blocking = false)
     av.unpersist(blocking = false)
     (kept, census, rounds)
+  }
+
+  /** Margin-based (CSLS / ratio-margin) MUTUAL-NN pair mining — the
+    * parameterized core behind q224_margin_mining (the q199/q216
+    * delegation pattern). The bitext-mining operator of Artetxe &
+    * Schwenk 2019 / CCMatrix: candidate cosines between two
+    * embedding sides are normalized by the mean of BOTH endpoints'
+    * k-NN cosines — margin(x,y) = cos(x,y) / ((μk(x)+μk(y))/2) —
+    * and mutual-best pairs above the threshold are kept (raw cosine
+    * over-selects hub vectors; the margin criterion is what aligned-
+    * pair miners actually ship). Returns (src_id, dst_id, c_e4,
+    * margin_e3), unordered.
+    *
+    * Scale shape: candidates are blocked on a `planes`-bit sign-LSH
+    * bucket (the q28 md5 hyperplanes) so the pair stage is a bucket
+    * equi-join, never a cross product; k-NN means are bucket-bounded
+    * top-k windows; mutual-best selection is two id-partitioned rank
+    * windows. At 100 TB the bucket count scales with the corpus
+    * (raise `planes`, or pre-assign IVF cells and feed per-cell
+    * sides). Integer end-to-end after the 4-dp cosine grid snap:
+    * margin_e3 = (2000·c·nA·nB) div (sumA·nB + sumB·nA) is exact
+    * across engines, so an oracle gate covers the ranking.
+    */
+  def marginMine(sideA: DataFrame, sideB: DataFrame, id: String,
+      vec: String, k: Int = 4, tauE3: Long = 1200L, planes: Int = 4)
+    : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dot(a: Column, b: Column): Column =
+      graft.functions.vec.arrayDot(a, b)
+    def normalized(a: Column): Column = {
+      val n = sqrt(dot(a, a))
+      transform(a, x => x / n)
+    }
+    def planeArr(p: Int): Column =
+      array((0 until 64).map(d =>
+        lit(graft.queries.Vectors.planeVal(p, d))): _*)
+    def bucketOf(v: Column): Column =
+      (0 until planes).map { p =>
+        when(dot(v, planeArr(p)) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    def side(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(id).as(idAs),
+          normalized(col(vec).cast("array<double>")).as(vecAs))
+        .withColumn("bucket", bucketOf(col(vecAs)))
+    val cand = side(sideA, "a_id", "ae").join(side(sideB, "b_id", "be"), Seq("bucket"))
+      .withColumn("c_e4", round(dot(col("ae"), col("be")) * 10000, 0).cast("long"))
+      .filter(col("c_e4") > 0)
+      .select(col("a_id"), col("b_id"), col("c_e4"))
+    def knn(idCol: String, peerCol: String, sumName: String, nName: String) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_e4").desc, col(peerCol))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .groupBy(col(idCol))
+        .agg(sum(col("c_e4")).as(sumName), count(lit(1)).as(nName))
+    }
+    val m = cand
+      .join(knn("a_id", "b_id", "sum_a", "n_a"), "a_id")
+      .join(knn("b_id", "a_id", "sum_b", "n_b"), "b_id")
+      .withColumn("margin_e3",
+        expr("(2000 * c_e4 * n_a * n_b) div (sum_a * n_b + sum_b * n_a)"))
+      .filter(col("margin_e3") >= tauE3)
+      .select(col("a_id"), col("b_id"), col("c_e4"), col("margin_e3"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_e3").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("margin_e3").desc, col("a_id"))
+    m.withColumn("ra", row_number().over(wa)).filter(col("ra") === 1)
+      .join(m.withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
+        .select(col("a_id"), col("b_id")), Seq("a_id", "b_id"))
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        col("c_e4"), col("margin_e3"))
   }
 
   def ivfAssign(df: DataFrame, centroids: DataFrame, id: String,

@@ -138,7 +138,7 @@ object Vectors {
     * first 15 hex chars of md5("p:d") scaled from [0, 2^60) — the same
     * construction as Hashing.hash60, evaluated at build time.
     */
-  private[queries] def planeVal(p: Int, d: Int): Double = {
+  private[graft] def planeVal(p: Int, d: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p:$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15)
@@ -2376,55 +2376,20 @@ object Vectors {
   private val MarginK = 4
   private val MarginTauE3 = 1200L // keep pairs with margin >= 1.2
 
-  private def marginBucket(v: Column): Column =
-    (0 until MarginPlanes).map { p =>
-      when(dot(v, planeArr(p)) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   private def sqlMarginBucketTerms: String =
     (0 until MarginPlanes).map { p =>
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlPlaneList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
   def q224MarginMining(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-      .select(col("vec_id"), normalized(emb(col("embedding"))).as("e"))
-      .withColumn("bucket", marginBucket(col("e")))
-    val sideA = e.filter(col("vec_id") % 2 === 0)
-      .select(col("vec_id").as("a_id"), col("e").as("ae"), col("bucket"))
-    val sideB = e.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id").as("b_id"), col("e").as("be"), col("bucket"))
-    val cand = sideA.join(sideB, Seq("bucket"))
-      .withColumn("c_e4", round(dot(col("ae"), col("be")) * 10000, 0).cast("long"))
-      .filter(col("c_e4") > 0)
-      .select(col("a_id"), col("b_id"), col("c_e4"))
-    // per-endpoint k-NN mean numerators: top-k by (c_e4 desc, peer
-    // id) inside the candidate set; n_* < k where a bucket is thin
-    def knn(idCol: String, peerCol: String, sumName: String, nName: String) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_e4").desc, col(peerCol))
-      cand.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= MarginK)
-        .groupBy(col(idCol))
-        .agg(sum(col("c_e4")).as(sumName), count(lit(1)).as(nName))
-    }
-    val ka = knn("a_id", "b_id", "sum_a", "n_a")
-    val kb = knn("b_id", "a_id", "sum_b", "n_b")
-    val m = cand.join(ka, "a_id").join(kb, "b_id")
-      .withColumn("margin_e3",
-        expr("(2000 * c_e4 * n_a * n_b) div (sum_a * n_b + sum_b * n_a)"))
-      .filter(col("margin_e3") >= MarginTauE3)
-      .select(col("a_id"), col("b_id"), col("c_e4"), col("margin_e3"))
-    val wa = Window.partitionBy(col("a_id"))
-      .orderBy(col("margin_e3").desc, col("b_id"))
-    val wb = Window.partitionBy(col("b_id"))
-      .orderBy(col("margin_e3").desc, col("a_id"))
-    val bestA = m.withColumn("ra", row_number().over(wa)).filter(col("ra") === 1)
-    val bestB = m.withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
-      .select(col("a_id"), col("b_id"))
-    bestA.join(bestB, Seq("a_id", "b_id"))
-      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
-        col("c_e4"), col("margin_e3"))
+    // delegates to the parameterized core (the q199/q216 pattern):
+    // the two "languages" are the vec_id parity split
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    graft.api.ops.marginMine(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding",
+        k = MarginK, tauE3 = MarginTauE3, planes = MarginPlanes)
       .orderBy("src_id")
   }
 

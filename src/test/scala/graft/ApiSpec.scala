@@ -48,6 +48,53 @@ class ApiSpec extends SparkSpec {
     assert(c.count() > 0 && c.except(a).count() > 0)
   }
 
+  test("closenessSample: per-seed distances, estimator, and exhaustion proof on a path + second component") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3-4 (seed 0) and edge 7-8 (seed 7): per-seed BFS
+    // must NOT cross components, the estimator divides by reached
+    // seeds only, and a seed's own row is (1, 0, 0)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("a", "b")
+    val (cent, hops) = ops.closenessSample(edges, "a", "b",
+      c => c === 0L || c === 7L)
+    val m = cent.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(0L) === ((1L, 0L, 0L)))
+    assert(m(1L) === ((1L, 1L, 1000000L)))
+    assert(m(2L) === ((1L, 2L, 500000L)))
+    assert(m(4L) === ((1L, 4L, 250000L)))
+    assert(m(7L) === ((1L, 0L, 0L)))
+    assert(m(8L) === ((1L, 1L, 1000000L)))
+    // 4 expanding hops (the 0->4 chain) + 1 empty exhaustion proof
+    assert(hops === 5)
+  }
+
+  test("marginMine: mutual-best matching, threshold, and side-swap symmetry") {
+    // sf0.01: sf0.001's ~1-vector buckets mostly produce singleton
+    // candidate lists, whose margin is exactly 1.0 by construction
+    // (the criterion refuses evidence-free pairs) — the interesting
+    // behavior needs populated buckets
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 === 1)
+    val m = ops.marginMine(a, b, "vec_id", "embedding").collect()
+    assert(m.nonEmpty)
+    // mutual-best is a partial MATCHING: every endpoint at most once
+    val srcs = m.map(_.getLong(0)); val dsts = m.map(_.getLong(1))
+    assert(srcs.distinct.length === srcs.length)
+    assert(dsts.distinct.length === dsts.length)
+    assert(srcs.forall(_ % 2 == 0) && dsts.forall(_ % 2 == 1))
+    assert(m.forall(_.getLong(3) >= 1200L)) // tauE3 honored
+    // the margin criterion, buckets, and mutual-best selection are
+    // all symmetric in the sides: swapping A and B mirrors the set
+    val swapped = ops.marginMine(b, a, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSet === swapped)
+  }
+
   test("nearDupPairs matches the oracle-gated q23 pipeline") {
     val docs = Tables.documents(spark, dir)
     val api = ops.nearDupPairs(docs, "doc_id", "text", 0.5)
