@@ -1120,6 +1120,54 @@ object Mining {
       |GROUP BY 1 ORDER BY dist""".stripMargin
 
   // ---------------------------------------------------------------
+  // q225: SAMPLED CLOSENESS CENTRALITY (Eppstein & Wang 2001) — the
+  // centrality statistic at the scale where exact all-pairs BFS
+  // (Θ(nm)) is out of reach: per-seed BFS from the deterministic
+  // node % 7 sample, estimator ĉ(v) = n_seed(v) / Σ_s d(s,v),
+  // integer-quantized cent_e6 = (1e6·n_seed) div sum_d. The loop is
+  // ops.closenessSample (bfsLoop's one-job-per-hop accumulator
+  // keyed by (node, seed); state = the Eppstein–Wang O(n·m_seeds)
+  // pair bound, shuffle-partitioned on node). Oracle: the q172
+  // recursive-CTE BFS with a seed column carried through the
+  // recursion — per-(seed, node) min distance, aggregated to the
+  // same estimator.
+  // ---------------------------------------------------------------
+  def q225ClosenessSample(s: SparkSession, dir: String): DataFrame = {
+    val (cent, _) = graft.api.ops.closenessSample(
+      sparseUnd(s, dir), "a", "b", _ % 7L === 0L)
+    cent.orderBy("node")
+  }
+
+  val q225Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |), nn AS (SELECT MAX(user_id) + 1 AS n FROM ev),
+      |und AS (
+      |  SELECT DISTINCT least(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS a,
+      |    greatest(user_id, (user_id*31 + k) % (SELECT n FROM nn)) AS b
+      |  FROM ev WHERE user_id <> (user_id*31 + k) % (SELECT n FROM nn)
+      |), sp AS (SELECT a, b FROM und WHERE (a*131 + b*17) % 32 = 0),
+      |bi AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+      |nodes AS (SELECT DISTINCT a AS node FROM bi),
+      |reach(s, v, d) AS (
+      |  SELECT node, node, 0 FROM nodes WHERE node % 7 = 0
+      |  UNION
+      |  SELECT r.s, bi.b, r.d + 1 FROM reach r JOIN bi ON r.v = bi.a WHERE r.d < 40
+      |), dist AS (SELECT s, v, MIN(d) AS d FROM reach GROUP BY s, v),
+      |agg AS (
+      |  SELECT v, COUNT(*) AS n_seed, SUM(d) AS sum_d FROM dist GROUP BY v
+      |)
+      |SELECT n.node AS node,
+      |  COALESCE(a.n_seed, 0) AS n_seed,
+      |  CAST(COALESCE(a.sum_d, 0) AS BIGINT) AS sum_d,
+      |  CASE WHEN COALESCE(a.sum_d, 0) > 0
+      |       THEN CAST((1000000 * a.n_seed) // a.sum_d AS BIGINT)
+      |       ELSE 0 END AS cent_e6
+      |FROM nodes n LEFT JOIN agg a ON a.v = n.node
+      |ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------
   // q181: K-CORE decomposition to a data-driven PEEL fixpoint — the
   // fourth convergence discipline next to q161 (pointer-jump
   // fixpoint), q163 (driver-held model state), and q172 (frontier
@@ -3036,6 +3084,7 @@ object Mining {
     "q181_kcore" -> q181Kcore _,
     "q180_modularity" -> q180Modularity _,
     "q172_bfs_hops" -> q172BfsHops _,
+    "q225_closeness_sample" -> q225ClosenessSample _,
     "q170_countmin_est" -> q170CountminEst _,
     "q165_label_prop_rounds" -> q165LabelPropRounds _,
     "q161_connected_components" -> q161ConnectedComponents _,
@@ -3063,6 +3112,7 @@ object Mining {
     "q181_kcore" -> q181Sql,
     "q180_modularity" -> q180Sql,
     "q172_bfs_hops" -> q172Sql,
+    "q225_closeness_sample" -> q225Sql,
     "q170_countmin_est" -> q170Sql,
     "q165_label_prop_rounds" -> q165Sql,
     "q161_connected_components" -> q161Sql,
