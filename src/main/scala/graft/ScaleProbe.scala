@@ -399,6 +399,30 @@ object ScaleProbe {
           s""""n_nodes_big":${diamRow.getLong(1)},""" +
           s""""diameter_lb":${diamRow.getLong(5)},""" +
           s""""wall_s":${fmt(diamS)},"task_ms":$diamTms}"""
+      // q225-CORE leg (round-15): sampled closeness centrality with
+      // a FIXED seed budget — the Eppstein–Wang posture: the seed
+      // count is Θ(log n/ε²), i.e. ~CONSTANT as the corpus grows, so
+      // the (node, seed) state grows LINEARLY in nodes, never
+      // quadratically. Seeds live in replica 0 only (the BFS leg's
+      // predicate), so the per-seed frontiers must walk the bridge
+      // chain — hops track the chain diameter while task-ms tracks
+      // nodes × (fixed) seeds.
+      graft.LoopStats.drain()
+      val ((clCensus, clHops), clS, clTms) = timedLeg {
+        val (cent, h) = graft.api.ops.closenessSample(
+          edges, "a", "b", c => c < lit(n) && c % mod === 0L,
+          maxHops = 40 + 2 * m)
+        val r = cent.agg(count(lit(1)).as("nodes"),
+          sum(col("n_seed")).as("pairs"),
+          count(when(col("n_seed") === 0L, 1)).as("unreached")).head()
+        graft.Ck.release(cent)
+        (r, h)
+      }
+      val closenessJson =
+        s"""{"hops":$clHops,"nodes":${clCensus.getLong(0)},""" +
+          s""""reached_pairs":${clCensus.getLong(1)},""" +
+          s""""unreached_nodes":${clCensus.getLong(2)},""" +
+          s""""wall_s":${fmt(clS)},"task_ms":$clTms}"""
       // q178-CORE leg (round-15, verdict item 6): warm-start
       // pagerank on the churned graph (ccDelta — the cc legs' ~0.1%
       // delete + anchor-insert changelog) initialized from the base
@@ -713,6 +737,7 @@ object ScaleProbe {
         s""""outer_rounds":${ringStats.getOrElse("scc", -1L)},""" +
         s""""total_s":${fmt(ringS)},"task_ms":$ringTms,"n_sccs":$nRingScc},""" +
         s""""diameter":$diameterJson,""" +
+        s""""closeness":$closenessJson,""" +
         s""""pr_warm":$prWarmJson}"""
       // one human-readable summary per scale as the run progresses
       println(s"[scale-probe] m=$m edges=$nEdges cc=${cc.rounds}r/" +
@@ -726,6 +751,7 @@ object ScaleProbe {
         s"/cold_mv=${ndColdCurve.map(_._2).sum} " +
         s"semdedup=${sdRow.getLong(1)}p/k${sdRow.getLong(0)}/" +
         s"${fmt(sdS)}s diam=${diamRow.getLong(5)}lb/${fmt(diamS)}s " +
+        s"closeness=${clHops}h/${fmt(clS)}s " +
         s"prwarm=${prWarmRes._1}r(cold ${prColdRes._1}r)")
       // the m=100 edge frame is ~100x the base — release its blocks
       // before the next scale builds its own (base stays: it serves
