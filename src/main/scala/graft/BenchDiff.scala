@@ -79,7 +79,11 @@ object BenchDiff {
     val pinRound: Option[Int] = base
       .map(_.at("/meta/pin_round")).filterNot(_.isMissingNode)
       .map(_.asInt()).filter(_ > 0)
-    val AdjRound = """ADJUDICATED\s+r(\d+)""".r
+    // \S* absorbs variant markers — the real corpus contains
+    // "ADJUDICATED+FIXED r12" (q219:spread), which the plain form
+    // missed, leaving that entry permanently un-stale-able (round-16
+    // advice item 2)
+    val AdjRound = """ADJUDICATED\S*\s+r(\d+)""".r
     def withStaleness(text: String): String = {
       val r = AdjRound.findFirstMatchIn(text).map(_.group(1).toInt)
       (r, pinRound) match {

@@ -82,8 +82,17 @@ object BenchPin {
         s""""floor_extend_draws":${g("/meta/floor_extend_draws")},""" +
         s""""wall_s":${g("/meta/wall_s")}}"""
     }.mkString("[", ",", "]")
-    val dataNode = sessions.head._2.at("/meta/data").toString
-    val sf = sessions.head._2.at("/sf").toString
+    // same missing-node-to-null fallback as the per-session g():
+    // a session file lacking /sf or /meta/data would stringify a
+    // MissingNode to "", producing malformed baseline JSON
+    // ("sf":,) that BenchDiff then fails to parse (round-16 advice
+    // item 3)
+    def topG(path: String): String = {
+      val v = sessions.head._2.at(path)
+      if (v.isMissingNode) "null" else v.toString
+    }
+    val dataNode = topG("/meta/data")
+    val sf = topG("/sf")
     val body =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$queries,""" +
         s""""sf":$sf,"meta":{"pin_round":$pinRound,"agg":"median-of-session-minima",""" +

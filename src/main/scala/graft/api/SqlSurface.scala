@@ -1690,6 +1690,96 @@ object SqlSurface {
     out
   }
 
+  // ----- q224: margin mining on the SQL surface ---------------------
+  // (the ANN/mining family's entry, round-16 verdict item 6: the
+  // band/bucket dedup texts existed but the vector-mining side had
+  // no SQL twin. One self-contained text — the corpus-scaled plane
+  // ladder runs as scalar COUNT(*) subqueries, so the SQL user gets
+  // the same auto-blocking as ops.marginMine without a Scala call.)
+
+  /** The full CSLS / ratio-margin mutual-NN miner (q224) as one
+    * SQL text over the registered `embeddings` view — row-equal to
+    * the DataFrame form (pinned in SqlSurfaceSpec; plan equality is
+    * out of reach because the DataFrame resolves the plane count to
+    * a literal via two Scala-side counts, while SQL carries it as a
+    * scalar subquery). `array_dot` is the registered native codegen
+    * expression marginMine itself uses, and the normalize→dot→
+    * 4-dp-snap float path is transliterated operation-for-operation,
+    * so agreement is exact, not approximate. The plane ladder and
+    * bucket terms mirror ops.autoPlanes / ops.marginMine: smallest
+    * p in [MarginBasePlanes, MarginMaxPlanes] with
+    * n ≤ MarginTargetBucket·2^p over the larger parity side, each
+    * term gated on its index (integer comparisons only — see the
+    * autoPlanes scaladoc for why float log2 is banned).
+    */
+  def q224MarginSql: String = {
+    import graft.api.ops.{MarginBasePlanes, MarginMaxPlanes, MarginTargetBucket}
+    // CAST each literal: Spark SQL parses bare decimal literals as
+    // DECIMAL (unlike DuckDB), and array_dot requires array<double>
+    def planeArr(p: Int): String =
+      (0 until 64)
+        .map(d => s"CAST(${graft.queries.Vectors.planeVal(p, d)} AS DOUBLE)")
+        .mkString("ARRAY(", ", ", ")")
+    val ladder = (MarginBasePlanes until MarginMaxPlanes)
+      .map(p => s"WHEN n <= ${MarginTargetBucket << p} THEN $p")
+      .mkString("CASE ", " ", s" ELSE $MarginMaxPlanes END")
+    val terms = (0 until MarginMaxPlanes).map { p =>
+      s"(CASE WHEN $p < pl.planes AND array_dot(v, ${planeArr(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH pl AS (
+       |  SELECT $ladder AS planes FROM (
+       |    SELECT GREATEST(
+       |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0),
+       |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1)) AS n)
+       |), norm AS (
+       |  SELECT vec_id, transform(e, x -> x / sqrt(array_dot(e, e))) AS v FROM (
+       |    SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings)
+       |), sa AS (
+       |  SELECT vec_id AS a_id, v AS ae, $terms AS bucket
+       |  FROM norm, pl WHERE vec_id % 2 = 0
+       |), sb AS (
+       |  SELECT vec_id AS b_id, v AS be, $terms AS bucket
+       |  FROM norm, pl WHERE vec_id % 2 = 1
+       |), cand AS (
+       |  SELECT * FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(ROUND(array_dot(ae, be) * 10000, 0) AS BIGINT) AS c_e4
+       |    FROM sa JOIN sb USING (bucket)
+       |  ) WHERE c_e4 > 0
+       |), ka AS (
+       |  SELECT a_id, SUM(c_e4) AS sum_a, COUNT(*) AS n_a FROM (
+       |    SELECT a_id, c_e4,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY c_e4 DESC, b_id) AS rk
+       |    FROM cand
+       |  ) WHERE rk <= 4 GROUP BY a_id
+       |), kb AS (
+       |  SELECT b_id, SUM(c_e4) AS sum_b, COUNT(*) AS n_b FROM (
+       |    SELECT b_id, c_e4,
+       |      row_number() OVER (PARTITION BY b_id ORDER BY c_e4 DESC, a_id) AS rk
+       |    FROM cand
+       |  ) WHERE rk <= 4 GROUP BY b_id
+       |), m AS (
+       |  SELECT * FROM (
+       |    SELECT c.a_id, c.b_id, c.c_e4,
+       |      (2000 * c.c_e4 * ka.n_a * kb.n_b)
+       |        div (ka.sum_a * kb.n_b + kb.sum_b * ka.n_a) AS margin_e3
+       |    FROM cand c JOIN ka USING (a_id) JOIN kb USING (b_id)
+       |  ) WHERE margin_e3 >= 1200
+       |), ba AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY margin_e3 DESC, b_id) AS ra
+       |  FROM m
+       |), bb AS (
+       |  SELECT a_id, b_id,
+       |    row_number() OVER (PARTITION BY b_id ORDER BY margin_e3 DESC, a_id) AS rb
+       |  FROM m
+       |)
+       |SELECT ba.a_id AS src_id, ba.b_id AS dst_id, ba.c_e4, ba.margin_e3
+       |FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+       |WHERE ba.ra = 1 AND bb.rb = 1
+       |ORDER BY src_id""".stripMargin
+  }
+
   /** q181's output shape over the SQL-driven loop. */
   def q181KcoreSql(s: SparkSession, dir: String): DataFrame = {
     val (coreDeg, rounds) = kcoreLoopSql(s, dir)

@@ -2191,6 +2191,32 @@ object ops {
     (kept, census, rounds)
   }
 
+  /** Corpus-scaled sign-LSH plane count for [[marginMine]] (round-16,
+    * verdict item 4 — the identical problem q222's √N codebook solved
+    * for SemDeDup in r12): a FIXED plane count is corpus-size-blind,
+    * so per-bucket population — and with it the bucket join's
+    * per-bucket quadratic work — grows linearly with the corpus.
+    * Returns the smallest p in [[[MarginBasePlanes]],
+    * [[MarginMaxPlanes]]] with n ≤ [[MarginTargetBucket]] · 2^p, so
+    * expected bucket population stays ≤ MarginTargetBucket and total
+    * candidate pairs stay ~n · MarginTargetBucket — linear in the
+    * corpus (measured: the SCALE_PROBE margin_mine leg at m=1/10/100).
+    * Deliberately INTEGER-ONLY: ceil(log2(n/256.0)) computed via
+    * doubles disagrees between engines at exact powers of two (Java's
+    * log(8)/log(2) = 3.0000000000000004 vs DuckDB log2(8) = 3.0), and
+    * the oracle must resolve the identical value — its SQL twin is a
+    * CASE ladder over the same shifted-integer comparisons
+    * (queries/Vectors.sqlMarginPlanesLadder).
+    */
+  val MarginTargetBucket = 256L
+  val MarginBasePlanes = 4
+  val MarginMaxPlanes = 12
+  def autoPlanes(n: Long): Int = {
+    var p = MarginBasePlanes
+    while (p < MarginMaxPlanes && n > (MarginTargetBucket << p)) p += 1
+    p
+  }
+
   /** Margin-based (CSLS / ratio-margin) MUTUAL-NN pair mining — the
     * parameterized core behind q224_margin_mining (the q199/q216
     * delegation pattern). The bitext-mining operator of Artetxe &
@@ -2206,15 +2232,28 @@ object ops {
     * bucket (the q28 md5 hyperplanes) so the pair stage is a bucket
     * equi-join, never a cross product; k-NN means are bucket-bounded
     * top-k windows; mutual-best selection is two id-partitioned rank
-    * windows. At 100 TB the bucket count scales with the corpus
-    * (raise `planes`, or pre-assign IVF cells and feed per-cell
-    * sides). Integer end-to-end after the 4-dp cosine grid snap:
+    * windows. The bucket count scales with the corpus BY DEFAULT
+    * (round-16, verdict item 4 — the q222 √N-codebook discipline
+    * transplanted): `planes = 0` resolves to [[autoPlanes]] of the
+    * larger side's row count, so per-bucket population stays near
+    * [[MarginTargetBucket]] and candidate-pair count stays ~linear
+    * in the corpus instead of degrading toward all-pairs at a fixed
+    * 16 buckets. Beyond the [[MarginMaxPlanes]] cap (≈1M rows per
+    * side), pass explicit `planes`, multi-probe (the q118 path), or
+    * pre-assign IVF cells and feed per-cell sides (the q42 path).
+    * Integer end-to-end after the 4-dp cosine grid snap:
     * margin_e3 = (2000·c·nA·nB) div (sumA·nB + sumB·nA) is exact
     * across engines, so an oracle gate covers the ranking.
     */
   def marginMine(sideA: DataFrame, sideB: DataFrame, id: String,
-      vec: String, k: Int = 4, tauE3: Long = 1200L, planes: Int = 4)
+      vec: String, k: Int = 4, tauE3: Long = 1200L, planes: Int = 0)
     : DataFrame = {
+    // auto mode counts the RAW sides (two metadata-light jobs; the
+    // oracle mirrors with COUNT(*) subqueries) — integer ladder, no
+    // float log2, so both engines resolve the identical plane count
+    val pl =
+      if (planes > 0) planes
+      else autoPlanes(math.max(sideA.count(), sideB.count()))
     import org.apache.spark.sql.expressions.Window
     def dot(a: Column, b: Column): Column =
       graft.functions.vec.arrayDot(a, b)
@@ -2226,7 +2265,7 @@ object ops {
       array((0 until 64).map(d =>
         lit(graft.queries.Vectors.planeVal(p, d))): _*)
     def bucketOf(v: Column): Column =
-      (0 until planes).map { p =>
+      (0 until pl).map { p =>
         when(dot(v, planeArr(p)) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
     def side(df: DataFrame, idAs: String, vecAs: String): DataFrame =

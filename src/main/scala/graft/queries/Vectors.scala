@@ -2358,47 +2358,66 @@ object Vectors {
   // MUTUAL best pairs above a threshold. Here the two "languages"
   // are the vec_id parity split of the embeddings table.
   //
-  // Scale shape: candidates are blocked on a 4-plane sign-LSH
-  // bucket (the q28 hyperplanes — deterministic md5 literals shared
-  // with the oracle), so the pair stage is a bucket equi-join, not
-  // an all-pairs product; k-NN means are per-bucket top-k windows
-  // (bounded by bucket population). At 100 TB the bucket count
-  // scales with the corpus (more planes + multi-probe, the q118
-  // path, or IVF cells, the q42 path) and the mutual-best windows
-  // partition by vector id — no driver state, no cartesian.
+  // Scale shape: candidates are blocked on a sign-LSH bucket (the
+  // q28 hyperplanes — deterministic md5 literals shared with the
+  // oracle), so the pair stage is a bucket equi-join, not an
+  // all-pairs product; k-NN means are per-bucket top-k windows
+  // (bounded by bucket population). The plane count is
+  // CORPUS-SCALED since round 16 (ops.autoPlanes — the q222
+  // √N-codebook discipline): the larger side's row count resolves
+  // the smallest p in [4, 12] with n <= 256·2^p, so per-bucket
+  // population stays ~256 and candidate pairs stay ~linear as the
+  // corpus grows (at the testdata sides — 250 at sf0.01, 1000 at
+  // sf0.1 — the ladder resolves its floor of 4, the r15 constant,
+  // so the hash gate is continuous across the change). The oracle
+  // mirrors the ladder with the same shifted-integer comparisons —
+  // never float log2, which disagrees between engines at exact
+  // powers of two — and gates each bucket term on p < planes.
+  // Beyond the 12-plane cap: multi-probe (the q118 path) or IVF
+  // cells (the q42 path); the mutual-best windows partition by
+  // vector id — no driver state, no cartesian.
   // Arithmetic is integer end-to-end after the one 4-dp cosine
   // grid-snap (the q26/q133 treatment): c_e4 = round(cos*1e4),
   // margin_e3 = (2000*c*nA*nB) div (sumA*nB + sumB*nA) — exact in
   // both engines, so the hash gate covers the ranking, not a float
   // ulp race.
   // ---------------------------------------------------------------
-  private val MarginPlanes = 4
   private val MarginK = 4
   private val MarginTauE3 = 1200L // keep pairs with margin >= 1.2
 
+  private def sqlMarginPlanesLadder: String =
+    (graft.api.ops.MarginBasePlanes until graft.api.ops.MarginMaxPlanes)
+      .map(p => s"WHEN n <= ${graft.api.ops.MarginTargetBucket << p} THEN $p")
+      .mkString("CASE ", " ", s" ELSE ${graft.api.ops.MarginMaxPlanes} END")
+
   private def sqlMarginBucketTerms: String =
-    (0 until MarginPlanes).map { p =>
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlPlaneList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    (0 until graft.api.ops.MarginMaxPlanes).map { p =>
+      s"(CASE WHEN $p < pl.planes AND list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlPlaneList(p)}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
   def q224MarginMining(s: SparkSession, dir: String): DataFrame = {
     // delegates to the parameterized core (the q199/q216 pattern):
-    // the two "languages" are the vec_id parity split
+    // the two "languages" are the vec_id parity split; planes left
+    // at the auto default (ops.autoPlanes of the larger side)
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
     graft.api.ops.marginMine(
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding",
-        k = MarginK, tauE3 = MarginTauE3, planes = MarginPlanes)
+        k = MarginK, tauE3 = MarginTauE3)
       .orderBy("src_id")
   }
 
   val q224Sql: String = {
     val bucketTerms = sqlMarginBucketTerms
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding, $bucketTerms AS bucket FROM embeddings
-       |), sa AS (SELECT vec_id AS a_id, embedding AS ae, bucket FROM b WHERE vec_id % 2 = 0),
-       |   sb AS (SELECT vec_id AS b_id, embedding AS be, bucket FROM b WHERE vec_id % 2 = 1),
+    s"""WITH sa0 AS (SELECT vec_id AS a_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |     sb0 AS (SELECT vec_id AS b_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+       |pl AS (
+       |  SELECT $sqlMarginPlanesLadder AS planes FROM (
+       |    SELECT GREATEST((SELECT COUNT(*) FROM sa0),
+       |                    (SELECT COUNT(*) FROM sb0)) AS n)
+       |), sa AS (SELECT a_id, embedding AS ae, $bucketTerms AS bucket FROM sa0, pl),
+       |   sb AS (SELECT b_id, embedding AS be, $bucketTerms AS bucket FROM sb0, pl),
        |cand0 AS (
        |  SELECT a_id, b_id,
        |    CAST(ROUND(list_cosine_similarity(CAST(ae AS DOUBLE[]),

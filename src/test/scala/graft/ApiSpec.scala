@@ -71,6 +71,21 @@ class ApiSpec extends SparkSpec {
     assert(hops === 5)
   }
 
+  test("autoPlanes: integer ladder — base at small corpora, one plane per doubling, capped") {
+    // the round-16 corpus-scaled blocking (verdict item 4): smallest
+    // p in [4, 12] with n <= 256 << p. Integer comparisons only —
+    // the oracle ladder (sqlMarginPlanesLadder) mirrors these exact
+    // boundaries, so engine float-log2 disagreement cannot occur
+    assert(ops.autoPlanes(1L) === 4)
+    assert(ops.autoPlanes(250L) === 4)    // the sf0.01 q224 side
+    assert(ops.autoPlanes(1000L) === 4)   // the sf0.1 q224 side
+    assert(ops.autoPlanes(256L << 4) === 4)   // boundary: exactly fits
+    assert(ops.autoPlanes((256L << 4) + 1) === 5)
+    assert(ops.autoPlanes(100000L) === 9) // the m=100 probe side
+    assert(ops.autoPlanes(256L << 12) === 12)
+    assert(ops.autoPlanes(Long.MaxValue / 4) === 12) // capped
+  }
+
   test("marginMine: mutual-best matching, threshold, and side-swap symmetry") {
     // sf0.01: sf0.001's ~1-vector buckets mostly produce singleton
     // candidate lists, whose margin is exactly 1.0 by construction

@@ -204,9 +204,12 @@ class BenchGateSpec extends AnyFunSuite {
     // and the floor (1.55) lands IN the runs array for min-of-runs
     assert(extend(Seq(2.332, 1.706, 1.639), scripted(1.55, 1.58)) ==
       Seq(2.332, 1.706, 1.639, 1.55, 1.58))
-    // bounded: a tail that never turns stops at maxExtra draws
-    assert(extend(Seq(3.0, 2.5, 2.0), scripted(1.9, 1.8, 1.7)) ==
-      Seq(3.0, 2.5, 2.0, 1.9, 1.8, 1.7))
+    // bounded: a tail that never turns stops at maxExtra draws —
+    // plus the round-16 bonus batch exactly once for a multi-second
+    // row still spanning >= 1.3x (see the bonus-batch test for the
+    // gating cases)
+    assert(extend(Seq(3.0, 2.5, 2.0), scripted(1.9, 1.8, 1.7, 1.6, 1.5, 1.4)) ==
+      Seq(3.0, 2.5, 2.0, 1.9, 1.8, 1.7, 1.6, 1.5, 1.4))
     // noise-level monotonicity (head/last < minRatio) never triggers:
     // ~1/6 of flat queries are strictly descending by chance
     assert(extend(Seq(1.05, 1.03, 1.02), noDraw) == Seq(1.05, 1.03, 1.02))
@@ -222,6 +225,70 @@ class BenchGateSpec extends AnyFunSuite {
     // first extra already non-improving: one draw, done
     assert(extend(Seq(3.0, 2.0, 1.5), scripted(1.5)) ==
       Seq(3.0, 2.0, 1.5, 1.5))
+  }
+
+  test("floor-extension bonus batch: multi-second unreached floors escalate once; sub-second and near-floor rows stop at the base budget") {
+    def scripted(samples: Double*): () => Double = {
+      val it = samples.iterator
+      () => it.next()
+    }
+    def extend(runs: Seq[Double], more: () => Double) =
+      Bench.extendDescending(runs, more, minRatio = 1.15, maxExtra = 3,
+        bonusMinS = 1.0, bonusRatio = 1.3, bonusExtra = 3)
+    // the r15 q211 shape: still descending after the base 3 draws,
+    // last sample multi-second, span 4.45/1.93 >= 1.3 -> ONE bonus
+    // batch of 3 more draws; the floor (1.52 repeated) lands in-array
+    assert(extend(Seq(4.452, 3.1, 2.4), scripted(2.2, 2.1, 1.93, 1.6, 1.52, 1.55)) ==
+      Seq(4.452, 3.1, 2.4, 2.2, 2.1, 1.93, 1.6, 1.52, 1.55))
+    // ...and the escalation is granted ONCE: a row still descending
+    // after base+bonus stops at 6 extras total
+    assert(extend(Seq(9.0, 8.0, 7.0), scripted(6.0, 5.0, 4.0, 3.0, 2.5, 2.0)) ==
+      Seq(9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.5, 2.0))
+    // the r15 q01 shape: sub-second tail (0.351 < bonusMinS) never
+    // escalates — base budget only
+    assert(extend(Seq(0.555, 0.48, 0.42), scripted(0.40, 0.38, 0.351)) ==
+      Seq(0.555, 0.48, 0.42, 0.40, 0.38, 0.351))
+    // multi-second but span already < 1.3 after the first batch
+    // (2.5/1.95 = 1.28): the floor is near, no bonus
+    assert(extend(Seq(2.5, 2.3, 2.1), scripted(2.05, 2.0, 1.95)) ==
+      Seq(2.5, 2.3, 2.1, 2.05, 2.0, 1.95))
+    // a row that turns non-monotone inside the base batch never
+    // reaches the bonus check
+    assert(extend(Seq(4.0, 3.0, 2.0), scripted(1.9, 1.9)) ==
+      Seq(4.0, 3.0, 2.0, 1.9, 1.9))
+  }
+
+  test("post-merge absorb: a crashed absorber extra returns the ORIGINAL row; extension crashes keep the plateau; real descents still trim") {
+    def scripted(samples: Double*): () => Double = {
+      val it = samples.iterator
+      () => it.next()
+    }
+    def pma(runs: Seq[Double], more: () => Double) =
+      Bench.postMergeAbsorb(runs, more, spreadThreshold = 3.0,
+        flatRatio = 1.5, minSeconds = 1.0, minKept = 3, maxExtra = 3,
+        extendMinRatio = 1.15, maxExtendDraws = 3)
+    // the advice-item-1 hole: descent signature present, the extra
+    // draw CRASHES -> descentAbsorb returns the -1-bearing array
+    // loud; the old inline code shipped it and the row flipped to
+    // crashed. The contract is mergeRetries': original runs, no
+    // trim, no extension
+    assert(pma(Seq(9.0, 3.0, 1.0), scripted(-1.0)) ==
+      ((Seq(9.0, 3.0, 1.0), Seq.empty, 0)))
+    // a real post-merge descent still trims to the plateau (the
+    // plateau here is non-monotone, so the follow-on floor extension
+    // correctly stays quiet too)
+    val (f2, d2, e2) = pma(
+      Seq(16.082, 11.438, 6.366, 4.729, 4.098, 4.368),
+      () => fail("plateau already present — no draw"))
+    assert(f2 == Seq(4.729, 4.098, 4.368) &&
+      d2 == Seq(16.082, 11.438, 6.366) && e2 == 0)
+    // a crashed EXTENSION draw discards only the extension — the
+    // (non-descent) merged array survives as-is with 0 extensions
+    assert(pma(Seq(3.0, 2.0, 1.5), scripted(-1.0)) ==
+      ((Seq(3.0, 2.0, 1.5), Seq.empty, 0)))
+    // a merge-created strictly-descending tail extends to its floor
+    val (f4, d4, e4) = pma(Seq(3.0, 2.0, 1.5), scripted(1.5))
+    assert(f4 == Seq(3.0, 2.0, 1.5, 1.5) && d4.isEmpty && e4 == 1)
   }
 
   test("adjudication staleness: with a pinned-round baseline, pre-pin adjudications read as unadjudicated; current ones still silence") {
@@ -264,6 +331,64 @@ class BenchGateSpec extends AnyFunSuite {
       .readTree(Files.readString(out))
     assert(n2.at("/drifts/q115_triangle_count/status").asText()
       .startsWith("ADJUDICATED r13"))
+  }
+
+  test("adjudication staleness: variant markers (ADJUDICATED+FIXED rN) are round-parsed too") {
+    // the real corpus entry q219_takedown_dedup:spread reads
+    // "ADJUDICATED+FIXED r12 ..." — the plain \s+ pattern never
+    // matched the "+FIXED" suffix, so the entry could never go stale
+    // against a newer pin (round-16 advice item 2). Against a
+    // pin_round-15 baseline it must now read stale; against an old
+    // (r12) pin it still silences.
+    val dir = Files.createTempDirectory("benchgate5")
+    val cur = dir.resolve("cur.json")
+    val base = dir.resolve("base.json")
+    val out = dir.resolve("diff.json")
+    Files.writeString(cur, detailRuns(
+      ("q219_takedown_dedup", 1.0, Seq(5.0, 1.0, 1.0))))
+    Files.writeString(base,
+      """{"metric":"total","value":1,"unit":"sec",""" +
+        """"queries":{"q219_takedown_dedup":1.0},"sf":"x",""" +
+        """"meta":{"pin_round":15,"data":{"hash":"h1","bytes":1}}}""")
+    BenchDiff.main(Array(cur.toString, base.toString, out.toString))
+    assert(Bench.spreadUnadjudicatedIn(out.toString) ==
+      Seq("q219_takedown_dedup"))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out))
+    val status = n.at("/spreads/q219_takedown_dedup/status").asText()
+    assert(status.startsWith(
+      "unadjudicated (stale adjudication: r12 predates baseline pin r15"), status)
+    assert(status.contains("ADJUDICATED+FIXED r12"), status)
+    // same entry against a pin at-or-before its round still silences
+    Files.writeString(base,
+      """{"metric":"total","value":1,"unit":"sec",""" +
+        """"queries":{"q219_takedown_dedup":1.0},"sf":"x",""" +
+        """"meta":{"pin_round":12,"data":{"hash":"h1","bytes":1}}}""")
+    BenchDiff.main(Array(cur.toString, base.toString, out.toString))
+    assert(Bench.spreadUnadjudicatedIn(out.toString).isEmpty)
+  }
+
+  test("BenchPin: sessions lacking /sf or /meta/data pin to null fields, not malformed JSON") {
+    // round-16 advice item 3: a MissingNode stringifies to "", which
+    // produced "sf":, — invalid JSON that BenchDiff then failed to
+    // parse. Both fields now route through the same null fallback as
+    // the per-session meta fields.
+    val dir = Files.createTempDirectory("benchpin2")
+    val s1 = dir.resolve("s1.json"); val s2 = dir.resolve("s2.json")
+    val out = dir.resolve("pin.json")
+    // fingerprint present (required) but no /sf and no other meta
+    def bare(p: java.nio.file.Path): Unit = Files.writeString(p,
+      """{"metric":"total","value":1,"queries":{"q_a":1.0},""" +
+        """"meta":{"data":{"hash":"h1","bytes":1}}}""")
+    bare(s1); bare(s2)
+    BenchPin.main(Array(out.toString, "16", s1.toString, s2.toString))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(out)) // parse itself is the assertion
+    assert(n.at("/sf").isNull, n.toString)
+    assert(n.at("/queries/q_a").asDouble() == 1.0)
+    // and a session missing /meta/data entirely is a fingerprint
+    // error (exercised by the main spec) — but /sf-only absence must
+    // never corrupt the artifact
   }
 
   // (the fingerprint-DISAGREEMENT path sys.exits and is not testable

@@ -315,6 +315,25 @@ class SqlSurfaceSpec extends SparkSpec {
     Ck.release(dfOut); Ck.release(sqOut)
   }
 
+  test("SQL-driven margin mining equals q224 — the vector-mining family's SQL entry") {
+    ready
+    // sf0.01 like the ApiSpec marginMine test: sf0.001's ~1-vector
+    // buckets produce singleton candidates whose margin is exactly
+    // 1.0, all refused — the interesting behavior needs population.
+    // The text runs against the registered `embeddings` view, so
+    // re-point the views at sf0.01 for the comparison and restore.
+    val ddir = "/root/testdata/sf0.01"
+    SqlSurface.registerViews(spark, ddir)
+    try {
+      val dfOut = SparkEntry.queries("q224_margin_mining")(spark, ddir)
+      val sqOut = spark.sql(SqlSurface.q224MarginSql)
+      assert(rows(dfOut) == rows(sqOut),
+        s"margin mining diverges:\ndf=${rows(dfOut)}\nsql=${rows(sqOut)}")
+      // non-vacuity: real mutual pairs were mined (132 at sf0.01)
+      assert(sqOut.count() > 0L, "no mined pairs — vacuous")
+    } finally SqlSurface.registerViews(spark, dir)
+  }
+
   test("SQL-driven composed day equals q221") {
     ready
     // the one-call day on the SQL surface: the q219 dedup machinery
