@@ -538,6 +538,50 @@ object ScaleProbe {
           s""""removed":${sdRow.getLong(3)},"max_cell":${sdRow.getLong(4)},""" +
           s""""mean_cell":${fmt(sdRow.getDouble(5))},""" +
           s""""cc_rounds":$sdRounds,"wall_s":${fmt(sdS)},"task_ms":$sdTms}"""
+      // MARGIN-MINE leg (round-16, verdict item 4): q224's blocking
+      // is corpus-scaled now (ops.autoPlanes — the semdedup-codebook
+      // discipline), and this leg is its measured evidence. Claims
+      // under test on the salted-replica vector corpus: (1) the
+      // auto plane count grows one per corpus doubling past the
+      // 4096-rows-per-side floor (1000→4, 10k→6, 100k→9 planes);
+      // (2) CANDIDATE pairs — the quantity a fixed plane count lets
+      // grow quadratically — stay ~linear per vector (cand/side
+      // ~flat across decades); (3) the full miner completes with
+      // sane wall/task-ms growth. The counterfactual fixed-4-plane
+      // candidate count is measured at m <= 10 only (at m=100 it IS
+      // the ~625M-pair quadratic blowup the auto scaling exists to
+      // avoid — measuring it would spend minutes proving the point
+      // the m=10 ratio already makes).
+      val mmBase = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val mmVn = mmBase.agg((max(col("vec_id")) + 1L).as("n"))
+        .head().getLong(0)
+      // vn is even at every sf, so the +r*vn shift preserves parity
+      // and the sides stay balanced across replicas
+      require(mmVn % 2 == 0, s"odd vec stride $mmVn breaks the parity split")
+      val mmRep = replicateVecs(spark, mmBase, m, mmVn).localCheckpoint(true)
+      graft.Ck.release(mmBase)
+      val mmA = mmRep.filter(col("vec_id") % 2 === 0L)
+      val mmB = mmRep.filter(col("vec_id") % 2 === 1L)
+      val mmNa = mmA.count(); val mmNb = mmB.count()
+      val mmPlanes = ops.autoPlanes(math.max(mmNa, mmNb))
+      val (mmMined, mmS, mmTms) = timedLeg {
+        // the production path: planes resolve to mmPlanes internally
+        ops.marginMine(mmA, mmB, "vec_id", "embedding").count()
+      }
+      // candidate counts outside the timed leg (the miner already
+      // paid its own candidate stage inside wall_s)
+      val mmCand = ops.marginCandidates(
+        mmA, mmB, "vec_id", "embedding", mmPlanes).count()
+      val mmCandFixed4 =
+        if (m <= 10) ops.marginCandidates(
+          mmA, mmB, "vec_id", "embedding", 4).count()
+        else -1L
+      graft.Ck.release(mmRep)
+      val marginJson =
+        s"""{"side_a":$mmNa,"side_b":$mmNb,"planes":$mmPlanes,""" +
+          s""""cand_pairs":$mmCand,"cand_pairs_fixed4":$mmCandFixed4,""" +
+          s""""mined":$mmMined,"wall_s":${fmt(mmS)},"task_ms":$mmTms}"""
       // INCREMENTAL-DEDUP leg (round-9, q218's scale evidence): the
       // salted-replica corpus (see replicateDocs) keeps dup-cluster
       // structure scale-invariant, so the claims under test are
@@ -726,6 +770,7 @@ object ScaleProbe {
           s""""corpusday_bands":$cdBandsN}"""
       val line = s"""{"m":$m,"edges":$nEdges,"nodes":$nNodes,""" +
         s""""semdedup":$semdedupJson,""" +
+        s""""margin_mine":$marginJson,""" +
         s""""dedup":$dedupJson,""" +
         s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +
         s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
@@ -750,7 +795,8 @@ object ScaleProbe {
         s"dedup=${pdCount}dp/${fullPairs}fp warm_mv=${ndCurve1.map(_._2).sum}" +
         s"/cold_mv=${ndColdCurve.map(_._2).sum} " +
         s"semdedup=${sdRow.getLong(1)}p/k${sdRow.getLong(0)}/" +
-        s"${fmt(sdS)}s diam=${diamRow.getLong(5)}lb/${fmt(diamS)}s " +
+        s"${fmt(sdS)}s margin=${mmPlanes}pl/${mmCand}cp/${mmMined}m/" +
+        s"${fmt(mmS)}s diam=${diamRow.getLong(5)}lb/${fmt(diamS)}s " +
         s"closeness=${clHops}h/${fmt(clS)}s " +
         s"prwarm=${prWarmRes._1}r(cold ${prColdRes._1}r)")
       // the m=100 edge frame is ~100x the base — release its blocks

@@ -2245,16 +2245,14 @@ object ops {
     * margin_e3 = (2000·c·nA·nB) div (sumA·nB + sumB·nA) is exact
     * across engines, so an oracle gate covers the ranking.
     */
-  def marginMine(sideA: DataFrame, sideB: DataFrame, id: String,
-      vec: String, k: Int = 4, tauE3: Long = 1200L, planes: Int = 0)
-    : DataFrame = {
-    // auto mode counts the RAW sides (two metadata-light jobs; the
-    // oracle mirrors with COUNT(*) subqueries) — integer ladder, no
-    // float log2, so both engines resolve the identical plane count
-    val pl =
-      if (planes > 0) planes
-      else autoPlanes(math.max(sideA.count(), sideB.count()))
-    import org.apache.spark.sql.expressions.Window
+  /** The sign-LSH-blocked candidate stage of [[marginMine]], exposed
+    * for the SCALE_PROBE margin_mine leg: (a_id, b_id, c_e4) for
+    * every same-bucket cross-side pair with positive snapped cosine.
+    * Counting this frame at m=1/10/100 is the measured evidence that
+    * [[autoPlanes]] keeps candidate growth ~linear in the corpus.
+    */
+  def marginCandidates(sideA: DataFrame, sideB: DataFrame, id: String,
+      vec: String, planes: Int): DataFrame = {
     def dot(a: Column, b: Column): Column =
       graft.functions.vec.arrayDot(a, b)
     def normalized(a: Column): Column = {
@@ -2265,17 +2263,30 @@ object ops {
       array((0 until 64).map(d =>
         lit(graft.queries.Vectors.planeVal(p, d))): _*)
     def bucketOf(v: Column): Column =
-      (0 until pl).map { p =>
+      (0 until planes).map { p =>
         when(dot(v, planeArr(p)) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
     def side(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(id).as(idAs),
           normalized(col(vec).cast("array<double>")).as(vecAs))
         .withColumn("bucket", bucketOf(col(vecAs)))
-    val cand = side(sideA, "a_id", "ae").join(side(sideB, "b_id", "be"), Seq("bucket"))
+    side(sideA, "a_id", "ae").join(side(sideB, "b_id", "be"), Seq("bucket"))
       .withColumn("c_e4", round(dot(col("ae"), col("be")) * 10000, 0).cast("long"))
       .filter(col("c_e4") > 0)
       .select(col("a_id"), col("b_id"), col("c_e4"))
+  }
+
+  def marginMine(sideA: DataFrame, sideB: DataFrame, id: String,
+      vec: String, k: Int = 4, tauE3: Long = 1200L, planes: Int = 0)
+    : DataFrame = {
+    // auto mode counts the RAW sides (two metadata-light jobs; the
+    // oracle mirrors with COUNT(*) subqueries) — integer ladder, no
+    // float log2, so both engines resolve the identical plane count
+    val pl =
+      if (planes > 0) planes
+      else autoPlanes(math.max(sideA.count(), sideB.count()))
+    import org.apache.spark.sql.expressions.Window
+    val cand = marginCandidates(sideA, sideB, id, vec, pl)
     def knn(idCol: String, peerCol: String, sumName: String, nName: String) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("c_e4").desc, col(peerCol))
