@@ -75,6 +75,8 @@ object BenchProbe {
     ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getName.startsWith("CodeHeap"))
       .map(_.getUsage.getUsed / 1048576.0).sum
+  private def classes(): Long =
+    ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,11 +93,11 @@ object BenchProbe {
     val n = if (args.length > 2) args(2).toInt else 3
     (1 to n).foreach { i =>
       clock.reset()
-      val gc0 = gcMs(); val jit0 = jitMs()
+      val gc0 = gcMs(); val jit0 = jitMs(); val cl0 = classes()
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(args(1))(spark, args(0)).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] ${args(1)} run$i: $dt%.2f s rows=$c gc+${gcMs() - gc0}ms jit+${jitMs() - jit0}ms ccache=${ccacheMb()}%.0fmb")
+      println(f"[probe] ${args(1)} run$i: $dt%.2f s rows=$c gc+${gcMs() - gc0}ms jit+${jitMs() - jit0}ms ccache=${ccacheMb()}%.0fmb classes+${classes() - cl0}%d")
       println(s"[probe]   ${clock.report()}")
       println(s"[probe]   stages: ${clock.stageReport()}")
       spark.catalog.clearCache()

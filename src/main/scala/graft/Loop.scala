@@ -134,6 +134,69 @@ object Loop {
     Option(row)
   }
 
+  /** Run `body` with adaptive execution OFF, restoring the previous
+    * setting after (r16). WHY a fixpoint loop wants this for its
+    * round materializations: `LogicalRDD.fromDataset` (the
+    * localCheckpoint plan) can only capture the executed plan's
+    * outputPartitioning/outputOrdering when the plan is NOT an
+    * AdaptiveSparkPlanExec — under AQE every round checkpoint reads
+    * back as UnknownPartitioning and the next round RE-EXCHANGES
+    * state that is already laid out on the join key. With AQE off
+    * for exactly these jobs, a key-partitioned loop state carries
+    * its layout (and sort order) across rounds and the steady round
+    * plans with ZERO exchanges — the fixed co-partitioning every
+    * production iterative job (GraphX, Pregel-style) relies on. The
+    * trade: round stages run at the state's materialized partition
+    * count instead of AQE-coalesced — exactly the deterministic
+    * layout reuse the loop wants, sized by the ONE-TIME repartition
+    * that established it (shuffle.partitions at scale). Session-conf
+    * swap is safe here because loops drive their rounds sequentially
+    * on one thread (the LoopStats thread-local contract).
+    */
+  private def noAdaptive[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Scale-adaptive partition count for a loop's co-partitioned
+    * state (r16, guide §2: derive partitioning from input size, not
+    * a constant tuned for local mode or the cluster). Uses the
+    * optimizer's size estimate of `anchor` — the loop's LARGEST
+    * frame, normally the edge list — at one reduce-partition-target
+    * granularity (AQE's 64 MB advisory default), clamped to
+    * [1, spark.sql.shuffle.partitions]. At test scale a few-MB graph
+    * iterates on 1 partition (single-task rounds, no 32-way tiny-task
+    * fan-out per round); at 100 TB the clamp lands on the cluster's
+    * configured shuffle width, exactly where a static layout would.
+    * The estimate only steers a clamp, so order-of-magnitude
+    * precision is enough; a garbage BigInt estimate (join products)
+    * saturates harmlessly at the upper clamp.
+    */
+  def statePartitions(anchor: DataFrame,
+      targetBytes: Long = 64L << 20): Int = {
+    val max = anchor.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val est = anchor.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (est + targetBytes - 1) / targetBytes
+    if (want <= 1) 1
+    else if (want >= max) max
+    else want.toInt
+  }
+
+  /** Eagerly checkpoint `frame` preserving its physical layout: the
+    * materialization runs with AQE off (see [[noAdaptive]]) so the
+    * returned checkpoint's LogicalRDD carries the plan's REAL
+    * hash-partitioning and sort order into the next round's planning
+    * instead of UnknownPartitioning. Measured stats as always.
+    */
+  def ckPartitioned(frame: DataFrame): DataFrame =
+    noAdaptive(frame.sparkSession) {
+      org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+        frame.localCheckpoint(true))
+    }
+
   /** Eagerly checkpoint `frame` and report how many rows satisfy
     * `moved`, measured on the checkpoint job itself.
     */
@@ -151,6 +214,40 @@ object Loop {
     ckAgg(frame, coalesce(org.apache.spark.sql.functions.sum(c), lit(0L)),
       ck => ck.agg(coalesce(org.apache.spark.sql.functions.sum(c), lit(0L))
         .as("mv")).head().getLong(0))
+
+  /** [[ckSum]] with the checkpoint's physical layout preserved (AQE
+    * off for the materialization — [[noAdaptive]]): the PageRank-
+    * family rounds use this so the id-partitioned, id-sorted rank
+    * state plans exchange-free round after round.
+    */
+  def ckSumPartitioned(frame: DataFrame, c: Column): (DataFrame, Long) =
+    noAdaptive(frame.sparkSession) {
+      ckAgg(frame, coalesce(org.apache.spark.sql.functions.sum(c), lit(0L)),
+        ck => ck.agg(coalesce(org.apache.spark.sql.functions.sum(c), lit(0L))
+          .as("mv")).head().getLong(0))
+    }
+
+  /** [[ckCount]] with the checkpoint's physical layout preserved —
+    * see [[ckSumPartitioned]]. For loops whose per-round state join
+    * keys match the state's established partitioning (k-means
+    * reassignment, warm carries).
+    */
+  def ckCountPartitioned(frame: DataFrame, moved: Column): (DataFrame, Long) =
+    noAdaptive(frame.sparkSession) {
+      ckAgg(frame, count(when(moved, lit(1))),
+        ck => ck.filter(moved).count())
+    }
+
+  /** [[ckMax]] with the checkpoint's physical layout preserved — see
+    * [[ckSumPartitioned]]. The HITS half-steps use this so the
+    * id-partitioned score state plans exchange-free step after step.
+    */
+  def ckMaxPartitioned(frame: DataFrame, c: Column): (DataFrame, Long) =
+    noAdaptive(frame.sparkSession) {
+      ckAgg(frame, coalesce(org.apache.spark.sql.functions.max(c), lit(0L)),
+        ck => ck.agg(coalesce(org.apache.spark.sql.functions.max(c), lit(0L))
+          .as("mv")).head().getLong(0))
+    }
 
   /** Eagerly checkpoint `frame` and report the int64 MAX of `c`
     * over it (0 when empty), measured on the checkpoint job itself —

@@ -1003,23 +1003,30 @@ object SqlSurface {
     : (DataFrame, Seq[(Long, Long)], Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (_, edges, nodesRaw) = Curation.prGraphEdges(s, dir)
-    val edeg = Curation.withOutdeg(edges).persist(MEMORY_AND_DISK)
+    val edeg = Curation.withOutdeg(edges, graft.Loop.statePartitions(edges))
+      .persist(MEMORY_AND_DISK)
     graft.Tables.touch(edeg)
     val nodes = nodesRaw.persist(MEMORY_AND_DISK)
     try {
       edeg.createOrReplaceTempView("pr_edeg")
       val eps = nodes.count() * Curation.EpsPerNode
-      var pr = nodes.select(col("id"), lit(1000000000L).as("pr"))
-        .localCheckpoint(true)
+      // id-partitioned init (r16), same as prIterate's — keeps the
+      // SQL-driven round plan-equal to the co-partitioned DataFrame
+      // round (the checkpoint carries hash(id) into every round)
+      var pr = Curation.prIterateInitCk(
+        nodes.select(col("id"), lit(1000000000L).as("pr")),
+        edeg.rdd.getNumPartitions)
       val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var round = 0
       var converged = false
       while (!converged && round < Curation.MaxPrRounds) {
         round += 1
         pr.createOrReplaceTempView("pr_ranks")
-        // movement rides the checkpoint job (graft.Loop.ckSum) —
-        // same one-job-per-round discipline as prIterate
-        val (next, mv) = graft.Loop.ckSum(s.sql(prRoundSql), col("mv"))
+        // movement rides the checkpoint job, layout preserved
+        // (graft.Loop.ckSumPartitioned) — same one-job-per-round +
+        // exchange-free-steady-round discipline as prIterate
+        val (next, mv) =
+          graft.Loop.ckSumPartitioned(s.sql(prRoundSql), col("mv"))
         graft.Ck.release(pr) // superseded round, fully consumed
         curve += ((round.toLong, mv))
         converged = mv <= eps

@@ -98,8 +98,16 @@ object ops {
     * become candidates. Candidate fan-out is bucket-bounded — never
     * all-pairs.
     */
-  def nearDupCandidates(df: DataFrame, id: String, text: String): DataFrame = {
-    val bands = bandsOf(df, id, text)
+  def nearDupCandidates(df: DataFrame, id: String, text: String,
+      precomputedBands: Option[DataFrame] = None): DataFrame = {
+    // r16: a caller composing several passes over ONE corpus (the
+    // q218/q219/q221 day jobs run a cold labels pass AND a warm pass
+    // AND materialize tomorrow's band table) can hand the band rows
+    // in, so the signature scan (shingle + 12-perm minhash over the
+    // full text) runs once per corpus instead of once per consumer —
+    // at 100 TB that pass IS the dominant map cost. Values are
+    // identical by construction (bandsOf is per-doc pure).
+    val bands = precomputedBands.getOrElse(bandsOf(df, id, text))
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -118,10 +126,11 @@ object ops {
     * Callers iterating many times can pre-cache `df` themselves.
     */
   def nearDupPairs(df: DataFrame, id: String, text: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      precomputedBands: Option[DataFrame] = None): DataFrame = {
     val sh = df.select(col(id).as("__id"),
       Hashing.shingles(col(text), 3).as("__sh"))
-    nearDupCandidates(df, id, text)
+    nearDupCandidates(df, id, text, precomputedBands)
       .join(sh.select(col("__id").as("i"), col("__sh").as("__sha")), "i")
       .join(sh.select(col("__id").as("j"), col("__sh").as("__shb")), "j")
       .withColumn("jaccard", Hashing.jaccard(col("__sha"), col("__shb")))
@@ -795,9 +804,12 @@ object ops {
     * tomorrow.
     */
   def nearDupLabels(df: DataFrame, id: String, text: String,
-      minJaccard: Double = 0.5): (DataFrame, Seq[(Long, Long)]) =
+      minJaccard: Double = 0.5,
+      precomputedBands: Option[DataFrame] = None)
+    : (DataFrame, Seq[(Long, Long)]) =
     connectedComponentsCurve(
-      nearDupPairs(df, id, text, minJaccard).select(col("i"), col("j")),
+      nearDupPairs(df, id, text, minJaccard, precomputedBands)
+        .select(col("i"), col("j")),
       "i", "j")
 
   /** The banded-LSH blocking rows for `df` — (__id, band_idx,

@@ -279,56 +279,40 @@ object Curation {
   // join on src — same plan, one more exchange.
   // ---------------------------------------------------------------
   def q79PageRank(s: SparkSession, dir: String): DataFrame = {
-    // persisted (user_id, k) projection — the scalar n, the edge
-    // build, AND the nodes frame all read it (see Mining.graphEv)
-    val ev = Mining.graphEv(s, dir)
-    val n = ev.agg((max(col("user_id")) + 1L).as("n"))
-    val edges = ev.crossJoin(broadcast(n))
-      .select(col("user_id").as("src"),
-        ((col("user_id") * 31L + col("k")) % col("n")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edeg = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    touch(edeg) // eager: both downstream consumers read the cache
-    // nodes is referenced by every unrolled iteration AND the final
-    // join; without a persist the parquet-scan + JSON-parse + distinct
-    // subtree is replanned once per reference (4x) inside one job.
-    // The frame is |users| rows — persist is a few KB per executor.
-    val nodes = ev.select(col("user_id").as("id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    touch(nodes)
-    // each round's rank vector is persisted eagerly and the superseded
-    // one unpersisted (q48's iteration hygiene): without the persist,
-    // round i's broadcast re-executes rounds 1..i-1 from lineage and
-    // the final join re-executes all of them again — quadratic
-    // recompute in the number of rounds.
-    var pr = nodes.withColumn("pr", lit(1000000000L))
-    var prev: Option[DataFrame] = None
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // r16: the fixed 3-round unroll now runs on the SAME co-partitioned
+    // machinery as the convergence loops (withOutdeg dst-layout +
+    // id-partitioned rank checkpoints) — identical integer arithmetic
+    // (prRound), so the top-20 output is bit-identical; each round is
+    // one zero-exchange checkpoint job instead of a persist+touch pair
+    // with a per-round contribution exchange.
+    val (_, edges, nodesRaw) = prGraphEdges(s, dir)
+    val edeg = withOutdeg(edges, graft.Loop.statePartitions(edges))
+      .persist(MEMORY_AND_DISK)
+    touch(edeg)
+    var pr = prIterateInitCk(
+      nodesRaw.select(col("id"), lit(1000000000L).as("pr")),
+      edeg.rdd.getNumPartitions)
     for (_ <- 1 to 3) {
-      val contrib = edeg
-        .join(broadcast(pr), col("src") === col("id"))
-        .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      val next = nodes.join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"), (lit(150000000L) +
-          Relational.ldiv(lit(85L) * coalesce(col("sc"), lit(0L)), lit(100L)))
-          .as("pr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      touch(next)
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(next)
+      val next = graft.Loop.ckPartitioned(
+        prRound(edeg, pr).select(col("id"), col("pr")))
+      graft.Ck.release(pr) // superseded round, fully consumed
       pr = next
     }
-    // read outdeg back from the persisted edge frame (not `deg`, whose
-    // lineage would replan the whole edge-derivation chain again)
+    // read outdeg back from the persisted edge frame (not a separate
+    // deg derivation, whose lineage would replan the edge chain again)
     val degOut = edeg.select(col("src"), col("outdeg")).distinct()
-    pr.join(degOut, col("id") === col("src"), "left")
+    val out = pr.join(degOut, col("id") === col("src"), "left")
       .select(col("id").as("user_id"), col("pr"),
         coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .orderBy(col("pr").desc, col("user_id"))
       .limit(20)
+    // 20 rows — checkpoint the result so the edge cache and the final
+    // rank checkpoint can be released before returning
+    val ck = out.localCheckpoint(true)
+    edeg.unpersist(blocking = false)
+    graft.Ck.release(pr)
+    ck
   }
 
   // ---------------------------------------------------------------
@@ -363,7 +347,8 @@ object Curation {
     : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (_, edges, nodesRaw) = prGraphEdges(s, dir)
-    val edeg = withOutdeg(edges).persist(MEMORY_AND_DISK)
+    val edeg = withOutdeg(edges, graft.Loop.statePartitions(edges))
+      .persist(MEMORY_AND_DISK)
     touch(edeg)
     val nodes = nodesRaw.persist(MEMORY_AND_DISK)
     val nNodes = nodes.count() // eager persist + the eps denominator
@@ -397,9 +382,28 @@ object Curation {
     (ev, edges, ev.select(col("user_id").as("id")).distinct())
   }
 
-  private[graft] def withOutdeg(edges: DataFrame): DataFrame =
-    edges.join(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+  /** (src, dst, outdeg) edge frame, hash-partitioned by `dst` into
+    * `parts` partitions BEFORE the caller's persist (r16): the
+    * PageRank round's contribution aggregation groups by `dst`, so
+    * laying the cached edges out on the aggregation key once removes
+    * the per-round exchange — the sum runs complete-mode on
+    * co-partitioned input every round. At 100 TB that is one
+    * edge-partial shuffle saved per round; the one-time repartition
+    * replaces (not adds to) the cache's layout cost. `parts` comes
+    * from Loop.statePartitions on the edge frame (scale-adaptive,
+    * shared with the rank side so the rounds stay co-partitioned);
+    * the rank-side twin is prIterate's `id`-partitioned init.
+    */
+  private[graft] def withOutdeg(edges: DataFrame, parts: Int): DataFrame =
+    // outdeg via a window, not a groupBy+self-join (r16): the edge
+    // derivation (scan + parse + distinct) is an unpersisted subtree
+    // that the old self-join shape executed TWICE inside the cache
+    // build; one count-over-src window derives it once for the same
+    // values — one exchange on src + the dst layout exchange
+    edges.withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(parts, col("dst"))
 
   /** The integer PageRank loop from a caller-supplied init rank
     * vector — the core shared by the cold start (q175, uniform init)
@@ -428,11 +432,26 @@ object Curation {
         abs(col("pr") - col("old")).as("mv"))
   }
 
+  /** The loop's rank-state init checkpoint, hash-partitioned on `id`
+    * once (r16): the round's node-sized left join keys pr.id =
+    * contrib.dst; with edeg laid out on `dst` (withOutdeg) the
+    * aggregated contributions arrive `dst`-partitioned and the
+    * checkpoint CARRIES this partitioning (LogicalRDD preserves
+    * outputPartitioning), so every round's join can run
+    * co-partitioned — no per-round rank exchange and no node-sized
+    * broadcast collect of the contributions at scale. Shared with
+    * graft.Explain's `loop:pr_round` so the committed plan evidence
+    * prints the real steady-round shape.
+    */
+  private[graft] def prIterateInitCk(init: DataFrame, parts: Int): DataFrame =
+    graft.Loop.ckPartitioned(
+      init.select(col("id"), col("pr")).repartition(parts, col("id")))
+
   private def prIterate(edeg: DataFrame, init: DataFrame, eps: Long,
       maxRounds: Int, probe: (Int, DataFrame) => Unit = (_, _) => (),
       roundFn: (DataFrame, DataFrame) => DataFrame = prRound)
     : (DataFrame, Seq[(Long, Long)], Boolean) = {
-    var pr = init.select(col("id"), col("pr")).localCheckpoint(true)
+    var pr = prIterateInitCk(init, edeg.rdd.getNumPartitions)
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0
     var converged = false
@@ -443,7 +462,7 @@ object Curation {
       // checkpoint carries MEASURED size statistics like every other
       // loop's (the pr frame appears twice in the round body, so
       // inherited product stats would compound across rounds)
-      val (next, mv) = graft.Loop.ckSum(roundFn(edeg, pr), col("mv"))
+      val (next, mv) = graft.Loop.ckSumPartitioned(roundFn(edeg, pr), col("mv"))
       // round r-1's checkpoint is fully consumed (contribution join +
       // movement both materialized into `next`): release its blocks
       // now — Ck.scala's leak rationale
@@ -571,7 +590,8 @@ object Curation {
     : (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (_, edges, nodesRaw) = prGraphEdges(s, dir)
-    val edeg = withOutdeg(edges).persist(MEMORY_AND_DISK)
+    val edeg = withOutdeg(edges, graft.Loop.statePartitions(edges))
+      .persist(MEMORY_AND_DISK)
     touch(edeg)
     val nodes = nodesRaw.persist(MEMORY_AND_DISK)
     val nNodes = nodes.count()
@@ -706,7 +726,8 @@ object Curation {
     val nodes = nodesRaw.persist(MEMORY_AND_DISK)
     val nNodes = nodes.count()
     val eps = nNodes * EpsPerNode
-    val edeg0 = withOutdeg(edges0).persist(MEMORY_AND_DISK)
+    val edeg0 = withOutdeg(edges0, graft.Loop.statePartitions(edges0))
+      .persist(MEMORY_AND_DISK)
     touch(edeg0)
     val uniform = nodes.select(col("id"), lit(1000000000L).as("pr"))
     val (pr0, curve0, conv0) =
@@ -746,7 +767,8 @@ object Curation {
         Seq("src", "dst"), "left_anti")
       .unionByName(chg.filter(col("op") === "I").select(col("src"), col("dst")))
       .distinct()
-    val edeg1 = withOutdeg(edges1).persist(MEMORY_AND_DISK)
+    val edeg1 = withOutdeg(edges1, graft.Loop.statePartitions(edges1))
+      .persist(MEMORY_AND_DISK)
     touch(edeg1)
     val (pr1, curve1, conv1) =
       prIterate(edeg1, pr0, eps, MaxWarmRounds)
@@ -767,7 +789,8 @@ object Curation {
   private[graft] def coldPrRounds(s: SparkSession, edges: DataFrame,
       nodes: DataFrame, eps: Long): Int = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edeg = withOutdeg(edges).persist(MEMORY_AND_DISK)
+    val edeg = withOutdeg(edges, graft.Loop.statePartitions(edges))
+      .persist(MEMORY_AND_DISK)
     touch(edeg)
     val uniform = nodes.select(col("id"), lit(1000000000L).as("pr"))
     val (prF, curve, converged) =
@@ -1533,9 +1556,22 @@ object Curation {
   private[graft] def hitsScores(edges: DataFrame,
       rounds: Int = HitsRounds): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Dual-orientation edge layout (r16, the GraphX trade): the
+    // a-half-step aggregates by dst, the h-half-step by src — one
+    // copy of the edge cache laid out on EACH aggregation key makes
+    // every half-step's sum complete-mode on co-partitioned input,
+    // zero exchanges per half-step (8 edge-sized shuffles per run
+    // gone at any scale) for 2x edge cache. Width is scale-adaptive
+    // (Loop.statePartitions) and shared with the node/score side so
+    // the left join co-partitions too.
+    val k = graft.Loop.statePartitions(edges)
+    val eByDst = edges.repartition(k, col("dst")).persist(MEMORY_AND_DISK)
+    touch(eByDst)
+    val eBySrc = edges.repartition(k, col("src")).persist(MEMORY_AND_DISK)
+    touch(eBySrc)
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
-      .distinct().persist(MEMORY_AND_DISK)
+      .distinct().repartition(k, col("id")).persist(MEMORY_AND_DISK)
     touch(nodes)
     // one half-step = ONE checkpoint job (the q172 accumulator-twin
     // treatment, commit 99ab329): raw = Σ over `key`-incident edges
@@ -1549,15 +1585,18 @@ object Curation {
     // raw checkpoints — Ck.release walks to those, so the caller
     // contract (release a and h after their last consumer) holds.
     def halfStep(scores: DataFrame, key: String, out: String): DataFrame = {
-      val (raw, mx) = graft.Loop.ckMax(
-        hitsRawFrame(nodes, edges, scores, key, out), col("raw"))
+      // the out-keyed orientation feeds the groupBy(out) exchange-free
+      val oriented = if (out == "dst") eByDst else eBySrc
+      val (raw, mx) = graft.Loop.ckMaxPartitioned(
+        hitsRawFrame(nodes, oriented, scores, key, out), col("raw"))
       // structural (every dst has an in-edge, so some raw > 0) — and
       // the exact-integer contract needs a literal divisor, so a
       // zero here must fail loudly, never divide
       require(mx > 0L, s"HITS renormalize: max(raw) = $mx must be positive")
       raw.select(col("id"), expr(s"(raw * 10000) div ${mx}L").as("score"))
     }
-    var h = nodes.withColumn("score", lit(10000L)).localCheckpoint(true)
+    var h = graft.Loop.ckPartitioned(
+      nodes.withColumn("score", lit(10000L)))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
       val aNext = halfStep(h, "src", "dst")  // authorities ← hubs
@@ -1571,6 +1610,8 @@ object Curation {
       h = hNext
     }
     nodes.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
+    eBySrc.unpersist(blocking = false)
     (a, h)
   }
 

@@ -1725,10 +1725,19 @@ object Dedup {
     touch(docs)
     val base = docs.filter(col("doc_id") % 8 =!= 0)
     val delta = docs.filter(col("doc_id") % 8 === 0)
-    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text")
+    // ONE signature scan of the base corpus (r16): the cold labels
+    // pass and the warm pass's old side both consume this
+    // materialized band table instead of re-running the
+    // shingle+minhash map over base (bandsOf is per-doc pure, so the
+    // values are identical; only the recomputation count changes)
+    val baseBands = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      graft.api.ops.nearDupBands(base, "doc_id", "text")
+        .localCheckpoint(true))
+    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text",
+      precomputedBands = Some(baseBands))
     graft.LoopStats.recordLoop("ndd_base", curve0.length.toLong)
     val (kept, lab1, curve1) = graft.api.ops.nearDupDedupIncremental(
-      base, delta, "doc_id", "text", lab0)
+      base, delta, "doc_id", "text", lab0, oldBands = Some(baseBands))
     graft.LoopStats.recordLoop("ndd_warm", curve1.length.toLong)
     val census = lab1.groupBy(col("component"))
       .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
@@ -1748,9 +1757,11 @@ object Dedup {
       .orderBy("part", "k")
     val ck = out.localCheckpoint(true)
     // lab0 consumed (warm init + star edges materialized into the
-    // loop's checkpoints); lab1 consumed into census + drops
+    // loop's checkpoints); lab1 consumed into census + drops;
+    // baseBands consumed by both passes' candidate joins
     graft.Ck.release(lab0)
     graft.Ck.release(lab1)
+    graft.Ck.release(baseBands)
     docs.unpersist(blocking = false)
     ck
   }
@@ -1830,12 +1841,18 @@ object Dedup {
     touch(docs)
     val base = docs.filter(col("doc_id") % 8 =!= 0)
     val delta = docs.filter(col("doc_id") % 8 === 0)
-    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text")
+    // one signature scan of base for both passes (r16, q218's note)
+    val baseBands = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      graft.api.ops.nearDupBands(base, "doc_id", "text")
+        .localCheckpoint(true))
+    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text",
+      precomputedBands = Some(baseBands))
     graft.LoopStats.recordLoop("tdd_base", curve0.length.toLong)
     val deleted = lab0.filter(col("id") % 3 === 0)
       .select(col("id").as("doc_id"))
     val (kept, lab1, curve1) = graft.api.ops.nearDupDedupDelta(
-      base, delta, deleted, "doc_id", "text", lab0)
+      base, delta, deleted, "doc_id", "text", lab0,
+      oldBands = Some(baseBands))
     graft.LoopStats.recordLoop("tdd_warm", curve1.length.toLong)
     // disturbed-component census: how many clusters the takedowns
     // touched and how many surviving members needed re-verification
@@ -1870,6 +1887,7 @@ object Dedup {
     val ck = out.localCheckpoint(true)
     graft.Ck.release(lab0)
     graft.Ck.release(lab1)
+    graft.Ck.release(baseBands)
     docs.unpersist(blocking = false)
     ck
   }
@@ -1974,13 +1992,17 @@ object Dedup {
     touch(docs)
     val base = docs.filter(col("doc_id") % 8 =!= 0)
     val delta = docs.filter(col("doc_id") % 8 === 0)
-    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text")
+    // yesterday's materialized band table — the steady-state input.
+    // Built FIRST (r16) so the cold labels pass consumes it too: one
+    // signature scan of base serves the whole day job (q218's note)
+    val oldBands = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      graft.api.ops.nearDupBands(base, "doc_id", "text")
+        .localCheckpoint(true))
+    val (lab0, curve0) = graft.api.ops.nearDupLabels(base, "doc_id", "text",
+      precomputedBands = Some(oldBands))
     graft.LoopStats.recordLoop("cd_base", curve0.length.toLong)
     val deleted = lab0.filter(col("id") % 3 === 0)
       .select(col("id").as("doc_id"))
-    // yesterday's materialized band table — the steady-state input
-    val oldBands = graft.api.ops.nearDupBands(base, "doc_id", "text")
-      .localCheckpoint(true)
     val evalSet = docs.filter(col("doc_id") % 17 === 0)
       .select(col("doc_id"), col("text"))
     val embs = embeddings(s, dir)

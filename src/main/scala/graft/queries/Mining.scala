@@ -811,8 +811,16 @@ object Mining {
     // passes its persisted copy so the events scan + JSON parse +
     // distinct run ONCE for the labels and the modularity statistics
     val und = undPre.getOrElse(undGraph(s, dir))
-    val nbrs = und.select(col("a").as("node"), col("b").as("nbr"))
+    // node-partitioned neighbor cache (r16): hash(node) satisfies
+    // BOTH the round's groupBy(node, nlbl) clustering AND the argmax
+    // window's partitionBy(node), so each round runs complete-mode
+    // agg + window with ZERO exchanges over this one-time layout
+    // (was: one groupBy exchange + one window exchange per round).
+    // Width is scale-adaptive (Loop.statePartitions).
+    val nbrs0 = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+    val nbrs = nbrs0
+      .repartition(graft.Loop.statePartitions(nbrs0), col("node"))
       .persist(MEMORY_AND_DISK)
     var labels = nbrs.select(col("node")).distinct()
       .select(col("node"), (col("node") % 10L).as("lbl"))

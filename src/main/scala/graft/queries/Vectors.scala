@@ -1272,8 +1272,16 @@ object Vectors {
 
   def q163KmeansConverge(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = embeddings(s, dir)
+    // vec_id-partitioned base (r16): the per-round reassignment join
+    // keys newAssign.vec_id = prevAssign.vec_id; the map-only
+    // assignment preserves this layout and the round checkpoints
+    // carry it (Loop.ckCountPartitioned), so every round's join runs
+    // co-partitioned — no per-round exchange. Width is scale-adaptive
+    // (Loop.statePartitions), not the shuffle.partitions constant.
+    val base0 = embeddings(s, dir)
       .select(col("vec_id"), col("label"), emb(col("embedding")).as("e"))
+    val base = base0
+      .repartition(graft.Loop.statePartitions(base0), col("vec_id"))
       .persist(MEMORY_AND_DISK)
     val n = base.count() // eager persist + the threshold denominator
     // exact mean: decimal sum (order-independent) -> double -> 4dp
@@ -1303,8 +1311,8 @@ object Vectors {
           when(better, struct(d2.as("d2"), lbl.as("lbl"))).otherwise(acc)
         }).getField("lbl")
     }
-    var prevAssign = base.select(col("vec_id"), col("label").cast("int").as("cell"))
-      .localCheckpoint(true)
+    var prevAssign = graft.Loop.ckPartitioned(
+      base.select(col("vec_id"), col("label").cast("int").as("cell")))
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var rounds = 0
     var stopped = false
@@ -1318,17 +1326,23 @@ object Vectors {
       val moved = cells.toSeq.map { case (c, old) =>
         old.zip(filled(c)).count { case (a, b) => a != b }.toLong
       }.sum
-      val newAssign = assigned.select(col("vec_id"), col("cell")).localCheckpoint(true)
-      val reass = newAssign
-        .join(prevAssign.withColumnRenamed("cell", "old_cell"), "vec_id")
-        .filter(col("cell") =!= col("old_cell")).count()
+      // the reassignment count rides the round checkpoint job (r16):
+      // the old shape paid a checkpoint job + a separate count job
+      // per round for the same answer. The joined frame carries
+      // old_cell through the checkpoint (one extra int per row);
+      // next round's prevAssign is the (vec_id, cell) projection.
+      // Co-partitioned on vec_id both sides — zero exchanges.
+      val (ckA, reass) = graft.Loop.ckCountPartitioned(
+        assigned.select(col("vec_id"), col("cell"))
+          .join(prevAssign.withColumnRenamed("cell", "old_cell"), "vec_id"),
+        col("cell") =!= col("old_cell"))
       assigned.unpersist(blocking = false)
       // round r-1's assignment is fully consumed (the reassignment
       // join above was its last reader): release its blocks
       graft.Ck.release(prevAssign)
       curve += ((rounds.toLong, moved, reass))
       cells = filled
-      prevAssign = newAssign
+      prevAssign = ckA.select(col("vec_id"), col("cell"))
       stopped = reass * 50L <= n // <= 2% reassigned
     }
     require(stopped, s"k-means did not reach the movement threshold in $KmCap rounds")

@@ -144,12 +144,24 @@ class JobBudgetSpec extends SparkSpec {
 
   // measured at sf0.001 (see the scaladoc for method); update ONLY
   // with a deliberate plan change, never to silence a regression
-  private val Q196Expected = 47L
-  private val Q165Expected = 27L
+  // 47 -> 46 in r16: dual-orientation edge caches + id-partitioned
+  // score checkpoints (ckMaxPartitioned) — two extra orientation
+  // touch jobs, three fewer broadcast-build jobs in the half-steps
+  private val Q196Expected = 46L
+  // 27 -> 21 in r16: node-partitioned neighbor cache — each round's
+  // groupBy(node, nlbl) and argmax window are satisfied by the
+  // cache's hash(node) layout (zero exchanges, fewer broadcast jobs)
+  private val Q165Expected = 21L
   private val Q195Expected = 28L
   private val Q216Expected = 58L
   private val Q199Expected = 68L
   private val Q202Expected = 80L
   private val Q217Expected = 61L
-  private val Q178Expected = 71L
+  // 71 -> 52 in r16: the co-partitioned round (edeg laid out on dst
+  // at Loop.statePartitions width, rank checkpoints carrying
+  // hash(id) + sort order via ckSumPartitioned) makes every steady
+  // round a single zero-exchange checkpoint job — the per-round
+  // contribution broadcast builds and rank exchanges are gone; the
+  // window-based withOutdeg also drops the double edge derivation
+  private val Q178Expected = 52L
 }

@@ -76,10 +76,11 @@ class SqlSurfaceSpec extends SparkSpec {
   test("SQL-driven pr round is plan-equal to Curation.prRound; loops agree") {
     ready
     val (_, edges, nodesRaw) = Curation.prGraphEdges(spark, dir)
-    val edeg = Curation.withOutdeg(edges)
+    val edeg = Curation.withOutdeg(edges, Loop.statePartitions(edges))
     edeg.createOrReplaceTempView("pr_edeg")
-    val pr0 = nodesRaw.select(col("id"), lit(1000000000L).as("pr"))
-      .localCheckpoint(true)
+    val pr0 = Curation.prIterateInitCk(
+      nodesRaw.select(col("id"), lit(1000000000L).as("pr")),
+      edeg.rdd.getNumPartitions)
     pr0.createOrReplaceTempView("pr_ranks")
     pinPlanEqual("pr_round",
       Curation.prRound(edeg, pr0), spark.sql(SqlSurface.prRoundSql))
