@@ -1272,16 +1272,15 @@ object Vectors {
 
   def q163KmeansConverge(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // vec_id-partitioned base (r16): the per-round reassignment join
-    // keys newAssign.vec_id = prevAssign.vec_id; the map-only
-    // assignment preserves this layout and the round checkpoints
-    // carry it (Loop.ckCountPartitioned), so every round's join runs
-    // co-partitioned — no per-round exchange. Width is scale-adaptive
-    // (Loop.statePartitions), not the shuffle.partitions constant.
-    val base0 = embeddings(s, dir)
+    // NOT re-laid-out (r16 lesson, measured): the per-round argmin
+    // assignment over 64-dim vectors is COMPUTE-bound — repartitioning
+    // base to the state-join width (statePartitions read ~1 at sf0.1)
+    // serialized the map stage onto one core and cost more than the
+    // join layout saved (closing bench 4.64 s vs 3.85 s baseline).
+    // The base keeps the scan's parallelism; only the reassignment
+    // COUNT is optimized (it rides the round checkpoint below).
+    val base = embeddings(s, dir)
       .select(col("vec_id"), col("label"), emb(col("embedding")).as("e"))
-    val base = base0
-      .repartition(graft.Loop.statePartitions(base0), col("vec_id"))
       .persist(MEMORY_AND_DISK)
     val n = base.count() // eager persist + the threshold denominator
     // exact mean: decimal sum (order-independent) -> double -> 4dp
@@ -1311,8 +1310,9 @@ object Vectors {
           when(better, struct(d2.as("d2"), lbl.as("lbl"))).otherwise(acc)
         }).getField("lbl")
     }
-    var prevAssign = graft.Loop.ckPartitioned(
-      base.select(col("vec_id"), col("label").cast("int").as("cell")))
+    var prevAssign = base
+      .select(col("vec_id"), col("label").cast("int").as("cell"))
+      .localCheckpoint(true)
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var rounds = 0
     var stopped = false
@@ -1331,8 +1331,7 @@ object Vectors {
       // per round for the same answer. The joined frame carries
       // old_cell through the checkpoint (one extra int per row);
       // next round's prevAssign is the (vec_id, cell) projection.
-      // Co-partitioned on vec_id both sides — zero exchanges.
-      val (ckA, reass) = graft.Loop.ckCountPartitioned(
+      val (ckA, reass) = graft.Loop.ckCount(
         assigned.select(col("vec_id"), col("cell"))
           .join(prevAssign.withColumnRenamed("cell", "old_cell"), "vec_id"),
         col("cell") =!= col("old_cell"))
