@@ -50,10 +50,15 @@ object Explain {
           // print under the loop's own planning conditions: the real
           // rounds materialize inside ckSumPartitioned (AQE off for
           // the round job — Loop.noAdaptive), so the committed plan
-          // evidence must be planned the same way
-          spark.conf.set("spark.sql.adaptive.enabled", "false")
-          roundOf(pr1).explain("formatted")
-          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          // evidence must be planned the same way. Save/restore the
+          // PRE-EXISTING value under try/finally (r17, ADVICE): an
+          // exception mid-explain must not leave AQE off for the
+          // remaining query names of this invocation.
+          val aqeKey = "spark.sql.adaptive.enabled"
+          val aqePrev = spark.conf.get(aqeKey)
+          spark.conf.set(aqeKey, "false")
+          try roundOf(pr1).explain("formatted")
+          finally spark.conf.set(aqeKey, aqePrev)
           edeg.unpersist(blocking = false)
           graft.Ck.release(pr0)
           graft.Ck.release(pr1)

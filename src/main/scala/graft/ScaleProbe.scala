@@ -317,6 +317,26 @@ object ScaleProbe {
       // chain replication leaves flat (the evidence: rounds stay ~
       // constant while per-round cost tracks edges)
       val kc = timeLoop(p => ops.kcore(edges, "a", "b", 2, probe = p)._2)
+      // q196-CORE leg (r17, verdict item 6): HITS on the replicated
+      // graph — the r16 dual-orientation caches + id-partitioned
+      // score checkpoints make every half-step's aggregation
+      // complete-mode over a one-time layout, so the claim under
+      // test is that task-ms tracks EDGES ~linearly across decades
+      // (8 fixed half-steps; no per-half-step edge re-shuffle to
+      // grow quadratically in block count — guide §2.2's failure
+      // shape). Wall at these sizes is per-job floor; read task_ms.
+      val (hitsN, hitsS, hitsTms) = {
+        graft.LoopStats.drain()
+        val ((n), w, tms) = timedLeg {
+          val out = ops.hits(edges, "a", "b")
+          val c = out.count()
+          graft.Ck.release(out)
+          c
+        }
+        (n, w, tms)
+      }
+      val hitsJson =
+        s"""{"nodes_scored":$hitsN,"wall_s":${fmt(hitsS)},"task_ms":$hitsTms}"""
       // SCC: orient every canonical edge a->b and close a back-edge
       // for the (a+b) % 3 == 0 subset of WITHIN-REPLICA edges only
       // (b - a < n; a back-closed bridge would snake one SCC across
@@ -597,8 +617,43 @@ object ScaleProbe {
       val dBase = docsRep.filter(col("doc_id") % 8L =!= 0L)
       val dDelta = docsRep.filter(col("doc_id") % 8L === 0L)
       val lb0T0 = System.nanoTime()
+      val lb0Tms0 = taskMs.get()
       val (ndLab0, ndCurve0) = ops.nearDupLabels(dBase, "doc_id", "text")
       val lb0S = (System.nanoTime() - lb0T0) / 1e9
+      val lb0Tms = taskMs.get() - lb0Tms0
+      // BAND-SHARE A/B (r17, verdict item 6 — the r16 day-job
+      // mechanism measured at scale): the r16 dedup day jobs derive
+      // the base corpus's shingle + 12-perm minhash band table ONCE
+      // and hand it to both passes (precomputedBands). The
+      // counterfactual pair here: the SAME cold labeling fed a
+      // pre-materialized band table vs the self-derived default
+      // above — the task-ms gap IS one signature scan of the
+      // corpus, the thing the sharing saves per day job, and it
+      // must grow ~linearly with the corpus while the local sf0.1
+      // bench hides it under the per-job floor (r16 verdict item 5:
+      // "scale evidence is plan-shaped, not measured" — this leg
+      // converts it). bs_prep_s prices the scan itself.
+      val bsPrepT0 = System.nanoTime()
+      val bsPrepTms0 = taskMs.get()
+      val bsBands = ops.nearDupBands(dBase, "doc_id", "text")
+        .localCheckpoint(true)
+      val bsPrepS = (System.nanoTime() - bsPrepT0) / 1e9
+      val bsPrepTms = taskMs.get() - bsPrepTms0
+      val ((bsLabN), bsSharedS, bsSharedTms) = timedLeg {
+        val (l, c) = ops.nearDupLabels(dBase, "doc_id", "text",
+          precomputedBands = Some(bsBands))
+        require(c.map(_._2).sum == ndCurve0.map(_._2).sum,
+          "band-shared labeling's movement diverges from the self-derived run")
+        val n = l.count()
+        graft.Ck.release(l)
+        n
+      }
+      graft.Ck.release(bsBands)
+      val bandShareJson =
+        s"""{"self_s":${fmt(lb0S)},"self_tms":$lb0Tms,""" +
+          s""""shared_s":${fmt(bsSharedS)},"shared_tms":$bsSharedTms,""" +
+          s""""prep_s":${fmt(bsPrepS)},"prep_tms":$bsPrepTms,""" +
+          s""""labels":$bsLabN}"""
       val pdT0 = System.nanoTime()
       val pdCount = ops.incrementalNearDupPairs(
         dBase, dDelta, "doc_id", "text", 0.5).count()
@@ -774,6 +829,7 @@ object ScaleProbe {
         s""""dedup":$dedupJson,""" +
         s""""cc":${loopJson(cc)},"cc_warm":$ccWarmJson,"bfs":${loopJson(bfs)},""" +
         s""""pr":${loopJson(pr)},"kcore":${loopJson(kc)},""" +
+        s""""hits":$hitsJson,"band_share":$bandShareJson,""" +
         s""""scc":{"outer_rounds":$sccRounds,"bw_rounds":$sccBw,""" +
         s""""bail_at":${sccStats.getOrElse("scc_bail_at", -1L)},""" +
         s""""total_s":${fmt(sccS)},"task_ms":$sccTms,"n_sccs":$nScc},""" +
@@ -798,7 +854,10 @@ object ScaleProbe {
         s"${fmt(sdS)}s margin=${mmPlanes}pl/${mmCand}cp/${mmMined}m/" +
         s"${fmt(mmS)}s diam=${diamRow.getLong(5)}lb/${fmt(diamS)}s " +
         s"closeness=${clHops}h/${fmt(clS)}s " +
-        s"prwarm=${prWarmRes._1}r(cold ${prColdRes._1}r)")
+        s"prwarm=${prWarmRes._1}r(cold ${prColdRes._1}r) " +
+        s"hits=${fmt(hitsS)}s/${hitsTms}tms " +
+        s"bandshare=self${fmt(lb0S)}s/${lb0Tms}tms" +
+        s"+shared${fmt(bsSharedS)}s/${bsSharedTms}tms")
       // the m=100 edge frame is ~100x the base — release its blocks
       // before the next scale builds its own (base stays: it serves
       // every scale)

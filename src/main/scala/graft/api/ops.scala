@@ -1810,12 +1810,15 @@ object ops {
     while (!exhausted && hop < maxHops) {
       hop += 1
       // frontier-empty check rides the checkpoint job (graft.Loop);
-      // the two-level visited check is exact (scaladoc proof)
+      // the two-level visited check is exact (scaladoc proof). ONE
+      // anti-join against the UNION of levels d and d−1 (r17): the
+      // two-anti-join shape paid one extra broadcast-build job per
+      // hop — a per-hop floor cost on every sweep (q216 runs ~38
+      // hops/query) — for identical semantics.
       val (fresh, fEmpty) = graft.Loop.ckIsEmpty(
         nbrs.join(frontier, "__node")
           .select(col("__nbr").as("__node")).distinct()
-          .join(frontier, Seq("__node"), "left_anti")
-          .join(prevNodes, Seq("__node"), "left_anti"))
+          .join(frontier.unionByName(prevNodes), Seq("__node"), "left_anti"))
       exhausted = fEmpty
       if (!exhausted) {
         levels ::= fresh
@@ -1851,16 +1854,25 @@ object ops {
     * (0, 0, 0). cent_e6 = (1e6·n_seed) div sum_d is integer-exact
     * across engines.
     *
-    * Loop shape (bfsLoop's one-job-per-hop accumulator, keyed by
-    * (node, seed)): the neighbor list is repartitioned by node ONCE
-    * and every hop joins on it co-partitioned; the accumulator
-    * checkpoint carries the fresh-pair count on the same job
-    * (graft.Loop.ckCount); per-hop distance derives from the
-    * frontier's dist + 1 column arithmetic — no changing literal, so
-    * every hop reuses one codegen class (the r12 finding). State is
-    * O(nodes × seeds) pairs — exactly the Eppstein–Wang space bound;
-    * at 100 TB the seed fraction shrinks as log n / n while the
-    * frame stays shuffle-partitioned on node, never driver-held.
+    * Loop shape (r17: ops.bfsDistances' PER-LEVEL checkpoints,
+    * keyed by (node, seed)): the neighbor list is repartitioned by
+    * node ONCE and every hop joins on it co-partitioned; each hop
+    * checkpoints ONLY its fresh (node, seed, dist) pairs with the
+    * fresh-pair count riding the same job (graft.Loop.ckCount), and
+    * the level list IS the visited set — total materialized bytes
+    * are O(pairs), not the accumulator shape's O(pairs × hops)
+    * re-copy per hop (the r10 bfsDistances argument, measured here:
+    * the r16 driver run re-wrote the full ~300k-pair accumulator on
+    * every one of 17 hops). The visited check anti-joins the last
+    * TWO levels only, which is exact per seed on an undirected
+    * graph: a neighbor of a dist-d pair has dist ≥ d−1, so excluding
+    * levels d and d−1 from the expansion leaves precisely level d+1.
+    * Per-hop distance derives from the frontier's dist + 1 column
+    * arithmetic — no changing literal, so every hop reuses one
+    * codegen class (the r12 finding). State is O(nodes × seeds)
+    * pairs — exactly the Eppstein–Wang space bound; at 100 TB the
+    * seed fraction shrinks as log n / n while the frame stays
+    * shuffle-partitioned on node, never driver-held.
     */
   def closenessSample(edges: DataFrame, src: String, dst: String,
       isSeed: Column => Column, maxHops: Int = 41,
@@ -1877,36 +1889,52 @@ object ops {
       .persist(MEMORY_AND_DISK)
     val nodes = endpoints.select(col("__node"))
       .distinct().localCheckpoint(true)
-    var visited = nodes.filter(isSeed(col("__node")))
+    val seeds = nodes.filter(isSeed(col("__node")))
       .select(col("__node"), col("__node").as("__seed"), lit(0L).as("__dist"))
       .localCheckpoint(true)
-    var frontier: DataFrame = visited
+    // per-level pair checkpoints, newest first — together they ARE
+    // the visited set; nothing is ever re-copied (bfsDistances' r10
+    // shape). `visited` below is a PLAN-ONLY union view over them,
+    // grown one branch per hop for the probe hook and the final
+    // aggregation; it executes once at assembly, never per hop.
+    var levels: List[DataFrame] = List(seeds)
+    var frontier = seeds // level d
+    var prevPairs = seeds.filter(lit(false)) // level d-1
+    var visited = seeds
     var hop = 0
     var exhausted = false
     while (!exhausted && hop < maxHops) {
       hop += 1
-      val (nv, nNew) = graft.Loop.ckCount(
-        visited.select(col("__node"), col("__seed"), col("__dist"),
-            lit(false).as("__new"))
-          .unionByName(nbrs.join(frontier, "__node")
-            .groupBy(col("__nbr"), col("__seed"))
-            .agg(min(col("__dist") + 1L).as("__dist"))
-            .select(col("__nbr").as("__node"), col("__seed"), col("__dist"))
-            .join(visited, Seq("__node", "__seed"), "left_anti")
-            .select(col("__node"), col("__seed"), col("__dist"),
-              lit(true).as("__new"))),
-        col("__new"))
+      // fresh-pair count rides the level checkpoint job (graft.Loop);
+      // the two-level visited check is exact (scaladoc proof). ONE
+      // anti-join against the UNION of the two levels, not one
+      // anti-join per level: each broadcast build is its own AQE job,
+      // and the probe read the two-anti-join shape at +15 jobs/run
+      // (17 hops x one extra broadcast) for identical semantics.
+      val (fresh, nNew) = graft.Loop.ckCount(
+        nbrs.join(frontier, "__node")
+          .groupBy(col("__nbr"), col("__seed"))
+          .agg(min(col("__dist") + 1L).as("__dist"))
+          .select(col("__nbr").as("__node"), col("__seed"), col("__dist"))
+          .join(frontier.select(col("__node"), col("__seed"))
+              .unionByName(prevPairs.select(col("__node"), col("__seed"))),
+            Seq("__node", "__seed"), "left_anti"),
+        lit(true))
       exhausted = nNew == 0L
-      graft.Ck.release(visited)
-      visited = nv.select(col("__node"), col("__seed"), col("__dist"))
-      if (!exhausted)
-        frontier = nv.filter(col("__new"))
-          .select(col("__node"), col("__seed"), col("__dist"))
+      if (!exhausted) {
+        levels ::= fresh
+        visited = visited.unionByName(fresh)
+        prevPairs = frontier
+        frontier = fresh
+      } else {
+        graft.Ck.release(fresh) // empty probe frame
+      }
       probe(hop, visited)
     }
     nbrs.unpersist(blocking = false)
     endpoints.unpersist(blocking = false)
-    if (!exhausted) { graft.Ck.release(visited); graft.Ck.release(nodes) }
+    // the level checkpoints must not outlive a tripped guard
+    if (!exhausted) { levels.foreach(graft.Ck.release); graft.Ck.release(nodes) }
     require(exhausted, s"closeness BFS not exhausted in $maxHops hops")
     graft.LoopStats.recordLoop("closeness", hop.toLong)
     val perNode = visited.groupBy(col("__node"))
@@ -1967,7 +1995,7 @@ object ops {
     // endpoint joins run co-partitioned on the (already repartitioned)
     // node key instead of shipping the survivor set to every executor
     def hinted(df: DataFrame): DataFrame =
-      if (broadcastSurvivors) broadcast(df) else df
+      if (broadcastSurvivors) graft.Loop.broadcastIfFits(df) else df
     def induced(core: DataFrame): DataFrame = nbrs
       .join(hinted(core), "__node")
       .join(hinted(core.select(col("__node").as("__nbr"))), "__nbr")

@@ -419,8 +419,13 @@ object Curation {
     * (caller checkpoints it).
     */
   private[graft] def prRound(edeg: DataFrame, pr: DataFrame): DataFrame = {
+    // size-gated rank broadcast (r17, ADVICE): the checkpointed rank
+    // vector carries measured stats, so under the session threshold
+    // this is the same forced broadcast as before (local plan
+    // bit-identical); past it the join degrades to the documented
+    // shuffle join on src instead of an impossible node-sized ship
     val contrib = edeg
-      .join(broadcast(pr), col("src") === col("id"))
+      .join(graft.Loop.broadcastIfFits(pr), col("src") === col("id"))
       .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
     pr.select(col("id"), col("pr").as("old"))
@@ -439,9 +444,13 @@ object Curation {
     * checkpoint CARRIES this partitioning (LogicalRDD preserves
     * outputPartitioning), so every round's join can run
     * co-partitioned — no per-round rank exchange and no node-sized
-    * broadcast collect of the contributions at scale. Shared with
-    * graft.Explain's `loop:pr_round` so the committed plan evidence
-    * prints the real steady-round shape.
+    * broadcast collect of the CONTRIBUTIONS at scale. (Qualified,
+    * r17 ADVICE: the contribution side's collect is what this
+    * eliminates; prRound still broadcast-hints the rank vector into
+    * the contribution join itself, one node-sized broadcast per
+    * round — see the size gate there for the at-scale degrade.)
+    * Shared with graft.Explain's `loop:pr_round` so the committed
+    * plan evidence prints the real steady-round shape.
     */
   private[graft] def prIterateInitCk(init: DataFrame, parts: Int): DataFrame =
     graft.Loop.ckPartitioned(
@@ -572,8 +581,9 @@ object Curation {
     */
   private[graft] def pprRound(tpPerSeed: Long)(
       edeg: DataFrame, pr: DataFrame): DataFrame = {
+    // size-gated rank broadcast — see prRound (r17, ADVICE)
     val contrib = edeg
-      .join(broadcast(pr), col("src") === col("id"))
+      .join(graft.Loop.broadcastIfFits(pr), col("src") === col("id"))
       .select(col("dst"), Relational.ldiv(col("pr"), col("outdeg")).as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
     pr.select(col("id"), col("pr").as("old"))
@@ -1534,8 +1544,11 @@ object Curation {
   private[graft] def hitsRawFrame(nodes: DataFrame, edges: DataFrame,
       scores: DataFrame, key: String, out: String): DataFrame =
     nodes.join(
-      edges.join(broadcast(scores.select(col("id").as(key),
-          col("score").as("os"))), key)
+      // size-gated score broadcast — the prRound treatment (r17):
+      // past the threshold the half-step joins co-partition on
+      // src/dst as the scale-shape comment documents
+      edges.join(graft.Loop.broadcastIfFits(scores
+          .select(col("id").as(key), col("score").as("os"))), key)
         .groupBy(col(out)).agg(sum(col("os")).as("raw")),
       col("id") === col(out), "left")
       .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
@@ -1561,9 +1574,15 @@ object Curation {
     // copy of the edge cache laid out on EACH aggregation key makes
     // every half-step's sum complete-mode on co-partitioned input,
     // zero exchanges per half-step (8 edge-sized shuffles per run
-    // gone at any scale) for 2x edge cache. Width is scale-adaptive
-    // (Loop.statePartitions) and shared with the node/score side so
-    // the left join co-partitions too.
+    // gone at any scale) for 2x steady-state edge cache. Width is
+    // scale-adaptive (Loop.statePartitions) and shared with the
+    // node/score side so the left join co-partitions too. The
+    // CALLER's edge cache (if any) is released below the moment the
+    // three derived caches are built — nothing in the loop reads the
+    // input frame again, so peak residency is 3x the edge set only
+    // transiently during the builds, 2x for the iteration (r17,
+    // ADVICE: the old comment claimed 2x while the caller's persist
+    // sat resident for the whole loop).
     val k = graft.Loop.statePartitions(edges)
     val eByDst = edges.repartition(k, col("dst")).persist(MEMORY_AND_DISK)
     touch(eByDst)
@@ -1573,6 +1592,11 @@ object Curation {
       .unionByName(edges.select(col("dst").as("id")))
       .distinct().repartition(k, col("id")).persist(MEMORY_AND_DISK)
     touch(nodes)
+    // last read of the input frame was nodes' build: drop its cache
+    // now (no-op when the caller passed an unpersisted frame; the
+    // callers' own end-of-query unpersist stays as an idempotent
+    // backstop)
+    edges.unpersist(blocking = false)
     // one half-step = ONE checkpoint job (the q172 accumulator-twin
     // treatment, commit 99ab329): raw = Σ over `key`-incident edges
     // of the other role's score is checkpointed with max(raw) riding

@@ -822,12 +822,20 @@ object Mining {
     val nbrs = nbrs0
       .repartition(graft.Loop.statePartitions(nbrs0), col("node"))
       .persist(MEMORY_AND_DISK)
-    var labels = nbrs.select(col("node")).distinct()
-      .select(col("node"), (col("node") % 10L).as("lbl"))
-      .localCheckpoint(true)
+    // label checkpoints carry MEASURED stats (r17): the gate below
+    // reads the estimate, so it must be the BlockManager's truth,
+    // not an inherited join/window product
+    var labels = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+      nbrs.select(col("node")).distinct()
+        .select(col("node"), (col("node") % 10L).as("lbl"))
+        .localCheckpoint(true))
     (1 to rounds).foreach { r =>
+      // size-gated label broadcast (r17, the prRound treatment): the
+      // documented at-scale degrade — a co-partitioned shuffle join
+      // on `node` — now actually engages past the threshold
       val cnt = nbrs
-        .join(broadcast(labels.select(col("node").as("nbr"), col("lbl").as("nlbl"))),
+        .join(graft.Loop.broadcastIfFits(
+            labels.select(col("node").as("nbr"), col("lbl").as("nlbl"))),
           "nbr")
         .groupBy(col("node"), col("nlbl")).agg(count(lit(1)).as("cnt"))
       val wnd = Window.partitionBy(col("node"))
@@ -836,7 +844,8 @@ object Mining {
         .filter(col("rk") === 1)
         .select(col("node"), col("nlbl").as("lbl"))
       probe(r, next) // pre-checkpoint: the round's join is visible
-      val stepped = next.localCheckpoint(true)
+      val stepped = org.apache.spark.sql.GraftPlanStats.withMeasuredStats(
+        next.localCheckpoint(true))
       graft.Ck.release(labels) // superseded round's broadcast source
       labels = stepped
     }
@@ -1133,9 +1142,11 @@ object Mining {
   // (Θ(nm)) is out of reach: per-seed BFS from the deterministic
   // node % 7 sample, estimator ĉ(v) = n_seed(v) / Σ_s d(s,v),
   // integer-quantized cent_e6 = (1e6·n_seed) div sum_d. The loop is
-  // ops.closenessSample (bfsLoop's one-job-per-hop accumulator
-  // keyed by (node, seed); state = the Eppstein–Wang O(n·m_seeds)
-  // pair bound, shuffle-partitioned on node). Oracle: the q172
+  // ops.closenessSample (r17: bfsDistances' per-LEVEL checkpoints
+  // keyed by (node, seed) — O(pairs) total materialized bytes, not
+  // the retired accumulator's O(pairs × hops) re-copy per hop;
+  // state = the Eppstein–Wang O(n·m_seeds) pair bound,
+  // shuffle-partitioned on node). Oracle: the q172
   // recursive-CTE BFS with a seed column carried through the
   // recursion — per-(seed, node) min distance, aggregated to the
   // same estimator.
@@ -2017,19 +2028,28 @@ object Mining {
         val (keep, keepCnt) = graft.Loop.ckCount(
           sccTrimKeep(edges, cur), lit(true))
         trimming = keepCnt != curCnt
-        if (trimming) {
-          // the peeled nodes are singleton SCCs — one checkpoint
-          // piece, consumed by the final assembly only
-          val (removed, _) = graft.Loop.ckCount(
-            cur.join(keep, Seq("id"), "left_anti")
-              .select(col("id"), col("id").as("scc")), lit(true))
-          pieces += removed
-        }
         curCnt = keepCnt
         if (cur ne active) graft.Ck.release(cur)
         cur = keep
       }
       require(!trimming, "SCC trim did not reach a fixpoint")
+      // ONE singleton piece per OUTER ROUND (r17, the job-floor pass
+      // applied to the trim loop): each shrinking pass used to pay a
+      // SECOND checkpoint job for its peeled nodes, but the peeled
+      // sets are nested differences of a monotonically shrinking
+      // chain (keep_p ⊆ cur_{p-1}), so their union is exactly
+      // active \ cur_final — materialized here as one checkpoint per
+      // round instead of one per pass. Every peeled node is its own
+      // SCC with scc = id regardless of WHICH pass peeled it, so the
+      // assembled output is row-identical; retained piece bytes stay
+      // Σ|removed| (the release contract is unchanged) and the final
+      // union's plan depth SHRINKS (one leaf per round, not per pass).
+      if (curCnt != activeCnt) {
+        val (removed, _) = graft.Loop.ckCount(
+          active.join(cur, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc")), lit(true))
+        pieces += removed
+      }
       done = curCnt == 0L // counted on the final trim pass's job
       if (!done) {
         // live subgraph edges for this round, exchanged once

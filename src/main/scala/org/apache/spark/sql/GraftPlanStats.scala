@@ -33,6 +33,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   * never invent them.
   */
 object GraftPlanStats {
+  /** Dev introspection: a checkpoint's carried physical layout (the
+    * partitioning/ordering a LogicalRDD will hand the next round's
+    * planner). Lives here because LogicalRDD is private[sql].
+    */
+  def describeCk(df: DataFrame): String =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        s"partitioning=${lr.outputPartitioning} " +
+          s"ordering=${lr.outputOrdering} nparts=${lr.rdd.getNumPartitions}"
+      case other => s"not a LogicalRDD: ${other.getClass.getSimpleName}"
+    }
+
+
   def withMeasuredStats(df: DataFrame): DataFrame =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
